@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session configuration shared by Verify, Bench, tests and library users.
+  *
+  * Everything here is sized for the driver's `local[32]` harness but chosen
+  * so the same settings generalize to a multi-executor cluster:
+  *   - AQE on: runtime coalescing / skew-join splitting replaces hand-tuned
+  *     partition counts at 100 TB.
+  *   - `nanosAsLong`: the `events` table carries parquet TIMESTAMP(NANOS),
+  *     which Spark's vectorized reader does not support natively; reading it
+  *     as a nanosecond Long keeps event-time arithmetic exact (no µs
+  *     truncation), which the sessionization and interval-join operators
+  *     rely on for determinism.
+  */
+object GraftSession {
+
+  /** Apply the standard graft tuning to an existing builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+
+  /** Standalone session for tests / ad-hoc runs. */
+  def local(threads: Int = 4): SparkSession = {
+    val s = tune(
+      SparkSession.builder().master(s"local[$threads]").appName("graft"),
+      shufflePartitions = math.max(4, threads)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Defensive runtime re-apply for sessions we did not build (the driver
+    * may hand `SparkEntry.queries` a vanilla session). All of these confs
+    * are runtime-settable SQLConfs.
+    */
+  def ensureRuntimeConfs(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Document-pipeline surface over the `documents` table
+  * (SURVEY.md §2E Q2/Q3/Q4/Q8).
+  *
+  * The testdata documents are punctuation-free word sequences, so chunking
+  * is word-level (reference ChunkType.WORD) and fixed-width word windows
+  * (paragraph analog) — reference: model/src/main/kotlin/datatypes/datarecords.kt:6-12.
+  */
+object DocumentQueries {
+
+  /** Q3 — doc → chunk explode with ordinal index and parent FK
+    * (the reference's ChunkProducer flatMap,
+    * reference: pipeline/impl/KafkaIntelligencePipeline.kt:142-145).
+    * Scale: narrow flatMap, no shuffle; ordinal comes from the array
+    * position, not a window function. */
+  def wordChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("idx", "word")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("word"))
+      .orderBy(col("doc_id"), col("idx"))
+
+  val wordChunksSql: String =
+    """SELECT doc_id, i - 1 AS idx, words[i] AS word
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |     UNNEST(generate_series(1, len(words))) AS t(i)
+      |ORDER BY doc_id, idx""".stripMargin
+
+  /** Q3b — fixed-width (10-word) window chunks with ordinal, the
+    * paragraph-shaped chunking. All array-native (transform/slice), no
+    * shuffle, no UDF. */
+  def windowChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("chunks", expr(
+        "transform(sequence(0, cast(ceil(size(words)/10.0) as int) - 1)," +
+          " i -> concat_ws(' ', slice(words, i*10 + 1, 10)))"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("chunk"),
+        (size(split(col("chunk"), " "))).cast("long").as("n_words"))
+      .orderBy(col("doc_id"), col("idx"))
+
+  val windowChunksSql: String =
+    """SELECT doc_id, i AS idx,
+      |  array_to_string(words[(i*10)+1:(i+1)*10], ' ') AS chunk,
+      |  len(words[(i*10)+1:(i+1)*10]) AS n_words
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |     UNNEST(generate_series(0, CAST(ceil(len(words)/10.0) AS BIGINT) - 1)) AS t(i)
+      |ORDER BY doc_id, idx""".stripMargin
+
+  /** Q4 — parent/child join + group-collect rollup
+    * (the reference's DataRecordWithChunks session aggregate,
+    * reference: KafkaIntelligencePipelineTests.kt:315-333).
+    * Chunks are re-derived and joined back to the parent, then collapsed —
+    * the deterministic scalar projection of collect_list. */
+  def docChunkRollup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = wordChunks(spark, dir)
+    val rollup = chunks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      expr("min_by(word, struct(idx))").as("first_word"),
+      expr("max_by(word, struct(idx))").as("last_word"),
+      max(length(col("word"))).cast("long").as("max_word_len"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(rollup, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docChunkRollupSql: String =
+    """SELECT d.doc_id, d.lang, d.n_chars,
+      |  len(words) AS n_chunks,
+      |  words[1] AS first_word,
+      |  words[-1] AS last_word,
+      |  list_max(list_transform(words, w -> length(w))) AS max_word_len
+      |FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words
+      |      FROM documents) d
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Q2 — idempotent enrichment: add a derived lang only where no provider
+    * already supplied one (the reference's "not already enriched by me"
+    * gate, reference: KafkaIntelligencePipeline.kt:227-242). Docs with
+    * doc_id % 3 == 0 carry pre-seeded metadata; the enricher must skip
+    * them. Implemented with an array-of-struct meta column and an
+    * `exists()` predicate — the columnar form of the reference's
+    * `meta.any { it.createdBy == name }`. */
+  def idempotentEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val seeded = docs.withColumn("meta",
+      when(col("doc_id") % 3 === 0,
+        array(struct(lit("seed").as("created_by"), col("lang").as("value"))))
+        .otherwise(array().cast("array<struct<created_by:string,value:string>>")))
+    val needs = !expr("exists(meta, m -> m.created_by = 'langid')") &&
+      !expr("exists(meta, m -> m.created_by = 'seed')")
+    val enriched = seeded.withColumn("meta",
+      when(needs, concat(col("meta"), array(struct(lit("langid").as("created_by"),
+        when(col("text").contains(" the "), lit("en")).otherwise(lit("xx")).as("value")))))
+        .otherwise(col("meta")))
+    enriched.select(
+      col("doc_id"),
+      size(col("meta")).cast("long").as("n_meta"),
+      expr("meta[0].created_by").as("lang_source"),
+      expr("meta[0].value").as("final_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val idempotentEnrichSql: String =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS n_meta,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'seed' ELSE 'langid' END AS lang_source,
+      |  CASE WHEN doc_id % 3 = 0 THEN lang
+      |       WHEN contains(text, ' the ') THEN 'en' ELSE 'xx' END AS final_lang
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Q8 — content-hash dedup groups (reference HashMetadataProducer,
+    * reference: participants/implementations.kt:41-52). Hash-groupBy is the
+    * exact-dedup primitive: one shuffle on the digest, canonical id =
+    * min(doc_id) per group. */
+  def contentDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("digest", md5(col("text").cast("binary")))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("digest"))
+
+  val contentDedupSql: String =
+    """SELECT md5(text) AS digest, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY digest""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q3_word_chunks", wordChunks, Some(wordChunksSql)),
+    QueryDef("q3b_window_chunks", windowChunks, Some(windowChunksSql)),
+    QueryDef("q4_doc_chunk_rollup", docChunkRollup, Some(docChunkRollupSql)),
+    QueryDef("q2_idempotent_enrich", idempotentEnrich, Some(idempotentEnrichSql)),
+    QueryDef("q8_content_dedup", contentDedup, Some(contentDedupSql)))
+}

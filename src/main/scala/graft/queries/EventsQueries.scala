@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Sessions, TimeJoins}
+
+/** Event-stream surface over the `events` table (SURVEY.md §2E Q1/Q5/Q6).
+  * `ts` is an epoch-nanosecond Long throughout (see Tables.events).
+  */
+object EventsQueries {
+
+  private val GapNs = 500L * 1000000000L // 500 s, reference session gap
+
+  /** Q1 — latest-state consolidation: fold the event log to latest-per-key
+    * (the relational shape of the reference's KTable upsert fold,
+    * reference: pipeline/impl/KafkaIntelligencePipeline.kt:364-382).
+    *
+    * Implemented with `max_by` over a (ts, event_id) ordering struct —
+    * a commutative aggregate with map-side partial aggregation, i.e. the
+    * 100 TB-friendly form (no window sort, one small shuffle). */
+  def latestState(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        expr("max_by(event_type, struct(ts, event_id))").as("last_type"),
+        expr("max_by(value, struct(ts, event_id))").as("last_value"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("user_id"))
+
+  val latestStateSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_events, MAX(epoch_ns(ts)) AS last_ts,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY user_id)
+      |SELECT a.user_id, a.n_events, a.last_ts, r.event_type AS last_type,
+      |  r.value AS last_value, a.total_value
+      |FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+      |ORDER BY a.user_id""".stripMargin
+
+  /** Q5 — time-bounded self-join: same user, b strictly after a, within 60 s
+    * (the reference joins records to chunks within ±1 s; our synthetic
+    * events are sparser, so the window is 60 s to produce non-trivial
+    * matches). Aggregated to pair counts per user. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"), col("event_id"))
+    TimeJoins.withinWindow(ev, ev, "user_id", "ts", 0L, 60L * 1000000000L)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT a.user_id, COUNT(*) AS n_pairs
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND epoch_ns(b.ts) > epoch_ns(a.ts)
+      |  AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 60000000000
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  /** Q6 — 500 s-gap sessionization + per-session aggregates
+    * (reference: KafkaIntelligencePipelineTests.kt:325-333). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Sessions.assignByGap(ev, col("user_id"), col("ts"), col("event_id"), GapNs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("start_ns"),
+        max(col("ts")).as("end_ns"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionWindowsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+      |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL THEN 1
+      |         WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > 500000000000 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)),
+      |sess AS (
+      |  SELECT user_id, value, tns,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, MIN(tns) AS start_ns, MAX(tns) AS end_ns,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_latest_state", latestState, Some(latestStateSql)),
+    QueryDef("q5_interval_join", intervalJoin, Some(intervalJoinSql)),
+    QueryDef("q6_session_windows", sessionWindows, Some(sessionWindowsSql)))
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational / analytics surface (SURVEY.md §2E Q7 + Q11).
+  *
+  * The reference has no SQL engine — its only aggregation is the KTable
+  * fold (reference: pipeline/impl/KafkaIntelligencePipeline.kt:364-382) —
+  * so this is the "generalized" relational surface the survey mandates,
+  * expressed declaratively so Catalyst handles pushdown/pruning/join
+  * strategy. Scale notes per query inline.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary.
+    * Scale: single shuffle on (returnflag, linestatus) — 6 groups; partial
+    * aggregation makes the shuffle tiny regardless of input size. Filter +
+    * 7-column projection reach the parquet scan. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q5-shaped revenue rollup: 6-way star join filtered to one region.
+    * Scale: nation/region/supplier are dimension tables → broadcast (no
+    * shuffle of the fact side for them); customer⋈orders⋈lineitem are the
+    * big shuffles and AQE re-plans them at runtime. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Top-k with total ordering (SURVEY §2E Q11 — the UI grid ordering,
+    * reference: ui-vok/MainView.kt:150-166).
+    * Scale: Spark plans orderBy+limit as TakeOrderedAndProject — per-
+    * partition top-k then a single-reduce merge; no full sort. */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        expr("unix_millis(cast(o_orderdate as timestamp))").as("order_ms"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val topOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  epoch_ms(o_orderdate) AS order_ms, o_orderpriority
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Grouped top-k per group via window ranking — the generalized "grid
+    * ordering" with partition-wise ranking. Scale: one shuffle on the
+    * partition key; rank computed within sorted partitions. */
+  def topCustomerPerNation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    cust.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  val topCustomerPerNationSql: String =
+    """SELECT n_name, rk, c_custkey, c_name, c_acctbal
+      |FROM (
+      |  SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      |  FROM customer) c
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rk <= 3
+      |ORDER BY n_name, rk""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q7_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    QueryDef("q7b_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
+    QueryDef("q11_top_orders", topOrders, Some(topOrdersSql)),
+    QueryDef("q11b_top_customer_per_nation", topCustomerPerNation, Some(topCustomerPerNationSql)))
+}
