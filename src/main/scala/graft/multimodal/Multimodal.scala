@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (BASELINE.json north-star): image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, plus
+  * partition-batched feature extraction.
+  *
+  * The Spark-side mechanics — schema, encoders, partition batching, UDF
+  * signature — are real and tested; the codec itself is STUBBED behind
+  * `MediaDecoder` because no image/audio libraries exist in this
+  * container. A production deployment swaps `DeterministicFakeDecoder`
+  * for a JNI/javacv-backed implementation without touching the plumbing.
+  *
+  * Scale notes: media rows are large (MBs); keep
+  * `spark.sql.files.maxPartitionBytes` sized so one partition holds a few
+  * hundred rows, and never collect payloads. Feature extraction is
+  * `mapPartitions` so decoder init (model load, codec contexts) amortizes
+  * per partition, mirroring how the reference builds Tika/CoreNLP once
+  * per participant (reference: participants/implementations.kt:64, 99).
+  */
+object Multimodal {
+
+  case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
+  case class MediaRecord(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long,
+      content_hash: Long, feature: Array[Float])
+
+  /** Pluggable decode step. Implementations MUST be deterministic given
+    * the payload (the pipeline replays idempotently, like every reference
+    * participant). */
+  trait MediaDecoder extends Serializable {
+    def features(payload: Array[Byte], meta: MediaMeta): Array[Float]
+  }
+
+  /** STUB decoder: a real deployment replaces this with an actual codec.
+    * Produces a deterministic 8-dim "embedding" from byte statistics so
+    * tests exercise the full plumbing (schema, batching, downstream
+    * similarity ops) with stable values. */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    override def features(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val f = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) {
+        f(i % 8) += (payload(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      f
+    }
+  }
+
+  /** Build a media table from any (id, text) frame by treating the UTF-8
+    * bytes as the opaque payload — the shape a binaryFile/object-store
+    * source produces. */
+  def syntheticMediaFrom(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        lit(0).as("width"), lit(0).as("height"),
+        length(col(textCol)).cast("long").as("durationMs")).as("meta"))
+
+  /** Partition-batched feature extraction: one decoder instance per
+    * partition, rows streamed through it (never materialized wholesale). */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // decoder init happens here, once per partition
+      it.map { r =>
+        MediaFeatures(
+          media_id = r.media_id,
+          mime = r.meta.mime,
+          n_bytes = r.payload.length.toLong,
+          content_hash = scala.util.hashing.MurmurHash3.bytesHash(r.payload).toLong,
+          feature = decoder.features(r.payload, r.meta))
+      }
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.Similarity
+import graft.multimodal.Multimodal
+
+/** Embedding-similarity + multimodal query surface (north-star Q12). */
+object SimilarityQueries {
+
+  /** Exact top-20 cosine neighbours of the vec_id=0 embedding, computed on
+    * floor(x*1000) quantized ints so the double cosine is bit-identical to
+    * the SQL oracle. Corpus scan is narrow; single-row query side is
+    * broadcast; top-k is TakeOrdered (no global sort). */
+  def embeddingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("qv", Similarity.quantize(col("embedding")))
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("qv").as("q"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", Similarity.quantizedCosine(col("qv"), col("q")))
+      .select(col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  val embeddingTopKSql: String =
+    """WITH q AS (
+      |  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id = 0),
+      |c AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id <> 0),
+      |scored AS (
+      |  SELECT c.vec_id, c.label,
+      |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+      |  FROM c CROSS JOIN q)
+      |SELECT vec_id, label, cosine FROM scored
+      |ORDER BY cosine DESC, vec_id ASC
+      |LIMIT 20""".stripMargin
+
+  /** Hyperplane-LSH bucketed candidate pairs with exact-cosine scoring —
+    * the ANN scale path. xxhash64-derived hyperplanes → rows-only check;
+    * recall is asserted in SimilaritySpec. 8 planes / 256 buckets over the
+    * corpus guarantees collisions; threshold -1 keeps all candidates. */
+  def annLshPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", dim = 64, planes = 8, cosineThreshold = -1.0)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Multimodal plumbing end-to-end: binary payload column + typed
+    * metadata through the partition-batched (stub-decoded) feature
+    * extractor. Oracle covers the engine-independent columns. */
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaFrom(
+      Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.extractFeatures(spark, media, Multimodal.DeterministicFakeDecoder)
+      .toDF()
+      .select(col("media_id"), col("mime"), col("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id AS media_id, 'text/plain' AS mime,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
+    QueryDef("q15b_ann_lsh", annLshPairs, None),
+    QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)))
+}
