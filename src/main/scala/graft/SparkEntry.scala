@@ -10,11 +10,11 @@ import graft.queries.Registry
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the consolidated document-enrichment slice: documents → hash +
-    * chunk-count + lang-provider metadata, one row per document. */
+    * The full document pipeline — ingest → consolidation fold →
+    * dependency-ordered enrichment — flattened to metadata rows. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.ensureRuntimeConfs(spark)
-    graft.queries.DocumentQueries.docChunkRollup(spark, "/root/testdata/sf0.001")
+    graft.queries.PipelineQueriesImpl.enrichmentPipeline(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -74,9 +74,16 @@ object Dedup {
     val rows = k / bands
     require(bands * rows == k, "k must be divisible by bands")
 
+    // Materialize the shingle table BEFORE deriving signatures: without a
+    // barrier, CollapseProject inlines the (non-codegen, higher-order)
+    // shingle expression into all k permutations × all bands, exploding
+    // interpreted eval cost combinatorially. At 100 TB the signature
+    // table is likewise persisted once and reused, never recomputed
+    // per consumer.
     val shingled = docs.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = shingled
       .withColumn("sig", minhashSignature(col("shingles"), k))
       .withColumn("banded", lshBands(col("sig"), bands, rows))
@@ -88,6 +95,7 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
       .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val l = bucketed.select(col("band"), col("band_hash"),
       col("id").as("id_a"), col("shingles").as("sh_a"))

@@ -53,33 +53,45 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
-  /** All-pairs near-neighbour candidates via hyperplane-LSH bucketing:
-    * vectors sharing the full sign signature land in one bucket; pairs are
-    * generated per bucket (equi-join) and verified with exact cosine. */
+  /** All-pairs near-neighbour candidates via multi-table hyperplane LSH:
+    * `tables` independent sign signatures of `planes` hyperplanes each; a
+    * pair is a candidate if it collides in ANY table (recall
+    * 1-(1-s^planes)^tables for angular similarity s), then verified with
+    * exact cosine. Bucket key is (table, signature) — always an equi-join;
+    * `maxBucket` caps degenerate buckets (the near-zero-vector bucket at
+    * 100 TB would otherwise pair quadratically). */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      dim: Int, planes: Int = 12, cosineThreshold: Double = 0.9,
-      maxBucket: Int = 5000): DataFrame = {
+      dim: Int, planes: Int = 6, tables: Int = 16,
+      cosineThreshold: Double = 0.9, maxBucket: Int = 5000): DataFrame = {
     val signed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", packedSignature(col("v"), dim, planes))
+      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("sig", packedSignatureFor(col("v"), col("t"), dim, planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = signed.withColumn("bucket_n", count(lit(1))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("sig"))))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("t"), col("sig"))))
       .filter(col("bucket_n") <= maxBucket)
-    val l = capped.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = capped.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("sig"))
+    val l = capped.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = capped.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Sign signature packed as sum of 2^p over planes with positive dot.
-    * Hyperplane components in [-1, 1], derived from xxhash64(p*dim+i). */
-  def packedSignature(vec: Column, dim: Int, planes: Int): Column = {
+    * Hyperplane components in [-1, 1], derived deterministically from
+    * xxhash64((table*planes + p)*dim + i) — no stored model. */
+  def packedSignature(vec: Column, dim: Int, planes: Int): Column =
+    packedSignatureFor(vec, lit(0), dim, planes)
+
+  def packedSignatureFor(vec: Column, table: Column, dim: Int, planes: Int): Column = {
     require(planes <= 62)
     val terms = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val planeBase = (table * planes + p) * dim
       val dot = aggregate(
-        zip_with(vec, sequence(lit(p * dim.toLong), lit(p * dim.toLong) + (dim - 1)),
+        zip_with(vec, sequence(planeBase, planeBase + (dim - 1)),
           (x, seed) => x.cast("double") *
             ((pmod(xxhash64(seed), lit(2001L)) - 1000L).cast("double") / lit(1000.0))),
         lit(0.0), _ + _)

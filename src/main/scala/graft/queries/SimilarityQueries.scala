@@ -44,13 +44,14 @@ object SimilarityQueries {
       |ORDER BY cosine DESC, vec_id ASC
       |LIMIT 20""".stripMargin
 
-  /** Hyperplane-LSH bucketed candidate pairs with exact-cosine scoring —
+  /** Multi-table hyperplane-LSH candidate pairs with exact-cosine scoring —
     * the ANN scale path. xxhash64-derived hyperplanes → rows-only check;
-    * recall is asserted in SimilaritySpec. 8 planes / 256 buckets over the
-    * corpus guarantees collisions; threshold -1 keeps all candidates. */
+    * recall is asserted in DedupSimilaritySpec. Threshold 0.3 keeps the
+    * output to genuinely-similar pairs. */
   def annLshPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
-      "vec_id", "embedding", dim = 64, planes = 8, cosineThreshold = -1.0)
+      "vec_id", "embedding", dim = 64, planes = 6, tables = 16,
+      cosineThreshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Multimodal plumbing end-to-end: binary payload column + typed

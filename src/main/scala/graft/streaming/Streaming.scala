@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.model._
+import graft.pipeline.Consolidate
+
+/** Structured Streaming wiring (SURVEY.md §7.2 step 7): the reference's
+  * 6-topic Kafka layout (§1.2) mapped to Spark streams.
+  *
+  * Sources here are file/memory-based (no Kafka broker or connector jar in
+  * this environment); `kafkaEvents` documents the drop-in Kafka form —
+  * the DataFrame surface is identical downstream of the source, which is
+  * the point of the design: operators never know the source.
+  */
+object Streaming {
+
+  /** The consolidation fold as an incrementally-maintained stateful
+    * stream — the KTable analog (reference: KafkaIntelligencePipeline.kt:364-382).
+    * Same fold code as the batch Aggregator (Consolidate.add/merge), so
+    * batch and streaming provably agree; state is one FoldState per key
+    * (bounded by metadata volume, not event count). Use RocksDB state
+    * store (`spark.sql.streaming.stateStore.providerClass`) for 100 TB
+    * keyspaces. Emits the updated record per trigger (OutputMode.Update),
+    * like the reference's cache-disabled immediate emission (§4). */
+  def consolidate(events: Dataset[DataRecordEvent]): Dataset[DataRecord] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.id)
+      .flatMapGroupsWithState[Consolidate.FoldState, DataRecord](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: Long, evs: Iterator[DataRecordEvent], state: GroupState[Consolidate.FoldState]) =>
+          val st0 = state.getOption.getOrElse(Consolidate.FoldState.zero)
+          // within one trigger, apply in deterministic (timestamp, seq) order
+          val st = evs.toSeq.sortBy(e => (e.timestamp, e.seq))
+            .foldLeft(st0)(Consolidate.add)
+          state.update(st)
+          Iterator.single(Consolidate.finishState(st))
+      }
+  }
+
+  /** The `dataRecords(id)` changelog-subscription analog
+    * (reference: KafkaIntelligencePipeline.kt:61-76): materialize the
+    * consolidated stream into an in-memory queryable table named `id`.
+    * Distinct id ⇒ distinct query ⇒ full replay from the source — the
+    * same replay semantics the reference gets from a fresh
+    * `application.id`. */
+  def dataRecords(consolidated: Dataset[DataRecord], id: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val w = consolidated.writeStream
+      .format("memory").queryName(id)
+      .outputMode("update")
+    // AvailableNow snapshots offsets AT START — right for replay-and-stop
+    // reads, wrong for live subscriptions (data added later is ignored)
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** Side-effect sink (reference A14: `PipelineSideEffect = (key,value) -> Unit`
+    * wired via foreach, KafkaIntelligencePipeline.kt:163-185): per-batch
+    * callback over the consolidated stream. foreachBatch rather than
+    * foreach so the callback sees a DataFrame it can write transactionally
+    * (idempotent sinks under at-least-once replay, SURVEY.md §4). */
+  def sideEffect(consolidated: Dataset[DataRecord],
+      f: (Dataset[DataRecord], Long) => Unit): StreamingQuery =
+    consolidated.writeStream
+      .outputMode("update")
+      .foreachBatch(f)
+      .start()
+
+  /** File-based event source over a directory of parquet event batches —
+    * the dev/test stand-in for the `datarecord-event` topic. */
+  def fileEvents(spark: SparkSession, dir: String): Dataset[DataRecordEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[DataRecordEvent]].schema)
+      .parquet(dir)
+      .as[DataRecordEvent]
+  }
+
+  /** Kafka form of the same source (requires the spark-sql-kafka connector
+    * on the classpath; not present in this container). Value is the
+    * JSON-serialized event, key the record id — the reference's wire
+    * layout (§1.3) with JSON kept at the boundary only. */
+  def kafkaEvents(spark: SparkSession, bootstrap: String, topic: String): Dataset[DataRecordEvent] = {
+    import spark.implicits._
+    val schema = implicitly[org.apache.spark.sql.Encoder[DataRecordEvent]].schema
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("e"))
+      .select(col("e.*"))
+      .as[DataRecordEvent]
+  }
+
+  /** Event-time session windows with watermarking — the upgrade over the
+    * reference's processing-time SessionWindows (SURVEY.md §4 calls this
+    * out as free in Spark). Input: the `events` table shape with ns-Long
+    * `ts`. */
+  def sessionAggregates(events: DataFrame, gap: String = "500 seconds",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", watermark)
+      .groupBy(session_window(col("ets"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"), col("sum_value"))
+
+  /** Windowed stream-stream equi-join (reference A12: records⋈chunks
+    * within ±1 s, KafkaIntelligencePipelineTests.kt:272-275): generic
+    * form over two keyed, timestamped streams. */
+  def windowedJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, toleranceSec: Int,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) - expr(s"interval $toleranceSec seconds") &&
+      r(rightTs) <= l(leftTs) + expr(s"interval $toleranceSec seconds"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Recall/precision sanity for the near-dup and similarity operators. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf()).cache()
+
+  test("minhash LSH finds planted near-duplicates") {
+    // plant: drop the first word of each doc, offset ids
+    val planted = docs.select((col("doc_id") + 1000L).as("doc_id"),
+      expr("concat_ws(' ', slice(split(text,' '), 2, size(split(text,' '))))").as("text"))
+    val corpus = docs.select($"doc_id", $"text").unionByName(planted)
+    val pairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      jaccardThreshold = 0.5).collect()
+    val plantedFound = pairs.count(p =>
+      p.getLong(1) == p.getLong(0) + 1000L)
+    val nDocs = docs.count()
+    assert(plantedFound >= nDocs * 0.8,
+      s"expected >=80% recall of planted near-dups, got $plantedFound/$nDocs")
+    // verified jaccard really is high for reported pairs
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("simhash hamming distance is small for planted near-dups") {
+    val planted = docs.limit(20).select((col("doc_id") + 1000L).as("doc_id"),
+      expr("concat_ws(' ', slice(split(text,' '), 2, size(split(text,' '))))").as("text"))
+    val corpus = docs.limit(20).select($"doc_id", $"text").unionByName(planted)
+    val sims = Dedup.simhashTable(corpus, "doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 16).collect()
+    assert(pairs.count(p => p.getLong(1) == p.getLong(0) + 1000L) >= 10)
+  }
+
+  test("exact dedup groups duplicates and keeps min id") {
+    val corpus = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 5000L).as("doc_id"), $"text"))
+    val groups = Dedup.exactGroups(corpus, "doc_id", "text")
+    assert(groups.count() == docs.count()) // every text appears exactly twice
+    val g = groups.collect()
+    assert(g.forall(_.getLong(1) == 2))
+    assert(g.forall(_.getLong(2) < 5000L), "canonical id is the original")
+  }
+
+  test("cosine: self-similarity 1, quantized close to float path") {
+    val emb = Tables.embeddings(spark, sf())
+    val self = emb.select(Similarity.cosine($"embedding", $"embedding").as("c"))
+      .agg(min($"c"), max($"c")).head()
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-9)
+
+    val both = emb.limit(50)
+      .withColumn("q", Similarity.quantize($"embedding"))
+      .crossJoin(broadcast(emb.limit(1).select($"embedding".as("e2"),
+        Similarity.quantize($"embedding").as("q2"))))
+      .select(Similarity.cosine($"embedding", $"e2").as("f"),
+        Similarity.quantizedCosine($"q", $"q2").as("qc"))
+      .collect()
+    assert(both.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 0.01),
+      "quantized cosine within 0.01 of float cosine")
+  }
+
+  test("multi-table hyperplane LSH recalls most true top-5 neighbours") {
+    val emb = Tables.embeddings(spark, sf())
+    val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, planes = 5, tables = 24, cosineThreshold = -1.0)
+    // ground truth: top-5 exact neighbours of vec 0
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val top = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", Similarity.cosine($"embedding", $"q").as("c"))
+      .orderBy($"c".desc).limit(5).select($"vec_id").as[Long].collect().toSet
+    val cands = pairs.filter($"id_a" === 0 || $"id_b" === 0)
+      .select(when($"id_a" === 0, $"id_b").otherwise($"id_a").as("other"))
+      .as[Long].collect().toSet
+    assert(top.intersect(cands).size >= 3,
+      s"LSH candidates for vec 0 should recall >=3 of true top-5; got ${top.intersect(cands)} of $top")
+  }
+}

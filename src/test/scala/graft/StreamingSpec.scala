@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.model._
+import graft.pipeline.Consolidate
+import graft.streaming.Streaming
+
+/** Streaming parity: the stateful streaming fold must agree with the
+  * batch Aggregator (same fold code, different execution), replay
+  * semantics must hold, and event-time session windows must run with
+  * watermarks. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val repr = DocumentRepresentation("text inline", "inline")
+
+  private def events(id: Long): Seq[DataRecordEvent] = Seq(
+    DataRecordEvent.create(id, s"doc-$id", repr, 1L, 0L),
+    DataRecordEvent.upsertMeta(id, Metadata(Map("lang" -> "en"), "lang"), 2L, 0L),
+    DataRecordEvent.upsertMeta(id, Metadata(Map("lang" -> "en"), "lang"), 3L, 0L),
+    DataRecordEvent.upsertRepresentation(id, DocumentRepresentation(s"/o/$id", "tika"), 4L, 0L))
+
+  test("streaming consolidation agrees with the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DataRecordEvent]
+    val q = Streaming.dataRecords(Streaming.consolidate(input.toDS()), "records_test")
+    try {
+      // two micro-batches: creates first, enrichments after — the fold
+      // must consolidate across triggers via state
+      input.addData((1L to 5L).flatMap(events(_).take(1)))
+      q.processAllAvailable()
+      input.addData((1L to 5L).flatMap(events(_).drop(1)))
+      q.processAllAvailable()
+
+      val out = spark.sql("select * from records_test").as[DataRecord].collect()
+      // memory sink in update mode appends each update; latest state per id wins
+      val latest = out.groupBy(_.id).map { case (_, rs) => rs.maxBy(_.meta.size) }
+      val expected = (1L to 5L).map(id => Consolidate.sequentialFold(events(id)))
+        .map(r => r.id -> r).toMap
+      latest.foreach { r => assert(r == expected(r.id), s"record ${r.id} diverged from batch fold") }
+      assert(latest.size == 5)
+    } finally q.stop()
+  }
+
+  test("replay: a second subscription re-materializes from the source") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DataRecordEvent]
+    input.addData(events(9L))
+    val q1 = Streaming.dataRecords(Streaming.consolidate(input.toDS()), "replay_a")
+    q1.processAllAvailable(); q1.stop()
+    // fresh query over the same source stream: full replay, fresh state
+    val q2 = Streaming.dataRecords(Streaming.consolidate(input.toDS()), "replay_b")
+    q2.processAllAvailable(); q2.stop()
+    val a = spark.sql("select id from replay_a").collect().length
+    val b = spark.sql("select id from replay_b").collect().length
+    assert(a > 0 && b > 0)
+  }
+
+  test("side-effect sink sees every consolidated record (A14)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DataRecordEvent]
+    input.addData((1L to 4L).flatMap(events))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = Streaming.sideEffect(Streaming.consolidate(input.toDS()),
+      (batch, _) => batch.collect().foreach(r => seen.add(r.id)))
+    try {
+      q.processAllAvailable()
+      assert(seen.iterator().hasNext)
+      val ids = scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator()).asScala.toSet
+      assert(ids == (1L to 4L).toSet)
+    } finally q.stop()
+  }
+
+  test("stream-stream windowed equi-join within tolerance (A12)") {
+    implicit val sqlCtx = spark.sqlContext
+    val recs = MemoryStream[(Long, java.sql.Timestamp)]
+    val chunks = MemoryStream[(Long, java.sql.Timestamp)]
+    val t0 = 1704067200000L
+    recs.addData(Seq((1L, new java.sql.Timestamp(t0))))
+    chunks.addData(Seq(
+      (1L, new java.sql.Timestamp(t0 + 500)),   // within ±1 s → joins
+      (1L, new java.sql.Timestamp(t0 + 5000)))) // outside → dropped
+    val joined = Streaming.windowedJoin(
+      recs.toDS().toDF("key", "rts"), chunks.toDS().toDF("key", "cts"),
+      "key", "rts", "cts", toleranceSec = 1)
+    val q = joined.writeStream.format("memory").queryName("wjoin_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from wjoin_test").count() == 1)
+    } finally q.stop()
+  }
+
+  test("event-time session windows with watermark produce sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)] // ts-ns, user, value
+    val base = 1704067200L * 1000000000L
+    input.addData(Seq(
+      (base, 1L, 1.0), (base + 100L * 1000000000L, 1L, 2.0), // same session (gap 100s)
+      (base + 2000L * 1000000000L, 1L, 3.0),                 // new session (gap 2000s)
+      (base, 2L, 5.0)))
+    val df = input.toDS().toDF("ts", "user_id", "value")
+    val q = Streaming.sessionAggregates(df, gap = "500 seconds")
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, n_events from sessions_test order by user_id, n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)),
+        s"expected user 1 sessions of 2+1 events and user 2 of 1, got $rows")
+    } finally q.stop()
+  }
+}
