@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // whole-stage codegen across many queries exhausts the default 240m
+  // JIT code cache -> everything silently degrades to interpreted
+  "-XX:ReservedCodeCacheSize=1g",
 )

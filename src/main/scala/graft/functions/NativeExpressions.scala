@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot per-row kernels (SURVEY.md §7.3:
+  * "custom native Expression for hot scalar ops").
+  *
+  * The generic higher-order-function route (`transform`/`aggregate` with
+  * lambdas) evaluates interpreted with per-element dispatch — benchmarked
+  * 10-100× slower than a tight primitive loop for these kernels. Each
+  * expression here is row-local (no state, no shuffle) and deterministic,
+  * so it composes freely with pushdown and AQE. CodegenFallback is fine:
+  * the loop body is plain JVM code the JIT compiles; codegen would only
+  * save the per-ROW boxing, not the per-ELEMENT work.
+  */
+object NativeExpressions {
+
+  /** 64-bit SimHash from an array of shingle hashes: per-bit ±1 votes in
+    * one pass. Replaces an explode(×64 bits)+double-shuffle formulation —
+    * per-document SimHash is embarrassingly row-local. */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val hashes = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      val n = hashes.numElements()
+      while (i < n) {
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) sim |= (1L << b)
+        b += 1
+      }
+      sim
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** Multi-table random-hyperplane sign signatures for an array<float>
+    * vector: returns array<long> of `tables` packed signatures. Hyperplane
+    * components come from a cross-platform-deterministic PRNG (seeded
+    * java.util.Random LCG), materialized once per executor — no stored
+    * model, no per-element hashing. */
+  case class HyperplaneSigs(child: Expression, tables: Int, planes: Int, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(planes <= 62)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @transient private lazy val components: Array[Array[Double]] =
+      Array.tabulate(tables * planes)(idx => hyperplane(idx, dim))
+
+    override def nullSafeEval(input: Any): Any = {
+      val vec = input.asInstanceOf[ArrayData]
+      val n = math.min(vec.numElements(), dim)
+      val sigs = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var sig = 0L
+        var p = 0
+        while (p < planes) {
+          val plane = components(t * planes + p)
+          var dot = 0.0
+          var i = 0
+          while (i < n) {
+            dot += vec.getFloat(i).toDouble * plane(i)
+            i += 1
+          }
+          if (dot > 0) sig |= (1L << p)
+          p += 1
+        }
+        sigs(t) = sig
+        t += 1
+      }
+      new GenericArrayData(sigs)
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
+  }
+
+  /** Distinct word n-gram shingles in one pass (split, slide, dedupe) —
+    * the interpreted CASE+transform+slice+split form re-split the text
+    * per shingle. Documents shorter than n collapse to one whole-text
+    * shingle, matching ops.Dedup.wordShingles semantics exactly. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.toString
+      val words = text.split(" ")
+      if (words.length < n) {
+        new GenericArrayData(Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(text)))
+      } else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        val last = words.length - n
+        val sb = new java.lang.StringBuilder()
+        while (i <= last) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var k = 0
+        while (it.hasNext) {
+          out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+          k += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  }
+
+  /** Quantized cosine: floor(x*1000) int vectors, exact integer dot and
+    * norms, one double division — bit-identical to the SQL/DuckDB
+    * formulation (floor, i64 mults/sums, IEEE sqrt/div) but in one
+    * primitive pass instead of three interpreted aggregates. */
+  case class QuantizedCosine(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val va = a.asInstanceOf[ArrayData]
+      val vb = b.asInstanceOf[ArrayData]
+      val n = math.min(va.numElements(), vb.numElements())
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < n) {
+        val x = math.floor(va.getFloat(i).toDouble * 1000).toLong
+        val y = math.floor(vb.getFloat(i).toDouble * 1000).toLong
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedCosine =
+      copy(left = l, right = r)
+  }
+
+  /** Cosine similarity of two float arrays in one primitive pass —
+    * replaces the triple interpreted `aggregate(zip_with(...))` in
+    * verification-heavy paths. */
+  case class CosineSimFloat(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val va = a.asInstanceOf[ArrayData]
+      val vb = b.asInstanceOf[ArrayData]
+      val n = math.min(va.numElements(), vb.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = va.getFloat(i).toDouble
+        val y = vb.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0) 0.0 else dot / denom
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimFloat =
+      copy(left = l, right = r)
+  }
+
+  /** Deterministic pseudo-random hyperplane (components in [-1, 1)):
+    * java.util.Random's LCG is specified in the JLS, so signatures
+    * reproduce on any JVM. Shared with Similarity.hyperplane. */
+  def hyperplane(index: Int, dim: Int): Array[Double] = {
+    val rnd = new java.util.Random(0x9E3779B97F4A7C15L ^ index.toLong)
+    Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  // ------------------------------------------------------- Column bridges
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+
+  def hyperplaneSigs(vec: Column, tables: Int, planes: Int, dim: Int): Column =
+    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(vec), tables, planes, dim))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def wordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def quantizedCosine(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

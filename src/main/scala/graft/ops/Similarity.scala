@@ -20,13 +20,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two equal-length float-array columns, computed
-    * in double. Single pass: one aggregate over the zipped array. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => (x * y).cast("double")), lit(0.0), _ + _)
-    val na = aggregate(transform(a, x => (x * x).cast("double")), lit(0.0), _ + _)
-    val nb = aggregate(transform(b, x => (x * x).cast("double")), lit(0.0), _ + _)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+    * in double via the native one-pass kernel (the higher-order
+    * `aggregate(zip_with(...))` form evaluates interpreted per element —
+    * ~20× slower in verification-heavy paths). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.cosineSim(a, b)
 
   /** floor(x*1000) quantization — engine-independent exact ints. */
   def quantize(v: Column): Column =
@@ -63,9 +61,17 @@ object Similarity {
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int = 6, tables: Int = 16,
       cosineThreshold: Double = 0.9, maxBucket: Int = 5000): DataFrame = {
+    // spread before the CPU-dense signature computation: a single small
+    // parquet file otherwise serializes all hyperplane dots onto one task.
+    // All tables' signatures come from one native kernel pass per vector
+    // (NativeExpressions.HyperplaneSigs — tight primitive loops; the
+    // higher-order-lambda formulation was ~50× slower), then explode to
+    // (table, sig) rows.
     val signed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn("sig", packedSignatureFor(col("v"), col("t"), dim, planes))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
+      .select(col("id"), col("v"),
+        posexplode(graft.functions.NativeExpressions.hyperplaneSigs(
+          col("v"), tables, planes, dim)).as(Seq("t", "sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = signed.withColumn("bucket_n", count(lit(1))
       .over(org.apache.spark.sql.expressions.Window.partitionBy(col("t"), col("sig"))))
@@ -80,27 +86,8 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** Sign signature packed as sum of 2^p over planes with positive dot.
-    * Hyperplane components in [-1, 1], derived deterministically from
-    * xxhash64((table*planes + p)*dim + i) — no stored model. */
+  /** Single-table sign signature (see NativeExpressions.HyperplaneSigs
+    * for the kernel and the deterministic hyperplane construction). */
   def packedSignature(vec: Column, dim: Int, planes: Int): Column =
-    packedSignatureFor(vec, lit(0), dim, planes)
-
-  def packedSignatureFor(vec: Column, table: Column, dim: Int, planes: Int): Column = {
-    require(planes <= 62)
-    val terms = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val planeBase = (table * planes + p) * dim
-      val dot = aggregate(
-        zip_with(vec, sequence(planeBase, planeBase + (dim - 1)),
-          (x, seed) => x.cast("double") *
-            ((pmod(xxhash64(seed), lit(2001L)) - 1000L).cast("double") / lit(1000.0))),
-        lit(0.0), _ + _)
-      when(dot > 0, pow2(p)).otherwise(lit(0L))
-    })
-    aggregate(terms, lit(0L), _ + _)
-  }
-
-  /** 2^p as a Long for p ≤ 62. Powers of two are exact in IEEE double,
-    * so pow→cast is lossless in this range. */
-  private def pow2(p: Column): Column = pow(lit(2.0), p).cast("long")
+    element_at(graft.functions.NativeExpressions.hyperplaneSigs(vec, 1, planes, dim), 1)
 }

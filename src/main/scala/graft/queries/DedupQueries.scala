@@ -53,6 +53,8 @@ object DedupQueries {
       "doc_id", "text", blockCol = "source", shingleN = 2, threshold = 0.05)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  // oracle keeps the naive per-pair intersect form — the inverted-index
+  // rewrite must produce identical values (n_a + n_b - common == |A∪B|)
 
   val ngramJaccardSql: String =
     """WITH sh AS (

@@ -131,9 +131,69 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY n_name, rk""".stripMargin
 
+  /** ROLLUP subtotals — one of the Catalyst freebies the reference lacks
+    * entirely (SURVEY.md §2 "What the reference does NOT have"). Spark
+    * expands grouping sets in a single pass with partial aggregation. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val revenueRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Running per-customer order totals — ordered-window aggregation (also
+    * absent from the reference). Decimal-exact cumulative sums. */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .filter(col("rn") <= 3) // first 3 orders per customer keeps output bounded
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val runningTotalsSql: String =
+    """SELECT o_custkey, rn, o_orderkey, running_total FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate ASC, o_orderkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC))
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Sketch-based distinct counting (HLL) next to the exact answer — the
+    * 100 TB cardinality primitive. Approx values are engine-specific →
+    * rows-only check; ApproxSpec bounds the error against the exact count. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q7_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q7b_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
     QueryDef("q11_top_orders", topOrders, Some(topOrdersSql)),
-    QueryDef("q11b_top_customer_per_nation", topCustomerPerNation, Some(topCustomerPerNationSql)))
+    QueryDef("q11b_top_customer_per_nation", topCustomerPerNation, Some(topCustomerPerNationSql)),
+    QueryDef("q23_rollup", revenueRollup, Some(revenueRollupSql)),
+    QueryDef("q24_running_totals", runningTotals, Some(runningTotalsSql)),
+    QueryDef("q25_approx_distinct", approxDistinct, None))
 }

@@ -15,12 +15,12 @@ object SimilarityQueries {
     * broadcast; top-k is TakeOrdered (no global sort). */
   def embeddingTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("qv", Similarity.quantize(col("embedding")))
     val query = emb.filter(col("vec_id") === 0)
-      .select(col("qv").as("q"))
+      .select(col("embedding").as("q"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(query))
-      .withColumn("cosine", Similarity.quantizedCosine(col("qv"), col("q")))
+      .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
+        col("embedding"), col("q")))
       .select(col("vec_id"), col("label"), col("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(20)
@@ -50,7 +50,7 @@ object SimilarityQueries {
     * output to genuinely-similar pairs. */
   def annLshPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
-      "vec_id", "embedding", dim = 64, planes = 6, tables = 16,
+      "vec_id", "embedding", dim = 64, planes = 8, tables = 12,
       cosineThreshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
 

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(expr)` constructor; the
+  * replacement (`classic.ExpressionUtils`) is `private[sql]`. This shim
+  * lives inside the org.apache.spark.sql package to re-export the two
+  * conversions custom Expressions need. Public pattern for Spark-4
+  * extension libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

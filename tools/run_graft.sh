@@ -11,6 +11,10 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
   java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
+# Large code cache: 27 codegen'd queries in one session exhaust the
+# default 240m cache, after which the JIT stops compiling and whole-stage
+# codegen runs interpreted (10-30x slowdowns late in the run).
 exec java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:ReservedCodeCacheSize=1g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
