@@ -90,4 +90,53 @@ object Similarity {
     * for the kernel and the deterministic hyperplane construction). */
   def packedSignature(vec: Column, dim: Int, planes: Int): Column =
     element_at(graft.functions.NativeExpressions.hyperplaneSigs(vec, 1, planes, dim), 1)
+
+  // ------------------------------------------------------------- IVF-Flat
+
+  /** IVF cell assignment: `k` centroids drawn as a deterministic
+    * pseudo-random sample of the corpus (order by xxhash64 of the id),
+    * every vector assigned to its max-cosine centroid via a broadcast
+    * join. Returns (id, v, cell).
+    *
+    * Scale: centroids are tiny (k rows) and broadcast; assignment is one
+    * narrow pass over the corpus — the standard IVF build. A production
+    * refinement would Lloyd-iterate the centroids; cell-probing mechanics
+    * (the part that matters for query cost) are identical. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(k)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cell").asc)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", graft.functions.NativeExpressions.cosineSim(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cell"))
+  }
+
+  /** IVF top-k: probe the `nProbe` cells whose centroids are nearest the
+    * query, exact-cosine only within those cells. At 100 TB the index is
+    * written partitioned by `cell`, so probing prunes partitions at the
+    * source — the scan touches nProbe/k of the corpus. */
+  def ivfTopK(index: DataFrame, centroidSource: DataFrame, idCol: String,
+      vecCol: String, query: DataFrame, k: Int, cells: Int, nProbe: Int): DataFrame = {
+    val centroids = centroidSource
+      .orderBy(xxhash64(col(idCol)))
+      .limit(cells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+    val probed = centroids.crossJoin(broadcast(query))
+      .withColumn("sim", graft.functions.NativeExpressions.cosineSim(col("cv"), col("q")))
+      .orderBy(col("sim").desc, col("cell").asc)
+      .limit(nProbe)
+      .select(col("cell"))
+    index.join(broadcast(probed), Seq("cell"))
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", graft.functions.NativeExpressions.cosineSim(col("v"), col("q")))
+      .select(col("id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -71,8 +71,23 @@ object SimilarityQueries {
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** IVF-flat approximate top-k: 16-cell index, 6-cell probe for the
+    * vec_id=0 query — the partition-pruning ANN scale path (index stored
+    * partitioned by cell ⇒ scan touches nProbe/cells of the corpus).
+    * Deterministic but centroid-sample-based → rows-only check; recall
+    * asserted in DedupSimilaritySpec. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val index = Similarity.ivfAssign(emb, "vec_id", "embedding", k = 16)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    Similarity.ivfTopK(index.filter(col("id") =!= 0), emb, "vec_id", "embedding",
+      q, k = 20, cells = 16, nProbe = 6)
+      .orderBy(col("cosine").desc, col("id").asc)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
     QueryDef("q15b_ann_lsh", annLshPairs, None),
+    QueryDef("q15c_ann_ivf", ivfTopK, None),
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)))
 }

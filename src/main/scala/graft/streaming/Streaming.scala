@@ -56,6 +56,14 @@ object Streaming {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Streaming enrichment: the same topo-sorted, idempotency-gated
+    * enricher pass as batch (`Enrichers.enrich` is a narrow mapPartitions,
+    * so it composes onto the stateful consolidation stream unchanged —
+    * one code path for both executions). */
+  def enriched(consolidated: Dataset[DataRecord],
+      enrichers: Seq[graft.pipeline.Enricher]): Dataset[DataRecord] =
+    graft.pipeline.Enrichers.enrich(consolidated, enrichers)
+
   /** Side-effect sink (reference A14: `PipelineSideEffect = (key,value) -> Unit`
     * wired via foreach, KafkaIntelligencePipeline.kt:163-185): per-batch
     * callback over the consolidated stream. foreachBatch rather than

@@ -63,6 +63,19 @@ class DedupSimilaritySpec extends SparkSpec {
       "quantized cosine within 0.01 of float cosine")
   }
 
+  test("IVF-flat probing recalls most true top-5 neighbours") {
+    val emb = Tables.embeddings(spark, sf())
+    val index = Similarity.ivfAssign(emb, "vec_id", "embedding", k = 16)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val got = Similarity.ivfTopK(index.filter($"id" =!= 0), emb, "vec_id", "embedding",
+      q, k = 5, cells = 16, nProbe = 6).select($"id").as[Long].collect().toSet
+    val top = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", Similarity.cosine($"embedding", $"q").as("c"))
+      .orderBy($"c".desc).limit(5).select($"vec_id").as[Long].collect().toSet
+    assert(got.intersect(top).size >= 3,
+      s"IVF(nProbe=6/16) should recall >=3 of true top-5; got ${got.intersect(top)} of $top")
+  }
+
   test("multi-table hyperplane LSH recalls most true top-5 neighbours") {
     val emb = Tables.embeddings(spark, sf())
     val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",

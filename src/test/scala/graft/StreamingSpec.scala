@@ -57,6 +57,24 @@ class StreamingSpec extends SparkSpec {
     assert(a > 0 && b > 0)
   }
 
+  test("streaming enrichment composes onto the consolidation stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DataRecordEvent]
+    input.addData((1L to 3L).map(id =>
+      DataRecordEvent.create(id, s"doc-$id", DocumentRepresentation(s"hello spark number $id", "inline"), 1L, 0L)))
+    val q = Streaming.dataRecords(
+      Streaming.enriched(Streaming.consolidate(input.toDS()),
+        graft.pipeline.StandardEnrichers.all()),
+      "stream_enriched")
+    try {
+      q.processAllAvailable()
+      val recs = spark.sql("select * from stream_enriched").as[DataRecord].collect()
+      assert(recs.length == 3)
+      assert(recs.forall(_.metaBy("lang").isDefined))
+      assert(recs.forall(_.metaBy("hash").isDefined))
+    } finally q.stop()
+  }
+
   test("side-effect sink sees every consolidated record (A14)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DataRecordEvent]
