@@ -132,7 +132,59 @@ object DocumentQueries {
       |GROUP BY md5(text)
       |ORDER BY digest""".stripMargin
 
+  /** Chunk-level language detection rolled up to the parent record — the
+    * reference's chunk-metadata producer pattern (chunk enrichment lands
+    * keyed by the PARENT record,
+    * reference: KafkaIntelligencePipeline.kt:103-125) with B4's per-chunk
+    * language detection (participants/implementations.kt:189-198).
+    * Chunks are 10-word windows; per doc: chunk count, chunks classified
+    * 'en', and the language of the first chunk. */
+  def chunkLangRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val chunks = windowChunks(spark, dir)
+      .withColumn("chunk_lang", TextFunctions.langId(col("chunk")))
+    chunks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("chunk_lang") === "en", 1L).otherwise(0L)).as("n_en_chunks"),
+      expr("min_by(chunk_lang, struct(idx))").as("first_chunk_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val chunkLangRollupSql: String = {
+    def hits(lang: String): String = {
+      val list = graft.functions.TextFunctions.Stopwords.toMap.apply(lang)
+        .map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(list_distinct(string_split(chunk, ' ')), [$list]))"
+    }
+    s"""WITH chunks AS (
+       |  SELECT doc_id, i AS idx,
+       |    array_to_string(words[(i*10)+1:(i+1)*10], ' ') AS chunk
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |       UNNEST(generate_series(0, CAST(ceil(len(words)/10.0) AS BIGINT) - 1)) AS t(i)),
+       |scored AS (
+       |  SELECT doc_id, idx,
+       |    CASE WHEN ${hits("en")} = 0 AND ${hits("de")} = 0 AND ${hits("es")} = 0 AND ${hits("fr")} = 0 THEN 'und'
+       |         WHEN ${hits("en")} >= ${hits("de")} AND ${hits("en")} >= ${hits("es")} AND ${hits("en")} >= ${hits("fr")} THEN 'en'
+       |         WHEN ${hits("de")} >= ${hits("es")} AND ${hits("de")} >= ${hits("fr")} THEN 'de'
+       |         WHEN ${hits("es")} >= ${hits("fr")} THEN 'es'
+       |         ELSE 'fr' END AS chunk_lang
+       |  FROM chunks),
+       |ranked AS (
+       |  SELECT doc_id, chunk_lang,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx ASC) AS rn
+       |  FROM scored)
+       |SELECT s.doc_id,
+       |  COUNT(*) AS n_chunks,
+       |  SUM(CASE WHEN s.chunk_lang = 'en' THEN 1 ELSE 0 END) AS n_en_chunks,
+       |  MAX(CASE WHEN r.rn = 1 THEN r.chunk_lang END) AS first_chunk_lang
+       |FROM scored s
+       |JOIN ranked r ON s.doc_id = r.doc_id AND r.rn = 1
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q26_chunk_lang_rollup", chunkLangRollup, Some(chunkLangRollupSql)),
     QueryDef("q3_word_chunks", wordChunks, Some(wordChunksSql)),
     QueryDef("q3b_window_chunks", windowChunks, Some(windowChunksSql)),
     QueryDef("q4_doc_chunk_rollup", docChunkRollup, Some(docChunkRollupSql)),
