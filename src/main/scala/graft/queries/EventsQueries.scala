@@ -97,8 +97,52 @@ object EventsQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** As-of join: each purchase annotated with the user's most recent
+    * prior-or-equal click (graft.ops.AsOfJoin — union-and-carry, one
+    * shuffle; the operator the reference lacks entirely). Oracle uses
+    * DuckDB's native ASOF JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.ops.AsOfJoin.asOfExpanded(purchases, clicks, "user_id", "ts",
+      Seq("event_id", "ts"), prefix = "click_")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("click_event_id").as("click_id"), col("click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  epoch_ns(p.ts) AS purchase_ts,
+      |  c.event_id AS click_id,
+      |  epoch_ns(c.ts) AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  /** Exact interpolated percentiles of event values per type — deterministic
+    * iff both engines use the same linear-interpolation formula (they do:
+    * index p*(n-1), convex combination of the two neighbours). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25D, 0.5D, 0.95D))").as("pcts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val percentilesSql: String =
+    """SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.95]) AS pcts, COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_latest_state", latestState, Some(latestStateSql)),
     QueryDef("q5_interval_join", intervalJoin, Some(intervalJoinSql)),
-    QueryDef("q6_session_windows", sessionWindows, Some(sessionWindowsSql)))
+    QueryDef("q6_session_windows", sessionWindows, Some(sessionWindowsSql)),
+    QueryDef("q27_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("q28_percentiles", percentiles, Some(percentilesSql)))
 }
