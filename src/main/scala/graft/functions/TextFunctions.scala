@@ -60,7 +60,12 @@ object TextFunctions {
     * diversity, non-numeric share, word-length saturation. All four
     * components are ratios of exact integers, so the double result is
     * bit-reproducible. Rounded to 6 decimals for stable presentation. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** Unrounded score — use with integer micro-scaling for cross-engine
+    * exactness (rounding a double at decimal scale N is a half-ulp
+    * hazard; scale-0 rounding of the ×1e6 value is not). */
+  def qualityScoreRaw(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks).cast("double")
     val distinctShare = size(array_distinct(toks)).cast("double") / n
@@ -68,8 +73,8 @@ object TextFunctions {
     val lenSat = least(lit(1.0), n / 50)
     val avgLen = (length(text) - (size(toks) - 1)).cast("double") / n // chars minus separators
     val lenQuality = least(lit(1.0), avgLen / 8)
-    round(lit(0.3) * lenSat + lit(0.3) * distinctShare +
-      lit(0.2) * (lit(1.0) - digitToks / n) + lit(0.2) * lenQuality, 6)
+    lit(0.3) * lenSat + lit(0.3) * distinctShare +
+      lit(0.2) * (lit(1.0) - digitToks / n) + lit(0.2) * lenQuality
   }
 
   /** Polynomial rolling-hash fingerprint over characters, mod 1e9+7.

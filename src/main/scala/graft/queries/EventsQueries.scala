@@ -37,7 +37,7 @@ object EventsQueries {
       |  FROM events),
       |agg AS (
       |  SELECT user_id, COUNT(*) AS n_events, MAX(epoch_ns(ts)) AS last_ts,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value
       |  FROM events GROUP BY user_id)
       |SELECT a.user_id, a.n_events, a.last_ts, r.event_type AS last_type,
       |  r.value AS last_value, a.total_value
@@ -92,7 +92,7 @@ object EventsQueries {
       |  FROM flagged)
       |SELECT user_id, session_id, MIN(tns) AS start_ns, MAX(tns) AS end_ns,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
       |FROM sess
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin

@@ -39,18 +39,23 @@ object TextQueries {
        |FROM pred ORDER BY doc_id""".stripMargin
   }
 
-  /** Composite quality score — all components ratios of exact ints. */
+  /** Composite quality score in exact integer micro-units — rounding the
+    * raw double to N decimals is engine-hazardous at half-ulp boundaries
+    * (observed at sf0.1: 0.708437 vs 0.708438); scaling to 1e6 and
+    * rounding at scale 0 is exact because the pre-round double is
+    * identical in both engines. */
   def qualityQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"),
+        round(qualityScoreRaw(col("text")) * 1000000, 0).cast("long").as("quality_micro"))
       .orderBy(col("doc_id"))
 
   val qualitySql: String =
     """SELECT doc_id,
-      |  round(0.3 * least(1.0, n / 50)
+      |  CAST(round((0.3 * least(1.0, n / 50)
       |      + 0.3 * (nd / n)
       |      + 0.2 * (1.0 - dig / n)
-      |      + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8), 6) AS quality
+      |      + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS quality_micro
       |FROM (
       |  SELECT doc_id, text,
       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
