@@ -79,4 +79,48 @@ object Multimodal {
       }
     }
   }
+
+  /** Transcode step shape: payload → payload with updated metadata. The
+    * codec is STUBBED (no image/audio libs in this container); the Spark
+    * plumbing — typed map, metadata propagation, partition batching — is
+    * real. A real `resize` swaps `transform` for an imaging call. */
+  trait MediaTransform extends Serializable {
+    def name: String
+    def transform(payload: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta)
+  }
+
+  /** STUB resize: marks the metadata with the target box and truncates the
+    * payload deterministically (stand-in for a real scaled re-encode). */
+  class StubResize(maxW: Int, maxH: Int) extends MediaTransform {
+    override def name: String = s"resize-${maxW}x$maxH"
+    override def transform(payload: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) = {
+      val scale = math.min(1.0, maxW.toDouble / math.max(1, meta.width max 1))
+      val keep = math.max(1, (payload.length * scale).toInt)
+      (payload.take(keep), meta.copy(width = maxW min (meta.width max 1), height = maxH min (meta.height max 1)))
+    }
+  }
+
+  /** STUB frame sampling: every `stride`-th byte window as a "frame" —
+    * the shape (1 media row → N frame rows with ordinals) is the real
+    * part; a real sampler decodes the container instead. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int,
+      frameBytes: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      r.payload.grouped(stride).zipWithIndex.map { case (window, i) =>
+        (r.media_id, i.toLong, window.take(frameBytes), r.meta.mime)
+      }
+    }.toDF("media_id", "frame_idx", "frame", "mime")
+  }
+
+  def applyTransform(spark: SparkSession, media: DataFrame,
+      t: MediaTransform): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val (p2, m2) = t.transform(r.payload, r.meta)
+        MediaRecord(r.media_id, p2, m2)
+      }
+    }.toDF()
+  }
 }
