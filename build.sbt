@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// `runMain` is a separate task key from `run` — without these, a driver
+// invoking `sbt "runMain graft.Bench"` runs INSIDE the sbt JVM (default
+// 240m JIT code cache, no add-opens), which measured 5-12x slower on the
+// codegen-heavy dedup queries than the same code in a properly-flagged JVM.
+Compile / runMain / fork := true
+Test / runMain / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

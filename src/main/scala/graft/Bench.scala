@@ -15,11 +15,18 @@ object Bench {
     // best-of-2 per query: this container exhibits stochastic multi-×
     // single-task stalls unrelated to the plan; min-of-two is the
     // standard way to report the query's actual cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = picked.map { case (name, fn) =>
       System.err.println(s"[bench] start $name")
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop sink (not count()): count() lets Catalyst prune every
+        // unused projection column, under-measuring narrow compute-heavy
+        // queries; the noop write computes all columns like Verify does
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop frames persisted inside operators so queries are timed in
         // isolation and the block manager doesn't accumulate stale caches

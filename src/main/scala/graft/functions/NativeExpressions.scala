@@ -99,7 +99,7 @@ object NativeExpressions {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val text = input.toString
-      val words = text.split(" ")
+      val words = text.split(" ", -1)
       if (words.length < n) {
         new GenericArrayData(Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(text)))
       } else {

@@ -88,4 +88,13 @@ object TextFunctions {
       transform(filter(split(text, ""), ch => ch =!= ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, c) => (acc * 31 + c) % FingerprintMod)
+
+  /** Engine-portable 60-bit hash: first 15 hex chars of md5 as a BIGINT.
+    * Nonnegative (top 4 bits zero), so signed shifts/comparisons behave
+    * identically everywhere — lets MinHash/SimHash signatures be verified
+    * bit-exactly by a SQL oracle (`CAST('0x' || substring(md5(x),1,15) AS
+    * BIGINT)` in DuckDB). ~2-3× slower than xxhash64; production dedup at
+    * 100 TB keeps the xxhash64 default and verifies at small SF. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 }

@@ -72,7 +72,7 @@ object ChunkAlgebra {
     * reference's ChunkProducer shape, KafkaIntelligencePipeline.kt:142-145,
     * with the START/LAST framing carried by `index` boundaries). */
   def wordChunks(parentId: Long, text: String, createdBy: String): Seq[Chunk] = {
-    val words = text.split(" ").toSeq
+    val words = text.split(" ", -1).toSeq
     words.zipWithIndex.map { case (w, i) =>
       Chunk(ChunkType.Word, i.toLong, parentId, w, createdBy)
     }
@@ -80,7 +80,7 @@ object ChunkAlgebra {
 
   /** Fixed-width word-window chunker (paragraph analog). */
   def windowChunks(parentId: Long, text: String, width: Int, createdBy: String): Seq[Chunk] = {
-    val words = text.split(" ").toSeq
+    val words = text.split(" ", -1).toSeq
     words.grouped(width).zipWithIndex.map { case (ws, i) =>
       Chunk(ChunkType.Paragraph, i.toLong, parentId, ws.mkString(" "), createdBy)
     }.toSeq

@@ -51,14 +51,24 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       p => array_min(transform(shingles, s => xxhash64(s, p))))
 
+  /** Default permutation hash: xxhash64 seeded by the permutation index —
+    * fastest, but not reproducible in a SQL oracle engine. */
+  val xxhashPerm: (Column, Int) => Column = (c, p) => xxhash64(c, lit(p))
+
+  /** Oracle-checkable permutation hash: portable 60-bit md5-derived hash of
+    * "shingle:p" (graft.functions.TextFunctions.portableHash60). */
+  val portablePerm: (Column, Int) => Column =
+    (c, p) => graft.functions.TextFunctions.portableHash60(concat(c, lit(s":$p")))
+
   /** Signature table via explode + aggregate: one row per (doc, shingle),
-    * then k codegen'd `min(xxhash64(shingle, p))` aggregates with map-side
+    * then k codegen'd `min(permHash(shingle, p))` aggregates with map-side
     * combine. Input should be pre-spread across partitions (see
     * `spread`) — shingling is CPU-dense, and a single small parquet file
     * otherwise serializes it onto one task. */
-  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
+  def minhashSignatures(shingled: DataFrame, k: Int,
+      permHash: (Column, Int) => Column = xxhashPerm): DataFrame = {
     val exploded = shingled.select(col("id"), explode(col("shingles")).as("sh"))
-    val aggs = (0 until k).map(p => min(xxhash64(col("sh"), lit(p))).as(s"m$p"))
+    val aggs = (0 until k).map(p => min(permHash(col("sh"), p)).as(s"m$p"))
     exploded.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(p => col(s"m$p")): _*).as("sig"))
@@ -70,6 +80,20 @@ object Dedup {
     * cluster scale this is `repartition` to a multiple of total cores. */
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+
+  /** Drop rows in oversized buckets (degenerate-key guard before a bucket
+    * self-join). groupBy + broadcast anti-join, NOT count().over(Window):
+    * the window form sorts the entire banded table; this form is one
+    * partial-aggregated count, and the oversized-key set is tiny by
+    * construction (≤ totalRows/maxBucket keys), so it broadcasts. */
+  private[ops] def dropOversizedBuckets(df: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val oversized = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(keys.map(col): _*)
+    df.join(broadcast(oversized), keys, "left_anti")
+  }
 
   /** LSH banding: split the signature into `bands` bands of `rows` values,
     * hash each band. Output one (band, bandHash) struct per band. */
@@ -91,7 +115,8 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      jaccardThreshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+      jaccardThreshold: Double = 0.5, maxBucket: Int = 1000,
+      permHash: (Column, Int) => Column = xxhashPerm): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "k must be divisible by bands")
 
@@ -105,16 +130,13 @@ object Dedup {
       wordShingles(col(textCol), shingleN).as("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = minhashSignatures(shingled, k)
+    val banded = minhashSignatures(shingled, k, permHash)
       .withColumn("banded", lshBands(col("sig"), bands, rows))
       .select(col("id"), explode(col("banded")).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
 
     // Cap pathological buckets before pairing (quadratic-blowup guard).
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
+    val bucketed = dropOversizedBuckets(banded, Seq("band", "band_hash"), maxBucket)
 
     // Candidate pairs ride as bare (id_a, id_b) — shingle arrays re-join
     // AFTER band-dedup, so the wide arrays cross the shuffle once per
@@ -149,27 +171,43 @@ object Dedup {
     * shuffles over 64× the rows and interpreted CASE evaluation — ~6×
     * slower at sf0.1.) Returns (id, simhash). */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3): DataFrame =
+      shingleN: Int = 3,
+      hasher: Column => Column = xxhash64(_)): DataFrame =
     spread(docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("shingles")))
       .select(col("id"), graft.functions.NativeExpressions.simhash64(
-        transform(col("shingles"), s => xxhash64(s))).as("simhash"))
+        transform(col("shingles"), s => hasher(s))).as("simhash"))
 
   /** Hamming-distance near-dup candidates from simhash values: band the
-    * 64 bits into 4×16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical
-    * chunk), bucket-join, verify with bit_count(xor). */
-  def simhashNearDupPairs(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * 64 bits into equal chunks (pigeonhole: hamming ≤ chunks-1 ⇒ ≥1
+    * identical chunk), bucket-join, verify with bit_count(xor).
+    *
+    * The chunk count is the smallest divisor of 64 above `maxHamming`, so
+    * the pair set is EXACT (full recall) for the requested radius — at the
+    * cost of narrower chunks ⇒ bigger buckets. maxHamming ≥ 16 would need
+    * sub-4-bit chunks (≤ 8 distinct values ⇒ near-quadratic bucket joins)
+    * and is refused: that radius is no longer "near"-duplicate detection. */
+  def simhashNearDupPairs(sims: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 5000): DataFrame = {
+    val chunks = Seq(2, 4, 8, 16).find(_ > maxHamming)
+      .getOrElse(throw new IllegalArgumentException(
+        s"maxHamming=$maxHamming needs sub-4-bit chunks; use MinHash instead"))
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
     // persist: the signature table feeds BOTH sides of the bucket join —
     // unpersisted, the full upstream simhash computation would be inlined
     // and recomputed per side (and per AQE replan)
     val chunked = sims.select(col("id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("chunk"))
+      explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val",
-        expr("shiftrightunsigned(simhash, chunk * 16) & 65535"))
+        expr(s"shiftrightunsigned(simhash, chunk * $bits) & $mask"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = chunked.select(col("chunk"), col("chunk_val"),
+    // degenerate-bucket guard (e.g. simhash 0 from empty docs at corpus
+    // scale); breaks the exact-recall guarantee only for keys it drops
+    val capped = dropOversizedBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
+    val l = capped.select(col("chunk"), col("chunk_val"),
       col("id").as("id_a"), col("simhash").as("sim_a"))
-    val r = chunked.select(col("chunk"), col("chunk_val"),
+    val r = capped.select(col("chunk"), col("chunk_val"),
       col("id").as("id_b"), col("simhash").as("sim_b"))
     l.join(r, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
@@ -190,13 +228,35 @@ object Dedup {
     * 100 TB. Only pairs sharing ≥1 shingle can appear, so `threshold`
     * must be > 0 (jaccard-0 pairs are meaningless output anyway). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, shingleN: Int = 2, threshold: Double = 0.05): DataFrame = {
+      blockCol: String, shingleN: Int = 2, threshold: Double = 0.05,
+      maxDf: Int = 1000): DataFrame = {
     require(threshold > 0, "inverted-index Jaccard emits only overlapping pairs")
     val base = spread(docs.select(col(blockCol).as("block"), col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh")))
-      .withColumn("n", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = base.select(col("block"), col("id"), col("n"), explode(col("sh")).as("shingle"))
+
+    // Stop-shingle pruning: a shingle appearing in m docs of a block yields
+    // m² join rows — boilerplate (headers, license text) makes this the
+    // quadratic scale-killer. Shingles with df > maxDf are dropped from the
+    // shingle SETS (so n and jaccard are computed over pruned sets, exactly
+    // like the SQL oracle). The hot set is tiny by construction (≤
+    // totalOccurrences/maxDf keys), so it broadcasts; pruning is a narrow
+    // array_except — the main pipeline gains no shuffle.
+    val hotPerBlock = base
+      .select(col("block"), explode(col("sh")).as("shingle"))
+      .groupBy(col("block"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .groupBy(col("block")).agg(collect_list(col("shingle")).as("hot"))
+
+    val pruned = base
+      .join(broadcast(hotPerBlock), Seq("block"), "left_outer")
+      .withColumn("sh", when(col("hot").isNull, col("sh"))
+        .otherwise(array_except(col("sh"), col("hot"))))
+      .withColumn("n", size(col("sh")))
+      .filter(col("n") > 0)
+
+    val inv = pruned.select(col("block"), col("id"), col("n"), explode(col("sh")).as("shingle"))
     val l = inv.select(col("block"), col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
     val r = inv.select(col("block"), col("shingle"), col("id").as("id_b"), col("n").as("n_b"))
     l.join(r, Seq("block", "shingle"))

@@ -73,9 +73,13 @@ object Similarity {
         posexplode(graft.functions.NativeExpressions.hyperplaneSigs(
           col("v"), tables, planes, dim)).as(Seq("t", "sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = signed.withColumn("bucket_n", count(lit(1))
-      .over(org.apache.spark.sql.expressions.Window.partitionBy(col("t"), col("sig"))))
-      .filter(col("bucket_n") <= maxBucket)
+    // degenerate-bucket guard: groupBy + broadcast anti-join (sort-free),
+    // not a count-over-window, which would sort the whole signed table
+    val oversized = signed.groupBy(col("t"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(col("t"), col("sig"))
+    val capped = signed.join(broadcast(oversized), Seq("t", "sig"), "left_anti")
     val l = capped.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val r = capped.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("t", "sig"))
@@ -93,40 +97,71 @@ object Similarity {
 
   // ------------------------------------------------------------- IVF-Flat
 
-  /** IVF cell assignment: `k` centroids drawn as a deterministic
-    * pseudo-random sample of the corpus (order by xxhash64 of the id),
-    * every vector assigned to its max-cosine centroid via a broadcast
-    * join. Returns (id, v, cell).
+  /** IVF centroids: deterministic pseudo-random corpus sample (order by
+    * xxhash64 of the id) refined by `iters` Lloyd iterations (per-cell
+    * elementwise mean of assigned vectors, max-cosine assignment). Returns
+    * (cell, cv: array<float>).
     *
-    * Scale: centroids are tiny (k rows) and broadcast; assignment is one
-    * narrow pass over the corpus — the standard IVF build. A production
-    * refinement would Lloyd-iterate the centroids; cell-probing mechanics
-    * (the part that matters for query cost) are identical. */
-  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = corpus
+    * Scale: each Lloyd iteration is one narrow assignment pass (broadcast
+    * centroids, zero shuffle) + one aggregation over (cell, pos) rows —
+    * the standard distributed k-means step. Empty cells keep their previous
+    * centroid. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var cents = corpus
       .orderBy(xxhash64(col(idCol)))
       .limit(k)
       .select(col(idCol).as("cell"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cell").asc)
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", graft.functions.NativeExpressions.cosineSim(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cell"))
+    for (_ <- 0 until iters) {
+      val means = assignCells(vecs, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("mv"))
+      // empty cells fall back to their previous centroid (left join)
+      cents = cents.join(means, Seq("cell"), "left_outer")
+        .select(col("cell"), coalesce(col("mv"), col("cv")).as("cv"))
+        // tiny (k rows) — materialize so the lineage doesn't re-run
+        // assignment passes per downstream consumer
+        .localCheckpoint(true)
+    }
+    cents
   }
+
+  /** Max-cosine cell assignment with ZERO shuffle: centroids collapse to a
+    * single broadcast array-of-structs row, and the argmax is a per-row
+    * array_max over struct(sim, -cell) — highest cosine, ties to the
+    * lowest cell id. (A row_number window here would shuffle+sort
+    * corpus×k rows just to take an argmax.) Returns (id, v, cell). */
+  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = broadcast(
+      centroids.agg(collect_list(struct(col("cell"), col("cv"))).as("cents")))
+    vecs.crossJoin(centArr)
+      .withColumn("best", array_max(transform(col("cents"), c => struct(
+        graft.functions.NativeExpressions.cosineSim(col("v"), c.getField("cv")).as("sim"),
+        (-c.getField("cell")).as("negcell")))))
+      .select(col("id"), col("v"), (-col("best.negcell")).as("cell"))
+  }
+
+  /** IVF cell assignment for the full corpus against pre-built centroids
+    * (build them once with `ivfCentroids` and share with `ivfTopK` — means
+    * are FP-order-dependent, so re-deriving would risk a divergent index).
+    * Returns (id, v, cell) — at 100 TB this is what gets written
+    * partitioned/bucketed by `cell`. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignCells(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), centroids)
 
   /** IVF top-k: probe the `nProbe` cells whose centroids are nearest the
     * query, exact-cosine only within those cells. At 100 TB the index is
     * written partitioned by `cell`, so probing prunes partitions at the
-    * source — the scan touches nProbe/k of the corpus. */
-  def ivfTopK(index: DataFrame, centroidSource: DataFrame, idCol: String,
-      vecCol: String, query: DataFrame, k: Int, cells: Int, nProbe: Int): DataFrame = {
-    val centroids = centroidSource
-      .orderBy(xxhash64(col(idCol)))
-      .limit(cells)
-      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+    * source — the scan touches nProbe/k of the corpus. `centroids` must be
+    * the same frame the index was assigned with. */
+  def ivfTopK(index: DataFrame, centroids: DataFrame,
+      query: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val probed = centroids.crossJoin(broadcast(query))
       .withColumn("sim", graft.functions.NativeExpressions.cosineSim(col("cv"), col("q")))
       .orderBy(col("sim").desc, col("cell").asc)

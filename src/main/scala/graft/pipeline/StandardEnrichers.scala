@@ -60,7 +60,7 @@ object StandardEnrichers {
     override def values(record: DataRecord): Map[String, String] =
       contentOf(record, resolver).map { text =>
         Map(
-          "n_tokens" -> text.split(" ").length.toString,
+          "n_tokens" -> text.split(" ", -1).length.toString,
           "n_bpe" -> TextFunctions.BpePattern.r.findAllIn(text).size.toString)
       }.getOrElse(Map.empty)
   }
@@ -85,7 +85,7 @@ object StandardEnrichers {
     override def values(record: DataRecord): Map[String, String] =
       contentOf(record, resolver).map { text =>
         val stop = graft.functions.TextFunctions.Stopwords.flatMap(_._2).toSet
-        val freq = text.split(" ").filterNot(stop.contains)
+        val freq = text.split(" ", -1).filterNot(stop.contains)
           .groupBy(identity).view.mapValues(_.length).toSeq
         val top = freq.sortBy { case (tok, n) => (-n, tok) }.take(k)
         top.zipWithIndex.map { case ((tok, _), i) => s"keyPhrase_$i" -> tok }.toMap
@@ -100,7 +100,7 @@ object StandardEnrichers {
     override def name: String = "entities"
     override def values(record: DataRecord): Map[String, String] =
       contentOf(record, resolver).map { text =>
-        text.split(" ").distinct.toSeq.sorted.collect {
+        text.split(" ", -1).distinct.toSeq.sorted.collect {
           case t if t.matches("^[0-9]+$") => t -> "NUMBER"
           case t if t.matches("^[a-z]+[0-9]+$") => t -> "IDENT"
         }.toMap
@@ -117,9 +117,11 @@ object StandardEnrichers {
     all(resolver) ++ Seq(new KeyPhraseEnricher(resolver), new EntityEnricher(resolver))
 
   // ------------------------------------------------- mirrored heuristics
+  // All tokenization uses split(" ", -1): Java's 1-arg split drops trailing
+  // empty tokens, while Spark's split() and DuckDB's string_split keep them.
 
   def langIdScala(text: String): String = {
-    val distinct = text.split(" ").distinct.toSet
+    val distinct = text.split(" ", -1).distinct.toSet
     val h = TextFunctions.Stopwords.map { case (l, ws) =>
       l -> ws.count(distinct.contains)
     }.toMap
@@ -133,7 +135,7 @@ object StandardEnrichers {
   /** round(quality*1e6) with the exact double op order of
     * TextFunctions.qualityScore / the q17 SQL. */
   def qualityMicro(text: String): Long = {
-    val toks = text.split(" ")
+    val toks = text.split(" ", -1)
     val n = toks.length.toDouble
     val nd = toks.distinct.length.toDouble
     val dig = toks.count(_.matches("^[0-9]+$")).toDouble

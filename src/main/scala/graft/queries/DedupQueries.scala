@@ -22,26 +22,32 @@ object DedupQueries {
   }
 
   /** MinHash+LSH near-dup pairs (32 perms, 8 bands × 4 rows, Jaccard ≥ 0.5
-    * verification). Not SQL-expressible (xxhash64 signatures) → rows-only
-    * check; correctness is covered by MinHashSpec (planted-pair recall)
-    * and the deterministic plan. */
+    * verification), on portable md5-derived permutation hashes so the
+    * whole signature pipeline is verified bit-exactly by the SQL oracle
+    * (band collision modulo band-hash collisions, ~2^-60). */
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(
       withPlantedNearDups(Tables.documents(spark, dir)),
-      "doc_id", "text", shingleN = 3, k = 32, bands = 8, jaccardThreshold = 0.5)
+      "doc_id", "text", shingleN = 3, k = 32, bands = 8, jaccardThreshold = 0.5,
+      permHash = Dedup.portablePerm)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash table over the corpus — deterministic 64-bit signatures.
-    * Rows-only check (xxhash64 not available in the oracle engine). */
+  /** SimHash table over the corpus — deterministic 64-bit signatures from
+    * portable 60-bit shingle hashes, oracle-checked bit-exactly. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashTable(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.simhashTable(Tables.documents(spark, dir), "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
       .orderBy(col("id"))
 
-  /** SimHash near-dup pairs (hamming ≤ 16 over planted near-dups). */
+  /** SimHash near-dup pairs (hamming ≤ 7 over planted near-dups) — in the
+    * EXACT-recall banding regime (8 chunks × 8 bits ⇒ every hamming ≤ 7
+    * pair shares a chunk; the earlier hamming ≤ 16 form silently missed
+    * pairs with no identical 16-bit chunk). */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
     val sims = Dedup.simhashTable(
-      withPlantedNearDups(Tables.documents(spark, dir)), "doc_id", "text")
-    Dedup.simhashNearDupPairs(sims, maxHamming = 16)
+      withPlantedNearDups(Tables.documents(spark, dir)), "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
+    Dedup.simhashNearDupPairs(sims, maxHamming = 7)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -50,11 +56,15 @@ object DedupQueries {
     * whole Jaccard family. Only pairs ≥ 0.05 to keep output bounded. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir),
-      "doc_id", "text", blockCol = "source", shingleN = 2, threshold = 0.05)
+      "doc_id", "text", blockCol = "source", shingleN = 2, threshold = 0.05,
+      maxDf = 1000)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   // oracle keeps the naive per-pair intersect form — the inverted-index
-  // rewrite must produce identical values (n_a + n_b - common == |A∪B|)
+  // rewrite must produce identical values (n_a + n_b - common == |A∪B|).
+  // Stop-shingle pruning (df > 1000 per block dropped from the sets) is
+  // mirrored on both sides; at sf ≤ 0.1 the hot set is empty (max df 33),
+  // so the cap is a pure scale guard with no result change at test SF.
 
   val ngramJaccardSql: String =
     """WITH sh AS (
@@ -62,18 +72,104 @@ object DedupQueries {
       |    CASE WHEN len(words) >= 2
       |         THEN list_distinct([words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))])
       |         ELSE [text] END AS s
-      |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents))
+      |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents)),
+      |hotkeys AS (
+      |  SELECT source, shingle FROM (
+      |    SELECT source, UNNEST(s) AS shingle FROM sh)
+      |  GROUP BY source, shingle HAVING COUNT(*) > 1000),
+      |hot AS (
+      |  SELECT source, list(shingle) AS hotl FROM hotkeys GROUP BY source),
+      |pr AS (
+      |  SELECT sh.doc_id, sh.source,
+      |    CASE WHEN h.hotl IS NULL THEN sh.s
+      |         ELSE list_filter(sh.s, x -> NOT list_contains(h.hotl, x)) END AS s
+      |  FROM sh LEFT JOIN hot h ON sh.source = h.source)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |  CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) AS jaccard
-      |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |FROM pr a JOIN pr b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(a.s) > 0 AND len(b.s) > 0
+      |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.05
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------- shared oracle SQL fragments
+
+  /** Distinct word trigram shingles with the <n whole-text fallback —
+    * mirrors NativeExpressions.WordShingles(n=3). */
+  private val trigramSql: String =
+    """CASE WHEN len(words) >= 3
+      |     THEN list_distinct([words[i]||' '||words[i+1]||' '||words[i+2] FOR i IN range(1, len(words)-1)])
+      |     ELSE [text] END""".stripMargin
+
+  /** The corpus + planted near-dups (mirror of withPlantedNearDups). */
+  private val corpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, array_to_string(words[2:], ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)
+      |  WHERE doc_id % 5 = 0""".stripMargin
+
+  /** SimHash per doc from portable 60-bit hashes: ±1 votes per bit,
+    * bit set iff votes > 0 — mirrors NativeExpressions.SimHash64 (bits
+    * 60-63 are always 0 under the 60-bit hash on both sides). */
+  private def simhashSqlFrom(corpus: String): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, $trigramSql AS s
+       |  FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM ($corpus))),
+       |occ AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+       |h AS (SELECT doc_id, CAST(('0x' || substring(md5(g),1,15)) AS BIGINT) AS hv FROM occ),
+       |votes AS (
+       |  SELECT doc_id, t.b AS b,
+       |    SUM(CASE WHEN (hv >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h, UNNEST(generate_series(0, 59)) AS t(b)
+       |  GROUP BY doc_id, t.b),
+       |sim AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  val simhashSignaturesSql: String =
+    simhashSqlFrom("SELECT doc_id, text FROM documents") +
+      "\nSELECT doc_id AS id, simhash FROM sim ORDER BY id"
+
+  val simhashNearDupsSql: String =
+    simhashSqlFrom(corpusSql) +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin
+  // naive all-pairs oracle is valid because 8×8-bit banding is EXACT for
+  // hamming ≤ 7 (pigeonhole) and the maxBucket guard never fires at sf0.01
+
+  val minhashNearDupsSql: String =
+    s"""WITH corpus AS (
+       |  $corpusSql),
+       |sh AS (
+       |  SELECT doc_id, $trigramSql AS s
+       |  FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM corpus)),
+       |occ AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+       |m AS (SELECT doc_id, t.p AS p,
+       |        MIN(CAST(('0x'||substring(md5(g||':'||CAST(t.p AS VARCHAR)),1,15)) AS BIGINT)) AS mv
+       |      FROM occ, UNNEST(generate_series(0,31)) AS t(p) GROUP BY doc_id, t.p),
+       |sig AS (SELECT doc_id, list(mv ORDER BY p) AS sig FROM m GROUP BY doc_id),
+       |bands AS (SELECT doc_id, t.b AS b, sig[(t.b*4)+1:(t.b+1)*4] AS band
+       |          FROM sig, UNNEST(generate_series(0,7)) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+       |j AS (SELECT c.id_a, c.id_b,
+       |        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |        CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) AS jaccard
+       |      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  // band equality is by VALUE here vs by xxhash64 of the band in the
+  // engine — identical output modulo 64-bit hash collisions (~2^-60);
+  // the maxBucket guard never fires at sf0.01
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q12_minhash_neardup", minhashNearDups, None),
-    QueryDef("q13_simhash", simhashSignatures, None),
-    QueryDef("q13b_simhash_neardup", simhashNearDups, None),
+    QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),
+    QueryDef("q13_simhash", simhashSignatures, Some(simhashSignaturesSql)),
+    QueryDef("q13b_simhash_neardup", simhashNearDups, Some(simhashNearDupsSql)),
     QueryDef("q14_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)))
 }

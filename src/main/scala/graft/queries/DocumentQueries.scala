@@ -175,7 +175,7 @@ object DocumentQueries {
        |  FROM scored)
        |SELECT s.doc_id,
        |  COUNT(*) AS n_chunks,
-       |  SUM(CASE WHEN s.chunk_lang = 'en' THEN 1 ELSE 0 END) AS n_en_chunks,
+       |  CAST(SUM(CASE WHEN s.chunk_lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_chunks,
        |  MAX(CASE WHEN r.rn = 1 THEN r.chunk_lang END) AS first_chunk_lang
        |FROM scored s
        |JOIN ranked r ON s.doc_id = r.doc_id AND r.rn = 1

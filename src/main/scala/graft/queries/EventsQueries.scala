@@ -77,6 +77,9 @@ object EventsQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // CAST(... AS BIGINT) on the running SUM: DuckDB's integer SUM returns
+  // HUGEINT, which the driver's pandas comparator coerces to float64 while
+  // Spark emits int64 — the cast keeps both sides int64.
   val sessionWindowsSql: String =
     """WITH flagged AS (
       |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
@@ -87,8 +90,8 @@ object EventsQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)),
       |sess AS (
       |  SELECT user_id, value, tns,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, MIN(tns) AS start_ns, MAX(tns) AS end_ns,
       |  COUNT(*) AS n_events,
@@ -127,16 +130,27 @@ object EventsQueries {
 
   /** Exact interpolated percentiles of event values per type — deterministic
     * iff both engines use the same linear-interpolation formula (they do:
-    * index p*(n-1), convex combination of the two neighbours). */
+    * index p*(n-1), convex combination of the two neighbours). Emitted as
+    * scalar p25/p50/p95 columns: the driver's comparator cannot hash array
+    * columns, and scalars are the friendlier shape anyway. */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(expr("percentile(value, array(0.25D, 0.5D, 0.95D))").as("pcts"),
         count(lit(1)).as("n"))
+      .select(col("event_type"),
+        element_at(col("pcts"), 1).as("p25"),
+        element_at(col("pcts"), 2).as("p50"),
+        element_at(col("pcts"), 3).as("p95"),
+        col("n"))
       .orderBy(col("event_type"))
 
   val percentilesSql: String =
-    """SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.95]) AS pcts, COUNT(*) AS n
+    """SELECT event_type,
+      |  quantile_cont(value, 0.25) AS p25,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.95) AS p95,
+      |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

@@ -71,17 +71,18 @@ object SimilarityQueries {
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** IVF-flat approximate top-k: 16-cell index, 6-cell probe for the
-    * vec_id=0 query — the partition-pruning ANN scale path (index stored
-    * partitioned by cell ⇒ scan touches nProbe/cells of the corpus).
-    * Deterministic but centroid-sample-based → rows-only check; recall
+  /** IVF-flat approximate top-k: 16-cell Lloyd-refined index, 6-cell probe
+    * for the vec_id=0 query — the partition-pruning ANN scale path (index
+    * stored partitioned by cell ⇒ scan touches nProbe/cells of the corpus).
+    * Centroid means are FP-order-dependent → rows-only check; recall
     * asserted in DedupSimilaritySpec. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val index = Similarity.ivfAssign(emb, "vec_id", "embedding", k = 16)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val index = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
-    Similarity.ivfTopK(index.filter(col("id") =!= 0), emb, "vec_id", "embedding",
-      q, k = 20, cells = 16, nProbe = 6)
+    Similarity.ivfTopK(index.filter(col("id") =!= 0), cents,
+      q, k = 20, nProbe = 6)
       .orderBy(col("cosine").desc, col("id").asc)
   }
 

@@ -31,7 +31,7 @@ class DedupSimilaritySpec extends SparkSpec {
       expr("concat_ws(' ', slice(split(text,' '), 2, size(split(text,' '))))").as("text"))
     val corpus = docs.limit(20).select($"doc_id", $"text").unionByName(planted)
     val sims = Dedup.simhashTable(corpus, "doc_id", "text")
-    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 16).collect()
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 15).collect()
     assert(pairs.count(p => p.getLong(1) == p.getLong(0) + 1000L) >= 10)
   }
 
@@ -65,10 +65,11 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("IVF-flat probing recalls most true top-5 neighbours") {
     val emb = Tables.embeddings(spark, sf())
-    val index = Similarity.ivfAssign(emb, "vec_id", "embedding", k = 16)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16, iters = 2)
+    val index = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
-    val got = Similarity.ivfTopK(index.filter($"id" =!= 0), emb, "vec_id", "embedding",
-      q, k = 5, cells = 16, nProbe = 6).select($"id").as[Long].collect().toSet
+    val got = Similarity.ivfTopK(index.filter($"id" =!= 0), cents,
+      q, k = 5, nProbe = 6).select($"id").as[Long].collect().toSet
     val top = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
       .select($"vec_id", Similarity.cosine($"embedding", $"q").as("c"))
       .orderBy($"c".desc).limit(5).select($"vec_id").as[Long].collect().toSet
