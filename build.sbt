@@ -17,6 +17,7 @@ run / fork := true
 // codegen-heavy dedup queries than the same code in a properly-flagged JVM.
 Compile / runMain / fork := true
 Test / runMain / fork := true
+Global / excludeLintKeys ++= Set(Compile / runMain / fork, Test / runMain / fork)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,6 +26,14 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
+      // Straggler mitigation: this sandbox exhibits stochastic multi-×
+      // stalls of individual tasks (and a 1000-executor cluster exhibits
+      // real stragglers); speculative re-launch of the slowest quartile
+      // bounds the damage. All graft tasks are either pure or idempotent
+      // side-effect writers, so duplicate attempts are safe.
+      .config("spark.speculation", "true")
+      .config("spark.speculation.multiplier", "3")
+      .config("spark.speculation.quantile", "0.75")
 
   /** Standalone session for tests / ad-hoc runs. */
   def local(threads: Int = 4): SparkSession = {

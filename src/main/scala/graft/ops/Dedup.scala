@@ -51,24 +51,42 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       p => array_min(transform(shingles, s => xxhash64(s, p))))
 
-  /** Default permutation hash: xxhash64 seeded by the permutation index —
-    * fastest, but not reproducible in a SQL oracle engine. */
-  val xxhashPerm: (Column, Int) => Column = (c, p) => xxhash64(c, lit(p))
+  /** Masks keeping h1 ≤ 60 bits and h2 ≤ 57 bits so h1 + 31·h2 stays
+    * below 2^63 — the permutation family then computes with plain 64-bit
+    * arithmetic in any engine (DuckDB errors on BIGINT overflow, Spark 4
+    * under ANSI mode throws too; bounding the operands sidesteps both).
+    * The portable base is already 60-bit, so its oracle needs no h1 mask. */
+  val Mask60: Long = (1L << 60) - 1
+  val Mask57: Long = (1L << 57) - 1
 
-  /** Oracle-checkable permutation hash: portable 60-bit md5-derived hash of
-    * "shingle:p" (graft.functions.TextFunctions.portableHash60). */
-  val portablePerm: (Column, Int) => Column =
-    (c, p) => graft.functions.TextFunctions.portableHash60(concat(c, lit(s":$p")))
+  /** Two independent base hashes per shingle; permutation p is
+    * h1 + p·(h2 & Mask57) — Kirsch-Mitzenmacher double hashing, ONE digest
+    * per shingle instead of k. Default: xxhash64 pair (fastest). */
+  val xxhashBase: Column => (Column, Column) =
+    c => (xxhash64(c), xxhash64(c, lit(1)))
+
+  /** Oracle-checkable base pair: md5 hex chars [1,15] and [16,30] as
+    * BIGINTs (`CAST('0x' || substring(md5(x), ...) AS BIGINT)` in DuckDB).
+    * h1 is exactly TextFunctions.portableHash60. */
+  val portableBase: Column => (Column, Column) = { c =>
+    val hx = md5(c.cast("binary"))
+    (conv(substring(hx, 1, 15), 16, 10).cast("long"),
+      conv(substring(hx, 16, 15), 16, 10).cast("long"))
+  }
 
   /** Signature table via explode + aggregate: one row per (doc, shingle),
-    * then k codegen'd `min(permHash(shingle, p))` aggregates with map-side
-    * combine. Input should be pre-spread across partitions (see
-    * `spread`) — shingling is CPU-dense, and a single small parquet file
-    * otherwise serializes it onto one task. */
+    * ONE base-hash computation per row, then k codegen'd
+    * `min(h1 + p·h2)` aggregates with map-side combine. Input should be
+    * pre-spread across partitions (see `spread`) — shingling is CPU-dense,
+    * and a single small parquet file otherwise serializes it onto one
+    * task. */
   def minhashSignatures(shingled: DataFrame, k: Int,
-      permHash: (Column, Int) => Column = xxhashPerm): DataFrame = {
+      base: Column => (Column, Column) = xxhashBase): DataFrame = {
+    val (b1, b2) = base(col("sh"))
     val exploded = shingled.select(col("id"), explode(col("shingles")).as("sh"))
-    val aggs = (0 until k).map(p => min(permHash(col("sh"), p)).as(s"m$p"))
+      .select(col("id"), b1.bitwiseAND(lit(Mask60)).as("h1"),
+        b2.bitwiseAND(lit(Mask57)).as("h2"))
+    val aggs = (0 until k).map(p => min(col("h1") + lit(p.toLong) * col("h2")).as(s"m$p"))
     exploded.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until k).map(p => col(s"m$p")): _*).as("sig"))
@@ -116,7 +134,7 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       jaccardThreshold: Double = 0.5, maxBucket: Int = 1000,
-      permHash: (Column, Int) => Column = xxhashPerm): DataFrame = {
+      base: Column => (Column, Column) = xxhashBase): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "k must be divisible by bands")
 
@@ -130,7 +148,7 @@ object Dedup {
       wordShingles(col(textCol), shingleN).as("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = minhashSignatures(shingled, k, permHash)
+    val banded = minhashSignatures(shingled, k, base)
       .withColumn("banded", lshBands(col("sig"), bands, rows))
       .select(col("id"), explode(col("banded")).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))

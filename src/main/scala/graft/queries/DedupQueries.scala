@@ -29,7 +29,7 @@ object DedupQueries {
     Dedup.minhashNearDupPairs(
       withPlantedNearDups(Tables.documents(spark, dir)),
       "doc_id", "text", shingleN = 3, k = 32, bands = 8, jaccardThreshold = 0.5,
-      permHash = Dedup.portablePerm)
+      base = Dedup.portableBase)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash table over the corpus — deterministic 64-bit signatures from
@@ -150,9 +150,12 @@ object DedupQueries {
        |  SELECT doc_id, $trigramSql AS s
        |  FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM corpus)),
        |occ AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-       |m AS (SELECT doc_id, t.p AS p,
-       |        MIN(CAST(('0x'||substring(md5(g||':'||CAST(t.p AS VARCHAR)),1,15)) AS BIGINT)) AS mv
-       |      FROM occ, UNNEST(generate_series(0,31)) AS t(p) GROUP BY doc_id, t.p),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x'||substring(md5(g),1,15)) AS BIGINT) AS h1,
+       |        CAST(('0x'||substring(md5(g),16,15)) AS BIGINT) & ((1::BIGINT << 57) - 1) AS h2
+       |      FROM occ),
+       |m AS (SELECT doc_id, t.p AS p, MIN(h1 + t.p * h2) AS mv
+       |      FROM h, UNNEST(generate_series(0,31)) AS t(p) GROUP BY doc_id, t.p),
        |sig AS (SELECT doc_id, list(mv ORDER BY p) AS sig FROM m GROUP BY doc_id),
        |bands AS (SELECT doc_id, t.b AS b, sig[(t.b*4)+1:(t.b+1)*4] AS band
        |          FROM sig, UNNEST(generate_series(0,7)) AS t(b)),

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.ops.{ChunkAlgebra, ChunkCommand, ChunkCommandOp}
+import graft.pipeline.{Consolidate, Renditions}
+import graft.sources.{DirectoryIngest, Tables}
+
+/** Participant-pattern query surface: raw-file ingestion (B9/A3),
+  * chunk-command log fold (D), rendition extraction (B3), sentence
+  * chunking with framing (B5) — each oracle-backed. */
+object ParticipantQueries {
+
+  /** Q29 — raw-file directory ingestion: a deterministic fixture tree (one
+    * .txt per documents row with doc_id % 10 == 0) is scanned with the
+    * binaryFile source, turned into CREATE events, folded, and joined with
+    * content digests — reference DirectoryIngestor
+    * (participants/implementations.kt:334-341). The oracle recomputes
+    * name/size/digest straight from the generating table, so the whole
+    * write → walk → ingest → fold loop must round-trip exactly. */
+  def ingestDir(spark: SparkSession, dir: String): DataFrame = {
+    val fx = DirectoryIngest.ensureFixture(spark, dir, modulo = 10)
+    val scanned = DirectoryIngest.scan(spark, fx)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val records = Consolidate.batch(DirectoryIngest.asEvents(scanned)).toDF()
+    val digests = scanned.select(
+      regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("id"),
+      col("length").as("n_bytes"),
+      md5(col("content")).as("digest"))
+    records.select(col("id"), col("name").as("file_name"),
+      col("representation.createdBy").as("created_by"))
+      .join(digests, Seq("id"))
+      .orderBy(col("id"))
+  }
+
+  val ingestDirSql: String =
+    """SELECT doc_id AS id,
+      |  CAST(doc_id AS VARCHAR) || '.txt' AS file_name,
+      |  'directory' AS created_by,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin
+
+  /** Q30 — chunk-command log fold (SURVEY §2 D): a deterministic
+    * adversarial command log per document — START, three ADDs, INSERT,
+    * UPDATE, an out-of-bounds UPDATE (must no-op), MERGE, DELETE, and an
+    * out-of-bounds INSERT (must no-op) — folded to final chunk state by
+    * ChunkAlgebra.foldCommandLog. Reference: sequence_management.kt:5-27 +
+    * SequenceTests.kt:8-41. The oracle states the closed-form final state,
+    * so every step (ordering, OOB rules, merge joining) must be right. */
+  def chunkCommands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val log = docs.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      def wk(k: Int): String = if (k < w.length) w(k) else s"w$k"
+      Seq(
+        ChunkCommand(id, 1L, 0L, ChunkCommandOp.Start, 0, 0, null),
+        ChunkCommand(id, 2L, 0L, ChunkCommandOp.Add, 0, 0, wk(0)),
+        ChunkCommand(id, 2L, 1L, ChunkCommandOp.Add, 0, 0, wk(1)),
+        ChunkCommand(id, 2L, 2L, ChunkCommandOp.Add, 0, 0, wk(2)),
+        ChunkCommand(id, 3L, 0L, ChunkCommandOp.Insert, 1, 0, wk(3)),
+        ChunkCommand(id, 4L, 0L, ChunkCommandOp.Update, 2, 0, wk(4)),
+        ChunkCommand(id, 5L, 0L, ChunkCommandOp.Update, 9, 0, "zz"), // OOB no-op
+        ChunkCommand(id, 6L, 0L, ChunkCommandOp.Merge, 1, 2, null),
+        ChunkCommand(id, 7L, 0L, ChunkCommandOp.Delete, 0, 0, null),
+        ChunkCommand(id, 8L, 0L, ChunkCommandOp.Insert, 5, 0, "q")) // OOB no-op
+    }
+    ChunkAlgebra.foldCommandLog(log)
+      .select(col("id"), size(col("chunks")).cast("long").as("n_chunks"),
+        concat_ws("|", col("chunks")).as("chunks"))
+      .orderBy(col("id"))
+  }
+
+  // log trace: [] →ADDs [w0,w1,w2] →INSERT(1,w3) [w0,w3,w1,w2]
+  // →UPDATE(2,w4) [w0,w3,w4,w2] →UPDATE(9) noop →MERGE(1,2) [w0,"w3 w4",w2]
+  // →DELETE(0) ["w3 w4",w2] →INSERT(5) noop
+  val chunkCommandsSql: String =
+    """SELECT doc_id AS id, CAST(2 AS BIGINT) AS n_chunks,
+      |  COALESCE(words[4], 'w3') || ' ' || COALESCE(words[5], 'w4')
+      |    || '|' || COALESCE(words[3], 'w2') AS chunks
+      |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      |ORDER BY id""".stripMargin
+
+  /** Q31 — content-extraction rendition producer (B3): documents ingested
+    * with a synthesized HTML original; the extraction producer strips the
+    * markup and feeds txt renditions back through the fold as
+    * UPSERT_DOCUMENT_REPRESENTATION events — the reference's Tika-shelling
+    * producer loop (implementations.kt:150-187). The oracle checks the
+    * digest of the extracted text against the pristine source text, so
+    * extraction must round-trip exactly. */
+  def renditionExtraction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val creates = Tables.documents(spark, dir).select(
+      lit(Command.Create).as("command"),
+      col("doc_id").as("id"),
+      lit(1L).as("timestamp"),
+      lit(0L).as("seq"),
+      concat(lit("doc-"), col("doc_id")).as("name"),
+      struct(
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")).as("path"),
+        lit("inline").as("createdBy")).as("representation"),
+      lit(null).cast("struct<values:map<string,string>,createdBy:string>").as("meta"))
+      .as[DataRecordEvent]
+    val original = Consolidate.batch(creates)
+    val upserts = Renditions.extractTextEvents(original)
+    val finalRecords = Consolidate.batch(creates.unionByName(upserts))
+    finalRecords.toDF().select(
+      col("id"),
+      size(col("additionalRepresentations")).cast("long").as("n_reps"),
+      element_at(col("additionalRepresentations"), 1).getField("createdBy").as("created_by"),
+      md5(element_at(col("additionalRepresentations"), 1).getField("path").cast("binary")).as("digest"))
+      .orderBy(col("id"))
+  }
+
+  val renditionExtractionSql: String =
+    """SELECT doc_id AS id, CAST(1 AS BIGINT) AS n_reps,
+      |  'extract-txt' AS created_by, md5(text) AS digest
+      |FROM documents ORDER BY id""".stripMargin
+
+  /** Q32 — sentence chunking with START/LAST framing (B5): the corpus text
+    * is punctuation-free, so a deterministic punctuated rendition is built
+    * first (7-word sentences, terminal periods), then the chunker must
+    * recover the sentence boundaries from the punctuation alone.
+    * Reference: implementations.kt:56-89. */
+  def sentenceChunks(spark: SparkSession, dir: String): DataFrame = {
+    val punctuated = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("punct_text", concat_ws(" ", expr(
+        "transform(sequence(0, cast(ceil(size(words)/7.0) as int) - 1)," +
+          " i -> concat(concat_ws(' ', slice(words, i*7 + 1, 7)), '.'))")))
+      .select(col("doc_id"), col("punct_text"))
+    ChunkAlgebra.sentenceChunks(punctuated, "doc_id", "punct_text")
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
+  val sentenceChunksSql: String =
+    """WITH punct AS (
+      |  SELECT doc_id,
+      |    array_to_string([array_to_string(words[(i*7)+1:(i+1)*7], ' ') || '.'
+      |      FOR i IN range(0, CAST(ceil(len(words)/7.0) AS BIGINT))], ' ') AS punct_text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      |parts AS (
+      |  SELECT doc_id, string_split(punct_text, '. ') AS p FROM punct)
+      |SELECT doc_id, i - 1 AS idx,
+      |  CASE WHEN len(p) = 1 THEN 'ONLY'
+      |       WHEN i = 1 THEN 'START'
+      |       WHEN i = len(p) THEN 'LAST'
+      |       ELSE 'MID' END AS frame,
+      |  CASE WHEN i < len(p) THEN p[i] || '.' ELSE p[i] END AS sentence
+      |FROM parts, UNNEST(generate_series(1, len(p))) AS t(i)
+      |ORDER BY doc_id, idx""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
+    QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
+    QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
+    QueryDef("q32_sentence_chunks", sentenceChunks, Some(sentenceChunksSql)))
+}

@@ -22,7 +22,7 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ EventsQueries.defs ++ DocumentQueries.defs ++
       FactsQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      TextQueries.defs ++ PipelineQueriesImpl.defs
+      TextQueries.defs ++ PipelineQueriesImpl.defs ++ ParticipantQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** Raw-file directory ingestion — the reference's entry point
+  * (DirectoryIngestor, reference: participants/implementations.kt:334-341;
+  * scheduled re-walk connector, reference: IngestConnector.kt:33-96).
+  *
+  * Spark-first shape: the `binaryFile` source replaces the hand-rolled
+  * directory walker (batch) and the scheduled re-walk (streaming — the
+  * file source's incremental listing picks up new files per microbatch).
+  * Files become CREATE events carrying a path-keyed
+  * DocumentRepresentation; content stays on the filesystem and is resolved
+  * lazily by FileContentResolver (the reference's "keep payloads off the
+  * bus, ship pointers" posture).
+  *
+  * Scale: listing is distributed by the source; content bytes ride as one
+  * binary column, never through the driver; `maxPartitionBytes` governs
+  * split packing of many small files.
+  */
+object DirectoryIngest {
+
+  /** Batch directory scan: (path, modificationTime, length, content). */
+  def scan(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
+  /** Streaming directory scan — the analog of the reference's scheduled
+    * directory re-walk (IngestConnector.kt:33-96): each microbatch ingests
+    * newly-appeared files. */
+  def scanStream(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .schema(scan(spark, dir, glob).schema)
+      .load(dir)
+
+  /** Scanned files → CREATE events. Record id is the numeric file-name
+    * stem when present (join-friendly against the generating table),
+    * otherwise xxhash64(path) — the stable-key discipline of SURVEY §7.4.
+    * The representation points at the file (`createdBy = "directory"`);
+    * FileContentResolver resolves it for downstream enrichers. */
+  def asEvents(scanned: DataFrame): Dataset[DataRecordEvent] = {
+    val spark = scanned.sparkSession
+    import spark.implicits._
+    val stem = regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
+    scanned.select(
+      lit(Command.Create).as("command"),
+      when(stem =!= "", stem.cast("long")).otherwise(xxhash64(col("path"))).as("id"),
+      lit(1L).as("timestamp"),
+      lit(0L).as("seq"),
+      regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+      struct(
+        // strip the scheme the binaryFile source prepends so the path is
+        // directly readable by FileContentResolver
+        regexp_replace(col("path"), "^file:", "").as("path"),
+        lit("directory").as("createdBy")).as("representation"),
+      lit(null).cast("struct<values:map<string,string>,createdBy:string>").as("meta"))
+      .as[DataRecordEvent]
+  }
+
+  /** Deterministic on-disk fixture for the ingest queries/tests: one
+    * `<doc_id>.txt` per `documents` row with doc_id % `modulo` == 0,
+    * written via foreachPartition (each task writes its partition's files —
+    * the B11 file-writer side-effect shape, never the driver). Idempotent
+    * via a marker file; content is a pure function of the table, so
+    * re-generation is safe. */
+  def ensureFixture(spark: SparkSession, sfDir: String, modulo: Int = 10): String = {
+    val name = new java.io.File(sfDir).getName
+    val out = java.nio.file.Paths.get(s"/tmp/graft_ingest_fixture/$name-m$modulo")
+    val marker = out.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(out)
+      val outStr = out.toString // Path is not serializable; ship the string
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % modulo === 0)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val base = java.nio.file.Paths.get(outStr)
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              base.resolve(s"${r.getLong(0)}.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    out.toString
+  }
+}

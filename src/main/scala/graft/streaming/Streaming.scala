@@ -86,23 +86,50 @@ object Streaming {
       .as[DataRecordEvent]
   }
 
-  /** Kafka form of the same source (requires the spark-sql-kafka connector
-    * on the classpath; not present in this container). Value is the
-    * JSON-serialized event, key the record id — the reference's wire
-    * layout (§1.3) with JSON kept at the boundary only. */
-  def kafkaEvents(spark: SparkSession, bootstrap: String, topic: String): Dataset[DataRecordEvent] = {
+  // ------------------------------------------------------- wire format
+
+  /** The reference's wire layout (§1.3): messages are (key = record id,
+    * value = JSON event) — JSON kept at the boundary only. `toWire` /
+    * `fromWire` are exact inverses (round-trip tested), shared by the
+    * Kafka source/sink forms and any other keyed transport. */
+  def toWire(events: Dataset[DataRecordEvent]): DataFrame =
+    events.toDF().select(
+      col("id").cast("string").as("key"),
+      to_json(struct(col("*"))).as("value"))
+
+  def fromWire(wire: DataFrame): Dataset[DataRecordEvent] = {
+    val spark = wire.sparkSession
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[DataRecordEvent]].schema
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
-      .select(from_json(col("value").cast("string"), schema).as("e"))
+    wire.select(from_json(col("value").cast("string"), schema).as("e"))
       .select(col("e.*"))
       .as[DataRecordEvent]
   }
+
+  /** Keyed producer send (reference A5/A6: `KeyedProducer.send(key, event)`,
+    * KafkaIntelligencePipeline.kt:313-315): the event stream serialized to
+    * the wire layout and written per batch. With the Kafka connector jar
+    * this is `wire.writeStream.format("kafka")`; without a broker the same
+    * wire rows land in a parquet "topic" directory — identical layout,
+    * identical downstream `fromWire` read. */
+  def keyedSink(events: Dataset[DataRecordEvent], topicDir: String): StreamingQuery =
+    toWire(events).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(topicDir)
+      }
+      .start()
+
+  /** Kafka form of the event source (requires the spark-sql-kafka connector
+    * on the classpath; not present in this container). */
+  def kafkaEvents(spark: SparkSession, bootstrap: String, topic: String): Dataset[DataRecordEvent] =
+    fromWire(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
 
   /** Event-time session windows with watermarking — the upgrade over the
     * reference's processing-time SessionWindows (SURVEY.md §4 calls this

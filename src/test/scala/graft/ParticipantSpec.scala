@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.model._
+import graft.ops.{ChunkAlgebra, ChunkCommand, ChunkCommandOp}
+import graft.pipeline.Renditions
+import graft.sources.DirectoryIngest
+import graft.streaming.Streaming
+
+/** Participant-pattern operators: directory ingestion (batch + streaming
+  * re-walk), the chunk-command log fold, rendition extraction, sentence
+  * framing, and the keyed wire-format sink round-trip. */
+class ParticipantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def writeTxt(dir: java.nio.file.Path, name: String, content: String): Unit =
+    java.nio.file.Files.write(dir.resolve(name),
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("directory ingest: scan → events → fold round-trips files (B9)") {
+    val dir = tmpDir("ingest_batch")
+    writeTxt(dir, "7.txt", "seven words of plain text here now")
+    writeTxt(dir, "42.txt", "answer")
+    val recs = graft.pipeline.Consolidate.batch(
+      DirectoryIngest.asEvents(DirectoryIngest.scan(spark, dir.toString))).collect()
+    assert(recs.map(_.id).toSet == Set(7L, 42L))
+    assert(recs.map(_.name).toSet == Set("7.txt", "42.txt"))
+    // representation resolves through the file-backed content provider
+    val content = recs.sortBy(_.id).map(r =>
+      graft.pipeline.FileContentResolver.resolve(r.representation).orNull)
+    assert(content.toSeq == Seq("seven words of plain text here now", "answer"))
+  }
+
+  test("directory ingest: streaming scan picks up files appearing later (A4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("ingest_stream")
+    writeTxt(dir, "1.txt", "first file")
+    val q = DirectoryIngest.asEvents(DirectoryIngest.scanStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("ingest_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeTxt(dir, "2.txt", "second file later") // the re-walk analog
+      q.processAllAvailable()
+      val names = spark.sql("select name from ingest_stream_test")
+        .as[String].collect().toSet
+      assert(names == Set("1.txt", "2.txt"))
+    } finally q.stop()
+  }
+
+  test("chunk-command fold: order independence and OOB no-ops (D)") {
+    val log = Seq(
+      ChunkCommand(1L, 1L, 0L, ChunkCommandOp.Start, 0, 0, null),
+      ChunkCommand(1L, 2L, 0L, ChunkCommandOp.Add, 0, 0, "a"),
+      ChunkCommand(1L, 2L, 1L, ChunkCommandOp.Add, 0, 0, "b"),
+      ChunkCommand(1L, 3L, 0L, ChunkCommandOp.Insert, 1, 0, "c"),   // [a,c,b]
+      ChunkCommand(1L, 4L, 0L, ChunkCommandOp.Update, 5, 0, "zz"),  // OOB noop
+      ChunkCommand(1L, 5L, 0L, ChunkCommandOp.Delete, 9, 0, null),  // OOB noop
+      ChunkCommand(1L, 6L, 0L, ChunkCommandOp.Merge, 0, 1, null),   // ["a c", b]
+      ChunkCommand(1L, 7L, 0L, ChunkCommandOp.Insert, 2, 0, "d"))   // append at end
+    // shuffle the log — (ts, seq) must restore the order inside the fold
+    val shuffled = scala.util.Random.shuffle(log)
+    val out = ChunkAlgebra.foldCommandLog(spark.createDataset(shuffled))
+      .as[(Long, Seq[String])].collect()
+    assert(out.toSeq == Seq((1L, Seq("a c", "b", "d"))))
+  }
+
+  test("sentence chunker: framing markers and period restoration (B5)") {
+    val df = Seq(
+      (1L, "one two. three four. five six."),
+      (2L, "only sentence.")).toDF("id", "text")
+    val out = ChunkAlgebra.sentenceChunks(df, "id", "text")
+      .orderBy($"id", $"idx")
+      .as[(Long, Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "START", "one two."),
+      (1L, 1L, "MID", "three four."),
+      (1L, 2L, "LAST", "five six."),
+      (2L, 0L, "ONLY", "only sentence.")))
+  }
+
+  test("rendition extraction strips markup and decodes entities (B3)") {
+    val df = Seq((1L, "<html><body><p>a &amp; b &lt;ok&gt;</p></body></html>"))
+      .toDF("id", "html")
+    val out = df.select(Renditions.stripMarkup($"html")).as[String].head()
+    assert(out == "a & b <ok>")
+  }
+
+  test("wire format round-trips events exactly (A5/A6 layout)") {
+    val evs = Seq(
+      DataRecordEvent.create(3L, "doc-3", DocumentRepresentation("x y z", "inline"), 1L, 0L),
+      DataRecordEvent.upsertMeta(3L, Metadata(Map("k" -> "v", "k2" -> "v2"), "m"), 2L, 1L),
+      DataRecordEvent.upsertRepresentation(3L, DocumentRepresentation("/p/3.txt", "tika"), 3L, 0L))
+    val wire = Streaming.toWire(spark.createDataset(evs))
+    assert(wire.columns.toSeq == Seq("key", "value")) // the keyed layout
+    assert(wire.select($"key").as[String].collect().forall(_ == "3"))
+    val back = Streaming.fromWire(wire).collect().toSet
+    assert(back == evs.toSet)
+  }
+
+  test("keyed sink writes the wire layout a fromWire source replays (A5/A6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val topic = tmpDir("topic_dir").toString
+    val input = MemoryStream[DataRecordEvent]
+    val evs = (1L to 4L).map(id =>
+      DataRecordEvent.create(id, s"doc-$id", DocumentRepresentation(s"t $id", "inline"), 1L, 0L))
+    input.addData(evs)
+    val q = Streaming.keyedSink(input.toDS(), topic)
+    try q.processAllAvailable() finally q.stop()
+    val replayed = Streaming.fromWire(spark.read.parquet(topic)).collect().toSet
+    assert(replayed == evs.toSet)
+  }
+}
