@@ -89,6 +89,51 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31 + c) % FingerprintMod)
 
+  // ---------------------------------------------------- rule-based tagging
+
+  /** Deterministic rule-based POS tagging — the offline stand-in for the
+    * reference's CoreNLP parse-map producer (B6,
+    * implementations.kt:92-146). First matching rule wins; the rule order
+    * is the contract (mirrored by the SQL oracle and the row-level
+    * enricher). */
+  val PosDeterminers: Seq[String] = Seq("the", "a", "an")
+  val PosConjunctions: Seq[String] = Seq("and", "or", "but")
+  val PosPrepositions: Seq[String] = Seq("of", "in", "on", "at", "to", "for", "with", "by")
+
+  def posTag(w: Column): Column =
+    when(w.rlike("^[0-9]+$"), "CD")
+      .when(w.isin(PosDeterminers: _*), "DT")
+      .when(w.isin(PosConjunctions: _*), "CC")
+      .when(w.isin(PosPrepositions: _*), "IN")
+      .when(w.endsWith("ing"), "VBG")
+      .when(w.endsWith("ed"), "VBD")
+      .when(w.endsWith("ly"), "RB")
+      .when(w.endsWith("s"), "NNS")
+      .otherwise("NN")
+
+  def posTagScala(w: String): String =
+    if (w.matches("^[0-9]+$")) "CD"
+    else if (PosDeterminers.contains(w)) "DT"
+    else if (PosConjunctions.contains(w)) "CC"
+    else if (PosPrepositions.contains(w)) "IN"
+    else if (w.endsWith("ing")) "VBG"
+    else if (w.endsWith("ed")) "VBD"
+    else if (w.endsWith("ly")) "RB"
+    else if (w.endsWith("s")) "NNS"
+    else "NN"
+
+  /** Named-entity-ish tag, same rules as the EntityEnricher stand-in
+    * ('O' = not an entity, CoNLL-style). */
+  def neTag(w: Column): Column =
+    when(w.rlike("^[0-9]+$"), "NUMBER")
+      .when(w.rlike("^[a-z]+[0-9]+$"), "IDENT")
+      .otherwise("O")
+
+  def neTagScala(w: String): String =
+    if (w.matches("^[0-9]+$")) "NUMBER"
+    else if (w.matches("^[a-z]+[0-9]+$")) "IDENT"
+    else "O"
+
   /** Engine-portable 60-bit hash: first 15 hex chars of md5 as a BIGINT.
     * Nonnegative (top 4 bits zero), so signed shifts/comparisons behave
     * identically everywhere — lets MinHash/SimHash signatures be verified

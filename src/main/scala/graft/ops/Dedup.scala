@@ -235,6 +235,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // -------------------------------------------------- duplicate clusters
+
+  /** Connected components over a near-dup pair set → duplicate clusters:
+    * every member labeled with the cluster's minimum id (the canonical
+    * "keep" document). The step every real dedup pipeline needs after
+    * pairwise detection — near-duplication is transitive in practice
+    * (a~b, b~c ⇒ one cluster) and pairs alone overcount.
+    *
+    * Implementation: iterative min-label propagation — each round, every
+    * node takes the min of its own label and its neighbours' labels; an
+    * iterative sequence of joins/aggregations, converging in
+    * graph-diameter rounds. Dup clusters are shallow (diameter ≪ 10), so
+    * the loop is short; each round is one shuffle join + one aggregation,
+    * both keyed on the node id (exchange reuse applies). At 100 TB scale
+    * with adversarial diameters, upgrade the round body to
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce"), which squares the label-spread per round; the driver
+    * loop + localCheckpoint structure stays identical. Returns
+    * (id, cluster_id). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true) // truncate lineage per round (iterative plan)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Pairwise n-gram Jaccard within a blocking key via an inverted index:

@@ -112,9 +112,33 @@ object StandardEnrichers {
     new QualityEnricher(resolver), new TokenEnricher(resolver),
     new FingerprintEnricher(resolver))
 
+  /** NLP parse-map producer (B6): the reference's CoreNLP producer
+    * flattens per-sentence parses into map keys `sentence_i`, `word_i_j`,
+    * `pos_i_j`, `ne_i_j` (implementations.kt:92-146). Offline stand-in:
+    * 7-word sentences, rule-based tags (TextFunctions.posTag/neTag) — the
+    * map SHAPE is the reference's contract; the tagger is pluggable. */
+  class ParseEnricher(resolver: ContentResolver = ContentResolver.default) extends Enricher {
+    override def name: String = "parse"
+    override def values(record: DataRecord): Map[String, String] =
+      contentOf(record, resolver).map { text =>
+        val words = text.split(" ", -1)
+        val wordKeys = words.zipWithIndex.flatMap { case (w, idx) =>
+          val (i, j) = (idx / 7, idx % 7)
+          Seq(s"word_${i}_$j" -> w,
+            s"pos_${i}_$j" -> TextFunctions.posTagScala(w),
+            s"ne_${i}_$j" -> TextFunctions.neTagScala(w))
+        }
+        val sentKeys = words.grouped(7).zipWithIndex.map { case (ws, i) =>
+          s"sentence_$i" -> ws.mkString(" ")
+        }
+        (wordKeys ++ sentKeys).toMap
+      }.getOrElse(Map.empty)
+  }
+
   /** The extended set incl. the offline NLP-service stand-ins. */
   def extended(resolver: ContentResolver = ContentResolver.default): Seq[Enricher] =
-    all(resolver) ++ Seq(new KeyPhraseEnricher(resolver), new EntityEnricher(resolver))
+    all(resolver) ++ Seq(new KeyPhraseEnricher(resolver), new EntityEnricher(resolver),
+      new ParseEnricher(resolver))
 
   // ------------------------------------------------- mirrored heuristics
   // All tokenization uses split(" ", -1): Java's 1-arg split drops trailing

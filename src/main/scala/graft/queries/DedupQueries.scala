@@ -114,7 +114,12 @@ object DedupQueries {
     * bit set iff votes > 0 — mirrors NativeExpressions.SimHash64 (bits
     * 60-63 are always 0 under the 60-bit hash on both sides). */
   private def simhashSqlFrom(corpus: String): String =
-    s"""WITH sh AS (
+    "WITH " + simhashCtes(corpus)
+
+  /** The same CTE list without the WITH keyword, for composition under
+    * WITH RECURSIVE (q33). */
+  private def simhashCtes(corpus: String): String =
+    s"""sh AS (
        |  SELECT doc_id, $trigramSql AS s
        |  FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM ($corpus))),
        |occ AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
@@ -170,9 +175,45 @@ object DedupQueries {
   // engine — identical output modulo 64-bit hash collisions (~2^-60);
   // the maxBucket guard never fires at sf0.01
 
+  /** Q33 — duplicate-cluster consolidation: connected components over the
+    * simhash hamming ≤ 7 pair set (q13b's edges), labeling every member
+    * with the cluster minimum (the canonical keep id) + cluster size. The
+    * oracle computes the same closure with a recursive CTE, so the
+    * iterative label propagation must reach the exact fixpoint. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sims = Dedup.simhashTable(
+      withPlantedNearDups(Tables.documents(spark, dir)), "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7)
+    val labels = Dedup.connectedComponents(pairs)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("id"))
+  }
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.r AS r FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT l.id, l.cluster_id, c.n AS cluster_size
+       |FROM labels l JOIN (SELECT cluster_id, COUNT(*) AS n FROM labels GROUP BY cluster_id) c
+       |  ON l.cluster_id = c.cluster_id
+       |ORDER BY l.id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),
     QueryDef("q13_simhash", simhashSignatures, Some(simhashSignaturesSql)),
     QueryDef("q13b_simhash_neardup", simhashNearDups, Some(simhashNearDupsSql)),
-    QueryDef("q14_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)))
+    QueryDef("q14_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    QueryDef("q33_dup_clusters", dupClusters, Some(dupClustersSql)))
 }

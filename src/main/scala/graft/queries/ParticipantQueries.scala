@@ -153,9 +153,75 @@ object ParticipantQueries {
       |FROM parts, UNNEST(generate_series(1, len(p))) AS t(i)
       |ORDER BY doc_id, idx""".stripMargin
 
+  /** Q34 — NLP parse-map producer (B6): the reference's parse producer
+    * flattens per-sentence parses into `sentence_i` / `word_i_j` /
+    * `pos_i_j` / `ne_i_j` map keys (implementations.kt:92-146); here the
+    * tagger is the offline rule set (TextFunctions.posTag/neTag), the map
+    * flattened to (id, key, value) rows like the q22 metadata view.
+    * Single narrow pass: one posexplode, one 3-way struct explode. */
+  def parseMap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), posexplode(split(col("text"), " ")).as(Seq("idx", "w")))
+      .withColumn("i", expr("idx div 7").cast("string"))
+      .withColumn("j", (col("idx") % 7).cast("string"))
+    val wordRows = words.select(col("id"), explode(array(
+      struct(concat(lit("word_"), col("i"), lit("_"), col("j")).as("key"),
+        col("w").as("value")),
+      struct(concat(lit("pos_"), col("i"), lit("_"), col("j")).as("key"),
+        TextFunctions.posTag(col("w")).as("value")),
+      struct(concat(lit("ne_"), col("i"), lit("_"), col("j")).as("key"),
+        TextFunctions.neTag(col("w")).as("value")))).as("kv"))
+      .select(col("id"), col("kv.key").as("key"), col("kv.value").as("value"))
+    val sentRows = Tables.documents(spark, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id").as("id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(words)/7.0) as int) - 1)," +
+          " i -> concat_ws(' ', slice(words, i*7 + 1, 7)))")).as(Seq("si", "sent")))
+      .select(col("id"), concat(lit("sentence_"), col("si").cast("string")).as("key"),
+        col("sent").as("value"))
+    wordRows.unionAll(sentRows).orderBy(col("id"), col("key"))
+  }
+
+  val parseMapSql: String = {
+    import graft.functions.TextFunctions._
+    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+    val posCase =
+      s"""CASE WHEN regexp_matches(w, '^[0-9]+$$') THEN 'CD'
+         |     WHEN w IN (${inList(PosDeterminers)}) THEN 'DT'
+         |     WHEN w IN (${inList(PosConjunctions)}) THEN 'CC'
+         |     WHEN w IN (${inList(PosPrepositions)}) THEN 'IN'
+         |     WHEN w LIKE '%ing' THEN 'VBG'
+         |     WHEN w LIKE '%ed' THEN 'VBD'
+         |     WHEN w LIKE '%ly' THEN 'RB'
+         |     WHEN w LIKE '%s' THEN 'NNS'
+         |     ELSE 'NN' END""".stripMargin
+    val neCase =
+      """CASE WHEN regexp_matches(w, '^[0-9]+$') THEN 'NUMBER'
+        |     WHEN regexp_matches(w, '^[a-z]+[0-9]+$') THEN 'IDENT'
+        |     ELSE 'O' END""".stripMargin
+    s"""WITH w AS (
+       |  SELECT doc_id AS id, (t.i - 1) // 7 AS si, (t.i - 1) % 7 AS sj, words[t.i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |       UNNEST(generate_series(1, len(words))) AS t(i)),
+       |rows AS (
+       |  SELECT id, 'word_' || si || '_' || sj AS key, w AS value FROM w
+       |  UNION ALL
+       |  SELECT id, 'pos_' || si || '_' || sj AS key, $posCase AS value FROM w
+       |  UNION ALL
+       |  SELECT id, 'ne_' || si || '_' || sj AS key, $neCase AS value FROM w
+       |  UNION ALL
+       |  SELECT doc_id AS id, 'sentence_' || t.i AS key,
+       |    array_to_string(words[(t.i*7)+1:(t.i+1)*7], ' ') AS value
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |       UNNEST(generate_series(0, CAST(ceil(len(words)/7.0) AS BIGINT) - 1)) AS t(i))
+       |SELECT id, key, value FROM rows ORDER BY id, key""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
-    QueryDef("q32_sentence_chunks", sentenceChunks, Some(sentenceChunksSql)))
+    QueryDef("q32_sentence_chunks", sentenceChunks, Some(sentenceChunksSql)),
+    QueryDef("q34_parse_map", parseMap, Some(parseMapSql)))
 }

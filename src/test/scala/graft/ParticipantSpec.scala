@@ -105,6 +105,41 @@ class ParticipantSpec extends SparkSpec {
     assert(back == evs.toSet)
   }
 
+  test("connected components labels transitive dup clusters with the min id") {
+    val pairs = Seq(
+      (10L, 2L), (2L, 30L),   // chain: {2, 10, 30} → cluster 2
+      (7L, 40L),              // pair: {7, 40} → cluster 7
+      (100L, 5L), (5L, 100L)) // duplicate edge must not matter
+      .toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 10L -> 2L, 30L -> 2L,
+      7L -> 7L, 40L -> 7L, 5L -> 5L, 100L -> 5L))
+  }
+
+  test("parse enricher mirrors the columnar parse-map rows (B6)") {
+    import graft.functions.TextFunctions
+    val text = "the cat runs quickly to 42 red9 flying jumped trees x"
+    val enricher = new graft.pipeline.StandardEnrichers.ParseEnricher()
+    val rec = DataRecord(1L, "d", 1L, DocumentRepresentation(text, "inline"), Seq.empty, Seq.empty)
+    val fromEnricher = enricher.values(rec)
+    val words = text.split(" ", -1)
+    // spot-check the rule order and framing against the columnar tagger
+    val columnar = Seq(words: _*).toDF("w")
+      .select(TextFunctions.posTag($"w"), TextFunctions.neTag($"w"))
+      .as[(String, String)].collect()
+    words.zipWithIndex.foreach { case (w, idx) =>
+      val (i, j) = (idx / 7, idx % 7)
+      assert(fromEnricher(s"word_${i}_$j") == w)
+      assert(fromEnricher(s"pos_${i}_$j") == columnar(idx)._1)
+      assert(fromEnricher(s"ne_${i}_$j") == columnar(idx)._2)
+    }
+    assert(fromEnricher("sentence_0") == words.take(7).mkString(" "))
+    assert(fromEnricher("sentence_1") == words.drop(7).mkString(" "))
+    assert(fromEnricher("pos_0_0") == "DT" && fromEnricher("pos_0_5") == "CD")
+    assert(fromEnricher("ne_0_5") == "NUMBER" && fromEnricher("ne_0_6") == "IDENT")
+  }
+
   test("keyed sink writes the wire layout a fromWire source replays (A5/A6)") {
     implicit val sqlCtx = spark.sqlContext
     val topic = tmpDir("topic_dir").toString
