@@ -189,6 +189,110 @@ object NativeExpressions {
     Array.fill(dim)(rnd.nextDouble() * 2 - 1)
   }
 
+  // ----------------------------------------------------- hash-able argmax
+
+  /** Mutable argmax buffer: the (o1, o2) ordering pair and the winning
+    * value (a Catalyst value of the child's type). */
+  final class ArgMaxBuf(var o1: Long, var o2: Long, var value: Any, var set: Boolean)
+
+  /** `max_by(value, struct(o1, o2))` as a TypedImperativeAggregate.
+    *
+    * Why: the built-in `max_by` keyed by a struct carries the struct in
+    * its aggregation buffer, which HashAggregateExec cannot hold in an
+    * UnsafeRow — Spark silently falls back to SortAggregate, sorting every
+    * partition of the input BEFORE partial aggregation (twice, with the
+    * post-shuffle final agg). That is invisible at test SF and a full-data
+    * per-partition sort at 100 TB. A TypedImperativeAggregate runs under
+    * ObjectHashAggregateExec: hash-based, sort-free, map-side partials
+    * intact. Ordering columns must be BIGINT (ts/ids/ordinals here);
+    * min-by = argmax of the negated ordering. */
+  case class ArgMaxByOrd(valueExpr: Expression, ord1: Expression, ord2: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[ArgMaxBuf] {
+
+    override def children: Seq[Expression] = Seq(valueExpr, ord1, ord2)
+    override def nullable: Boolean = true
+    override def dataType: DataType = valueExpr.dataType
+
+    override def createAggregationBuffer(): ArgMaxBuf =
+      new ArgMaxBuf(Long.MinValue, Long.MinValue, null, false)
+
+    private def better(b: ArgMaxBuf, o1: Long, o2: Long): Boolean =
+      !b.set || o1 > b.o1 || (o1 == b.o1 && o2 > b.o2)
+
+    override def update(b: ArgMaxBuf, input: org.apache.spark.sql.catalyst.InternalRow): ArgMaxBuf = {
+      val e1 = ord1.eval(input)
+      val e2 = ord2.eval(input)
+      if (e1 != null && e2 != null) {
+        val o1 = e1.asInstanceOf[Long]
+        val o2 = e2.asInstanceOf[Long]
+        if (better(b, o1, o2)) {
+          b.o1 = o1; b.o2 = o2; b.set = true
+          val v = valueExpr.eval(input)
+          // copy unsafe-backed values out of the reused input row
+          b.value = v match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+            case other => other
+          }
+        }
+      }
+      b
+    }
+
+    override def merge(b: ArgMaxBuf, o: ArgMaxBuf): ArgMaxBuf = {
+      if (o.set && better(b, o.o1, o.o2)) {
+        b.o1 = o.o1; b.o2 = o.o2; b.value = o.value; b.set = true
+      }
+      b
+    }
+
+    override def eval(b: ArgMaxBuf): Any = if (b.set) b.value else null
+
+    override def serialize(b: ArgMaxBuf): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeBoolean(b.set)
+      if (b.set) {
+        out.writeLong(b.o1); out.writeLong(b.o2)
+        b.value match {
+          case null => out.writeByte(0)
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            out.writeByte(1); val bytes = s.getBytes; out.writeInt(bytes.length); out.write(bytes)
+          case l: java.lang.Long => out.writeByte(2); out.writeLong(l)
+          case d: java.lang.Double => out.writeByte(3); out.writeDouble(d)
+          case i: java.lang.Integer => out.writeByte(4); out.writeInt(i)
+          case other => throw new IllegalStateException(
+            s"ArgMaxByOrd: unsupported value type ${other.getClass}")
+        }
+      }
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): ArgMaxBuf = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val b = createAggregationBuffer()
+      b.set = in.readBoolean()
+      if (b.set) {
+        b.o1 = in.readLong(); b.o2 = in.readLong()
+        b.value = in.readByte() match {
+          case 0 => null
+          case 1 =>
+            val n = in.readInt(); val arr = new Array[Byte](n); in.readFully(arr)
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(arr)
+          case 2 => java.lang.Long.valueOf(in.readLong())
+          case 3 => java.lang.Double.valueOf(in.readDouble())
+          case 4 => java.lang.Integer.valueOf(in.readInt())
+        }
+      }
+      b
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): ArgMaxByOrd = copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): ArgMaxByOrd = copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ArgMaxByOrd =
+      copy(valueExpr = c(0), ord1 = c(1), ord2 = c(2))
+  }
+
   // ------------------------------------------------------- Column bridges
 
   def simhash64(hashes: Column): Column =
@@ -205,4 +309,14 @@ object NativeExpressions {
 
   def quantizedCosine(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Hash-aggregable `max_by(value, (o1, o2))` — see ArgMaxByOrd. */
+  def argMaxBy(value: Column, o1: Column, o2: Column): Column =
+    ColumnBridge.column(ArgMaxByOrd(ColumnBridge.expression(value),
+      ColumnBridge.expression(o1), ColumnBridge.expression(o2))
+      .toAggregateExpression())
+
+  /** min-by over nonnegative BIGINT orderings = argmax of the negation. */
+  def argMinBy(value: Column, o1: Column, o2: Column): Column =
+    argMaxBy(value, -o1, -o2)
 }

@@ -266,13 +266,15 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
+      // carry the previous label through the checkpoint so convergence is
+      // a local filter on materialized data, not another join
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     sym.unpersist()

@@ -60,10 +60,11 @@ object DocumentQueries {
   def docChunkRollup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val chunks = wordChunks(spark, dir)
+    import graft.functions.NativeExpressions.{argMaxBy, argMinBy}
     val rollup = chunks.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_chunks"),
-      expr("min_by(word, struct(idx))").as("first_word"),
-      expr("max_by(word, struct(idx))").as("last_word"),
+      argMinBy(col("word"), col("idx"), lit(0L)).as("first_word"),
+      argMaxBy(col("word"), col("idx"), lit(0L)).as("last_word"),
       max(length(col("word"))).cast("long").as("max_word_len"))
     docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .join(rollup, Seq("doc_id"))
@@ -146,7 +147,8 @@ object DocumentQueries {
     chunks.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_chunks"),
       sum(when(col("chunk_lang") === "en", 1L).otherwise(0L)).as("n_en_chunks"),
-      expr("min_by(chunk_lang, struct(idx))").as("first_chunk_lang"))
+      graft.functions.NativeExpressions.argMinBy(
+        col("chunk_lang"), col("idx"), lit(0L)).as("first_chunk_lang"))
       .orderBy(col("doc_id"))
   }
 

@@ -16,19 +16,25 @@ object EventsQueries {
     * (the relational shape of the reference's KTable upsert fold,
     * reference: pipeline/impl/KafkaIntelligencePipeline.kt:364-382).
     *
-    * Implemented with `max_by` over a (ts, event_id) ordering struct —
-    * a commutative aggregate with map-side partial aggregation, i.e. the
-    * 100 TB-friendly form (no window sort, one small shuffle). */
-  def latestState(spark: SparkSession, dir: String): DataFrame =
+    * Implemented with the native argmax aggregate over the (ts, event_id)
+    * ordering — commutative, with map-side partial aggregation, i.e. the
+    * 100 TB-friendly form (one small shuffle). The built-in
+    * `max_by(x, struct(...))` would silently fall back to SortAggregate
+    * (struct agg buffers don't fit HashAggregate's UnsafeRow), sorting
+    * every partition of the events table before the partial agg —
+    * NativeExpressions.ArgMaxByOrd keeps it hash-based. */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argMaxBy
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
         max(col("ts")).as("last_ts"),
-        expr("max_by(event_type, struct(ts, event_id))").as("last_type"),
-        expr("max_by(value, struct(ts, event_id))").as("last_value"),
+        argMaxBy(col("event_type"), col("ts"), col("event_id")).as("last_type"),
+        argMaxBy(col("value"), col("ts"), col("event_id")).as("last_value"),
         dsum(col("value")).as("total_value"))
       .orderBy(col("user_id"))
+  }
 
   val latestStateSql: String =
     """WITH ranked AS (

@@ -131,6 +131,25 @@ object Streaming {
         .option("startingOffsets", "earliest")
         .load())
 
+  /** RocksDB state-store provider — the 100 TB keyspace configuration for
+    * the stateful fold: state spills to local disk instead of living on
+    * the JVM heap, with changelog checkpointing to the checkpoint
+    * location. Set BEFORE starting the stateful query (the provider is
+    * bound at query start). The rocksdbjni jar ships with Spark. */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Streaming exact dedup: first event per key set wins, duplicate
+    * arrivals within the watermark horizon are dropped and state for
+    * expired keys is evicted — the stream-scale form of the A8 idempotency
+    * gate / B1 digest dedup (bounded state, unlike a naive dropDuplicates
+    * whose state grows forever). */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String], tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Event-time session windows with watermarking — the upgrade over the
     * reference's processing-time SessionWindows (SURVEY.md §4 calls this
     * out as free in Spark). Input: the `events` table shape with ns-Long

@@ -110,6 +110,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("consolidation fold runs on the RocksDB state store (100 TB config)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Streaming.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[DataRecordEvent]
+      val q = Streaming.dataRecords(Streaming.consolidate(input.toDS()), "rocksdb_test")
+      try {
+        input.addData((1L to 3L).flatMap(events))
+        q.processAllAvailable()
+        val out = spark.sql("select * from rocksdb_test").as[DataRecord].collect()
+        val latest = out.groupBy(_.id).map { case (_, rs) => rs.maxBy(_.meta.size) }
+        val expected = (1L to 3L).map(id => Consolidate.sequentialFold(events(id)))
+          .map(r => r.id -> r).toMap
+        latest.foreach(r => assert(r == expected(r.id)))
+        assert(latest.size == 3)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming dedup drops duplicate digests within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val t0 = 1704067200000L
+    input.addData(Seq(
+      ("digest-a", new java.sql.Timestamp(t0)),
+      ("digest-a", new java.sql.Timestamp(t0 + 1000)), // dup in-batch
+      ("digest-b", new java.sql.Timestamp(t0 + 2000))))
+    val deduped = Streaming.dedupWithinWatermark(
+      input.toDS().toDF("digest", "ts"), Seq("digest"), "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(Seq(("digest-a", new java.sql.Timestamp(t0 + 3000)))) // dup across batches
+      q.processAllAvailable()
+      val digests = spark.sql("select digest from dedup_stream_test")
+        .as[String].collect().sorted.toSeq
+      assert(digests == Seq("digest-a", "digest-b"))
+    } finally q.stop()
+  }
+
   test("event-time session windows with watermark produce sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)] // ts-ns, user, value
