@@ -34,6 +34,10 @@ object GraftSession {
       .config("spark.speculation", "true")
       .config("spark.speculation.multiplier", "3")
       .config("spark.speculation.quantile", "0.75")
+      // bucketed-table layouts (sources.Bucketing) need a writable
+      // warehouse; keep it out of the working tree
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
 
   /** Standalone session for tests / ad-hoc runs. */
   def local(threads: Int = 4): SparkSession = {
