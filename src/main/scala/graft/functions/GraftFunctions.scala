@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the native kernels: every custom Catalyst expression
+  * registered as a `graft_*` SQL function, so `spark.sql("...")` users
+  * get the same operators as the Column API (SURVEY §2's "user could
+  * switch engines and run every query" bar includes the SQL route).
+  *
+  * Two registration paths:
+  *   - new sessions: `.config("spark.sql.extensions",
+  *     "graft.functions.GraftSparkExtensions")` — the public extension
+  *     point, survives into every derived `newSession()`;
+  *   - existing sessions: `GraftFunctions.register(spark)` (temp
+  *     functions via the bridge shim).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, builder, usage) for every graft SQL function. */
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_simhash64",
+      (args: Seq[Expression]) => NativeExpressions.SimHash64(args.head),
+      "graft_simhash64(array<bigint>) - 64-bit SimHash from shingle hashes"),
+    ("graft_word_shingles",
+      (args: Seq[Expression]) => NativeExpressions.WordShingles(
+        args.head, intArg(args(1), "n")),
+      "graft_word_shingles(text, n) - distinct word n-gram shingles"),
+    ("graft_cosine",
+      (args: Seq[Expression]) => NativeExpressions.CosineSimFloat(args(0), args(1)),
+      "graft_cosine(array<float>, array<float>) - cosine similarity"),
+    ("graft_quantized_cosine",
+      (args: Seq[Expression]) => NativeExpressions.QuantizedCosine(args(0), args(1)),
+      "graft_quantized_cosine(a, b) - engine-reproducible quantized cosine"),
+    ("graft_hyperplane_sigs",
+      (args: Seq[Expression]) => NativeExpressions.HyperplaneSigs(args.head,
+        intArg(args(1), "tables"), intArg(args(2), "planes"), intArg(args(3), "dim")),
+      "graft_hyperplane_sigs(vec, tables, planes, dim) - LSH sign signatures"),
+    ("graft_max_by_ord",
+      (args: Seq[Expression]) => NativeExpressions.ArgMaxByOrd(
+        args(0), args(1), args(2)).toAggregateExpression(),
+      "graft_max_by_ord(value, o1, o2) - hash-aggregable argmax (agg)"))
+
+  /** Register every graft_* function on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder, _) =>
+      ColumnBridge.registerTempFunction(spark, name, builder)
+    }
+}
+
+/** The `spark.sql.extensions` entry point. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder, usage) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage), builder))
+    }
+}

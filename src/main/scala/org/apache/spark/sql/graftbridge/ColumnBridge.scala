@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on an EXISTING session (the
+    * FunctionRegistry hangs off `sessionState`, which is `private[sql]`).
+    * For sessions built from scratch, prefer the public
+    * `spark.sql.extensions=graft.GraftSparkExtensions` route. */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, NativeExpressions, TextFunctions}
+
+/** The graft_* SQL function surface must agree with the Column API. */
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_* SQL functions agree with the Column API kernels") {
+    GraftFunctions.register(spark)
+    Seq((1L, "alpha beta gamma delta", Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "text", "vec").createOrReplaceTempView("gf_docs")
+
+    val row = spark.sql(
+      """SELECT
+        |  graft_word_shingles(text, 2) AS sh,
+        |  graft_simhash64(transform(graft_word_shingles(text, 2), s -> xxhash64(s))) AS sim,
+        |  graft_cosine(vec, vec) AS cos,
+        |  graft_quantized_cosine(vec, vec) AS qcos,
+        |  size(graft_hyperplane_sigs(vec, 4, 6, 3)) AS n_sigs
+        |FROM gf_docs""".stripMargin).head()
+
+    val viaColumns = Seq(("alpha beta gamma delta", Array(1.0f, 2.0f, 3.0f)))
+      .toDF("text", "vec")
+      .select(
+        NativeExpressions.wordShingles($"text", 2).as("sh"),
+        NativeExpressions.simhash64(
+          transform(NativeExpressions.wordShingles($"text", 2), s => xxhash64(s))).as("sim"),
+        NativeExpressions.cosineSim($"vec", $"vec").as("cos"))
+      .head()
+
+    assert(row.getSeq[String](0) == viaColumns.getSeq[String](0))
+    assert(row.getLong(1) == viaColumns.getLong(1))
+    assert(math.abs(row.getDouble(2) - 1.0) < 1e-9 && row.getDouble(2) == viaColumns.getDouble(2))
+    assert(math.abs(row.getDouble(3) - 1.0) < 1e-3)
+    assert(row.getInt(4) == 4)
+  }
+
+  test("graft_max_by_ord aggregates in SQL like the native argmax") {
+    GraftFunctions.register(spark)
+    Seq((1L, 10L, 0L, "old"), (1L, 20L, 0L, "new"), (1L, 20L, -1L, "older"),
+      (2L, 5L, 0L, "only"))
+      .toDF("k", "ts", "seq", "v").createOrReplaceTempView("gf_events")
+    val got = spark.sql(
+      "SELECT k, graft_max_by_ord(v, ts, seq) AS last FROM gf_events GROUP BY k ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("portable hash matches its DuckDB formulation contract") {
+    // conv(substring(md5(x),1,15),16,10) must be a nonnegative 60-bit value
+    val hs = Seq("a", "hello world", "").toDF("t")
+      .select(TextFunctions.portableHash60($"t")).as[Long].collect()
+    assert(hs.forall(h => h >= 0 && h < (1L << 60)))
+    // known value: md5('hello') = 5d41402abc4b2a76..., first 15 hex chars
+    val h = Seq("hello").toDF("t").select(TextFunctions.portableHash60($"t")).as[Long].head()
+    assert(h == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+}
