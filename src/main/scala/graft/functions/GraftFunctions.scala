@@ -47,8 +47,8 @@ object GraftFunctions {
       "graft_hyperplane_sigs(vec, tables, planes, dim) - LSH sign signatures"),
     ("graft_max_by_ord",
       (args: Seq[Expression]) => NativeExpressions.ArgMaxByOrd(
-        args(0), args(1), args(2)).toAggregateExpression(),
-      "graft_max_by_ord(value, o1, o2) - hash-aggregable argmax (agg)"))
+        args.head, args.tail).toAggregateExpression(),
+      "graft_max_by_ord(value, ord, ...) - hash-aggregable argmax (agg)"))
 
   /** Register every graft_* function on an existing session. */
   def register(spark: SparkSession): Unit =

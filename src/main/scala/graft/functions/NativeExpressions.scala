@@ -191,11 +191,13 @@ object NativeExpressions {
 
   // ----------------------------------------------------- hash-able argmax
 
-  /** Mutable argmax buffer: the (o1, o2) ordering pair and the winning
-    * value (a Catalyst value of the child's type). */
-  final class ArgMaxBuf(var o1: Long, var o2: Long, var value: Any, var set: Boolean)
+  /** Mutable argmax buffer: the winning ordering tuple and value (Catalyst
+    * values of the children's types). */
+  final class ArgMaxBuf(var ords: Array[Any], var value: Any, var set: Boolean)
 
-  /** `max_by(value, struct(o1, o2))` as a TypedImperativeAggregate.
+  /** `max_by(value, struct(ord...))` as a TypedImperativeAggregate over
+    * any atomic orderings (BIGINT/DOUBLE/INT/STRING, compared
+    * lexicographically like a struct).
     *
     * Why: the built-in `max_by` keyed by a struct carries the struct in
     * its aggregation buffer, which HashAggregateExec cannot hold in an
@@ -204,66 +206,104 @@ object NativeExpressions {
     * post-shuffle final agg). That is invisible at test SF and a full-data
     * per-partition sort at 100 TB. A TypedImperativeAggregate runs under
     * ObjectHashAggregateExec: hash-based, sort-free, map-side partials
-    * intact. Ordering columns must be BIGINT (ts/ids/ordinals here);
-    * min-by = argmax of the negated ordering. */
-  case class ArgMaxByOrd(valueExpr: Expression, ord1: Expression, ord2: Expression,
+    * intact. A row with any null ordering value is ignored (matching
+    * max_by over a null-free struct ordering in our query surface);
+    * min-by over numeric orderings = argmax of the negation. */
+  case class ArgMaxByOrd(valueExpr: Expression, ords: Seq[Expression],
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
       extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[ArgMaxBuf] {
 
-    override def children: Seq[Expression] = Seq(valueExpr, ord1, ord2)
+    override def children: Seq[Expression] = valueExpr +: ords
     override def nullable: Boolean = true
     override def dataType: DataType = valueExpr.dataType
 
     override def createAggregationBuffer(): ArgMaxBuf =
-      new ArgMaxBuf(Long.MinValue, Long.MinValue, null, false)
+      new ArgMaxBuf(null, null, false)
 
-    private def better(b: ArgMaxBuf, o1: Long, o2: Long): Boolean =
-      !b.set || o1 > b.o1 || (o1 == b.o1 && o2 > b.o2)
+    private def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+      case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+      case (x: java.lang.Integer, y: java.lang.Integer) => java.lang.Integer.compare(x, y)
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+      case other => throw new IllegalStateException(
+        s"ArgMaxByOrd: unsupported ordering type ${other._1.getClass}")
+    }
+
+    private def better(b: ArgMaxBuf, cand: Array[Any]): Boolean = {
+      if (!b.set) return true
+      var i = 0
+      while (i < cand.length) {
+        val c = cmp(cand(i), b.ords(i))
+        if (c != 0) return c > 0
+        i += 1
+      }
+      false
+    }
+
+    private def copyVal(v: Any): Any = v match {
+      // copy unsafe-backed values out of the reused input row
+      case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+      case other => other
+    }
 
     override def update(b: ArgMaxBuf, input: org.apache.spark.sql.catalyst.InternalRow): ArgMaxBuf = {
-      val e1 = ord1.eval(input)
-      val e2 = ord2.eval(input)
-      if (e1 != null && e2 != null) {
-        val o1 = e1.asInstanceOf[Long]
-        val o2 = e2.asInstanceOf[Long]
-        if (better(b, o1, o2)) {
-          b.o1 = o1; b.o2 = o2; b.set = true
-          val v = valueExpr.eval(input)
-          // copy unsafe-backed values out of the reused input row
-          b.value = v match {
-            case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-            case other => other
-          }
-        }
+      val cand = new Array[Any](ords.length)
+      var i = 0
+      while (i < ords.length) {
+        val v = ords(i).eval(input)
+        if (v == null) return b // null ordering → row ignored
+        cand(i) = v
+        i += 1
+      }
+      if (better(b, cand)) {
+        var k = 0
+        while (k < cand.length) { cand(k) = copyVal(cand(k)); k += 1 }
+        b.ords = cand
+        b.value = copyVal(valueExpr.eval(input))
+        b.set = true
       }
       b
     }
 
     override def merge(b: ArgMaxBuf, o: ArgMaxBuf): ArgMaxBuf = {
-      if (o.set && better(b, o.o1, o.o2)) {
-        b.o1 = o.o1; b.o2 = o.o2; b.value = o.value; b.set = true
+      if (o.set && better(b, o.ords)) {
+        b.ords = o.ords; b.value = o.value; b.set = true
       }
       b
     }
 
     override def eval(b: ArgMaxBuf): Any = if (b.set) b.value else null
 
+    private def writeTagged(out: java.io.DataOutputStream, v: Any): Unit = v match {
+      case null => out.writeByte(0)
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        out.writeByte(1); val bytes = s.getBytes; out.writeInt(bytes.length); out.write(bytes)
+      case l: java.lang.Long => out.writeByte(2); out.writeLong(l)
+      case d: java.lang.Double => out.writeByte(3); out.writeDouble(d)
+      case i: java.lang.Integer => out.writeByte(4); out.writeInt(i)
+      case other => throw new IllegalStateException(
+        s"ArgMaxByOrd: unsupported value type ${other.getClass}")
+    }
+
+    private def readTagged(in: java.io.DataInputStream): Any = in.readByte() match {
+      case 0 => null
+      case 1 =>
+        val n = in.readInt(); val arr = new Array[Byte](n); in.readFully(arr)
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(arr)
+      case 2 => java.lang.Long.valueOf(in.readLong())
+      case 3 => java.lang.Double.valueOf(in.readDouble())
+      case 4 => java.lang.Integer.valueOf(in.readInt())
+    }
+
     override def serialize(b: ArgMaxBuf): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
       out.writeBoolean(b.set)
       if (b.set) {
-        out.writeLong(b.o1); out.writeLong(b.o2)
-        b.value match {
-          case null => out.writeByte(0)
-          case s: org.apache.spark.unsafe.types.UTF8String =>
-            out.writeByte(1); val bytes = s.getBytes; out.writeInt(bytes.length); out.write(bytes)
-          case l: java.lang.Long => out.writeByte(2); out.writeLong(l)
-          case d: java.lang.Double => out.writeByte(3); out.writeDouble(d)
-          case i: java.lang.Integer => out.writeByte(4); out.writeInt(i)
-          case other => throw new IllegalStateException(
-            s"ArgMaxByOrd: unsupported value type ${other.getClass}")
-        }
+        out.writeInt(b.ords.length)
+        b.ords.foreach(writeTagged(out, _))
+        writeTagged(out, b.value)
       }
       out.flush(); bos.toByteArray
     }
@@ -273,16 +313,8 @@ object NativeExpressions {
       val b = createAggregationBuffer()
       b.set = in.readBoolean()
       if (b.set) {
-        b.o1 = in.readLong(); b.o2 = in.readLong()
-        b.value = in.readByte() match {
-          case 0 => null
-          case 1 =>
-            val n = in.readInt(); val arr = new Array[Byte](n); in.readFully(arr)
-            org.apache.spark.unsafe.types.UTF8String.fromBytes(arr)
-          case 2 => java.lang.Long.valueOf(in.readLong())
-          case 3 => java.lang.Double.valueOf(in.readDouble())
-          case 4 => java.lang.Integer.valueOf(in.readInt())
-        }
+        b.ords = Array.fill[Any](in.readInt())(readTagged(in))
+        b.value = readTagged(in)
       }
       b
     }
@@ -290,7 +322,7 @@ object NativeExpressions {
     override def withNewMutableAggBufferOffset(n: Int): ArgMaxByOrd = copy(mutableAggBufferOffset = n)
     override def withNewInputAggBufferOffset(n: Int): ArgMaxByOrd = copy(inputAggBufferOffset = n)
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ArgMaxByOrd =
-      copy(valueExpr = c(0), ord1 = c(1), ord2 = c(2))
+      copy(valueExpr = c.head, ords = c.tail)
   }
 
   // ------------------------------------------------------- Column bridges
@@ -310,13 +342,13 @@ object NativeExpressions {
   def quantizedCosine(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Hash-aggregable `max_by(value, (o1, o2))` — see ArgMaxByOrd. */
-  def argMaxBy(value: Column, o1: Column, o2: Column): Column =
+  /** Hash-aggregable `max_by(value, struct(ords...))` — see ArgMaxByOrd. */
+  def argMaxBy(value: Column, ords: Column*): Column =
     ColumnBridge.column(ArgMaxByOrd(ColumnBridge.expression(value),
-      ColumnBridge.expression(o1), ColumnBridge.expression(o2))
+      ords.map(ColumnBridge.expression))
       .toAggregateExpression())
 
-  /** min-by over nonnegative BIGINT orderings = argmax of the negation. */
-  def argMinBy(value: Column, o1: Column, o2: Column): Column =
-    argMaxBy(value, -o1, -o2)
+  /** min-by over numeric orderings = argmax of the negation. */
+  def argMinBy(value: Column, ords: Column*): Column =
+    argMaxBy(value, ords.map(o => -o): _*)
 }

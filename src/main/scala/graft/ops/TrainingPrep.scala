@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Training-data preparation operators: deterministic dataset splits,
+  * token-budget packing, and PII-style scrubbing — the steps between
+  * "deduped corpus" and "training batches" in a large-scale pipeline.
+  *
+  * All three are deterministic pure functions of the data (no RNG state,
+  * no driver decisions), so they reshard/re-run identically at any scale
+  * and are verified by exact SQL oracles.
+  */
+object TrainingPrep {
+
+  /** Deterministic train/val/test assignment by hashing a stable key:
+    * pct = portableHash60(key) mod 100, split by cumulative thresholds.
+    * Hash-based (not row-number-based) so membership is stable under
+    * re-partitioning, appends, and distributed re-runs — the standard
+    * leakage-safe split discipline. */
+  def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val pct = TextFunctions.portableHash60(key.cast("string")) % 100
+    when(pct < trainPct, "train")
+      .when(pct < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Sequential token-budget packing: documents in stable (blockCol,
+    * orderCol) order are assigned to packs by their starting offset in the
+    * cumulative token stream — `pack_id = (cumsum - n_tokens) div budget`.
+    * The window is PER BLOCK, so at 100 TB each block packs independently
+    * (no global sort); blocks map to training shards. */
+  def packByTokens(df: DataFrame, blockCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol)).orderBy(col(orderCol))
+    df.withColumn("cum", sum(col(tokensCol)).over(w))
+      .withColumn("pack_id", expr(s"(cum - $tokensCol) div $budget"))
+      .drop("cum")
+  }
+
+  /** Scrub numeric tokens (the offline stand-in for PII redaction —
+    * emails/phones/SSNs are digit-bearing patterns; the synthetic corpus
+    * has plain numbers). Global regexp_replace, no UDF. */
+  def scrubNumbers(text: Column, replacement: String = "<num>"): Column =
+    regexp_replace(text, "[0-9]+", replacement)
+}

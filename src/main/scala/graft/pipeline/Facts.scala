@@ -56,11 +56,14 @@ object Facts {
   }
 
   /** Columnar MaxScore over a propositions frame
-    * (subject, proposal, confidence, proposer): one commutative max_by
-    * aggregate per subject — partial-aggregation friendly at any scale. */
+    * (subject, proposal, confidence, proposer): one commutative argmax
+    * aggregate per subject — partial-aggregation friendly at any scale
+    * (native ArgMaxByOrd: the struct-keyed max_by would fall back to
+    * SortAggregate; see NativeExpressions). */
   def evaluateMax(props: DataFrame): DataFrame =
     props.groupBy(col("subject"))
-      .agg(expr("max_by(proposal, struct(confidence, proposal, proposer))").as("proposal"),
+      .agg(graft.functions.NativeExpressions.argMaxBy(col("proposal"),
+        col("confidence"), col("proposal"), col("proposer")).as("proposal"),
         lit(1.0).as("score"))
 
   /** Typed evaluation per subject with a pluggable evaluator. */

@@ -22,7 +22,8 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ EventsQueries.defs ++ DocumentQueries.defs ++
       FactsQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      TextQueries.defs ++ PipelineQueriesImpl.defs ++ ParticipantQueries.defs
+      TextQueries.defs ++ PipelineQueriesImpl.defs ++ ParticipantQueries.defs ++
+      PrepQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
