@@ -10,11 +10,12 @@ import graft.queries.Registry
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The full document pipeline — ingest → consolidation fold →
-    * dependency-ordered enrichment — flattened to metadata rows. */
+    * The end-to-end corpus-curation composition (q38): quality gate ∩
+    * exact-dedup canonicals ∩ near-dup cluster canonicals → leakage-safe
+    * splits → per-(split, lang) rollup, in one declarative plan. */
   def entry(spark: SparkSession): DataFrame = {
     GraftSession.ensureRuntimeConfs(spark)
-    graft.queries.PipelineQueriesImpl.enrichmentPipeline(spark, "/root/testdata/sf0.001")
+    graft.queries.PrepQueries.curation(spark, "/root/testdata/sf0.001")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

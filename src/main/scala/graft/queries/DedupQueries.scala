@@ -117,7 +117,9 @@ object DedupQueries {
     "WITH " + simhashCtes(corpus)
 
   /** The same CTE list without the WITH keyword, for composition under
-    * WITH RECURSIVE (q33). */
+    * WITH RECURSIVE (q33, q38). */
+  private[queries] def simhashCtesFor(corpus: String): String = simhashCtes(corpus)
+
   private def simhashCtes(corpus: String): String =
     s"""sh AS (
        |  SELECT doc_id, $trigramSql AS s

@@ -68,8 +68,97 @@ object PrepQueries {
       |  md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS scrubbed_digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q38 — the end-to-end corpus-curation composition, ONE declarative
+    * plan: quality gate (micro-score ≥ 0.70) ∩ exact-dedup canonicals ∩
+    * near-dup cluster canonicals (simhash + connected components), then
+    * leakage-safe split assignment and a per-(split, lang) rollup. This is
+    * the whole point of the engine — what the reference ran as N
+    * feedback-looped stream apps and a dedup pass that doesn't exist
+    * there, Catalyst schedules as one DAG. Every stage reuses an
+    * independently-oracled operator; the composite is oracled end-to-end
+    * on top. */
+  def curation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, dir)
+
+    val quality = docs
+      .filter(round(TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
+        .cast("long") >= 700000L)
+      .select(col("doc_id"), col("lang"), col("text"))
+
+    val exactCanon = docs
+      .groupBy(md5(col("text").cast("binary")))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"))
+
+    val sims = Dedup.simhashTable(docs, "doc_id", "text",
+      hasher = TextFunctions.portableHash60)
+    val dupLosers = Dedup.connectedComponents(Dedup.simhashNearDupPairs(sims, maxHamming = 7))
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as("doc_id"))
+
+    quality
+      .join(exactCanon, quality("doc_id") === exactCanon("keep_id"), "left_semi")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .select(
+        TrainingPrep.splitAssign(col("doc_id")).as("split"),
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val curationSql: String = {
+    // the simhash CTE chain over the plain corpus, shared with q13/q33
+    s"""WITH RECURSIVE ${DedupQueries.simhashCtesFor("SELECT doc_id, text FROM documents")},
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.r AS r FROM edges e JOIN reach r ON e.dst = r.id),
+       |losers AS (
+       |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |  WHERE cluster_id <> id),
+       |quality AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      CAST(round((0.3 * least(1.0, n / 50)
+       |          + 0.3 * (nd / n)
+       |          + 0.2 * (1.0 - dig / n)
+       |          + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS qm
+       |    FROM (
+       |      SELECT doc_id, lang, text,
+       |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+       |        CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) AS dig
+       |      FROM documents))
+       |  WHERE qm >= 700000),
+       |canon AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+       |kept AS (
+       |  SELECT q.doc_id, q.lang, q.text FROM quality q
+       |  JOIN canon c ON q.doc_id = c.keep_id
+       |  WHERE q.doc_id NOT IN (SELECT id FROM losers)),
+       |final AS (
+       |  SELECT
+       |    CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split,
+       |    lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, lang, text,
+       |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS pct
+       |        FROM kept))
+       |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM final GROUP BY split, lang ORDER BY split, lang""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q35_dataset_split", datasetSplit, Some(datasetSplitSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
-    QueryDef("q37_scrub", scrub, Some(scrubSql)))
+    QueryDef("q37_scrub", scrub, Some(scrubSql)),
+    QueryDef("q38_curation", curation, Some(curationSql)))
 }
