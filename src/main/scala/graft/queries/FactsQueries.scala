@@ -39,9 +39,12 @@ object FactsQueries {
   /** Q10 — max-confidence proposition per subject (the MaxScore evaluator,
     * reference: model/src/main/kotlin/facts/implementations.kt:6-14).
     * Three synthetic providers propose with deterministic confidences; the
-    * evaluator is `max` over an orderable (confidence, provider) struct —
-    * commutative, partial-aggregation friendly. */
+    * evaluator is the native argmax over the (confidence, provider)
+    * ordering — commutative, partial-aggregation friendly, and
+    * hash-aggregated (`max` over a struct would fall back to
+    * SortAggregate; see NativeExpressions.ArgMaxByOrd). */
   def maxConfidence(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argMaxBy
     val docs = Tables.documents(spark, dir)
     def conf(a: Int, b: Int) =
       ((col("doc_id") * a + b) % 1000).cast("double") / 1000
@@ -51,9 +54,10 @@ object FactsQueries {
       struct(conf(17, 29).as("confidence"), lit("azure").as("provider"))
     )).as("prop"))
     props.groupBy(col("doc_id"))
-      .agg(max(col("prop")).as("best"))
-      .select(col("doc_id"), col("best.provider").as("best_provider"),
-        col("best.confidence").as("best_conf"))
+      .agg(
+        argMaxBy(col("prop.provider"), col("prop.confidence"), col("prop.provider"))
+          .as("best_provider"),
+        max(col("prop.confidence")).as("best_conf"))
       .orderBy(col("doc_id"))
   }
 

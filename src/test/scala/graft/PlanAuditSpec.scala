@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.Registry
+
+/** Plan-shape regressions: the 100 TB design claims, asserted against the
+  * actual physical plans so they can't silently rot.
+  *
+  * Each assertion encodes a scale property: hash (not sort) aggregation,
+  * top-k as TakeOrdered (not global sort), broadcast of dimension tables,
+  * bucketed candidate joins (never a cross product), and column pruning
+  * reaching the parquet scan. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    // sibling suites cache source tables in the shared session; audited
+    // plans must be the cold-path plans, not cache-backed ones
+    spark.catalog.clearCache()
+    Registry.byName(name).run(spark, sf()).queryExecution.executedPlan.toString
+  }
+
+  test("latest-state fold hash-aggregates (no SortAggregate fallback)") {
+    val p = plan("q1_latest_state")
+    assert(p.contains("ObjectHashAggregate"), p.take(500))
+    assert(!p.contains("SortAggregate"), "argmax must not fall back to sort aggregation")
+  }
+
+  test("max-confidence evaluation hash-aggregates too") {
+    val p = plan("q10_max_confidence")
+    assert(!p.contains("SortAggregate"), "facts argmax must not fall back to sort aggregation")
+  }
+
+  test("embedding top-k plans as TakeOrdered, not a global sort") {
+    val p = plan("q15_embedding_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("revenue join broadcasts its dimension tables") {
+    val p = plan("q7b_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+  }
+
+  test("near-dup candidate generation never plans a cross product") {
+    for (q <- Seq("q12_minhash_neardup", "q13b_simhash_neardup", "q14_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      // broadcast NLJ appears only for the single-row/tiny broadcast sides
+      // (e.g. hot-shingle arrays); the pair join itself must be hash-keyed
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q pair join is not key-bucketed")
+    }
+  }
+
+  test("narrow text queries prune the parquet scan to the needed columns") {
+    val p = plan("q19_fingerprint")
+    // fingerprint reads only (doc_id, text); the scan must not read the
+    // remaining document columns
+    val scanLine = p.split("\n").find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"), scanLine)
+    assert(!scanLine.contains("source") && !scanLine.contains("n_chars"),
+      s"scan reads pruned columns: $scanLine")
+  }
+
+  test("filter on the query vector is pushed down to the scan") {
+    val p = plan("q15_embedding_topk")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)") ||
+      p.contains("PushedFilters: [") && p.contains("vec_id"),
+      p.split("\n").filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+}
