@@ -26,10 +26,11 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
-      // Straggler mitigation: this sandbox exhibits stochastic multi-×
-      // stalls of individual tasks (and a 1000-executor cluster exhibits
-      // real stragglers); speculative re-launch of the slowest quartile
-      // bounds the damage. All graft tasks are either pure or idempotent
+      // Straggler mitigation for CLUSTER deployments: speculative
+      // re-launch of the slowest quartile. NOTE: a no-op under local[N]
+      // (TaskSchedulerImpl only starts the speculation thread when
+      // !isLocal), so it cannot mask local measurements; on a real
+      // cluster it engages. All graft tasks are either pure or idempotent
       // side-effect writers, so duplicate attempts are safe.
       .config("spark.speculation", "true")
       .config("spark.speculation.multiplier", "3")

@@ -217,6 +217,27 @@ object NativeExpressions {
     override def nullable: Boolean = true
     override def dataType: DataType = valueExpr.dataType
 
+    // Restrict to the types the buffer copies and serializes; an
+    // ArrayType/StructType value would alias Spark's reused unsafe input
+    // row and return silently corrupt winners — reject at analysis time.
+    private def supported(dt: DataType): Boolean = dt match {
+      case LongType | DoubleType | IntegerType | StringType => true
+      case _ => false
+    }
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      if (!supported(valueExpr.dataType))
+        TypeCheckResult.TypeCheckFailure(
+          s"graft argmax: unsupported value type ${valueExpr.dataType.simpleString} " +
+            "(supported: bigint, double, int, string)")
+      else ords.find(o => !supported(o.dataType)) match {
+        case Some(o) => TypeCheckResult.TypeCheckFailure(
+          s"graft argmax: unsupported ordering type ${o.dataType.simpleString}")
+        case None => TypeCheckResult.TypeCheckSuccess
+      }
+    }
+
     override def createAggregationBuffer(): ArgMaxBuf =
       new ArgMaxBuf(null, null, false)
 

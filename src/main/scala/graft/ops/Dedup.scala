@@ -82,6 +82,9 @@ object Dedup {
     * task. */
   def minhashSignatures(shingled: DataFrame, k: Int,
       base: Column => (Column, Column) = xxhashBase): DataFrame = {
+    // the masks guarantee h1 + p·h2 < 2^63 only for p ≤ 56; beyond that
+    // ANSI Spark throws mid-aggregation (or silently wraps with ANSI off)
+    require(k <= 57, s"k=$k permutations overflow the masked double-hash family (max 57)")
     val (b1, b2) = base(col("sh"))
     val exploded = shingled.select(col("id"), explode(col("shingles")).as("sh"))
       .select(col("id"), b1.bitwiseAND(lit(Mask60)).as("h1"),
@@ -278,6 +281,11 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
+    // silent non-convergence would report one real cluster as several —
+    // strictly worse than failing (the no-silent-caps posture)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "raise maxIter or switch the round body to large-star/small-star")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

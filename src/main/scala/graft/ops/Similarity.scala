@@ -73,13 +73,8 @@ object Similarity {
         posexplode(graft.functions.NativeExpressions.hyperplaneSigs(
           col("v"), tables, planes, dim)).as(Seq("t", "sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // degenerate-bucket guard: groupBy + broadcast anti-join (sort-free),
-    // not a count-over-window, which would sort the whole signed table
-    val oversized = signed.groupBy(col("t"), col("sig"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") > maxBucket)
-      .select(col("t"), col("sig"))
-    val capped = signed.join(broadcast(oversized), Seq("t", "sig"), "left_anti")
+    // degenerate-bucket guard (shared sort-free groupBy + anti-join form)
+    val capped = Dedup.dropOversizedBuckets(signed, Seq("t", "sig"), maxBucket)
     val l = capped.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val r = capped.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("t", "sig"))

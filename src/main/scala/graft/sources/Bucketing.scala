@@ -33,7 +33,8 @@ object Bucketing {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val whPath = if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh
-    deleteRecursively(new java.io.File(whPath, table))
+    // the catalog lower-cases table directory names
+    deleteRecursively(new java.io.File(whPath, table.toLowerCase(java.util.Locale.ROOT)))
     val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }

@@ -45,7 +45,9 @@ object DirectoryIngest {
   def asEvents(scanned: DataFrame): Dataset[DataRecordEvent] = {
     val spark = scanned.sparkSession
     import spark.implicits._
-    val stem = regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
+    // anchored to the WHOLE filename: 'doc7.txt' must hash, not collide
+    // with '7.txt' on id=7
+    val stem = regexp_extract(col("path"), "/([0-9]+)\\.[A-Za-z0-9]+$", 1)
     scanned.select(
       lit(Command.Create).as("command"),
       when(stem =!= "", stem.cast("long")).otherwise(xxhash64(col("path"))).as("id"),

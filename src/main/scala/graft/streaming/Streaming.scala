@@ -115,8 +115,11 @@ object Streaming {
   def keyedSink(events: Dataset[DataRecordEvent], topicDir: String): StreamingQuery =
     toWire(events).writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(topicDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one overwritten directory per microbatch: a batch retried after
+        // a crash-before-checkpoint rewrites the same location instead of
+        // appending duplicates (idempotent under at-least-once replay)
+        batch.write.mode("overwrite").parquet(s"$topicDir/batch_id=$batchId")
       }
       .start()
 

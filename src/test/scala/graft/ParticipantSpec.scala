@@ -38,6 +38,17 @@ class ParticipantSpec extends SparkSpec {
     assert(content.toSeq == Seq("seven words of plain text here now", "answer"))
   }
 
+  test("directory ingest: 'a1.txt' does not collide with '1.txt' on id 1") {
+    val dir = tmpDir("ingest_collide")
+    writeTxt(dir, "1.txt", "pure numeric stem")
+    writeTxt(dir, "a1.txt", "alphanumeric stem must hash, not parse as 1")
+    val recs = graft.pipeline.Consolidate.batch(
+      DirectoryIngest.asEvents(DirectoryIngest.scan(spark, dir.toString))).collect()
+    assert(recs.length == 2, s"collided: ${recs.toSeq}")
+    assert(recs.map(_.id).contains(1L))
+    assert(recs.map(_.name).toSet == Set("1.txt", "a1.txt"))
+  }
+
   test("directory ingest: streaming scan picks up files appearing later (A4)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("ingest_stream")
