@@ -41,10 +41,10 @@ object GraftFunctions {
     ("graft_quantized_cosine",
       (args: Seq[Expression]) => NativeExpressions.QuantizedCosine(args(0), args(1)),
       "graft_quantized_cosine(a, b) - engine-reproducible quantized cosine"),
-    ("graft_hyperplane_sigs",
-      (args: Seq[Expression]) => NativeExpressions.HyperplaneSigs(args.head,
+    ("graft_rademacher_sigs",
+      (args: Seq[Expression]) => NativeExpressions.RademacherSigs(args.head,
         intArg(args(1), "tables"), intArg(args(2), "planes"), intArg(args(3), "dim")),
-      "graft_hyperplane_sigs(vec, tables, planes, dim) - LSH sign signatures"),
+      "graft_rademacher_sigs(vec, tables, planes, dim) - engine-reproducible LSH sign signatures"),
     ("graft_max_by_ord",
       (args: Seq[Expression]) => NativeExpressions.ArgMaxByOrd(
         args.head, args.tail).toAggregateExpression(),

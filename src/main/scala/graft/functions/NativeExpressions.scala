@@ -50,33 +50,50 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
-  /** Multi-table random-hyperplane sign signatures for an array<float>
-    * vector: returns array<long> of `tables` packed signatures. Hyperplane
-    * components come from a cross-platform-deterministic PRNG (seeded
-    * java.util.Random LCG), materialized once per executor — no stored
-    * model, no per-element hashing. */
-  case class HyperplaneSigs(child: Expression, tables: Int, planes: Int, dim: Int)
+  /** Multi-table sign-random-projection signatures for an array<float>
+    * vector: returns array<long> of `tables` packed signatures (bit p of
+    * table t set iff the projection onto plane (t,p) is positive).
+    *
+    * Plane components are Rademacher ±1 values derived from the parity of
+    * the first hex nibble of md5("t:p:d") — sign projections with ±1
+    * entries are a standard LSH family (Achlioptas' database-friendly
+    * random projections), and the hash-derived construction makes every
+    * signature bit reproducible by ANY engine with md5: the vector is
+    * quantized to floor(x*1000) BIGINTs (the same convention as
+    * QuantizedCosine), so each projection is exact integer arithmetic —
+    * no FP-summation-order hazard can flip a sign near zero. The DuckDB
+    * oracle recomputes the full signature in SQL (SimilarityQueries).
+    * Signs materialize once per executor — no stored model. */
+  case class RademacherSigs(child: Expression, tables: Int, planes: Int, dim: Int)
       extends UnaryExpression with CodegenFallback {
     require(planes <= 62)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-    @transient private lazy val components: Array[Array[Double]] =
-      Array.tabulate(tables * planes)(idx => hyperplane(idx, dim))
+    @transient private lazy val signs: Array[Array[Long]] =
+      Array.tabulate(tables * planes) { idx =>
+        Array.tabulate(dim)(d => rademacherSign(idx / planes, idx % planes, d).toLong)
+      }
 
     override def nullSafeEval(input: Any): Any = {
       val vec = input.asInstanceOf[ArrayData]
       val n = math.min(vec.numElements(), dim)
+      val q = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        q(i) = math.floor(vec.getFloat(i).toDouble * 1000).toLong
+        i += 1
+      }
       val sigs = new Array[Long](tables)
       var t = 0
       while (t < tables) {
         var sig = 0L
         var p = 0
         while (p < planes) {
-          val plane = components(t * planes + p)
-          var dot = 0.0
-          var i = 0
+          val s = signs(t * planes + p)
+          var dot = 0L
+          i = 0
           while (i < n) {
-            dot += vec.getFloat(i).toDouble * plane(i)
+            dot += q(i) * s(i)
             i += 1
           }
           if (dot > 0) sig |= (1L << p)
@@ -87,7 +104,7 @@ object NativeExpressions {
       }
       new GenericArrayData(sigs)
     }
-    override protected def withNewChildInternal(c: Expression): HyperplaneSigs = copy(child = c)
+    override protected def withNewChildInternal(c: Expression): RademacherSigs = copy(child = c)
   }
 
   /** Distinct word n-gram shingles in one pass (split, slide, dedupe) —
@@ -181,12 +198,14 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
-  /** Deterministic pseudo-random hyperplane (components in [-1, 1)):
-    * java.util.Random's LCG is specified in the JLS, so signatures
-    * reproduce on any JVM. Shared with Similarity.hyperplane. */
-  def hyperplane(index: Int, dim: Int): Array[Double] = {
-    val rnd = new java.util.Random(0x9E3779B97F4A7C15L ^ index.toLong)
-    Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+  /** ±1 plane component for RademacherSigs: parity of the first hex
+    * nibble of md5("t:p:d"). The exact convention the DuckDB oracle
+    * reproduces as `CAST('0x'||substring(md5(concat(t,':',p,':',d)),1,1)
+    * AS BIGINT) % 2`. */
+  def rademacherSign(t: Int, p: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$t:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((h(0) >> 4) & 1) == 1) 1 else -1
   }
 
   // ----------------------------------------------------- hash-able argmax
@@ -351,8 +370,8 @@ object NativeExpressions {
   def simhash64(hashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
 
-  def hyperplaneSigs(vec: Column, tables: Int, planes: Int, dim: Int): Column =
-    ColumnBridge.column(HyperplaneSigs(ColumnBridge.expression(vec), tables, planes, dim))
+  def rademacherSigs(vec: Column, tables: Int, planes: Int, dim: Int): Column =
+    ColumnBridge.column(RademacherSigs(ColumnBridge.expression(vec), tables, planes, dim))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -51,26 +51,31 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
 
-  /** All-pairs near-neighbour candidates via multi-table hyperplane LSH:
-    * `tables` independent sign signatures of `planes` hyperplanes each; a
-    * pair is a candidate if it collides in ANY table (recall
-    * 1-(1-s^planes)^tables for angular similarity s), then verified with
-    * exact cosine. Bucket key is (table, signature) — always an equi-join;
-    * `maxBucket` caps degenerate buckets (the near-zero-vector bucket at
-    * 100 TB would otherwise pair quadratically). */
+  /** All-pairs near-neighbour candidates via multi-table sign-projection
+    * LSH: `tables` independent sign signatures of `planes` Rademacher
+    * hyperplanes each; a pair is a candidate if it collides in ANY table
+    * (recall 1-(1-s^planes)^tables for angular similarity s), then
+    * verified with the engine-reproducible quantized cosine. Bucket key is
+    * (table, signature) — always an equi-join; `maxBucket` caps degenerate
+    * buckets (the near-zero-vector bucket at 100 TB would otherwise pair
+    * quadratically).
+    *
+    * Every stage is integer-exact and hash-derived (see
+    * NativeExpressions.RademacherSigs), so the whole candidate set AND the
+    * verified pairs are bit-reproducible by the DuckDB oracle — the ANN
+    * scale path is correctness-gated, not just recall-spec'd. */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int = 6, tables: Int = 16,
       cosineThreshold: Double = 0.9, maxBucket: Int = 5000): DataFrame = {
     // spread before the CPU-dense signature computation: a single small
-    // parquet file otherwise serializes all hyperplane dots onto one task.
+    // parquet file otherwise serializes all projection dots onto one task.
     // All tables' signatures come from one native kernel pass per vector
-    // (NativeExpressions.HyperplaneSigs — tight primitive loops; the
-    // higher-order-lambda formulation was ~50× slower), then explode to
-    // (table, sig) rows.
+    // (tight primitive loops; the higher-order-lambda formulation was
+    // ~50× slower), then explode to (table, sig) rows.
     val signed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
       .select(col("id"), col("v"),
-        posexplode(graft.functions.NativeExpressions.hyperplaneSigs(
+        posexplode(graft.functions.NativeExpressions.rademacherSigs(
           col("v"), tables, planes, dim)).as(Seq("t", "sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // degenerate-bucket guard (shared sort-free groupBy + anti-join form)
@@ -80,15 +85,11 @@ object Similarity {
     l.join(r, Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
+        col("v_a"), col("v_b")))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
-
-  /** Single-table sign signature (see NativeExpressions.HyperplaneSigs
-    * for the kernel and the deterministic hyperplane construction). */
-  def packedSignature(vec: Column, dim: Int, planes: Int): Column =
-    element_at(graft.functions.NativeExpressions.hyperplaneSigs(vec, 1, planes, dim), 1)
 
   // ------------------------------------------------------------- IVF-Flat
 

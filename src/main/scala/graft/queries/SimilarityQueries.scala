@@ -44,15 +44,53 @@ object SimilarityQueries {
       |ORDER BY cosine DESC, vec_id ASC
       |LIMIT 20""".stripMargin
 
-  /** Multi-table hyperplane-LSH candidate pairs with exact-cosine scoring —
-    * the ANN scale path. xxhash64-derived hyperplanes → rows-only check;
-    * recall is asserted in DedupSimilaritySpec. Threshold 0.3 keeps the
-    * output to genuinely-similar pairs. */
+  /** Multi-table sign-projection-LSH candidate pairs with quantized-cosine
+    * scoring — the ANN scale path. Rademacher planes are md5-derived and
+    * projections integer-exact (NativeExpressions.RademacherSigs), so the
+    * DuckDB oracle replays the ENTIRE pipeline — signatures, bucket cap,
+    * candidate join, verification — bit-for-bit in SQL. Recall vs true
+    * neighbours additionally asserted in DedupSimilaritySpec. */
   def annLshPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
       "vec_id", "embedding", dim = 64, planes = 8, tables = 12,
       cosineThreshold = 0.3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** SQL replay of lshNearDupPairs(planes=8, tables=12, maxBucket=5000,
+    * threshold=0.3): quantize → ±1-projection signs → packed signatures →
+    * oversized-bucket drop → any-table collision pairs → quantized cosine. */
+  val annLshPairsSql: String =
+    """WITH c AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT t.t, p.p, list(
+      |      CASE WHEN CAST('0x' || substring(md5(concat(t.t, ':', p.p, ':', d.d)), 1, 1) AS BIGINT) % 2 = 1
+      |           THEN 1 ELSE -1 END ORDER BY d.d) AS sv
+      |  FROM range(0, 12) t(t), range(0, 8) p(p), range(0, 64) d(d)
+      |  GROUP BY t.t, p.p),
+      |sigs AS (
+      |  SELECT c.id, pl.t,
+      |    CAST(SUM(CASE WHEN CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * pl.sv[i])) AS BIGINT) > 0
+      |             THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM c CROSS JOIN planes pl
+      |  GROUP BY c.id, pl.t),
+      |big AS (SELECT t, sig FROM sigs GROUP BY t, sig HAVING count(*) > 5000),
+      |kept AS (SELECT s.id, s.t, s.sig FROM sigs s LEFT JOIN big b USING (t, sig) WHERE b.t IS NULL),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM kept a JOIN kept b USING (t, sig)
+      |  WHERE a.id < b.id),
+      |scored AS (
+      |  SELECT cand.id_a, cand.id_b,
+      |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * ca.qv[i])) AS BIGINT) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> cb.qv[i] * cb.qv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+      |  FROM cand JOIN c ca ON ca.id = cand.id_a JOIN c cb ON cb.id = cand.id_b)
+      |SELECT id_a, id_b, cosine FROM scored
+      |WHERE cosine >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Multimodal plumbing end-to-end: binary payload column + typed
     * metadata through the partition-batched (stub-decoded) feature
@@ -88,7 +126,7 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
-    QueryDef("q15b_ann_lsh", annLshPairs, None),
+    QueryDef("q15b_ann_lsh", annLshPairs, Some(annLshPairsSql)),
     QueryDef("q15c_ann_ivf", ivfTopK, None),
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)))
 }

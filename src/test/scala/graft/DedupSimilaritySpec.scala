@@ -77,6 +77,35 @@ class DedupSimilaritySpec extends SparkSpec {
       s"IVF(nProbe=6/16) should recall >=3 of true top-5; got ${got.intersect(top)} of $top")
   }
 
+  test("Rademacher signatures match the portable SQL formulation (oracle convention)") {
+    import graft.functions.NativeExpressions
+    val tables = 3; val planes = 5; val dim = 64
+    val emb = Tables.embeddings(spark, sf()).limit(25)
+      .select($"vec_id", $"embedding").persist()
+    val kernel = emb.select($"vec_id",
+      posexplode(NativeExpressions.rademacherSigs($"embedding", tables, planes, dim))
+        .as(Seq("t", "sig")))
+      .select($"vec_id", $"t".cast("long").as("t"), $"sig")
+    // pure-SQL replay of the exact convention the DuckDB oracle uses:
+    // sign = parity of first md5 hex nibble of "t:p:d"; integer projection
+    val planesDf = spark.range(tables).select($"id".as("t"))
+      .crossJoin(spark.range(planes).select($"id".as("p")))
+      .crossJoin(spark.range(dim).select($"id".as("d")))
+      .select($"t", $"p", $"d",
+        when(conv(substring(md5(concat_ws(":", $"t", $"p", $"d")), 1, 1), 16, 10)
+          .cast("long") % 2 === 1, 1L).otherwise(-1L).as("s"))
+    val qv = emb.select($"vec_id",
+      posexplode(Similarity.quantize($"embedding")).as(Seq("d", "q")))
+    val sql = qv.join(planesDf, Seq("d"))
+      .groupBy($"vec_id", $"t", $"p").agg(sum($"s" * $"q").as("proj"))
+      .groupBy($"vec_id", $"t")
+      .agg(sum(when($"proj" > 0,
+        expr("cast(shiftleft(1L, cast(p as int)) as long)")).otherwise(0L)).as("sig"))
+    assert(kernel.except(sql).isEmpty && sql.except(kernel).isEmpty,
+      "kernel signatures diverge from the md5-derived SQL formulation")
+    emb.unpersist()
+  }
+
   test("multi-table hyperplane LSH recalls most true top-5 neighbours") {
     val emb = Tables.embeddings(spark, sf())
     val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",

@@ -18,7 +18,7 @@ class GraftFunctionsSpec extends SparkSpec {
         |  graft_simhash64(transform(graft_word_shingles(text, 2), s -> xxhash64(s))) AS sim,
         |  graft_cosine(vec, vec) AS cos,
         |  graft_quantized_cosine(vec, vec) AS qcos,
-        |  size(graft_hyperplane_sigs(vec, 4, 6, 3)) AS n_sigs
+        |  size(graft_rademacher_sigs(vec, 4, 6, 3)) AS n_sigs
         |FROM gf_docs""".stripMargin).head()
 
     val viaColumns = Seq(("alpha beta gamma delta", Array(1.0f, 2.0f, 3.0f)))
