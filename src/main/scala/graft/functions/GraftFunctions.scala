@@ -45,6 +45,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => NativeExpressions.RademacherSigs(args.head,
         intArg(args(1), "tables"), intArg(args(2), "planes"), intArg(args(3), "dim")),
       "graft_rademacher_sigs(vec, tables, planes, dim) - engine-reproducible LSH sign signatures"),
+    ("graft_repetition_stats",
+      (args: Seq[Expression]) => NativeExpressions.RepetitionStats(args.head),
+      "graft_repetition_stats(text) - word/bigram repetition quality signals"),
     ("graft_max_by_ord",
       (args: Seq[Expression]) => NativeExpressions.ArgMaxByOrd(
         args.head, args.tail).toAggregateExpression(),

@@ -198,6 +198,46 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
+  /** Word-level repetition statistics for training-data quality filtering
+    * (the Gopher-style repetition signals, word-granular because the
+    * corpus is single-line): one hash-map pass per document computing
+    * word/bigram totals, distincts, and the modal bigram count. Row-local
+    * and linear — the all-builtin formulation needs either an
+    * explode+groupBy+join-back (an extra shuffle of every word) or a
+    * quadratic per-row `filter(bgs, x -> x = b)` scan. Returns
+    * struct<n_words, n_distinct_words, n_bigrams, n_distinct_bigrams,
+    * top_bigram_n> (all BIGINT; zeros for sub-bigram docs). */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_distinct_words", LongType, nullable = false),
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("n_distinct_bigrams", LongType, nullable = false),
+      StructField("top_bigram_n", LongType, nullable = false)))
+
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.toString.split(" ", -1)
+      val distinctWords = new java.util.HashSet[String]()
+      var i = 0
+      while (i < words.length) { distinctWords.add(words(i)); i += 1 }
+      val bigramCounts = new java.util.HashMap[String, Int]()
+      var top = 0
+      i = 0
+      while (i < words.length - 1) {
+        val bg = words(i) + " " + words(i + 1)
+        val c = bigramCounts.merge(bg, 1, (a, b) => a + b)
+        if (c > top) top = c
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        words.length.toLong, distinctWords.size.toLong,
+        math.max(words.length - 1, 0).toLong, bigramCounts.size.toLong,
+        top.toLong)
+    }
+    override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(c)
+  }
+
   /** ±1 plane component for RademacherSigs: parity of the first hex
     * nibble of md5("t:p:d"). The exact convention the DuckDB oracle
     * reproduces as `CAST('0x'||substring(md5(concat(t,':',p,':',d)),1,1)
@@ -372,6 +412,9 @@ object NativeExpressions {
 
   def rademacherSigs(vec: Column, tables: Int, planes: Int, dim: Int): Column =
     ColumnBridge.column(RademacherSigs(ColumnBridge.expression(vec), tables, planes, dim))
+
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))

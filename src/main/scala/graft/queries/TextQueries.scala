@@ -92,9 +92,66 @@ object TextQueries {
        |    (a, c) -> (a * 31 + c) % $FingerprintMod) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q39 — word-level repetition signals (the Gopher-style repetition
+    * quality filters, word-granular because the corpus is single-line):
+    * word/bigram totals and distincts plus the modal-bigram share, in ONE
+    * row-local native pass (NativeExpressions.RepetitionStats) — no
+    * explode shuffle, no quadratic per-row rescan. Fractions divide exact
+    * integers so the doubles are engine-identical; `flag_repetitive`
+    * applies the top-2-gram-share > 0.18 gate. */
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.functions.NativeExpressions.repetitionStats(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"),
+        col("r.n_words").as("n_words"),
+        col("r.n_distinct_words").as("n_distinct_words"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.n_distinct_bigrams").as("n_distinct_bigrams"),
+        col("r.top_bigram_n").as("top_bigram_n"),
+        (lit(1.0) - col("r.n_distinct_words").cast("double") / col("r.n_words"))
+          .as("dup_word_frac"),
+        when(col("r.n_bigrams") > 0,
+          col("r.top_bigram_n").cast("double") / col("r.n_bigrams"))
+          .otherwise(0.0).as("top_bigram_frac"))
+      .withColumn("flag_repetitive", col("top_bigram_frac") > 0.18)
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+      |  FROM w),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS b
+      |  FROM w),
+      |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+      |bga AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+      |    CAST(max(c) AS BIGINT) AS top_bigram_n
+      |  FROM bgc GROUP BY doc_id)
+      |SELECT base.doc_id, n_words, n_distinct_words,
+      |  COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+      |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+      |  CAST(1 AS DOUBLE) - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+      |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+      |       THEN CAST(top_bigram_n AS DOUBLE) / n_bigrams ELSE 0.0 END AS top_bigram_frac,
+      |  (CASE WHEN COALESCE(n_bigrams, 0) > 0
+      |        THEN CAST(top_bigram_n AS DOUBLE) / n_bigrams ELSE 0.0 END)
+      |    > CAST(0.18 AS DOUBLE) AS flag_repetitive
+      |FROM base LEFT JOIN bga USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q17_quality_score", qualityQuery, Some(qualitySql)),
     QueryDef("q18_token_counts", tokenCounts, Some(tokenCountsSql)),
-    QueryDef("q19_fingerprint", fingerprintQuery, Some(fingerprintSql)))
+    QueryDef("q19_fingerprint", fingerprintQuery, Some(fingerprintSql)),
+    QueryDef("q39_repetition", repetitionQuery, Some(repetitionSql)))
 }

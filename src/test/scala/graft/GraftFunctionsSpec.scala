@@ -48,6 +48,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got == Seq((1L, "new"), (2L, "only")))
   }
 
+  test("repetition stats: counts, modal bigram, and degenerate docs") {
+    val rows = Seq("aaa bbb aaa bbb aaa", "one two three", "solo", "")
+      .toDF("text")
+      .select(NativeExpressions.repetitionStats($"text").as("r"))
+      .select($"r.n_words", $"r.n_distinct_words", $"r.n_bigrams",
+        $"r.n_distinct_bigrams", $"r.top_bigram_n")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // "aaa bbb aaa bbb aaa": 5 words, 2 distinct; bigrams aaa-bbb ×2, bbb-aaa ×2
+    assert(rows(0) == ((5L, 2L, 4L, 2L, 2L)))
+    assert(rows(1) == ((3L, 3L, 2L, 2L, 1L)))
+    assert(rows(2) == ((1L, 1L, 0L, 0L, 0L)))
+    // empty string splits to one empty word (split ' ' keep-empties convention)
+    assert(rows(3) == ((1L, 1L, 0L, 0L, 0L)))
+  }
+
   test("portable hash matches its DuckDB formulation contract") {
     // conv(substring(md5(x),1,15),16,10) must be a nonnegative 60-bit value
     val hs = Seq("a", "hello world", "").toDF("t")
