@@ -91,6 +91,39 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  // ------------------------------------------- int8 scalar quantization
+
+  /** Per-dimension int8 scalar quantization — the memory-compression step
+    * that makes a 100 TB float corpus hold an in-RAM ANN index (4 bytes →
+    * 1 byte per component). Two passes, both scale-shaped:
+    *   1. per-dimension (lo, hi) ranges: posexplode + groupBy(d) —
+    *      map-side partial min/max means each task emits only `dim`×2
+    *      values to the (tiny) shuffle;
+    *   2. codes: the `dim`-row stats table collapses to ONE broadcast
+    *      array row (same pattern as IVF centroid assignment) and coding
+    *      is a narrow zip_with — zero shuffle.
+    * code = floor((x-lo)/(hi-lo)·255) ∈ [0,255] (hi==lo → 0). All
+    * arithmetic is double on exact float inputs, so codes are
+    * bit-reproducible across engines (the q40 oracle replays them).
+    * Returns (id, codes: array<long>). */
+  def scalarQuantize(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val statsArr = broadcast(stats.agg(
+      transform(array_sort(collect_list(struct(col("d"), col("lo"), col("hi")))),
+        s => struct(s.getField("lo").as("lo"), s.getField("hi").as("hi"))).as("st")))
+    corpus.crossJoin(statsArr)
+      .select(col(idCol).as("id"),
+        zip_with(col(vecCol), col("st"), (x, s) => {
+          val lo = s.getField("lo").cast("double")
+          val hi = s.getField("hi").cast("double")
+          when(hi === lo, lit(0L))
+            .otherwise(floor((x.cast("double") - lo) / (hi - lo) * 255).cast("long"))
+        }).as("codes"))
+  }
+
   // ------------------------------------------------------------- IVF-Flat
 
   /** IVF centroids: deterministic pseudo-random corpus sample (order by

@@ -124,9 +124,43 @@ object SimilarityQueries {
       .orderBy(col("cosine").desc, col("id").asc)
   }
 
+  /** Q40 — int8 scalar quantization of the embedding corpus
+    * (Similarity.scalarQuantize): the driver gate cannot hash array
+    * columns, so the query emits exact integer summaries — total, range,
+    * and a position-weighted checksum that pins EVERY per-dimension code. */
+  def sq8Compression(spark: SparkSession, dir: String): DataFrame =
+    Similarity.scalarQuantize(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .select(col("id").as("vec_id"),
+        aggregate(col("codes"), lit(0L), _ + _).as("sum_code"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"),
+        aggregate(zip_with(col("codes"), sequence(lit(1L), lit(64L)), (c, i) => c * i),
+          lit(0L), _ + _).as("code_checksum"))
+      .orderBy(col("vec_id"))
+
+  val sq8CompressionSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, r.d, embedding[r.d + 1] AS x
+      |  FROM embeddings CROSS JOIN range(0, 64) r(d)),
+      |stats AS (SELECT d, min(x) AS lo, max(x) AS hi FROM e GROUP BY d),
+      |codes AS (
+      |  SELECT e.vec_id, e.d,
+      |    CASE WHEN s.hi = s.lo THEN 0
+      |         ELSE CAST(floor((CAST(e.x AS DOUBLE) - CAST(s.lo AS DOUBLE)) /
+      |                (CAST(s.hi AS DOUBLE) - CAST(s.lo AS DOUBLE)) * 255) AS BIGINT)
+      |    END AS code
+      |  FROM e JOIN stats s USING (d))
+      |SELECT vec_id,
+      |  CAST(sum(code) AS BIGINT) AS sum_code,
+      |  CAST(min(code) AS BIGINT) AS min_code,
+      |  CAST(max(code) AS BIGINT) AS max_code,
+      |  CAST(sum(code * (d + 1)) AS BIGINT) AS code_checksum
+      |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
     QueryDef("q15b_ann_lsh", annLshPairs, Some(annLshPairsSql)),
     QueryDef("q15c_ann_ivf", ivfTopK, None),
-    QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)))
+    QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
+    QueryDef("q40_sq8_compression", sq8Compression, Some(sq8CompressionSql)))
 }

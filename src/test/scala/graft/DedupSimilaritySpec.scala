@@ -77,6 +77,25 @@ class DedupSimilaritySpec extends SparkSpec {
       s"IVF(nProbe=6/16) should recall >=3 of true top-5; got ${got.intersect(top)} of $top")
   }
 
+  test("sq8 quantization: codes in [0,255], reconstruction within one step") {
+    val emb = Tables.embeddings(spark, sf()).persist()
+    val coded = Similarity.scalarQuantize(emb, "vec_id", "embedding")
+    val joined = coded.join(emb.select($"vec_id".as("id"), $"embedding"), Seq("id"))
+      .select(posexplode(arrays_zip($"codes", $"embedding")).as(Seq("d", "z")))
+      .select($"z.codes".as("code"), $"z.embedding".cast("double").as("x"), $"d")
+    val stats = emb.select(posexplode($"embedding").as(Seq("d", "x")))
+      .groupBy($"d").agg(min($"x").cast("double").as("lo"), max($"x").cast("double").as("hi"))
+    val checked = joined.join(stats, Seq("d"))
+      .select($"code", $"x", $"lo", $"hi",
+        ($"lo" + ($"code".cast("double") / 255) * ($"hi" - $"lo")).as("recon"),
+        (($"hi" - $"lo") / 255).as("step"))
+    assert(checked.filter($"code" < 0 || $"code" > 255).isEmpty)
+    // |x - recon| <= one quantization step (floor coding reconstructs the
+    // cell's lower edge, so the true value sits within [recon, recon+step])
+    assert(checked.filter(abs($"x" - $"recon") > $"step" * 1.000001).isEmpty)
+    emb.unpersist()
+  }
+
   test("Rademacher signatures match the portable SQL formulation (oracle convention)") {
     import graft.functions.NativeExpressions
     val tables = 3; val planes = 5; val dim = 64
