@@ -246,47 +246,78 @@ object Dedup {
     * pairwise detection — near-duplication is transitive in practice
     * (a~b, b~c ⇒ one cluster) and pairs alone overcount.
     *
-    * Implementation: iterative min-label propagation — each round, every
-    * node takes the min of its own label and its neighbours' labels; an
-    * iterative sequence of joins/aggregations, converging in
-    * graph-diameter rounds. Dup clusters are shallow (diameter ≪ 10), so
-    * the loop is short; each round is one shuffle join + one aggregation,
-    * both keyed on the node id (exchange reuse applies). At 100 TB scale
-    * with adversarial diameters, upgrade the round body to
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce"), which squares the label-spread per round; the driver
-    * loop + localCheckpoint structure stays identical. Returns
-    * (id, cluster_id). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    * Implementation: alternating large-star/small-star edge rewiring
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — converges in O(log n) alternations for ANY graph shape,
+    * where plain min-label propagation needs graph-DIAMETER rounds (a
+    * 10k-link chain of templated near-dups would need 10k shuffles; this
+    * needs ~15). Each half-round is one aggregation + one co-partitioned
+    * join keyed on the node id, followed by a distinct — all hash-based,
+    * nothing collected to the driver.
+    *
+    *   large-star: every node connects its LARGER neighbours to the
+    *     minimum of its closed neighbourhood (keeps edge count bounded);
+    *   small-star: every node connects its smaller neighbours and itself
+    *     to the minimum smaller neighbour.
+    *
+    * At the fixed point every surviving edge points a node directly at
+    * its component minimum. Returns (id, cluster_id = min id of the
+    * component). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // canonical direction hi → lo, self-loops dropped. The checkpoint
+    // ALSO shields the (often expensive) pair-generation upstream from
+    // re-execution: everything below — nodes included — derives from the
+    // materialized edge set, so upstream runs exactly once.
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true) // truncate lineage per round (iterative plan)
+    val nodes = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      // no distinct here: duplicates are bounded (≤ neighbour multiplicity)
+      // and smallStar's terminal distinct dedups — saves a shuffle/round.
+      // Output is naturally hi → lo: u' = v > u ≥ m = v'.
+      sym.join(m, "u")
+        .select(col("v"), least(col("mn"), col("u")).as("m"), col("u"))
+        .filter(col("v") > col("u")) // rewire only larger neighbours
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges already point hi → lo after largeStar
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val nbrs = e.join(m, "u").select(col("v").as("x"), col("m"))
+      val self = m.select(col("u").as("x"), col("m"))
+      nbrs.unionAll(self)
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v")).distinct()
+    }
+
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
-      // carry the previous label through the checkpoint so convergence is
-      // a local filter on materialized data, not another join
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          col("label").as("prev"))
-        .localCheckpoint(true)
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
-      labels = next.select(col("id"), col("label"))
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixed point = identical edge sets; both frames are materialized
+      // checkpoints, so the symmetric difference is two local joins
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
       i += 1
     }
-    sym.unpersist()
     // silent non-convergence would report one real cluster as several —
     // strictly worse than failing (the no-silent-caps posture)
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds; " +
-        "raise maxIter or switch the round body to large-star/small-star")
-    labels.select(col("id"), col("label").as("cluster_id"))
+      s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
+    // at the fixed point each non-root points straight at its root
+    val labels = nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
+    nodes.unpersist()
+    labels
   }
 
   // ------------------------------------------------------- n-gram Jaccard

@@ -128,6 +128,33 @@ class ParticipantSpec extends SparkSpec {
       7L -> 7L, 40L -> 7L, 5L -> 5L, 100L -> 5L))
   }
 
+  test("connected components handles a chain far deeper than the round budget") {
+    // a 200-link chain needs 199 rounds of plain label propagation;
+    // large-star/small-star must collapse it in O(log n) alternations
+    val n = 200
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
+  test("connected components agrees with union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(e => e._1 != e._2)
+    // union-by-min oracle: the surviving root is always the component min
+    val parent = Array.tabulate(150)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(id => id -> find(id.toInt).toLong).toMap
+    val got = graft.ops.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("parse enricher mirrors the columnar parse-map rows (B6)") {
     import graft.functions.TextFunctions
     val text = "the cat runs quickly to 42 red9 flying jumped trees x"
