@@ -45,4 +45,29 @@ object TrainingPrep {
     * has plain numbers). Global regexp_replace, no UDF. */
   def scrubNumbers(text: Column, replacement: String = "<num>"): Column =
     regexp_replace(text, "[0-9]+", replacement)
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * `n`-gram with an evaluation/benchmark document — the standard
+    * train/test-overlap hygiene pass before LLM training.
+    *
+    * Scale shape: the benchmark side (eval suites) is tiny relative to a
+    * 100 TB train corpus, so its distinct shingles BROADCAST and the train
+    * side streams through a broadcast hash join — no shuffle of the
+    * corpus, one narrow pass. Shingling is the one-pass native kernel
+    * (distinct n-grams per doc); the join keys on the shingle string
+    * itself, which keeps the operator engine-reproducible (a 64-bit
+    * shingle hash would shrink the broadcast further at identical plan
+    * shape). Returns one row per CONTAMINATED train doc:
+    * (id, n_shared_shingles, first_bench_id). */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    def shingled(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.NativeExpressions.wordShingles(col(textCol), n)).as("sh"))
+    shingled(train, "id")
+      .join(broadcast(shingled(bench, "bench_id")), "sh")
+      .groupBy(col("id"))
+      .agg(count_distinct(col("sh")).as("n_shared_shingles"),
+        min(col("bench_id")).as("first_bench_id"))
+  }
 }

@@ -156,9 +156,42 @@ object PrepQueries {
        |FROM final GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
 
+  /** Q41 — benchmark decontamination (train/test-overlap hygiene): every
+    * doc_id % 97 == 0 doc plays the held-out benchmark; training docs
+    * sharing any word 4-gram with one are flagged with the overlap count
+    * and the lowest matching benchmark id. Benchmark shingles broadcast;
+    * the train corpus streams through the join unshuffled
+    * (TrainingPrep.decontaminate). */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TrainingPrep.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 4)
+      .select(col("id").as("doc_id"), col("n_shared_shingles"), col("first_bench_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminationSql: String =
+    """WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(ws) < 4 THEN [text]
+      |           ELSE list_distinct(list_transform(range(1, len(ws) - 2),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) END) AS sh
+      |  FROM base),
+      |bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 97 = 0),
+      |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT t.doc_id,
+      |  CAST(count(DISTINCT t.sh) AS BIGINT) AS n_shared_shingles,
+      |  min(b.bench_id) AS first_bench_id
+      |FROM train t JOIN bench b USING (sh)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q35_dataset_split", datasetSplit, Some(datasetSplitSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
     QueryDef("q37_scrub", scrub, Some(scrubSql)),
-    QueryDef("q38_curation", curation, Some(curationSql)))
+    QueryDef("q38_curation", curation, Some(curationSql)),
+    QueryDef("q41_decontamination", decontamination, Some(decontaminationSql)))
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TrainingPrep
+
+/** Unit coverage for the training-data preparation operators (the oracle
+  * gate covers them end-to-end at sf0.01; these pin the semantics on
+  * hand-built fixtures). */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags exactly the train docs sharing an n-gram") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (200L, "one two three four")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains bench 100's "beta gamma delta epsilon" 4-gram
+      (1L, "xx beta gamma delta epsilon yy"),
+      // word overlap but never 4 consecutive shared words
+      (2L, "alpha beta xx gamma delta yy epsilon zeta"),
+      // contains bench 200's full text as a sub-sequence
+      (3L, "zz one two three four"),
+      (4L, "nothing in common here at all")).toDF("doc_id", "text")
+    val got = TrainingPrep.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 100L), (3L, 1L, 200L)))
+  }
+
+  test("decontamination matches whole-text fallback for sub-n docs") {
+    // docs shorter than n shingle to their whole text on BOTH sides
+    val bench = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    val train = Seq((1L, "tiny doc"), (2L, "tiny")).toDF("doc_id", "text")
+    val got = TrainingPrep.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 9L)))
+  }
+
+  test("decontamination plans a broadcast join on the benchmark side") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val plan = TrainingPrep.decontaminate(
+      docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+      "doc_id", "text", n = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+}
