@@ -46,6 +46,29 @@ object TrainingPrep {
   def scrubNumbers(text: Column, replacement: String = "<num>"): Column =
     regexp_replace(text, "[0-9]+", replacement)
 
+  /** Deterministic mixture sampling: keep each row with its source's
+    * target fraction — the dataset-mixing step that turns raw corpus
+    * proportions into the training mixture. Membership is a pure function
+    * of (key, fraction): portable-hash of the salted key mod 1e6 under
+    * the source's threshold, so the sample is reproducible across
+    * engines, resharding, and appends (no RNG, no sampleBy seed drift),
+    * and downsampling a source further keeps a SUBSET of the previous
+    * sample (thresholds nest). The per-source threshold table broadcasts;
+    * the corpus streams through one narrow filter — no shuffle. Unknown
+    * sources fall back to `defaultFraction`. */
+  def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = fractions.toSeq.toDF(sourceCol, "frac")
+      .select(col(sourceCol), round(col("frac") * 1000000).cast("long").as("mix_thresh"))
+    df.join(broadcast(thresholds), Seq(sourceCol), "left_outer")
+      .filter(graft.functions.TextFunctions.portableHash60(
+        concat(col(keyCol).cast("string"), lit(":mix"))) % 1000000
+        < coalesce(col("mix_thresh"), lit(math.round(defaultFraction * 1000000))))
+      .drop("mix_thresh")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `n`-gram with an evaluation/benchmark document — the standard
     * train/test-overlap hygiene pass before LLM training.

@@ -188,10 +188,39 @@ object PrepQueries {
       |FROM train t JOIN bench b USING (sh)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** The q42 mixture: target fractions 1, 1/2, 1/4, 1/8 cycling over the
+    * source index — shared between the Spark query and the SQL oracle so
+    * the two can never drift. */
+  private val mixtureFractions: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> 1.0 / (1 << (i % 4)))
+
+  /** Q42 — deterministic mixture sampling (TrainingPrep.mixtureSample):
+    * the kept per-source subsample under the target mixture, stable under
+    * resharding/appends and nested under further downsampling. */
+  def mixture(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.mixtureSample(Tables.documents(spark, dir), "doc_id", "source",
+      mixtureFractions.toMap)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val mixtureSql: String = {
+    val values = mixtureFractions
+      .map { case (s, f) => s"('$s', ${math.round(f * 1000000)})" }.mkString(", ")
+    s"""WITH thr AS (SELECT * FROM (VALUES $values) t(source, mix_thresh)),
+       |h AS (
+       |  SELECT doc_id, source,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15)) AS BIGINT)
+       |      % 1000000 AS hv
+       |  FROM documents)
+       |SELECT doc_id, source FROM h JOIN thr USING (source)
+       |WHERE hv < mix_thresh ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q35_dataset_split", datasetSplit, Some(datasetSplitSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
     QueryDef("q37_scrub", scrub, Some(scrubSql)),
     QueryDef("q38_curation", curation, Some(curationSql)),
-    QueryDef("q41_decontamination", decontamination, Some(decontaminationSql)))
+    QueryDef("q41_decontamination", decontamination, Some(decontaminationSql)),
+    QueryDef("q42_mixture", mixture, Some(mixtureSql)))
 }

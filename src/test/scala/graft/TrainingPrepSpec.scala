@@ -35,6 +35,23 @@ class TrainingPrepSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 9L)))
   }
 
+  test("mixture sampling: nested thresholds, default fraction, determinism") {
+    val df = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "zz"))
+      .toDF("doc_id", "source")
+    val half = TrainingPrep.mixtureSample(df, "doc_id", "source", Map("a" -> 0.5))
+    val quarter = TrainingPrep.mixtureSample(df, "doc_id", "source", Map("a" -> 0.25))
+    val halfIds = half.filter($"source" === "a").select("doc_id").as[Long].collect().toSet
+    val quarterIds = quarter.filter($"source" === "a").select("doc_id").as[Long].collect().toSet
+    // downsampling further must keep a SUBSET (thresholds nest)
+    assert(quarterIds.subsetOf(halfIds))
+    assert(halfIds.size > 50 && halfIds.size < 150) // ~100 of 200 at 0.5
+    // unknown source falls back to defaultFraction = 1.0 (all kept)
+    assert(half.filter($"source" === "zz").count() == 200)
+    // determinism: same inputs, same sample
+    assert(TrainingPrep.mixtureSample(df, "doc_id", "source", Map("a" -> 0.5))
+      .filter($"source" === "a").select("doc_id").as[Long].collect().toSet == halfIds)
+  }
+
   test("decontamination plans a broadcast join on the benchmark side") {
     val docs = graft.sources.Tables.documents(spark, sf())
     val plan = TrainingPrep.decontaminate(
