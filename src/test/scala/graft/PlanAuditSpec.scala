@@ -60,6 +60,29 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads pruned columns: $scanLine")
   }
 
+  test("repetition signals prune the scan and stay shuffle-free up to the sort") {
+    val p = plan("q39_repetition")
+    val scanLine = p.split("\n").find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"), scanLine)
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"),
+      s"scan reads pruned columns: $scanLine")
+    // the kernel is row-local: the ONLY exchange allowed is the final sort
+    val exchanges = p.split("\n").count(_.trim.startsWith("+- Exchange"))
+    assert(p.split("Exchange").length - 1 <= 1, s"repetition stats shuffled: $p")
+  }
+
+  test("mixture sampling is a broadcast-filtered scan — no corpus shuffle") {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val p = graft.ops.TrainingPrep.mixtureSample(
+      docs, "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.25))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"thresholds not broadcast: $p")
+    assert(!p.contains("ShuffleExchange") && !p.contains("SortMergeJoin"),
+      s"mixture sampling shuffles the corpus: $p")
+  }
+
   test("IVF index written partitioned by cell prunes unprobed cells at the scan") {
     import org.apache.spark.sql.functions._
     import graft.ops.Similarity
