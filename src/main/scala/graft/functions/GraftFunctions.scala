@@ -45,6 +45,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => NativeExpressions.RademacherSigs(args.head,
         intArg(args(1), "tables"), intArg(args(2), "planes"), intArg(args(3), "dim")),
       "graft_rademacher_sigs(vec, tables, planes, dim) - engine-reproducible LSH sign signatures"),
+    ("graft_minhash_sigs",
+      (args: Seq[Expression]) => NativeExpressions.PortableMinHashSigs(
+        args.head, intArg(args(1), "k")),
+      "graft_minhash_sigs(shingles, k) - portable k-permutation MinHash signature"),
     ("graft_repetition_stats",
       (args: Seq[Expression]) => NativeExpressions.RepetitionStats(args.head),
       "graft_repetition_stats(text) - word/bigram repetition quality signals"),

@@ -198,6 +198,57 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
+  /** K-permutation MinHash signature in ONE row-local pass, replicating
+    * Dedup.portableBase bit-for-bit: per shingle, h1 = md5 hex chars
+    * [1,15] (60 bits), h2 = hex chars [16,30] masked to 57 bits;
+    * permutation p is h1 + p·h2 (Kirsch-Mitzenmacher double hashing, sum
+    * provably < 2^63 for p ≤ 56); signature = per-permutation minimum.
+    *
+    * Replaces explode(shingles) + k min-aggregates + groupBy(id): same
+    * md5 count but no per-row UnsafeRow traffic, no aggregation hash
+    * table, and NO shuffle — the signature never leaves its input row.
+    * The DuckDB oracle remains the SQL double-hash formulation; a spec
+    * cross-checks this kernel against the in-Spark SQL path. Requires a
+    * non-empty shingle array (WordShingles guarantees ≥1). */
+  case class PortableMinHashSigs(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && k <= 57,
+      s"k=$k permutations overflow the masked double-hash family (max 57)")
+    private val Mask57 = (1L << 57) - 1
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val shingles = input.asInstanceOf[ArrayData]
+      val n = shingles.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < n) {
+        val d = md.digest(shingles.getUTF8String(i).getBytes)
+        // hex chars [1,15] = bytes 0-6 + high nibble of byte 7
+        var h1 = 0L
+        var j = 0
+        while (j < 7) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
+        h1 = (h1 << 4) | ((d(7) >> 4) & 0xfL)
+        // hex chars [16,30] = low nibble of byte 7 + bytes 8-14
+        var h2 = d(7) & 0xfL
+        j = 8
+        while (j < 15) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
+        h2 &= Mask57
+        var p = 0
+        while (p < k) {
+          val v = h1 + p * h2
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): PortableMinHashSigs =
+      copy(child = c)
+  }
+
   /** Word-level repetition statistics for training-data quality filtering
     * (the Gopher-style repetition signals, word-granular because the
     * corpus is single-line): one hash-map pass per document computing
@@ -415,6 +466,9 @@ object NativeExpressions {
 
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+
+  def portableMinHashSigs(shingles: Column, k: Int): Column =
+    ColumnBridge.column(PortableMinHashSigs(ColumnBridge.expression(shingles), k))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))

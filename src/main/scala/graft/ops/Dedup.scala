@@ -136,8 +136,7 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      jaccardThreshold: Double = 0.5, maxBucket: Int = 1000,
-      base: Column => (Column, Column) = xxhashBase): DataFrame = {
+      jaccardThreshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "k must be divisible by bands")
 
@@ -151,7 +150,12 @@ object Dedup {
       wordShingles(col(textCol), shingleN).as("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = minhashSignatures(shingled, k, base)
+    // one-pass native signatures (portable md5 double-hash convention) —
+    // zero shuffle; the generic explode+aggregate form stays available as
+    // `minhashSignatures` for custom base-hash families
+    val banded = shingled
+      .select(col("id"),
+        graft.functions.NativeExpressions.portableMinHashSigs(col("shingles"), k).as("sig"))
       .withColumn("banded", lshBands(col("sig"), bands, rows))
       .select(col("id"), explode(col("banded")).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))

@@ -28,8 +28,7 @@ object DedupQueries {
   def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(
       withPlantedNearDups(Tables.documents(spark, dir)),
-      "doc_id", "text", shingleN = 3, k = 32, bands = 8, jaccardThreshold = 0.5,
-      base = Dedup.portableBase)
+      "doc_id", "text", shingleN = 3, k = 32, bands = 8, jaccardThreshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash table over the corpus — deterministic 64-bit signatures from

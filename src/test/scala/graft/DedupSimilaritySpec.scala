@@ -77,6 +77,19 @@ class DedupSimilaritySpec extends SparkSpec {
       s"IVF(nProbe=6/16) should recall >=3 of true top-5; got ${got.intersect(top)} of $top")
   }
 
+  test("native MinHash kernel matches the SQL double-hash formulation exactly") {
+    val k = 32
+    val shingled = docs.limit(40)
+      .select($"doc_id".as("id"), Dedup.wordShingles($"text", 3).as("shingles"))
+      .persist()
+    val kernel = shingled.select($"id",
+      graft.functions.NativeExpressions.portableMinHashSigs($"shingles", k).as("sig"))
+    val sqlPath = Dedup.minhashSignatures(shingled, k, Dedup.portableBase)
+    assert(kernel.except(sqlPath).isEmpty && sqlPath.except(kernel).isEmpty,
+      "kernel signatures diverge from the md5 double-hash SQL path")
+    shingled.unpersist()
+  }
+
   test("sq8 quantization: codes in [0,255], reconstruction within one step") {
     val emb = Tables.embeddings(spark, sf()).persist()
     val coded = Similarity.scalarQuantize(emb, "vec_id", "embedding")
