@@ -153,6 +153,75 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Per-bucket state for streaming near-dup: ids seen in this LSH band
+    * bucket within the TTL horizon, capped at the degenerate-bucket
+    * bound. */
+  case class BucketState(ids: Seq[Long])
+
+  /** Streaming NEAR-duplicate candidate detection — the stream-scale twin
+    * of `Dedup.minhashNearDupPairs`'s candidate stage: every arriving
+    * document's MinHash band hashes are checked against the ids seen in
+    * the same (band, band_hash) bucket within the state TTL, and each
+    * collision emits a candidate pair (earlier id, later id).
+    *
+    * Signatures come from the SAME row-local kernels as batch (word
+    * shingles → portable MinHash → band hashes), so streaming flags
+    * exactly the buckets batch would. State is one bounded id list per
+    * bucket: `maxBucket` caps degenerate buckets (boilerplate text at
+    * corpus scale — the streaming form of dropOversizedBuckets; ids
+    * beyond the cap neither emit nor enter state, and the cap is a
+    * DOCUMENTED recall bound, not a silent drop), and — when `stateTtl`
+    * is set — processing-time timeout evicts idle buckets, so state is
+    * O(active buckets), not O(stream length).
+    *
+    * `stateTtl` note: ProcessingTimeTimeout makes Spark schedule
+    * micro-batches CONTINUOUSLY so expirations fire promptly
+    * (FlatMapGroupsWithStateExec.shouldRunAnotherBatch) — correct for a
+    * production stream (set a real trigger interval), but it never
+    * settles under a bounded test source, so pass None there. Candidates
+    * may repeat across bands; dedupe/verify (exact Jaccard over re-joined
+    * shingles) composes per micro-batch downstream, as in batch. */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = 1000,
+      stateTtl: Option[String] = Some("1 hour")): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    require(bands * rows == k, "k must be divisible by bands")
+    val sig = graft.functions.NativeExpressions.portableMinHashSigs(
+      graft.ops.Dedup.wordShingles(col(textCol), shingleN), k)
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(graft.ops.Dedup.lshBands(sig, bands, rows)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+      .as[(Long, Int, Long)]
+    val timeoutConf = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[BucketState, (Long, Long)](
+        OutputMode.Append, timeoutConf) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val fresh = rows.map(_._1).toSeq.distinct.filterNot(seen.contains)
+            val room = math.max(maxBucket - seen.size, 0)
+            val kept = fresh.take(room)
+            // pairs vs prior state AND among this batch's kept arrivals
+            val vsSeen = for (n <- kept; s <- seen)
+              yield (math.min(n, s), math.max(n, s))
+            val within = for {
+              i <- kept.indices; j <- (i + 1) until kept.size
+            } yield (math.min(kept(i), kept(j)), math.max(kept(i), kept(j)))
+            state.update(BucketState(seen ++ kept))
+            stateTtl.foreach(state.setTimeoutDuration)
+            (vsSeen ++ within).iterator
+          }
+      }
+  }
+
   /** Event-time session windows with watermarking — the upgrade over the
     * reference's processing-time SessionWindows (SURVEY.md §4 calls this
     * out as free in Spark). Input: the `events` table shape with ns-Long

@@ -155,6 +155,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags band collisions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val txt = "the quick brown fox jumps over the lazy dog again and again today"
+    // stateTtl=None: a TTL forces continuous timeout-check batches, which
+    // never settle under a bounded MemoryStream (see operator scaladoc)
+    val q = Streaming.nearDupCandidates(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text", stateTtl = None)
+      .toDF("id_a", "id_b")
+      .writeStream.format("memory").queryName("neardup_stream_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, txt), (50L, "completely unrelated words about ships and harbours tonight")))
+      q.processAllAvailable()
+      // near-identical doc arrives in a LATER batch → collides with state
+      input.addData(Seq((2L, txt + " x")))
+      q.processAllAvailable()
+      val pairs = spark.sql("select distinct id_a, id_b from neardup_stream_test")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"planted near-dup not flagged: $pairs")
+      assert(!pairs.exists(p => p._1 == 50L || p._2 == 50L),
+        s"unrelated doc flagged: $pairs")
+    } finally q.stop()
+  }
+
   test("event-time session windows with watermark produce sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)] // ts-ns, user, value
