@@ -188,6 +188,54 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Q43 — PIVOT: order counts per priority pivoted by status. The pivot
+    * values are DECLARED (`Seq("F","O","P")`), not discovered — at 100 TB
+    * an undeclared pivot first runs a distinct scan over the pivot column
+    * AND collects it to the driver; declaring values keeps the plan a
+    * single partial-aggregated shuffle. Null cells (absent combinations)
+    * fill to 0 to match the oracle's FILTER counts. */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .select(col("o_orderpriority"),
+        col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val statusPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Q44 — CUBE: order counts + revenue over every subset of
+    * (status, priority). One shuffle: Spark expands the grouping sets
+    * map-side and partial-aggregates each, so the exchange carries group
+    * partials, not input rows. Aggregated-out dimensions surface as the
+    * '(all)' sentinel rather than NULL — engines disagree on NULL sort
+    * order and the driver's comparator is null-hostile. */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("status"), col("priority"))
+
+  val revenueCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+      |  COALESCE(o_orderpriority, '(all)') AS priority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q7_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q7b_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -195,5 +243,7 @@ object Relational {
     QueryDef("q11b_top_customer_per_nation", topCustomerPerNation, Some(topCustomerPerNationSql)),
     QueryDef("q23_rollup", revenueRollup, Some(revenueRollupSql)),
     QueryDef("q24_running_totals", runningTotals, Some(runningTotalsSql)),
-    QueryDef("q25_approx_distinct", approxDistinct, None))
+    QueryDef("q25_approx_distinct", approxDistinct, None),
+    QueryDef("q43_status_pivot", statusPivot, Some(statusPivotSql)),
+    QueryDef("q44_revenue_cube", revenueCube, Some(revenueCubeSql)))
 }
