@@ -222,6 +222,57 @@ object Streaming {
       }
   }
 
+  /** Event-time variant of `nearDupCandidates`: bucket state is evicted
+    * when the WATERMARK passes the bucket's last activity + `ttl`, so
+    * batches rerun only when the watermark advances (data-driven — unlike
+    * ProcessingTimeTimeout's continuous scheduling, this settles under a
+    * bounded source too) and eviction follows stream time through
+    * backfills and replays instead of wall-clock luck. Input must carry
+    * an event-time column `tsCol` (TimestampType). Semantics otherwise
+    * identical: collide on (band, band_hash) within the horizon, capped
+    * buckets, candidates may repeat across bands. */
+  def nearDupCandidatesEventTime(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, ttlMs: Long = 3600000L, watermark: String = "10 minutes",
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      maxBucket: Int = 1000): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    require(bands * rows == k, "k must be divisible by bands")
+    val sig = graft.functions.NativeExpressions.portableMinHashSigs(
+      graft.ops.Dedup.wordShingles(col(textCol), shingleN), k)
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ets"),
+        explode(graft.ops.Dedup.lshBands(sig, bands, rows)).as("b"))
+      .select(col("id"), col("ets"), col("b.band").as("band"),
+        col("b.band_hash").as("band_hash"))
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+    banded
+      .groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[BucketState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq
+            val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+            val fresh = batch.map(_._1).distinct.filterNot(seen.contains)
+            val kept = fresh.take(math.max(maxBucket - seen.size, 0))
+            val vsSeen = for (n <- kept; s <- seen)
+              yield (math.min(n, s), math.max(n, s))
+            val within = for {
+              i <- kept.indices; j <- (i + 1) until kept.size
+            } yield (math.min(kept(i), kept(j)), math.max(kept(i), kept(j)))
+            state.update(BucketState(seen ++ kept))
+            // evict when the watermark passes last activity + ttl
+            state.setTimeoutTimestamp(batch.map(_._2.getTime).max + ttlMs)
+            (vsSeen ++ within).iterator
+          }
+      }
+  }
+
   /** Event-time session windows with watermarking — the upgrade over the
     * reference's processing-time SessionWindows (SURVEY.md §4 calls this
     * out as free in Spark). Input: the `events` table shape with ns-Long

@@ -180,6 +180,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time near-dup: collides within ttl, evicts after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val txt = "the quick brown fox jumps over the lazy dog again and again today"
+    def ts(minute: Long) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+    val q = Streaming.nearDupCandidatesEventTime(
+      input.toDS().toDF("doc_id", "ets", "text"), "doc_id", "text", "ets",
+      ttlMs = 10 * 60000L, watermark = "0 seconds")
+      .toDF("id_a", "id_b")
+      .writeStream.format("memory").queryName("neardup_et_test")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, ts(0), txt)))
+      q.processAllAvailable()
+      // within the ttl horizon → collides with doc 1
+      input.addData(Seq((2L, ts(5), txt + " x")))
+      q.processAllAvailable()
+      // push the watermark past doc state's (activity + ttl) horizon...
+      input.addData(Seq((60L, ts(60), "completely unrelated words about ships and harbours")))
+      q.processAllAvailable()
+      // ...so this near-dup of 1/2 arrives AFTER eviction: no new pairs
+      input.addData(Seq((3L, ts(61), txt + " y")))
+      q.processAllAvailable()
+      val pairs = spark.sql("select distinct id_a, id_b from neardup_et_test")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"in-horizon near-dup not flagged: $pairs")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"post-eviction arrival must not pair with evicted state: $pairs")
+    } finally q.stop()
+  }
+
   test("event-time session windows with watermark produce sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double)] // ts-ns, user, value
