@@ -45,8 +45,10 @@ object Dedup {
     *
     * Expression form (narrow, per-row) — fine for ad-hoc use, but the
     * nested higher-order lambdas evaluate interpreted (no codegen). The
-    * pair pipeline below uses `minhashSignatures` (explode + codegen'd
-    * hash-aggregate) instead, which benchmarked ~20× faster. */
+    * pair pipeline below uses the one-pass native kernel
+    * (NativeExpressions.PortableMinHashSigs) instead; `minhashSignatures`
+    * (explode + codegen'd hash-aggregate) remains for custom base-hash
+    * families. */
   def minhashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       p => array_min(transform(shingles, s => xxhash64(s, p))))
