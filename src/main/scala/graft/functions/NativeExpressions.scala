@@ -208,20 +208,26 @@ object NativeExpressions {
     * md5 count but no per-row UnsafeRow traffic, no aggregation hash
     * table, and NO shuffle — the signature never leaves its input row.
     * The DuckDB oracle remains the SQL double-hash formulation; a spec
-    * cross-checks this kernel against the in-Spark SQL path. Requires a
-    * non-empty shingle array (WordShingles guarantees ≥1). */
+    * cross-checks this kernel against the in-Spark SQL path. An EMPTY
+    * shingle array yields null (not a constant all-MaxValue signature,
+    * which would bucket every empty doc together — the exact degenerate
+    * collision the operator library guards against); WordShingles always
+    * emits ≥1 shingle, so null only surfaces for foreign inputs via the
+    * graft_minhash_sigs SQL function. */
   case class PortableMinHashSigs(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
     require(k >= 1 && k <= 57,
       s"k=$k permutations overflow the masked double-hash family (max 57)")
     private val Mask57 = (1L << 57) - 1
+    override def nullable: Boolean = true
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     override def nullSafeEval(input: Any): Any = {
       val shingles = input.asInstanceOf[ArrayData]
       val n = shingles.numElements()
+      if (n == 0) return null
       val mins = Array.fill(k)(Long.MaxValue)
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = md5Digest.get()
       var i = 0
       while (i < n) {
         val d = md.digest(shingles.getUTF8String(i).getBytes)
@@ -289,13 +295,21 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(c)
   }
 
+  /** Per-thread MD5 instance: `MessageDigest.getInstance` is a
+    * synchronized JCA provider lookup + allocation — per-ROW cost in the
+    * hottest dedup kernel without this. (`digest()` resets the instance,
+    * so reuse within a thread is safe; expressions may be shared across
+    * local-mode task threads, hence ThreadLocal rather than a lazy val.) */
+  private val md5Digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   /** ±1 plane component for RademacherSigs: parity of the first hex
     * nibble of md5("t:p:d"). The exact convention the DuckDB oracle
     * reproduces as `CAST('0x'||substring(md5(concat(t,':',p,':',d)),1,1)
     * AS BIGINT) % 2`. */
   def rademacherSign(t: Int, p: Int, d: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$t:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = md5Digest.get().digest(
+      s"$t:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (((h(0) >> 4) & 1) == 1) 1 else -1
   }
 

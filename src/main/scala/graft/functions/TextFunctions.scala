@@ -138,8 +138,10 @@ object TextFunctions {
     * Nonnegative (top 4 bits zero), so signed shifts/comparisons behave
     * identically everywhere — lets MinHash/SimHash signatures be verified
     * bit-exactly by a SQL oracle (`CAST('0x' || substring(md5(x),1,15) AS
-    * BIGINT)` in DuckDB). ~2-3× slower than xxhash64; production dedup at
-    * 100 TB keeps the xxhash64 default and verifies at small SF. */
+    * BIGINT)` in DuckDB). ~2-3× slower than xxhash64; the dedup pipeline
+    * defaults to the portable family (one-pass kernel, oracle-verified)
+    * and exposes `base = Some(Dedup.xxhashBase)` for deployments that
+    * prefer the faster hash over oracle parity. */
   def portableHash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 }

@@ -136,9 +136,14 @@ object Dedup {
     * pair count quadratically; callers get them reported separately if
     * needed by inspecting bucket sizes themselves.
     */
+  /** `base = None` (default) signs with the one-pass portable-md5 kernel
+    * (oracle-verifiable); pass `Some(xxhashBase)` to trade oracle parity
+    * for a faster hash family at 100 TB — the signature pipeline then
+    * runs the generic explode+aggregate path. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      jaccardThreshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+      jaccardThreshold: Double = 0.5, maxBucket: Int = 1000,
+      base: Option[Column => (Column, Column)] = None): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "k must be divisible by bands")
 
@@ -152,12 +157,15 @@ object Dedup {
       wordShingles(col(textCol), shingleN).as("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // one-pass native signatures (portable md5 double-hash convention) —
-    // zero shuffle; the generic explode+aggregate form stays available as
-    // `minhashSignatures` for custom base-hash families
-    val banded = shingled
-      .select(col("id"),
+    // one-pass native signatures (portable md5 double-hash convention) by
+    // default — zero shuffle; a custom base hash routes through the
+    // generic explode+aggregate path
+    val signatures = base match {
+      case None => shingled.select(col("id"),
         graft.functions.NativeExpressions.portableMinHashSigs(col("shingles"), k).as("sig"))
+      case Some(b) => minhashSignatures(shingled, k, b)
+    }
+    val banded = signatures
       .withColumn("banded", lshBands(col("sig"), bands, rows))
       .select(col("id"), explode(col("banded")).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
@@ -268,7 +276,9 @@ object Dedup {
     *
     * At the fixed point every surviving edge points a node directly at
     * its component minimum. Returns (id, cluster_id = min id of the
-    * component). */
+    * component). Precondition: pairs are between DISTINCT ids (every
+    * near-dup generator here emits id_a < id_b); self-loop-only nodes are
+    * dropped with the self-loops, not labeled as singletons. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     // canonical direction hi → lo, self-loops dropped. The checkpoint
     // ALSO shields the (often expensive) pair-generation upstream from

@@ -154,9 +154,11 @@ object Streaming {
       .dropDuplicatesWithinWatermark(keys)
 
   /** Per-bucket state for streaming near-dup: ids seen in this LSH band
-    * bucket within the TTL horizon, capped at the degenerate-bucket
-    * bound. */
-  case class BucketState(ids: Seq[Long])
+    * bucket within the TTL horizon (capped at the degenerate-bucket
+    * bound) and, for the event-time variant, the max event time seen —
+    * the eviction clock must never move backward on out-of-order
+    * arrivals. */
+  case class BucketState(ids: Seq[Long], maxEventMs: Long = 0L)
 
   /** Streaming NEAR-duplicate candidate detection — the stream-scale twin
     * of `Dedup.minhashNearDupPairs`'s candidate stage: every arriving
@@ -206,20 +208,28 @@ object Streaming {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
-            val fresh = rows.map(_._1).toSeq.distinct.filterNot(seen.contains)
-            val room = math.max(maxBucket - seen.size, 0)
-            val kept = fresh.take(room)
-            // pairs vs prior state AND among this batch's kept arrivals
-            val vsSeen = for (n <- kept; s <- seen)
-              yield (math.min(n, s), math.max(n, s))
-            val within = for {
-              i <- kept.indices; j <- (i + 1) until kept.size
-            } yield (math.min(kept(i), kept(j)), math.max(kept(i), kept(j)))
+            val (kept, pairs) = collidePairs(seen, rows.map(_._1).toSeq, maxBucket)
             state.update(BucketState(seen ++ kept))
             stateTtl.foreach(state.setTimeoutDuration)
-            (vsSeen ++ within).iterator
+            pairs.iterator
           }
       }
+  }
+
+  /** Shared per-bucket collision step for both near-dup variants: cap the
+    * arrivals against the bucket bound, then emit candidate pairs vs
+    * prior state AND among this batch's kept arrivals. Returns
+    * (kept arrivals, ordered pairs). */
+  private def collidePairs(seen: Seq[Long], arrivals: Seq[Long],
+      maxBucket: Int): (Seq[Long], Seq[(Long, Long)]) = {
+    val fresh = arrivals.distinct.filterNot(seen.contains)
+    val kept = fresh.take(math.max(maxBucket - seen.size, 0))
+    val vsSeen = for (n <- kept; s <- seen)
+      yield (math.min(n, s), math.max(n, s))
+    val within = for {
+      i <- kept.indices; j <- (i + 1) until kept.size
+    } yield (math.min(kept(i), kept(j)), math.max(kept(i), kept(j)))
+    (kept, vsSeen ++ within)
   }
 
   /** Event-time variant of `nearDupCandidates`: bucket state is evicted
@@ -257,18 +267,15 @@ object Streaming {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = rows.toSeq
-            val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
-            val fresh = batch.map(_._1).distinct.filterNot(seen.contains)
-            val kept = fresh.take(math.max(maxBucket - seen.size, 0))
-            val vsSeen = for (n <- kept; s <- seen)
-              yield (math.min(n, s), math.max(n, s))
-            val within = for {
-              i <- kept.indices; j <- (i + 1) until kept.size
-            } yield (math.min(kept(i), kept(j)), math.max(kept(i), kept(j)))
-            state.update(BucketState(seen ++ kept))
-            // evict when the watermark passes last activity + ttl
-            state.setTimeoutTimestamp(batch.map(_._2.getTime).max + ttlMs)
-            (vsSeen ++ within).iterator
+            val prev = state.getOption.getOrElse(BucketState(Seq.empty))
+            val (kept, pairs) = collidePairs(prev.ids, batch.map(_._1), maxBucket)
+            // max over ALL activity ever seen, not just this batch: an
+            // out-of-order (in-watermark) arrival must not pull the
+            // eviction horizon backward below "latest activity + ttl"
+            val maxEvent = math.max(prev.maxEventMs, batch.map(_._2.getTime).max)
+            state.update(BucketState(prev.ids ++ kept, maxEvent))
+            state.setTimeoutTimestamp(maxEvent + ttlMs)
+            pairs.iterator
           }
       }
   }

@@ -67,7 +67,6 @@ class PlanAuditSpec extends SparkSpec {
     assert(!scanLine.contains("lang") && !scanLine.contains("source"),
       s"scan reads pruned columns: $scanLine")
     // the kernel is row-local: the ONLY exchange allowed is the final sort
-    val exchanges = p.split("\n").count(_.trim.startsWith("+- Exchange"))
     assert(p.split("Exchange").length - 1 <= 1, s"repetition stats shuffled: $p")
   }
 
@@ -79,7 +78,9 @@ class PlanAuditSpec extends SparkSpec {
       docs, "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.25))
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"thresholds not broadcast: $p")
-    assert(!p.contains("ShuffleExchange") && !p.contains("SortMergeJoin"),
+    // ShuffleExchangeExec renders as "Exchange hashpartitioning"; only
+    // the BroadcastExchange of the threshold table may appear
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("SortMergeJoin"),
       s"mixture sampling shuffles the corpus: $p")
   }
 
