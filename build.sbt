@@ -17,7 +17,15 @@ run / fork := true
 // codegen-heavy dedup queries than the same code in a properly-flagged JVM.
 Compile / runMain / fork := true
 Test / runMain / fork := true
-Global / excludeLintKeys ++= Set(Compile / runMain / fork, Test / runMain / fork)
+// Pipe the forked child's stdout/stderr straight through instead of
+// re-logging with [info]/[error] prefixes: the driver parses Bench's final
+// stdout line as JSON, and a "[info] " prefix breaks that (BENCH_r01/r02
+// both show "parsed": null with the JSON visible but prefixed in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys ++= Set(
+  Compile / runMain / fork, Test / runMain / fork,
+  run / outputStrategy, Compile / runMain / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

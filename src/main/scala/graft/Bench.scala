@@ -1,14 +1,63 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
 object Bench {
+
+  /** JVM environment snapshot. The round-2 driver bench came in ~10x over
+    * identical local runs with a bimodal per-query pattern (codegen-heavy
+    * queries 10-50x slower, scan-shaped queries unaffected) — the signature
+    * of a JIT code-cache / heap / core-count mismatch in the benching JVM,
+    * not of the plans. Emitting the actual JVM configuration into the bench
+    * JSON makes the next such discrepancy diagnosable from the artifact
+    * alone.
+    */
+  private def envDiag(spark: SparkSession): (String, String) = {
+    val rt = Runtime.getRuntime
+    val args = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+    val codeCacheMax = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(p => Option(p.getUsage).map(_.getMax).getOrElse(0L)).sum
+    val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+    val master = spark.sparkContext.master
+    val json =
+      s""""env":{"master":"$master","maxHeapMb":${rt.maxMemory / (1 << 20)},""" +
+      s""""codeCacheMb":${codeCacheMax / (1 << 20)},"cores":${rt.availableProcessors},""" +
+      s""""gcMs":$gcMs,"loadavg":$loadAvg}"""
+    val human = s"master=$master heap=${rt.maxMemory / (1 << 20)}m " +
+      s"codeCache=${codeCacheMax / (1 << 20)}m cores=${rt.availableProcessors} " +
+      s"gcMs=$gcMs loadavg=$loadAvg " +
+      s"jvmArgs=${args.filter(a => a.startsWith("-X") || a.startsWith("-Xmx")).mkString(" ")}"
+    (json, human)
+  }
+
+  /** 1-minute system load average — a bench JVM on an otherwise-idle
+    * 32-core box should see ≲32 once warm; a value far above that means
+    * ANOTHER process was competing for the machine during the run and the
+    * timings measure contention, not the plans. */
+  private def loadAvg: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+      .split(" ").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def gcMillis: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to every core: the driver harness is local[32]; a fallback of
+    // a small constant would silently bench a quarter of the machine if the
+    // env var is ever absent.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    System.err.println(s"[bench] ${envDiag(spark)._2}")
     // JVM/session warmup so the first measured query doesn't absorb
     // classloading + codegen compiler startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -22,12 +71,19 @@ object Bench {
       System.err.println(s"[bench] start $name")
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
+        val gc0 = gcMillis
         // noop sink (not count()): count() lets Catalyst prune every
         // unused projection column, under-measuring narrow compute-heavy
         // queries; the noop write computes all columns like Verify does
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            // a failed query must not silently bench as ~0s
+            System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
+        val dgc = gcMillis - gc0
+        if (dgc > 1000) System.err.println(f"[bench] $name gc=${dgc / 1000.0}%.1fs of $dt%.1fs")
         // drop frames persisted inside operators so queries are timed in
         // isolation and the block manager doesn't accumulate stale caches
         spark.catalog.clearCache()
@@ -39,7 +95,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (envJson, envHuman) = envDiag(spark)
+    System.err.println(s"[bench] end $envHuman")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$envJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search over the `documents` corpus — the retrieval
+  * primitive a training-data pipeline uses for corpus probing, targeted
+  * decontamination and quality auditing (the reference exposes content
+  * search through its query surface; here it is a first-class operator).
+  *
+  * Two layers:
+  *   1. `postings` / `termStats` — the inverted index as a DataFrame:
+  *      (term, doc_id, tf) posting lists plus per-term document frequency.
+  *      At 100 TB the postings table is written bucketed by `term`
+  *      (sources.Bucketing), so per-term lookups prune to one bucket and
+  *      term-keyed joins need no exchange.
+  *   2. `bm25TopK` — scores one query against the corpus WITHOUT building
+  *      the full index: tokens are filtered to the query's terms before any
+  *      explode, so the per-doc stage is a narrow codegen'd pass and the
+  *      only shuffles are two tiny aggregations (per-term df, corpus
+  *      stats) that broadcast back. The corpus itself is never exchanged.
+  *
+  * Scoring is BM25 with the log-free "raw" probabilistic idf
+  * `(N - df + 0.5) / (df + 0.5)` (Robertson-Spärck Jones weight without
+  * the log damp). The variant is deliberate: `ln` is not bit-identical
+  * across engines (Java's Math.log and DuckDB's std::log may differ in the
+  * last ulp), while this idf is pure rational arithmetic on exact integers
+  * — so the score is engine-reproducible and the DuckDB oracle can verify
+  * ranking bit-exactly. Both factors are fixed-point-rounded to 1e-6
+  * before multiplying, making each term's contribution an exact BIGINT
+  * (unit 1e-12) and the doc score an order-free integer sum.
+  */
+object TextSearch {
+
+  /** BM25 parameters (k1 = 1.2, b = 0.75 — written as exact-literal
+    * fragments 2.2 = k1+1, 0.25 = 1-b so Spark and SQL parse identical
+    * doubles). */
+  val K1 = 1.2
+  val K1Plus1 = 2.2
+  val OneMinusB = 0.25
+  val B = 0.75
+
+  /** The inverted index: one row per (term, doc_id) with term frequency.
+    * One explode + one shuffle on (term, doc_id); at 100 TB write this
+    * bucketed by term. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term document frequency + total term count — the index's
+    * dictionary table. Derived from `postings` with a map-side-partial
+    * aggregation. */
+  def termStats(postings: DataFrame): DataFrame =
+    postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+
+  /** Top-k docs for a bag-of-terms query, deterministic fixed-point BM25
+    * score (`score_e12`, unit 1e-12), ties broken on doc_id.
+    *
+    * Plan shape (audited): corpus scan → narrow per-term tf computation
+    * (filter() inside the row, no explode of non-matching tokens) → two
+    * tiny broadcast aggregates (df, corpus stats) → per-row scoring →
+    * one groupBy(doc_id) over only matching (doc, term) rows → TakeOrdered.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64, "bag-of-terms query expected")
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    // per-(doc, term) tf without a full explode: one struct per query term,
+    // computed row-locally, then exploded (≤ |terms| rows per doc) and
+    // filtered to hits
+    val perTerm = terms.map { t =>
+      struct(lit(t).as("term"),
+        size(filter(col("toks"), x => x === lit(t))).cast("long").as("tf"))
+    }
+    val tfRows = base
+      .select(col("doc_id"), col("dl"), explode(array(perTerm: _*)).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").as("tf"))
+      .filter(col("tf") > 0)
+    // tiny aggregates: corpus stats (1 row) and per-term df (≤ |terms| rows)
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sdl"))
+    val dfTab = tfRows.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ratio = col("dl").cast("double") * col("n_docs").cast("double") /
+      col("sdl").cast("double")
+    val tfpart = col("tf").cast("double") * lit(K1Plus1) /
+      (col("tf").cast("double") + lit(K1) * (lit(OneMinusB) + lit(B) * col("ratio")))
+    val idf = (lit(2.0) * (col("n_docs") - col("df")).cast("double") + lit(1.0)) /
+      (lit(2.0) * col("df").cast("double") + lit(1.0))
+    tfRows
+      .join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ratio", ratio)
+      .withColumn("term_score",
+        round(idf * 1000000.0, 0).cast("long") *
+          round(tfpart * 1000000.0, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score_e12"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_e12").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

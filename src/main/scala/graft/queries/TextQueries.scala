@@ -148,10 +148,53 @@ object TextQueries {
       |FROM base LEFT JOIN bga USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Q45 — BM25 top-k retrieval over the inverted-index operator
+    * (ops.TextSearch). Fixed bag-of-terms query; score is fixed-point
+    * (1e-12 units) so the full ranking is engine-exact — see
+    * TextSearch.scaladoc for why the idf is the log-free RSJ weight. */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "merge", "filter")
+  val Bm25K = 20
+
+  def bm25Query(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextSearch.bm25TopK(
+      Tables.documents(spark, dir), "doc_id", "text", Bm25Terms, Bm25K)
+
+  val bm25Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sdl
+       |  FROM base),
+       |tfrows AS (
+       |  SELECT doc_id, dl, term,
+       |    CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+       |  FROM base CROSS JOIN (SELECT unnest([$termList]) AS term)
+       |  WHERE len(list_filter(toks, x -> x = term)) > 0),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfrows GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(((2.0 * CAST((n_docs - df) AS DOUBLE) + 1.0)
+       |                / (2.0 * CAST(df AS DOUBLE) + 1.0)) * 1000000.0, 0) AS BIGINT)
+       |    * CAST(round(((CAST(tf AS DOUBLE) * 2.2)
+       |                  / (CAST(tf AS DOUBLE)
+       |                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |                                             / CAST(sdl AS DOUBLE))))) * 1000000.0, 0) AS BIGINT)
+       |      AS term_score
+       |  FROM tfrows JOIN dft USING (term) CROSS JOIN stats)
+       |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e12,
+       |  CAST(count(*) AS BIGINT) AS n_terms_hit
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_e12 DESC, doc_id LIMIT $Bm25K""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q17_quality_score", qualityQuery, Some(qualitySql)),
     QueryDef("q18_token_counts", tokenCounts, Some(tokenCountsSql)),
     QueryDef("q19_fingerprint", fingerprintQuery, Some(fingerprintSql)),
-    QueryDef("q39_repetition", repetitionQuery, Some(repetitionSql)))
+    QueryDef("q39_repetition", repetitionQuery, Some(repetitionSql)),
+    QueryDef("q45_bm25", bm25Query, Some(bm25Sql)))
 }
