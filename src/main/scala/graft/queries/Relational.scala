@@ -176,17 +176,57 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
-  /** Sketch-based distinct counting (HLL) next to the exact answer — the
-    * 100 TB cardinality primitive. Approx values are engine-specific →
-    * rows-only check; ApproxSpec bounds the error against the exact count. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+  /** Sketch-based distinct counting next to the exact answer — the 100 TB
+    * cardinality primitive. Uses the PORTABLE HyperLogLog (ops.Sketches):
+    * md5-derived registers and an integer-scaled harmonic sum that DuckDB
+    * replays bit-for-bit, so the sketch itself — not just its row count —
+    * is correctness-gated. (Spark's built-in approx_count_distinct remains
+    * the production shortcut; ApproxSpec bounds both against exact.) */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+    val hll = graft.ops.Sketches.hllApproxDistinct(
+      li, Seq("l_returnflag"), col("l_partkey"))
+    exact.join(hll, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        col("hll_est").as("hll_parts"), col("harmonic_e53"),
+        col("n_buckets"), col("n"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val approxDistinctSql: String = {
+    val alpha = graft.ops.Sketches.HllAlphaScaledE53.toString
+    s"""WITH h AS (
+       |  SELECT l_returnflag AS g, l_partkey,
+       |    CAST('0x'||substring(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT) AS h60
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT g, h60 // 4503599627370496 AS bucket, h60 % 4503599627370496 AS v
+       |  FROM h),
+       |r AS (
+       |  SELECT g, bucket,
+       |    MAX(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS reg
+       |  FROM b GROUP BY g, bucket),
+       |s AS (
+       |  SELECT g, CAST(sum(1::BIGINT << (53 - reg)) AS BIGINT) AS s_present,
+       |    CAST(count(*) AS BIGINT) AS n_buckets
+       |  FROM r GROUP BY g),
+       |e AS (
+       |  SELECT g, s_present + (256 - n_buckets) * 9007199254740992 AS harmonic_e53,
+       |    n_buckets
+       |  FROM s),
+       |x AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM lineitem GROUP BY 1)
+       |SELECT g AS l_returnflag, exact_parts,
+       |  round(CAST($alpha AS DOUBLE) / CAST(harmonic_e53 AS DOUBLE), 1) AS hll_parts,
+       |  harmonic_e53, n_buckets, n
+       |FROM x JOIN e USING (g) ORDER BY l_returnflag""".stripMargin
+  }
 
   /** Q43 — PIVOT: order counts per priority pivoted by status. The pivot
     * values are DECLARED (`Seq("F","O","P")`), not discovered — at 100 TB
@@ -243,7 +283,7 @@ object Relational {
     QueryDef("q11b_top_customer_per_nation", topCustomerPerNation, Some(topCustomerPerNationSql)),
     QueryDef("q23_rollup", revenueRollup, Some(revenueRollupSql)),
     QueryDef("q24_running_totals", runningTotals, Some(runningTotalsSql)),
-    QueryDef("q25_approx_distinct", approxDistinct, None),
+    QueryDef("q25_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("q43_status_pivot", statusPivot, Some(statusPivotSql)),
     QueryDef("q44_revenue_cube", revenueCube, Some(revenueCubeSql)))
 }

@@ -1,11 +1,29 @@
 package graft
 
-/** HLL sketch accuracy: approx_count_distinct at rsd=0.01 must land
-  * within a few percent of the exact distinct count. */
+import org.apache.spark.sql.functions._
+
+/** Cardinality-sketch accuracy: both the built-in HLL++ and the portable
+  * md5-register HLL (ops.Sketches) must land near the exact count. */
 class ApproxSpec extends SparkSpec {
 
-  test("approx_count_distinct within 5% of exact") {
+  test("portable HLL within 15% of exact (m=256 → se ≈ 6.5%)") {
     val rows = graft.queries.Relational.approxDistinct(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val hll = r.getDouble(2)
+      assert(exact > 2.5 * 256, s"exact $exact below raw-HLL regime — q25 input shrank")
+      assert(math.abs(hll - exact) / exact < 0.15,
+        s"${r.getString(0)}: hll $hll vs exact $exact")
+    }
+  }
+
+  test("built-in approx_count_distinct within 5% of exact") {
+    val rows = graft.sources.Tables.lineitem(spark, sf("sf0.01"))
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getLong(1).toDouble
@@ -13,5 +31,23 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(approx - exact) / exact < 0.05,
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
+  }
+
+  test("portable HLL registers merge by max: union sketch == sketch of union") {
+    import spark.implicits._
+    val a = (1 to 3000).map(i => ("g", s"v$i")).toDF("g", "x")
+    val b = (2000 to 5000).map(i => ("g", s"v$i")).toDF("g", "x")
+    val direct = graft.ops.Sketches.hllRegisters(a.union(b), Seq("g"), col("x"))
+      .select("g", "bucket", "reg")
+    val merged = graft.ops.Sketches
+      .hllRegisters(a, Seq("g"), col("x"))
+      .union(graft.ops.Sketches.hllRegisters(b, Seq("g"), col("x")))
+      .groupBy(col("g"), col("bucket")).agg(max(col("reg")).as("reg"))
+      .select("g", "bucket", "reg")
+    assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty,
+      "register sets must be identical")
+    val est = graft.ops.Sketches.hllEstimate(merged, Seq("g"))
+      .select(col("hll_est")).head().getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.15, s"merged estimate $est vs 5000")
   }
 }
