@@ -173,6 +173,33 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
+  /** Cosine over two ALREADY-quantized long vectors (IVF sum-centroids,
+    * pre-quantized indexes): exact integer dot and norms, one double
+    * division — the long-array sibling of QuantizedCosine (which quantizes
+    * float inputs itself). Zero-norm inputs yield NaN, which both Spark
+    * and DuckDB order as the LARGEST double — consistent tiebreak either
+    * way. */
+  case class LongCosine(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val va = a.asInstanceOf[ArrayData]
+      val vb = b.asInstanceOf[ArrayData]
+      val n = math.min(va.numElements(), vb.numElements())
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0
+      while (i < n) {
+        val x = va.getLong(i)
+        val y = vb.getLong(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): LongCosine =
+      copy(left = l, right = r)
+  }
+
   /** Cosine similarity of two float arrays in one primitive pass —
     * replaces the triple interpreted `aggregate(zip_with(...))` in
     * verification-heavy paths. */
@@ -492,6 +519,9 @@ object NativeExpressions {
 
   def quantizedCosine(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def longCosine(a: Column, b: Column): Column =
+    ColumnBridge.column(LongCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Hash-aggregable `max_by(value, struct(ords...))` — see ArgMaxByOrd. */
   def argMaxBy(value: Column, ords: Column*): Column =

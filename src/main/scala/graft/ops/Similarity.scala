@@ -203,4 +203,76 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
+
+  // --------------------------------------- integer-exact IVF (oracle path)
+
+  /** The float `ivfCentroids` means are FP-summation-order-dependent, so
+    * that index can only ever be recall-checked. This variant is built so
+    * an independent engine replays the WHOLE index bit-for-bit: vectors
+    * quantized to floor(x·1000) longs, seeds picked by the portable md5
+    * hash of the id, and centroids kept as per-cell component SUMS —
+    * cosine is scale-invariant, so argmax-cosine against a sum-centroid is
+    * IDENTICAL to against the mean, and integer sums are engine-exact
+    * where FP means are not. Assignment stays the zero-shuffle broadcast
+    * argmax (highest cosine, ties to lowest cell).
+    *
+    * Overflow bound: |component| ≤ 1000·n_cell, so the centroid norm needs
+    * dim·(1000·n_cell)² < 2^63 — n_cell up to ~10^7 at dim 64. Beyond
+    * that, right-shift the sums once per 2× growth (cosine-invariant).
+    * Returns (cell, cv: array<long>). */
+  def ivfExactCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 1): DataFrame = {
+    val qvecs = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+    var cents = qvecs
+      .orderBy(graft.functions.TextFunctions.portableHash60(col("id").cast("string")),
+        col("id"))
+      .limit(k)
+      .select(col("id").as("cell"), col("qv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val sums = ivfExactAssign(qvecs, cents)
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("sc"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("sc")))).as("ps"))
+        .select(col("cell"), transform(col("ps"), p => p.getField("sc")).as("sv"))
+      // empty cells keep their seed/previous centroid
+      cents = cents.join(sums, Seq("cell"), "left_outer")
+        .select(col("cell"), coalesce(col("sv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Zero-shuffle exact assignment: centroids collapse to one broadcast
+    * array row; per-row argmax over struct(sim, -cell) — engine-exact
+    * integer dot/norms (NativeExpressions.LongCosine), deterministic
+    * lowest-cell tiebreak. Returns (id, qv, cell). */
+  def ivfExactAssign(qvecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = broadcast(
+      centroids.agg(collect_list(struct(col("cell"), col("cv"))).as("cents")))
+    qvecs.crossJoin(centArr)
+      .withColumn("best", array_max(transform(col("cents"), c => struct(
+        graft.functions.NativeExpressions.longCosine(col("qv"), c.getField("cv")).as("sim"),
+        (-c.getField("cell")).as("negcell")))))
+      .select(col("id"), col("qv"), (-col("best.negcell")).as("cell"))
+  }
+
+  /** Integer-exact IVF probe: same partition-pruning shape as `ivfTopK`
+    * but every number on the way to the ranking is engine-reproducible.
+    * `query` is a 1-row frame with a QUANTIZED vector column `q`. */
+  def ivfExactTopK(index: DataFrame, centroids: DataFrame,
+      query: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val probed = centroids.crossJoin(broadcast(query))
+      .withColumn("sim", graft.functions.NativeExpressions.longCosine(col("cv"), col("q")))
+      .orderBy(col("sim").desc, col("cell").asc)
+      .limit(nProbe)
+      .select(col("cell"))
+    index.join(broadcast(probed), Seq("cell"))
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", graft.functions.NativeExpressions.longCosine(col("qv"), col("q")))
+      .select(col("id"), col("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
 }

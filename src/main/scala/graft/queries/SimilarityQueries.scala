@@ -109,19 +109,76 @@ object SimilarityQueries {
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** IVF-flat approximate top-k: 16-cell Lloyd-refined index, 6-cell probe
-    * for the vec_id=0 query — the partition-pruning ANN scale path (index
-    * stored partitioned by cell ⇒ scan touches nProbe/cells of the corpus).
-    * Centroid means are FP-order-dependent → rows-only check; recall
-    * asserted in DedupSimilaritySpec. */
+  /** IVF-flat approximate top-k, INTEGER-EXACT build (Similarity.ivfExact*):
+    * 8 md5-seeded cells, one Lloyd iteration with sum-centroids (cosine is
+    * scale-invariant ⇒ sum ≡ mean, and integer sums are engine-exact),
+    * 3-cell probe for the vec_id=0 query — the partition-pruning ANN scale
+    * path (index stored partitioned by cell ⇒ scan touches nProbe/cells of
+    * the corpus). The DuckDB oracle replays the ENTIRE index build —
+    * seeding, assignment, Lloyd update, probe, ranking — bit-for-bit.
+    * (The float ivfCentroids path stays for production use; its recall is
+    * asserted in DedupSimilaritySpec.) */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16, iters = 2)
-    val index = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
-    Similarity.ivfTopK(index.filter(col("id") =!= 0), cents,
-      q, k = 20, nProbe = 6)
+    val cents = Similarity.ivfExactCentroids(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val qvecs = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val index = Similarity.ivfExactAssign(qvecs, cents)
+    val q = qvecs.filter(col("id") === 0).select(col("qv").as("q"))
+    Similarity.ivfExactTopK(index.filter(col("id") =!= 0), cents, q, k = 20, nProbe = 3)
       .orderBy(col("cosine").desc, col("id").asc)
+  }
+
+  /** SQL replay of the integer-exact IVF: quantize → md5-ordered seeds →
+    * argmax-cosine assignment (ties to lowest cell) → per-cell component
+    * sums → re-assignment → probe top-3 cells → exact cosine ranking. */
+  val ivfTopKSql: String = {
+    def cos(a: String, b: String): String =
+      s"""CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT) AS DOUBLE) /
+         |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS BIGINT) AS DOUBLE)) *
+         |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])) AS BIGINT) AS DOUBLE)))""".stripMargin
+    s"""WITH c AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT id AS cell, qv AS cv FROM c
+       |  ORDER BY CAST('0x'||substring(md5(CAST(id AS VARCHAR)),1,15) AS BIGINT) ASC, id ASC
+       |  LIMIT 8),
+       |a1 AS (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |        ${cos("c.qv", "s.cv")} DESC, s.cell ASC) AS rn
+       |    FROM c CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |sums AS (
+       |  SELECT a1.cell, r.d, CAST(sum(c.qv[r.d + 1]) AS BIGINT) AS sc
+       |  FROM a1 JOIN c USING (id) CROSS JOIN range(0, 64) r(d)
+       |  GROUP BY a1.cell, r.d),
+       |cents1 AS (SELECT cell, list(sc ORDER BY d) AS sv FROM sums GROUP BY cell),
+       |cents AS (
+       |  SELECT s.cell, coalesce(c1.sv, s.cv) AS cv
+       |  FROM seeds s LEFT JOIN cents1 c1 USING (cell)),
+       |a2 AS (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |        ${cos("c.qv", "ct.cv")} DESC, ct.cell ASC) AS rn
+       |    FROM c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |q AS (SELECT qv FROM c WHERE id = 0),
+       |probe AS (
+       |  SELECT cell FROM (
+       |    SELECT ct.cell,
+       |      ROW_NUMBER() OVER (ORDER BY ${cos("ct.cv", "q.qv")} DESC, ct.cell ASC) AS rn
+       |    FROM cents ct CROSS JOIN q)
+       |  WHERE rn <= 3)
+       |SELECT id, ${cos("c.qv", "q.qv")} AS cosine
+       |FROM a2 JOIN probe USING (cell) JOIN c USING (id) CROSS JOIN q
+       |WHERE id <> 0
+       |ORDER BY cosine DESC, id ASC
+       |LIMIT 20""".stripMargin
   }
 
   /** Q40 — int8 scalar quantization of the embedding corpus
@@ -160,7 +217,7 @@ object SimilarityQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
     QueryDef("q15b_ann_lsh", annLshPairs, Some(annLshPairsSql)),
-    QueryDef("q15c_ann_ivf", ivfTopK, None),
+    QueryDef("q15c_ann_ivf", ivfTopK, Some(ivfTopKSql)),
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q40_sq8_compression", sq8Compression, Some(sq8CompressionSql)))
 }

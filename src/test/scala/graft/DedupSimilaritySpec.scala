@@ -77,6 +77,28 @@ class DedupSimilaritySpec extends SparkSpec {
       s"IVF(nProbe=6/16) should recall >=3 of true top-5; got ${got.intersect(top)} of $top")
   }
 
+  test("integer-exact IVF (sum-centroids) recalls most true top-5 neighbours") {
+    val emb = Tables.embeddings(spark, sf())
+    val cents = Similarity.ivfExactCentroids(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val qvecs = emb.select($"vec_id".as("id"), Similarity.quantize($"embedding").as("qv"))
+    val index = Similarity.ivfExactAssign(qvecs, cents)
+    val q = qvecs.filter($"id" === 0).select($"qv".as("q"))
+    val got = Similarity.ivfExactTopK(index.filter($"id" =!= 0), cents,
+      q, k = 5, nProbe = 3).select($"id").as[Long].collect().toSet
+    val qf = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val top = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(qf))
+      .select($"vec_id", Similarity.cosine($"embedding", $"q").as("c"))
+      .orderBy($"c".desc).limit(5).select($"vec_id").as[Long].collect().toSet
+    assert(got.intersect(top).size >= 3,
+      s"exact IVF(nProbe=3/8) should recall >=3 of true top-5; got ${got.intersect(top)} of $top")
+    // sum-centroid invariance: scaling a centroid must not change assignment
+    val scaled = cents.select($"cell", transform($"cv", x => x * 2).as("cv"))
+    val a = Similarity.ivfExactAssign(qvecs, cents).select($"id", $"cell")
+    val b = Similarity.ivfExactAssign(qvecs, scaled).select($"id", $"cell")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "cosine assignment must be centroid-scale-invariant")
+  }
+
   test("native MinHash kernel matches the SQL double-hash formulation exactly") {
     val k = 32
     val shingled = docs.limit(40)
