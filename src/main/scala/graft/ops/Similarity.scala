@@ -258,6 +258,54 @@ object Similarity {
       .select(col("id"), col("qv"), (-col("best.negcell")).as("cell"))
   }
 
+  // ------------------------------------------- product quantization (PQ)
+
+  /** Doc × subspace subvectors: split each quantized vector into `m`
+    * contiguous `dsub`-dim blocks. The explode is 1→m (tiny) and the
+    * slice is row-local. Returns (id, s, sv). */
+  def pqSubvectors(qvecs: DataFrame, m: Int, dsub: Int): DataFrame =
+    qvecs.select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("qv"))
+      .select(col("id"), col("s"),
+        slice(col("qv"), col("s") * dsub + 1, lit(dsub)).as("sv"))
+
+  /** PQ codebook: `ksub` entries per subspace, taken from the `ksub`
+    * corpus vectors with the smallest portable-md5 id hash (a
+    * deterministic pseudo-random sample; codes are their hash-order
+    * ranks). The sample is `orderBy(...).limit(ksub)` — a distributed
+    * TakeOrdered, NOT a global sort — and the row_number window then runs
+    * on ksub rows only. Returns (s, code, cv). Refinement to k-means
+    * codebooks follows the ivfExactCentroids sum-centroid pattern if
+    * recall demands it; seeds keep the whole index replayable with the
+    * simplest possible oracle. */
+  def pqCodebook(qvecs: DataFrame, m: Int, dsub: Int, ksub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = qvecs
+      .withColumn("h", graft.functions.TextFunctions.portableHash60(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(ksub)
+      .withColumn("code", row_number().over(Window.orderBy(col("h"), col("id"))) - 1)
+      .select(col("id"), col("code"))
+    pqSubvectors(qvecs, m, dsub).join(broadcast(seeds), Seq("id"))
+      .select(col("s"), col("code"), col("sv").as("cv"))
+  }
+
+  /** PQ encoding: per (doc, subspace), the codebook entry with minimal
+    * squared L2 distance (exact integer arithmetic; ties to the lowest
+    * code). The candidate join is broadcast (m·ksub rows) and the argmin
+    * is a hash aggregation (ArgMaxByOrd — no sort). min(d2) is the
+    * winner's distance by construction. Returns (id, s, code, d2). */
+  def pqEncode(qvecs: DataFrame, codebook: DataFrame, m: Int, dsub: Int): DataFrame =
+    pqSubvectors(qvecs, m, dsub)
+      .join(broadcast(codebook), Seq("s"))
+      .withColumn("d2", aggregate(
+        zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _))
+      .groupBy(col("id"), col("s"))
+      .agg(
+        graft.functions.NativeExpressions.argMaxBy(
+          col("code").cast("long"), -col("d2"), -col("code").cast("long")).as("code"),
+        min(col("d2")).as("d2"))
+
   /** Integer-exact IVF probe: same partition-pruning shape as `ivfTopK`
     * but every number on the way to the ranking is engine-reproducible.
     * `query` is a 1-row frame with a QUANTIZED vector column `q`. */

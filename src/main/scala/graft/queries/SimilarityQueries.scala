@@ -214,10 +214,81 @@ object SimilarityQueries {
       |  CAST(sum(code * (d + 1)) AS BIGINT) AS code_checksum
       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Q46 — product quantization (m=8 subspaces × 8 dims, 16 codes each):
+    * the 64-byte-vector → 8×4-bit-code compression that makes a 100 TB
+    * float corpus hold an in-RAM ANN index (16× smaller than even sq8).
+    * Emits the ENTIRE index per doc — codes packed into one BIGINT (4 bits
+    * per subspace), total squared reconstruction error, and the
+    * asymmetric-distance (ADC) score against the vec_id=0 query — all
+    * exact integers, so the oracle pins every code of every doc. */
+  def pqCompression(spark: SparkSession, dir: String): DataFrame = {
+    val qvecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("qv"))
+    val cb = Similarity.pqCodebook(qvecs, m = 8, dsub = 8, ksub = 16)
+    val enc = Similarity.pqEncode(qvecs, cb, m = 8, dsub = 8)
+    val packed = enc.groupBy(col("id"))
+      .agg(sum(col("code") * expr("shiftleft(CAST(1 AS BIGINT), 4 * s)")).as("code_packed"),
+        sum(col("d2")).as("sse"))
+    val qsub = Similarity.pqSubvectors(qvecs.filter(col("id") === 0), m = 8, dsub = 8)
+      .select(col("s"), col("sv").as("qsv"))
+    val dist = cb.join(broadcast(qsub), Seq("s"))
+      .withColumn("qd2", aggregate(
+        zip_with(col("cv"), col("qsv"), (x, y) => (x - y) * (x - y)), lit(0L), _ + _))
+      .select(col("s"), col("code").cast("long").as("code"), col("qd2"))
+    val adc = enc.join(broadcast(dist), Seq("s", "code"))
+      .groupBy(col("id")).agg(sum(col("qd2")).as("adc_d2"))
+    packed.join(adc, Seq("id")).orderBy(col("id"))
+  }
+
+  val pqCompressionSql: String =
+    """WITH c AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT id, s.s, list_slice(qv, s.s * 8 + 1, s.s * 8 + 8) AS sv
+      |  FROM c CROSS JOIN range(0, 8) s(s)),
+      |seeds AS (
+      |  SELECT id, rn - 1 AS code FROM (
+      |    SELECT id, ROW_NUMBER() OVER (ORDER BY
+      |      CAST('0x'||substring(md5(CAST(id AS VARCHAR)),1,15) AS BIGINT) ASC, id ASC) AS rn
+      |    FROM c)
+      |  WHERE rn <= 16),
+      |cb AS (SELECT sub.s, seeds.code, sub.sv AS cv FROM seeds JOIN sub USING (id)),
+      |d AS (
+      |  SELECT sub.id, sub.s, cb.code,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i]))) AS BIGINT) AS d2
+      |  FROM sub JOIN cb USING (s)),
+      |enc AS (
+      |  SELECT id, s, code, d2 FROM (
+      |    SELECT id, s, code, d2,
+      |      ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d2 ASC, code ASC) AS rn
+      |    FROM d)
+      |  WHERE rn = 1),
+      |packed AS (
+      |  SELECT id, CAST(sum(code * (1::BIGINT << (4 * s))) AS BIGINT) AS code_packed,
+      |    CAST(sum(d2) AS BIGINT) AS sse
+      |  FROM enc GROUP BY id),
+      |qs AS (SELECT s, sv AS qsv FROM sub WHERE id = 0),
+      |dist AS (
+      |  SELECT cb.s, cb.code,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (cb.cv[i] - qs.qsv[i]) * (cb.cv[i] - qs.qsv[i]))) AS BIGINT) AS qd2
+      |  FROM cb JOIN qs USING (s)),
+      |adc AS (
+      |  SELECT enc.id, CAST(sum(dist.qd2) AS BIGINT) AS adc_d2
+      |  FROM enc JOIN dist ON enc.s = dist.s AND enc.code = dist.code
+      |  GROUP BY enc.id)
+      |SELECT id, code_packed, sse, adc_d2
+      |FROM packed JOIN adc USING (id)
+      |ORDER BY id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
     QueryDef("q15b_ann_lsh", annLshPairs, Some(annLshPairsSql)),
     QueryDef("q15c_ann_ivf", ivfTopK, Some(ivfTopKSql)),
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
-    QueryDef("q40_sq8_compression", sq8Compression, Some(sq8CompressionSql)))
+    QueryDef("q40_sq8_compression", sq8Compression, Some(sq8CompressionSql)),
+    QueryDef("q46_pq_codes", pqCompression, Some(pqCompressionSql)))
 }

@@ -99,6 +99,28 @@ class DedupSimilaritySpec extends SparkSpec {
       "cosine assignment must be centroid-scale-invariant")
   }
 
+  test("PQ codes: 4-bit range, ADC(query doc) == its own SSE, distortion sane") {
+    val emb = Tables.embeddings(spark, sf())
+    val qvecs = emb.select($"vec_id".as("id"), Similarity.quantize($"embedding").as("qv"))
+    val cb = Similarity.pqCodebook(qvecs, m = 8, dsub = 8, ksub = 16)
+    assert(cb.count() == 8L * 16, "one entry per (subspace, code)")
+    val enc = Similarity.pqEncode(qvecs, cb, m = 8, dsub = 8)
+    val codes = enc.select($"code").as[Long].collect()
+    assert(codes.forall(c => c >= 0 && c < 16), "codes must fit 4 bits")
+    // every doc gets exactly m codes
+    val perDoc = enc.groupBy($"id").count().select($"count").distinct().as[Long].collect()
+    assert(perDoc.sameElements(Array(8L)), s"expected 8 codes per doc, got ${perDoc.toSeq}")
+    val q46 = graft.queries.SimilarityQueries.pqCompression(spark, sf())
+    val row0 = q46.filter($"id" === 0).head()
+    // ADC distance of the query against ITSELF is exactly its quantization
+    // distortion: same codes, same per-subspace distances
+    assert(row0.getLong(3) == row0.getLong(2),
+      s"adc(query,query) ${row0.getLong(3)} != sse ${row0.getLong(2)}")
+    // a seed doc reconstructs itself exactly through its own codebook entry
+    assert(q46.filter($"sse" === 0).count() >= 16,
+      "each codebook seed doc must have zero reconstruction error")
+  }
+
   test("native MinHash kernel matches the SQL double-hash formulation exactly") {
     val k = 32
     val shingled = docs.limit(40)
