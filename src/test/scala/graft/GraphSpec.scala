@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Integer fixed-point PageRank (ops.Graph). */
+class GraphSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("star graph: hub out-ranks leaves, leaves tie exactly") {
+    val e = Graph.undirected(edges((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    val r = Graph.pageRank(e, iters = 3).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r.size == 5)
+    val leaves = Seq(1L, 2L, 3L, 4L).map(r)
+    assert(leaves.distinct.size == 1, s"symmetric leaves must tie exactly: $r")
+    assert(r(0L) > leaves.head, s"hub must out-rank leaves: $r")
+  }
+
+  test("regular graph: ranks stay at the uniform fixed point (exact ties)") {
+    // 4-cycle: every node degree 2 — rank must stay identical everywhere
+    val e = Graph.undirected(edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    val ranks = Graph.pageRank(e, iters = 3).select(col("rank"))
+      .distinct().collect().map(_.getLong(0))
+    assert(ranks.length == 1, s"regular graph must have one rank value, got ${ranks.toSeq}")
+  }
+
+  test("rank mass is conserved up to floor loss") {
+    val e = Graph.undirected(edges((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (4L, 0L)))
+    val n = 5L
+    val total = Graph.pageRank(e, iters = 3).agg(sum(col("rank"))).head().getLong(0)
+    val exact = n * Graph.RankScale
+    // each iteration loses < 1 unit per (edge, node) to floor division
+    assert(total <= exact && total > exact - 1000L,
+      s"mass $total vs exact $exact — integer PageRank only loses floor dust")
+  }
+
+  test("degreeStats summarizes the undirected degree distribution") {
+    val st = Graph.degreeStats(Graph.undirected(edges((0L, 1L), (0L, 2L), (0L, 3L))))
+      .head()
+    assert(st.getLong(0) == 4 && st.getLong(1) == 6 &&
+      st.getLong(2) == 3 && st.getLong(3) == 1, s"got $st")
+  }
+}
