@@ -106,4 +106,38 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("PushedFilters: [") && p.contains("vec_id"),
       p.split("\n").filter(_.contains("PushedFilters")).mkString("\n"))
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter is ON in GraftSession but gated by size
+    // thresholds sized for clusters (application side >= 10GB) — exactly
+    // right at 100 TB, never firing at test scale. Drop the thresholds to
+    // prove the path works end-to-end: with broadcast off (forcing the
+    // shuffle-join shape a 100 TB join takes), a selective filter on
+    // orders must inject a bloom-filter semi-filter into the lineitem
+    // scan side, pruning shuffle input by ~98% before the exchange.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      spark.catalog.clearCache()
+      val ord = graft.sources.Tables.orders(spark, sf())
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = graft.sources.Tables.lineitem(spark, sf())
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter") || p.contains("might_contain"),
+        s"expected an injected bloom runtime filter in:\n${p.take(2000)}")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
