@@ -83,4 +83,44 @@ object Sketches {
     * partials) regardless of input size. */
   def hllApproxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame =
     hllEstimate(hllRegisters(df, groupCols, valueCol), groupCols)
+
+  // --------------------------------------------------- Count-Min sketch
+
+  /** Count-Min layout: depth 4 independent hash rows × width 1024
+    * buckets = 4096 counters, whatever the input size. Error bound:
+    * overestimate ≤ 2e/w · N with probability 1 − e^−d. */
+  val CmDepth = 4
+  val CmWidth = 1024
+
+  /** Row-i bucket of a value — md5-derived with the row index salted into
+    * the hashed string, so the d rows are independent AND any engine
+    * recomputes them identically. */
+  def cmBucket(row: Int, valueCol: Column): Column =
+    pmod(graft.functions.TextFunctions.portableHash60(
+      concat(lit(row.toString), lit(":"), valueCol.cast("string"))), lit(CmWidth.toLong))
+
+  /** Build the sketch: one narrow 1→d explode, one groupBy over at most
+    * d·w cells — the shuffle carries ≤ 4096 rows after map-side partial
+    * counts regardless of input size. Sketches merge by cellwise SUM
+    * (associative + commutative), which is what makes this the 100 TB
+    * frequency primitive: per-partition sketches combine on 1000
+    * executors with a fixed-size exchange. Returns (row, bucket, cnt). */
+  def cmSketch(df: DataFrame, valueCol: Column): DataFrame =
+    df.select(explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("row"), cmBucket(i, valueCol).as("bucket"))): _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the frequency of each probe value: min over the d
+    * rows' cells (classic CM — always ≥ the true count). The sketch side
+    * is ≤ d·w rows → broadcast; probes are never shuffled. Input `probes`
+    * must carry the probed value in column `v`; emits (v, cm_est). */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame): DataFrame =
+    probes
+      .select(col("v"), explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("row"), cmBucket(i, col("v")).as("bucket"))): _*)).as("c"))
+      .select(col("v"), col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("v"))
+      .agg(min(col("cnt")).as("cm_est"))
 }

@@ -228,6 +228,45 @@ object Relational {
        |FROM x JOIN e USING (g) ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Q48 — Count-Min heavy hitters: the top-10 most-ordered parts with
+    * their exact counts AND the Count-Min sketch estimate of each (always
+    * ≥ exact; here the 4×1024-cell sketch absorbs ~6·10^4 increments, so
+    * collisions are visible and honest). Like the HLL, the sketch is
+    * md5-derived and integer-exact, so DuckDB rebuilds all 4096 counters
+    * bit-for-bit — the frequency-estimation primitive is
+    * correctness-gated, not just error-bounded. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir).select(col("l_partkey").as("v"))
+    val sketch = graft.ops.Sketches.cmSketch(items, col("v"))
+    val top = items.groupBy(col("v")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("v").asc)
+      .limit(10)
+    graft.ops.Sketches.cmEstimate(sketch, top.select(col("v")))
+      .join(top, Seq("v"))
+      .select(col("v").as("l_partkey"), col("true_cnt"), col("cm_est"))
+      .orderBy(col("true_cnt").desc, col("l_partkey").asc)
+  }
+
+  val heavyHittersSql: String =
+    """WITH items AS (SELECT l_partkey AS v FROM lineitem),
+      |cells AS (
+      |  SELECT r.r AS row,
+      |    CAST('0x'||substring(md5(CAST(r.r AS VARCHAR)||':'||CAST(v AS VARCHAR)),1,15) AS BIGINT) % 1024 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM items CROSS JOIN range(0, 4) r(r)
+      |  GROUP BY 1, 2),
+      |top AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS true_cnt FROM items
+      |  GROUP BY v ORDER BY true_cnt DESC, v ASC LIMIT 10),
+      |probes AS (
+      |  SELECT top.v, top.true_cnt, r.r AS row,
+      |    CAST('0x'||substring(md5(CAST(r.r AS VARCHAR)||':'||CAST(top.v AS VARCHAR)),1,15) AS BIGINT) % 1024 AS bucket
+      |  FROM top CROSS JOIN range(0, 4) r(r))
+      |SELECT p.v AS l_partkey, p.true_cnt, CAST(min(c.cnt) AS BIGINT) AS cm_est
+      |FROM probes p JOIN cells c USING (row, bucket)
+      |GROUP BY p.v, p.true_cnt
+      |ORDER BY true_cnt DESC, l_partkey ASC""".stripMargin
+
   /** Q43 — PIVOT: order counts per priority pivoted by status. The pivot
     * values are DECLARED (`Seq("F","O","P")`), not discovered — at 100 TB
     * an undeclared pivot first runs a distinct scan over the pivot column
@@ -285,5 +324,6 @@ object Relational {
     QueryDef("q24_running_totals", runningTotals, Some(runningTotalsSql)),
     QueryDef("q25_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("q43_status_pivot", statusPivot, Some(statusPivotSql)),
-    QueryDef("q44_revenue_cube", revenueCube, Some(revenueCubeSql)))
+    QueryDef("q44_revenue_cube", revenueCube, Some(revenueCubeSql)),
+    QueryDef("q48_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
 }

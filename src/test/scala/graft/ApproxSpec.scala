@@ -33,6 +33,32 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("count-min: estimates dominate true counts and stay within bound") {
+    val rows = graft.queries.Relational.heavyHitters(spark, sf("sf0.01")).collect()
+    assert(rows.length == 10)
+    val n = graft.sources.Tables.lineitem(spark, sf("sf0.01")).count()
+    rows.foreach { r =>
+      val (truth, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= truth, s"CM must never underestimate: $r")
+      // standard bound: overestimate <= 2e/w * N (w = 1024) — loose but real
+      assert(est - truth <= 2 * math.E / 1024 * n + 1, s"overestimate too large: $r (n=$n)")
+    }
+  }
+
+  test("count-min sketches merge by cellwise sum: union == merged") {
+    import spark.implicits._
+    val a = (1 to 2000).map(i => s"k${i % 50}").toDF("x")
+    val b = (1 to 1000).map(i => s"k${i % 20}").toDF("x")
+    val direct = graft.ops.Sketches.cmSketch(a.union(b), col("x"))
+      .select("row", "bucket", "cnt")
+    val merged = graft.ops.Sketches.cmSketch(a, col("x"))
+      .union(graft.ops.Sketches.cmSketch(b, col("x")))
+      .groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .select("row", "bucket", "cnt")
+    assert(direct.exceptAll(merged).isEmpty && merged.exceptAll(direct).isEmpty,
+      "cell sets must be identical")
+  }
+
   test("portable HLL registers merge by max: union sketch == sketch of union") {
     import spark.implicits._
     val a = (1 to 3000).map(i => ("g", s"v$i")).toDF("g", "x")
