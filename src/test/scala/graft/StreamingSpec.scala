@@ -43,6 +43,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL: register maxes aggregate across micro-batches") {
+    // the portable HLL's merge operator is per-bucket MAX — a standard
+    // streaming aggregation, so the cardinality sketch runs natively under
+    // Structured Streaming with bounded state (≤ m rows per group),
+    // the per-executor telemetry shape a 100 TB ingest needs
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(String, String)]
+    val regs = graft.ops.Sketches.hllRegisters(
+      input.toDS().toDF("g", "x"), Seq("g"), col("x"))
+    val q = regs.writeStream.format("memory").queryName("hll_regs_test")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 3000).map(i => ("g", s"v$i")))
+      q.processAllAvailable()
+      input.addData((2000 to 5000).map(i => ("g", s"v$i")))
+      q.processAllAvailable()
+      val est = graft.ops.Sketches.hllEstimate(
+        spark.table("hll_regs_test"), Seq("g"))
+        .select(col("hll_est")).head().getDouble(0)
+      assert(math.abs(est - 5000.0) / 5000.0 < 0.15,
+        s"streaming estimate $est vs 5000 distinct")
+      // must agree EXACTLY with the batch sketch over the same union
+      val batch = graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllRegisters(
+          ((1 to 3000) ++ (2000 to 5000)).map(i => ("g", s"v$i")).toDF("g", "x"),
+          Seq("g"), col("x")), Seq("g"))
+        .select(col("hll_est")).head().getDouble(0)
+      assert(est == batch, s"streaming $est != batch $batch")
+    } finally q.stop()
+  }
+
   test("replay: a second subscription re-materializes from the source") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DataRecordEvent]
