@@ -23,6 +23,11 @@ Test / runMain / fork := true
 // both show "parsed": null with the JSON visible but prefixed in the tail).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." epilogue so the
+// bench JSON is the LAST stdout line, whether the harness parses the last
+// line or scans for one.
+Global / showSuccess := false
+Global / showTiming := false
 Global / excludeLintKeys ++= Set(
   Compile / runMain / fork, Test / runMain / fork,
   run / outputStrategy, Compile / runMain / outputStrategy)
