@@ -74,17 +74,25 @@ object Similarity {
     // ~50× slower), then explode to (table, sig) rows.
     val signed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
-      .select(col("id"), col("v"),
+      .select(col("id"),
         posexplode(graft.functions.NativeExpressions.rademacherSigs(
           col("v"), tables, planes, dim)).as(Seq("t", "sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // degenerate-bucket guard (shared sort-free groupBy + anti-join form)
     val capped = Dedup.dropOversizedBuckets(signed, Seq("t", "sig"), maxBucket)
-    val l = capped.select(col("t"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = capped.select(col("t"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("t", "sig"))
+    // candidate pairs carry ONLY scalar ids: dropDuplicates over array
+    // payloads would plan as SortAggregate(first(v)) — a full sort of all
+    // candidate pairs with 2 vectors each. Dedup the id pairs hash-side,
+    // then fetch vectors back from the corpus (unique ids by contract).
+    val l = capped.select(col("t"), col("sig"), col("id").as("id_a"))
+    val r = capped.select(col("t"), col("sig"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
         col("v_a"), col("v_b")))
       .filter(col("cosine") >= cosineThreshold)

@@ -39,6 +39,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(500))
   }
 
+  test("LSH candidate dedup hash-aggregates (pairs must not drag vectors through a sort)") {
+    val p = plan("q15b_ann_lsh")
+    assert(!p.contains("SortAggregate"),
+      "dropDuplicates over array payloads planned as SortAggregate(first(v)) — " +
+        "dedup scalar id pairs first, then re-join vectors")
+  }
+
   test("near-dup candidate generation never plans a cross product") {
     for (q <- Seq("q12_minhash_neardup", "q13b_simhash_neardup", "q14_ngram_jaccard")) {
       val p = plan(q)
