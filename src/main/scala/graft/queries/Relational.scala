@@ -267,6 +267,27 @@ object Relational {
       |GROUP BY p.v, p.true_cnt
       |ORDER BY true_cnt DESC, l_partkey ASC""".stripMargin
 
+  /** Q49 — Z-order layout keys (ops.Layout): the Morton key that
+    * co-locates rows close in BOTH (l_partkey, l_suppkey) so min/max
+    * row-group stats prune scans filtered on EITHER dimension. The key is
+    * portable integer bit arithmetic — the oracle replays the interleave
+    * exactly. First 200 rows of the layout order. */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        graft.ops.Layout.zorder2(col("l_partkey"), col("l_suppkey"), bits = 20).as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .limit(200)
+
+  val zorderKeysSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(list_sum(list_transform(range(0, 20), i ->
+      |    (((l_partkey >> i) & 1) << (2 * i)) + (((l_suppkey >> i) & 1) << (2 * i + 1))
+      |  )) AS BIGINT) AS zkey
+      |FROM lineitem
+      |ORDER BY zkey, l_orderkey, l_linenumber
+      |LIMIT 200""".stripMargin
+
   /** Q43 — PIVOT: order counts per priority pivoted by status. The pivot
     * values are DECLARED (`Seq("F","O","P")`), not discovered — at 100 TB
     * an undeclared pivot first runs a distinct scan over the pivot column
@@ -325,5 +346,6 @@ object Relational {
     QueryDef("q25_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("q43_status_pivot", statusPivot, Some(statusPivotSql)),
     QueryDef("q44_revenue_cube", revenueCube, Some(revenueCubeSql)),
-    QueryDef("q48_heavy_hitters", heavyHitters, Some(heavyHittersSql)))
+    QueryDef("q48_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q49_zorder", zorderKeys, Some(zorderKeysSql)))
 }
