@@ -159,10 +159,40 @@ object EventsQueries {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q50 — SCD2 temporal snapshot: the event log rewritten as validity
+    * intervals (valid_from, valid_to) per user state change, the
+    * slowly-changing-dimension form an analytics warehouse keeps instead
+    * of (or next to) latest-state. One shuffle on the partition key; the
+    * open interval uses a −1 sentinel (NULLs in a BIGINT column degrade
+    * to float64 in pandas-based comparators) plus an explicit is_current
+    * flag. An as-of join against this table is then a plain BETWEEN
+    * lookup. */
+  def scd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(w), lit(-1L)))
+      .withColumn("is_current", when(col("valid_to") === -1L, 1).otherwise(0))
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("valid_to"), col("event_type"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  val scd2SnapshotSql: String =
+    """SELECT user_id, event_id, epoch_ns(ts) AS valid_from,
+      |  CAST(coalesce(LEAD(epoch_ns(ts)) OVER w, -1) AS BIGINT) AS valid_to,
+      |  event_type,
+      |  CAST(CASE WHEN LEAD(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_latest_state", latestState, Some(latestStateSql)),
     QueryDef("q5_interval_join", intervalJoin, Some(intervalJoinSql)),
     QueryDef("q6_session_windows", sessionWindows, Some(sessionWindowsSql)),
     QueryDef("q27_asof_join", asofJoin, Some(asofJoinSql)),
-    QueryDef("q28_percentiles", percentiles, Some(percentilesSql)))
+    QueryDef("q28_percentiles", percentiles, Some(percentilesSql)),
+    QueryDef("q50_scd2", scd2Snapshot, Some(scd2SnapshotSql)))
 }

@@ -288,6 +288,63 @@ object Relational {
       |ORDER BY zkey, l_orderkey, l_linenumber
       |LIMIT 200""".stripMargin
 
+  /** Q51 — table profiling: the pre-flight scan a 100 TB ingest runs
+    * before processing — per-column row/null counts, lexicographic
+    * min/max, exact distinct AND the portable-HLL estimate, in ONE pass
+    * over a tall (col_name, value) projection (profiling n columns costs
+    * one scan, not n). The HLL estimate sits next to the exact count on
+    * purpose: low-cardinality columns (o_orderstatus: 3 values) are far
+    * below the raw-HLL regime (n ≳ 2.5·m) and the bias is visible —
+    * profiling reports what the sketch would say at scale, honestly. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+    val tall = cols.map(c =>
+        o.select(lit(c).as("col_name"), col(c).cast("string").as("v")))
+      .reduce(_ unionAll _)
+    val base = tall.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col("v")).as("distinct_exact"),
+      min(col("v")).as("min_s"),
+      max(col("v")).as("max_s"))
+    val hll = graft.ops.Sketches.hllApproxDistinct(
+      tall.filter(col("v").isNotNull), Seq("col_name"), col("v"))
+    base.join(hll.select(col("col_name"), col("hll_est").as("distinct_est")),
+        Seq("col_name"))
+      .orderBy(col("col_name"))
+  }
+
+  val profileTableSql: String = {
+    val alpha = graft.ops.Sketches.HllAlphaScaledE53.toString
+    s"""WITH tall AS (
+       |  SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS v FROM orders
+       |  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+       |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+       |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders),
+       |base AS (
+       |  SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |    CAST(count(DISTINCT v) AS BIGINT) AS distinct_exact,
+       |    min(v) AS min_s, max(v) AS max_s
+       |  FROM tall GROUP BY col_name),
+       |hh AS (
+       |  SELECT col_name AS g, CAST('0x'||substring(md5(v),1,15) AS BIGINT) AS h60
+       |  FROM tall WHERE v IS NOT NULL),
+       |b AS (SELECT g, h60 // 4503599627370496 AS bucket, h60 % 4503599627370496 AS vv FROM hh),
+       |r AS (SELECT g, bucket, MAX(CASE WHEN vv = 0 THEN 53 ELSE 53 - length(bin(vv)) END) AS reg
+       |      FROM b GROUP BY g, bucket),
+       |s AS (SELECT g, CAST(sum(1::BIGINT << (53 - reg)) AS BIGINT) AS sp,
+       |        CAST(count(*) AS BIGINT) AS nb FROM r GROUP BY g),
+       |e AS (SELECT g AS col_name,
+       |        round(CAST($alpha AS DOUBLE) /
+       |              CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE), 1) AS distinct_est
+       |      FROM s)
+       |SELECT base.col_name, n, n_null, distinct_exact, min_s, max_s, distinct_est
+       |FROM base JOIN e USING (col_name)
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** Q43 — PIVOT: order counts per priority pivoted by status. The pivot
     * values are DECLARED (`Seq("F","O","P")`), not discovered — at 100 TB
     * an undeclared pivot first runs a distinct scan over the pivot column
@@ -347,5 +404,6 @@ object Relational {
     QueryDef("q43_status_pivot", statusPivot, Some(statusPivotSql)),
     QueryDef("q44_revenue_cube", revenueCube, Some(revenueCubeSql)),
     QueryDef("q48_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
-    QueryDef("q49_zorder", zorderKeys, Some(zorderKeysSql)))
+    QueryDef("q49_zorder", zorderKeys, Some(zorderKeysSql)),
+    QueryDef("q51_profile", profileTable, Some(profileTableSql)))
 }
