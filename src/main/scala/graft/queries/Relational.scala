@@ -345,6 +345,32 @@ object Relational {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** Q52 — salted join (ops.Skew): per-supplier revenue computed through
+    * the hot-key-spreading join — each (suppkey, salt) pair lands on its
+    * own reducer, the mitigation for skew AQE can't reach (hash joins,
+    * pre-shuffle hot keys). The salt is derived from a row-unique column,
+    * so retried tasks repartition identically. The oracle is the PLAIN
+    * join: salting must be result-invariant, and this query gates that
+    * invariant on real data. */
+  def saltedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.ops.Skew.saltedJoin(li, sup, key = "l_suppkey", uniqueCol = "rid", buckets = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        dsumProd(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
+      .orderBy(col("s_name"))
+  }
+
+  val saltedRevenueSql: String =
+    """SELECT s_name, COUNT(*) AS n_items,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY s_name""".stripMargin
+
   /** Q43 — PIVOT: order counts per priority pivoted by status. The pivot
     * values are DECLARED (`Seq("F","O","P")`), not discovered — at 100 TB
     * an undeclared pivot first runs a distinct scan over the pivot column
@@ -405,5 +431,6 @@ object Relational {
     QueryDef("q44_revenue_cube", revenueCube, Some(revenueCubeSql)),
     QueryDef("q48_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q49_zorder", zorderKeys, Some(zorderKeysSql)),
-    QueryDef("q51_profile", profileTable, Some(profileTableSql)))
+    QueryDef("q51_profile", profileTable, Some(profileTableSql)),
+    QueryDef("q52_salted_join", saltedRevenue, Some(saltedRevenueSql)))
 }
