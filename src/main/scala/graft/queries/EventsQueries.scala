@@ -188,11 +188,55 @@ object EventsQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** Q53 — funnel analysis (view → click → purchase): users advance a
+    * step only with a LATER event of the next type than their earliest
+    * qualifying previous step (greedy matching — the standard funnel
+    * semantics). Each stage is one user-keyed aggregation joined back to
+    * the (already user-partitioned) event stream, so the three stages
+    * reuse one partitioning; timestamps are exact epoch-ns integers, as
+    * is the total view→purchase conversion time. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"), min(col("t1")).as("t1"))
+    s1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchase"),
+        sum(col("t3") - col("t1")).as("total_convert_ns")))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+      |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT ev.user_id, MIN(ev.ts) AS t2, MIN(s1.t1) AS t1
+      |  FROM ev JOIN s1 USING (user_id)
+      |  WHERE ev.event_type = 'click' AND ev.ts > s1.t1
+      |  GROUP BY ev.user_id),
+      |s3 AS (
+      |  SELECT ev.user_id, MIN(ev.ts) AS t3, MIN(s2.t1) AS t1
+      |  FROM ev JOIN s2 USING (user_id)
+      |  WHERE ev.event_type = 'purchase' AND ev.ts > s2.t2
+      |  GROUP BY ev.user_id)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
+      |  (SELECT CAST(sum(t3 - t1) AS BIGINT) FROM s3) AS total_convert_ns""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_latest_state", latestState, Some(latestStateSql)),
     QueryDef("q5_interval_join", intervalJoin, Some(intervalJoinSql)),
     QueryDef("q6_session_windows", sessionWindows, Some(sessionWindowsSql)),
     QueryDef("q27_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("q28_percentiles", percentiles, Some(percentilesSql)),
-    QueryDef("q50_scd2", scd2Snapshot, Some(scd2SnapshotSql)))
+    QueryDef("q50_scd2", scd2Snapshot, Some(scd2SnapshotSql)),
+    QueryDef("q53_funnel", funnel, Some(funnelSql)))
 }

@@ -75,6 +75,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Count-Min: cell sums aggregate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[String]
+    val cells = graft.ops.Sketches.cmSketch(input.toDS().toDF("x"), col("x"))
+    val q = cells.writeStream.format("memory").queryName("cm_cells_test")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 1500).map(i => s"k${i % 40}"))
+      q.processAllAvailable()
+      input.addData((1 to 900).map(i => s"k${i % 25}"))
+      q.processAllAvailable()
+      val streaming = spark.table("cm_cells_test").select("row", "bucket", "cnt")
+      val batch = graft.ops.Sketches.cmSketch(
+        ((1 to 1500).map(i => s"k${i % 40}") ++ (1 to 900).map(i => s"k${i % 25}"))
+          .toDF("x"), col("x")).select("row", "bucket", "cnt")
+      assert(streaming.exceptAll(batch).isEmpty && batch.exceptAll(streaming).isEmpty,
+        "streaming cells must equal the batch sketch of the union")
+    } finally q.stop()
+  }
+
   test("replay: a second subscription re-materializes from the source") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DataRecordEvent]
