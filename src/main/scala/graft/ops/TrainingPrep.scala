@@ -69,6 +69,35 @@ object TrainingPrep {
       .drop("mix_thresh")
   }
 
+  /** Deterministic exact-count stratified sampling: the k rows per
+    * stratum with the SMALLEST portable hash of the salted key — the
+    * reservoir-sampling result, reproducibly, with no RNG state. Growing
+    * k keeps previous members (prefix property), and membership is a
+    * pure function of the data — stable under resharding and re-runs.
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY stratum)`
+    * shuffles the WHOLE table into one partition per stratum — with few
+    * strata that is the textbook window skew-bomb. So phase 1 takes the
+    * per-(stratum, salt-bucket) top-k (parallelism = strata × buckets),
+    * shrinking the candidate set to ≤ buckets·k per stratum, and only
+    * phase 2 ranks within the stratum — on the tiny survivor set. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int, saltBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.portableHash60(
+      concat(col(keyCol).cast("string"), lit(":strat")))
+    val salted = df.withColumn("h", h)
+      .withColumn("salt", pmod(col("h"), lit(saltBuckets.toLong)))
+    val w1 = Window.partitionBy(col(strataCol), col("salt"))
+      .orderBy(col("h"), col(keyCol))
+    val w2 = Window.partitionBy(col(strataCol)).orderBy(col("h"), col(keyCol))
+    salted
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("sample_rank", row_number().over(w2))
+      .filter(col("sample_rank") <= k)
+      .drop("r1", "salt", "h")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `n`-gram with an evaluation/benchmark document — the standard
     * train/test-overlap hygiene pass before LLM training.

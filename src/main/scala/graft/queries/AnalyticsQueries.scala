@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Merge, Resample}
+
+/** Warehouse-maintenance + product-analytics surface (round 3): CDC
+  * merge, time-series gap-fill, cohort retention. These are the verbs a
+  * user of the reference's consolidated KTable reaches for next — the
+  * incremental snapshot the fold maintains (Merge), and the dense
+  * timeline / cohort views the event stream feeds (Resample, retention).
+  */
+object AnalyticsQueries {
+
+  private val DayNs = 86400L * 1000000000L
+  /** epoch day of 2024-01-01, the corpus' first event day */
+  private val Day0 = 19723L
+
+  /** Q54 — CDC merge (MERGE INTO semantics): apply a change set derived
+    * from `orders` to the `customer` snapshot — per-customer balance
+    * deltas as upserts, every 53rd key a delete, and a synthetic
+    * new-customer insert per 29th key (keys offset by 10M so they miss
+    * the base). One full-outer hash join; decimal-exact balance math
+    * (ops.Merge). */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("int"),
+        col("c_acctbal"))
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("delta"),
+        count(lit(1)).as("n_orders"))
+    val upd = perCust.select(
+      col("o_custkey").as("c_custkey"),
+      when(col("o_custkey") % 53 === 0, "D").otherwise("U").as("op"),
+      col("delta"), col("n_orders"))
+    val ins = perCust.filter(col("o_custkey") % 29 === 0).select(
+      (col("o_custkey") + 10000000L).as("c_custkey"),
+      lit("U").as("op"), col("delta"), col("n_orders"))
+    Merge.applyChangeSet(base, upd.unionAll(ins), "c_custkey", "op", Seq(
+      "c_name" -> coalesce(col("c_name"), lit("NEW")),
+      "c_nationkey" -> coalesce(col("c_nationkey"), lit(-1)),
+      "acctbal" -> when(col("op").isNull, col("c_acctbal"))
+        .otherwise(round((coalesce(col("c_acctbal").cast("decimal(18,4)"), lit(0))
+          + col("delta")).cast("double"), 4)),
+      "n_orders" -> coalesce(col("n_orders"), lit(0L))))
+      .orderBy(col("c_custkey"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH chg AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CASE WHEN o_custkey % 53 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS delta,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT o_custkey + 10000000 AS c_custkey, 'U' AS op,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS delta,
+      |    COUNT(*) AS n_orders
+      |  FROM orders WHERE o_custkey % 29 = 0 GROUP BY 1, 2)
+      |SELECT
+      |  coalesce(c.c_custkey, g.c_custkey) AS c_custkey,
+      |  coalesce(c.c_name, 'NEW') AS c_name,
+      |  CAST(coalesce(c.c_nationkey, -1) AS INTEGER) AS c_nationkey,
+      |  CASE WHEN g.op IS NULL THEN c.c_acctbal
+      |       ELSE round(CAST(coalesce(CAST(c.c_acctbal AS DECIMAL(18,4)), 0) + g.delta AS DOUBLE), 4)
+      |  END AS acctbal,
+      |  CAST(coalesce(g.n_orders, 0) AS BIGINT) AS n_orders,
+      |  CASE WHEN g.op IS NULL THEN 'kept'
+      |       WHEN c.c_custkey IS NOT NULL THEN 'updated'
+      |       ELSE 'inserted' END AS merge_action
+      |FROM customer c FULL OUTER JOIN chg g USING (c_custkey)
+      |WHERE g.op IS NULL OR g.op = 'U'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q55 — time-series gap-fill: daily per-user event counts + sums,
+    * densified onto the user's [first, last] day grid with the daily sum
+    * forward-filled across gap days (ops.Resample — sequence-explode
+    * densify, no calendar cross-join; one shuffle, windows reuse it). */
+  def gapFill(spark: SparkSession, dir: String): DataFrame =
+    Resample.gapFill(
+      Tables.events(spark, dir), "user_id", "ts", DayNs,
+      "value", c => dsum(c))
+      .select(col("user_id"), col("bucket").as("day"), col("n_events"),
+        col("filled_val").as("filled_sum"), col("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |    COUNT(*) AS n,
+      |    round(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS day_sum
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM span),
+      |j AS (
+      |  SELECT g.user_id, g.day, d.n, d.day_sum
+      |  FROM grid g LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, day,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+      |  last_value(day_sum IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+      |  CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+      |FROM j ORDER BY user_id, day""".stripMargin
+
+  /** Q56 — cohort retention: users grouped by first-active week, the
+    * classic (cohort, week) activity triangle with retention in exact
+    * integer basis points. Three aggregations, all on the user key —
+    * one partitioning end-to-end. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"(ts div $DayNs - $Day0) div 7").as("week"))
+      .distinct()
+    val cohorts = active.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week"), col("n_active"), col("n_cohort"),
+        expr("(n_active * 10000) div n_cohort").as("retention_bp"))
+      .orderBy(col("cohort_week"), col("week"))
+  }
+
+  val retentionSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_ns(ts) // 86400000000000 - 19723) // 7 AS week
+      |  FROM events),
+      |coh AS (SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id),
+      |sizes AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM coh GROUP BY cohort_week),
+      |ret AS (
+      |  SELECT c.cohort_week, a.week, COUNT(*) AS n_active
+      |  FROM active a JOIN coh c USING (user_id) GROUP BY 1, 2)
+      |SELECT r.cohort_week, r.week,
+      |  CAST(r.n_active AS BIGINT) AS n_active,
+      |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+      |  CAST((r.n_active * 10000) // s.n_cohort AS BIGINT) AS retention_bp
+      |FROM ret r JOIN sizes s USING (cohort_week)
+      |ORDER BY cohort_week, week""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),
+    QueryDef("q56_retention", retention, Some(retentionSql)))
+}

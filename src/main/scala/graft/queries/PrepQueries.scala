@@ -216,11 +216,39 @@ object PrepQueries {
        |WHERE hv < mix_thresh ORDER BY doc_id""".stripMargin
   }
 
+  /** Q59 — deterministic exact-count stratified sampling: exactly 25
+    * docs per language, the reservoir-sample result as a pure function
+    * of the data (smallest salted portable hashes win). Two-phase rank
+    * (TrainingPrep.stratifiedSample) so few-strata data can't funnel the
+    * whole table through one window partition; the oracle ranks in one
+    * window — same result, different (scale-safe) execution. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.stratifiedSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", k = 25)
+      .select(col("lang"), col("sample_rank").cast("long").as("sample_rank"),
+        col("doc_id"))
+      .orderBy(col("lang"), col("sample_rank"))
+
+  val stratifiedSampleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 15)) AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS sample_rank
+      |  FROM h)
+      |SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+      |FROM r WHERE sample_rank <= 25
+      |ORDER BY lang, sample_rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q35_dataset_split", datasetSplit, Some(datasetSplitSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
     QueryDef("q37_scrub", scrub, Some(scrubSql)),
     QueryDef("q38_curation", curation, Some(curationSql)),
     QueryDef("q41_decontamination", decontamination, Some(decontaminationSql)),
-    QueryDef("q42_mixture", mixture, Some(mixtureSql)))
+    QueryDef("q42_mixture", mixture, Some(mixtureSql)),
+    QueryDef("q59_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
 }

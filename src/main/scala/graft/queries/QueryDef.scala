@@ -23,7 +23,7 @@ object Registry {
     Relational.defs ++ EventsQueries.defs ++ DocumentQueries.defs ++
       FactsQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       TextQueries.defs ++ PipelineQueriesImpl.defs ++ ParticipantQueries.defs ++
-      PrepQueries.defs ++ GraphQueries.defs
+      PrepQueries.defs ++ GraphQueries.defs ++ AnalyticsQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

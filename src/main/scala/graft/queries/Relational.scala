@@ -419,6 +419,33 @@ object Relational {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Q57 — GROUPING SETS: the irregular grouping shape neither ROLLUP
+    * (q23) nor CUBE (q44) covers — ((flag, status), (status), ()) skips
+    * the (flag) marginal entirely. Same one-shuffle expand+partial-agg
+    * execution as CUBE; the '(all)' sentinel keeps the comparator away
+    * from NULL ordering. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy(col("flag"), col("status"))
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+      |  COALESCE(l_linestatus, '(all)') AS status,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY flag, status""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q7_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q7b_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -432,5 +459,6 @@ object Relational {
     QueryDef("q48_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q49_zorder", zorderKeys, Some(zorderKeysSql)),
     QueryDef("q51_profile", profileTable, Some(profileTableSql)),
-    QueryDef("q52_salted_join", saltedRevenue, Some(saltedRevenueSql)))
+    QueryDef("q52_salted_join", saltedRevenue, Some(saltedRevenueSql)),
+    QueryDef("q57_grouping_sets", groupingSets, Some(groupingSetsSql)))
 }

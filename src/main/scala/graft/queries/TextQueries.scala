@@ -190,11 +190,61 @@ object TextQueries {
        |ORDER BY score_e12 DESC, doc_id LIMIT $Bm25K""".stripMargin
   }
 
+  /** Q58 — corpus bigram language-model scoring (the KenLM-shaped
+    * fluency/quality signal a training pipeline gates on): build bigram
+    * frequencies over the WHOLE corpus, then score each document by the
+    * summed floor(log2(count)) of its bigrams — common word transitions
+    * score high, rare/garbled ones score 0. floor(log2) is computed as
+    * binary-digit count, so the score is integer-exact and both engines
+    * reproduce it bit-for-bit (an FP log2 could round differently at
+    * powers of two).
+    *
+    * Scale shape: the count table is corpus-sized (NOT broadcastable at
+    * 100 TB) so the score join is a shuffle hash join on the bigram key
+    * with map-side partial counts; per-doc re-aggregation keys on
+    * doc_id. Bigrams stay strings for oracle replay — production would
+    * hash them to 64-bit to shrink both exchanges at identical plan
+    * shape. The bigram table materializes once (two consumers). */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+        .as("bg"))
+      .persist()
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bg.join(counts, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("c"))) - 1).as("lm_score"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("lm_avg_micro", expr("(lm_score * 1000000) div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmSql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |  FROM base WHERE len(ws) >= 2),
+      |cnt AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(length(bin(c)) - 1) AS BIGINT) AS lm_score,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST((SUM(length(bin(c)) - 1) * 1000000) // COUNT(*) AS BIGINT) AS lm_avg_micro
+      |FROM bg JOIN cnt USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q17_quality_score", qualityQuery, Some(qualitySql)),
     QueryDef("q18_token_counts", tokenCounts, Some(tokenCountsSql)),
     QueryDef("q19_fingerprint", fingerprintQuery, Some(fingerprintSql)),
     QueryDef("q39_repetition", repetitionQuery, Some(repetitionSql)),
-    QueryDef("q45_bm25", bm25Query, Some(bm25Sql)))
+    QueryDef("q45_bm25", bm25Query, Some(bm25Sql)),
+    QueryDef("q58_bigram_lm", bigramLm, Some(bigramLmSql)))
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Merge, Resample, TrainingPrep}
+
+/** Round-3 operators: CDC merge, gap-fill resampling, stratified
+  * sampling, bigram-LM scoring. */
+class AnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("Merge.applyChangeSet: kept / updated / deleted / inserted row fates") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "U", 5.0),   // update
+      (3L, "D", 0.0),   // delete
+      (9L, "U", 7.0),   // insert
+      (8L, "D", 0.0))   // delete of absent key: no-op
+      .toDF("k", "op", "delta")
+    val out = Merge.applyChangeSet(base, changes, "k", "op", Seq(
+      "name" -> coalesce(col("name"), lit("NEW")),
+      "bal" -> when(col("op").isNull, col("bal"))
+        .otherwise(coalesce(col("bal"), lit(0.0)) + col("delta"))))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, "a", 10.0, "kept"),
+      (2L, "b", 25.0, "updated"),
+      (9L, "NEW", 7.0, "inserted")))
+  }
+
+  test("Resample.gapFill: densifies per-key grid and forward-fills") {
+    // key 1: buckets 10, 13 observed -> grid 10..13 with 11, 12 as gaps
+    val ev = Seq(
+      (1L, 10L * 100, 1.0), (1L, 10L * 100 + 50, 2.0), (1L, 13L * 100, 7.0),
+      (2L, 20L * 100, 9.0))
+      .toDF("k", "ts", "v")
+    val out = Resample.gapFill(ev, "k", "ts", bucketNs = 100L, "v", c => sum(c))
+      .orderBy("k", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 2L, 3.0, 0),
+      (1L, 11L, 0L, 3.0, 1),
+      (1L, 12L, 0L, 3.0, 1),
+      (1L, 13L, 1L, 7.0, 0),
+      (2L, 20L, 1L, 9.0, 0)))
+  }
+
+  test("stratifiedSample: exactly k per stratum, deterministic, prefix-nested") {
+    val docs = (1L to 400L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val k5 = TrainingPrep.stratifiedSample(docs, "s", "id", k = 5)
+      .select("s", "id", "sample_rank").collect()
+    assert(k5.count(_.getString(0) == "a") === 5)
+    assert(k5.count(_.getString(0) == "b") === 5)
+    // deterministic re-run
+    val again = TrainingPrep.stratifiedSample(docs, "s", "id", k = 5)
+      .select("s", "id", "sample_rank").collect()
+    assert(k5.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+    // growing k keeps previous members (reservoir prefix property)
+    val k10 = TrainingPrep.stratifiedSample(docs, "s", "id", k = 10)
+      .select("s", "id").collect().map(_.toSeq).toSet
+    assert(k5.map(r => Seq(r.get(0), r.get(1))).forall(k10.contains))
+    // two-phase result == single-window ground truth
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.TextFunctions.portableHash60(
+      concat(col("id").cast("string"), lit(":strat")))
+    val truth = docs.withColumn("h", h)
+      .withColumn("r", row_number().over(Window.partitionBy(col("s")).orderBy(col("h"), col("id"))))
+      .filter(col("r") <= 5).select("s", "id").collect().map(_.toSeq).toSet
+    assert(k5.map(r => Seq(r.get(0), r.get(1))).toSet === truth)
+  }
+
+  test("bigram LM scoring: common transitions outscore rare ones") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the cat sat"),
+      (4L, "zq xv"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bigram_docs")
+    // inline the query's core over a temp frame
+    val bg = docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+        .as("bg"))
+    val counts = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+    val scored = bg.join(counts, Seq("bg")).groupBy("doc_id")
+      .agg(sum(length(bin(col("c"))) - 1).as("lm"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("rare"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 'the cat' count=3 -> floor(log2 3)=1; 'cat sat' count=2 -> 1; doc1 lm=2
+    assert(scored(1L) === ((2L, 0L)))
+    // doc4: single bigram with count 1 -> lm 0, rare 1
+    assert(scored(4L) === ((0L, 1L)))
+  }
+}
