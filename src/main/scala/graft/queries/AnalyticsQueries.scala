@@ -145,8 +145,57 @@ object AnalyticsQueries {
       |FROM ret r JOIN sizes s USING (cohort_week)
       |ORDER BY cohort_week, week""".stripMargin
 
+  /** Q60 — robust outlier detection: per event type, values more than
+    * 3 median-absolute-deviations from the median. Medians (exact
+    * interpolated percentiles, the q28-proven parity path) instead of
+    * mean/stddev so a few extreme values can't mask themselves by
+    * inflating the threshold. Two aggregation passes; the per-type
+    * statistics re-join by broadcast (the type dimension is tiny at any
+    * corpus scale). */
+  def outliersMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val stats = dev.groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"),
+        expr("percentile(adev, 0.5D)").as("mad"),
+        count(lit(1)).as("n"))
+    dev.join(broadcast(stats.select(col("event_type"), col("mad"))), Seq("event_type"))
+      .filter(col("adev") > col("mad") * 3)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_outliers"))
+      .join(stats, Seq("event_type"), "right_outer")
+      .select(col("event_type"), col("n"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+        col("med"), col("mad"))
+      .orderBy(col("event_type"))
+  }
+
+  val outliersMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med, COUNT(*) AS n
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m USING (event_type)),
+      |stats AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type),
+      |outl AS (
+      |  SELECT d.event_type, COUNT(*) AS n_outliers
+      |  FROM dev d JOIN stats s USING (event_type)
+      |  WHERE d.adev > s.mad * 3 GROUP BY d.event_type)
+      |SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+      |  CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers,
+      |  m.med, s.mad
+      |FROM med m JOIN stats s USING (event_type)
+      |LEFT JOIN outl o USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),
-    QueryDef("q56_retention", retention, Some(retentionSql)))
+    QueryDef("q56_retention", retention, Some(retentionSql)),
+    QueryDef("q60_outliers_mad", outliersMad, Some(outliersMadSql)))
 }

@@ -446,6 +446,93 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
       |ORDER BY flag, status""".stripMargin
 
+  /** Q61 — decile analysis: ntile(10) over account balance within each
+    * market segment, then per-(segment, decile) stats — the
+    * distribution-profiling shape BI tools emit. The window partitions
+    * by segment; at warehouse scale a low-cardinality segment column
+    * makes this the classic window skew-bomb, so the production path for
+    * a GLOBAL decile is percentile cutpoints + assignment (see q28/q51);
+    * this query gates the ranking-window semantics themselves
+    * (bucket sizes differ by at most 1, remainder to low deciles —
+    * both engines implement standard NTILE). */
+  def deciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  val decilesSql: String =
+    """WITH d AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    NTILE(10) OVER (PARTITION BY c_mktsegment
+      |                    ORDER BY c_acctbal, c_custkey) AS decile
+      |  FROM customer)
+      |SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+      |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_bal
+      |FROM d GROUP BY c_mktsegment, decile
+      |ORDER BY c_mktsegment, decile""".stripMargin
+
+  /** Q62 — correlated scalar subqueries through the SQL front door:
+    * customers whose balance beats their nation's average. Written as
+    * correlated subqueries ON PURPOSE and run via `spark.sql` — Catalyst
+    * decorrelates them into aggregate+join (no per-row re-execution,
+    * which is what a naive engine — or the reference — would have to
+    * do). The avg comparison is cross-multiplied (bal·n > sum) so the
+    * whole predicate stays in exact decimal/integer arithmetic. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal
+        |FROM customer_v c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4))
+        |      * (SELECT COUNT(*) FROM customer_v c2
+        |         WHERE c2.c_nationkey = c.c_nationkey)
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer_v c3
+        |       WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val correlatedSubquerySql: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,4))
+      |      * (SELECT COUNT(*) FROM customer c2
+      |         WHERE c2.c_nationkey = c.c_nationkey)
+      |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer c3
+      |       WHERE c3.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q63 — relational set operations (set semantics, so each branch
+    * dedups map-side before one shuffle): customers ordering in both
+    * 'F' and 'O' status but never 'P' — (F ∩ O) − P. The reference has
+    * no set-op surface at all; Catalyst's INTERSECT/EXCEPT rewrite to
+    * semi/anti joins. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    keys("F").intersect(keys("O")).except(keys("P"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val setOpsSql: String =
+    """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q7_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q7b_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -460,5 +547,8 @@ object Relational {
     QueryDef("q49_zorder", zorderKeys, Some(zorderKeysSql)),
     QueryDef("q51_profile", profileTable, Some(profileTableSql)),
     QueryDef("q52_salted_join", saltedRevenue, Some(saltedRevenueSql)),
-    QueryDef("q57_grouping_sets", groupingSets, Some(groupingSetsSql)))
+    QueryDef("q57_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("q61_deciles", deciles, Some(decilesSql)),
+    QueryDef("q62_correlated_subquery", correlatedSubquery, Some(correlatedSubquerySql)),
+    QueryDef("q63_set_ops", setOps, Some(setOpsSql)))
 }
