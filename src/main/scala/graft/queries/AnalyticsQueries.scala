@@ -193,9 +193,64 @@ object AnalyticsQueries {
       |LEFT JOIN outl o USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** Q64 — semi-structured data: parse the JSON `props` payload into a
+    * typed column (`from_json` with an explicit schema — schema-on-read,
+    * pushdown-friendly, no per-row UDF) and aggregate it. The reference
+    * carries all enrichment as JSON-serialized maps on the wire; this is
+    * the query-side half of that contract. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+      |  CAST(COUNT(DISTINCT CAST(props->>'k' AS INTEGER)) AS BIGINT) AS n_distinct_k,
+      |  MIN(CAST(props->>'k' AS INTEGER)) AS min_k,
+      |  MAX(CAST(props->>'k' AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q66 — RANGE-frame rolling window: each event with its user's
+    * trailing-7-day event count and decimal-exact value sum. The frame
+    * is value-based (RANGE on the epoch-ns ordering column), the frame
+    * shape q24's ROWS windows don't cover; tied timestamps are peers and
+    * enter the frame together in both engines. One shuffle on the user
+    * key, then a single ordered pass per partition. */
+  def rollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekNs = 7L * DayNs
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-weekNs, 0)
+    Tables.events(spark, dir)
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d",
+        round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double"), 4))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_7d"), col("sum_7d"))
+      .orderBy(col("event_id"))
+  }
+
+  val rollingWindowSql: String =
+    """SELECT event_id, user_id, epoch_ns(ts) AS ts,
+      |  COUNT(*) OVER w AS n_7d,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+      |             RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),
     QueryDef("q56_retention", retention, Some(retentionSql)),
-    QueryDef("q60_outliers_mad", outliersMad, Some(outliersMadSql)))
+    QueryDef("q60_outliers_mad", outliersMad, Some(outliersMadSql)),
+    QueryDef("q64_json_extract", jsonExtract, Some(jsonExtractSql)),
+    QueryDef("q66_rolling_window", rollingWindow, Some(rollingWindowSql)))
 }

@@ -533,6 +533,86 @@ object Relational {
       |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
       |ORDER BY o_custkey""".stripMargin
 
+  /** Q65 — correlation + OLS regression per group, engine-reproducibly:
+    * the five moment sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in EXACT
+    * decimal (order-free, partial-aggregating — the built-in `corr`
+    * accumulates doubles whose order differs per engine/partitioning),
+    * and only the final closed-form expressions run in double — the same
+    * IEEE ops on the same inputs in both engines. One shuffle, partial
+    * aggregation map-side. */
+  def correlation(spark: SparkSession, dir: String): DataFrame = {
+    // integer-centified fixed point in DECIMAL(19,0): products then fit
+    // DECIMAL(38,0) exactly in BOTH engines (DuckDB's DECIMAL(18,4)
+    // multiply overflows its int64 path). The x100 scaling cancels in
+    // corr (scale-invariant) and in the slope (x and y scale equally).
+    val x = round(col("l_quantity") * 100, 0).cast("decimal(19,0)")
+    val y = round(col("l_extendedprice") * 100, 0).cast("decimal(19,0)")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6).as("corr_qty_price"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6).as("ols_slope"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val correlationSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS DECIMAL(19,0)) AS xc,
+      |    CAST(round(l_extendedprice * 100) AS DECIMAL(19,0)) AS yc
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(xc) AS sx, SUM(yc) AS sy, SUM(xc * yc) AS sxy,
+      |    SUM(xc * xc) AS sxx, SUM(yc * yc) AS syy
+      |  FROM c GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS corr_qty_price,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |    AS ols_slope
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Q67 — market-basket co-occurrence: the 20 part pairs most often
+    * ordered together. Baskets (orders) are small and bounded, so the
+    * self-join on the order key is linear in orders × basket², never
+    * all-pairs across the catalog — the same bucketed-candidate
+    * discipline as the near-dup family, with the order key as the
+    * natural bucket. Distinct parts per order first (a part twice in
+    * one order isn't two co-occurrences). */
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_together"))
+      .orderBy(col("n_together").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val copurchaseSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_together
+      |FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_together DESC, p1, p2 LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q7_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q7b_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -550,5 +630,7 @@ object Relational {
     QueryDef("q57_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q61_deciles", deciles, Some(decilesSql)),
     QueryDef("q62_correlated_subquery", correlatedSubquery, Some(correlatedSubquerySql)),
-    QueryDef("q63_set_ops", setOps, Some(setOpsSql)))
+    QueryDef("q63_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("q65_correlation", correlation, Some(correlationSql)),
+    QueryDef("q67_copurchase", copurchase, Some(copurchaseSql)))
 }
