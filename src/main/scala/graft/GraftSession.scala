@@ -69,6 +69,13 @@ object GraftSession {
     if (spark.conf.get("spark.sql.shuffle.partitions") == "200")
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(4, Runtime.getRuntime.availableProcessors).toString)
+    // Optimizer upgrade for plain `max_by`: rewrite to the hash-aggregable
+    // native argmax (see graft.plans.RewriteMaxBy). extraOptimizations is
+    // runtime-mutable, so vanilla sessions get it too; guard against
+    // double registration on repeated ensure calls.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteMaxBy))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteMaxBy
     spark
   }
 }

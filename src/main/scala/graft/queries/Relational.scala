@@ -613,6 +613,48 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY n_together DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** Q68 — the TPC-H Q3 shape through the SQL front door: a 3-table
+    * join with selective filters on BOTH dimension sides, submitted as
+    * one SQL string so the parser → analyzer → optimizer pipeline (join
+    * ordering, filter pushdown through joins, top-k as TakeOrdered) is
+    * what's under test — the reference has no SQL entry point at all.
+    * Revenue in exact decimal; epoch-ms order date for comparator-safe
+    * output. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_orderkey,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+        |  unix_millis(cast(o_orderdate as timestamp)) AS order_ms,
+        |  o_orderpriority
+        |FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+        |JOIN lineitem_v ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, order_ms, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |      * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+      |  epoch_ms(o_orderdate) AS order_ms,
+      |  o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, order_ms, l_orderkey
+      |LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q7_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q7b_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -632,5 +674,6 @@ object Relational {
     QueryDef("q62_correlated_subquery", correlatedSubquery, Some(correlatedSubquerySql)),
     QueryDef("q63_set_ops", setOps, Some(setOpsSql)),
     QueryDef("q65_correlation", correlation, Some(correlationSql)),
-    QueryDef("q67_copurchase", copurchase, Some(copurchaseSql)))
+    QueryDef("q67_copurchase", copurchase, Some(copurchaseSql)),
+    QueryDef("q68_shipping_priority", shippingPriority, Some(shippingPrioritySql)))
 }

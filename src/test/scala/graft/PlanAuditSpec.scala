@@ -114,6 +114,40 @@ class PlanAuditSpec extends SparkSpec {
       p.split("\n").filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("correlated subqueries decorrelate into aggregate+join (no per-row subplans)") {
+    val p = plan("q62_correlated_subquery")
+    // decorrelation leaves ordinary aggregates + joins; a surviving
+    // correlated subquery would plan per-row (or fail to plan at all)
+    assert(p.contains("HashAggregate") && p.contains("Join"), p.take(800))
+    assert(!p.contains("CartesianProduct"), "decorrelation degenerated to a cross product")
+  }
+
+  test("stratified sample ranks get the window-group-limit pushdown") {
+    val p = plan("q59_stratified_sample")
+    // rank <= k is pushed below the windows as WindowGroupLimit, so
+    // partitions carry at most k rows per (stratum, salt) into the sort
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("set ops rewrite to semi/anti joins, never a distinct-union cross") {
+    val p = plan("q63_set_ops")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("gap-fill densify stays on the key partitioning (agg + two windows, <= 2 shuffles)") {
+    val p = plan("q55_gap_fill")
+    // one shuffle for the (key, bucket) aggregate, one to re-key windows
+    // by user; the final presentation sort may add a range exchange
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 2, s"gap-fill shuffles $exchanges times:\n${p.take(1200)}")
+  }
+
+  test("merge change-set application is a single full-outer join") {
+    val p = plan("q54_merge_upsert")
+    assert(p.contains("FullOuter"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Spark's InjectRuntimeFilter is ON in GraftSession but gated by size
     // thresholds sized for clusters (application side >= 10GB) — exactly
