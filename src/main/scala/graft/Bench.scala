@@ -92,12 +92,17 @@ object Bench {
       System.err.println(f"[bench] done $name in ${runs.min}%.1fs (runs: ${runs.map(r => f"$r%.1f").mkString(", ")})")
       name -> runs.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query values rounded to ms: the driver captures only the TAIL of
+    // stdout (a few KB), and round 3's full-precision doubles pushed the
+    // line past the capture window — the front ("metric","value") was lost
+    // and the artifact recorded parsed:null. 3 decimals keeps ~90 queries
+    // comfortably inside the window; the total keeps full precision.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val (envJson, envHuman) = envDiag(spark)
     System.err.println(s"[bench] end $envHuman")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$envJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$envJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

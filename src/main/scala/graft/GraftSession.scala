@@ -73,7 +73,18 @@ object GraftSession {
     // native argmax (see graft.plans.RewriteMaxBy). extraOptimizations is
     // runtime-mutable, so vanilla sessions get it too; guard against
     // double registration on repeated ensure calls.
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteMaxBy))
+    //
+    // API NOTE (session-wide side effect): this mutates the optimizer of
+    // the WHOLE session, including queries a library user runs outside
+    // graft — semantics are preserved (same winners modulo max_by's
+    // documented tie nondeterminism; -0.0/0.0 orderings tie exactly like
+    // Spark SQL comparison, see ArgMaxByOrd.cmp), but a user who wants a
+    // pristine optimizer can set spark.graft.rewriteMaxBy=false before
+    // the first graft call.
+    val rewriteEnabled = spark.conf
+      .getOption("spark.graft.rewriteMaxBy").forall(_.toBoolean)
+    if (rewriteEnabled &&
+        !spark.experimental.extraOptimizations.contains(graft.plans.RewriteMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteMaxBy
     spark

@@ -394,7 +394,11 @@ object NativeExpressions {
 
     private def cmp(a: Any, b: Any): Int = (a, b) match {
       case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
-      case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        // Spark SQL comparison treats -0.0 == 0.0; Double.compare does not.
+        // Normalize so a -0.0/0.0 ordering stays a TIE (first winner kept),
+        // exactly like the built-in max_by this aggregate substitutes for.
+        java.lang.Double.compare(x.doubleValue() + 0.0d, y.doubleValue() + 0.0d)
       case (x: java.lang.Integer, y: java.lang.Integer) => java.lang.Integer.compare(x, y)
       case (x: org.apache.spark.unsafe.types.UTF8String,
             y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)

@@ -49,6 +49,8 @@ object Dedup {
     * (NativeExpressions.PortableMinHashSigs) instead; `minhashSignatures`
     * (explode + codegen'd hash-aggregate) remains for custom base-hash
     * families. */
+  @deprecated("interpreted per-row form (nested higher-order lambdas, no codegen); " +
+    "use NativeExpressions.portableMinHashSigs or minhashSignatures instead", "0.4")
   def minhashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       p => array_min(transform(shingles, s => xxhash64(s, p))))
@@ -99,10 +101,20 @@ object Dedup {
 
   /** Repartition before CPU-dense narrow work: partition count must match
     * cores, not input bytes — a 5 MB parquet file arrives as ONE partition
-    * and would serialize minutes of per-row compute onto one task. At
-    * cluster scale this is `repartition` to a multiple of total cores. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+    * and would serialize minutes of per-row compute onto one task.
+    *
+    * CONDITIONAL: a corpus-scale input already arrives in thousands of
+    * scan partitions, and an unconditional repartition would force a full
+    * shuffle of the raw text before shingling for nothing. Only inputs
+    * narrower than the core count are spread; everything else passes
+    * through exchange-free (PlanAuditSpec pins this). The partition probe
+    * reads the physical plan's partitioning, which for the scans/unions
+    * feeding the dedup family plans without touching data. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism * 2
+    if (df.rdd.getNumPartitions >= df.sparkSession.sparkContext.defaultParallelism) df
+    else df.repartition(target)
+  }
 
   /** Drop rows in oversized buckets (degenerate-key guard before a bucket
     * self-join). groupBy + broadcast anti-join, NOT count().over(Window):
@@ -214,19 +226,32 @@ object Dedup {
         transform(col("shingles"), s => hasher(s))).as("simhash"))
 
   /** Hamming-distance near-dup candidates from simhash values: band the
-    * 64 bits into equal chunks (pigeonhole: hamming ≤ chunks-1 ⇒ ≥1
-    * identical chunk), bucket-join, verify with bit_count(xor).
+    * 64 bits into equal chunks, bucket-join, verify with bit_count(xor).
+    * The pair set is EXACT (full recall) for the requested radius:
     *
-    * The chunk count is the smallest divisor of 64 above `maxHamming`, so
-    * the pair set is EXACT (full recall) for the requested radius — at the
-    * cost of narrower chunks ⇒ bigger buckets. maxHamming ≥ 16 would need
-    * sub-4-bit chunks (≤ 8 distinct values ⇒ near-quadratic bucket joins)
-    * and is refused: that radius is no longer "near"-duplicate detection. */
+    *   - maxHamming ≤ chunks-1: plain pigeonhole — some chunk is
+    *     IDENTICAL, so an equi-join on (chunk, chunk_val) finds the pair.
+    *   - maxHamming ≤ 2·chunks-1: 1-bit MULTI-PROBE — some chunk differs
+    *     in ≤ 1 bit (⌊h/chunks⌋ ≤ 1), so probing each chunk value plus
+    *     its `bits` one-bit flips against the exact chunk table finds the
+    *     pair. Chunks stay 16-bit wide (65 536 distinct values per
+    *     position), so bucket sizes survive corpus scale — the earlier
+    *     8-bit-chunk regime for hamming 4-7 had 256 values per position
+    *     and EVERY bucket blew past maxBucket at scale, silently
+    *     collapsing recall to zero. Probe cost: chunks·(bits+1) = 68 rows
+    *     per doc on the probe side; the exact side stays at 4 rows/doc.
+    *
+    * maxHamming > 7 is refused: it would need wider probes or sub-16-bit
+    * chunks (quadratic buckets at scale) — that radius is MinHash
+    * territory (minhashNearDupPairs), not simhash banding. */
   def simhashNearDupPairs(sims: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 5000): DataFrame = {
-    val chunks = Seq(2, 4, 8, 16).find(_ > maxHamming)
-      .getOrElse(throw new IllegalArgumentException(
-        s"maxHamming=$maxHamming needs sub-4-bit chunks; use MinHash instead"))
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming exceeds the 1-bit-probe banding radius (7); " +
+        "route coarser radii through minhashNearDupPairs")
+    val chunks = 4 // 16-bit chunks in both regimes: widest chunks (best
+    // bucket distribution) that still cover hamming ≤ 3 by pigeonhole and
+    // hamming ≤ 7 with 1-bit probes
     val bits = 64 / chunks
     val mask = (1L << bits) - 1
     // persist: the signature table feeds BOTH sides of the bucket join —
@@ -240,12 +265,38 @@ object Dedup {
     // degenerate-bucket guard (e.g. simhash 0 from empty docs at corpus
     // scale); breaks the exact-recall guarantee only for keys it drops
     val capped = dropOversizedBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
-    val l = capped.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_a"), col("simhash").as("sim_a"))
-    val r = capped.select(col("chunk"), col("chunk_val"),
-      col("id").as("id_b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
+    val paired =
+      if (maxHamming <= chunks - 1) {
+        // pigeonhole regime: symmetric equi-join on identical chunks
+        val l = capped.select(col("chunk"), col("chunk_val"),
+          col("id").as("id_a"), col("simhash").as("sim_a"))
+        val r = capped.select(col("chunk"), col("chunk_val"),
+          col("id").as("id_b"), col("simhash").as("sim_b"))
+        l.join(r, Seq("chunk", "chunk_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+      } else {
+        // multi-probe regime: every doc probes its chunk value AND its
+        // one-bit flips against the capped exact table. A pair within the
+        // radius has a chunk differing in ≤1 bit: equal ⇒ the un-flipped
+        // probe hits; 1 bit apart ⇒ the flipped probe hits. Probes run
+        // one-directional (A probes B's exact row and vice versa), so
+        // canonicalize and dedup after the join.
+        val probes = chunked.select(col("id").as("id_a"), col("simhash").as("sim_a"),
+          col("chunk"), explode(expr(
+            s"concat(array(chunk_val), transform(sequence(0, ${bits - 1}), " +
+              s"b -> chunk_val ^ shiftleft(1L, b)))")).as("chunk_val"))
+        val exact = capped.select(col("chunk"), col("chunk_val"),
+          col("id").as("id_b"), col("simhash").as("sim_b"))
+        probes.join(exact, Seq("chunk", "chunk_val"))
+          .filter(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"),
+            // sims travel with the canonical order for the verify step
+            when(col("id_a") < col("id_b"), col("sim_a")).otherwise(col("sim_b")).as("sim_a"),
+            when(col("id_a") < col("id_b"), col("sim_b")).otherwise(col("sim_a")).as("sim_b"))
+      }
+    paired
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)

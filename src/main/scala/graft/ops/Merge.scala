@@ -36,16 +36,15 @@ object Merge {
     */
   def applyChangeSet(base: DataFrame, changes: DataFrame, keyCol: String,
       opCol: String, merged: Seq[(String, Column)]): DataFrame = {
-    val baseKeyPresent = base.columns.filter(_ != keyCol).headOption match {
-      // presence probe: any non-key base column is null ⇔ no base row
-      // (assumes that column is non-null in base, true for our snapshots)
-      case Some(c) => col(c).isNotNull
-      case None    => lit(true)
-    }
+    // Side-presence comes from a sentinel tagged onto the base BEFORE the
+    // join — the join's own key-presence signal — never inferred from the
+    // null-ness of a data column (a legitimately-null column would
+    // misclassify the action, and a column name shared between base and
+    // changes would make the probe ambiguous at analysis).
     val action = when(col(opCol).isNull, "kept")
-      .when(baseKeyPresent, "updated")
+      .when(col("__base_present").isNotNull, "updated")
       .otherwise("inserted")
-    base
+    base.withColumn("__base_present", lit(true))
       .join(changes, Seq(keyCol), "full_outer")
       // deletes of absent keys are no-ops, so one filter handles both
       .filter(col(opCol).isNull || col(opCol) === "U")

@@ -35,14 +35,12 @@ object Resample {
       .withColumn("bucket", expr(s"$tsCol div $bucketNs"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n_events"), fillAgg(col(fillCol)).as("bucket_val"))
-    val dense = daily
-      .withColumn("d0", min(col("bucket")).over(Window.partitionBy(col(keyCol))))
-      .withColumn("d1", max(col("bucket")).over(Window.partitionBy(col(keyCol))))
     // Each existing row emits the gap buckets FOLLOWING it (strictly
     // before the key's next observed bucket) plus itself: pure row-local
     // generation, so the densify step is exchange-free on top of the
-    // aggregate's partitioning.
-    val withNext = dense.withColumn("next_b",
+    // aggregate's partitioning — the [first, last] grid falls out of the
+    // lead() chain, no per-key min/max needed.
+    val withNext = daily.withColumn("next_b",
       lead(col("bucket"), 1).over(Window.partitionBy(col(keyCol)).orderBy(col("bucket"))))
     val exploded = withNext
       .withColumn("gb", explode(expr("sequence(bucket, coalesce(next_b, bucket + 1) - 1)")))

@@ -72,8 +72,7 @@ object Similarity {
     // All tables' signatures come from one native kernel pass per vector
     // (tight primitive loops; the higher-order-lambda formulation was
     // ~50× slower), then explode to (table, sig) rows.
-    val signed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
+    val signed = Dedup.spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
       .select(col("id"),
         posexplode(graft.functions.NativeExpressions.rademacherSigs(
           col("v"), tables, planes, dim)).as(Seq("t", "sig")))

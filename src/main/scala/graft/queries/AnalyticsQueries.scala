@@ -111,7 +111,13 @@ object AnalyticsQueries {
     * integer basis points. Three aggregations, all on the user key —
     * one partitioning end-to-end. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
+    // ts >= Day0 is ENFORCED, not assumed: below the epoch the week index
+    // goes negative, where Spark's `div` (truncate toward zero) and the
+    // oracle's `//` (floor) disagree — the filter (mirrored in the SQL)
+    // makes the divergence impossible instead of merely absent in this
+    // corpus.
     val active = Tables.events(spark, dir)
+      .filter(col("ts") >= lit(Day0 * DayNs))
       .select(col("user_id"),
         expr(s"(ts div $DayNs - $Day0) div 7").as("week"))
       .distinct()
@@ -132,7 +138,7 @@ object AnalyticsQueries {
     """WITH active AS (
       |  SELECT DISTINCT user_id,
       |    (epoch_ns(ts) // 86400000000000 - 19723) // 7 AS week
-      |  FROM events),
+      |  FROM events WHERE epoch_ns(ts) >= 19723 * 86400000000000),
       |coh AS (SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id),
       |sizes AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM coh GROUP BY cohort_week),
       |ret AS (

@@ -39,9 +39,12 @@ object DedupQueries {
       .orderBy(col("id"))
 
   /** SimHash near-dup pairs (hamming ≤ 7 over planted near-dups) — in the
-    * EXACT-recall banding regime (8 chunks × 8 bits ⇒ every hamming ≤ 7
-    * pair shares a chunk; the earlier hamming ≤ 16 form silently missed
-    * pairs with no identical 16-bit chunk). */
+    * EXACT-recall 1-bit multi-probe regime (4 chunks × 16 bits: some chunk
+    * differs in ≤ 1 bit for any hamming ≤ 7 pair, so probing each chunk's
+    * one-bit flips against the exact chunk table finds every pair, with
+    * chunk values wide enough that buckets survive corpus scale — the
+    * earlier 8-bit-chunk form had 256 values per position and collapsed
+    * into the maxBucket cap at scale). */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
     val sims = Dedup.simhashTable(
       withPlantedNearDups(Tables.documents(spark, dir)), "doc_id", "text",
@@ -146,8 +149,9 @@ object DedupQueries {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
         |ORDER BY id_a, id_b""".stripMargin
-  // naive all-pairs oracle is valid because 8×8-bit banding is EXACT for
-  // hamming ≤ 7 (pigeonhole) and the maxBucket guard never fires at sf0.01
+  // naive all-pairs oracle is valid because 4×16-bit banding with 1-bit
+  // multi-probe is EXACT for hamming ≤ 7 (⌊7/4⌋ ≤ 1 differing bit in some
+  // chunk) and the maxBucket guard never fires at sf0.01
 
   val minhashNearDupsSql: String =
     s"""WITH corpus AS (

@@ -212,7 +212,13 @@ object TextQueries {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
         .as("bg"))
-      .persist()
+      // localCheckpoint, not persist(): both materialize the exploded
+      // bigram frame once for its two consumers, but a persist held here
+      // is never unpersisted (the caller owns the action) and would leak a
+      // corpus-sized MEMORY_AND_DISK cache per invocation for the session
+      // lifetime; checkpoint blocks are released by the ContextCleaner as
+      // soon as the result frame is garbage-collected.
+      .localCheckpoint(true)
     val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
     bg.join(counts, Seq("bg"))
       .groupBy(col("doc_id"))

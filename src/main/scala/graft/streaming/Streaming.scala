@@ -222,7 +222,11 @@ object Streaming {
     * (kept arrivals, ordered pairs). */
   private def collidePairs(seen: Seq[Long], arrivals: Seq[Long],
       maxBucket: Int): (Seq[Long], Seq[(Long, Long)]) = {
-    val fresh = arrivals.distinct.filterNot(seen.contains)
+    // Set membership, not Seq.contains: a near-full bucket (maxBucket ids)
+    // meeting a large batch would otherwise pay O(|state|·|batch|)
+    // linear scans per trigger
+    val seenSet = seen.toSet
+    val fresh = arrivals.distinct.filterNot(seenSet)
     val kept = fresh.take(math.max(maxBucket - seen.size, 0))
     val vsSeen = for (n <- kept; s <- seen)
       yield (math.min(n, s), math.max(n, s))

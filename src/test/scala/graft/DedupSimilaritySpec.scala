@@ -31,8 +31,39 @@ class DedupSimilaritySpec extends SparkSpec {
       expr("concat_ws(' ', slice(split(text,' '), 2, size(split(text,' '))))").as("text"))
     val corpus = docs.limit(20).select($"doc_id", $"text").unionByName(planted)
     val sims = Dedup.simhashTable(corpus, "doc_id", "text")
-    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 15).collect()
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7).collect()
     assert(pairs.count(p => p.getLong(1) == p.getLong(0) + 1000L) >= 10)
+  }
+
+  test("simhash banding refuses radii beyond the probe guarantee") {
+    val sims = Seq((1L, 0L), (2L, 1L)).toDF("id", "simhash")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(sims, maxHamming = 8)
+    }
+  }
+
+  test("simhash multi-probe banding: FULL recall at hamming 4-7 planted worst-case flips") {
+    // 100 planted pairs flipping h = 4 + i%4 bits, positions spread so
+    // EVERY 16-bit chunk differs (pigeonhole alone finds none of these) —
+    // the 1-bit probes must still find every pair, since ⌊7/4⌋ ≤ 1 bit
+    // differs in some chunk.
+    val rows = (0 until 100).flatMap { i =>
+      val base = i.toLong * 0x9E3779B97F4A7C15L + 12345L
+      val h = 4 + i % 4
+      // chunk (j % 4), offset (i + j*5) % 16: distinct bits by construction
+      val positions = (0 until h).map(j => (j % 4) * 16 + ((i + j * 5) % 16))
+      val flipped = positions.foldLeft(base)((v, b) => v ^ (1L << b))
+      Seq((i.toLong, base), (i.toLong + 1000L, flipped))
+    }
+    val sims = rows.toDF("id", "simhash")
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7).collect()
+    val planted = pairs.filter(p => p.getLong(1) == p.getLong(0) + 1000L)
+    assert(planted.length == 100, s"multi-probe recall hole: ${planted.length}/100 found")
+    planted.foreach { p =>
+      val expected = 4 + (p.getLong(0) % 4).toInt
+      assert(p.getAs[Number]("hamming").intValue == expected,
+        s"pair ${p.getLong(0)}: hamming ${p.get(2)} != planted $expected")
+    }
   }
 
   test("exact dedup groups duplicates and keeps min id") {

@@ -181,4 +181,20 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("spread passes a pre-partitioned corpus through exchange-free") {
+    // At 100 TB the corpus arrives in thousands of scan partitions; the
+    // pre-shingle spread must be a no-op there (an unconditional
+    // repartition would shuffle all raw text before signing).
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = spark.range(1000).toDF("id").repartition(cores * 2)
+    assert(graft.ops.Dedup.spread(wide) eq wide,
+      "spread must be the identity on an already-parallel input")
+    // ...while a single-partition input (one small parquet file) still
+    // fans out across the machine
+    val narrow = spark.range(1000).toDF("id").coalesce(1)
+    val out = graft.ops.Dedup.spread(narrow)
+    assert(out.rdd.getNumPartitions >= cores,
+      s"narrow input not spread: ${out.rdd.getNumPartitions} partitions")
+  }
 }
