@@ -53,4 +53,36 @@ object Renditions {
       lit(null).cast(MetaType).as("meta"))
       .as[DataRecordEvent]
   }
+
+  /** Canonical html form of extracted text — the deterministic offline
+    * stand-in for Tika's xhtml rendition (the reference emits BOTH a .txt
+    * and a .html side file per document, implementations.kt:172-179 vs
+    * 181-187; this is the html twin of `extractTextEvents`). The original
+    * markup is first normalized through the same strip, then re-wrapped in
+    * a fixed skeleton, so the html rendition is a pure function of the
+    * document text on any input shape. */
+  def htmlWrap(text: Column): Column =
+    concat(lit("<html><body><p>"), text, lit("</p></body></html>"))
+
+  /** Emit html renditions as upsert events (B3' — the html side of the
+    * reference's dual txt/html producer). Same narrow projection shape as
+    * the txt extraction; distinct `createdBy` keeps the two renditions
+    * separately addressable after the fold (finishState orders
+    * additionalRepresentations by createdBy). */
+  def extractHtmlEvents(records: Dataset[DataRecord],
+      createdBy: String = "extract-html", timestamp: Long = 3L): Dataset[DataRecordEvent] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.toDF().select(
+      lit(Command.UpsertRepresentation).as("command"),
+      col("id"),
+      lit(timestamp).as("timestamp"),
+      lit(0L).as("seq"),
+      lit(null).cast("string").as("name"),
+      struct(
+        htmlWrap(stripMarkup(col("representation.path"))).as("path"),
+        lit(createdBy).as("createdBy")).as("representation"),
+      lit(null).cast(MetaType).as("meta"))
+      .as[DataRecordEvent]
+  }
 }

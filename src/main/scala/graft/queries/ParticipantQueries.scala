@@ -120,6 +120,47 @@ object ParticipantQueries {
       |  'extract-txt' AS created_by, md5(text) AS digest
       |FROM documents ORDER BY id""".stripMargin
 
+  /** Q31b — DUAL rendition production (B3 txt + B3' html): both extraction
+    * producers run over the same originals and feed the fold together; the
+    * record ends with two additional representations, deterministically
+    * ordered by createdBy ("extract-html" < "extract-txt"). The oracle
+    * recomputes both digests from the pristine text, so the html wrap and
+    * the txt strip must each round-trip exactly — the reference's dual
+    * .txt/.html side-file behavior (implementations.kt:172-187). */
+  def dualRenditions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val creates = Tables.documents(spark, dir).select(
+      lit(Command.Create).as("command"),
+      col("doc_id").as("id"),
+      lit(1L).as("timestamp"),
+      lit(0L).as("seq"),
+      concat(lit("doc-"), col("doc_id")).as("name"),
+      struct(
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")).as("path"),
+        lit("inline").as("createdBy")).as("representation"),
+      lit(null).cast("struct<values:map<string,string>,createdBy:string>").as("meta"))
+      .as[DataRecordEvent]
+    val original = Consolidate.batch(creates)
+    val upserts = Renditions.extractTextEvents(original)
+      .unionByName(Renditions.extractHtmlEvents(original))
+    val finalRecords = Consolidate.batch(creates.unionByName(upserts))
+    finalRecords.toDF().select(
+      col("id"),
+      size(col("additionalRepresentations")).cast("long").as("n_reps"),
+      element_at(col("additionalRepresentations"), 1).getField("createdBy").as("html_by"),
+      md5(element_at(col("additionalRepresentations"), 1).getField("path").cast("binary")).as("html_digest"),
+      element_at(col("additionalRepresentations"), 2).getField("createdBy").as("txt_by"),
+      md5(element_at(col("additionalRepresentations"), 2).getField("path").cast("binary")).as("txt_digest"))
+      .orderBy(col("id"))
+  }
+
+  val dualRenditionsSql: String =
+    """SELECT doc_id AS id, CAST(2 AS BIGINT) AS n_reps,
+      |  'extract-html' AS html_by,
+      |  md5('<html><body><p>' || text || '</p></body></html>') AS html_digest,
+      |  'extract-txt' AS txt_by, md5(text) AS txt_digest
+      |FROM documents ORDER BY id""".stripMargin
+
   /** Q32 — sentence chunking with START/LAST framing (B5): the corpus text
     * is punctuation-free, so a deterministic punctuated rendition is built
     * first (7-word sentences, terminal periods), then the chunker must
@@ -218,10 +259,56 @@ object ParticipantQueries {
        |SELECT id, key, value FROM rows ORDER BY id, key""".stripMargin
   }
 
+  /** Q69 — the END-TO-END binary-document pipeline, the reference's
+    * defining integration test re-expressed Spark-first
+    * (KafkaIntelligencePipelineTests.kt:352-361: crawl directory → Tika
+    * parse .docx → metadata): a GRFT binary fixture tree (with planted
+    * corrupt files) is crawled with the binaryFile source, folded into
+    * records whose representation POINTS at the file, content is resolved
+    * by a path-keyed join, parsed columnar (magic/version/length/CRC),
+    * and the outcome — txt rendition + {n_bytes, version} metadata, or
+    * `!error` metadata for corrupt files — is registered back through a
+    * second fold. The oracle recomputes everything (including which files
+    * are corrupt) from the generating table, so the whole
+    * write → crawl → resolve → parse → register loop must round-trip. */
+  def binaryPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val fx = DirectoryIngest.ensureBinaryFixture(spark, dir, modulo = 7)
+    val scanned = DirectoryIngest.scan(spark, fx, glob = "*.bin")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val creates = DirectoryIngest.asEvents(scanned)
+    val records = Consolidate.batch(creates)
+    val contentByPath = scanned.select(
+      regexp_replace(col("path"), "^file:", "").as("path"), col("content"))
+    val parseEvs = graft.pipeline.BinaryDocs.parseEvents(records, contentByPath)
+    val finalRecords = Consolidate.batch(creates.unionByName(parseEvs))
+    finalRecords.toDF().select(
+      col("id"),
+      col("name").as("file_name"),
+      size(col("additionalRepresentations")).cast("long").as("n_reps"),
+      md5(expr("try_element_at(additionalRepresentations, 1)").getField("path")
+        .cast("binary")).as("digest"),
+      expr("try_element_at(try_element_at(meta, 1).values, '!error')").as("error"),
+      expr("try_element_at(try_element_at(meta, 1).values, 'n_bytes')")
+        .cast("long").as("n_bytes"))
+      .orderBy(col("id"))
+  }
+
+  val binaryPipelineSql: String =
+    """SELECT doc_id AS id,
+      |  CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+      |  CAST(CASE WHEN doc_id % 70 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_reps,
+      |  CASE WHEN doc_id % 70 = 0 THEN NULL ELSE md5(text) END AS digest,
+      |  CASE WHEN doc_id % 70 = 0 THEN 'crc-mismatch' ELSE NULL END AS error,
+      |  CASE WHEN doc_id % 70 = 0 THEN NULL
+      |       ELSE CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END AS n_bytes
+      |FROM documents WHERE doc_id % 7 = 0 ORDER BY id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
+    QueryDef("q31b_dual_renditions", dualRenditions, Some(dualRenditionsSql)),
     QueryDef("q32_sentence_chunks", sentenceChunks, Some(sentenceChunksSql)),
-    QueryDef("q34_parse_map", parseMap, Some(parseMapSql)))
+    QueryDef("q34_parse_map", parseMap, Some(parseMapSql)),
+    QueryDef("q69_binary_pipeline", binaryPipeline, Some(binaryPipelineSql)))
 }

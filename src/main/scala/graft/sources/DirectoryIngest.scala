@@ -91,4 +91,37 @@ object DirectoryIngest {
     }
     out.toString
   }
+
+  /** Binary-document fixture: one GRFT-encoded `<doc_id>.bin` per
+    * `documents` row with doc_id % `modulo` == 0 (BinaryDocs.encode), and
+    * a DELIBERATELY CORRUPT file (last CRC byte flipped) for every
+    * doc_id % (modulo*10) == 0 — the parse pipeline must isolate those as
+    * `!error` records instead of failing the job. Same foreachPartition
+    * writer + idempotency marker as the txt fixture. */
+  def ensureBinaryFixture(spark: SparkSession, sfDir: String, modulo: Int = 7): String = {
+    val name = new java.io.File(sfDir).getName
+    val out = java.nio.file.Paths.get(s"/tmp/graft_ingest_fixture/$name-bin-m$modulo")
+    val marker = out.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(out)
+      val outStr = out.toString
+      val corruptEvery = modulo * 10
+      Tables.documents(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % modulo === 0)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val base = java.nio.file.Paths.get(outStr)
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val bytes = graft.pipeline.BinaryDocs.encode(r.getString(1))
+            if (id % corruptEvery == 0)
+              bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0xFF).toByte
+            java.nio.file.Files.write(base.resolve(s"$id.bin"), bytes)
+          }
+        }
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    out.toString
+  }
 }

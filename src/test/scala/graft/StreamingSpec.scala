@@ -284,4 +284,53 @@ class StreamingSpec extends SparkSpec {
         s"expected user 1 sessions of 2+1 events and user 2 of 1, got $rows")
     } finally q.stop()
   }
+
+  test("crash recovery: fold state survives a checkpoint stop/restart (replay semantics)") {
+    // The 100 TB contract: a killed stateful query restarted from its
+    // checkpoint must resume the SAME fold state — reference replay/offset
+    // semantics (KafkaIntelligencePipelineTests.kt:363-376). First half of
+    // each key's log is processed by query #1, which is then stopped; the
+    // second half arrives while nothing runs; query #2 restarts from the
+    // same checkpoint dir. If state did not survive, the restarted fold
+    // would emit records with no CREATE fields (name null) and the
+    // batch-fold comparison below fails.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_recovery_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_recovery_ckpt").toString
+    val firstHalf = (1L to 5L).flatMap(events(_).take(2))
+    val secondHalf = (1L to 5L).flatMap(events(_).drop(2))
+
+    // the memory sink refuses checkpoint recovery; foreachBatch (the A14
+    // side-effect sink, which production uses for exactly this) supports it
+    val state = new java.util.concurrent.ConcurrentHashMap[Long, DataRecord]()
+    def start() = Streaming.consolidate(Streaming.fileEvents(spark, srcDir))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[DataRecord], _: Long) =>
+        batch.collect().foreach(r => state.put(r.id, r))
+      }
+      .start()
+
+    firstHalf.toDS().write.mode("append").parquet(srcDir)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // crash point: offsets + fold state live only in the checkpoint
+    state.clear() // forget sink output too: recovery must come from the checkpoint
+
+    secondHalf.toDS().write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the restarted query only processes batch-2 files; every key got a
+      // second-half event, so each re-emits — consolidated with fold state
+      // recovered from the checkpoint
+      val expected = (1L to 5L).map(id => Consolidate.sequentialFold(events(id)))
+        .map(r => r.id -> r).toMap
+      assert(state.size == 5, s"expected 5 recovered records, got ${state.size}")
+      expected.foreach { case (id, exp) =>
+        assert(state.get(id) == exp,
+          s"restarted fold diverged from batch fold for $id: ${state.get(id)} vs $exp")
+      }
+    } finally q2.stop()
+  }
 }
