@@ -1,0 +1,128 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe for the dedup/ANN family (SCALE.md's data):
+  * synthesizes an N× copy of the sf corpus (distinct texts per copy — a
+  * word-level salt keeps copies from pairing with each other, so output
+  * size scales linearly and the probe measures THROUGHPUT, not an
+  * artificially quadratic pair explosion), runs the registered queries
+  * unchanged against it, and reports per-query wall time plus the
+  * bucket-cap drop rates of every banded candidate generator.
+  *
+  * usage: ScaleProbe [sfDir] ; SPARK_GRAFT_COPIES=10 (default) controls N.
+  * Output: a markdown table on stdout (pasted into SCALE.md).
+  */
+object ScaleProbe {
+
+  /** The queries whose cost is dominated by the dedup/ANN operators. */
+  private val Family = Seq(
+    "q8_content_dedup", "q12_minhash_neardup", "q13_simhash",
+    "q13b_simhash_neardup", "q14_ngram_jaccard", "q15_embedding_topk",
+    "q15b_ann_lsh", "q15c_ann_ivf", "q33_dup_clusters", "q45_bm25")
+
+  /** Synthesize the N× corpus into outDir (idempotent via marker).
+    * documents: ids offset by copy·10⁸; every word salted with the copy
+    * ordinal (so shingle sets are disjoint across copies). embeddings:
+    * ids offset; vectors rotated by the copy ordinal (same norm/angle
+    * distribution, genuinely distinct vectors). */
+  private def ensureCorpus(spark: SparkSession, sfDir: String, copies: Int): String = {
+    val out = s"/tmp/graft_scale/${new File(sfDir).getName}-x$copies"
+    val marker = new File(s"$out/_COMPLETE")
+    if (!marker.exists()) {
+      new File(out).mkdirs()
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select(
+          (col("doc_id") + col("copy") * 100000000L).as("doc_id"),
+          when(col("copy") === 0, col("text")).otherwise(
+            array_join(expr("transform(split(text, ' '), w -> concat(w, 'x', copy))"), " "))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      docs.coalesce(4).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val dim = 64
+      val embs = graft.sources.Tables.embeddings(spark, sfDir)
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select(
+          (col("vec_id") + col("copy") * 100000000L).as("vec_id"),
+          when(col("copy") === 0, col("embedding")).otherwise(expr(
+            s"concat(slice(embedding, copy + 1, $dim - copy), slice(embedding, 1, copy))"))
+            .as("embedding"),
+          col("label"))
+      embs.coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      marker.createNewFile()
+    }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = GraftSession.tune(
+      SparkSession.builder().master(s"local[$cpus]"), shufflePartitions = cpus.toInt
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warmup
+
+    val dir = ensureCorpus(spark, sfDir, copies)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(s"## corpus: $dir ($nDocs docs, ${copies}x ${new File(sfDir).getName})")
+    println("| query | seconds | output rows |")
+    println("|---|---|---|")
+    Family.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val df = fn(spark, dir)
+      val rows = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"| $name | $dt%.1f | $rows |")
+    }
+
+    // cap drop rates per banded candidate generator, at this corpus size
+    println()
+    println("| candidate generator | bucket key | cap | dropped keys | dropped rows | total rows | drop % |")
+    println("|---|---|---|---|---|---|---|")
+    def report(label: String, key: String, cap: Int, stats: (Long, Long, Long)): Unit = {
+      val (dk, drows, tot) = stats
+      println(f"| $label | $key | $cap | $dk | $drows | $tot | ${100.0 * drows / math.max(tot, 1)}%.2f |")
+    }
+    import graft.ops.Dedup
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val shingled = docs.select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 3).as("shingles"))
+    val banded = shingled.select(col("id"),
+      graft.functions.NativeExpressions.portableMinHashSigs(col("shingles"), 32).as("sig"))
+      .select(col("id"), explode(Dedup.lshBands(col("sig"), 8, 4)).as("b"))
+      .select(col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    report("minhash LSH bands (q12)", "(band, band_hash)", 1000,
+      Dedup.bucketCapStats(banded, Seq("band", "band_hash"), 1000))
+
+    val sims = Dedup.simhashTable(docs, "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
+    val chunked = sims.select(col("id"),
+      explode(sequence(lit(0), lit(3))).as("chunk"), col("simhash"))
+      .withColumn("chunk_val", expr("shiftrightunsigned(simhash, chunk * 16) & 65535"))
+    report("simhash 16-bit chunks (q13b)", "(chunk, chunk_val)", 5000,
+      Dedup.bucketCapStats(chunked, Seq("chunk", "chunk_val"), 5000))
+
+    val inv = docs.select(col("source"),
+      explode(Dedup.wordShingles(col("text"), 2)).as("shingle"))
+    report("ngram inverted index df cap (q14)", "(source, shingle)", 1000,
+      Dedup.bucketCapStats(inv, Seq("source", "shingle"), 1000))
+
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val signed = emb.select(col("vec_id").as("id"),
+      posexplode(graft.functions.NativeExpressions.rademacherSigs(
+        col("embedding"), 12, 8, 64)).as(Seq("t", "sig")))
+    report("hyperplane LSH buckets (q15b)", "(t, sig)", 5000,
+      Dedup.bucketCapStats(signed, Seq("t", "sig"), 5000))
+
+    spark.stop()
+  }
+}

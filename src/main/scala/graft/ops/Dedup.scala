@@ -130,6 +130,20 @@ object Dedup {
     df.join(broadcast(oversized), keys, "left_anti")
   }
 
+  /** Diagnostic twin of `dropOversizedBuckets` — the no-silent-caps
+    * posture, MEASURED: how much would the cap drop on this banded frame?
+    * Returns (droppedKeys, droppedRows, totalRows). One aggregation, no
+    * effect on the pipeline; ScaleProbe reports these per family so cap
+    * drop rates are a recorded number, not an assumption. */
+  def bucketCapStats(df: DataFrame, keys: Seq[String], maxBucket: Int): (Long, Long, Long) = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val r = counts.agg(
+      sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("dk"),
+      sum(when(col("n") > maxBucket, col("n")).otherwise(0L)).as("dr"),
+      sum(col("n")).as("tot")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** LSH banding: split the signature into `bands` bands of `rows` values,
     * hash each band. Output one (band, bandHash) struct per band. */
   def lshBands(signature: Column, bands: Int, rows: Int): Column =

@@ -122,4 +122,56 @@ object TrainingPrep {
       .agg(count_distinct(col("sh")).as("n_shared_shingles"),
         min(col("bench_id")).as("first_bench_id"))
   }
+
+  /** Cross-document repeated-span measurement — the exact-substring
+    * deduplication signal (the Lee et al. 2022 "Deduplicating Training
+    * Data" observation: verbatim k-token spans repeated ACROSS documents
+    * are the highest-value thing to remove from a pretraining corpus;
+    * MinHash-style whole-doc similarity never sees them when the
+    * containing documents differ).
+    *
+    * Per document: every positional k-word span, hashed portable-60
+    * (string spans would work identically but ship k words per row
+    * through the shuffle; the hash is the scale form and the oracle
+    * replays it), counted across DISTINCT documents, and summarized as
+    * (n_spans, n_repeated, repeated_micro = repeated fraction in exact
+    * integer millionths). Documents shorter than k words report 0 spans.
+    *
+    * Scale shape: one shuffle keyed on the span hash with two-phase
+    * distinct counting (map-side partials), then the repeated-hash set
+    * joins back on the same key — no driver involvement; the per-doc
+    * rollup re-keys on the doc id. A downstream pass can use the span
+    * positions (exposed by `spanTable`) to actually cut the repeated
+    * ranges; the measurement and the cut share the same index. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10, minDocs: Int = 2): DataFrame = {
+    val spans = spanTable(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repeated = spans.groupBy(col("span_hash"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span_hash"))
+    val perDoc = spans
+      .join(repeated, Seq("span_hash"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_repeated"))
+    docs.select(col(idCol).as("id"),
+      greatest(size(split(col(textCol), " ")) - (k - 1), lit(0)).cast("long").as("n_spans"))
+      .join(perDoc, Seq("id"), "left_outer")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        when(col("n_spans") > 0,
+          expr("(coalesce(n_repeated, 0) * 1000000) div n_spans")).otherwise(lit(0L))
+          .as("repeated_micro"))
+  }
+
+  /** (id, pos, span_hash) for every positional k-word span — the shared
+    * index behind `repeatedSpans` and any span-cutting rewrite. */
+  def spanTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k)))"))
+        .as(Seq("pos", "span")))
+      .select(col("id"), col("pos"),
+        graft.functions.TextFunctions.portableHash60(col("span")).as("span_hash"))
 }

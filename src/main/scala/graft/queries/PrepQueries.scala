@@ -9,6 +9,53 @@ import graft.sources.Tables
   * token packing, scrubbing; all exact-oracle-backed. */
 object PrepQueries {
 
+  /** Q70 — cross-document repeated-span measurement (exact-substring
+    * dedup signal, TrainingPrep.repeatedSpans): the corpus plus a planted
+    * shared boilerplate suffix on every 10th document — the verbatim
+    * cross-document repetition (license headers, templates) that whole-doc
+    * similarity misses. 5-word spans; every span of the planted suffix
+    * (and any organic cross-doc repeat) counts as repeated. The oracle
+    * replays the span index, the distinct-doc counting, and the exact
+    * integer fraction. */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val withBoilerplate = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" standard graft corpus license header applies to this document")))
+          .otherwise(col("text")).as("text"))
+    TrainingPrep.repeatedSpans(withBoilerplate, "doc_id", "text", k = 5, minDocs = 2)
+      .orderBy(col("id"))
+  }
+
+  val repeatedSpansSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 10 = 0
+      |         THEN text || ' standard graft corpus license header applies to this document'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |ws AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+      |spans AS (
+      |  SELECT id, t.i - 1 AS pos,
+      |    CAST(('0x' || substring(md5(array_to_string(w[t.i:t.i+4], ' ')), 1, 15)) AS BIGINT) AS span_hash
+      |  FROM ws, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+      |  WHERE len(w) >= 5),
+      |rep AS (
+      |  SELECT span_hash FROM spans GROUP BY span_hash
+      |  HAVING COUNT(DISTINCT id) >= 2),
+      |per_doc AS (
+      |  SELECT s.id, COUNT(*) AS n_repeated
+      |  FROM spans s SEMI JOIN rep r ON s.span_hash = r.span_hash
+      |  GROUP BY s.id)
+      |SELECT w.id,
+      |  CAST(greatest(len(w.w) - 4, 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(p.n_repeated, 0) AS BIGINT) AS n_repeated,
+      |  CAST(CASE WHEN len(w.w) - 4 > 0
+      |       THEN (COALESCE(p.n_repeated, 0) * 1000000) // (len(w.w) - 4)
+      |       ELSE 0 END AS BIGINT) AS repeated_micro
+      |FROM ws w LEFT JOIN per_doc p ON w.id = p.id
+      |ORDER BY w.id""".stripMargin
+
   /** Q35 — leakage-safe dataset split: stable hash of the doc key → pct →
     * train/val/test. Membership survives resharding and appends. */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame =
@@ -244,6 +291,7 @@ object PrepQueries {
       |ORDER BY lang, sample_rank""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q70_repeated_spans", repeatedSpans, Some(repeatedSpansSql)),
     QueryDef("q35_dataset_split", datasetSplit, Some(datasetSplitSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
     QueryDef("q37_scrub", scrub, Some(scrubSql)),

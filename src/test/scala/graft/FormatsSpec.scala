@@ -53,6 +53,35 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
   }
 
+  test("Avro wire round-trips every event field and agrees with the JSON wire fold") {
+    import spark.implicits._
+    import graft.model._
+    // exercise every optional-field combination the boundary carries
+    val events = Seq(
+      DataRecordEvent.create(1L, "doc-1",
+        DocumentRepresentation("<p>x</p>", "inline"), 1L, 0L),
+      DataRecordEvent.upsertMeta(1L,
+        Metadata(Map("lang" -> "en", "n" -> "42"), "lang"), 2L, 1L),
+      DataRecordEvent.upsertRepresentation(1L,
+        DocumentRepresentation("/tmp/x.txt", "tika"), 3L, 0L),
+      DataRecordEvent.create(2L, "doc-2",
+        DocumentRepresentation(null, "inline"), 1L, 0L),
+      DataRecordEvent(graft.model.Command.UpsertMetadata, 3L, 5L, 7L, None, None,
+        Some(Metadata(Map.empty, "empty"))))
+    val ds = events.toDS()
+    val wire = graft.streaming.AvroWire.toWire(ds)
+    // wire shape matches the JSON wire: (key, value) keyed by record id
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    val back = graft.streaming.AvroWire.fromWire(wire).collect().toSet
+    assert(back == events.toSet, s"avro round-trip diverged: $back")
+    // and the binary form is materially smaller than the JSON wire value
+    val avroBytes = wire.select(sum(length(col("value")))).head().getLong(0)
+    val jsonBytes = graft.streaming.Streaming.toWire(ds)
+      .select(sum(length(col("value")))).head().getLong(0)
+    assert(avroBytes < jsonBytes,
+      s"avro wire ($avroBytes B) not smaller than JSON wire ($jsonBytes B)")
+  }
+
   test("partitioned parquet writes prune at the scan (partition pushdown)") {
     val dir = tmp("fmt_part")
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)

@@ -52,6 +52,23 @@ class TrainingPrepSpec extends SparkSpec {
       .filter($"source" === "a").select("doc_id").as[Long].collect().toSet == halfIds)
   }
 
+  test("repeated spans: cross-doc only, short docs zero, within-doc repeats excluded") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // spans: "a b c", "b c d", "c d e", "d e f"
+      (2L, "x y a b c d y x"),    // shares "a b c" and "b c d" with doc 1
+      (3L, "p q p q p q p q"),    // repeats WITHIN itself only — no cross-doc span
+      (4L, "t u")                 // shorter than k ⇒ 0 spans
+    ).toDF("doc_id", "text")
+    val out = TrainingPrep.repeatedSpans(docs, "doc_id", "text", k = 3, minDocs = 2)
+      .orderBy($"id").collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(1L) == ((4L, 2L, 500000L)), s"doc 1: ${byId(1L)}") // 2 of 4 spans shared
+    assert(byId(2L)._2 == 2L, s"doc 2 shares 2 spans: ${byId(2L)}")
+    // within-doc repetition does not count (COUNT(DISTINCT doc) >= 2)
+    assert(byId(3L)._2 == 0L, s"doc 3 self-repeats must not count: ${byId(3L)}")
+    assert(byId(4L) == ((0L, 0L, 0L)), s"short doc: ${byId(4L)}")
+  }
+
   test("decontamination plans a broadcast join on the benchmark side") {
     val docs = graft.sources.Tables.documents(spark, sf())
     val plan = TrainingPrep.decontaminate(
