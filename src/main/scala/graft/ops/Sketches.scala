@@ -123,4 +123,48 @@ object Sketches {
       .join(broadcast(sketch), Seq("row", "bucket"))
       .groupBy(col("v"))
       .agg(min(col("cnt")).as("cm_est"))
+
+  // ------------------------------------------- log2-histogram quantiles
+
+  /** log₂ bucket index of a non-negative value: the bit length of
+    * ⌊value⌋ minus one (bucket b covers [2^b, 2^(b+1)); values < 1 land
+    * in bucket 0). `length(bin(x)) - 1`, NOT an FP log2 — bit counting is
+    * integer-exact, so every engine buckets identically (an FP log could
+    * round differently exactly AT powers of two, the bucket boundaries). */
+  def logBucket(v: Column): Column =
+    (length(bin(floor(greatest(v, lit(0))).cast("bigint"))) - 1).as("bucket")
+
+  /** Mergeable log₂-histogram: counts per (keys, bucket). This is the
+    * 100 TB quantile primitive the exact path (q28's interpolated
+    * percentiles — a per-group SORT of all values) can't be: the shuffle
+    * carries ≤ 64 counter rows per key after map-side combine whatever
+    * the input size, histograms merge by bucketwise SUM (associative +
+    * commutative — per-partition/per-day sketches combine losslessly),
+    * and quantiles come off the reduced table. Resolution is the
+    * half-power-of-two (relative error ≤ 2×), the classic latency-
+    * distribution tradeoff; finer needs sub-bucket interpolation, finer
+    * still needs q28. */
+  def logHistogram(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+    df.groupBy(keys.map(col) :+ logBucket(value): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Quantile upper bounds from a log histogram: for each percentile p,
+    * the smallest bucket where the cumulative count reaches p% of the
+    * total, reported as the bucket's inclusive upper value bound
+    * 2^(b+1)−1. All-integer threshold math (100·cum ≥ p·total — no FP
+    * rounding at group boundaries). The window runs over the REDUCED
+    * histogram (≤ 64 rows per key), not the data. */
+  def histogramQuantiles(hist: DataFrame, keys: Seq[String],
+      pcts: Seq[Int]): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(byKey.orderBy(col("bucket"))))
+      .withColumn("total", sum(col("n")).over(byKey))
+    val qs = pcts.map(p =>
+      min(when(col("cum") * 100 >= col("total") * p,
+        expr("shiftleft(1L, cast(bucket + 1 as int)) - 1"))).as(s"p${p}_ub"))
+    cum.groupBy(keys.map(col): _*)
+      .agg(max(col("total")).as("total"), qs: _*)
+  }
 }

@@ -247,6 +247,38 @@ object Relational {
       .orderBy(col("true_cnt").desc, col("l_partkey").asc)
   }
 
+  /** Q71 — mergeable log₂-histogram quantiles (Sketches.logHistogram):
+    * per event type, p50/p90/p99 upper bounds off a ≤64-counter-per-key
+    * histogram — the sketch-sized quantile path q28's exact per-group
+    * sort can't take at 100 TB. Bucketing is bit-length (integer-exact),
+    * thresholds are all-integer, so the oracle replays the sketch AND the
+    * quantile read-off bit-for-bit. */
+  def quantileHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.ops.Sketches.logHistogram(
+      Tables.events(spark, dir).select(col("event_type"), col("value")),
+      Seq("event_type"), col("value"))
+    graft.ops.Sketches.histogramQuantiles(hist, Seq("event_type"), Seq(50, 90, 99))
+      .orderBy(col("event_type"))
+  }
+
+  val quantileHistogramSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    length(bin(CAST(floor(greatest(value, 0)) AS BIGINT))) - 1 AS bucket,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, bucket, n,
+      |    SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+      |    SUM(n) OVER (PARTITION BY event_type) AS total
+      |  FROM h)
+      |SELECT event_type,
+      |  CAST(MAX(total) AS BIGINT) AS total,
+      |  CAST(MIN(CASE WHEN cum * 100 >= total * 50 THEN (1::BIGINT << (bucket + 1)) - 1 END) AS BIGINT) AS p50_ub,
+      |  CAST(MIN(CASE WHEN cum * 100 >= total * 90 THEN (1::BIGINT << (bucket + 1)) - 1 END) AS BIGINT) AS p90_ub,
+      |  CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN (1::BIGINT << (bucket + 1)) - 1 END) AS BIGINT) AS p99_ub
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val heavyHittersSql: String =
     """WITH items AS (SELECT l_partkey AS v FROM lineitem),
       |cells AS (
@@ -666,6 +698,7 @@ object Relational {
     QueryDef("q43_status_pivot", statusPivot, Some(statusPivotSql)),
     QueryDef("q44_revenue_cube", revenueCube, Some(revenueCubeSql)),
     QueryDef("q48_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q71_quantile_histogram", quantileHistogram, Some(quantileHistogramSql)),
     QueryDef("q49_zorder", zorderKeys, Some(zorderKeysSql)),
     QueryDef("q51_profile", profileTable, Some(profileTableSql)),
     QueryDef("q52_salted_join", saltedRevenue, Some(saltedRevenueSql)),

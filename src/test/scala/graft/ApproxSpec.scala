@@ -76,4 +76,38 @@ class ApproxSpec extends SparkSpec {
       .select(col("hll_est")).head().getDouble(0)
     assert(math.abs(est - 5000.0) / 5000.0 < 0.15, s"merged estimate $est vs 5000")
   }
+
+  test("log-histogram quantiles: bounds bracket exact percentiles, halves merge losslessly") {
+    import graft.ops.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = graft.sources.Tables.events(spark, sf())
+      .select(col("event_type"), col("value"))
+    // the reported bound is the upper edge of the bucket holding the
+    // DISCRETE p-th order statistic d: d ≤ ub ≤ 2d+1 (half-power-of-two
+    // resolution). Compare against the true order stat, not Spark's
+    // interpolated percentile (interpolation can sit below the order
+    // stat's bucket).
+    val hist = Sketches.logHistogram(ev, Seq("event_type"), col("value"))
+    val qs = Sketches.histogramQuantiles(hist, Seq("event_type"), Seq(50, 99))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val byType = ev.as[(String, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    byType.foreach { case (k, vs) =>
+      def orderStat(p: Int): Double = vs((math.ceil(p / 100.0 * vs.length) - 1).toInt)
+      val (ub50, ub99) = qs(k)
+      val (d50, d99) = (orderStat(50), orderStat(99))
+      assert(ub50 >= d50.floor && ub50 <= 2 * d50 + 1, s"$k p50: $ub50 vs order stat $d50")
+      assert(ub99 >= d99.floor && ub99 <= 2 * d99 + 1, s"$k p99: $ub99 vs order stat $d99")
+    }
+    // mergeability: histograms of two halves, bucketwise-summed, equal the
+    // whole-corpus histogram (the property that lets 1000 executors /
+    // daily partitions combine losslessly)
+    val a = Sketches.logHistogram(ev.filter($"value" < 50), Seq("event_type"), col("value"))
+    val b = Sketches.logHistogram(ev.filter($"value" >= 50), Seq("event_type"), col("value"))
+    val mergedHist = a.unionByName(b)
+      .groupBy($"event_type", $"bucket").agg(sum($"n").as("n"))
+    assert(mergedHist.exceptAll(hist).isEmpty && hist.exceptAll(mergedHist).isEmpty,
+      "half-histograms must merge to the full histogram")
+  }
 }
