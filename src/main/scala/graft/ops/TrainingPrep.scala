@@ -164,6 +164,47 @@ object TrainingPrep {
           .as("repeated_micro"))
   }
 
+  /** The CUT that `repeatedSpans` measures: remove every word covered by
+    * a cross-document repeated k-span and rebuild the document text —
+    * Lee et al.'s actual dedup action (drop the verbatim repeated
+    * substring, keep the unique remainder), not just its measurement.
+    * Returns (id, n_kept, n_cut, clean_text); a fully-covered document
+    * comes back with clean_text = '' rather than disappearing.
+    *
+    * Scale shape: the span index and repeated-hash set are the SAME
+    * intermediates as repeatedSpans (shared spanTable); covered word
+    * ordinals come from a bounded explode (k rows per repeated span,
+    * distinct), the keep-filter is one anti-join on (id, idx), and text
+    * rebuild is a hash aggregation collecting (idx, word) structs sorted
+    * in-array — no per-group sort of the corpus, no windows. */
+  def cutRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10, minDocs: Int = 2): DataFrame = {
+    val spans = spanTable(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repeated = spans.groupBy(col("span_hash"))
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span_hash"))
+    val covered = spans
+      .join(repeated, Seq("span_hash"), "left_semi")
+      .select(col("id"), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("idx"))
+      .distinct()
+    val words = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("idx", "w")))
+    val kept = words.join(covered, Seq("id", "idx"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(idx, w))), s -> s.w), ' ')")
+          .as("clean_text"))
+    docs.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("n_words"))
+      .join(kept, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** (id, pos, span_hash) for every positional k-word span — the shared
     * index behind `repeatedSpans` and any span-cutting rewrite. */
   def spanTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =

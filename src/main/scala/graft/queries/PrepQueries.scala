@@ -56,6 +56,60 @@ object PrepQueries {
       |FROM ws w LEFT JOIN per_doc p ON w.id = p.id
       |ORDER BY w.id""".stripMargin
 
+  /** Q72 — repeated-span CUTTING (TrainingPrep.cutRepeatedSpans over the
+    * q70 corpus): every word covered by a cross-document repeated 5-span
+    * is removed and the text rebuilt — the planted boilerplate suffix
+    * must vanish from every 10th document while untouched documents
+    * round-trip digest-exact. The oracle rebuilds the cleaned text
+    * independently (same span index, DISTINCT covered ordinals,
+    * order-preserving re-join), so cut boundaries must be exact. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withBoilerplate = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" standard graft corpus license header applies to this document")))
+          .otherwise(col("text")).as("text"))
+    TrainingPrep.cutRepeatedSpans(withBoilerplate, "doc_id", "text", k = 5, minDocs = 2)
+      .select(col("id"), col("n_kept"), col("n_cut"),
+        md5(col("clean_text").cast("binary")).as("clean_digest"))
+      .orderBy(col("id"))
+  }
+
+  val spanScrubSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 10 = 0
+      |         THEN text || ' standard graft corpus license header applies to this document'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |ws AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+      |spans AS (
+      |  SELECT id, t.i - 1 AS pos,
+      |    CAST(('0x' || substring(md5(array_to_string(w[t.i:t.i+4], ' ')), 1, 15)) AS BIGINT) AS span_hash
+      |  FROM ws, UNNEST(generate_series(1, len(w) - 4)) AS t(i)
+      |  WHERE len(w) >= 5),
+      |rep AS (
+      |  SELECT span_hash FROM spans GROUP BY span_hash
+      |  HAVING COUNT(DISTINCT id) >= 2),
+      |covered AS (
+      |  SELECT DISTINCT s.id, s.pos + t.j AS idx
+      |  FROM spans s SEMI JOIN rep r ON s.span_hash = r.span_hash,
+      |       UNNEST(generate_series(0, 4)) AS t(j)),
+      |words AS (
+      |  SELECT id, t.i - 1 AS idx, w[t.i] AS word
+      |  FROM ws, UNNEST(generate_series(1, len(w))) AS t(i)),
+      |kept AS (
+      |  SELECT wo.id, COUNT(*) AS n_kept,
+      |    string_agg(wo.word, ' ' ORDER BY wo.idx) AS clean_text
+      |  FROM words wo ANTI JOIN covered c ON wo.id = c.id AND wo.idx = c.idx
+      |  GROUP BY wo.id)
+      |SELECT w.id,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(w.w) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_cut,
+      |  md5(COALESCE(k.clean_text, '')) AS clean_digest
+      |FROM ws w LEFT JOIN kept k ON w.id = k.id
+      |ORDER BY w.id""".stripMargin
+
   /** Q35 — leakage-safe dataset split: stable hash of the doc key → pct →
     * train/val/test. Membership survives resharding and appends. */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame =
@@ -292,6 +346,7 @@ object PrepQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q70_repeated_spans", repeatedSpans, Some(repeatedSpansSql)),
+    QueryDef("q72_span_scrub", spanScrub, Some(spanScrubSql)),
     QueryDef("q35_dataset_split", datasetSplit, Some(datasetSplitSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
     QueryDef("q37_scrub", scrub, Some(scrubSql)),

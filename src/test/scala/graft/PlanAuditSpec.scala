@@ -182,6 +182,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("binary pipeline: content resolution is a hash join, folds hash-aggregate") {
+    val p = plan("q69_binary_pipeline")
+    assert(!p.contains("CartesianProduct"), "path-keyed content resolution went cartesian")
+    assert(!p.contains("SortAggregate"), "event folds must stay object-hash aggregated")
+  }
+
+  test("repeated-span family: span-hash joins are keyed, no cartesian, no corpus window") {
+    for (q <- Seq("q70_repeated_spans", "q72_span_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q span join is not key-bucketed")
+      // text rebuild is array_sort-in-aggregate, never a per-group Window
+      // sort of the exploded corpus
+      assert(!p.contains("Window"), s"$q leaked a window over the corpus")
+    }
+  }
+
+  test("histogram quantiles window only the reduced sketch, not the input") {
+    val p = plan("q71_quantile_histogram")
+    // the Window must sit ABOVE the histogram aggregation: count the
+    // aggregates below it by checking the window's child is an Exchange
+    // over the grouped histogram (i.e. at most the histogram's rows).
+    // Cheap proxy: exactly one pre-window aggregate pair and no sort of
+    // the raw events before aggregation.
+    assert(p.contains("Window"), "quantile read-off should use a window over the histogram")
+    val beforeWindow = p.substring(p.indexOf("Window"))
+    assert(beforeWindow.contains("HashAggregate"),
+      "window input must be the aggregated histogram, not raw events")
+  }
+
   test("spread passes a pre-partitioned corpus through exchange-free") {
     // At 100 TB the corpus arrives in thousands of scan partitions; the
     // pre-shingle spread must be a no-op there (an unconditional
