@@ -285,6 +285,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming binary-document ingestion: crawl stream -> columnar parse -> events") {
+    // the streaming twin of q69's batch pipeline: the scheduled-re-walk
+    // source (A4) picks up GRFT binaries as they appear; the same
+    // columnar parse (stateless projection) composes onto the stream
+    // unchanged — operators never know the source (SURVEY §1.2 posture)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_bin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/1.bin"),
+      graft.pipeline.BinaryDocs.encode("alpha beta gamma"))
+    val corrupt = graft.pipeline.BinaryDocs.encode("delta epsilon")
+    corrupt(corrupt.length - 1) = (corrupt(corrupt.length - 1) ^ 0xFF).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/2.bin"), corrupt)
+
+    val scanned = graft.sources.DirectoryIngest.scanStream(spark, dir, glob = "*.bin")
+    val parsed = graft.pipeline.BinaryDocs.parsed(scanned)
+      .select(regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("id"),
+        col("parse_error"), col("parsed_text"))
+    val q = parsed.writeStream.format("memory").queryName("stream_bin_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select * from stream_bin_test order by id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq == Seq(
+        (1L, null, "alpha beta gamma"),
+        (2L, "crc-mismatch", null)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("crash recovery: fold state survives a checkpoint stop/restart (replay semantics)") {
     // The 100 TB contract: a killed stateful query restarted from its
     // checkpoint must resume the SAME fold state — reference replay/offset
