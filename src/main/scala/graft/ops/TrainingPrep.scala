@@ -145,8 +145,10 @@ object TrainingPrep {
     * ranges; the measurement and the cut share the same index. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 10, minDocs: Int = 2): DataFrame = {
-    val spans = spanTable(docs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: materialized once for its two
+    // consumers, blocks released when the result frame is GC'd (a persist
+    // held here leaks for the session — the bigramLm lesson)
+    val spans = spanTable(docs, idCol, textCol, k).localCheckpoint(true)
     val repeated = spans.groupBy(col("span_hash"))
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -179,8 +181,7 @@ object TrainingPrep {
     * in-array — no per-group sort of the corpus, no windows. */
   def cutRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 10, minDocs: Int = 2): DataFrame = {
-    val spans = spanTable(docs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = spanTable(docs, idCol, textCol, k).localCheckpoint(true)
     val repeated = spans.groupBy(col("span_hash"))
       .agg(count_distinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
