@@ -123,4 +123,100 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  // ------------------------------------------------- REAL image codec
+
+  /** REAL image path — `javax.imageio` ships IN the JDK, so PNG
+    * decode/encode and resize run through an actual lossless codec even
+    * in this no-external-libs container; only exotic media (video
+    * containers, audio codecs) stay behind the stub decoder. Everything
+    * here is deterministic: PNG round-trips pixel-exact, and the resize
+    * uses nearest-neighbour AffineTransformOp (integer sampling — no
+    * renderer-dependent filtering). */
+  object ImageCodec extends MediaDecoder {
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+    /** 8×8 RGB test-pattern for `id`: channel values are closed-form
+      * integer functions of (id, x, y), so an independent engine can
+      * compute any decoded-pixel statistic WITHOUT a codec — which is
+      * what lets a SQL oracle gate a real encode→decode round-trip. */
+    def syntheticPng(id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val r = (((id % 1009) * 31 + x * 7 + y * 13) % 256).toInt
+          val g = (((id % 1013) * 17 + x * 11 + y * 3) % 256).toInt
+          val b = (((id % 997) * 23 + x * 5 + y * 19) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** Integer-exact decoded statistics: (width, height, Σr, Σg, Σb). */
+    def channelSums(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val img = decode(bytes)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sr, sg, sb)
+    }
+
+    /** MediaDecoder over real PNGs: [w, h, meanR, meanG, meanB]. */
+    override def features(payload: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val (w, h, sr, sg, sb) = channelSums(payload)
+      val n = (w.toLong * h).toFloat
+      Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n)
+    }
+  }
+
+  /** REAL resize: decode → nearest-neighbour scale into the target box
+    * (aspect preserved) → PNG re-encode. Deterministic integer pixel
+    * sampling; swaps in for StubResize wherever a MediaTransform goes. */
+  class PngResize(maxW: Int, maxH: Int) extends MediaTransform {
+    override def name: String = s"png-resize-${maxW}x$maxH"
+    override def transform(payload: Array[Byte], meta: MediaMeta): (Array[Byte], MediaMeta) = {
+      val img = ImageCodec.decode(payload)
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+      val (w2, h2) = (math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt))
+      // hand-rolled integer nearest-neighbour sampling (AffineTransformOp
+      // is renderer-dependent and refuses some src/dst type pairs; this is
+      // exact integer math, identical on any JVM)
+      val out = new java.awt.image.BufferedImage(w2, h2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          out.setRGB(x, y, img.getRGB(x * img.getWidth / w2, y * img.getHeight / h2))
+          x += 1
+        }
+        y += 1
+      }
+      (ImageCodec.encodePng(out), meta.copy(width = w2, height = h2))
+    }
+  }
 }

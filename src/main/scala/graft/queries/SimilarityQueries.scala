@@ -109,6 +109,38 @@ object SimilarityQueries {
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Q73 — REAL image codec round-trip (Multimodal.ImageCodec, JDK
+    * javax.imageio): one 8×8 PNG per document, pixel channels closed-form
+    * in (id, x, y); ENCODED with the real PNG writer on executors,
+    * DECODED with the real PNG reader, per-channel pixel sums emitted as
+    * exact integers. The oracle computes the same sums from the formula
+    * alone — if the codec path corrupted a single pixel anywhere, the
+    * hash compare fails. This moves image decode / feature-extract out of
+    * the stub tier: only exotic codecs (video/audio) remain pluggable. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val png = Multimodal.ImageCodec.syntheticPng(id)
+          val (w, h, sr, sg, sb) = Multimodal.ImageCodec.channelSums(png)
+          (id, w, h, png.length.toLong, sr, sg, sb)
+        }
+      }
+      .toDF("media_id", "width", "height", "png_bytes", "sum_r", "sum_g", "sum_b")
+      .drop("png_bytes") // PNG size is writer-version-specific; sums are not
+      .orderBy(col("media_id"))
+  }
+
+  val imageDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      |  CAST(SUM(((doc_id % 1009) * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM(((doc_id % 1013) * 17 + x.x * 11 + y.y * 3) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM(((doc_id % 997) * 23 + x.x * 5 + y.y * 19) % 256) AS BIGINT) AS sum_b
+      |FROM documents, range(0, 8) x(x), range(0, 8) y(y)
+      |GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** IVF-flat approximate top-k, INTEGER-EXACT build (Similarity.ivfExact*):
     * 8 md5-seeded cells, one Lloyd iteration with sum-centroids (cosine is
     * scale-invariant ⇒ sum ≡ mean, and integer sums are engine-exact),
@@ -289,6 +321,7 @@ object SimilarityQueries {
     QueryDef("q15b_ann_lsh", annLshPairs, Some(annLshPairsSql)),
     QueryDef("q15c_ann_ivf", ivfTopK, Some(ivfTopKSql)),
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
+    QueryDef("q73_image_decode", imageDecode, Some(imageDecodeSql)),
     QueryDef("q40_sq8_compression", sq8Compression, Some(sq8CompressionSql)),
     QueryDef("q46_pq_codes", pqCompression, Some(pqCompressionSql)))
 }

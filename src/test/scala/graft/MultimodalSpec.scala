@@ -35,4 +35,28 @@ class MultimodalSpec extends SparkSpec {
       .select($"frame_idx").as[Long].collect().sorted
     assert(perDoc.head == 0L && perDoc.length == perDoc.last + 1, "dense ordinals")
   }
+
+  test("REAL PNG codec: lossless round-trip, mean-channel features, nearest-neighbour resize") {
+    import Multimodal.ImageCodec
+    // encode -> decode round-trips pixel-exact (PNG is lossless)
+    val png = ImageCodec.syntheticPng(42L)
+    val (w, h, sr, sg, sb) = ImageCodec.channelSums(png)
+    assert((w, h) == ((8, 8)))
+    // independent recomputation from the pixel formula
+    val expected = (for { y <- 0 until 8; x <- 0 until 8 } yield (
+      ((42L % 1009) * 31 + x * 7 + y * 13) % 256,
+      ((42L % 1013) * 17 + x * 11 + y * 3) % 256,
+      ((42L % 997) * 23 + x * 5 + y * 19) % 256))
+      .foldLeft((0L, 0L, 0L)) { case ((a, b, c), (r, g, bl)) => (a + r, b + g, c + bl) }
+    assert((sr, sg, sb) == expected, s"decoded sums $sr/$sg/$sb vs formula $expected")
+    // MediaDecoder features = [w, h, means]
+    val f = ImageCodec.features(png, Multimodal.MediaMeta("image/png", 8, 8, 0L))
+    assert(f(0) == 8f && f(1) == 8f && math.abs(f(2) - expected._1 / 64.0) < 1e-5)
+    // real resize halves the dims and re-encodes decodably
+    val (resized, meta2) = new Multimodal.PngResize(4, 4)
+      .transform(png, Multimodal.MediaMeta("image/png", 8, 8, 0L))
+    assert((meta2.width, meta2.height) == ((4, 4)))
+    val (w2, h2, _, _, _) = ImageCodec.channelSums(resized)
+    assert((w2, h2) == ((4, 4)))
+  }
 }
