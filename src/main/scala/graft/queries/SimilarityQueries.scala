@@ -141,6 +141,39 @@ object SimilarityQueries {
       |FROM documents, range(0, 8) x(x), range(0, 8) y(y)
       |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** Q74 — REAL audio decode, fully columnar (multimodal.AudioWav): one
+    * PCM mono 16-bit WAV clip per document (canonical RIFF writer on
+    * executors), then the DECODE side runs as pure Spark expressions —
+    * header magics/format validated, sample rate and length extracted
+    * from the little-endian fields, and per-sample |s| sum/peak folded
+    * over the data section. The oracle recomputes everything from the
+    * closed-form sample formula, so one wrong byte offset, endianness
+    * slip, or sign error anywhere fails the hash gate. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wavs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, graft.multimodal.AudioWav.syntheticWav(id))))
+      .toDF("media_id", "content")
+    graft.multimodal.AudioWav.parsed(wavs)
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("duration_ms"), col("sum_abs"), col("peak_abs"))
+      .orderBy(col("media_id"))
+  }
+
+  val audioDecodeSql: String =
+    """WITH clips AS (
+      |  SELECT doc_id AS media_id, 32 + doc_id % 32 AS n FROM documents),
+      |s AS (
+      |  SELECT media_id, n, abs((media_id * 97 + i.i * 31) % 2048 - 1024) AS a
+      |  FROM clips, range(0, 64) i(i) WHERE i.i < n)
+      |SELECT media_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(MAX(n) AS BIGINT) AS n_samples,
+      |  CAST(MAX(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(SUM(a) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(a) AS BIGINT) AS peak_abs
+      |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin
+
   /** IVF-flat approximate top-k, INTEGER-EXACT build (Similarity.ivfExact*):
     * 8 md5-seeded cells, one Lloyd iteration with sum-centroids (cosine is
     * scale-invariant ⇒ sum ≡ mean, and integer sums are engine-exact),
@@ -322,6 +355,7 @@ object SimilarityQueries {
     QueryDef("q15c_ann_ivf", ivfTopK, Some(ivfTopKSql)),
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q73_image_decode", imageDecode, Some(imageDecodeSql)),
+    QueryDef("q74_audio_decode", audioDecode, Some(audioDecodeSql)),
     QueryDef("q40_sq8_compression", sq8Compression, Some(sq8CompressionSql)),
     QueryDef("q46_pq_codes", pqCompression, Some(pqCompressionSql)))
 }

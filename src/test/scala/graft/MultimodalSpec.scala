@@ -59,4 +59,19 @@ class MultimodalSpec extends SparkSpec {
     val (w2, h2, _, _, _) = ImageCodec.channelSums(resized)
     assert((w2, h2) == ((4, 4)))
   }
+
+  test("columnar WAV decode: valid clip stats exact, corrupt clips isolate as wav_error") {
+    import graft.multimodal.AudioWav
+    val good = AudioWav.encode(Array[Short](100, -200, 300))
+    val bad = good.clone(); bad(0) = 'X'.toByte            // break RIFF magic
+    val notPcm = good.clone(); notPcm(20) = 2.toByte       // audio format != 1
+    val rows = Seq((1L, good), (2L, bad), (3L, notPcm)).toDF("media_id", "content")
+    val out = AudioWav.parsed(rows).orderBy($"media_id")
+      .select($"media_id", $"wav_error", $"n_samples", $"sum_abs", $"peak_abs")
+      .collect()
+    assert(out(0).getString(1) == null && out(0).getLong(2) == 3L &&
+      out(0).getLong(3) == 600L && out(0).getLong(4) == 300L, s"good clip: ${out(0)}")
+    assert(out(1).getString(1) == "bad-riff", s"corrupt magic: ${out(1)}")
+    assert(out(2).getString(1) == "bad-fmt", s"non-PCM: ${out(2)}")
+  }
 }
