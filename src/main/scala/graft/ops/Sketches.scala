@@ -94,7 +94,15 @@ object Sketches {
 
   /** Row-i bucket of a value — md5-derived with the row index salted into
     * the hashed string, so the d rows are independent AND any engine
-    * recomputes them identically. */
+    * recomputes them identically.
+    *
+    * MEASURED negative result (round 4): deriving all d buckets from ONE
+    * digest via Kirsch-Mitzenmacher double hashing benchmarked ~65%
+    * SLOWER here (3.2 s → 5.3 s solo at sf0.1), not faster — the
+    * explode's Generate-side projection does not subexpression-eliminate,
+    * so the shared digest is recomputed per element anyway and the extra
+    * conv()s outweigh the saved md5 salting. Keep the per-row salted
+    * form. */
   def cmBucket(row: Int, valueCol: Column): Column =
     pmod(graft.functions.TextFunctions.portableHash60(
       concat(lit(row.toString), lit(":"), valueCol.cast("string"))), lit(CmWidth.toLong))
