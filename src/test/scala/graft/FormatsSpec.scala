@@ -43,6 +43,14 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("documents round-trip through ORC losslessly (the other columnar store)") {
+    val dir = tmp("fmt_orc")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("events JSON wire round-trip preserves exact ns timestamps") {
     spark.catalog.clearCache()
     // the ns-long form IS the wire contract (epoch ns, exact integers)
