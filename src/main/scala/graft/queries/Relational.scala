@@ -427,6 +427,26 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Q75 — UNPIVOT (melt), the inverse verb of q43's pivot: the wide
+    * per-priority status counts fold back to (priority, status, n) long
+    * form via `stack` — the standard wide→long reshape a feature table
+    * needs before per-feature aggregation. stack() is a codegen'd
+    * Generate (row-local 1→N), no shuffle until the final sort; the
+    * pivot feeding it is q43's one-exchange shape. */
+  def statusUnpivot(spark: SparkSession, dir: String): DataFrame =
+    statusPivot(spark, dir)
+      .select(col("o_orderpriority"), expr(
+        "stack(3, 'F', n_f, 'O', n_o, 'P', n_p) as (o_orderstatus, n)"))
+      .filter(col("n") > 0) // long form drops absent combinations
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  val statusUnpivotSql: String =
+    """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY 1, 2
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+  // the round-trip pivot→unpivot must land exactly on the direct long-form
+  // aggregate — which is what the oracle states
+
   /** Q44 — CUBE: order counts + revenue over every subset of
     * (status, priority). One shuffle: Spark expands the grouping sets
     * map-side and partial-aggregates each, so the exchange carries group
@@ -696,6 +716,7 @@ object Relational {
     QueryDef("q24_running_totals", runningTotals, Some(runningTotalsSql)),
     QueryDef("q25_approx_distinct", approxDistinct, Some(approxDistinctSql)),
     QueryDef("q43_status_pivot", statusPivot, Some(statusPivotSql)),
+    QueryDef("q75_status_unpivot", statusUnpivot, Some(statusUnpivotSql)),
     QueryDef("q44_revenue_cube", revenueCube, Some(revenueCubeSql)),
     QueryDef("q48_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q71_quantile_histogram", quantileHistogram, Some(quantileHistogramSql)),

@@ -285,6 +285,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming aggregation matches the batch aggregate across micro-batches (materialized-view parity)") {
+    // the "streaming materialized view" pattern: the SAME groupBy/agg
+    // plan maintained incrementally over arriving micro-batches must land
+    // exactly on the batch result over the union — Spark's state store
+    // holds the partials, nothing is application-managed
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double, Long)]
+    val agg = input.toDS().toDF("k", "v", "n")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("cnt"), sum($"n").as("sum_n"))
+    val q = agg.writeStream.format("memory").queryName("mv_parity_test")
+      .outputMode("complete").start()
+    try {
+      val batch1 = (1 to 500).map(i => (s"k${i % 7}", i * 0.5, i.toLong))
+      val batch2 = (501 to 900).map(i => (s"k${i % 7}", i * 0.5, i.toLong))
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.sql("select k, cnt, sum_n from mv_parity_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = (batch1 ++ batch2).toDF("k", "v", "n")
+        .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"n").as("sum_n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"incremental aggregate diverged:\n$streamed\nvs\n$batch")
+    } finally q.stop()
+  }
+
   test("streaming binary-document ingestion: crawl stream -> columnar parse -> events") {
     // the streaming twin of q69's batch pipeline: the scheduled-re-walk
     // source (A4) picks up GRFT binaries as they appear; the same
