@@ -81,7 +81,11 @@ object AudioWav {
         s"(${le16(c, 21)}) = 1 and (${le16(c, 23)}) = 1 and (${le16(c, 35)}) = 16"))
       .withColumn("wav_error",
         when(not(col("__riff_ok")), lit("bad-riff"))
-          .when(not(col("__fmt_ok")), lit("bad-fmt")))
+          .when(not(col("__fmt_ok")), lit("bad-fmt"))
+          // a truncated or padded clip must error, not fold nulls: the
+          // data-size field has to match the actual byte count exactly
+          .when(expr(s"length($c)") =!= expr(s"${HeaderLen} + (${le32(c, 41)})"),
+            lit("bad-length")))
       .withColumn("sample_rate",
         when(col("wav_error").isNull, expr(le32(c, 25))))
       .withColumn("n_samples",

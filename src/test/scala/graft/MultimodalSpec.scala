@@ -65,7 +65,9 @@ class MultimodalSpec extends SparkSpec {
     val good = AudioWav.encode(Array[Short](100, -200, 300))
     val bad = good.clone(); bad(0) = 'X'.toByte            // break RIFF magic
     val notPcm = good.clone(); notPcm(20) = 2.toByte       // audio format != 1
-    val rows = Seq((1L, good), (2L, bad), (3L, notPcm)).toDF("media_id", "content")
+    val truncated = good.dropRight(2)                      // lying data-size field
+    val rows = Seq((1L, good), (2L, bad), (3L, notPcm), (4L, truncated))
+      .toDF("media_id", "content")
     val out = AudioWav.parsed(rows).orderBy($"media_id")
       .select($"media_id", $"wav_error", $"n_samples", $"sum_abs", $"peak_abs")
       .collect()
@@ -73,5 +75,6 @@ class MultimodalSpec extends SparkSpec {
       out(0).getLong(3) == 600L && out(0).getLong(4) == 300L, s"good clip: ${out(0)}")
     assert(out(1).getString(1) == "bad-riff", s"corrupt magic: ${out(1)}")
     assert(out(2).getString(1) == "bad-fmt", s"non-PCM: ${out(2)}")
+    assert(out(3).getString(1) == "bad-length", s"truncated clip: ${out(3)}")
   }
 }
