@@ -322,6 +322,37 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(c)
   }
 
+  /** One-pass PCM-16 sample statistics (Σ|s|, max|s|) over the data
+    * section of a VALIDATED RIFF/WAVE clip (bytes from offset 44,
+    * little-endian signed 16-bit). The expression-tree form folds an
+    * interpreted higher-order lambda with two conv(hex(substring)))
+    * calls per sample — this kernel is one tight primitive loop over the
+    * byte array (~15× less per-sample work at sf0.1). Callers gate on
+    * the columnar header validation first (AudioWav.parsed); the kernel
+    * itself only assumes length ≥ 44. */
+  case class WavSampleStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("peak_abs", LongType, nullable = false)))
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      var sum = 0L
+      var peak = 0L
+      var i = 44
+      while (i + 1 < b.length) {
+        val v = ((b(i) & 0xFF) | (b(i + 1) << 8)).toShort.toInt
+        val a = math.abs(v).toLong
+        sum += a
+        if (a > peak) peak = a
+        i += 2
+      }
+      org.apache.spark.sql.catalyst.InternalRow(sum, peak)
+    }
+    override protected def withNewChildInternal(c: Expression): WavSampleStats = copy(c)
+  }
+
   /** Per-thread MD5 instance: `MessageDigest.getInstance` is a
     * synchronized JCA provider lookup + allocation — per-ROW cost in the
     * hottest dedup kernel without this. (`digest()` resets the instance,
@@ -511,6 +542,9 @@ object NativeExpressions {
 
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+
+  def wavSampleStats(content: Column): Column =
+    ColumnBridge.column(WavSampleStats(ColumnBridge.expression(content)))
 
   def portableMinHashSigs(shingles: Column, k: Int): Column =
     ColumnBridge.column(PortableMinHashSigs(ColumnBridge.expression(shingles), k))

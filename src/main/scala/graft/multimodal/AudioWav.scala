@@ -60,12 +60,20 @@ object AudioWav {
     s"(${le16(c, pos1 + 2)}) * 65536 + (${le16(c, pos1)})"
 
   /** Columnar WAV parse of `contentCol` (binary). Adds:
-    *   wav_error    — null when valid, else bad-riff | bad-fmt
+    *   wav_error    — null when valid, else bad-riff | bad-fmt | bad-length
     *   sample_rate, n_samples, duration_ms — header-derived (exact ints)
     *   sum_abs, peak_abs — per-sample fold over the PCM words (signed
     *                 16-bit LE, |·| folded with integer arithmetic)
-    */
-  def parsed(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    *
+    * The header stays pure-columnar in both modes. The per-sample fold
+    * defaults to the native one-pass kernel
+    * (NativeExpressions.WavSampleStats — a tight byte loop);
+    * `nativeSampleFold = false` keeps the all-expression higher-order
+    * aggregate form (every stat derivable by ANY engine from the same
+    * bytes — the form the q74 oracle replays conceptually). Both forms
+    * are asserted identical in MultimodalSpec. */
+  def parsed(df: DataFrame, contentCol: String = "content",
+      nativeSampleFold: Boolean = true): DataFrame = {
     val c = contentCol
     // signed LE16 sample i (0-based) at byte offset 44 + 2i (1-based 45)
     val hi = s"cast(conv(hex(substring($c, 46 + 2 * i, 1)), 16, 10) as bigint)"
@@ -92,10 +100,17 @@ object AudioWav {
         when(col("wav_error").isNull, expr(s"(${le32(c, 41)}) div 2")))
       .withColumn("duration_ms",
         when(col("wav_error").isNull, expr("n_samples * 1000 div sample_rate")))
-      .withColumn("sum_abs", when(col("wav_error").isNull, expr(
-        s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> a + abs($signed))")))
-      .withColumn("peak_abs", when(col("wav_error").isNull, expr(
-        s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> greatest(a, abs($signed)))")))
-      .drop("__riff_ok", "__fmt_ok")
+      .withColumn("__stats",
+        when(col("wav_error").isNull && lit(nativeSampleFold),
+          graft.functions.NativeExpressions.wavSampleStats(col(contentCol))))
+      .withColumn("sum_abs",
+        if (nativeSampleFold) when(col("wav_error").isNull, col("__stats.sum_abs"))
+        else when(col("wav_error").isNull, expr(
+          s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> a + abs($signed))")))
+      .withColumn("peak_abs",
+        if (nativeSampleFold) when(col("wav_error").isNull, col("__stats.peak_abs"))
+        else when(col("wav_error").isNull, expr(
+          s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> greatest(a, abs($signed)))")))
+      .drop("__riff_ok", "__fmt_ok", "__stats")
   }
 }

@@ -76,5 +76,13 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getString(1) == "bad-riff", s"corrupt magic: ${out(1)}")
     assert(out(2).getString(1) == "bad-fmt", s"non-PCM: ${out(2)}")
     assert(out(3).getString(1) == "bad-length", s"truncated clip: ${out(3)}")
+    // native kernel and all-expression fold must agree exactly
+    val clips = (0L until 50L).map(id => (id, AudioWav.syntheticWav(id)))
+      .toDF("media_id", "content")
+    val native = AudioWav.parsed(clips).select($"media_id", $"sum_abs", $"peak_abs")
+    val exprForm = AudioWav.parsed(clips, nativeSampleFold = false)
+      .select($"media_id", $"sum_abs", $"peak_abs")
+    assert(native.exceptAll(exprForm).isEmpty && exprForm.exceptAll(native).isEmpty,
+      "kernel and expression sample folds diverge")
   }
 }
