@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  /** The queries whose cost is dominated by the dedup/ANN operators. */
+  /** The queries whose cost is dominated by the dedup/ANN operators,
+    * plus the round-4 span/codec family. */
   private val Family = Seq(
     "q8_content_dedup", "q12_minhash_neardup", "q13_simhash",
     "q13b_simhash_neardup", "q14_ngram_jaccard", "q15_embedding_topk",
-    "q15b_ann_lsh", "q15c_ann_ivf", "q33_dup_clusters", "q45_bm25")
+    "q15b_ann_lsh", "q15c_ann_ivf", "q33_dup_clusters", "q45_bm25",
+    "q70_repeated_spans", "q72_span_scrub", "q73_image_decode",
+    "q74_audio_decode")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy
