@@ -141,6 +141,53 @@ object SimilarityQueries {
       |FROM documents, range(0, 8) x(x), range(0, 8) y(y)
       |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** Q76 — Tika-shaped content-type detection (multimodal.MimeDetect):
+    * a mixed corpus (PNG / WAV / GRFT / plain text by doc_id mod 4) is
+    * sniffed by magic bytes and each format's HEADER parsed columnar —
+    * PNG dims from IHDR, WAV rate/duration from RIFF, GRFT
+    * version/length. The oracle recomputes every field from the
+    * generators' closed forms (PNG byte size is the one
+    * encoder-specific value, nulled on both sides). This is the B2
+    * detect+parse capability with real formats, not a stand-in. */
+  def mimeDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mixed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val content = (id % 4) match {
+          case 0 => Multimodal.ImageCodec.syntheticPng(id)
+          case 1 => graft.multimodal.AudioWav.syntheticWav(id)
+          case 2 => graft.pipeline.BinaryDocs.encode(text)
+          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        (id, content)
+      })
+      .toDF("media_id", "content")
+    graft.multimodal.MimeDetect.detected(mixed)
+      .select(col("media_id"), col("mime"),
+        when(col("mime") =!= "image/png", col("n_bytes")).as("n_bytes"),
+        col("width"), col("height"), col("sample_rate"), col("duration_ms"),
+        col("version"), col("payload_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  val mimeDetectSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |       WHEN 2 THEN 'application/x-grft' ELSE 'text/plain' END AS mime,
+      |  CASE doc_id % 4
+      |       WHEN 0 THEN NULL
+      |       WHEN 1 THEN 44 + 2 * (32 + doc_id % 32)
+      |       WHEN 2 THEN octet_length(CAST(text AS BLOB)) + 13
+      |       ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
+      |  CASE WHEN doc_id % 4 = 0 THEN 8 END AS width,
+      |  CASE WHEN doc_id % 4 = 0 THEN 8 END AS height,
+      |  CASE WHEN doc_id % 4 = 1 THEN 8000 END AS sample_rate,
+      |  CASE WHEN doc_id % 4 = 1 THEN (32 + doc_id % 32) * 1000 // 8000 END AS duration_ms,
+      |  CASE WHEN doc_id % 4 = 2 THEN 1 END AS version,
+      |  CASE WHEN doc_id % 4 = 2 THEN octet_length(CAST(text AS BLOB)) END AS payload_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Q74 — REAL audio decode, fully columnar (multimodal.AudioWav): one
     * PCM mono 16-bit WAV clip per document (canonical RIFF writer on
     * executors), then the DECODE side runs as pure Spark expressions —
@@ -356,6 +403,7 @@ object SimilarityQueries {
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q73_image_decode", imageDecode, Some(imageDecodeSql)),
     QueryDef("q74_audio_decode", audioDecode, Some(audioDecodeSql)),
+    QueryDef("q76_mime_detect", mimeDetect, Some(mimeDetectSql)),
     QueryDef("q40_sq8_compression", sq8Compression, Some(sq8CompressionSql)),
     QueryDef("q46_pq_codes", pqCompression, Some(pqCompressionSql)))
 }
