@@ -55,7 +55,10 @@ object GraftFunctions {
     ("graft_max_by_ord",
       (args: Seq[Expression]) => NativeExpressions.ArgMaxByOrd(
         args.head, args.tail).toAggregateExpression(),
-      "graft_max_by_ord(value, ord, ...) - hash-aggregable argmax (agg)"))
+      "graft_max_by_ord(value, ord, ...) - hash-aggregable argmax (agg)"),
+    ("graft_wav_stats",
+      (args: Seq[Expression]) => NativeExpressions.WavSampleStats(args.head),
+      "graft_wav_stats(binary) - one-pass PCM-16 sample stats (sum_abs, peak_abs)"))
 
   /** Register every graft_* function on an existing session. */
   def register(spark: SparkSession): Unit =
