@@ -53,8 +53,10 @@ object MimeDetect {
       .withColumn("sample_rate",
         when(col("mime") === "audio/wav", expr(le32(25))))
       .withColumn("duration_ms",
+        // nullif guards a malformed zero rate field: duration null, not a
+        // division-by-zero error killing the whole scan under ANSI
         when(col("mime") === "audio/wav",
-          expr(s"((${le32(41)}) div 2) * 1000 div (${le32(25)})")))
+          expr(s"((${le32(41)}) div 2) * 1000 div nullif(${le32(25)}, 0)")))
       // GRFT: version byte 5, payload length 6-9 BE
       .withColumn("version",
         when(col("mime") === "application/x-grft",
