@@ -285,6 +285,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("log-histogram quantile sketch streams natively (bounded state, batch parity)") {
+    // the histogram is a plain groupBy count over (key, bucket) — ≤ 64
+    // counter rows of state per key under Structured Streaming, and the
+    // streamed sketch must equal the batch sketch over the same data
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val hist = graft.ops.Sketches.logHistogram(
+      input.toDS().toDF("k", "v"), Seq("k"), col("v"))
+    val q = hist.writeStream.format("memory").queryName("loghist_test")
+      .outputMode("complete").start()
+    try {
+      val data = (1 to 2000).map(i => (s"k${i % 3}", (i % 500) * 0.7 + 0.1))
+      input.addData(data.take(1000)); q.processAllAvailable()
+      input.addData(data.drop(1000)); q.processAllAvailable()
+      val streamed = spark.sql("select k, bucket, n from loghist_test")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = graft.ops.Sketches.logHistogram(
+        data.toDF("k", "v"), Seq("k"), col("v"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed sketch diverged:\n$streamed\nvs\n$batch")
+    } finally q.stop()
+  }
+
   test("streaming aggregation matches the batch aggregate across micro-batches (materialized-view parity)") {
     // the "streaming materialized view" pattern: the SAME groupBy/agg
     // plan maintained incrementally over arriving micro-batches must land
