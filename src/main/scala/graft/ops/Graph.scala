@@ -33,6 +33,52 @@ object Graph {
     * teleport base = (2^40·15) div 100. */
   val TeleportBase: Long = RankScale * 15L / 100L
 
+  /** Exact triangle counting via degree-ordered edge orientation — the
+    * third classic corpus-graph signal after components (clusters) and
+    * PageRank (authority): triangle density separates organic
+    * co-occurrence neighbourhoods from spam/template cliques, and the
+    * per-node count is the numerator of local clustering coefficients.
+    *
+    * Algorithm (Suri & Vassilvitskii's MR-style orientation): orient
+    * every undirected edge from the (degree, id)-SMALLER endpoint to the
+    * larger, then count wedges a→b→c that close with an oriented a→c
+    * edge. Each triangle is counted exactly once, and — the scale
+    * property — the wedge join fans out on out-degrees bounded by
+    * O(√m), so one hub node cannot produce a quadratic wedge set the
+    * way a naive adjacency self-join would. Two equi-joins, one
+    * aggregation; no iteration.
+    *
+    * Input: undirected distinct pairs (u, v), u ≠ v, one row per edge
+    * (either orientation). Returns per-node triangle participation
+    * (node, n_triangles); the global count is sum/3. */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val lower = when(
+      struct(col("du"), col("u")) < struct(col("dv"), col("v")), true).otherwise(false)
+    val oriented = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("a"),
+        when(lower, col("v")).otherwise(col("u")).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("e1")
+      .join(oriented.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+    val tri = wedges
+      .join(oriented.select(col("a"), col("b").as("c")).as("e3"), Seq("a", "c"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // each closed wedge (a,b,c) is one triangle touching all three nodes
+    val perNode = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    perNode
+  }
+
   /** Symmetrize + dedup a directed edge list into the undirected form
     * PageRank walks here. */
   def undirected(edges: DataFrame): DataFrame =

@@ -55,6 +55,51 @@ object GraphQueries {
       |ORDER BY rank DESC, kind ASC, key ASC
       |LIMIT 100""".stripMargin
 
+  /** Q77 — exact triangle counting (Graph.triangles, degree-ordered
+    * orientation) over the part co-purchase graph: parts sharing ≥ 2
+    * orders are linked; per-node triangle participation ranks the
+    * densest co-occurrence neighbourhoods (the clique/template signal).
+    * The oracle recomputes the same edges and closes wedges with a plain
+    * 3-way join, so orientation bookkeeping must count every triangle
+    * exactly once. Top-50 nodes by participation. */
+  def trianglesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val l = items.select(col("ok"), col("pk").as("u"))
+    val r = items.select(col("ok"), col("pk").as("v"))
+    val pairs = l.join(r, Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select(col("u"), col("v"))
+    Graph.triangles(pairs)
+      .orderBy(col("n_triangles").desc, col("node").asc)
+      .limit(50)
+  }
+
+  val trianglesSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e2.u = e1.v
+      |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |pernode AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY node)
+      |SELECT node, n_triangles FROM pernode
+      |ORDER BY n_triangles DESC, node ASC LIMIT 50""".stripMargin
+  // the oracle's u<v 3-way join counts each triangle once (a<b<c); the
+  // engine's (degree, id) orientation must agree on the same set
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q47_pagerank", pageRankQuery, Some(pageRankSql)))
+    QueryDef("q47_pagerank", pageRankQuery, Some(pageRankSql)),
+    QueryDef("q77_triangles", trianglesQuery, Some(trianglesSql)))
 }

@@ -45,4 +45,20 @@ class GraphSpec extends SparkSpec {
     assert(st.getLong(0) == 4 && st.getLong(1) == 6 &&
       st.getLong(2) == 3 && st.getLong(3) == 1, s"got $st")
   }
+
+  test("triangle counting: K4 exact, stars zero, orientation counts each triangle once") {
+    import spark.implicits._
+    def tri(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Graph.triangles(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
+      .toDF("u", "v")
+    assert(tri(k4) == (1 to 4).map(i => i.toLong -> 3L).toMap)
+    // a star has wedges but no closures — and its hub must not blow up
+    val star = (2 to 30).map(i => (1L, i.toLong)).toDF("u", "v")
+    assert(tri(star).isEmpty)
+    // one triangle + pendant edge, given in mixed orientations/duplicates
+    val g = Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (3L, 4L)).toDF("u", "v")
+    assert(tri(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
