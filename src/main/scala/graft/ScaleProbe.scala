@@ -77,7 +77,9 @@ object ScaleProbe {
     println(s"## corpus: $dir ($nDocs docs, ${copies}x ${new File(sfDir).getName})")
     println("| query | seconds | output rows |")
     println("|---|---|---|")
-    Family.foreach { name =>
+    // SPARK_GRAFT_ONLY: probe a subset (same contract as Bench/Verify)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    Family.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
