@@ -85,8 +85,13 @@ object AudioWav {
         s"substring($c, 1, 4) = cast('RIFF' as binary) and " +
           s"substring($c, 9, 4) = cast('WAVE' as binary) and " +
           s"substring($c, 37, 4) = cast('data' as binary)"))
+      // rate != 0 is a validity check, not just a div-by-zero guard: a
+      // zero-rate header is malformed and must surface as bad-fmt rather
+      // than kill the scan at `duration_ms` under ANSI mode (the same
+      // row-isolation posture as MimeDetect's nullif guard).
       .withColumn("__fmt_ok", expr(
-        s"(${le16(c, 21)}) = 1 and (${le16(c, 23)}) = 1 and (${le16(c, 35)}) = 16"))
+        s"(${le16(c, 21)}) = 1 and (${le16(c, 23)}) = 1 and (${le16(c, 35)}) = 16" +
+          s" and (${le32(c, 25)}) != 0"))
       .withColumn("wav_error",
         when(not(col("__riff_ok")), lit("bad-riff"))
           .when(not(col("__fmt_ok")), lit("bad-fmt"))
@@ -103,14 +108,21 @@ object AudioWav {
       .withColumn("__stats",
         when(col("wav_error").isNull && lit(nativeSampleFold),
           graft.functions.NativeExpressions.wavSampleStats(col(contentCol))))
+      // n_samples = 0 must short-circuit: sequence(0, -1) is [0, -1] in
+      // Spark (step defaults to -1 when start > stop), which would fold
+      // two header bytes as a phantom sample.
       .withColumn("sum_abs",
         if (nativeSampleFold) when(col("wav_error").isNull, col("__stats.sum_abs"))
         else when(col("wav_error").isNull, expr(
-          s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> a + abs($signed))")))
+          s"case when n_samples > 0 then " +
+            s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> a + abs($signed)) " +
+            s"else 0L end")))
       .withColumn("peak_abs",
         if (nativeSampleFold) when(col("wav_error").isNull, col("__stats.peak_abs"))
         else when(col("wav_error").isNull, expr(
-          s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> greatest(a, abs($signed)))")))
+          s"case when n_samples > 0 then " +
+            s"aggregate(sequence(0, cast(n_samples as int) - 1), 0L, (a, i) -> greatest(a, abs($signed))) " +
+            s"else 0L end")))
       .drop("__riff_ok", "__fmt_ok", "__stats")
   }
 }

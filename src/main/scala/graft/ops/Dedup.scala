@@ -107,13 +107,28 @@ object Dedup {
     * scan partitions, and an unconditional repartition would force a full
     * shuffle of the raw text before shingling for nothing. Only inputs
     * narrower than the core count are spread; everything else passes
-    * through exchange-free (PlanAuditSpec pins this). The partition probe
-    * reads the physical plan's partitioning, which for the scans/unions
-    * feeding the dedup family plans without touching data. */
+    * through exchange-free (PlanAuditSpec pins this).
+    *
+    * The width probe is PLAN-ONLY — never `df.rdd`: under AQE, converting
+    * to an RDD finalizes the adaptive plan, which EXECUTES every upstream
+    * query stage once for the probe and again for the real action. Instead
+    * the pre-adaptive physical tree is inspected: an input already
+    * containing an exchange arrives spark.sql.shuffle.partitions wide
+    * (sized by config — pass through, untouched and unexecuted); an
+    * exchange-free input's width is its scans' partition count, which is
+    * file-listing metadata available at planning time. */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism * 2
-    if (df.rdd.getNumPartitions >= df.sparkSession.sparkContext.defaultParallelism) df
-    else df.repartition(target)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val plan = df.queryExecution.sparkPlan
+    val width =
+      if (plan.find(_.isInstanceOf[Exchange]).isDefined) Int.MaxValue
+      else plan.collectLeaves().map {
+        case scan: FileSourceScanExec => scan.inputRDDs().map(_.getNumPartitions).sum
+        case _ => 1 // local/in-memory relation: narrow and cheap to spread
+      }.sum
+    if (width >= parallelism) df else df.repartition(parallelism * 2)
   }
 
   /** Drop rows in oversized buckets (degenerate-key guard before a bucket
@@ -173,15 +188,16 @@ object Dedup {
     val rows = k / bands
     require(bands * rows == k, "k must be divisible by bands")
 
-    // Materialize the shingle table once, spread across cores. The persist
-    // is both a recompute guard (CollapseProject would otherwise inline the
-    // shingle expression into every downstream consumer) and the 100 TB
-    // pattern: signature inputs are computed once and reused, never
-    // recomputed per consumer.
+    // Materialize the shingle table once, spread across cores — eager
+    // localCheckpoint, not persist: it is both a recompute guard
+    // (CollapseProject would otherwise inline the shingle expression into
+    // every downstream consumer) and block-lifecycle-safe — a persist held
+    // by a returned lazy frame leaks for the session (the Graph lesson);
+    // checkpoint blocks release when the caller drops the result.
     val shingled = spread(docs.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("shingles")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // one-pass native signatures (portable md5 double-hash convention) by
     // default — zero shuffle; a custom base hash routes through the
@@ -268,14 +284,15 @@ object Dedup {
     // hamming ≤ 7 with 1-bit probes
     val bits = 64 / chunks
     val mask = (1L << bits) - 1
-    // persist: the signature table feeds BOTH sides of the bucket join —
-    // unpersisted, the full upstream simhash computation would be inlined
-    // and recomputed per side (and per AQE replan)
+    // eager localCheckpoint: the signature table feeds BOTH sides of the
+    // bucket join — unmaterialized, the full upstream simhash computation
+    // would be inlined and recomputed per side (and per AQE replan); a
+    // plain persist would leak past return (the Graph lesson)
     val chunked = sims.select(col("id"), col("simhash"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val",
         expr(s"shiftrightunsigned(simhash, chunk * $bits) & $mask"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // degenerate-bucket guard (e.g. simhash 0 from empty docs at corpus
     // scale); breaks the exact-recall guarantee only for keys it drops
     val capped = dropOversizedBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
@@ -415,9 +432,11 @@ object Dedup {
       blockCol: String, shingleN: Int = 2, threshold: Double = 0.05,
       maxDf: Int = 1000): DataFrame = {
     require(threshold > 0, "inverted-index Jaccard emits only overlapping pairs")
+    // eager localCheckpoint (not persist — block lifecycle, the Graph
+    // lesson): consumed by the hot-shingle scan and the pruned index
     val base = spread(docs.select(col(blockCol).as("block"), col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // Stop-shingle pruning: a shingle appearing in m docs of a block yields
     // m² join rows — boilerplate (headers, license text) makes this the

@@ -52,6 +52,11 @@ object Graph {
     * (either orientation). Returns per-node triangle participation
     * (node, n_triangles); the global count is sum/3. */
   def triangles(pairs: DataFrame): DataFrame = {
+    // persist lifecycle: edges/oriented are persisted only for the
+    // duration of this call — the eager localCheckpoint of the closed
+    // wedges materializes everything upstream, after which both are
+    // unpersisted deterministically (a persist held past return leaks for
+    // the session — the bigramLm lesson, TrainingPrep.scala:149-151).
     val edges = pairs
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -68,9 +73,13 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = oriented.as("e1")
       .join(oriented.select(col("a").as("b"), col("b").as("c")).as("e2"), "b")
+    // eager: materialized once for its three union consumers; blocks are
+    // released when the caller drops the result frame
     val tri = wedges
       .join(oriented.select(col("a"), col("b").as("c")).as("e3"), Seq("a", "c"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    edges.unpersist()
+    oriented.unpersist()
     // each closed wedge (a,b,c) is one triangle touching all three nodes
     val perNode = tri.select(col("a").as("node"))
       .unionAll(tri.select(col("b").as("node")))
@@ -105,6 +114,11 @@ object Graph {
         .select(col("dst").as("node"), col("rank"))
         .localCheckpoint(true)
     }
+    // the final iteration's eager checkpoint already materialized every
+    // read of e/deg — release both before returning so no cached blocks
+    // outlive the call (iters = 0 just loses caching, stays computable)
+    e.unpersist()
+    deg.unpersist()
     ranks
   }
 

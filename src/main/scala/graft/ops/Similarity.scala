@@ -72,11 +72,13 @@ object Similarity {
     // All tables' signatures come from one native kernel pass per vector
     // (tight primitive loops; the higher-order-lambda formulation was
     // ~50× slower), then explode to (table, sig) rows.
+    // eager localCheckpoint (not persist — block lifecycle, the Graph
+    // lesson): consumed by the cap scan and both sides of the bucket join
     val signed = Dedup.spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
       .select(col("id"),
         posexplode(graft.functions.NativeExpressions.rademacherSigs(
           col("v"), tables, planes, dim)).as(Seq("t", "sig")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // degenerate-bucket guard (shared sort-free groupBy + anti-join form)
     val capped = Dedup.dropOversizedBuckets(signed, Seq("t", "sig"), maxBucket)
     // candidate pairs carry ONLY scalar ids: dropDuplicates over array

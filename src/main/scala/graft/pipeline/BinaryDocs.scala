@@ -102,10 +102,17 @@ object BinaryDocs {
       createdBy: String = "parse-grft", timestamp: Long = 2L): Dataset[DataRecordEvent] = {
     val spark = records.sparkSession
     import spark.implicits._
+    // LEFT join: a record whose pointer resolves to no content row is an
+    // error to report, not a row to drop — the A19 contract covers the
+    // dangling-pointer case too (a crawl at 100 TB WILL have files deleted
+    // between listing and read).
     val resolved = records.toDF()
       .select(col("id"), col("representation.path").as("path"))
-      .join(contentByPath, Seq("path"))
+      .join(contentByPath, Seq("path"), "left")
     val p = parsed(resolved)
+      .withColumn("parse_error",
+        when(col("content").isNull, lit("missing-content"))
+          .otherwise(col("parse_error")))
 
     val renditions = p.filter(col("parse_error").isNull).select(
       lit(Command.UpsertRepresentation).as("command"),

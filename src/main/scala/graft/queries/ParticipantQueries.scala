@@ -22,7 +22,7 @@ object ParticipantQueries {
   def ingestDir(spark: SparkSession, dir: String): DataFrame = {
     val fx = DirectoryIngest.ensureFixture(spark, dir, modulo = 10)
     val scanned = DirectoryIngest.scan(spark, fx)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager: two consumers; blocks release with the result
     val records = Consolidate.batch(DirectoryIngest.asEvents(scanned)).toDF()
     val digests = scanned.select(
       regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("id"),
@@ -274,7 +274,7 @@ object ParticipantQueries {
   def binaryPipeline(spark: SparkSession, dir: String): DataFrame = {
     val fx = DirectoryIngest.ensureBinaryFixture(spark, dir, modulo = 7)
     val scanned = DirectoryIngest.scan(spark, fx, glob = "*.bin")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager: two consumers; blocks release with the result
     val creates = DirectoryIngest.asEvents(scanned)
     val records = Consolidate.batch(creates)
     val contentByPath = scanned.select(

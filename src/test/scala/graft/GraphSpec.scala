@@ -39,6 +39,17 @@ class GraphSpec extends SparkSpec {
       s"mass $total vs exact $exact — integer PageRank only loses floor dust")
   }
 
+  test("pageRank and triangles release every cached block before returning") {
+    import spark.implicits._
+    val e = Graph.undirected(edges((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)))
+    Graph.pageRank(e, iters = 3).count()
+    assertNoLeakedBlocks("pageRank")
+    val pairs = (for { a <- 1 to 5; b <- (a + 1) to 5 } yield (a.toLong, b.toLong))
+      .toDF("u", "v")
+    Graph.triangles(pairs).count()
+    assertNoLeakedBlocks("triangles")
+  }
+
   test("degreeStats summarizes the undirected degree distribution") {
     val st = Graph.degreeStats(Graph.undirected(edges((0L, 1L), (0L, 2L), (0L, 3L))))
       .head()
