@@ -322,28 +322,61 @@ object Relational {
 
   /** Q51 — table profiling: the pre-flight scan a 100 TB ingest runs
     * before processing — per-column row/null counts, lexicographic
-    * min/max, exact distinct AND the portable-HLL estimate, in ONE pass
-    * over a tall (col_name, value) projection (profiling n columns costs
-    * one scan, not n). The HLL estimate sits next to the exact count on
+    * min/max, exact distinct AND the portable-HLL estimate, in ONE pass:
+    * a single 1→n `explode(array(struct…))` builds the tall
+    * (col_name, value) projection off ONE table scan (the earlier
+    * unionAll form scanned once per column, and its unmaterialized reuse
+    * by two aggregate consumers multiplied that to 16 scans — the plan,
+    * not the doc, was authoritative; PlanAuditSpec now pins scans = 1),
+    * then base stats and the HLL sketch fuse into one cascaded
+    * aggregation keyed on (col_name, hll_bucket): hash buckets PARTITION
+    * the value space, so per-bucket exact distincts SUM to the global
+    * exact distinct, nulls ride in a sentinel bucket for the null count,
+    * and max-rank registers fall out of the same level-1 aggregate. The
+    * second-level shuffle carries ≤ 257 rows per column whatever the
+    * input size. The HLL estimate sits next to the exact count on
     * purpose: low-cardinality columns (o_orderstatus: 3 values) are far
     * below the raw-HLL regime (n ≳ 2.5·m) and the bias is visible —
     * profiling reports what the sketch would say at scale, honestly. */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
     val o = Tables.orders(spark, dir)
     val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
-    val tall = cols.map(c =>
-        o.select(lit(c).as("col_name"), col(c).cast("string").as("v")))
-      .reduce(_ unionAll _)
-    val base = tall.groupBy(col("col_name")).agg(
-      count(lit(1)).as("n"),
-      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-      countDistinct(col("v")).as("distinct_exact"),
-      min(col("v")).as("min_s"),
-      max(col("v")).as("max_s"))
-    val hll = graft.ops.Sketches.hllApproxDistinct(
-      tall.filter(col("v").isNotNull), Seq("col_name"), col("v"))
-    base.join(hll.select(col("col_name"), col("hll_est").as("distinct_est")),
-        Seq("col_name"))
+    val tall = o.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("cv"))
+      .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
+    // portable-HLL bucket/rank (identical convention to Sketches.hllRegisters:
+    // 60-bit md5 hash, top 8 bits bucket, rank = 53 - bitlength of low 52);
+    // nulls take bucket -1 so one aggregate counts them too
+    val h = graft.functions.TextFunctions.portableHash60(col("v"))
+    val sub = h.bitwiseAND(lit((1L << 52) - 1))
+    val bucketed = tall
+      .withColumn("bucket", when(col("v").isNull, lit(-1L)).otherwise(shiftright(h, 52)))
+      .withColumn("rank",
+        when(col("v").isNull, lit(null).cast("int"))
+          .when(sub === 0, lit(53))
+          .otherwise(lit(53) - length(bin(sub))).cast("int"))
+    val lvl1 = bucketed.groupBy(col("col_name"), col("bucket")).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("v")).as("d"),
+      min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"),
+      max(col("rank")).as("reg"))
+    lvl1.groupBy(col("col_name")).agg(
+        sum(col("n_rows")).as("n"),
+        sum(when(col("bucket") === -1, col("n_rows")).otherwise(0L)).as("n_null"),
+        sum(col("d")).as("distinct_exact"),
+        min(col("min_v")).as("min_s"),
+        max(col("max_v")).as("max_s"),
+        sum(when(col("bucket") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), 53 - reg)")).otherwise(0L)).as("s_present"),
+        sum(when(col("bucket") >= 0, 1L).otherwise(0L)).as("n_buckets"))
+      .withColumn("harmonic_e53",
+        col("s_present") + (lit(Sketches.HllM.toLong) - col("n_buckets")) * lit(1L << 53))
+      .withColumn("distinct_est",
+        round(lit(Sketches.HllAlphaScaledE53) / col("harmonic_e53").cast("double"), 1))
+      .select(col("col_name"), col("n"), col("n_null"), col("distinct_exact"),
+        col("min_s"), col("max_s"), col("distinct_est"))
       .orderBy(col("col_name"))
   }
 

@@ -182,6 +182,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("table profile reads its table ONCE (explode-tall + fused HLL, not n scans)") {
+    // profiling n columns must cost one scan of the table, not n (and not
+    // n × consumers — the round-4/5 regression was 16 Scan parquet leaves
+    // from an unmaterialized unionAll read by two aggregates)
+    val p = plan("q51_profile")
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans == 1, s"q51 profile plans $scans parquet scans; must be 1:\n${p.take(1200)}")
+  }
+
   test("binary pipeline: content resolution is a hash join, folds hash-aggregate") {
     val p = plan("q69_binary_pipeline")
     assert(!p.contains("CartesianProduct"), "path-keyed content resolution went cartesian")
