@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   *   \x89PNG\r\n\x1a\n        → image/png
   *   RIFF....WAVE             → audio/wav
   *   GRFT                     → application/x-grft
+  *   PK\x03\x04               → application/zip (docx and friends)
   *   otherwise                → text/plain (the corpus default)
   */
 object MimeDetect {
 
   /** Adds `mime` plus per-format metadata columns (null where not
     * applicable): width/height (png), sample_rate/duration_ms (wav),
-    * version/payload_bytes (grft), n_bytes (all). */
+    * version/payload_bytes (grft), zip_entries (zip — total entry count
+    * from the end-of-central-directory record, parsed columnar off the
+    * archive TAIL; null when the EOCD carries a comment), n_bytes (all). */
   def detected(df: DataFrame, contentCol: String = "content"): DataFrame = {
     val c = contentCol
     def be32(pos1: Int): String =
@@ -40,6 +43,7 @@ object MimeDetect {
             s"substring($c, 9, 4) = cast('WAVE' as binary)"), lit("audio/wav"))
           .when(expr(s"substring($c, 1, 4) = cast('GRFT' as binary)"),
             lit("application/x-grft"))
+          .when(expr(s"substring($c, 1, 4) = X'504B0304'"), lit("application/zip"))
           .otherwise(lit("text/plain")))
       .withColumn("n_bytes", expr(s"length($c)").cast("long"))
       // PNG: IHDR is always the first chunk — width/height are the two
@@ -63,5 +67,14 @@ object MimeDetect {
           expr(s"cast(conv(hex(substring($c, 5, 1)), 16, 10) as bigint)")))
       .withColumn("payload_bytes",
         when(col("mime") === "application/x-grft", expr(be32(6))))
+      // ZIP: total entry count from the comment-free end-of-central-
+      // directory record — fixed 22-byte tail, magic PK\x05\x06, entry
+      // total at EOCD offset 10 (LE16). All positions are expressions of
+      // length(c), still fully codegen'd.
+      .withColumn("zip_entries",
+        when(col("mime") === "application/zip" &&
+          expr(s"length($c) >= 22 and substring($c, length($c) - 21, 4) = X'504B0506'"),
+          expr(s"cast(conv(hex(substring($c, length($c) - 10, 1)), 16, 10) as bigint) * 256 + " +
+            s"cast(conv(hex(substring($c, length($c) - 11, 1)), 16, 10) as bigint)")))
   }
 }

@@ -69,9 +69,16 @@ object BinaryDocs {
           s"and substring($c, 1, 4) = cast('$Magic' as binary)"))
       .withColumn("__ver", expr(s"cast(conv(hex(substring($c, 5, 1)), 16, 10) as int)"))
       .withColumn("__plen", expr(s"cast(conv(hex(substring($c, 6, 4)), 16, 10) as bigint)"))
-      .withColumn("__payload", expr(s"substring($c, ${HeaderLen + 1}, cast(__plen as int))"))
+      // the int cast must be overflow-proof BEFORE validation: a corrupted
+      // high length byte declares plen ≥ 0x80000000, and `cast(__plen as
+      // int)` in this projection would throw under ANSI on the whole scan
+      // instead of isolating the row (found by the value-exhaustive fuzz).
+      // Clamping to the actual byte count is semantics-free — any plen
+      // above it fails the bad-length check, which compares the RAW __plen.
+      .withColumn("__plen_c", expr(s"cast(least(__plen, cast(__len as bigint)) as int)"))
+      .withColumn("__payload", expr(s"substring($c, ${HeaderLen + 1}, __plen_c)"))
       .withColumn("__crc_stored",
-        expr(s"cast(conv(hex(substring($c, ${HeaderLen + 1} + cast(__plen as int), " +
+        expr(s"cast(conv(hex(substring($c, ${HeaderLen + 1} + __plen_c, " +
           s"$TrailerLen)), 16, 10) as bigint)"))
       .withColumn("parse_error",
         when(not(col("__magic_ok")), lit("bad-magic"))
@@ -82,7 +89,7 @@ object BinaryDocs {
         when(col("parse_error").isNull, expr("cast(__payload as string)")))
       .withColumn("parsed_n_bytes",
         when(col("parse_error").isNull, col("__plen")))
-      .drop("__len", "__magic_ok", "__ver", "__plen", "__payload", "__crc_stored")
+      .drop("__len", "__magic_ok", "__ver", "__plen", "__plen_c", "__payload", "__crc_stored")
   }
 
   private val MetaType = "struct<values:map<string,string>,createdBy:string>"

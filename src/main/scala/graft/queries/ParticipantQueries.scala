@@ -303,6 +303,57 @@ object ParticipantQueries {
       |       ELSE CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END AS n_bytes
       |FROM documents WHERE doc_id % 7 = 0 ORDER BY id""".stripMargin
 
+  /** Q78 — the REAL-container end-to-end pipeline, the test3.docx analog
+    * with an actual ZIP/OOXML archive instead of the synthetic GRFT
+    * layout (reference: KafkaIntelligencePipelineTests.kt:352-361 — Tika
+    * over a Word document): a docx-shaped fixture tree (with planted
+    * CRC-corrupted archives) is crawled with the binaryFile source,
+    * folded into records whose representation POINTS at the file, content
+    * is resolved by a path-keyed left join, the container walked and its
+    * `word/document.xml` text extracted on executors (ZipDocs), and the
+    * outcome — text rendition + {n_entries, n_bytes} metadata, or
+    * `!error = bad-zip` for corrupt archives — registered back through a
+    * second fold. The oracle recomputes everything (extracted-text
+    * digest, exact archive byte size, which files are corrupt) from the
+    * generating table, so the whole
+    * write → crawl → resolve → unzip → extract → register loop must
+    * round-trip bit-exact. */
+  def zipPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val fx = DirectoryIngest.ensureZipFixture(spark, dir, modulo = 11)
+    val scanned = DirectoryIngest.scan(spark, fx, glob = "*.docx")
+      .localCheckpoint(true) // eager: two consumers; blocks release with the result
+    val creates = DirectoryIngest.asEvents(scanned)
+    val records = Consolidate.batch(creates)
+    val contentByPath = scanned.select(
+      regexp_replace(col("path"), "^file:", "").as("path"), col("content"))
+    val parseEvs = graft.pipeline.ZipDocs.parseEvents(records, contentByPath)
+    val finalRecords = Consolidate.batch(creates.unionByName(parseEvs))
+    finalRecords.toDF().select(
+      col("id"),
+      col("name").as("file_name"),
+      size(col("additionalRepresentations")).cast("long").as("n_reps"),
+      md5(expr("try_element_at(additionalRepresentations, 1)").getField("path")
+        .cast("binary")).as("digest"),
+      expr("try_element_at(try_element_at(meta, 1).values, '!error')").as("error"),
+      expr("try_element_at(try_element_at(meta, 1).values, 'n_entries')")
+        .cast("long").as("n_entries"),
+      expr("try_element_at(try_element_at(meta, 1).values, 'n_bytes')")
+        .cast("long").as("n_bytes"))
+      .orderBy(col("id"))
+  }
+
+  val zipPipelineSql: String =
+    s"""SELECT doc_id AS id,
+      |  CAST(doc_id AS VARCHAR) || '.docx' AS file_name,
+      |  CAST(CASE WHEN doc_id % 110 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_reps,
+      |  CASE WHEN doc_id % 110 = 0 THEN NULL ELSE md5(text) END AS digest,
+      |  CASE WHEN doc_id % 110 = 0 THEN 'bad-zip' ELSE NULL END AS error,
+      |  CASE WHEN doc_id % 110 = 0 THEN NULL ELSE CAST(3 AS BIGINT) END AS n_entries,
+      |  CASE WHEN doc_id % 110 = 0 THEN NULL
+      |       ELSE octet_length(CAST(text AS BLOB)) + ${graft.pipeline.ZipDocs.fixedOverheadBytes}
+      |       END AS n_bytes
+      |FROM documents WHERE doc_id % 11 = 0 ORDER BY id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
@@ -310,5 +361,6 @@ object ParticipantQueries {
     QueryDef("q31b_dual_renditions", dualRenditions, Some(dualRenditionsSql)),
     QueryDef("q32_sentence_chunks", sentenceChunks, Some(sentenceChunksSql)),
     QueryDef("q34_parse_map", parseMap, Some(parseMapSql)),
-    QueryDef("q69_binary_pipeline", binaryPipeline, Some(binaryPipelineSql)))
+    QueryDef("q69_binary_pipeline", binaryPipeline, Some(binaryPipelineSql)),
+    QueryDef("q78_zip_pipeline", zipPipeline, Some(zipPipelineSql)))
 }

@@ -124,4 +124,46 @@ object DirectoryIngest {
     }
     out.toString
   }
+
+  /** ZIP-container fixture: one docx-shaped `<doc_id>.docx` per
+    * `documents` row with doc_id % `modulo` == 0 (ZipDocs.encode — a real
+    * OOXML-shaped archive, the test3.docx analog), and a DELIBERATELY
+    * CORRUPT archive for every doc_id % (modulo*10) == 0: one byte of the
+    * stored `word/document.xml` payload is flipped, so the entry's CRC
+    * check fails inside the parser and the record must isolate as
+    * `!error = bad-zip` instead of failing the job. Same foreachPartition
+    * writer + idempotency marker as the other fixtures. */
+  def ensureZipFixture(spark: SparkSession, sfDir: String, modulo: Int = 11): String = {
+    val name = new java.io.File(sfDir).getName
+    val out = java.nio.file.Paths.get(s"/tmp/graft_ingest_fixture/$name-zip-m$modulo")
+    val marker = out.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(out)
+      val outStr = out.toString
+      val corruptEvery = modulo * 10
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % modulo === 0)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val base = java.nio.file.Paths.get(outStr)
+          val run = "<w:t>".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val bytes = graft.pipeline.ZipDocs.encode(r.getString(1))
+            if (id % corruptEvery == 0) {
+              // flip the first text byte INSIDE the stored payload: the
+              // archive structure stays walkable, the entry CRC does not
+              var i = 0
+              while (i < bytes.length - run.length &&
+                !java.util.Arrays.equals(bytes, i, i + run.length, run, 0, run.length)) i += 1
+              val t = i + run.length
+              bytes(t) = (bytes(t) ^ 0x5A).toByte
+            }
+            java.nio.file.Files.write(base.resolve(s"$id.docx"), bytes)
+          }
+        }
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    out.toString
+  }
 }

@@ -85,4 +85,26 @@ class MultimodalSpec extends SparkSpec {
     assert(native.exceptAll(exprForm).isEmpty && exprForm.exceptAll(native).isEmpty,
       "kernel and expression sample folds diverge")
   }
+
+  test("WAV edge headers: zero-rate isolates as bad-fmt, zero samples fold to 0 (both modes)") {
+    import graft.multimodal.AudioWav
+    // a zero sample-rate field is malformed (and would divide by zero in
+    // duration_ms under ANSI); an EMPTY clip is valid and must fold to
+    // sum_abs = peak_abs = 0, not conjure a phantom sample out of
+    // sequence(0, -1)
+    val zeroRate = AudioWav.encode(Array[Short](10, 20), sampleRate = 0)
+    val empty = AudioWav.encode(Array.empty[Short])
+    val rows = Seq((1L, zeroRate), (2L, empty)).toDF("media_id", "content")
+    for (nativeFold <- Seq(true, false)) {
+      val out = AudioWav.parsed(rows, nativeSampleFold = nativeFold)
+        .orderBy($"media_id")
+        .select($"wav_error", $"n_samples", $"duration_ms", $"sum_abs", $"peak_abs")
+        .collect()
+      assert(out(0).getString(0) == "bad-fmt",
+        s"zero-rate clip (native=$nativeFold): ${out(0)}")
+      assert(out(1).getString(0) == null && out(1).getLong(1) == 0L &&
+        out(1).getLong(2) == 0L && out(1).getLong(3) == 0L && out(1).getLong(4) == 0L,
+        s"empty clip (native=$nativeFold): ${out(1)}")
+    }
+  }
 }

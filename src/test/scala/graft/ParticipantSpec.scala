@@ -205,4 +205,94 @@ class ParticipantSpec extends SparkSpec {
       .filter(col("parse_error").isNull).select($"pos").as[Long].collect()
     assert(clean.isEmpty, s"corrupted positions parsed clean: ${clean.toSeq}")
   }
+
+  test("GRFT parse rejects ALL 255 wrong values at every header/trailer byte (value-exhaustive)") {
+    // the single-XOR fuzz above covers every position with ONE wrong
+    // value; the structured bytes (9 header + 4 CRC trailer) get every
+    // possible wrong value here. This includes setting the high
+    // payload-length byte to 0xFF — a declared length ≥ 0x80000000 whose
+    // int cast would overflow under ANSI if the bad-length branch did not
+    // fire first, pinning the CaseWhen ordering in BinaryDocs.parsed.
+    import graft.pipeline.BinaryDocs
+    val bytes = BinaryDocs.encode("hello world sample text for fuzzing")
+    val positions = (0 until BinaryDocs.HeaderLen) ++
+      ((bytes.length - BinaryDocs.TrailerLen) until bytes.length)
+    val rows = positions.flatMap { i =>
+      (1 to 255).map { v =>
+        val b = bytes.clone(); b(i) = (b(i) ^ v).toByte
+        (i.toLong * 1000 + v, b)
+      }
+    }.toDF("pos", "content")
+    val clean = BinaryDocs.parsed(rows)
+      .filter(col("parse_error").isNull).select($"pos").as[Long].collect()
+    assert(clean.isEmpty,
+      s"corrupted (pos*1000+xor) parsed clean: ${clean.toSeq.take(10)}")
+  }
+
+  test("dangling content pointer isolates as missing-content, siblings unaffected (A19)") {
+    // the crawl-then-read race at 100 TB: a record whose representation
+    // path no longer resolves must register !error = missing-content and
+    // must not drop or fail the batch
+    val recs = Seq(
+      DataRecord(1L, "a.bin", 1L, DocumentRepresentation("/p/a.bin", "directory"),
+        Seq.empty, Seq.empty),
+      DataRecord(2L, "gone.bin", 1L, DocumentRepresentation("/p/gone.bin", "directory"),
+        Seq.empty, Seq.empty)).toDS()
+    val contentByPath = Seq(("/p/a.bin", graft.pipeline.BinaryDocs.encode("alive")))
+      .toDF("path", "content")
+    val evs = graft.pipeline.BinaryDocs.parseEvents(recs, contentByPath).collect()
+    val errs = evs.filter(e => e.command == Command.UpsertMetadata)
+      .map(e => e.id -> e.meta.get.values.get("!error")).toMap
+    assert(errs(2L).contains("missing-content"), s"dangling pointer: $errs")
+    assert(errs(1L).isEmpty, s"healthy sibling got an error: $errs")
+    assert(evs.exists(e => e.command == Command.UpsertRepresentation && e.id == 1L &&
+      e.representation.get.path == "alive"), "healthy sibling lost its rendition")
+    assert(!evs.exists(e => e.command == Command.UpsertRepresentation && e.id == 2L),
+      "dangling pointer must not produce a rendition")
+  }
+
+  test("ZIP container: docx-shaped round-trip, XML escaping, entry walk (B2/B3 real format)") {
+    import graft.pipeline.ZipDocs
+    val text = "plain words & <tags> survive the w:t run \"quoted\" 'too'"
+    val (err, extracted, n) = ZipDocs.parseZip(ZipDocs.encode(text))
+    assert(err == null && extracted == text && n == 3L,
+      s"round-trip: err=$err n=$n text=$extracted")
+    // archive size is closed-form: STORED entries, no compressor variance
+    assert(ZipDocs.encode(text).length ==
+      ZipDocs.fixedOverheadBytes + ZipDocs.escapeXml(text)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+  }
+
+  test("ZIP container: corrupt, non-zip, and main-part-less archives isolate per record") {
+    import graft.pipeline.ZipDocs
+    // payload corruption → the stored entry's CRC check fires
+    val corrupt = ZipDocs.encode("some document text")
+    val marker = "<w:t>".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val at = corrupt.indices.find(i => i + marker.length < corrupt.length &&
+      java.util.Arrays.equals(corrupt, i, i + marker.length, marker, 0, marker.length)).get +
+      marker.length
+    corrupt(at) = (corrupt(at) ^ 0x5A).toByte
+    assert(ZipDocs.parseZip(corrupt)._1 == "bad-zip", "CRC-corrupt archive must be bad-zip")
+    // not a zip at all
+    assert(ZipDocs.parseZip("just text".getBytes)._1 == "bad-zip")
+    // truncated mid-entry
+    val truncated = ZipDocs.encode("some document text").take(40)
+    assert(ZipDocs.parseZip(truncated)._1 == "bad-zip")
+    // a VALID zip without word/document.xml
+    val baos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(baos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
+    zos.write("hi".getBytes); zos.closeEntry(); zos.close()
+    assert(ZipDocs.parseZip(baos.toByteArray)._1 == "missing-entry")
+  }
+
+  test("ZIP container: mime detection + columnar EOCD entry count") {
+    val zip = graft.pipeline.ZipDocs.encode("detect me")
+    val rows = Seq((1L, zip), (2L, "not a zip".getBytes)).toDF("media_id", "content")
+    val out = graft.multimodal.MimeDetect.detected(rows).orderBy($"media_id")
+      .select($"mime", $"zip_entries").collect()
+    assert(out(0).getString(0) == "application/zip" && out(0).getLong(1) == 3L,
+      s"zip row: ${out(0)}")
+    assert(out(1).getString(0) == "text/plain" && out(1).isNullAt(1), s"text row: ${out(1)}")
+  }
 }
