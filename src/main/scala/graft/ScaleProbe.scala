@@ -128,6 +128,24 @@ object ScaleProbe {
     report("hyperplane LSH buckets (q15b)", "(t, sig)", 5000,
       Dedup.bucketCapStats(signed, Seq("t", "sig"), 5000))
 
+    // per-node degree-cap drop rates on the VERIFIED pair sets (the
+    // quadratic-output guard, maxDegree=4 as registered by q13b/q15b/q33)
+    println()
+    println("| pair family | cap k | dropped pairs | total pairs | drop % |")
+    println("|---|---|---|---|---|")
+    def reportDeg(label: String, k: Int, stats: (Long, Long)): Unit = {
+      val (d, tot) = stats
+      println(f"| $label | $k | $d | $tot | ${100.0 * d / math.max(tot, 1)}%.2f |")
+    }
+    reportDeg("simhash hamming<=7 pairs (q13b/q33)", 4,
+      Dedup.capDegreeStats(Dedup.simhashNearDupPairs(sims, maxHamming = 7),
+        4, "hamming", ascending = true))
+    reportDeg("hyperplane LSH cosine>=0.3 pairs (q15b)", 4,
+      Dedup.capDegreeStats(
+        graft.ops.Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+          dim = 64, planes = 8, tables = 12, cosineThreshold = 0.3),
+        4, "cosine", ascending = false))
+
     spark.stop()
   }
 }

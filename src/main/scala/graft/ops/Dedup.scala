@@ -118,14 +118,22 @@ object Dedup {
     * exchange-free input's width is its scans' partition count, which is
     * file-listing metadata available at planning time. */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
     val width =
-      if (plan.find(_.isInstanceOf[Exchange]).isDefined) Int.MaxValue
+      // only SHUFFLE exchanges mean "already wide": a broadcast exchange
+      // on a joined dimension says nothing about the streamed side's
+      // width — a one-file scan broadcast-joined to a small table would
+      // still serialize the downstream compute onto one task
+      if (plan.find(_.isInstanceOf[ShuffleExchangeLike]).isDefined) Int.MaxValue
       else plan.collectLeaves().map {
         case scan: FileSourceScanExec => scan.inputRDDs().map(_.getNumPartitions).sum
+        // a localCheckpoint'd upstream (the standard materialization here)
+        // plans as an RDD-scan leaf whose RDD already exists — its true
+        // width is free to read and no AQE stage is finalized by asking
+        case rdd: RDDScanExec => rdd.inputRDDs().map(_.getNumPartitions).sum
         case _ => 1 // local/in-memory relation: narrow and cheap to spread
       }.sum
     if (width >= parallelism) df else df.repartition(parallelism * 2)
@@ -159,6 +167,61 @@ object Dedup {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** Per-node neighbor cap for VERIFIED near-dup pair sets — the
+    * output-volume guard for dup-heavy corpora. A boilerplate cluster of
+    * m near-identical documents emits Θ(m²) verified pairs by
+    * construction, and at 100 TB m reaches millions — the pair table
+    * itself becomes the bottleneck however well the candidate join is
+    * bucketed. Keep a pair iff it ranks within the top `k` strongest
+    * neighbors of EITHER endpoint (union semantics): every node retains
+    * its k best edges, so each output row is still one of SOMEBODY's
+    * nearest neighbors, a connected dup cluster stays connected through
+    * its members' strongest survivors, and output is bounded by 2k
+    * pairs per node — linear, not quadratic.
+    *
+    * Plan shape: one narrow 1→2 explode symmetrizes each pair into a
+    * (node, other) row per endpoint — a node's WHOLE neighbor set lands
+    * in one window partition regardless of which pair column it occupied
+    * (ranking the id_a and id_b sides separately would let every node's
+    * lone-column appearances rank 1 and never drop). The single
+    * row_number over (quality, other-id) is deterministic, tie-broken,
+    * and replayable by the SQL oracle, and the `rk <= k` filter plans as
+    * WindowGroupLimit — partial top-k per key map-side BEFORE the sort,
+    * so nothing global is sorted and the shuffle carries ≤ k rows per
+    * node after the group limit. One consumer of `pairs`, so no
+    * materialization is needed and lineage stays intact. Drop rates are
+    * REPORTED, never silent: ScaleProbe measures them per family
+    * (capDegreeStats). */
+  private[graft] def capPairDegree(pairs: DataFrame, k: Int,
+      quality: String, ascending: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("node"), col("id_b").as("other"), col(quality).as("q")),
+        struct(col("id_b").as("node"), col("id_a").as("other"), col(quality).as("q"))))
+        .as("e"))
+      .select(col("e.node").as("node"), col("e.other").as("other"),
+        col("e.q").as(quality))
+    val ord = if (ascending) col(quality).asc else col(quality).desc
+    sym
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("node")).orderBy(ord, col("other").asc)))
+      .filter(col("__rk") <= k)
+      .select(least(col("node"), col("other")).as("id_a"),
+        greatest(col("node"), col("other")).as("id_b"), col(quality))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Measured drop of a `capPairDegree(k)` application on `pairs` —
+    * (droppedPairs, totalPairs). One extra aggregation over the pair set;
+    * ScaleProbe reports it so the cap is a recorded number at every
+    * probed scale, not an assumption. */
+  def capDegreeStats(pairs: DataFrame, k: Int, quality: String,
+      ascending: Boolean): (Long, Long) = {
+    val total = pairs.count()
+    val kept = capPairDegree(pairs, k, quality, ascending).count()
+    (total - kept, total)
+  }
+
   /** LSH banding: split the signature into `bands` bands of `rows` values,
     * hash each band. Output one (band, bandHash) struct per band. */
   def lshBands(signature: Column, bands: Int, rows: Int): Column =
@@ -181,10 +244,13 @@ object Dedup {
     * (oracle-verifiable); pass `Some(xxhashBase)` to trade oracle parity
     * for a faster hash family at 100 TB — the signature pipeline then
     * runs the generic explode+aggregate path. */
+  /** `maxDegree > 0` caps each node's emitted pairs to its `maxDegree`
+    * HIGHEST-jaccard neighbors (union semantics, [[capPairDegree]]). */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       jaccardThreshold: Double = 0.5, maxBucket: Int = 1000,
-      base: Option[Column => (Column, Column)] = None): DataFrame = {
+      base: Option[Column => (Column, Column)] = None,
+      maxDegree: Int = 0): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "k must be divisible by bands")
 
@@ -194,6 +260,14 @@ object Dedup {
     // every downstream consumer) and block-lifecycle-safe — a persist held
     // by a returned lazy frame leaks for the session (the Graph lesson);
     // checkpoint blocks release when the caller drops the result.
+    // TRADEOFF (applies to every localCheckpoint in this family): lineage
+    // is truncated, so on a multi-executor cluster losing an executor
+    // makes its checkpoint blocks unrecoverable (job retry, not task
+    // recompute), and materialization happens AT OPERATOR CONSTRUCTION
+    // even if no action ever runs. A deployment that prefers elasticity
+    // over block hygiene can swap persist(MEMORY_AND_DISK) back in at
+    // these sites — semantics are identical; only failure/lifecycle
+    // behavior differs.
     val shingled = spread(docs.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("shingles")))
@@ -225,12 +299,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    pairs
+    val verified = pairs
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (maxDegree > 0) capPairDegree(verified, maxDegree, "jaccard", ascending = false)
+    else verified
   }
 
   /** Exact Jaccard over two distinct-element arrays: |A∩B| / |A∪B| as a
@@ -274,8 +350,12 @@ object Dedup {
     * maxHamming > 7 is refused: it would need wider probes or sub-16-bit
     * chunks (quadratic buckets at scale) — that radius is MinHash
     * territory (minhashNearDupPairs), not simhash banding. */
+  /** `maxDegree > 0` additionally caps each node's emitted pairs to its
+    * `maxDegree` LOWEST-hamming neighbors (union semantics,
+    * [[capPairDegree]]) — the 100 TB guard against quadratic pair volume
+    * on dup-heavy corpora. */
   def simhashNearDupPairs(sims: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 5000): DataFrame = {
+      maxBucket: Int = 5000, maxDegree: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming=$maxHamming exceeds the 1-bit-probe banding radius (7); " +
         "route coarser radii through minhashNearDupPairs")
@@ -327,11 +407,13 @@ object Dedup {
             when(col("id_a") < col("id_b"), col("sim_a")).otherwise(col("sim_b")).as("sim_a"),
             when(col("id_a") < col("id_b"), col("sim_b")).otherwise(col("sim_a")).as("sim_b"))
       }
-    paired
+    val verified = paired
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    if (maxDegree > 0) capPairDegree(verified, maxDegree, "hamming", ascending = true)
+    else verified
   }
 
   // -------------------------------------------------- duplicate clusters

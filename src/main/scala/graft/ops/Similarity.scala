@@ -64,9 +64,17 @@ object Similarity {
     * NativeExpressions.RademacherSigs), so the whole candidate set AND the
     * verified pairs are bit-reproducible by the DuckDB oracle — the ANN
     * scale path is correctness-gated, not just recall-spec'd. */
+  /** `maxDegree > 0` additionally caps each node's verified pairs to its
+    * `maxDegree` highest-cosine neighbors (union semantics,
+    * Dedup.capPairDegree): on a dup-heavy corpus the verified pair set is
+    * output-quadratic by construction — a cluster of m near-identical
+    * vectors yields Θ(m²) pairs however well the buckets are capped — and
+    * the per-node cap bounds it at 2·maxDegree·n with the drop rate
+    * measured, not silent (ScaleProbe). */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int = 6, tables: Int = 16,
-      cosineThreshold: Double = 0.9, maxBucket: Int = 5000): DataFrame = {
+      cosineThreshold: Double = 0.9, maxBucket: Int = 5000,
+      maxDegree: Int = 0): DataFrame = {
     // spread before the CPU-dense signature computation: a single small
     // parquet file otherwise serializes all projection dots onto one task.
     // All tables' signatures come from one native kernel pass per vector
@@ -91,13 +99,15 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    cand
+    val verified = cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
         col("v_a"), col("v_b")))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    if (maxDegree > 0) Dedup.capPairDegree(verified, maxDegree, "cosine", ascending = false)
+    else verified
   }
 
   // ------------------------------------------- int8 scalar quantization

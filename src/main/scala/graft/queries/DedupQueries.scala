@@ -49,7 +49,7 @@ object DedupQueries {
     val sims = Dedup.simhashTable(
       withPlantedNearDups(Tables.documents(spark, dir)), "doc_id", "text",
       hasher = graft.functions.TextFunctions.portableHash60)
-    Dedup.simhashNearDupPairs(sims, maxHamming = 7)
+    Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -143,15 +143,27 @@ object DedupQueries {
 
   val simhashNearDupsSql: String =
     simhashSqlFrom(corpusSql) +
-      """
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      """,
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+        |sym AS (
+        |  SELECT id_a AS node, id_b AS other, hamming FROM pr
+        |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
+        |rk AS (
+        |  SELECT node, other, hamming,
+        |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+        |  FROM sym)
+        |SELECT DISTINCT LEAST(node, other) AS id_a, GREATEST(node, other) AS id_b, hamming
+        |FROM rk WHERE r <= 4
         |ORDER BY id_a, id_b""".stripMargin
   // naive all-pairs oracle is valid because 4×16-bit banding with 1-bit
   // multi-probe is EXACT for hamming ≤ 7 (⌊7/4⌋ ≤ 1 differing bit in some
-  // chunk) and the maxBucket guard never fires at sf0.01
+  // chunk) and the maxBucket guard never fires at sf0.01; the rk CTE
+  // replays the per-node maxDegree=4 union cap (top-4 lowest-hamming
+  // neighbors of either endpoint, ties broken by id)
 
   val minhashNearDupsSql: String =
     s"""WITH corpus AS (
@@ -181,15 +193,17 @@ object DedupQueries {
   // the maxBucket guard never fires at sf0.01
 
   /** Q33 — duplicate-cluster consolidation: connected components over the
-    * simhash hamming ≤ 7 pair set (q13b's edges), labeling every member
-    * with the cluster minimum (the canonical keep id) + cluster size. The
-    * oracle computes the same closure with a recursive CTE, so the
-    * iterative label propagation must reach the exact fixpoint. */
+    * simhash hamming ≤ 7 pair set (q13b's edges, per-node degree-capped
+    * like q13b — at 100 TB CC's input volume is the cap's whole point),
+    * labeling every member with the cluster minimum (the canonical keep
+    * id) + cluster size. The oracle computes the same closure (including
+    * the cap) with a recursive CTE, so the iterative label propagation
+    * must reach the exact fixpoint. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val sims = Dedup.simhashTable(
       withPlantedNearDups(Tables.documents(spark, dir)), "doc_id", "text",
       hasher = graft.functions.TextFunctions.portableHash60)
-    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7)
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
     val labels = Dedup.connectedComponents(pairs)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
@@ -199,10 +213,21 @@ object DedupQueries {
 
   val dupClustersSql: String =
     s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
-       |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+       |psym AS (
+       |  SELECT id_a AS node, id_b AS other, hamming FROM pr
+       |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
+       |prk AS (
+       |  SELECT node, other,
+       |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+       |  FROM psym),
+       |pairs AS (SELECT DISTINCT LEAST(node, other) AS id_a,
+       |                 GREATEST(node, other) AS id_b
+       |          FROM prk WHERE r <= 4),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
        |reach AS (

@@ -53,12 +53,15 @@ object SimilarityQueries {
   def annLshPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
       "vec_id", "embedding", dim = 64, planes = 8, tables = 12,
-      cosineThreshold = 0.3)
+      cosineThreshold = 0.3, maxDegree = 4)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SQL replay of lshNearDupPairs(planes=8, tables=12, maxBucket=5000,
-    * threshold=0.3): quantize → ±1-projection signs → packed signatures →
-    * oversized-bucket drop → any-table collision pairs → quantized cosine. */
+    * threshold=0.3, maxDegree=4): quantize → ±1-projection signs → packed
+    * signatures → oversized-bucket drop → any-table collision pairs →
+    * quantized cosine → per-node top-4 union cap (a pair survives if it
+    * is among the 4 strongest of EITHER endpoint — replayed with two
+    * deterministic row_number windows). */
   val annLshPairsSql: String =
     """WITH c AS (
       |  SELECT vec_id AS id,
@@ -87,9 +90,17 @@ object SimilarityQueries {
       |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * cb.qv[i])) AS BIGINT) AS DOUBLE) /
       |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> ca.qv[i] * ca.qv[i])) AS BIGINT) AS DOUBLE)) *
       |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> cb.qv[i] * cb.qv[i])) AS BIGINT) AS DOUBLE))) AS cosine
-      |  FROM cand JOIN c ca ON ca.id = cand.id_a JOIN c cb ON cb.id = cand.id_b)
-      |SELECT id_a, id_b, cosine FROM scored
-      |WHERE cosine >= 0.3
+      |  FROM cand JOIN c ca ON ca.id = cand.id_a JOIN c cb ON cb.id = cand.id_b),
+      |thresh AS (SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3),
+      |sym AS (
+      |  SELECT id_a AS node, id_b AS other, cosine FROM thresh
+      |  UNION ALL SELECT id_b AS node, id_a AS other, cosine FROM thresh),
+      |rk AS (
+      |  SELECT node, other, cosine,
+      |    row_number() OVER (PARTITION BY node ORDER BY cosine DESC, other) AS r
+      |  FROM sym)
+      |SELECT DISTINCT LEAST(node, other) AS id_a, GREATEST(node, other) AS id_b, cosine
+      |FROM rk WHERE r <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
   /** Multimodal plumbing end-to-end: binary payload column + typed

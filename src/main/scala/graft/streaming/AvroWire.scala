@@ -56,9 +56,50 @@ object AvroWire {
   private def metaSchema(schema: Schema): Schema =
     schema.getField("meta").schema().getTypes.get(1)
 
+  // ------------------------------------------- registry wire envelope
+
+  /** The registry-managed wire envelope a Kafka schema-registry
+    * deployment prepends to every message (the reference's registry
+    * coupling: docker-compose.yml:31-40 + serialize/avro/serialization.kt
+    * — the standard layout is public: 1 magic byte 0x00, then the schema
+    * id as a 4-byte big-endian int, then the Avro binary). Here the
+    * "registry" is the in-library [[Schemas]] table: ids are stable,
+    * versioned by adding entries, and decode fails FAST on an unknown id
+    * or magic — a wire format mismatch is a deployment error, not a
+    * per-record data error. */
+  val WireMagic: Byte = 0x00
+  /** Current DataRecordEvent schema id. */
+  val EventSchemaId: Int = 1
+  /** The id → schema registry. New schema VERSIONS get new ids; readers
+    * resolve per message, so mixed-version topics replay correctly. */
+  val Schemas: Map[Int, String] = Map(EventSchemaId -> SchemaJson)
+
+  private[streaming] def envelope(schemaId: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + payload.length)
+    out(0) = WireMagic
+    out(1) = (schemaId >>> 24).toByte; out(2) = (schemaId >>> 16).toByte
+    out(3) = (schemaId >>> 8).toByte; out(4) = schemaId.toByte
+    System.arraycopy(payload, 0, out, 5, payload.length)
+    out
+  }
+
+  /** Split an enveloped message into (schemaId, avroBytesOffset=5).
+    * Throws on wrong magic / unknown id / truncation. */
+  private[streaming] def readEnvelope(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 5, s"enveloped message shorter than the 5-byte header")
+    require(bytes(0) == WireMagic,
+      f"wire magic 0x${bytes(0)}%02x is not the registry envelope (0x00)")
+    val id = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) |
+      ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+    require(Schemas.contains(id), s"unknown schema id $id (known: ${Schemas.keys.toSeq.sorted})")
+    id
+  }
+
   /** Events → (key = record id, value = Avro binary). Key stays a string
-    * for partitioner parity with the JSON wire form. */
-  def toWire(events: Dataset[DataRecordEvent]): DataFrame = {
+    * for partitioner parity with the JSON wire form. `enveloped = true`
+    * prepends the registry envelope (magic 0x00 + schema id) to every
+    * value — the layout a registry-managed Kafka consumer expects. */
+  def toWire(events: Dataset[DataRecordEvent], enveloped: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events.mapPartitions { it =>
@@ -89,23 +130,32 @@ object AvroWire {
         }.orNull)
         writer.write(rec, enc)
         enc.flush()
-        (e.id.toString, buf.toByteArray)
+        val payload = buf.toByteArray
+        (e.id.toString, if (enveloped) envelope(EventSchemaId, payload) else payload)
       }
     }.toDF("key", "value")
   }
 
-  /** Inverse of `toWire` (round-trip tested in FormatsSpec). */
-  def fromWire(wire: DataFrame): Dataset[DataRecordEvent] = {
+  /** Inverse of `toWire` (round-trip tested in FormatsSpec). With
+    * `enveloped = true` each value's registry envelope is validated and
+    * its schema id resolved through [[Schemas]] PER MESSAGE, so a topic
+    * carrying mixed schema versions replays correctly; wrong magic or an
+    * unregistered id fails fast. */
+  def fromWire(wire: DataFrame, enveloped: Boolean = false): Dataset[DataRecordEvent] = {
     val spark = wire.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     wire.select(col("value")).as[Array[Byte]].mapPartitions { it =>
-      val schema = new Schema.Parser().parse(SchemaJson)
-      val reader = new GenericDatumReader[GenericRecord](schema)
+      val parsed = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      def readerFor(id: Int) = parsed.getOrElseUpdate(id,
+        new GenericDatumReader[GenericRecord](new Schema.Parser().parse(Schemas(id))))
       var dec: org.apache.avro.io.BinaryDecoder = null
       def s(v: AnyRef): String = if (v == null) null else v.toString
       it.map { bytes =>
-        dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+        val (reader, off) =
+          if (enveloped) (readerFor(readEnvelope(bytes)), 5)
+          else (readerFor(EventSchemaId), 0)
+        dec = DecoderFactory.get().binaryDecoder(bytes, off, bytes.length - off, dec)
         val rec = reader.read(null, dec)
         DataRecordEvent(
           command = s(rec.get("command")),

@@ -228,4 +228,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.intersect(cands).size >= 3,
       s"LSH candidates for vec 0 should recall >=3 of true top-5; got ${top.intersect(cands)} of $top")
   }
+
+  test("per-node degree cap: union top-k semantics on a clique, no drop on a star") {
+    import graft.ops.Dedup
+    // clique of 10: every node has degree 9, quality = -(a+b) so the
+    // ranking is deterministic; with k=2 a pair must survive iff it is in
+    // the top-2 of either endpoint — brute-force that predicate here
+    val n = 10
+    val clique = (for {
+      a <- 0 until n; b <- a + 1 until n
+    } yield (a.toLong, b.toLong, -(a + b).toDouble)).toDF("id_a", "id_b", "q")
+    val kept = Dedup.capPairDegree(clique, 2, "q", ascending = false)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val pairsOf = (v: Long) => (0 until n).map(_.toLong)
+      .filter(_ != v).map(o => if (v < o) (v, o) else (o, v))
+    val topk = (v: Long) => pairsOf(v)
+      .sortBy { case (a, b) => (-(-(a + b).toDouble), if (v == a) b else a) }.take(2).toSet
+    val expected = (0 until n).map(_.toLong).flatMap(topk).toSet
+    assert(kept == expected, s"union-top-2 mismatch: got ${kept.toSeq.sorted}")
+    assert(kept.size < n * (n - 1) / 2, "cap must drop on a clique")
+    // every node keeps at least its own top-2
+    (0 until n).map(_.toLong).foreach(v =>
+      assert(topk(v).subsetOf(kept), s"node $v lost one of its top-2"))
+
+    // star of 1 hub + 20 leaves: every leaf has degree 1, so EVERY pair
+    // is in the leaf's top-k — union semantics must drop nothing
+    val star = (1 to 20).map(i => (0L, i.toLong, i.toDouble)).toDF("id_a", "id_b", "q")
+    assert(Dedup.capPairDegree(star, 2, "q", ascending = false).count() == 20L,
+      "union cap must keep all star edges (each is its leaf's best)")
+  }
 }

@@ -90,6 +90,37 @@ class FormatsSpec extends SparkSpec {
       s"avro wire ($avroBytes B) not smaller than JSON wire ($jsonBytes B)")
   }
 
+  test("registry wire envelope: magic + schema id round-trip, unknown id fails fast") {
+    import spark.implicits._
+    import graft.model._
+    import graft.streaming.AvroWire
+    val events = Seq(
+      DataRecordEvent.create(7L, "doc-7",
+        DocumentRepresentation("x y", "inline"), 1L, 0L),
+      DataRecordEvent.upsertMeta(7L, Metadata(Map("k" -> "v"), "m"), 2L, 1L))
+    val ds = events.toDS()
+    val wire = AvroWire.toWire(ds, enveloped = true)
+    // every value starts with the 5-byte registry header: magic 0x00 then
+    // the schema id big-endian
+    val heads = wire.select($"value").as[Array[Byte]].collect()
+    heads.foreach { v =>
+      assert(v(0) == AvroWire.WireMagic, "missing envelope magic")
+      val id = ((v(1) & 0xFF) << 24) | ((v(2) & 0xFF) << 16) |
+        ((v(3) & 0xFF) << 8) | (v(4) & 0xFF)
+      assert(id == AvroWire.EventSchemaId, s"schema id $id")
+    }
+    assert(AvroWire.fromWire(wire, enveloped = true).collect().toSet == events.toSet)
+    // an enveloped value decoded WITHOUT the envelope (and vice versa)
+    // must not silently parse, and an unknown schema id must name itself
+    val badId = heads.head.clone(); badId(4) = 99.toByte
+    val err = intercept[org.apache.spark.SparkException] {
+      AvroWire.fromWire(Seq(("7", badId)).toDF("key", "value"), enveloped = true).collect()
+    }
+    assert(err.getMessage.contains("unknown schema id 99") ||
+      Option(err.getCause).exists(_.getMessage.contains("unknown schema id 99")),
+      s"unknown-id error unhelpful: ${err.getMessage}")
+  }
+
   test("partitioned parquet writes prune at the scan (partition pushdown)") {
     val dir = tmp("fmt_part")
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)

@@ -41,13 +41,14 @@ class GraphSpec extends SparkSpec {
 
   test("pageRank and triangles release every cached block before returning") {
     import spark.implicits._
+    val base = snapshotBlocks()
     val e = Graph.undirected(edges((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)))
     Graph.pageRank(e, iters = 3).count()
-    assertNoLeakedBlocks("pageRank")
+    assertNoLeakedBlocks("pageRank", base)
     val pairs = (for { a <- 1 to 5; b <- (a + 1) to 5 } yield (a.toLong, b.toLong))
       .toDF("u", "v")
     Graph.triangles(pairs).count()
-    assertNoLeakedBlocks("triangles")
+    assertNoLeakedBlocks("triangles", base)
   }
 
   test("degreeStats summarizes the undirected degree distribution") {

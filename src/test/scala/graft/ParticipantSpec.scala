@@ -286,6 +286,28 @@ class ParticipantSpec extends SparkSpec {
     assert(ZipDocs.parseZip(baos.toByteArray)._1 == "missing-entry")
   }
 
+  test("ZIP container: DEFLATED entries parse too (real docx compresses)") {
+    // the fixture writer stays STORED for byte determinism, but real
+    // .docx files DEFLATE their parts — the parser must handle both
+    import graft.pipeline.ZipDocs
+    val text = "deflated words here compress fine"
+    val baos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(baos) // DEFLATED by default
+    def put(name: String, payload: Array[Byte]): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(payload); zos.closeEntry()
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    put("[Content_Types].xml", "<Types/>".getBytes(utf8))
+    put(ZipDocs.DocumentEntry,
+      ("<w:document><w:body><w:p><w:r><w:t>" + ZipDocs.escapeXml(text) +
+        "</w:t></w:r></w:p></w:body></w:document>").getBytes(utf8))
+    zos.close()
+    val (err, extracted, n) = ZipDocs.parseZip(baos.toByteArray)
+    assert(err == null && extracted == text && n == 2L,
+      s"deflated round-trip: err=$err n=$n text=$extracted")
+  }
+
   test("ZIP container: mime detection + columnar EOCD entry count") {
     val zip = graft.pipeline.ZipDocs.encode("detect me")
     val rows = Seq((1L, zip), (2L, "not a zip".getBytes)).toDF("media_id", "content")

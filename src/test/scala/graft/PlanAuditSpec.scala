@@ -44,6 +44,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"),
       "dropDuplicates over array payloads planned as SortAggregate(first(v)) — " +
         "dedup scalar id pairs first, then re-join vectors")
+    // the per-node degree cap must plan as WindowGroupLimit: partial
+    // top-k per key map-side, never a full per-partition sort of the
+    // verified pair set
+    assert(p.contains("WindowGroupLimit"),
+      "degree cap lost the window-group-limit pushdown")
   }
 
   test("near-dup candidate generation never plans a cross product") {

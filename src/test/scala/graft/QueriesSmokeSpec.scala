@@ -12,9 +12,10 @@ class QueriesSmokeSpec extends SparkSpec {
 
   Registry.all.foreach { q =>
     test(s"${q.name} runs and returns rows") {
+      val base = snapshotBlocks()
       val n = q.run(spark, sf()).count()
       assert(n > 0, s"${q.name} returned no rows")
-      assertNoLeakedBlocks(q.name)
+      assertNoLeakedBlocks(q.name, base)
     }
   }
 
