@@ -245,12 +245,15 @@ object Dedup {
     * for a faster hash family at 100 TB — the signature pipeline then
     * runs the generic explode+aggregate path. */
   /** `maxDegree > 0` caps each node's emitted pairs to its `maxDegree`
-    * HIGHEST-jaccard neighbors (union semantics, [[capPairDegree]]). */
+    * HIGHEST-jaccard neighbors (union semantics, [[capPairDegree]]).
+    * `materialize = false` returns the LAZY plan with no persist/
+    * checkpoint — the plan-audit seam (PlanAuditSpec) and the escape
+    * hatch for callers composing further before acting. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       jaccardThreshold: Double = 0.5, maxBucket: Int = 1000,
       base: Option[Column => (Column, Column)] = None,
-      maxDegree: Int = 0): DataFrame = {
+      maxDegree: Int = 0, materialize: Boolean = true): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "k must be divisible by bands")
 
@@ -260,18 +263,23 @@ object Dedup {
     // every downstream consumer) and block-lifecycle-safe — a persist held
     // by a returned lazy frame leaks for the session (the Graph lesson);
     // checkpoint blocks release when the caller drops the result.
-    // TRADEOFF (applies to every localCheckpoint in this family): lineage
-    // is truncated, so on a multi-executor cluster losing an executor
-    // makes its checkpoint blocks unrecoverable (job retry, not task
-    // recompute), and materialization happens AT OPERATOR CONSTRUCTION
-    // even if no action ever runs. A deployment that prefers elasticity
-    // over block hygiene can swap persist(MEMORY_AND_DISK) back in at
-    // these sites — semantics are identical; only failure/lifecycle
-    // behavior differs.
-    val shingled = spread(docs.select(
+    // MEASURED (round 6, quiet box): the r4 leak-prone lazy persist was
+    // ~20% faster on this family, and two persist-based lifecycle-clean
+    // variants (persist + eager final-result checkpoint, with and without
+    // an up-front cache-populating count) both measured ~40% SLOWER than
+    // this form — InMemoryRelation's columnar compression costs more than
+    // checkpoint serialization here. Eager-checkpoint-the-intermediate is
+    // the measured optimum among the lifecycle-clean options.
+    // TRADEOFF: lineage is truncated (executor loss ⇒ job retry, not task
+    // recompute) and materialization happens at operator construction; a
+    // deployment preferring elasticity can pass materialize = false and
+    // manage persist lifecycle itself.
+    val shingledBase = spread(docs.select(
       col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("shingles")))
-      .localCheckpoint(true)
+    val shingled =
+      if (materialize) shingledBase.localCheckpoint(true)
+      else shingledBase
 
     // one-pass native signatures (portable md5 double-hash convention) by
     // default — zero shuffle; a custom base hash routes through the
@@ -353,9 +361,11 @@ object Dedup {
   /** `maxDegree > 0` additionally caps each node's emitted pairs to its
     * `maxDegree` LOWEST-hamming neighbors (union semantics,
     * [[capPairDegree]]) — the 100 TB guard against quadratic pair volume
-    * on dup-heavy corpora. */
+    * on dup-heavy corpora. `materialize = false` returns the lazy plan
+    * with no persist/checkpoint (plan-audit seam). */
   def simhashNearDupPairs(sims: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 5000, maxDegree: Int = 0): DataFrame = {
+      maxBucket: Int = 5000, maxDegree: Int = 0,
+      materialize: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming=$maxHamming exceeds the 1-bit-probe banding radius (7); " +
         "route coarser radii through minhashNearDupPairs")
@@ -367,12 +377,15 @@ object Dedup {
     // eager localCheckpoint: the signature table feeds BOTH sides of the
     // bucket join — unmaterialized, the full upstream simhash computation
     // would be inlined and recomputed per side (and per AQE replan); a
-    // plain persist would leak past return (the Graph lesson)
-    val chunked = sims.select(col("id"), col("simhash"),
+    // plain persist would leak past return (the Graph lesson; measured
+    // tradeoff in the minhash comment above)
+    val chunkedBase = sims.select(col("id"), col("simhash"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val",
         expr(s"shiftrightunsigned(simhash, chunk * $bits) & $mask"))
-      .localCheckpoint(true)
+    val chunked =
+      if (materialize) chunkedBase.localCheckpoint(true)
+      else chunkedBase
     // degenerate-bucket guard (e.g. simhash 0 from empty docs at corpus
     // scale); breaks the exact-recall guarantee only for keys it drops
     val capped = dropOversizedBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
@@ -512,13 +525,16 @@ object Dedup {
     * must be > 0 (jaccard-0 pairs are meaningless output anyway). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleN: Int = 2, threshold: Double = 0.05,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 1000, materialize: Boolean = true): DataFrame = {
     require(threshold > 0, "inverted-index Jaccard emits only overlapping pairs")
     // eager localCheckpoint (not persist — block lifecycle, the Graph
-    // lesson): consumed by the hot-shingle scan and the pruned index
-    val base = spread(docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+    // lesson; measured tradeoff in the minhash comment): consumed by the
+    // hot-shingle scan and the pruned index
+    val base0 = spread(docs.select(col(blockCol).as("block"), col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh")))
-      .localCheckpoint(true)
+    val base =
+      if (materialize) base0.localCheckpoint(true)
+      else base0
 
     // Stop-shingle pruning: a shingle appearing in m docs of a block yields
     // m² join rows — boilerplate (headers, license text) makes this the

@@ -74,19 +74,22 @@ object Similarity {
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int = 6, tables: Int = 16,
       cosineThreshold: Double = 0.9, maxBucket: Int = 5000,
-      maxDegree: Int = 0): DataFrame = {
+      maxDegree: Int = 0, materialize: Boolean = true): DataFrame = {
     // spread before the CPU-dense signature computation: a single small
     // parquet file otherwise serializes all projection dots onto one task.
     // All tables' signatures come from one native kernel pass per vector
     // (tight primitive loops; the higher-order-lambda formulation was
     // ~50× slower), then explode to (table, sig) rows.
     // eager localCheckpoint (not persist — block lifecycle, the Graph
-    // lesson): consumed by the cap scan and both sides of the bucket join
-    val signed = Dedup.spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+    // lesson; measured tradeoff in the Dedup minhash comment): consumed
+    // by the cap scan and both sides of the bucket join
+    val signedBase = Dedup.spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
       .select(col("id"),
         posexplode(graft.functions.NativeExpressions.rademacherSigs(
           col("v"), tables, planes, dim)).as(Seq("t", "sig")))
-      .localCheckpoint(true)
+    val signed =
+      if (materialize) signedBase.localCheckpoint(true)
+      else signedBase
     // degenerate-bucket guard (shared sort-free groupBy + anti-join form)
     val capped = Dedup.dropOversizedBuckets(signed, Seq("t", "sig"), maxBucket)
     // candidate pairs carry ONLY scalar ids: dropDuplicates over array

@@ -348,21 +348,31 @@ object Relational {
     // portable-HLL bucket/rank (identical convention to Sketches.hllRegisters:
     // 60-bit md5 hash, top 8 bits bucket, rank = 53 - bitlength of low 52);
     // nulls take bucket -1 so one aggregate counts them too
+    // Level A carries ALL the volume and is a pure count keyed on
+    // (col_name, bucket, v) — string GROUP KEYS hash-aggregate fine; it
+    // is string agg BUFFERS (min/max) that force SortAggregate, so those
+    // wait until level B where only DISTINCT values remain (orders of
+    // magnitude fewer rows — the sort is over the dictionary, not the
+    // data). rank is recomputed per distinct value at level B: hashing
+    // each value once per distinct beats hashing it once per row.
     val h = graft.functions.TextFunctions.portableHash60(col("v"))
     val sub = h.bitwiseAND(lit((1L << 52) - 1))
-    val bucketed = tall
+    val lvlA = tall
       .withColumn("bucket", when(col("v").isNull, lit(-1L)).otherwise(shiftright(h, 52)))
+      .groupBy(col("col_name"), col("bucket"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val lvlB = lvlA
       .withColumn("rank",
         when(col("v").isNull, lit(null).cast("int"))
           .when(sub === 0, lit(53))
           .otherwise(lit(53) - length(bin(sub))).cast("int"))
-    val lvl1 = bucketed.groupBy(col("col_name"), col("bucket")).agg(
-      count(lit(1)).as("n_rows"),
-      countDistinct(col("v")).as("d"),
-      min(col("v")).as("min_v"),
-      max(col("v")).as("max_v"),
-      max(col("rank")).as("reg"))
-    lvl1.groupBy(col("col_name")).agg(
+      .groupBy(col("col_name"), col("bucket")).agg(
+        sum(col("cnt")).as("n_rows"),
+        count(col("v")).as("d"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        max(col("rank")).as("reg"))
+    lvlB.groupBy(col("col_name")).agg(
         sum(col("n_rows")).as("n"),
         sum(when(col("bucket") === -1, col("n_rows")).otherwise(0L)).as("n_null"),
         sum(col("d")).as("distinct_exact"),

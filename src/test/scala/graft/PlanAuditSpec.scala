@@ -39,8 +39,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(500))
   }
 
+  // The near-dup operators eagerly materialize their (small) pair result
+  // inside the call (persist-consume-release pattern), so the REGISTERED
+  // queries' final plans are checkpoint scans; the shapes are audited on
+  // the operators' lazy form (materialize = false), same parameters as
+  // the registered queries.
+  private def dedupLazyPlans: Map[String, String] = {
+    spark.catalog.clearCache()
+    import graft.ops.{Dedup, Similarity}
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val sims = Dedup.simhashTable(docs, "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
+    Map(
+      "q12_minhash_neardup" -> Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, jaccardThreshold = 0.5, materialize = false),
+      "q13b_simhash_neardup" -> Dedup.simhashNearDupPairs(sims, maxHamming = 7,
+        maxDegree = 4, materialize = false),
+      "q14_ngram_jaccard" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "source", shingleN = 2, threshold = 0.05, maxDf = 1000,
+        materialize = false),
+      "q15b_ann_lsh" -> Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, planes = 8, tables = 12, cosineThreshold = 0.3, maxDegree = 4,
+        materialize = false)
+    ).map { case (k, df) => k -> df.queryExecution.executedPlan.toString }
+  }
+
   test("LSH candidate dedup hash-aggregates (pairs must not drag vectors through a sort)") {
-    val p = plan("q15b_ann_lsh")
+    val p = dedupLazyPlans("q15b_ann_lsh")
     assert(!p.contains("SortAggregate"),
       "dropDuplicates over array payloads planned as SortAggregate(first(v)) — " +
         "dedup scalar id pairs first, then re-join vectors")
@@ -52,8 +78,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("near-dup candidate generation never plans a cross product") {
+    val plans = dedupLazyPlans
     for (q <- Seq("q12_minhash_neardup", "q13b_simhash_neardup", "q14_ngram_jaccard")) {
-      val p = plan(q)
+      val p = plans(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       // broadcast NLJ appears only for the single-row/tiny broadcast sides
       // (e.g. hot-shingle arrays); the pair join itself must be hash-keyed

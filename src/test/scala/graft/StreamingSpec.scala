@@ -362,6 +362,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming container ingestion: crawl stream -> zip extract -> events") {
+    // the streaming twin of q78: the re-walk source picks up docx-shaped
+    // archives as they appear, and the container-walk kernel (a stateless
+    // mapPartitions) composes onto the stream unchanged
+    import spark.implicits._
+    import graft.pipeline.ZipDocs
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_zip").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/1.docx"),
+      ZipDocs.encode("container words here"))
+    val corrupt = ZipDocs.encode("these bytes get flipped")
+    val marker = "<w:t>".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val at = corrupt.indices.find(i => i + marker.length < corrupt.length &&
+      java.util.Arrays.equals(corrupt, i, i + marker.length, marker, 0, marker.length))
+      .get + marker.length
+    corrupt(at) = (corrupt(at) ^ 0x5A).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/2.docx"), corrupt)
+
+    val scanned = graft.sources.DirectoryIngest.scanStream(spark, dir, glob = "*.docx")
+    val parsed = scanned
+      .select(regexp_extract(col("path"), "([0-9]+)\\.docx$", 1).cast("long").as("id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (err, text, _) = ZipDocs.parseZip(bytes)
+        (id, err, text)
+      })
+      .toDF("id", "parse_error", "parsed_text")
+    val q = parsed.writeStream.format("memory").queryName("stream_zip_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select * from stream_zip_test order by id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq == Seq(
+        (1L, null, "container words here"),
+        (2L, "bad-zip", null)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("crash recovery: fold state survives a checkpoint stop/restart (replay semantics)") {
     // The 100 TB contract: a killed stateful query restarted from its
     // checkpoint must resume the SAME fold state — reference replay/offset
