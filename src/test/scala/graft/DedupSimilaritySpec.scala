@@ -257,4 +257,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.capPairDegree(star, 2, "q", ascending = false).count() == 20L,
       "union cap must keep all star edges (each is its leaf's best)")
   }
+
+  test("degree cap equals brute-force union top-k on seeded random graphs") {
+    import graft.ops.Dedup
+    // the engine form (explode-symmetrize + window + group-limit) against
+    // an independent in-memory computation of the same spec, across random
+    // shapes, both quality directions, and tie-heavy qualities
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val k = 1 + rnd.nextInt(3)
+      val asc = rnd.nextBoolean()
+      val pairs = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct
+        // integer-valued doubles force ties; the id tie-break must decide
+        .map { case (a, b) => (a, b, rnd.nextInt(4).toDouble) }
+      val df = pairs.toDF("id_a", "id_b", "q")
+      val got = Dedup.capPairDegree(df, k, "q", ascending = asc)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      // brute force: per node, rank its pairs by (quality, other id)
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes.flatMap { v =>
+        pairs.filter(p => p._1 == v || p._2 == v)
+          .sortBy { case (a, b, q) =>
+            (if (asc) q else -q, if (v == a) b else a)
+          }
+          .take(k).map(p => (p._1, p._2))
+      }.toSet
+      assert(got == expected,
+        s"seed=$seed k=$k asc=$asc: got ${got.size} pairs, expected ${expected.size}")
+    }
+  }
 }
