@@ -345,4 +345,37 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
+
+  /** BATCHED integer-exact IVF probe — the serving shape a real ANN
+    * deployment runs: a (small) batch of query vectors against one
+    * shared index, one job. `queries` carries (query_id, q: quantized);
+    * output is each query's top-`k` as (query_id, id, cosine, rank).
+    *
+    * Scale shape: the probe table (|queries| × nProbe cells, carrying
+    * the query vectors) BROADCASTS onto the index — the corpus is never
+    * shuffled and unprobed cells never leave the scan (partition-pruned
+    * when the index is written partitionBy(cell)). Both rankings are
+    * per-query row_number windows with a rank filter, so they plan as
+    * WindowGroupLimit: map-side partial top-k, no global sort, and the
+    * one exchange carries ≤ (probed candidates) rows keyed by query_id.
+    * Self-matches rank first by construction (cosine 1.0) — callers
+    * that probe corpus members filter them from `queries`' results.
+    * Every number is engine-reproducible (integer dot/norms, id
+    * tiebreaks) — the q79 oracle replays the whole batch. */
+  def ivfExactTopKMany(index: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("sim", graft.functions.NativeExpressions.longCosine(col("cv"), col("q")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("q"), col("cell"))
+    index.join(broadcast(probed), Seq("cell"))
+      .withColumn("cosine", graft.functions.NativeExpressions.longCosine(col("qv"), col("q")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("cosine"), col("rank"))
+  }
 }

@@ -60,10 +60,11 @@ object SimilarityQueries {
     * threshold=0.3, maxDegree=4): quantize → ±1-projection signs → packed
     * signatures → oversized-bucket drop → any-table collision pairs →
     * quantized cosine → per-node top-4 union cap (a pair survives if it
-    * is among the 4 strongest of EITHER endpoint — replayed with two
-    * deterministic row_number windows). */
-  val annLshPairsSql: String =
-    """WITH c AS (
+    * is among the 4 strongest of EITHER endpoint — replayed with a
+    * symmetrize + deterministic row_number window). The CTE chain is
+    * shared with q80's cluster closure. */
+  private[queries] val lshPairCtes: String =
+    """c AS (
       |  SELECT vec_id AS id,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       |  FROM embeddings),
@@ -98,10 +99,13 @@ object SimilarityQueries {
       |rk AS (
       |  SELECT node, other, cosine,
       |    row_number() OVER (PARTITION BY node ORDER BY cosine DESC, other) AS r
-      |  FROM sym)
-      |SELECT DISTINCT LEAST(node, other) AS id_a, GREATEST(node, other) AS id_b, cosine
-      |FROM rk WHERE r <= 4
-      |ORDER BY id_a, id_b""".stripMargin
+      |  FROM sym),
+      |lshpairs AS (
+      |  SELECT DISTINCT LEAST(node, other) AS id_a, GREATEST(node, other) AS id_b, cosine
+      |  FROM rk WHERE r <= 4)""".stripMargin
+
+  val annLshPairsSql: String =
+    s"WITH $lshPairCtes\nSELECT id_a, id_b, cosine FROM lshpairs ORDER BY id_a, id_b"
 
   /** Multimodal plumbing end-to-end: binary payload column + typed
     * metadata through the partition-batched (stub-decoded) feature
@@ -311,6 +315,112 @@ object SimilarityQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** Q79 — BATCHED IVF probe (Similarity.ivfExactTopKMany): four query
+    * vectors against the shared integer-exact IVF index in ONE job — the
+    * ANN serving shape (a query batch, not a query loop). The probe set
+    * broadcasts onto the index, both rankings are per-query
+    * WindowGroupLimits, and the oracle replays the entire batch
+    * (assignment → per-query probe → per-query exact ranking) — wrong
+    * cell pruning, a cross-query leak, or a tie mis-break anywhere fails
+    * the hash gate. Self-matches rank first (cosine 1.0) by design. */
+  def ivfTopKBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.ivfExactCentroids(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val qvecs = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val index = Similarity.ivfExactAssign(qvecs, cents)
+    val queries = qvecs.filter(col("id") < 4)
+      .select(col("id").as("query_id"), col("qv").as("q"))
+    Similarity.ivfExactTopKMany(index, cents, queries, k = 10, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfTopKBatchSql: String = {
+    def cos(a: String, b: String): String =
+      s"""CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT) AS DOUBLE) /
+         |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS BIGINT) AS DOUBLE)) *
+         |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])) AS BIGINT) AS DOUBLE)))""".stripMargin
+    s"""WITH c AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT id AS cell, qv AS cv FROM c
+       |  ORDER BY CAST('0x'||substring(md5(CAST(id AS VARCHAR)),1,15) AS BIGINT) ASC, id ASC
+       |  LIMIT 8),
+       |a1 AS (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |        ${cos("c.qv", "s.cv")} DESC, s.cell ASC) AS rn
+       |    FROM c CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |sums AS (
+       |  SELECT a1.cell, r.d, CAST(sum(c.qv[r.d + 1]) AS BIGINT) AS sc
+       |  FROM a1 JOIN c USING (id) CROSS JOIN range(0, 64) r(d)
+       |  GROUP BY a1.cell, r.d),
+       |cents1 AS (SELECT cell, list(sc ORDER BY d) AS sv FROM sums GROUP BY cell),
+       |cents AS (
+       |  SELECT s.cell, coalesce(c1.sv, s.cv) AS cv
+       |  FROM seeds s LEFT JOIN cents1 c1 USING (cell)),
+       |a2 AS (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |        ${cos("c.qv", "ct.cv")} DESC, ct.cell ASC) AS rn
+       |    FROM c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |qs AS (SELECT id AS query_id, qv AS q FROM c WHERE id < 4),
+       |probe AS (
+       |  SELECT query_id, q, cell FROM (
+       |    SELECT qs.query_id, qs.q, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+       |        ${cos("ct.cv", "qs.q")} DESC, ct.cell ASC) AS rn
+       |    FROM cents ct CROSS JOIN qs)
+       |  WHERE rn <= 3),
+       |cand AS (
+       |  SELECT p.query_id, a2.id, ${cos("c.qv", "p.q")} AS cosine
+       |  FROM a2 JOIN probe p USING (cell) JOIN c ON c.id = a2.id)
+       |SELECT query_id, id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT query_id, id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, id ASC) AS rn
+       |  FROM cand)
+       |WHERE rn <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Q80 — embedding duplicate clusters: connected components over the
+    * degree-capped LSH pair set (q15b's edges) — the embedding-side twin
+    * of q33's text dup clusters, and the composition a 100 TB curation
+    * run executes (near-dup vectors → one canonical per cluster). The
+    * oracle replays pair generation AND the transitive closure with a
+    * recursive CTE, so the capped edge set and the fixpoint labels must
+    * both be exact. */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", dim = 64, planes = 8, tables = 12,
+      cosineThreshold = 0.3, maxDegree = 4)
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embeddingClustersSql: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.r AS r FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT l.id AS vec_id, l.cluster_id, z.n AS cluster_size
+       |FROM labels l JOIN (SELECT cluster_id, COUNT(*) AS n FROM labels
+       |                    GROUP BY cluster_id) z ON l.cluster_id = z.cluster_id
+       |ORDER BY vec_id""".stripMargin
+
   /** Q40 — int8 scalar quantization of the embedding corpus
     * (Similarity.scalarQuantize): the driver gate cannot hash array
     * columns, so the query emits exact integer summaries — total, range,
@@ -418,6 +528,8 @@ object SimilarityQueries {
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
     QueryDef("q15b_ann_lsh", annLshPairs, Some(annLshPairsSql)),
     QueryDef("q15c_ann_ivf", ivfTopK, Some(ivfTopKSql)),
+    QueryDef("q79_ann_ivf_batch", ivfTopKBatch, Some(ivfTopKBatchSql)),
+    QueryDef("q80_embedding_clusters", embeddingClusters, Some(embeddingClustersSql)),
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q73_image_decode", imageDecode, Some(imageDecodeSql)),
     QueryDef("q74_audio_decode", audioDecode, Some(audioDecodeSql)),
