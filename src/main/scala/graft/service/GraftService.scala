@@ -1,0 +1,188 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.model.DocumentRepresentation
+import graft.streaming.Streaming
+
+/** The reference's service facade (service/src/main/kotlin/service.kt:22-80 —
+  * a Javalin app: GET `/`, GET `/test`, POST `/startPipeline`, POST
+  * `/stopPipeline`, and a `/websocket/datarecord` push channel fed by the
+  * pipeline's changelog subscription), re-expressed over the Spark engine
+  * with ONLY JDK + Spark-bundled machinery: `com.sun.net.httpserver` for
+  * HTTP, json4s (ships with Spark) for request parsing, and
+  * `Dataset.toJSON` for response serialization — zero added dependencies.
+  *
+  * `startPipeline` wires the same pipeline service.kt:85-105 builds:
+  * a directory ingestor (A3/A4: streaming binaryFile re-walk) → CREATE
+  * events → stateful consolidation fold (A11) → standard enrichers
+  * (B1/B4/…) → the `dataRecords` changelog materialized as an in-memory
+  * queryable table (A15/A16).
+  *
+  * Deliberate deviation, documented: the JDK has no server-side
+  * WebSocket, so the push channel (service.kt:62-80) becomes an
+  * offset-paged poll — `GET /datarecords?sinceId=N&limit=K` returns
+  * records with `id > sinceId` ordered by id. Same subscription
+  * semantics (client keeps a cursor, replay is cheap because the memory
+  * sink IS the changelog), transport is pull instead of push. Responses
+  * are driver-side by construction (a facade read), so `limit` is capped:
+  * this endpoint serves operators and UIs, not bulk export — bulk
+  * consumers read the sink table with Spark directly.
+  */
+final class GraftService private (
+    spark: SparkSession, server: HttpServer) {
+
+  /** Actual bound port (ephemeral when started with port 0). */
+  def port: Int = server.getAddress.getPort
+
+  @volatile private var running: Option[(String, StreamingQuery)] = None
+
+  /** Stop the HTTP server and any running pipeline. */
+  def close(): Unit = {
+    stopPipeline()
+    server.stop(0)
+  }
+
+  private def stopPipeline(): Unit = synchronized {
+    running.foreach { case (_, q) => if (q.isActive) q.stop() }
+    running = None
+  }
+
+  /** service.kt:53-58 — build + run the pipeline for a scan directory.
+    * Returns the memory-sink table name serving `/datarecords`. */
+  private def startPipeline(scanDirectory: String, name: String,
+      glob: String): String = synchronized {
+    stopPipeline()
+    val events = graft.sources.DirectoryIngest.asEvents(
+      graft.sources.DirectoryIngest.scanStream(spark, scanDirectory, glob))
+    val consolidated = Streaming.enriched(
+      Streaming.consolidate(events),
+      graft.pipeline.StandardEnrichers.all(
+        graft.pipeline.ContentResolver.default))
+    val q = Streaming.dataRecords(consolidated, name)
+    running = Some((name, q))
+    name
+  }
+
+  // --------------------------------------------------------- handlers
+
+  private def handle(ex: HttpExchange): Unit = {
+    val (status, body) =
+      try route(ex)
+      catch { // reference: service.kt:25 routes exceptions to a printer;
+        // a facade must answer, so they become a 500 payload instead
+        case e: Exception =>
+          (500, s"""{"error":${GraftService.jstr(e.toString)}}""")
+      }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def route(ex: HttpExchange): (Int, String) = {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    (method, path) match {
+      case ("GET", "/") => (200, """{"service":"graft"}""")
+      case ("GET", "/test") => // service.kt:33 — a sample representation
+        (200, GraftService.toJsonRow(spark,
+          DocumentRepresentation("path", "test")))
+      case ("POST", "/startPipeline") =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val args = GraftService.parseFlat(body)
+        args.get("scanDirectory") match {
+          case None => (400, """{"error":"scanDirectory required"}""")
+          case Some(dir) =>
+            val table = startPipeline(dir,
+              args.getOrElse("pipelineName", "testPipeline"),
+              args.getOrElse("glob", "*.txt"))
+            (200, s"""{"started":${GraftService.jstr(table)}}""")
+        }
+      case ("POST", "/stopPipeline") =>
+        stopPipeline(); (200, """{"stopped":true}""")
+      case ("GET", "/datarecords") =>
+        running match {
+          case None => (409, """{"error":"no pipeline running"}""")
+          case Some((table, q)) =>
+            val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
+            val sinceId = ps.get("sinceId").map(_.toLong).getOrElse(Long.MinValue)
+            val limit = math.min(ps.get("limit").map(_.toInt).getOrElse(100),
+              GraftService.MaxPageRows)
+            // drain pending files first so a poll after a write observes it
+            // (the reference's push channel had no read-your-writes gap)
+            q.processAllAvailable()
+            val rows = spark.table(table)
+              .filter(col("id") > sinceId)
+              .orderBy(col("id"))
+              .limit(limit)
+              .toJSON.collect()
+            (200, rows.mkString("[", ",", "]"))
+        }
+      case _ => (404, """{"error":"not found"}""") // service.kt:26
+    }
+  }
+}
+
+object GraftService {
+
+  /** Page cap for the facade read — keeps the driver-side collect a
+    * bounded serving read, never a bulk-export path. */
+  val MaxPageRows: Int = 10000
+
+  /** Start the facade on `port` (0 = ephemeral, for tests). */
+  def start(spark: SparkSession, port: Int = 7000): GraftService = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val svc = new GraftService(spark, server)
+    server.createContext("/", (ex: HttpExchange) => svc.handle(ex))
+    server.setExecutor(null) // single serving thread: a facade, not a fleet
+    server.start()
+    svc
+  }
+
+  /** One-row JSON via the engine's own serializer (schema-faithful). */
+  private def toJsonRow(spark: SparkSession, repr: DocumentRepresentation): String = {
+    import spark.implicits._
+    Seq(repr).toDS().toJSON.head()
+  }
+
+  /** Parse a flat string→string JSON object (the startPipeline command —
+    * reference commands.StartPipeline has only string fields) with the
+    * Spark-bundled json4s. */
+  private[service] def parseFlat(body: String): Map[String, String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    if (body.trim.isEmpty) Map.empty
+    else JsonMethods.parseOpt(body) match {
+      case Some(JObject(fields)) =>
+        fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  private[service] def parseQuery(raw: String): Map[String, String] =
+    Option(raw).map(_.split("&").toSeq).getOrElse(Seq.empty)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import graft.service.GraftService
+
+/** The service facade (C analog of reference service.kt) driven over real
+  * HTTP with the JDK client: lifecycle (start → ingest → poll → stop),
+  * the offset-paged changelog cursor, and the error surface. */
+class ServiceSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def writeTxt(dir: java.nio.file.Path, name: String, content: String): Unit =
+    java.nio.file.Files.write(dir.resolve(name),
+      content.getBytes(StandardCharsets.UTF_8))
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(svc: GraftService, path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${svc.port}$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(svc: GraftService, path: String, body: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${svc.port}$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("service lifecycle: banner, /test sample, 404, datarecords-before-start (service.kt:32-39)") {
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      assert(get(svc, "/") == ((200, """{"service":"graft"}""")))
+      val (tc, tb) = get(svc, "/test")
+      assert(tc == 200 && tb.contains("\"path\":\"path\"") && tb.contains("\"createdBy\":\"test\""), tb)
+      assert(get(svc, "/nope")._1 == 404)
+      assert(get(svc, "/datarecords")._1 == 409)
+      assert(post(svc, "/startPipeline", """{"bogus": 1}""")._1 == 400)
+    } finally svc.close()
+  }
+
+  test("startPipeline ingests a directory; /datarecords pages by id cursor; stop tears down") {
+    val dir = tmpDir("svc_ingest")
+    writeTxt(dir, "1.txt", "alpha beta gamma delta")
+    writeTxt(dir, "2.txt", "epsilon zeta")
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      val (sc, sb) = post(svc, "/startPipeline",
+        s"""{"scanDirectory": "$dir", "pipelineName": "svc_test"}""")
+      assert(sc == 200 && sb.contains("svc_test"), sb)
+
+      val (c1, b1) = get(svc, "/datarecords")
+      assert(c1 == 200, b1)
+      // engine-serialized records: ids 1 and 2 with enriched metadata
+      assert(b1.contains("\"id\":1") && b1.contains("\"id\":2"), b1)
+      assert(b1.contains("\"createdBy\":\"lang\""), s"enrichers must run in the service pipeline: $b1")
+
+      // the scheduled-re-walk analog: a file appearing later is observed
+      // by the next poll; the cursor returns ONLY the new record
+      writeTxt(dir, "9.txt", "late arrival")
+      val (c2, b2) = get(svc, "/datarecords?sinceId=2")
+      assert(c2 == 200 && b2.contains("\"id\":9") && !b2.contains("\"id\":1"), b2)
+
+      // limit caps the page
+      val (c3, b3) = get(svc, "/datarecords?sinceId=0&limit=1")
+      assert(c3 == 200 && b3.contains("\"id\":1") && !b3.contains("\"id\":2"), b3)
+
+      assert(post(svc, "/stopPipeline", "")._1 == 200)
+      assert(get(svc, "/datarecords")._1 == 409)
+    } finally svc.close()
+  }
+
+  test("startPipeline replaces a running pipeline instead of stacking queries") {
+    val dirA = tmpDir("svc_a"); writeTxt(dirA, "3.txt", "first corpus")
+    val dirB = tmpDir("svc_b"); writeTxt(dirB, "4.txt", "second corpus")
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      post(svc, "/startPipeline", s"""{"scanDirectory": "$dirA", "pipelineName": "svc_gen1"}""")
+      val before = spark.streams.active.length
+      post(svc, "/startPipeline", s"""{"scanDirectory": "$dirB", "pipelineName": "svc_gen2"}""")
+      assert(spark.streams.active.length == before, "old query must be stopped on restart")
+      val (_, b) = get(svc, "/datarecords")
+      assert(b.contains("\"id\":4") && !b.contains("\"id\":3"), b)
+    } finally svc.close()
+  }
+}
