@@ -25,13 +25,20 @@ object Bench {
     val json =
       s""""env":{"master":"$master","maxHeapMb":${rt.maxMemory / (1 << 20)},""" +
       s""""codeCacheMb":${codeCacheMax / (1 << 20)},"cores":${rt.availableProcessors},""" +
-      s""""gcMs":$gcMs,"loadavg":$loadAvg}"""
+      s""""gcMs":$gcMs,"loadavgStart":$loadAvgAtStart,"loadavg":$loadAvg}"""
     val human = s"master=$master heap=${rt.maxMemory / (1 << 20)}m " +
       s"codeCache=${codeCacheMax / (1 << 20)}m cores=${rt.availableProcessors} " +
-      s"gcMs=$gcMs loadavg=$loadAvg " +
+      s"gcMs=$gcMs loadavgStart=$loadAvgAtStart loadavgEnd=$loadAvg " +
       s"jvmArgs=${args.filter(a => a.startsWith("-X") || a.startsWith("-Xmx")).mkString(" ")}"
     (json, human)
   }
+
+  /** Load average sampled BEFORE any query runs. The end-of-run loadavg is
+    * dominated by the bench's own local[32] load (an idle box still ends
+    * near ~5), so only the start sample distinguishes "another process was
+    * competing" from "the bench used the machine it was given". Round-5's
+    * apparent 32% regression was exactly this misreading. */
+  private val loadAvgAtStart: Double = loadAvg
 
   /** 1-minute system load average — a bench JVM on an otherwise-idle
     * 32-core box should see ≲32 once warm; a value far above that means
