@@ -323,6 +323,113 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  // ----------------------------------------- incremental (batch-vs-index)
+
+  /** MinHash signature INDEX of a corpus: (id, sig ARRAY<BIGINT>[k]) on
+    * the portable md5 double-hash family. This is the durable artifact an
+    * incremental dedup deployment stores (k·8 bytes per document — ~256 B
+    * at k=32, 4 orders of magnitude smaller than the text it summarizes)
+    * and appends each batch's signatures to after
+    * [[incrementalNearDups]]. One narrow pass over the text: shingle →
+    * one-pass native kernel, no shuffle (`spread` only widens narrow
+    * inputs). */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32): DataFrame =
+    spread(docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("shingles")))
+      .select(col("id"),
+        graft.functions.NativeExpressions.portableMinHashSigs(col("shingles"), k).as("sig"))
+
+  /** Incremental near-dup detection — the daily-crawl shape: a NEW batch
+    * of documents probed against a PRECOMPUTED corpus signature index
+    * ([[minhashIndex]]) plus the earlier members of the batch itself,
+    * WITHOUT touching corpus text. This is the operation a continuously
+    * curated 100 TB corpus actually runs: the corpus contributes only its
+    * (id, sig) index — bands are re-derived from the stored signatures
+    * (8 B·k per doc crosses the band shuffle as 24 B·bands per doc; the
+    * text never moves) — and the batch (typically ≪ corpus) is the only
+    * side that is shingled.
+    *
+    * Semantics: each batch document reports every already-indexed
+    * document (src='corpus') and every EARLIER batch document
+    * (match_id < batch_id, src='batch' — arrival order = id order) whose
+    * signature agrees on ≥ `minMatches` of the k positions, i.e.
+    * estimated Jaccard ≥ minMatches/k. Verification is by signature
+    * agreement — exact integers, no FP — because the index deliberately
+    * does not store shingle sets; this is the standard index-side
+    * tradeoff (estimator variance ~1/√k) and is what makes the corpus
+    * side 256 B/doc. Use [[minhashNearDupPairs]] when full-corpus text
+    * re-verification is affordable.
+    *
+    * Scale guards, both replayable: `maxBucket` drops degenerate
+    * (band, band_hash) buckets per side (boilerplate at corpus scale);
+    * `maxMatchesPerProbe` > 0 keeps only each probe's top matches
+    * (highest agreement, id-tiebroken) via a WindowGroupLimit ranking —
+    * bounded output per probe, nothing globally sorted.
+    *
+    * Returns (batch_id, match_id, matches, src) with matches ∈ [minMatches, k].
+    */
+  def incrementalNearDups(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      minMatches: Int = 16, maxBucket: Int = 1000,
+      maxMatchesPerProbe: Int = 0, materialize: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = k / bands
+    require(bands * rows == k, "k must be divisible by bands")
+    require(minMatches >= 1 && minMatches <= k, s"minMatches=$minMatches outside [1, $k]")
+
+    // Batch signatures: consumed by the band explode AND both sides of
+    // the verification join — eager localCheckpoint (not persist) for the
+    // same measured reasons as the full-corpus pipeline above.
+    val bsigBase = minhashIndex(batch, idCol, textCol, shingleN, k)
+    val bsig = if (materialize) bsigBase.localCheckpoint(true) else bsigBase
+
+    def banded(sigs: DataFrame): DataFrame = sigs
+      .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+
+    val pband = dropOversizedBuckets(banded(bsig), Seq("band", "band_hash"), maxBucket)
+    val iband = dropOversizedBuckets(banded(index.select(col("id"), col("sig"))),
+      Seq("band", "band_hash"), maxBucket)
+
+    // Candidates: probe bands vs index bands, plus probe vs EARLIER probe.
+    // Bare (batch_id, match_id) ride the shuffle; signatures re-join after
+    // the cross-band dedup so the k-long arrays move once per surviving
+    // candidate, not once per band collision.
+    val candCorpus = pband.select(col("band"), col("band_hash"), col("id").as("batch_id"))
+      .join(iband.select(col("band"), col("band_hash"), col("id").as("match_id")),
+        Seq("band", "band_hash"))
+      .select(col("batch_id"), col("match_id"), lit("corpus").as("src"))
+    val candBatch = pband.select(col("band"), col("band_hash"), col("id").as("batch_id"))
+      .join(pband.select(col("band"), col("band_hash"), col("id").as("match_id")),
+        Seq("band", "band_hash"))
+      .filter(col("match_id") < col("batch_id"))
+      .select(col("batch_id"), col("match_id"), lit("batch").as("src"))
+    // ids are disjoint across corpus and batch, so (batch_id, match_id)
+    // determines src and the dedup keeps src intact
+    val cand = candCorpus.unionByName(candBatch)
+      .dropDuplicates("batch_id", "match_id")
+
+    // Verify by exact signature agreement (integer count of equal
+    // positions); match-side signatures come from the index or the batch.
+    val matchSigs = index.select(col("id"), col("sig"))
+      .unionByName(bsig.select(col("id"), col("sig")))
+    val verified = cand
+      .join(bsig.select(col("id").as("batch_id"), col("sig").as("sig_p")), Seq("batch_id"))
+      .join(matchSigs.select(col("id").as("match_id"), col("sig").as("sig_m")), Seq("match_id"))
+      .withColumn("matches",
+        expr("size(filter(zip_with(sig_p, sig_m, (x, y) -> x = y), v -> v))").cast("int"))
+      .filter(col("matches") >= minMatches)
+      .select(col("batch_id"), col("match_id"), col("matches"), col("src"))
+    if (maxMatchesPerProbe > 0)
+      verified.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("batch_id"))
+            .orderBy(col("matches").desc, col("match_id").asc)))
+        .filter(col("__rk") <= maxMatchesPerProbe)
+        .drop("__rk")
+    else verified
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** SimHash per document: shingle → xxhash64 → native one-pass ±1-vote

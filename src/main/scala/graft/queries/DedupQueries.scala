@@ -240,8 +240,85 @@ object DedupQueries {
        |  ON l.cluster_id = c.cluster_id
        |ORDER BY l.id""".stripMargin
 
+  /** Q81 — INCREMENTAL near-dup detection: the daily-crawl shape. The
+    * corpus (doc_id % 4 ≠ 0) contributes only its precomputed (id, sig)
+    * MinHash index; the new batch (doc_id % 4 = 0, plus planted
+    * first-word-dropped variants of corpus docs at +20M ids so known
+    * cross-set dups exist) is the only side that is shingled. Each batch
+    * doc reports indexed docs and earlier batch docs agreeing on ≥ 16 of
+    * 32 signature positions, per-probe capped at the top 8 matches. The
+    * oracle replays the whole thing — portable signatures for BOTH sides,
+    * band collision, integer agreement count, and the probe cap — so the
+    * asymmetric index path must be bit-exact with the from-scratch
+    * pipeline's signature family. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val planted = docs.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))").as("text"))
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text", shingleN = 3, k = 32)
+    Dedup.incrementalNearDups(batch, "doc_id", "text", index,
+      shingleN = 3, k = 32, bands = 8, minMatches = 16, maxMatchesPerProbe = 8)
+      .orderBy(col("batch_id"), col("match_id"))
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000000 AS doc_id, array_to_string(words[2:], ' ') AS text
+       |  FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)
+       |  WHERE doc_id % 10 = 1),
+       |uni AS (
+       |  SELECT doc_id, text, 0 AS is_batch FROM corpus
+       |  UNION ALL SELECT doc_id, text, 1 AS is_batch FROM batch),
+       |sh AS (
+       |  SELECT doc_id, is_batch, $trigramSql AS s
+       |  FROM (SELECT doc_id, is_batch, text, string_split(text,' ') AS words FROM uni)),
+       |occ AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x'||substring(md5(g),1,15)) AS BIGINT) AS h1,
+       |        CAST(('0x'||substring(md5(g),16,15)) AS BIGINT) & ((1::BIGINT << 57) - 1) AS h2
+       |      FROM occ),
+       |m AS (SELECT doc_id, t.p AS p, MIN(h1 + t.p * h2) AS mv
+       |      FROM h, UNNEST(generate_series(0,31)) AS t(p) GROUP BY doc_id, t.p),
+       |sig AS (SELECT doc_id, list(mv ORDER BY p) AS sig FROM m GROUP BY doc_id),
+       |bands AS (SELECT doc_id, t.b AS b, sig[(t.b*4)+1:(t.b+1)*4] AS band
+       |          FROM sig, UNNEST(generate_series(0,7)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT p.doc_id AS batch_id, e.doc_id AS match_id,
+       |    CASE WHEN ue.is_batch = 1 THEN 'batch' ELSE 'corpus' END AS src
+       |  FROM bands p JOIN bands e ON p.b = e.b AND p.band = e.band
+       |  JOIN sh up ON up.doc_id = p.doc_id
+       |  JOIN sh ue ON ue.doc_id = e.doc_id
+       |  WHERE up.is_batch = 1
+       |    AND (ue.is_batch = 0 OR e.doc_id < p.doc_id)),
+       |mm AS (
+       |  SELECT c.batch_id, c.match_id, c.src,
+       |    CAST(SUM(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) AS INTEGER) AS matches
+       |  FROM cand c
+       |  JOIN m ma ON ma.doc_id = c.batch_id
+       |  JOIN m mb ON mb.doc_id = c.match_id AND mb.p = ma.p
+       |  GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT batch_id, match_id, matches, src,
+       |    row_number() OVER (PARTITION BY batch_id
+       |                       ORDER BY matches DESC, match_id) AS r
+       |  FROM mm WHERE matches >= 16)
+       |SELECT batch_id, match_id, matches, src FROM rk WHERE r <= 8
+       |ORDER BY batch_id, match_id""".stripMargin
+  // band equality is by VALUE vs by xxhash64 of the band in the engine —
+  // identical modulo ~2^-60 collisions (q12 precedent); the maxBucket
+  // guard never fires at sf ≤ 0.1
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),
+    QueryDef("q81_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q13_simhash", simhashSignatures, Some(simhashSignaturesSql)),
     QueryDef("q13b_simhash_neardup", simhashNearDups, Some(simhashNearDupsSql)),
     QueryDef("q14_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),

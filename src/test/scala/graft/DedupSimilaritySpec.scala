@@ -289,4 +289,53 @@ class DedupSimilaritySpec extends SparkSpec {
         s"seed=$seed k=$k asc=$asc: got ${got.size} pairs, expected ${expected.size}")
     }
   }
+
+  test("incremental dedup: batch probes the corpus index without corpus text") {
+    // corpus = the documents table; batch = near-dup variants of every
+    // 3rd doc (first word dropped, +5000 ids) plus one exact duplicate of
+    // a batch member (+9000) for the batch-vs-batch path
+    val corpus = docs.select($"doc_id", $"text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text").localCheckpoint(true)
+    val variants = docs.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 5000L).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text,' '), 2, size(split(text,' '))))").as("text"))
+    val echo = variants.filter($"doc_id" === 5000L)
+      .select(($"doc_id" + 4000L).as("doc_id"), $"text")
+    val batch = variants.unionByName(echo)
+    val out = Dedup.incrementalNearDups(batch, "doc_id", "text", index,
+      minMatches = 16).collect()
+    // every variant should hit its source doc in the corpus index
+    val corpusHits = out.filter(r => r.getString(3) == "corpus"
+      && r.getLong(1) == r.getLong(0) - 5000L)
+    val nVariants = variants.count()
+    assert(corpusHits.length >= nVariants * 0.8,
+      s"expected >=80% of planted variants to hit the index, got ${corpusHits.length}/$nVariants")
+    // the exact duplicate inside the batch must surface as src='batch',
+    // reported by the NEWER id against the earlier one, with all 32
+    // positions agreeing
+    val batchHits = out.filter(r => r.getString(3) == "batch")
+    assert(batchHits.exists(r => r.getLong(0) == 9000L && r.getLong(1) == 5000L
+        && r.getInt(2) == 32),
+      s"batch-vs-batch echo not found: ${batchHits.mkString(", ")}")
+    // matches is an exact integer in [minMatches, k]
+    assert(out.forall(r => r.getInt(2) >= 16 && r.getInt(2) <= 32))
+  }
+
+  test("incremental dedup: maxMatchesPerProbe bounds output per probe") {
+    // one probe colliding with many indexed docs: 30 identical corpus
+    // docs + an identical batch doc → uncapped 30 matches, capped 5
+    val corpus = (1L to 30L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val batch = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.incrementalNearDups(batch, "doc_id", "text", index,
+      minMatches = 16)
+    assert(uncapped.count() == 30)
+    val capped = Dedup.incrementalNearDups(batch, "doc_id", "text", index,
+      minMatches = 16, maxMatchesPerProbe = 5).collect()
+    // deterministic winners: ties on matches=32 break by lowest match_id
+    assert(capped.map(_.getLong(1)).sorted.toSeq == (1L to 5L),
+      s"capped winners: ${capped.mkString(", ")}")
+  }
 }
