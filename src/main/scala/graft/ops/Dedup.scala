@@ -373,16 +373,28 @@ object Dedup {
       index: DataFrame, shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       minMatches: Int = 16, maxBucket: Int = 1000,
       maxMatchesPerProbe: Int = 0, materialize: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rows = k / bands
-    require(bands * rows == k, "k must be divisible by bands")
-    require(minMatches >= 1 && minMatches <= k, s"minMatches=$minMatches outside [1, $k]")
-
     // Batch signatures: consumed by the band explode AND both sides of
     // the verification join — eager localCheckpoint (not persist) for the
     // same measured reasons as the full-corpus pipeline above.
     val bsigBase = minhashIndex(batch, idCol, textCol, shingleN, k)
     val bsig = if (materialize) bsigBase.localCheckpoint(true) else bsigBase
+    incrementalNearDupsSigs(bsig, index, k, bands, minMatches, maxBucket,
+      maxMatchesPerProbe)
+  }
+
+  /** Signature-level core of [[incrementalNearDups]]: both sides are
+    * already (id, sig ARRAY<BIGINT>[k]) frames from [[minhashIndex]].
+    * Callers that need the batch signatures for something else too — the
+    * streaming sink probes with them AND appends them to the durable
+    * index — enter here so the text is shingled exactly once; `bsig`
+    * should then already be materialized (it feeds three consumers). */
+  def incrementalNearDupsSigs(bsig: DataFrame, index: DataFrame,
+      k: Int = 32, bands: Int = 8, minMatches: Int = 16,
+      maxBucket: Int = 1000, maxMatchesPerProbe: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = k / bands
+    require(bands * rows == k, "k must be divisible by bands")
+    require(minMatches >= 1 && minMatches <= k, s"minMatches=$minMatches outside [1, $k]")
 
     def banded(sigs: DataFrame): DataFrame = sigs
       .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("b"))

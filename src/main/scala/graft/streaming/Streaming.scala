@@ -284,6 +284,51 @@ object Streaming {
       }
   }
 
+  /** Continuous incremental near-dup maintenance — the production form
+    * of [[graft.ops.Dedup.incrementalNearDups]] (q81): every micro-batch
+    * of documents is probed against the DURABLE (id, sig) signature
+    * index (exact integer signature-agreement verification, per-probe
+    * cap), matches land under `matchesDir`, and the batch's own
+    * signatures are then appended to the index so later batches see
+    * earlier ones. The text is shingled exactly once per batch: the same
+    * materialized signature frame feeds the probe and the index append.
+    *
+    * Both writes go to a per-microbatch `batch_run=<id>` partition with
+    * overwrite — a batch replayed after a crash-before-checkpoint
+    * rewrites its own partitions instead of appending duplicates (the
+    * [[keyedSink]] posture), and the index read broadcast-anti-joins
+    * away the replayed batch's own ids so a crash AFTER the index write
+    * still reproduces the original match set instead of matching every
+    * document to itself. Index growth is k·8 B per document (~256 B at
+    * k=32); it is re-read per trigger, so partition-tree compaction is an
+    * offline concern, not a correctness one. */
+  def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, matchesDir: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8, minMatches: Int = 16,
+      maxBucket: Int = 1000, maxMatchesPerProbe: Int = 0,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bsig = graft.ops.Dedup
+          .minhashIndex(batch, idCol, textCol, shingleN, k)
+          .localCheckpoint(true)
+        // first trigger: no index directory yet — an empty frame with the
+        // signature schema keeps the probe plan identical
+        val index = scala.util.Try(spark.read.parquet(indexDir)).toOption
+          .map(_.select(col("id"), col("sig")))
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), bsig.schema))
+          .join(broadcast(bsig.select(col("id"))), Seq("id"), "left_anti")
+        graft.ops.Dedup.incrementalNearDupsSigs(bsig, index, k, bands,
+            minMatches, maxBucket, maxMatchesPerProbe)
+          .write.mode("overwrite").parquet(s"$matchesDir/batch_run=$batchId")
+        bsig.write.mode("overwrite").parquet(s"$indexDir/batch_run=$batchId")
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   /** Event-time session windows with watermarking — the upgrade over the
     * reference's processing-time SessionWindows (SURVEY.md §4 calls this
     * out as free in Spark). Input: the `events` table shape with ns-Long

@@ -401,6 +401,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup sink: each batch probes the durable index, then extends it") {
+    // the streaming twin of q81: trigger 1 seeds the signature index,
+    // trigger 2's arrivals must hit trigger 1's documents via the DURABLE
+    // index (src='corpus') and each other via the in-batch path
+    // (src='batch'), and the index must carry every signature afterwards
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_dedup").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalDedupSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/index", s"$root/matches")
+    try {
+      // trigger 1: two unrelated docs against an empty index -> no matches
+      input.addData((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "totally different words entirely over here"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$root/matches").count() == 0)
+      // trigger 2: a near-dup of doc 1 (first word dropped), an exact dup
+      // of doc 2, and an exact dup of doc 3 inside the same batch
+      input.addData((3L, "beta gamma delta epsilon zeta"),
+        (4L, "totally different words entirely over here"),
+        (5L, "beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$root/matches").collect()
+        .map(r => ((r.getAs[Long]("batch_id"), r.getAs[Long]("match_id")),
+          (r.getAs[Int]("matches"), r.getAs[String]("src")))).toMap
+      assert(out((3L, 1L))._2 == "corpus", s"near-dup missed the index: $out")
+      assert(out((4L, 2L)) == ((32, "corpus")), s"exact dup vs index: $out")
+      assert(out((5L, 1L))._2 == "corpus", s"echo missed the index: $out")
+      assert(out((5L, 3L)) == ((32, "batch")), s"within-batch echo: $out")
+      assert(out.keys.forall { case (a, b) => a != b }, s"self-match leaked: $out")
+      val idx = spark.read.parquet(s"$root/index")
+      assert(idx.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+    } finally q.stop()
+  }
+
   test("crash recovery: fold state survives a checkpoint stop/restart (replay semantics)") {
     // The 100 TB contract: a killed stateful query restarted from its
     // checkpoint must resume the SAME fold state — reference replay/offset
