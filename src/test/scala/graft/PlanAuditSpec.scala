@@ -254,6 +254,29 @@ class PlanAuditSpec extends SparkSpec {
       "window input must be the aggregated histogram, not raw events")
   }
 
+  test("incremental dedup reads only (id, sig) from the durable index") {
+    // q81's defining scale property: the corpus contributes 256 B/doc of
+    // signatures — the probe must never drag other index-file columns
+    // (or, in a combined artifact, corpus text) through the band shuffle.
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_idx").toString + "/index"
+    val docs = spark.range(50).selectExpr("id",
+      "concat('word', id, ' alpha beta gamma') as text")
+    graft.ops.Dedup.minhashIndex(docs, "id", "text")
+      .withColumn("stored_at", org.apache.spark.sql.functions.lit("2026-01-01"))
+      .withColumn("source_text", org.apache.spark.sql.functions.lit("x"))
+      .write.parquet(dir)
+    val batch = spark.range(50, 60).selectExpr("id",
+      "concat('word', id, ' alpha beta gamma') as text")
+    val p = graft.ops.Dedup.incrementalNearDups(batch, "id", "text",
+        spark.read.parquet(dir), materialize = false)
+      .queryExecution.executedPlan.toString
+    val scanLines = p.split("\n").filter(_.contains("ReadSchema"))
+    assert(scanLines.exists(_.contains("sig")), p.take(800))
+    assert(!scanLines.exists(l => l.contains("stored_at") || l.contains("source_text")),
+      s"index scan reads non-signature columns: ${scanLines.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), "banded candidate join must be an equi-join")
+  }
+
   test("spread passes a pre-partitioned corpus through exchange-free") {
     // At 100 TB the corpus arrives in thousands of scan partitions; the
     // pre-shingle spread must be a no-op there (an unconditional
