@@ -245,8 +245,49 @@ object TextQueries {
       |FROM bg JOIN cnt USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q82 — BPE vocabulary induction (ops/Bpe.scala): 10 merges learned
+    * from the documents corpus. The oracle unrolls the identical
+    * iteration — pair explode over the word-type table, integer-count
+    * argmax with full lexicographic tiebreak, greedy left-to-right merge
+    * application — as a generated 10-stage CTE chain, so every learned
+    * merge must replay bit-for-bit in an independent engine. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.train(Tables.documents(spark, dir), "text", nMerges = 10)
+
+  val bpeTrainSql: String = {
+    val n = 10
+    val stages = (1 to n).map { i =>
+      s"""pr$i AS (
+         |  SELECT freq, unnest(list_transform(range(1, len(s)),
+         |           i -> s[i] || '><' || s[i+1])) AS pr
+         |  FROM (SELECT freq, string_split(substring(rep, 2, length(rep) - 2), '><') AS s
+         |        FROM w${i - 1})),
+         |m$i AS (
+         |  SELECT string_split(pr, '><')[1] AS l, string_split(pr, '><')[2] AS r,
+         |         CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM pr$i GROUP BY pr ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(w.rep, '<' || m.l || '><' || m.r || '>',
+         |                 '<' || m.l || m.r || '>') AS rep, w.freq
+         |  FROM w${i - 1} w, m$i m)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to n).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs," +
+        s" l || r AS merged, cnt FROM m$i").mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS rep,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')
+       |  GROUP BY 1),
+       |$stages
+       |$finals
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
+    QueryDef("q82_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("q17_quality_score", qualityQuery, Some(qualitySql)),
     QueryDef("q18_token_counts", tokenCounts, Some(tokenCountsSql)),
     QueryDef("q19_fingerprint", fingerprintQuery, Some(fingerprintSql)),

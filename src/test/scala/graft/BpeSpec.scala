@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Bpe
+
+/** BPE vocabulary induction (ops.Bpe) against hand-computed merge
+  * tables. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(wordCounts: (String, Int)*) = {
+    // spread word occurrences across documents; type counting must not
+    // care where occurrences live
+    val words = wordCounts.flatMap { case (w, n) => Seq.fill(n)(w) }
+    words.grouped(7).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+  }
+
+  test("learns the classic merge sequence (hug/pug/pun/bun/hugs)") {
+    // Sennrich-style worked example: pair counts by hand are
+    //   (u,g)=10+5+5=20, (p,u)=17, (u,n)=16, (h,u)=15, ...
+    // and each merge reshapes the next round's counts
+    val docs = docsOf("hug" -> 10, "pug" -> 5, "pun" -> 12, "bun" -> 4, "hugs" -> 5)
+    val got = Bpe.train(docs, "text", nMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "u", "g", "ug", 20L),
+      (2, "u", "n", "un", 16L),
+      (3, "h", "ug", "hug", 15L),
+      (4, "p", "un", "pun", 12L),
+      (5, "hug", "s", "hugs", 5L)), got.mkString(", "))
+  }
+
+  test("merge application is greedy left-to-right (aaa -> aa + a)") {
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", nMerges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // round 1: two overlapping (a,a) occurrences but only cnt matters (2);
+    // applying it greedily leaves <aa><a>, so round 2 merges (aa, a)
+    assert(got.toSeq == Seq(("a", "a", 2L), ("aa", "a", 1L)), got.mkString(", "))
+  }
+
+  test("stops early when no pairs remain; non-alpha tokens never count") {
+    val docs = Seq((1L, "ab Hello42 a-b X ab")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", nMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    // only the type "ab" survives the [a-z]+ filter (freq 2); after its
+    // single merge the corpus has no adjacent pairs left
+    assert(got.toSeq == Seq((1, "ab", 2L)), got.mkString(", "))
+  }
+}
