@@ -84,4 +84,27 @@ object Bpe {
     merges.result()
       .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
   }
+
+  /** Tokenize with a LEARNED merge table (the apply half of the
+    * train/apply pair): per document, the subword-token count its words
+    * produce under the vocabulary, with the same greedy left-to-right
+    * merge-order application the trainer used. `merges` is the driver-
+    * side (lhs, rhs) list in merge_rank order — ≤ vocabulary size, the
+    * one broadcast-scale datum of the operator; the corpus is tokenized
+    * in a single narrow pass (explode words → chained `replace` → count
+    * `<` wrappers), no shuffle before the per-document aggregate.
+    * Documents with no `[a-z]+` word contribute no row (same domain as
+    * [[wordFreqs]]). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wrapped = regexp_replace(col("word"), "(.)", "<$1>")
+    val rep = merges.foldLeft(wrapped) { case (e, (l, r)) =>
+      replace(e, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .select(col(idCol), (length(rep) - length(replace(rep, lit("<")))).as("n_sub"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
 }

@@ -254,8 +254,9 @@ object TextQueries {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.train(Tables.documents(spark, dir), "text", nMerges = 10)
 
-  val bpeTrainSql: String = {
-    val n = 10
+  /** Shared oracle prefix for the BPE pair: w0 (word types) and the n
+    * unrolled merge stages (pr_i pairs, m_i argmax, w_i application). */
+  private def bpeStagesSql(n: Int): String = {
     val stages = (1 to n).map { i =>
       s"""pr$i AS (
          |  SELECT freq, unnest(list_transform(range(1, len(s)),
@@ -271,23 +272,65 @@ object TextQueries {
          |                 '<' || m.l || m.r || '>') AS rep, w.freq
          |  FROM w${i - 1} w, m$i m)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to n).map(i =>
-      s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs," +
-        s" l || r AS merged, cnt FROM m$i").mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS rep,
        |         CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE regexp_matches(word, '^[a-z]+$$')
        |  GROUP BY 1),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val n = 10
+    val finals = (1 to n).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS lhs, r AS rhs," +
+        s" l || r AS merged, cnt FROM m$i").mkString("\nUNION ALL ")
+    s"""WITH ${bpeStagesSql(n)}
        |$finals
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Q83 — tokenize the corpus with the q82-learned vocabulary (the
+    * apply half): per-document word and subword counts under the 10
+    * trained merges, greedy left-to-right application in merge order.
+    * The oracle re-trains the same stages, then applies all 10 merges as
+    * a chained replace over every document word. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.ops.Bpe.train(docs, "text", nMerges = 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
+      .withColumn("subwords_per_kiloword",
+        expr("n_subwords * 1000 div n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeEncodeSql: String = {
+    val n = 10
+    val applied = (1 to n).foldLeft("regexp_replace(word, '(.)', '<\\1>', 'g')") {
+      (e, i) => s"replace($e, '<' || m$i.l || '><' || m$i.r || '>', '<' || m$i.l || m$i.r || '>')"
+    }
+    s"""WITH ${bpeStagesSql(n)},
+       |words AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')),
+       |enc AS (
+       |  SELECT doc_id, length(r) - length(replace(r, '<', '')) AS n_sub
+       |  FROM (SELECT doc_id, $applied AS r
+       |        FROM words, ${(1 to n).map(i => s"m$i").mkString(", ")}))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       |  CAST((SUM(n_sub) * 1000) // COUNT(*) AS BIGINT) AS subwords_per_kiloword
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q82_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("q83_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     QueryDef("q17_quality_score", qualityQuery, Some(qualitySql)),
     QueryDef("q18_token_counts", tokenCounts, Some(tokenCountsSql)),
     QueryDef("q19_fingerprint", fingerprintQuery, Some(fingerprintSql)),

@@ -40,6 +40,18 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", "a", 2L), ("aa", "a", 1L)), got.mkString(", "))
   }
 
+  test("encode applies the learned merges in rank order") {
+    val train = docsOf("hug" -> 10, "pug" -> 5, "pun" -> 12, "bun" -> 4, "hugs" -> 5)
+    val merges = Bpe.train(train, "text", nMerges = 5).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // under [ug, un, hug, pun, hugs]: hug->1, pug->2 (p+ug), pun->1,
+    // bun->2 (b+un), hugs->1, xyz->3 singles; "Q9" is filtered out
+    val doc = Seq((7L, "hug pug pun bun hugs Q9 xyz")).toDF("doc_id", "text")
+    val got = Bpe.encode(doc, "doc_id", "text", merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((7L, 6L, 10L)), got.mkString(", "))
+  }
+
   test("stops early when no pairs remain; non-alpha tokens never count") {
     val docs = Seq((1L, "ab Hello42 a-b X ab")).toDF("doc_id", "text")
     val got = Bpe.train(docs, "text", nMerges = 5).collect()
