@@ -52,6 +52,55 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((7L, 6L, 10L)), got.mkString(", "))
   }
 
+  test("matches a naive reference implementation on seeded random corpora") {
+    // the distributed trainer (type-table iterations, TakeOrdered argmax,
+    // column-level replace) against a plain-Scala re-implementation of
+    // the spec, across random corpora from a tiny alphabet (dense ties —
+    // the lexicographic tie-break must decide constantly)
+    def naive(wordFreq: Map[String, Int], n: Int): Seq[(String, String, Long)] = {
+      var reps: Map[List[String], Int] =
+        wordFreq.map { case (w, f) => (w.toList.map(_.toString), f) }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var continue = true
+      var i = 0
+      while (i < n && continue) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, f) <- reps; p <- syms.zip(syms.tail))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        if (counts.isEmpty) continue = false
+        else {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c))
+          reps = reps.toSeq.map { case (syms, f) =>
+            // greedy left-to-right non-overlapping application
+            val b = List.newBuilder[String]
+            var rest = syms
+            while (rest.nonEmpty) rest match {
+              case a :: b2 :: t if a == l && b2 == r => b += (l + r); rest = t
+              case a :: t => b += a; rest = t
+              case Nil =>
+            }
+            (b.result(), f)
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+          i += 1
+        }
+      }
+      out.result()
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)((1 to (1 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val freqs = words.groupBy(identity).view.mapValues(_.size).toMap
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+      val got = Bpe.train(docs, "text", nMerges = 6).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val expected = naive(freqs, 6)
+      assert(got == expected, s"seed=$seed: got $got, expected $expected")
+    }
+  }
+
   test("stops early when no pairs remain; non-alpha tokens never count") {
     val docs = Seq((1L, "ab Hello42 a-b X ab")).toDF("doc_id", "text")
     val got = Bpe.train(docs, "text", nMerges = 5).collect()
