@@ -437,6 +437,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup sink: checkpointed restart extends the index without reprocessing") {
+    // the durable-index analog of the fold's crash-recovery guarantee: a
+    // stopped sink restarted from its checkpoint must (a) NOT reprocess
+    // committed batches — no duplicate index rows — and (b) probe new
+    // arrivals against the index the first incarnation built
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_ckpt").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def start() = Streaming.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(srcDir), "doc_id", "text",
+      s"$root/index", s"$root/matches", checkpointDir = Some(s"$root/ckpt"))
+
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words entirely over here"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // crash point: offsets live only in the checkpoint
+
+    // arrives while nothing runs: an exact dup of doc 2
+    Seq((3L, "totally different words entirely over here"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val idx = spark.read.parquet(s"$root/index").select("id").as[Long].collect()
+      assert(idx.sorted.toSeq == Seq(1L, 2L, 3L), s"index ids: ${idx.toSeq}")
+      assert(idx.length == idx.distinct.length,
+        s"restart reprocessed a committed batch: ${idx.toSeq}")
+      val m = spark.read.parquet(s"$root/matches")
+        .select("batch_id", "match_id", "matches").as[(Long, Long, Int)].collect()
+      assert(m.toSeq == Seq((3L, 2L, 32)),
+        s"restarted probe vs first-incarnation index: ${m.toSeq}")
+    } finally q2.stop()
+  }
+
   test("crash recovery: fold state survives a checkpoint stop/restart (replay semantics)") {
     // The 100 TB contract: a killed stateful query restarted from its
     // checkpoint must resume the SAME fold state — reference replay/offset
