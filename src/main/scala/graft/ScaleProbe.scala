@@ -25,7 +25,7 @@ object ScaleProbe {
     "q13b_simhash_neardup", "q14_ngram_jaccard", "q15_embedding_topk",
     "q15b_ann_lsh", "q15c_ann_ivf", "q33_dup_clusters", "q45_bm25",
     "q79_ann_ivf_batch", "q80_embedding_clusters", "q81_incremental_dedup",
-    "q82_bpe_train",
+    "q82_bpe_train", "q83_bpe_encode",
     "q70_repeated_spans", "q72_span_scrub", "q73_image_decode",
     "q74_audio_decode")
 
@@ -44,7 +44,12 @@ object ScaleProbe {
         .select(
           (col("doc_id") + col("copy") * 100000000L).as("doc_id"),
           when(col("copy") === 0, col("text")).otherwise(
-            array_join(expr("transform(split(text, ' '), w -> concat(w, 'x', copy))"), " "))
+            // letters-only salt (base-26), not the copy ordinal's digits:
+            // the BPE family filters words to ^[a-z]+$, and a digit salt
+            // silently dropped every planted copy from its domain — the
+            // probe then measured a constant type table at every scale
+            array_join(expr("transform(split(text, ' '), w -> concat(w, 'x'," +
+              " char(97 + copy % 26), char(97 + cast(copy / 26 as int))))"), " "))
             .as("text"),
           col("lang"), col("source"), col("n_chars"))
       docs.coalesce(4).write.mode("overwrite").parquet(s"$out/documents.parquet")
