@@ -277,6 +277,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "banded candidate join must be an equi-join")
   }
 
+  test("BPE tokenization is one pruned scan + hash-agg, merges applied map-side") {
+    // q83's corpus pass: the merge chain is column-level replace (no
+    // shuffle before the per-document rollup), the scan reads only
+    // (doc_id, text), and the rollup hash-aggregates with a map-side
+    // partial — the shape that tokenizes 100 TB in one pass
+    val p = plan("q83_bpe_encode")
+    val scanLines = p.split("\n").filter(_.contains("ReadSchema"))
+    assert(scanLines.nonEmpty && scanLines.forall(l =>
+        l.contains("doc_id") && l.contains("text") && !l.contains("lang")),
+      s"scan not pruned to (doc_id, text): ${scanLines.mkString("\n")}")
+    assert(p.contains("HashAggregate"), p.take(500))
+    assert(!p.contains("SortAggregate"), "rollup must not fall back to sort aggregation")
+    // one exchange for the groupBy, one for the final sort — nothing else
+    assert(p.split("Exchange").length - 1 <= 2, s"unexpected shuffles: $p")
+  }
+
   test("spread passes a pre-partitioned corpus through exchange-free") {
     // At 100 TB the corpus arrives in thousands of scan partitions; the
     // pre-shingle spread must be a no-op there (an unconditional
