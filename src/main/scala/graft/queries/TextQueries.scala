@@ -327,7 +327,49 @@ object TextQueries {
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Q84 — corpus-TRAINED language ID (ops/LangId.scala): char-trigram
+    * majority model learned from the labeled corpus, applied back by
+    * integer trigram vote. Oracle replays training (per-trigram argmax
+    * with count-then-lang tiebreak) and inference (vote argmax) exactly.
+    * Note the synthetic corpus's `lang` labels are UNcorrelated with its
+    * text (q16's heuristic sees the same), so the learned majority is
+    * 'en' everywhere — the oracle pins that this is what the data says,
+    * not an operator artifact; LangIdSpec pins discrimination on corpora
+    * whose labels do follow the text. */
+  def langIdTrained(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = graft.ops.LangId.trigramModel(docs, "text", "lang")
+    graft.ops.LangId.classify(docs, "doc_id", "text", model)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("predicted"), col("votes"),
+        (col("predicted") === col("lang")).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdTrainedSql: String =
+    """WITH tg AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, length(text) - 1), i -> substring(text, i, 3))) AS g
+      |  FROM documents WHERE length(text) >= 3),
+      |model AS (
+      |  SELECT g, lang AS model_lang FROM (
+      |    SELECT g, lang, COUNT(*) AS c,
+      |      row_number() OVER (PARTITION BY g ORDER BY COUNT(*) DESC, lang) AS rn
+      |    FROM tg GROUP BY g, lang)
+      |  WHERE rn = 1),
+      |votes AS (
+      |  SELECT t.doc_id, m.model_lang, CAST(COUNT(*) AS BIGINT) AS votes
+      |  FROM tg t JOIN model m USING (g) GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, model_lang AS predicted, votes,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, model_lang) AS rn
+      |  FROM votes)
+      |SELECT p.doc_id, d.lang, p.predicted, p.votes, (p.predicted = d.lang) AS is_match
+      |FROM pred p JOIN documents d USING (doc_id)
+      |WHERE p.rn = 1 ORDER BY p.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q82_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("q83_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
