@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *   RIFF....WAVE             → audio/wav
   *   GRFT                     → application/x-grft
   *   PK\x03\x04               → application/zip (docx and friends)
+  *   %PDF-                    → application/pdf
   *   otherwise                → text/plain (the corpus default)
   */
 object MimeDetect {
@@ -44,6 +45,8 @@ object MimeDetect {
           .when(expr(s"substring($c, 1, 4) = cast('GRFT' as binary)"),
             lit("application/x-grft"))
           .when(expr(s"substring($c, 1, 4) = X'504B0304'"), lit("application/zip"))
+          .when(expr(s"substring($c, 1, 5) = cast('%PDF-' as binary)"),
+            lit("application/pdf"))
           .otherwise(lit("text/plain")))
       .withColumn("n_bytes", expr(s"length($c)").cast("long"))
       // PNG: IHDR is always the first chunk — width/height are the two
@@ -76,5 +79,9 @@ object MimeDetect {
           expr(s"length($c) >= 22 and substring($c, length($c) - 21, 4) = X'504B0506'"),
           expr(s"cast(conv(hex(substring($c, length($c) - 10, 1)), 16, 10) as bigint) * 256 + " +
             s"cast(conv(hex(substring($c, length($c) - 11, 1)), 16, 10) as bigint)")))
+      // PDF: the header version digits right after the %PDF- magic
+      .withColumn("pdf_version",
+        when(col("mime") === "application/pdf",
+          expr(s"cast(substring($c, 6, 3) as string)")))
   }
 }

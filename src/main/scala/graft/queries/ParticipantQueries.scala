@@ -354,6 +354,62 @@ object ParticipantQueries {
       |       END AS n_bytes
       |FROM documents WHERE doc_id % 11 = 0 ORDER BY id""".stripMargin
 
+  /** Q85 — the PDF end-to-end pipeline: the second REAL document format
+    * through the crawl → resolve → parse → register loop (reference: the
+    * Tika participant auto-detects every crawled file's type,
+    * participants/implementations.kt:215-240 — PDF being the canonical
+    * binary document alongside q78's .docx). The fixture tree holds
+    * minimal single-page PDFs, HALF of them `/FlateDecode`-compressed
+    * through a real zlib Deflater (odd multiples of 13), plus planted
+    * header-corrupted files; the parser walks the COS structure, slices
+    * streams by declared /Length, INFLATES the compressed half, and
+    * extracts the Tj text. The oracle recomputes the extracted-text
+    * digest for BOTH halves (the flate round-trip must be lossless) and
+    * the exact byte size for the uncompressed half (closed-form:
+    * overhead + text length — compressed sizes are compressor-specific
+    * and nulled on both sides); corrupt files must isolate as
+    * `!error = bad-pdf` (A19). */
+  def pdfPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val fx = DirectoryIngest.ensurePdfFixture(spark, dir, modulo = 13)
+    val scanned = DirectoryIngest.scan(spark, fx, glob = "*.pdf")
+      .localCheckpoint(true) // eager: two consumers; blocks release with the result
+    val creates = DirectoryIngest.asEvents(scanned)
+    val records = Consolidate.batch(creates)
+    val contentByPath = scanned.select(
+      regexp_replace(col("path"), "^file:", "").as("path"), col("content"))
+    val parseEvs = graft.pipeline.PdfDocs.parseEvents(records, contentByPath)
+    val finalRecords = Consolidate.batch(creates.unionByName(parseEvs))
+    finalRecords.toDF().select(
+      col("id"),
+      col("name").as("file_name"),
+      size(col("additionalRepresentations")).cast("long").as("n_reps"),
+      md5(expr("try_element_at(additionalRepresentations, 1)").getField("path")
+        .cast("binary")).as("digest"),
+      expr("try_element_at(try_element_at(meta, 1).values, '!error')").as("error"),
+      expr("try_element_at(try_element_at(meta, 1).values, 'n_streams')")
+        .cast("long").as("n_streams"),
+      expr("try_element_at(try_element_at(meta, 1).values, 'filter')")
+        .as("stream_filter"),
+      when(expr("try_element_at(try_element_at(meta, 1).values, 'filter')") === "none",
+        expr("try_element_at(try_element_at(meta, 1).values, 'n_bytes')"))
+        .cast("long").as("n_bytes"))
+      .orderBy(col("id"))
+  }
+
+  val pdfPipelineSql: String =
+    s"""SELECT doc_id AS id,
+      |  CAST(doc_id AS VARCHAR) || '.pdf' AS file_name,
+      |  CAST(CASE WHEN doc_id % 130 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_reps,
+      |  CASE WHEN doc_id % 130 = 0 THEN NULL ELSE md5(text) END AS digest,
+      |  CASE WHEN doc_id % 130 = 0 THEN 'bad-pdf' ELSE NULL END AS error,
+      |  CASE WHEN doc_id % 130 = 0 THEN NULL ELSE CAST(1 AS BIGINT) END AS n_streams,
+      |  CASE WHEN doc_id % 130 = 0 THEN NULL
+      |       WHEN doc_id % 26 = 0 THEN 'none' ELSE 'flate' END AS stream_filter,
+      |  CASE WHEN doc_id % 130 = 0 OR doc_id % 26 <> 0 THEN NULL
+      |       ELSE octet_length(CAST(text AS BLOB)) + ${graft.pipeline.PdfDocs.fixedOverheadBytes}
+      |       END AS n_bytes
+      |FROM documents WHERE doc_id % 13 = 0 ORDER BY id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
@@ -362,5 +418,6 @@ object ParticipantQueries {
     QueryDef("q32_sentence_chunks", sentenceChunks, Some(sentenceChunksSql)),
     QueryDef("q34_parse_map", parseMap, Some(parseMapSql)),
     QueryDef("q69_binary_pipeline", binaryPipeline, Some(binaryPipelineSql)),
-    QueryDef("q78_zip_pipeline", zipPipeline, Some(zipPipelineSql)))
+    QueryDef("q78_zip_pipeline", zipPipeline, Some(zipPipelineSql)),
+    QueryDef("q85_pdf_pipeline", pdfPipeline, Some(pdfPipelineSql)))
 }

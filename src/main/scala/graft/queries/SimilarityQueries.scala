@@ -157,26 +157,29 @@ object SimilarityQueries {
       |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   /** Q76 — Tika-shaped content-type detection (multimodal.MimeDetect):
-    * a mixed corpus (PNG / WAV / GRFT / ZIP-docx / plain text by doc_id
-    * mod 5) is sniffed by magic bytes and each format's HEADER parsed
-    * columnar — PNG dims from IHDR, WAV rate/duration from RIFF, GRFT
-    * version/length, ZIP entry count from the end-of-central-directory
-    * tail. The oracle recomputes every field from the generators' closed
-    * forms — the ZIP archive is STORED-entry, so even its total byte
-    * size is the exact constant-plus-text-length the oracle replays (PNG
-    * byte size is the one encoder-specific value, nulled on both sides).
-    * This is the B2 detect+parse capability with real formats, including
-    * a real-world container, not a stand-in. */
+    * a mixed corpus (PNG / WAV / GRFT / ZIP-docx / PDF / plain text by
+    * doc_id mod 6) is sniffed by magic bytes and each format's HEADER
+    * parsed columnar — PNG dims from IHDR, WAV rate/duration from RIFF,
+    * GRFT version/length, ZIP entry count from the end-of-central-
+    * directory tail, PDF version digits after the %PDF- magic. The
+    * oracle recomputes every field from the generators' closed forms —
+    * the ZIP archive is STORED-entry and the PDF layout fixed-width, so
+    * even their total byte sizes are the exact constant-plus-text-length
+    * the oracle replays (PNG byte size is the one encoder-specific
+    * value, nulled on both sides). This is the B2 detect+parse
+    * capability with real formats, including two real-world document
+    * formats, not a stand-in. */
   def mimeDetect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mixed = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val content = (id % 5) match {
+        val content = (id % 6) match {
           case 0 => Multimodal.ImageCodec.syntheticPng(id)
           case 1 => graft.multimodal.AudioWav.syntheticWav(id)
           case 2 => graft.pipeline.BinaryDocs.encode(text)
           case 3 => graft.pipeline.ZipDocs.encode(text)
+          case 4 => graft.pipeline.PdfDocs.encode(text)
           case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
         (id, content)
@@ -186,28 +189,31 @@ object SimilarityQueries {
       .select(col("media_id"), col("mime"),
         when(col("mime") =!= "image/png", col("n_bytes")).as("n_bytes"),
         col("width"), col("height"), col("sample_rate"), col("duration_ms"),
-        col("version"), col("payload_bytes"), col("zip_entries"))
+        col("version"), col("payload_bytes"), col("zip_entries"), col("pdf_version"))
       .orderBy(col("media_id"))
   }
 
   val mimeDetectSql: String =
     s"""SELECT doc_id AS media_id,
-      |  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |  CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
       |       WHEN 2 THEN 'application/x-grft' WHEN 3 THEN 'application/zip'
+      |       WHEN 4 THEN 'application/pdf'
       |       ELSE 'text/plain' END AS mime,
-      |  CASE doc_id % 5
+      |  CASE doc_id % 6
       |       WHEN 0 THEN NULL
       |       WHEN 1 THEN 44 + 2 * (32 + doc_id % 32)
       |       WHEN 2 THEN octet_length(CAST(text AS BLOB)) + 13
       |       WHEN 3 THEN octet_length(CAST(text AS BLOB)) + ${graft.pipeline.ZipDocs.fixedOverheadBytes}
+      |       WHEN 4 THEN octet_length(CAST(text AS BLOB)) + ${graft.pipeline.PdfDocs.fixedOverheadBytes}
       |       ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
-      |  CASE WHEN doc_id % 5 = 0 THEN 8 END AS width,
-      |  CASE WHEN doc_id % 5 = 0 THEN 8 END AS height,
-      |  CASE WHEN doc_id % 5 = 1 THEN 8000 END AS sample_rate,
-      |  CASE WHEN doc_id % 5 = 1 THEN (32 + doc_id % 32) * 1000 // 8000 END AS duration_ms,
-      |  CASE WHEN doc_id % 5 = 2 THEN 1 END AS version,
-      |  CASE WHEN doc_id % 5 = 2 THEN octet_length(CAST(text AS BLOB)) END AS payload_bytes,
-      |  CASE WHEN doc_id % 5 = 3 THEN CAST(3 AS BIGINT) END AS zip_entries
+      |  CASE WHEN doc_id % 6 = 0 THEN 8 END AS width,
+      |  CASE WHEN doc_id % 6 = 0 THEN 8 END AS height,
+      |  CASE WHEN doc_id % 6 = 1 THEN 8000 END AS sample_rate,
+      |  CASE WHEN doc_id % 6 = 1 THEN (32 + doc_id % 32) * 1000 // 8000 END AS duration_ms,
+      |  CASE WHEN doc_id % 6 = 2 THEN 1 END AS version,
+      |  CASE WHEN doc_id % 6 = 2 THEN octet_length(CAST(text AS BLOB)) END AS payload_bytes,
+      |  CASE WHEN doc_id % 6 = 3 THEN CAST(3 AS BIGINT) END AS zip_entries,
+      |  CASE WHEN doc_id % 6 = 4 THEN '1.4' END AS pdf_version
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Q74 — REAL audio decode, fully columnar (multimodal.AudioWav): one

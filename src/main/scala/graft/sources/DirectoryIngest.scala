@@ -166,4 +166,42 @@ object DirectoryIngest {
     }
     out.toString
   }
+
+  /** PDF fixture: one minimal single-page `<doc_id>.pdf` per `documents`
+    * row with doc_id % `modulo` == 0 (PdfDocs.encode). ODD multiples of
+    * `modulo` are `/FlateDecode`-compressed through a real zlib Deflater
+    * (doc_id % (2*modulo) != 0); even multiples stay uncompressed so
+    * their byte size is the oracle's closed form. Every
+    * doc_id % (modulo*10) == 0 file is DELIBERATELY CORRUPT — the
+    * `%PDF-` header magic is broken, so the record must isolate as
+    * `!error = bad-pdf` instead of failing the job. Same
+    * foreachPartition writer + idempotency marker as the other
+    * fixtures. */
+  def ensurePdfFixture(spark: SparkSession, sfDir: String, modulo: Int = 13): String = {
+    val name = new java.io.File(sfDir).getName
+    val out = java.nio.file.Paths.get(s"/tmp/graft_ingest_fixture/$name-pdf-m$modulo")
+    val marker = out.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(out)
+      val outStr = out.toString
+      val corruptEvery = modulo * 10
+      val flateUnless = modulo * 2
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % modulo === 0)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val base = java.nio.file.Paths.get(outStr)
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val bytes =
+              graft.pipeline.PdfDocs.encode(r.getString(1), flate = id % flateUnless != 0)
+            if (id % corruptEvery == 0)
+              bytes(1) = (bytes(1) ^ 0x5A).toByte // break the %PDF- magic
+            java.nio.file.Files.write(base.resolve(s"$id.pdf"), bytes)
+          }
+        }
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    out.toString
+  }
 }

@@ -317,4 +317,65 @@ class ParticipantSpec extends SparkSpec {
       s"zip row: ${out(0)}")
     assert(out(1).getString(0) == "text/plain" && out(1).isNullAt(1), s"text row: ${out(1)}")
   }
+
+  test("PDF: round-trip plain AND flate, string escaping, closed-form size") {
+    import graft.pipeline.PdfDocs
+    val text = "parens (both kinds) and a back\\slash plus\ttab survive"
+    for (flate <- Seq(false, true)) {
+      val (err, extracted, n, f) = PdfDocs.parsePdf(PdfDocs.encode(text, flate))
+      assert(err == null && extracted == text && n == 1L &&
+        f == (if (flate) "flate" else "none"),
+        s"round-trip flate=$flate: err=$err n=$n f=$f text=$extracted")
+    }
+    // uncompressed layout is fixed-width everywhere → size is closed-form
+    val plain = "no escapes here just words"
+    assert(PdfDocs.encode(plain).length == PdfDocs.fixedOverheadBytes + plain.length,
+      "plain-form size must be overhead + text length")
+    // the flate form must actually be zlib: inflating the raw stream works
+    val enc = PdfDocs.encode("compress me " * 20, flate = true)
+    assert(enc.length < PdfDocs.fixedOverheadBytes + 240,
+      "repetitive text must actually compress")
+  }
+
+  test("PDF: corrupt, truncated, non-pdf, and text-free documents isolate per record") {
+    import graft.pipeline.PdfDocs
+    // broken header magic (the fixture's corruption plant)
+    val broken = PdfDocs.encode("some text")
+    broken(1) = (broken(1) ^ 0x5A).toByte
+    assert(PdfDocs.parsePdf(broken)._1 == "bad-pdf", "broken magic must be bad-pdf")
+    // truncated mid-stream (loses endstream and %%EOF)
+    val truncated = PdfDocs.encode("some text").take(120)
+    assert(PdfDocs.parsePdf(truncated)._1 == "bad-pdf", "truncated must be bad-pdf")
+    // corrupted flate bytes: structure intact, inflate must throw → bad-pdf
+    val flate = PdfDocs.encode("compressed text here", flate = true)
+    val streamAt = new String(flate, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .indexOf("stream\n") + "stream\n".length
+    flate(streamAt + 4) = (flate(streamAt + 4) ^ 0xFF).toByte
+    assert(PdfDocs.parsePdf(flate)._1 == "bad-pdf", "corrupt flate data must be bad-pdf")
+    // not a pdf at all
+    assert(PdfDocs.parsePdf("just text".getBytes)._1 == "bad-pdf")
+    // structurally valid but no Tj operator
+    val noText = PdfDocs.encode("x")
+    val s = new String(noText, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("(x) Tj", "      ")
+    assert(PdfDocs.parsePdf(
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))._1 == "no-text")
+  }
+
+  test("PDF: octal and letter escapes unescape per spec") {
+    import graft.pipeline.PdfDocs
+    assert(PdfDocs.unescapeString("\\101\\102c") == "ABc", "octal escapes")
+    assert(PdfDocs.unescapeString("a\\(b\\)c\\\\d") == "a(b)c\\d", "delimiter escapes")
+    assert(PdfDocs.unescapeString("\\q") == "q", "unknown escape is the char itself")
+  }
+
+  test("PDF: mime detection + columnar version parse") {
+    val pdf = graft.pipeline.PdfDocs.encode("detect me")
+    val rows = Seq((1L, pdf), (2L, "not a pdf".getBytes)).toDF("media_id", "content")
+    val out = graft.multimodal.MimeDetect.detected(rows).orderBy($"media_id")
+      .select($"mime", $"pdf_version").collect()
+    assert(out(0).getString(0) == "application/pdf" && out(0).getString(1) == "1.4",
+      s"pdf row: ${out(0)}")
+    assert(out(1).getString(0) == "text/plain" && out(1).isNullAt(1), s"text row: ${out(1)}")
+  }
 }
