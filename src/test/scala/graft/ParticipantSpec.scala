@@ -369,6 +369,55 @@ class ParticipantSpec extends SparkSpec {
     assert(PdfDocs.unescapeString("\\q") == "q", "unknown escape is the char itself")
   }
 
+  test("PDF: every single-byte corruption classifies, never throws (fuzz over all positions)") {
+    // PDF has NO payload checksum, so — unlike GRFT's CRC — a flip inside
+    // the text region of a plain document legitimately parses with
+    // different text. The contract fuzzed here is the A19 one: for EVERY
+    // corrupted position, in both the plain and the flate form, parsePdf
+    // must return a classification (ok / bad-pdf / no-text), never raise
+    // — one malformed crawl file must never fail the job. The flate form
+    // adds the zlib Adler-32: flips landing in the compressed data must
+    // surface as bad-pdf, not as silently different text.
+    import graft.pipeline.PdfDocs
+    for (flate <- Seq(false, true)) {
+      val bytes = PdfDocs.encode("hello world sample text for fuzzing", flate)
+      val outcomes = bytes.indices.map { i =>
+        val b = bytes.clone(); b(i) = (b(i) ^ 0x5A).toByte
+        val (err, text, _, _) = PdfDocs.parsePdf(b) // throws => test fails
+        (i, err, text)
+      }
+      // valid outcomes are exactly (ok: text, no error) or (error, no text)
+      val bad = outcomes.filter { case (_, err, text) => (err == null) == (text == null) }
+      assert(bad.isEmpty, s"unclassified outcomes (flate=$flate): ${bad.take(5)}")
+      if (flate) {
+        // locate the deflate payload and require every flip inside it to
+        // be caught by the zlib integrity check
+        val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val dataStart = s.indexOf("stream\n") + "stream\n".length
+        val dataEnd = s.indexOf("\nendstream")
+        val silent = outcomes.collect {
+          case (i, err, _) if i >= dataStart && i < dataEnd && err == null => i
+        }
+        assert(silent.isEmpty, s"flate flips parsed clean at: ${silent.take(10)}")
+      }
+    }
+  }
+
+  test("PDF: all 255 wrong values at every magic/trailer byte are bad-pdf (value-exhaustive)") {
+    import graft.pipeline.PdfDocs
+    val bytes = PdfDocs.encode("hello world sample text for fuzzing")
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val eofAt = s.lastIndexOf("%%EOF")
+    val positions = (0 until 5) ++ (eofAt until eofAt + 5)
+    val clean = positions.flatMap { i =>
+      (1 to 255).flatMap { v =>
+        val b = bytes.clone(); b(i) = (b(i) ^ v).toByte
+        if (PdfDocs.parsePdf(b)._1 != "bad-pdf") Some((i, v)) else None
+      }
+    }
+    assert(clean.isEmpty, s"corrupted (pos,xor) not bad-pdf: ${clean.take(10)}")
+  }
+
   test("PDF: mime detection + columnar version parse") {
     val pdf = graft.pipeline.PdfDocs.encode("detect me")
     val rows = Seq((1L, pdf), (2L, "not a pdf".getBytes)).toDF("media_id", "content")
