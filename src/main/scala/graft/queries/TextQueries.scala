@@ -368,8 +368,46 @@ object TextQueries {
       |FROM pred p JOIN documents d USING (doc_id)
       |WHERE p.rn = 1 ORDER BY p.doc_id""".stripMargin
 
+  /** Q86 — corpus-statistical keyphrase extraction (TextSearch
+    * .tfidfKeyphrases): top-3 TF-IDF terms per document with the
+    * integer-division fixed-point RSJ idf and the df ≤ N/2 statistical
+    * stopword cut — the corpus-trained upgrade of the reference's
+    * external key-phrase participant (B8), the way q84 upgraded language
+    * ID. The oracle replays tokenization, df, the exact integer idf, and
+    * both window ranks, so every score and every tie-break must match
+    * bit-for-bit. */
+  def keyphrases(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextSearch.tfidfKeyphrases(
+      Tables.documents(spark, dir), "doc_id", "text", k = 3,
+      // the synthetic corpus has a 31-term vocabulary with median df
+      // ≈ 78% — the default half-corpus stopword cut would leave one
+      // term; 900‰ keeps the ranking exercised while still a cut
+      maxDfPermille = 900)
+      .orderBy(col("doc_id"), col("rank"))
+
+  val keyphrasesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |p AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(ts) AS term FROM toks) GROUP BY 1, 2),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+      |sc AS (
+      |  SELECT p.doc_id, p.term,
+      |    p.tf * ((2 * (n.n_docs - d.df) + 1) * 1000000 // (2 * d.df + 1)) AS score_e6
+      |  FROM p JOIN d USING (term) CROSS JOIN n
+      |  WHERE d.df * 1000 <= n.n_docs * 900)
+      |SELECT doc_id, CAST(rn AS INTEGER) AS rank, term, CAST(score_e6 AS BIGINT) AS score_e6
+      |FROM (
+      |  SELECT doc_id, term, score_e6,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rn
+      |  FROM sc)
+      |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
+    QueryDef("q86_keyphrases", keyphrases, Some(keyphrasesSql)),
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q82_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("q83_bpe_encode", bpeEncode, Some(bpeEncodeSql)),

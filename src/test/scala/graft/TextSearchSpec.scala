@@ -62,6 +62,42 @@ class TextSearchSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("tfidf keyphrases: integer scores, statistical stopword cut, tie-breaks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common x"),
+      (3L, "common common q"),
+      (4L, "common z z z")).toDF("doc_id", "text")
+    val res = TextSearch.tfidfKeyphrases(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // N=4; 'common' has df=4 → 2·df > N → statistically a stopword, dropped
+    assert(!res.exists(_._3 == "common"), s"'common' must be cut: ${res.toSeq}")
+    // df=1 → idf_e6 = 7·10⁶ div 3 = 2333333; df=2 → 5·10⁶ div 5 = 1000000
+    val d1 = res.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.toSeq == Seq((1L, 1, "apple", 4666666L), (1L, 2, "banana", 1000000L)),
+      s"doc 1: ${d1.toSeq}")
+    // cherry and x tie at 2333333 → term-asc tie-break
+    val d2 = res.filter(_._1 == 2L).sortBy(_._2)
+    assert(d2.toSeq == Seq((2L, 1, "cherry", 2333333L), (2L, 2, "x", 2333333L),
+      (2L, 3, "banana", 1000000L)), s"doc 2: ${d2.toSeq}")
+    // tf multiplies the exact idf
+    val d4 = res.filter(_._1 == 4L)
+    assert(d4.toSeq == Seq((4L, 1, "z", 6999999L)), s"doc 4: ${d4.toSeq}")
+  }
+
+  test("tfidf keyphrases plan: one scan, two shuffles, map-side top-k limit") {
+    val plan = TextSearch.tfidfKeyphrases(corpus, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    // tf is computed row-locally: only the term-df window and the per-doc
+    // rank window exchange, nothing else
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"expected exactly 2 hash exchanges, got $shuffles in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side WindowGroupLimit pruning in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"vocabulary must not be joined:\n$plan")
+  }
+
   test("q45 plan: corpus is not exchanged — only tiny aggregates shuffle") {
     val plan = TextSearch.bm25TopK(corpus, "doc_id", "text",
       Seq("spark", "vector"), 5).queryExecution.executedPlan.toString
