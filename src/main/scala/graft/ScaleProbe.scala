@@ -25,7 +25,7 @@ object ScaleProbe {
     "q13b_simhash_neardup", "q14_ngram_jaccard", "q15_embedding_topk",
     "q15b_ann_lsh", "q15c_ann_ivf", "q33_dup_clusters", "q45_bm25",
     "q79_ann_ivf_batch", "q80_embedding_clusters", "q81_incremental_dedup",
-    "q82_bpe_train", "q83_bpe_encode", "q86_keyphrases",
+    "q82_bpe_train", "q83_bpe_encode", "q86_keyphrases", "q87_paragraph_dedup",
     "q70_repeated_spans", "q72_span_scrub", "q73_image_decode",
     "q74_audio_decode")
 

@@ -688,4 +688,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Cross-document PARAGRAPH dedup — the CCNet move (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data": boilerplate paragraphs repeat across a web crawl far
+    * more than whole documents do; dropping every repeated paragraph
+    * except its first occurrence removes headers/footers/navigation
+    * while keeping the unique prose). Document-level dedup (q8/q12)
+    * cannot see this — two distinct pages sharing a boilerplate footer
+    * are not document duplicates.
+    *
+    * Input: one row per (doc, paragraph ordinal, paragraph text). The
+    * FIRST occurrence corpus-wide — min (doc, idx), totally ordered — is
+    * kept; all others drop. Output: per doc, the paragraph counts and
+    * the text reassembled from surviving paragraphs in original order.
+    *
+    * Plan shape (audited): exactly two exchanges — one partitioning by
+    * the paragraph text for the first-occurrence window (no rank-limit
+    * pruning applies: every occurrence row is needed for the per-doc
+    * counts), one on doc_id for the reassembly hash-agg (in-agg
+    * array_sort restores paragraph order; no per-doc window, no global
+    * sort). Keying the window by the exact text makes the op
+    * collision-free; at 100 TB the shuffle moves each paragraph once —
+    * the same volume any one corpus pass moves. */
+  def paragraphDedup(paras: DataFrame, idCol: String = "doc_id",
+      idxCol: String = "idx", paraCol: String = "para"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstWin = Window.partitionBy(col(paraCol))
+      .orderBy(col(idCol).asc, col(idxCol).asc)
+    paras
+      .withColumn("__rn", row_number().over(firstWin))
+      .withColumn("is_first", col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("is_first"),
+            struct(col(idxCol).as("idx"), col(paraCol).as("para"))))),
+          p => p.getField("para"))).as("clean_text"))
+  }
 }

@@ -316,8 +316,48 @@ object DedupQueries {
   // identical modulo ~2^-60 collisions (q12 precedent); the maxBucket
   // guard never fires at sf ≤ 0.1
 
+  /** Q87 — CCNet-style cross-document paragraph dedup
+    * (Dedup.paragraphDedup): the corpus split into deterministic 7-word
+    * paragraphs (the q32 sentence convention); every paragraph repeated
+    * anywhere in the corpus survives only at its first (doc, idx)
+    * occurrence, and each document is reassembled from its survivors.
+    * The corpus genuinely repeats ~5% of its paragraphs (the planted
+    * near-dup structure), so the cut is exercised. The oracle replays
+    * the split, the global first-occurrence rule, and the ordered
+    * reassembly — the md5 of every cleaned document must match. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val paras = Tables.documents(spark, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(ws)/7.0) as int) - 1)," +
+          " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
+    Dedup.paragraphDedup(paras)
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        md5(col("clean_text").cast("binary")).as("clean_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  val paragraphDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |p AS (
+      |  SELECT doc_id, t.i AS idx,
+      |    array_to_string(ws[(t.i*7)+1:(t.i+1)*7], ' ') AS para
+      |  FROM w, UNNEST(range(0, CAST(ceil(len(ws)/7.0) AS BIGINT))) AS t(i)),
+      |f AS (
+      |  SELECT doc_id, idx, para,
+      |    row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1 AS is_first
+      |  FROM p)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |  CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(COALESCE(array_to_string(list_transform(
+      |    list_sort(list({'idx': idx, 'para': para}) FILTER (is_first)),
+      |    s -> s.para), ' '), '')) AS clean_digest
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),
+    QueryDef("q87_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     QueryDef("q81_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q13_simhash", simhashSignatures, Some(simhashSignaturesSql)),
     QueryDef("q13b_simhash_neardup", simhashNearDups, Some(simhashNearDupsSql)),

@@ -338,4 +338,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.map(_.getLong(1)).sorted.toSeq == (1L to 5L),
       s"capped winners: ${capped.mkString(", ")}")
   }
+
+  test("paragraph dedup keeps first occurrence corpus-wide, reassembles in order") {
+    import spark.implicits._
+    // boilerplate footer 'f' repeats in docs 1/2/3; doc 2 also repeats its
+    // own paragraph 'b' internally; 'u1'/'u2'/'u3' are unique prose
+    val paras = Seq(
+      (1L, 0, "u1"), (1L, 1, "f"),
+      (2L, 0, "b"), (2L, 1, "f"), (2L, 2, "b"), (2L, 3, "u2"),
+      (3L, 0, "f"), (3L, 1, "u3")).toDF("doc_id", "idx", "para")
+    val res = graft.ops.Dedup.paragraphDedup(paras).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(res(1L) == ((2L, 2L, "u1 f")), s"doc 1: ${res(1L)}") // owns f's first use
+    assert(res(2L) == ((4L, 2L, "b u2")), s"doc 2: ${res(2L)}") // loses f AND its self-repeat
+    assert(res(3L) == ((2L, 1L, "u3")), s"doc 3: ${res(3L)}")   // f dropped entirely
+  }
+
+  test("paragraph dedup plan: two exchanges, map-side first-occurrence limit") {
+    import spark.implicits._
+    val paras = Seq((1L, 0, "x")).toDF("doc_id", "idx", "para")
+    val plan = graft.ops.Dedup.paragraphDedup(paras)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"expected exactly 2 hash exchanges, got $shuffles in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"no join expected — first-occurrence is a window, not a dictionary join:\n$plan")
+  }
 }
