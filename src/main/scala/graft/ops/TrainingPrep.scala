@@ -123,6 +123,65 @@ object TrainingPrep {
         min(col("bench_id")).as("first_bench_id"))
   }
 
+  /** BLOOM-FILTER decontamination — the fixed-size scale path for
+    * `decontaminate`. The exact pass broadcasts the benchmark's distinct
+    * shingle STRINGS; that broadcast grows with every added eval suite.
+    * A Bloom filter (Bloom 1970) caps the shipped state at `mBits` bits
+    * FOREVER — `k` bits per shingle, membership = all `k` bits set —
+    * at the price of a deterministic, measurable false-positive rate
+    * (conservative direction: a false positive only over-flags a
+    * training doc, never leaks a benchmark ngram through).
+    *
+    * Everything is engine-replayable: bit positions come from the
+    * portable 60-bit hash by double hashing (h₁ = h mod 2³⁰,
+    * h₂ = (h div 2³⁰) | 1 — odd, so coprime with the power-of-two m;
+    * posᵢ = (h₁ + i·h₂) mod m), and the filter itself is built
+    * DISTRIBUTIVELY: per-word `bit_or` partial aggregates, m/32 words
+    * total (1024 longs carrying 32 bits each at the default m = 2¹⁵ —
+    * 32, not 64, so no engine ever shifts into the sign bit, which
+    * DuckDB rejects as overflow), collected once and shipped back as a
+    * literal array — the only driver touch is those 1024 words, by
+    * construction constant-size at any corpus scale.
+    *
+    * Probe side: one narrow pass over the train shingles, k bit tests
+    * per shingle against the literal array, per-doc distinct-hit count
+    * — no join, no shuffle of the corpus beyond the per-doc rollup. */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 4, mBits: Int = 1 << 15, k: Int = 3): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two")
+    require(k >= 1 && k <= 8, "1..8 probe bits")
+    def shingles(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.NativeExpressions.wordShingles(col(textCol), n)).as("sh"))
+    def posExpr(i: Int): String =
+      s"(h % 1073741824L + ${i}L * ((h div 1073741824L) | 1L)) % ${mBits}L"
+
+    val benchPos = shingles(bench, "bench_id").select(col("sh")).distinct()
+      .select(graft.functions.TextFunctions.portableHash60(col("sh")).as("h"))
+      .select(explode(expr(
+        s"array(${(0 until k).map(posExpr).mkString(", ")})")).as("pos"))
+    val built = benchPos
+      .groupBy(expr("cast(pos div 32 as int)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").as("bits"))
+      .collect()
+    val bitWords = new Array[Long](mBits / 32)
+    built.foreach(r => bitWords(r.getInt(0)) = r.getLong(1))
+
+    def hitExpr(i: Int): String = {
+      val p = posExpr(i)
+      s"(shiftrightunsigned(element_at(bloom, cast(($p) div 32 as int) + 1)," +
+        s" cast(($p) % 32 as int)) & 1L) = 1L"
+    }
+    shingles(train, "id")
+      .withColumn("h", graft.functions.TextFunctions.portableHash60(col("sh")))
+      .withColumn("bloom", typedLit(bitWords.toSeq))
+      .filter(expr((0 until k).map(hitExpr).mkString(" AND ")))
+      .groupBy(col("id"))
+      // wordShingles emits DISTINCT shingles per doc, so a plain count is
+      // already a distinct count — and saves the (id, sh) dedup exchange
+      .agg(count(lit(1)).as("n_hit_shingles"))
+  }
+
   /** Cross-document repeated-span measurement — the exact-substring
     * deduplication signal (the Lee et al. 2022 "Deduplicating Training
     * Data" observation: verbatim k-token spans repeated ACROSS documents

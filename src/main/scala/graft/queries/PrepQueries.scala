@@ -344,8 +344,74 @@ object PrepQueries {
       |FROM r WHERE sample_rank <= 25
       |ORDER BY lang, sample_rank""".stripMargin
 
+  /** Q88 — BLOOM-FILTER decontamination (TrainingPrep
+    * .bloomDecontaminate) vs the exact broadcast pass, side by side: the
+    * same train/bench split as q41, probed through a 2¹⁴-bit / 3-probe
+    * Bloom filter built distributively from the benchmark shingles. The
+    * output carries BOTH counts per flagged doc — the bloom hit count
+    * and the exact overlap count (0 = a pure false positive; m is set to
+    * 2¹⁴ here so the corpus genuinely produces some) — and the
+    * oracle replays the portable hash, the double-hashed bit positions,
+    * the per-word bit_or build, every bit test, AND the exact join, so
+    * the filter's exact false-positive set is pinned bit-for-bit.
+    * Bloom's no-false-negative guarantee is structural: every exact row
+    * must appear among the bloom rows or the hash gate fails. */
+  def bloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val bloom = TrainingPrep.bloomDecontaminate(train, bench, "doc_id", "text",
+      n = 4, mBits = 1 << 14)
+    val exact = TrainingPrep.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .select(col("id"), col("n_shared_shingles"))
+    bloom.join(exact, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_hit_shingles"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_exact_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bloomDecontaminationSql: String =
+    """WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(ws) < 4 THEN [text]
+      |           ELSE list_distinct(list_transform(range(1, len(ws) - 2),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) END) AS sh
+      |  FROM base),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |bh AS (SELECT CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h FROM bench),
+      |pos AS (
+      |  SELECT ((h % 1073741824) + t.i * ((h // 1073741824) | 1)) % 16384 AS pos
+      |  FROM bh CROSS JOIN range(0, 3) t(i)),
+      |words AS (
+      |  SELECT pos // 32 AS w, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      |  FROM pos GROUP BY 1),
+      |train AS (
+      |  SELECT doc_id, sh, CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) AS h
+      |  FROM sh WHERE doc_id % 97 <> 0),
+      |tpos AS (
+      |  SELECT doc_id, sh,
+      |    ((h % 1073741824) + t.i * ((h // 1073741824) | 1)) % 16384 AS pos
+      |  FROM train CROSS JOIN range(0, 3) t(i)),
+      |hits AS (
+      |  SELECT p.doc_id, p.sh
+      |  FROM tpos p JOIN words w
+      |    ON w.w = p.pos // 32 AND ((w.bits >> CAST(p.pos % 32 AS INT)) & 1) = 1
+      |  GROUP BY p.doc_id, p.sh HAVING COUNT(*) = 3),
+      |bloomdocs AS (
+      |  SELECT doc_id, CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_hit_shingles
+      |  FROM hits GROUP BY doc_id),
+      |exact AS (
+      |  SELECT t.doc_id, CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_exact
+      |  FROM train t JOIN bench b USING (sh) GROUP BY t.doc_id)
+      |SELECT b.doc_id, b.n_hit_shingles,
+      |  CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact_shingles
+      |FROM bloomdocs b LEFT JOIN exact e USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q70_repeated_spans", repeatedSpans, Some(repeatedSpansSql)),
+    QueryDef("q88_bloom_decontam", bloomDecontamination, Some(bloomDecontaminationSql)),
     QueryDef("q72_span_scrub", spanScrub, Some(spanScrubSql)),
     QueryDef("q35_dataset_split", datasetSplit, Some(datasetSplitSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),

@@ -35,6 +35,58 @@ class TrainingPrepSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 9L)))
   }
 
+  test("bloom decontamination: superset of exact, inserted members always hit") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (200L, "one two three four")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "xx beta gamma delta epsilon yy"),
+      (2L, "alpha beta xx gamma delta yy epsilon zeta"),
+      (3L, "zz one two three four"),
+      (4L, "nothing in common here at all"),
+      // the bench doc itself in train: every shingle is an inserted
+      // member — Bloom guarantees ALL of them hit (no false negatives)
+      (5L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val bloom = TrainingPrep.bloomDecontaminate(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    val exact = TrainingPrep.decontaminate(train, bench, "doc_id", "text", n = 4)
+      .select(col("id"), col("n_shared_shingles")).as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, n) =>
+      assert(bloom.getOrElse(id, 0L) >= n,
+        s"no-false-negative violated for doc $id: bloom=${bloom.get(id)} exact=$n")
+    }
+    assert(bloom(5L) == 3L, s"all 3 shingles of the verbatim bench doc must hit: $bloom")
+    assert(bloom(1L) >= 1L && bloom(3L) >= 1L)
+  }
+
+  test("bloom decontamination: tiny filter saturates into false positives, deterministically") {
+    // 64 bits for 400 inserted shingles (1200 probe bits): every bit ends
+    // up set, so ANY probe hits — full saturation, deterministically
+    val bench = (0 until 200).map(i =>
+      (1000L + i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text")
+    val train = Seq((1L, "totally unrelated words right here")).toDF("doc_id", "text")
+    def run() = TrainingPrep.bloomDecontaminate(train, bench, "doc_id", "text",
+      n = 4, mBits = 64, k = 3).as[(Long, Long)].collect().toSet
+    val a = run()
+    assert(a == run(), "false positives must be deterministic")
+    assert(a.exists(_._1 == 1L),
+      s"a saturated 64-bit filter must false-positive the unrelated doc: $a")
+    // and the real filter size does not
+    val clean = TrainingPrep.bloomDecontaminate(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect()
+    assert(clean.isEmpty, s"2^15-bit filter should not flag it: ${clean.toSeq}")
+  }
+
+  test("bloom decontamination plan: no join — probe is a literal-array bit test") {
+    val bench = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b c d x")).toDF("doc_id", "text")
+    val plan = TrainingPrep.bloomDecontaminate(train, bench, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"probe side must not join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"only the per-doc rollup may shuffle, got $shuffles:\n$plan")
+  }
+
   test("mixture sampling: nested thresholds, default fraction, determinism") {
     val df = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "zz"))
       .toDF("doc_id", "source")
