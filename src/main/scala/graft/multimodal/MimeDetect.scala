@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *   GRFT                     → application/x-grft
   *   PK\x03\x04               → application/zip (docx and friends)
   *   %PDF-                    → application/pdf
+  *   GRAV\x01                 → video/x-grav (the PNG-frame container)
   *   otherwise                → text/plain (the corpus default)
   */
 object MimeDetect {
@@ -47,6 +48,8 @@ object MimeDetect {
           .when(expr(s"substring($c, 1, 4) = X'504B0304'"), lit("application/zip"))
           .when(expr(s"substring($c, 1, 5) = cast('%PDF-' as binary)"),
             lit("application/pdf"))
+          .when(expr(s"substring($c, 1, 5) = X'4752415601'"),
+            lit("video/x-grav"))
           .otherwise(lit("text/plain")))
       .withColumn("n_bytes", expr(s"length($c)").cast("long"))
       // PNG: IHDR is always the first chunk — width/height are the two
@@ -83,5 +86,11 @@ object MimeDetect {
       .withColumn("pdf_version",
         when(col("mime") === "application/pdf",
           expr(s"cast(substring($c, 6, 3) as string)")))
+      // GRAV: frame count at 6-9 BE, fps at 10-13 BE → duration
+      .withColumn("video_frames",
+        when(col("mime") === "video/x-grav", expr(be32(6))))
+      .withColumn("video_duration_ms",
+        when(col("mime") === "video/x-grav",
+          expr(s"${be32(6)} * 1000 div nullif(${be32(10)}, 0)")))
   }
 }

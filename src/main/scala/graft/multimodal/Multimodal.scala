@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * partition-batched feature extraction.
   *
   * The Spark-side mechanics — schema, encoders, partition batching, UDF
-  * signature — are real and tested; the codec itself is STUBBED behind
-  * `MediaDecoder` because no image/audio libraries exist in this
-  * container. A production deployment swaps `DeterministicFakeDecoder`
-  * for a JNI/javacv-backed implementation without touching the plumbing.
+  * signature — are real and tested, and so are all three media paths:
+  * PNG through the JDK's imageio codec (ImageCodec), WAV columnar
+  * (AudioWav), and the GRAV frame-indexed video container (VideoCodec —
+  * real index seek + per-frame PNG decode). Only exotic EXTERNAL codecs
+  * (H.264 and friends) stay behind the pluggable `MediaDecoder` stub; a
+  * production deployment swaps `DeterministicFakeDecoder` for a
+  * JNI/javacv-backed implementation without touching the plumbing.
   *
   * Scale notes: media rows are large (MBs); keep
   * `spark.sql.files.maxPartitionBytes` sized so one partition holds a few
@@ -218,5 +221,116 @@ object Multimodal {
       }
       (ImageCodec.encodePng(out), meta.copy(width = w2, height = h2))
     }
+  }
+}
+
+/** Kernel output row for VideoCodec.sampleFrames: one decoded frame (or
+  * one error row) per record. Top-level so the product encoder resolves
+  * without a TypeTag lookup inside the object. */
+case class VideoFrameRow(
+    media_id: Long,
+    frame_idx: Option[Long],
+    width: Option[Int],
+    height: Option[Int],
+    sum_r: Option[Long],
+    sum_g: Option[Long],
+    sum_b: Option[Long],
+    video_error: Option[String])
+
+/** REAL video-container path — closes the last multimodal stub. No video
+  * codec ships in a bare JDK, but a video CONTAINER is just an indexed
+  * sequence of frames; this is the GRAV layout (GRFT's audio-video
+  * sibling): `GRAV` magic, version, big-endian frame count + fps, an
+  * (offset, length) index entry per frame, the concatenated per-frame
+  * payloads — each one a genuine PNG through the JDK codec — and a
+  * trailing CRC32 of the payload region. So frame SAMPLING (seek the
+  * index, slice every stride-th frame, never touch the rest) and frame
+  * DECODE (ImageCodec, pixel-exact) are both real operations against a
+  * real byte layout, and the closed-form synthetic frames keep every
+  * decoded pixel statistic SQL-oracle-replayable. Corrupt containers
+  * (bad magic, lying index, payload bit-flips caught by the CRC) isolate
+  * per record — A19, the same contract as every other format here. */
+object VideoCodec {
+
+  val Fps = 10
+
+  /** GRAV v1: magic(4) ver(1) nFrames(4 BE) fps(4 BE) index[n×(off BE4,
+    * len BE4)] payloads crc32(payloads)(4 BE). Offsets are relative to
+    * the payload region start. */
+  def encode(frames: Seq[Array[Byte]], fps: Int = Fps): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64 + frames.map(_.length).sum)
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+      out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    out.write('G'); out.write('R'); out.write('A'); out.write('V')
+    out.write(1)
+    be32(frames.length); be32(fps)
+    var off = 0
+    frames.foreach { f => be32(off); be32(f.length); off += f.length }
+    frames.foreach(f => out.write(f, 0, f.length))
+    val crc = new java.util.zip.CRC32()
+    frames.foreach(f => crc.update(f))
+    be32(crc.getValue.toInt)
+    out.toByteArray
+  }
+
+  /** Deterministic multi-frame fixture: 4 + id%4 frames, frame i's pixels
+    * follow the syntheticPng closed form under frame id `id·100 + i`. */
+  def syntheticVideo(id: Long): Array[Byte] = {
+    val n = 4 + (id % 4).toInt
+    encode((0 until n).map(i => Multimodal.ImageCodec.syntheticPng(id * 100 + i)))
+  }
+
+  /** Walk the container and return every `stride`-th frame's bytes, or an
+    * error: bad-grav (magic/version/bounds/CRC) — one record's rot never
+    * fails the job. */
+  def parseFrames(bytes: Array[Byte], stride: Int): Either[String, Seq[(Long, Array[Byte])]] = {
+    try {
+      def be32(p: Int): Int =
+        ((bytes(p) & 0xFF) << 24) | ((bytes(p + 1) & 0xFF) << 16) |
+          ((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF)
+      if (bytes.length < 13 || bytes(0) != 'G' || bytes(1) != 'R' ||
+        bytes(2) != 'A' || bytes(3) != 'V' || bytes(4) != 1) return Left("bad-grav")
+      val n = be32(5)
+      if (n < 0 || n > 1000000) return Left("bad-grav")
+      val payloadStart = 13 + 8 * n
+      if (bytes.length < payloadStart + 4) return Left("bad-grav")
+      val payloadEnd = bytes.length - 4
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, payloadStart, payloadEnd - payloadStart)
+      if (crc.getValue.toInt != be32(payloadEnd)) return Left("bad-grav")
+      val frames = (0 until n by stride).map { i =>
+        val off = be32(13 + 8 * i); val len = be32(13 + 8 * i + 4)
+        if (off < 0 || len < 0 || payloadStart + off + len > payloadEnd)
+          return Left("bad-grav")
+        (i.toLong, java.util.Arrays.copyOfRange(bytes,
+          payloadStart + off, payloadStart + off + len))
+      }
+      Right(frames)
+    } catch { case _: Exception => Left("bad-grav") }
+  }
+
+  /** Frame sampling + per-frame decode as one mapPartitions kernel over
+    * (media_id, content): every `stride`-th frame is sliced via the
+    * index and decoded through the real PNG codec into integer-exact
+    * channel statistics. Corrupt containers emit ONE error row. */
+  def sampleFrames(media: DataFrame, stride: Int,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseFrames(bytes, stride) match {
+          case Left(err) =>
+            Seq(VideoFrameRow(id, None, None, None, None, None, None, Some(err)))
+          case Right(frames) => frames.map { case (idx, png) =>
+            val (w, h, sr, sg, sb) = Multimodal.ImageCodec.channelSums(png)
+            VideoFrameRow(id, Some(idx), Some(w), Some(h),
+              Some(sr), Some(sg), Some(sb), None)
+          }
+        }
+      }).toDF()
   }
 }

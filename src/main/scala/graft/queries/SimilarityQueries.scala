@@ -157,29 +157,32 @@ object SimilarityQueries {
       |GROUP BY doc_id ORDER BY media_id""".stripMargin
 
   /** Q76 — Tika-shaped content-type detection (multimodal.MimeDetect):
-    * a mixed corpus (PNG / WAV / GRFT / ZIP-docx / PDF / plain text by
-    * doc_id mod 6) is sniffed by magic bytes and each format's HEADER
-    * parsed columnar — PNG dims from IHDR, WAV rate/duration from RIFF,
-    * GRFT version/length, ZIP entry count from the end-of-central-
-    * directory tail, PDF version digits after the %PDF- magic. The
-    * oracle recomputes every field from the generators' closed forms —
-    * the ZIP archive is STORED-entry and the PDF layout fixed-width, so
-    * even their total byte sizes are the exact constant-plus-text-length
-    * the oracle replays (PNG byte size is the one encoder-specific
-    * value, nulled on both sides). This is the B2 detect+parse
-    * capability with real formats, including two real-world document
-    * formats, not a stand-in. */
+    * a mixed corpus (PNG / WAV / GRFT / ZIP-docx / PDF / GRAV video /
+    * plain text by doc_id mod 7) is sniffed by magic bytes and each
+    * format's HEADER parsed columnar — PNG dims from IHDR, WAV
+    * rate/duration from RIFF, GRFT version/length, ZIP entry count from
+    * the end-of-central-directory tail, PDF version digits after the
+    * %PDF- magic, GRAV frame count + duration from its big-endian
+    * header. The oracle recomputes every field from the generators'
+    * closed forms — the ZIP archive is STORED-entry and the PDF layout
+    * fixed-width, so even their total byte sizes are the exact
+    * constant-plus-text-length the oracle replays (PNG and GRAV byte
+    * sizes are the encoder-specific values, nulled on both sides). This
+    * is the B2 detect+parse capability with real formats — two
+    * real-world document formats and a frame-indexed AV container, not
+    * a stand-in. */
   def mimeDetect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mixed = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val content = (id % 6) match {
+        val content = (id % 7) match {
           case 0 => Multimodal.ImageCodec.syntheticPng(id)
           case 1 => graft.multimodal.AudioWav.syntheticWav(id)
           case 2 => graft.pipeline.BinaryDocs.encode(text)
           case 3 => graft.pipeline.ZipDocs.encode(text)
           case 4 => graft.pipeline.PdfDocs.encode(text)
+          case 5 => graft.multimodal.VideoCodec.syntheticVideo(id)
           case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
         (id, content)
@@ -187,34 +190,90 @@ object SimilarityQueries {
       .toDF("media_id", "content")
     graft.multimodal.MimeDetect.detected(mixed)
       .select(col("media_id"), col("mime"),
-        when(col("mime") =!= "image/png", col("n_bytes")).as("n_bytes"),
+        when(col("mime") =!= "image/png" && col("mime") =!= "video/x-grav",
+          col("n_bytes")).as("n_bytes"),
         col("width"), col("height"), col("sample_rate"), col("duration_ms"),
-        col("version"), col("payload_bytes"), col("zip_entries"), col("pdf_version"))
+        col("version"), col("payload_bytes"), col("zip_entries"), col("pdf_version"),
+        col("video_frames"), col("video_duration_ms"))
       .orderBy(col("media_id"))
   }
 
   val mimeDetectSql: String =
     s"""SELECT doc_id AS media_id,
-      |  CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+      |  CASE doc_id % 7 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
       |       WHEN 2 THEN 'application/x-grft' WHEN 3 THEN 'application/zip'
-      |       WHEN 4 THEN 'application/pdf'
+      |       WHEN 4 THEN 'application/pdf' WHEN 5 THEN 'video/x-grav'
       |       ELSE 'text/plain' END AS mime,
-      |  CASE doc_id % 6
+      |  CASE doc_id % 7
       |       WHEN 0 THEN NULL
       |       WHEN 1 THEN 44 + 2 * (32 + doc_id % 32)
       |       WHEN 2 THEN octet_length(CAST(text AS BLOB)) + 13
       |       WHEN 3 THEN octet_length(CAST(text AS BLOB)) + ${graft.pipeline.ZipDocs.fixedOverheadBytes}
       |       WHEN 4 THEN octet_length(CAST(text AS BLOB)) + ${graft.pipeline.PdfDocs.fixedOverheadBytes}
+      |       WHEN 5 THEN NULL
       |       ELSE octet_length(CAST(text AS BLOB)) END AS n_bytes,
-      |  CASE WHEN doc_id % 6 = 0 THEN 8 END AS width,
-      |  CASE WHEN doc_id % 6 = 0 THEN 8 END AS height,
-      |  CASE WHEN doc_id % 6 = 1 THEN 8000 END AS sample_rate,
-      |  CASE WHEN doc_id % 6 = 1 THEN (32 + doc_id % 32) * 1000 // 8000 END AS duration_ms,
-      |  CASE WHEN doc_id % 6 = 2 THEN 1 END AS version,
-      |  CASE WHEN doc_id % 6 = 2 THEN octet_length(CAST(text AS BLOB)) END AS payload_bytes,
-      |  CASE WHEN doc_id % 6 = 3 THEN CAST(3 AS BIGINT) END AS zip_entries,
-      |  CASE WHEN doc_id % 6 = 4 THEN '1.4' END AS pdf_version
+      |  CASE WHEN doc_id % 7 = 0 THEN 8 END AS width,
+      |  CASE WHEN doc_id % 7 = 0 THEN 8 END AS height,
+      |  CASE WHEN doc_id % 7 = 1 THEN 8000 END AS sample_rate,
+      |  CASE WHEN doc_id % 7 = 1 THEN (32 + doc_id % 32) * 1000 // 8000 END AS duration_ms,
+      |  CASE WHEN doc_id % 7 = 2 THEN 1 END AS version,
+      |  CASE WHEN doc_id % 7 = 2 THEN octet_length(CAST(text AS BLOB)) END AS payload_bytes,
+      |  CASE WHEN doc_id % 7 = 3 THEN CAST(3 AS BIGINT) END AS zip_entries,
+      |  CASE WHEN doc_id % 7 = 4 THEN '1.4' END AS pdf_version,
+      |  CASE WHEN doc_id % 7 = 5 THEN CAST(4 + doc_id % 4 AS BIGINT) END AS video_frames,
+      |  CASE WHEN doc_id % 7 = 5 THEN CAST((4 + doc_id % 4) * 100 AS BIGINT) END AS video_duration_ms
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Q89 — REAL video-container frame sampling + decode
+    * (multimodal.VideoCodec): one GRAV container per document — 4-7
+    * genuine PNG frames behind an (offset, length) index and a payload
+    * CRC32 — with every 50th container payload-corrupted. The kernel
+    * seeks the index, slices every 2nd frame WITHOUT touching the rest,
+    * decodes through the JDK PNG codec, and emits integer-exact channel
+    * sums per sampled frame; corrupt containers isolate as ONE
+    * `bad-grav` row (A19). The oracle replays the frame-id closed form,
+    * the stride, and which containers are corrupt — a wrong index
+    * offset, CRC slip, or off-by-one in the stride fails the hash. */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.multimodal.VideoCodec.syntheticVideo(id)
+        if (id % 50 == 0) {
+          // flip a byte INSIDE the payload region: the index stays
+          // walkable, the container CRC does not
+          val n = 4 + (id % 4).toInt
+          val p = 13 + 8 * n + 10
+          bytes(p) = (bytes(p) ^ 0x5A).toByte
+        }
+        (id, bytes)
+      }).toDF("media_id", "content")
+    graft.multimodal.VideoCodec.sampleFrames(vids, stride = 2)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val videoFramesSql: String =
+    """WITH vids AS (SELECT doc_id AS media_id, 4 + doc_id % 4 AS n FROM documents),
+      |f AS (
+      |  SELECT media_id, i.i AS frame_idx, media_id * 100 + i.i AS fid
+      |  FROM (SELECT * FROM vids WHERE media_id % 50 <> 0), range(0, 8) i(i)
+      |  WHERE i.i < n AND i.i % 2 = 0),
+      |sums AS (
+      |  SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |    CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      |    CAST(SUM(((fid % 1009) * 31 + x.x * 7 + y.y * 13) % 256) AS BIGINT) AS sum_r,
+      |    CAST(SUM(((fid % 1013) * 17 + x.x * 11 + y.y * 3) % 256) AS BIGINT) AS sum_g,
+      |    CAST(SUM(((fid % 997) * 23 + x.x * 5 + y.y * 19) % 256) AS BIGINT) AS sum_b,
+      |    CAST(NULL AS VARCHAR) AS video_error
+      |  FROM f, range(0, 8) x(x), range(0, 8) y(y)
+      |  GROUP BY media_id, frame_idx, fid)
+      |SELECT * FROM sums
+      |UNION ALL
+      |SELECT media_id, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+      |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS BIGINT), 'bad-grav'
+      |FROM vids WHERE media_id % 50 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin
 
   /** Q74 — REAL audio decode, fully columnar (multimodal.AudioWav): one
     * PCM mono 16-bit WAV clip per document (canonical RIFF writer on
@@ -540,6 +599,7 @@ object SimilarityQueries {
     QueryDef("q73_image_decode", imageDecode, Some(imageDecodeSql)),
     QueryDef("q74_audio_decode", audioDecode, Some(audioDecodeSql)),
     QueryDef("q76_mime_detect", mimeDetect, Some(mimeDetectSql)),
+    QueryDef("q89_video_frames", videoFrames, Some(videoFramesSql)),
     QueryDef("q40_sq8_compression", sq8Compression, Some(sq8CompressionSql)),
     QueryDef("q46_pq_codes", pqCompression, Some(pqCompressionSql)))
 }

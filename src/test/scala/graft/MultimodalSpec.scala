@@ -107,4 +107,47 @@ class MultimodalSpec extends SparkSpec {
         s"empty clip (native=$nativeFold): ${out(1)}")
     }
   }
+
+  test("GRAV container: stride sampling decodes exactly the indexed frames") {
+    import graft.multimodal.{Multimodal, VideoCodec}
+    val vid = VideoCodec.syntheticVideo(7L) // 4 + 7%4 = 7 frames
+    val all = VideoCodec.parseFrames(vid, stride = 1).toOption.get
+    assert(all.map(_._1) == (0L until 7L), s"frame ids: ${all.map(_._1)}")
+    val sampled = VideoCodec.parseFrames(vid, stride = 2).toOption.get
+    assert(sampled.map(_._1) == Seq(0L, 2L, 4L, 6L))
+    // each sliced frame is a REAL decodable PNG with the closed-form pixels
+    sampled.foreach { case (i, png) =>
+      val (w, h, sr, _, _) = Multimodal.ImageCodec.channelSums(png)
+      val fid = 7L * 100 + i
+      val expR = (for (y <- 0 until 8; x <- 0 until 8)
+        yield ((fid % 1009) * 31 + x * 7 + y * 13) % 256).sum
+      assert(w == 8 && h == 8 && sr == expR, s"frame $i: w=$w h=$h sr=$sr exp=$expR")
+    }
+  }
+
+  test("GRAV container: bad magic, payload rot, and lying index all isolate") {
+    import graft.multimodal.VideoCodec
+    val vid = VideoCodec.syntheticVideo(3L)
+    // magic flip
+    val badMagic = vid.clone(); badMagic(0) = 'X'.toByte
+    assert(VideoCodec.parseFrames(badMagic, 1).left.toOption.contains("bad-grav"))
+    // payload bit rot → container CRC catches it
+    val n = 4 + (3L % 4).toInt
+    val rot = vid.clone(); val p = 13 + 8 * n + 20
+    rot(p) = (rot(p) ^ 0x5A).toByte
+    assert(VideoCodec.parseFrames(rot, 1).left.toOption.contains("bad-grav"))
+    // index entry pointing past the payload region
+    val lie = vid.clone(); lie(13) = 0x7F.toByte // first frame offset high byte
+    assert(VideoCodec.parseFrames(lie, 1).left.toOption.contains("bad-grav"))
+    // truncation and non-video bytes
+    assert(VideoCodec.parseFrames(vid.take(20), 1).left.toOption.contains("bad-grav"))
+    assert(VideoCodec.parseFrames("nope".getBytes, 1).left.toOption.contains("bad-grav"))
+    // sampleFrames isolates the rotten container, keeps the healthy one
+    val rows = Seq((1L, vid), (2L, rot)).toDF("media_id", "content")
+    val out = VideoCodec.sampleFrames(rows, stride = 2).collect()
+    assert(out.count(_.getLong(0) == 1L) == 4 &&
+      out.filter(_.getLong(0) == 1L).forall(_.isNullAt(7)), s"healthy rows: ${out.toSeq}")
+    val err = out.filter(_.getLong(0) == 2L)
+    assert(err.length == 1 && err(0).getString(7) == "bad-grav", s"error rows: ${err.toSeq}")
+  }
 }
