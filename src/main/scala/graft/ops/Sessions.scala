@@ -34,4 +34,43 @@ object Sessions {
     df.withColumn("session_id",
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)) - lit(1))
   }
+
+  /** Ordered-funnel analysis — the MATCH_RECOGNIZE-shaped sequence
+    * operator (SQL:2016 row-pattern matching; Flink CEP / funnel
+    * analytics): per key, the earliest chain of `stages` events where
+    * each stage strictly follows the previous one in time. The greedy
+    * first-match fold over time-ordered events is exactly the
+    * minimal-chain semantics (first s₁, then the first s₂ after it, …).
+    *
+    * Plan shape: ONE exchange (the per-key collect) and an in-aggregate
+    * `array_sort` + expression `aggregate` fold — no per-stage self-join
+    * cascade (k stages as joins would scan and shuffle the event table k
+    * times), no window over the raw events. Repeated stage names work
+    * (view→view→… counts re-occurrences). Per-key event lists must fit
+    * in an aggregation buffer — at 100 TB shard pathological hot keys
+    * first (Skew.scala), the same caveat as any per-entity collect.
+    *
+    * Returns per key: `stage` (completed prefix length) and `st`, the
+    * array of per-stage timestamps (null = not reached). */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.size <= 8, "1..8 funnel stages")
+    stages.foreach(s => require(s.matches("[A-Za-z0-9_]+"), s"bad stage name: $s"))
+    val packed = events
+      .select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
+        col(typeCol).as("et"))
+      .groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("et")))).as("evs"))
+    val init = s"array(${stages.map(_ => "cast(null as bigint)").mkString(", ")})"
+    val whens = stages.zipWithIndex.map { case (s, i) =>
+      val ready = if (i == 0) s"acc[$i] is null"
+        else s"acc[$i] is null and acc[${i - 1}] is not null and e.ts > acc[${i - 1}]"
+      val next = stages.indices.map(j => if (j == i) "e.ts" else s"acc[$j]")
+      s"when $ready and e.et = '$s' then array(${next.mkString(", ")})"
+    }.mkString(" ")
+    packed
+      .withColumn("st", expr(s"aggregate(evs, $init, (acc, e) -> case $whens else acc end)"))
+      .withColumn("stage", expr("size(filter(st, x -> x is not null))"))
+      .select(col("key"), col("stage"), col("st"))
+  }
 }

@@ -231,8 +231,47 @@ object EventsQueries {
       |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
       |  (SELECT CAST(sum(t3 - t1) AS BIGINT) FROM s3) AS total_convert_ns""".stripMargin
 
+  /** Q90 — generalized k-stage funnel (Sessions.funnel), the
+    * MATCH_RECOGNIZE-shaped sequence operator: per user, the earliest
+    * view → click → click → purchase chain (note the REPEATED stage — a
+    * second click strictly after the first — which the per-stage
+    * join-cascade form of q53 cannot express without another scan).
+    * One scan and ONE exchange: time-ordered in-aggregate fold instead
+    * of q53's three joined aggregations. The oracle replays the chain
+    * as four nested min-aggregations, so greedy-fold = minimal-chain
+    * equivalence is hash-gated per user. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    Sessions.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "click", "purchase"))
+      .select(col("key").as("user_id"), col("stage"),
+        col("st")(0).as("view_ns"), col("st")(1).as("click1_ns"),
+        col("st")(2).as("click2_ns"), col("st")(3).as("purchase_ns"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+      |t1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT ev.user_id, MIN(ev.ts) AS t2 FROM ev JOIN t1 USING (user_id)
+      |       WHERE ev.event_type = 'click' AND ev.ts > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT ev.user_id, MIN(ev.ts) AS t3 FROM ev JOIN t2 USING (user_id)
+      |       WHERE ev.event_type = 'click' AND ev.ts > t2.t2 GROUP BY 1),
+      |t4 AS (SELECT ev.user_id, MIN(ev.ts) AS t4 FROM ev JOIN t3 USING (user_id)
+      |       WHERE ev.event_type = 'purchase' AND ev.ts > t3.t3 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN t4.t4 IS NOT NULL THEN 4 WHEN t3.t3 IS NOT NULL THEN 3
+      |            WHEN t2.t2 IS NOT NULL THEN 2 WHEN t1.t1 IS NOT NULL THEN 1
+      |            ELSE 0 END AS INTEGER) AS stage,
+      |  t1.t1 AS view_ns, t2.t2 AS click1_ns, t3.t3 AS click2_ns, t4.t4 AS purchase_ns
+      |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |       LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_latest_state", latestState, Some(latestStateSql)),
+    QueryDef("q90_funnel_stages", funnelStages, Some(funnelStagesSql)),
     QueryDef("q5_interval_join", intervalJoin, Some(intervalJoinSql)),
     QueryDef("q6_session_windows", sessionWindows, Some(sessionWindowsSql)),
     QueryDef("q27_asof_join", asofJoin, Some(asofJoinSql)),

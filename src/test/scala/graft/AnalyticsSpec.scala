@@ -95,4 +95,38 @@ class AnalyticsSpec extends SparkSpec {
     // doc4: single bigram with count 1 -> lm 0, rare 1
     assert(scored(4L) === ((0L, 1L)))
   }
+
+  test("funnel: greedy chain, no stage skipping, repeated stages, strict ordering") {
+    import graft.ops.Sessions
+    val events = Seq(
+      // user 1 completes view(10) -> click(20) -> click(30) -> buy(40);
+      // the click at 15 is consumed as stage 2, so stage 3 takes 20
+      (1L, 10L, "view"), (1L, 15L, "click"), (1L, 20L, "click"),
+      (1L, 40L, "buy"),
+      // user 2: click BEFORE any view must not count; chain starts at 50
+      (2L, 5L, "click"), (2L, 50L, "view"), (2L, 60L, "click"),
+      // user 3: same-ts click as the view — strict > excludes it
+      (3L, 10L, "view"), (3L, 10L, "click"),
+      // user 4: nothing relevant
+      (4L, 10L, "buy")).toDF("user_id", "ts", "event_type")
+    val res = Sessions.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "click", "buy"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Any](2).map(Option(_))))).toMap
+    assert(res(1L) == ((4, Seq(Some(10L), Some(15L), Some(20L), Some(40L)))),
+      s"user 1: ${res(1L)}")
+    assert(res(2L) == ((2, Seq(Some(50L), Some(60L), None, None))), s"user 2: ${res(2L)}")
+    assert(res(3L) == ((1, Seq(Some(10L), None, None, None))), s"user 3: ${res(3L)}")
+    assert(res(4L) == ((0, Seq(None, None, None, None))), s"user 4: ${res(4L)}")
+  }
+
+  test("funnel plan: one scan, one exchange — no per-stage join cascade") {
+    import graft.ops.Sessions
+    val events = Seq((1L, 10L, "view")).toDF("user_id", "ts", "event_type")
+    val plan = Sessions.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click")).queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 exchange, got $shuffles in:\n$plan")
+    assert(!plan.contains("Join"), s"no joins expected:\n$plan")
+  }
 }
