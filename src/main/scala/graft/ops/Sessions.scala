@@ -56,8 +56,20 @@ object Sessions {
       typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty && stages.size <= 8, "1..8 funnel stages")
     stages.foreach(s => require(s.matches("[A-Za-z0-9_]+"), s"bad stage name: $s"))
+    // Type-aware event time: a blind `cast(ts as long)` on a TIMESTAMP
+    // column yields epoch-SECONDS — the funnel would still "work" but with
+    // silently coarsened ordering. Accept integral epoch columns as-is and
+    // convert timestamp forms to epoch-ns explicitly; reject anything else.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, TimestampType, TimestampNTZType}
+    val tsExpr = events.schema(tsCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => col(tsCol).cast("long")
+      case TimestampType | TimestampNTZType =>
+        expr(s"unix_micros(cast($tsCol as timestamp)) * 1000")
+      case other => throw new IllegalArgumentException(
+        s"funnel: $tsCol must be an integral epoch or TIMESTAMP[_NTZ] column, got $other")
+    }
     val packed = events
-      .select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
+      .select(col(keyCol).as("key"), tsExpr.as("ts"),
         col(typeCol).as("et"))
       .groupBy(col("key"))
       .agg(array_sort(collect_list(struct(col("ts"), col("et")))).as("evs"))

@@ -33,19 +33,45 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with `nanosAsLong` it loads as
-    * a Long of epoch-nanoseconds. We keep it as a Long on purpose: all
-    * event-time operators (sessionization gap math, interval joins) then run
-    * on exact integer arithmetic, matching the DuckDB oracle bit-for-bit.
+  /** `events.ts` normalized to a Long of epoch-NANOSECONDS, whatever the
+    * parquet physical form. We keep it as a Long on purpose: all event-time
+    * operators (sessionization gap math, interval joins) then run on exact
+    * integer arithmetic, matching the DuckDB oracle's `epoch_ns(ts)`
+    * bit-for-bit.
     *
-    * DuckDB reads the same column as a µs TIMESTAMP (its `epoch_ns` then
-    * ends in 000), so for oracle parity we truncate to µs resolution while
-    * staying in ns units. Integer `div` — a double division would lose
-    * precision at 1.7e18.
+    * Two generator schemas exist in the wild:
+    *   - legacy: parquet TIMESTAMP(NANOS), loaded as an ns Long via the
+    *     `nanosAsLong` conf. DuckDB reads that column at µs resolution, so
+    *     for oracle parity we truncate to µs while staying in ns units.
+    *     Integer `div` — a double division would lose precision at 1.7e18.
+    *   - current: parquet timestamp[us] (TIMESTAMP or TIMESTAMP_NTZ in
+    *     Spark). `unix_micros * 1000` is already µs-truncated by
+    *     construction; the NTZ→TZ cast is value-preserving because the
+    *     session timezone is pinned to UTC (GraftSession), matching
+    *     DuckDB's naive-timestamp `epoch_ns`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     GraftSession.ensureRuntimeConfs(s)
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("(ts div 1000) * 1000"))
+    val raw = load(s, d, "events")
+    raw.withColumn("ts", normalizeEventTime(raw, "ts"))
+  }
+
+  /** Epoch-ns Long from either events-time schema form (see [[events]]).
+    * Exposed so streaming readers and tests over raw frames share the one
+    * normalization. Fails loudly on any other type — a silent cast here
+    * (e.g. `cast(ts as long)` = epoch-SECONDS on timestamps) would let
+    * queries "pass" with coarsened event ordering. */
+  def normalizeEventTime(df: DataFrame, colName: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        expr(s"($colName div 1000) * 1000")
+      case TimestampType | TimestampNTZType =>
+        expr(s"unix_micros(cast($colName as timestamp)) * 1000")
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$colName: expected epoch-ns BIGINT or TIMESTAMP[_NTZ], got $other")
+    }
   }
 }

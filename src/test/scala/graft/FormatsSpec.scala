@@ -61,6 +61,47 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
   }
 
+  test("events loader: TIMESTAMP_NTZ parquet ≡ legacy ns-Long parquet (µs-truncation contract, both forms)") {
+    import spark.implicits._
+    // The driver has generated events.ts as BOTH parquet TIMESTAMP(NANOS)
+    // (loaded as an ns Long via nanosAsLong) and parquet timestamp[us]
+    // (TIMESTAMP_NTZ). Property: for any epoch-µs instant — including
+    // legacy rows carrying sub-µs ns digits — the loader yields the SAME
+    // epoch-ns Long from either physical form.
+    val rnd = new scala.util.Random(0xE7E27)
+    val rows = (0 until 512).map { i =>
+      // full plausible range incl. pre-1970 (negative epoch) instants.
+      // Sub-µs ns digits exist ONLY in the legacy physical form (NANOS
+      // column); both loader paths truncate toward zero like DuckDB's
+      // ns→µs conversion, so pin the noise to non-negative instants where
+      // trunc == floor and the cross-form identity is exact.
+      val us = rnd.between(-2208988800000000L, 4102444800000000L)
+      val sub = if (us >= 0) rnd.between(0L, 1000L) else 0L
+      (i.toLong, us, sub) // (event_id, epoch_us, sub-µs ns)
+    }
+    val ntzDir = tmp("evnorm_ntz")
+    rows.toDF("event_id", "us", "sub")
+      .select(col("event_id"),
+        expr("cast(timestamp_micros(us) as timestamp_ntz)").as("ts"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val legacyDir = tmp("evnorm_legacy")
+    rows.toDF("event_id", "us", "sub")
+      .select(col("event_id"), expr("us * 1000 + sub").as("ts"))
+      .write.mode("overwrite").parquet(s"$legacyDir/events.parquet")
+
+    val ntz = graft.sources.Tables.events(spark, ntzDir)
+    val legacy = graft.sources.Tables.events(spark, legacyDir)
+    // both normalize to LongType epoch-ns
+    assert(ntz.schema("ts").dataType === LongType, "NTZ form must normalize to ns Long")
+    assert(legacy.schema("ts").dataType === LongType, "legacy form must normalize to ns Long")
+    val a = ntz.orderBy("event_id").select("event_id", "ts").collect().toSeq
+    val b = legacy.orderBy("event_id").select("event_id", "ts").collect().toSeq
+    assert(a === b, "loader output diverged between physical schema forms")
+    // and the values are the µs-truncated instants themselves
+    val expected = rows.sortBy(_._1).map { case (id, us, _) => (id, us * 1000L) }
+    assert(a.map(r => (r.getLong(0), r.getLong(1))) === expected)
+  }
+
   test("Avro wire round-trips every event field and agrees with the JSON wire fold") {
     import spark.implicits._
     import graft.model._
