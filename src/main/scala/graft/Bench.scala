@@ -74,6 +74,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = picked.map { case (name, fn) =>
       System.err.println(s"[bench] start $name")
       val runs = (1 to 2).map { _ =>
@@ -82,22 +83,29 @@ object Bench {
         // noop sink (not count()): count() lets Catalyst prune every
         // unused projection column, under-measuring narrow compute-heavy
         // queries; the noop write computes all columns like Verify does
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch {
-          case e: Throwable =>
-            // a failed query must not silently bench as ~0s
-            System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] FAILED $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              errors.getOrElseUpdate(name, e.getClass.getSimpleName)
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         val dgc = gcMillis - gc0
         if (dgc > 1000) System.err.println(f"[bench] $name gc=${dgc / 1000.0}%.1fs of $dt%.1fs")
         // drop frames persisted inside operators so queries are timed in
         // isolation and the block manager doesn't accumulate stale caches
         spark.catalog.clearCache()
-        dt
+        // a failed query must not bench as its (tiny) time-to-failure: a
+        // naive parser would read ~0.1s "times" for broken queries as real
+        // (the round-6 events breakage did exactly that) — record -1.
+        if (ok) dt else -1.0
       }
-      System.err.println(f"[bench] done $name in ${runs.min}%.1fs (runs: ${runs.map(r => f"$r%.1f").mkString(", ")})")
-      name -> runs.min
+      val good = runs.filter(_ >= 0)
+      val best = if (good.nonEmpty) good.min else -1.0
+      System.err.println(f"[bench] done $name in $best%.1fs (runs: ${runs.map(r => f"$r%.1f").mkString(", ")})")
+      name -> best
     }
     // The driver captures only the TAIL of stdout (a few KB); for three
     // rounds the single long JSON line lost its FRONT (metric/value and
@@ -110,9 +118,26 @@ object Bench {
     //      (always inside any tail window, parseable alone).
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val (envJson, envHuman) = envDiag(spark)
-    System.err.println(s"[bench] end $envHuman")
+    // failed queries carry -1 in "queries" and are excluded from the total
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val (envJson0, envHuman) = envDiag(spark)
+    // Self-describing validity: the round-6 driver artifact ran with a
+    // 91 GiB heap on a loadavg-3.9 box and recorded 7-80x blow-ups that
+    // evaporated on a quiet re-run. Flag any run whose JVM or machine
+    // deviates from the tuned shape (8 GiB heap, idle start) so trend
+    // comparisons can skip contaminated artifacts without forensics.
+    val tunedHeapMb = 8192L
+    val heapMb = Runtime.getRuntime.maxMemory / (1 << 20)
+    val contended = loadAvgAtStart > 1.0 || math.abs(heapMb - tunedHeapMb) > 512
+    if (contended) System.err.println(
+      f"[bench] WARNING contended/mistuned run: loadavgStart=$loadAvgAtStart%.2f " +
+      s"(want <1), heapMb=$heapMb (want ~$tunedHeapMb) — timings measure " +
+      "contention, not plans; re-run on a quiet box before comparing")
+    val envJson = envJson0.dropRight(1) + s""","contended":$contended}"""
+    val errJson = if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    System.err.println(s"[bench] end $envHuman contended=$contended")
     val localFile = try {
       val repo = new java.io.File("/root/repo")
       val prior = Option(repo.listFiles).getOrElse(Array.empty[java.io.File])
@@ -121,10 +146,10 @@ object Bench {
       val next = if (prior.isEmpty) 1 else prior.max + 1
       val f = new java.io.File(repo, s"BENCH_local_r$next.json")
       java.nio.file.Files.writeString(f.toPath,
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$envJson,"sf":"$sfDir"}%n""")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,$envJson,"sf":"$sfDir"}%n""")
       f.toString
     } catch { case _: Throwable => "" } // read-only checkout: stdout still carries everything
-    println(f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec",$envJson,"sf":"$sfDir"}""")
+    println(f"""{"queries":$qs$errJson,"metric":"total","value":$total%.3f,"unit":"sec",$envJson,"sf":"$sfDir"}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",$envJson,"sf":"$sfDir","queries_file":"$localFile"}""")
     spark.stop()
   }
