@@ -703,18 +703,29 @@ object Dedup {
     * kept; all others drop. Output: per doc, the paragraph counts and
     * the text reassembled from surviving paragraphs in original order.
     *
-    * Plan shape (audited): exactly two exchanges — one partitioning by
-    * the paragraph text for the first-occurrence window (no rank-limit
-    * pruning applies: every occurrence row is needed for the per-doc
-    * counts), one on doc_id for the reassembly hash-agg (in-agg
+    * Plan shape (audited): exactly two exchanges — one partitioning by a
+    * 128-bit paragraph fingerprint for the first-occurrence window (no
+    * rank-limit pruning applies: every occurrence row is needed for the
+    * per-doc counts), one on doc_id for the reassembly hash-agg (in-agg
     * array_sort restores paragraph order; no per-doc window, no global
-    * sort). Keying the window by the exact text makes the op
-    * collision-free; at 100 TB the shuffle moves each paragraph once —
-    * the same volume any one corpus pass moves. */
+    * sort).
+    *
+    * The window is KEYED by two independent xxhash64 fingerprints of the
+    * text, not the text itself: at 100 TB a raw-text key makes every
+    * partitioner hash and every within-partition sort comparison walk
+    * full paragraphs, and the sorter's key prefix is useless (shared
+    * boilerplate prefixes). The 16-byte fingerprint keeps those
+    * fixed-width while the text rides as payload only for reassembly.
+    * Identity-by-128-bit-fingerprint is the standard content-addressing
+    * trade: a false merge needs a simultaneous collision in both hashes
+    * (~2⁻¹²⁸ per pair — below any corpus's birthday bound). */
   def paragraphDedup(paras: DataFrame, idCol: String = "doc_id",
       idxCol: String = "idx", paraCol: String = "para"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val firstWin = Window.partitionBy(col(paraCol))
+    // second hash seeded by a prepended salt column — independent of the
+    // first (xxhash64 of the bare column) without needing a seed knob
+    val firstWin = Window
+      .partitionBy(xxhash64(col(paraCol)), xxhash64(lit("graft::para2"), col(paraCol)))
       .orderBy(col(idCol).asc, col(idxCol).asc)
     paras
       .withColumn("__rn", row_number().over(firstWin))

@@ -308,4 +308,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions >= cores,
       s"narrow input not spread: ${out.rdd.getNumPartitions} partitions")
   }
+
+  test("paragraph dedup exchanges on 128-bit fingerprints, never raw paragraph text") {
+    // At 100 TB a raw-text window key makes the partitioner hash and every
+    // sort comparison walk full paragraphs; the first-occurrence window
+    // must key on the two xxhash64 fingerprints with text as payload only.
+    val p = plan("q87_paragraph_dedup")
+    val exchangeKeys = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty, p.take(500))
+    // the fingerprints are computed in a Project below the exchange and
+    // arrive as _wN long aliases — the xxhash64 calls must exist...
+    assert(p.contains("xxhash64"), "fingerprint projection missing:\n" + p.take(800))
+    // ...and no exchange may key on the raw para string itself (the _wN
+    // window keys and doc_id are all fixed-width longs)
+    val rawTextKeyed = exchangeKeys.filter(_.contains("para"))
+    assert(rawTextKeyed.isEmpty, s"raw-text exchange key: $rawTextKeyed")
+  }
 }
