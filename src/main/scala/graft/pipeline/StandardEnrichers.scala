@@ -92,19 +92,42 @@ object StandardEnrichers {
       }.getOrElse(Map.empty)
   }
 
-  /** Entity-ish extraction = tokens that look like identifiers/numbers —
-    * the offline stand-in for the reference's Google NLP entity producer
-    * (participants/implementations.kt:264-284): emits entityName → type
-    * pairs exactly like the reference's `Map(entityName → entityType)`. */
-  class EntityEnricher(resolver: ContentResolver = ContentResolver.default) extends Enricher {
+  /** Entity extraction behind the reference's `Map(entityName →
+    * entityType)` contract (Google NLP producer,
+    * participants/implementations.kt:264-284). Two evidence sources,
+    * same capability name:
+    *   - surface patterns (numbers / identifiers) — the always-on
+    *     offline floor;
+    *   - an optional TRAINED gazetteer (ops/Ner.gazetteer collected to a
+    *     driver map — bounded by vocabulary × categories, so it
+    *     broadcasts with the enricher closure). A trained type overrides
+    *     a pattern type for the same token.
+    * Build the trained form with [[EntityEnricher.trained]]. */
+  class EntityEnricher(resolver: ContentResolver = ContentResolver.default,
+      gazetteer: Map[String, String] = Map.empty) extends Enricher {
     override def name: String = "entities"
     override def values(record: DataRecord): Map[String, String] =
       contentOf(record, resolver).map { text =>
-        text.split(" ", -1).distinct.toSeq.sorted.collect {
+        val toks = text.split(" ", -1).distinct.toSeq.sorted
+        val ruled = toks.collect {
           case t if t.matches("^[0-9]+$") => t -> "NUMBER"
           case t if t.matches("^[a-z]+[0-9]+$") => t -> "IDENT"
         }.toMap
+        val learned = toks.flatMap(t => gazetteer.get(t).map(t -> _)).toMap
+        ruled ++ learned
       }.getOrElse(Map.empty)
+  }
+
+  object EntityEnricher {
+    /** Swap the stand-in for a corpus-trained model: `gaz` is
+      * ops/Ner.gazetteer output — (tok, ner_type, votes). The collect is
+      * safe by construction: the gazetteer is bounded by vocabulary ×
+      * categories, not corpus size. */
+    def trained(gaz: org.apache.spark.sql.DataFrame,
+        resolver: ContentResolver = ContentResolver.default): EntityEnricher =
+      new EntityEnricher(resolver,
+        gaz.select("tok", "ner_type").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap)
   }
 
   def all(resolver: ContentResolver = ContentResolver.default): Seq[Enricher] = Seq(

@@ -410,7 +410,64 @@ object ParticipantQueries {
       |       END AS n_bytes
       |FROM documents WHERE doc_id % 13 = 0 ORDER BY id""".stripMargin
 
+  /** Q91 — corpus-trained entity typing (ops/Ner): the distant-
+    * supervision upgrade of the B7 entity stand-in, the q84/q86 move
+    * applied to entities. Train: integer (token, type) votes from the
+    * even-partkey half of the part catalog (p_name tokens labeled by
+    * p_type — every token spans all six categories, so the model is
+    * genuinely ambiguous). Apply: tag the HELD-OUT odd-partkey names by
+    * context vote (own distribution + text-sum, ties type-asc) and score
+    * against the true category. The oracle replays tokenization, the
+    * vote table, the context sums, both argmax tie-breaks, and the
+    * train/test split — every integer score must match bit-for-bit. */
+  def nerTrained(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val votes = graft.ops.Ner.tokenVotes(
+      part.filter(col("p_partkey") % 2 === 0), "p_name", "p_type")
+    graft.ops.Ner.tag(
+      part.filter(col("p_partkey") % 2 === 1), "p_partkey", "p_name", votes)
+      .join(part.select(col("p_partkey"), col("p_type")), Seq("p_partkey"))
+      .select(col("p_partkey"), col("pos"), col("tok"), col("ner_type"),
+        col("score"), (col("ner_type") === col("p_type")).as("is_match"))
+      .orderBy(col("p_partkey"), col("pos"))
+  }
+
+  val nerTrainedSql: String =
+    """WITH votes AS (
+      |  SELECT tok, p_type AS ner_type, CAST(COUNT(*) AS BIGINT) AS votes
+      |  FROM (SELECT unnest(string_split(p_name, ' ')) AS tok, p_type
+      |        FROM part WHERE p_partkey % 2 = 0)
+      |  GROUP BY 1, 2),
+      |toks AS (
+      |  SELECT p_partkey, CAST(t.i - 1 AS INTEGER) AS pos, ws[t.i] AS tok
+      |  FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws
+      |        FROM part WHERE p_partkey % 2 = 1),
+      |    UNNEST(range(1, len(ws) + 1)) AS t(i)),
+      |own AS (
+      |  SELECT t.p_partkey, t.pos, t.tok, v.ner_type, v.votes
+      |  FROM toks t JOIN votes v USING (tok)),
+      |ctx AS (
+      |  SELECT p_partkey, ner_type, SUM(votes) AS ctx_votes
+      |  FROM own GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT t.p_partkey, t.pos, t.tok, c.ner_type,
+      |    COALESCE(v.votes, 0) + c.ctx_votes AS score
+      |  FROM toks t
+      |  JOIN (SELECT DISTINCT tok FROM votes) g USING (tok)
+      |  JOIN ctx c ON c.p_partkey = t.p_partkey
+      |  LEFT JOIN votes v ON v.tok = t.tok AND v.ner_type = c.ner_type),
+      |top AS (
+      |  SELECT p_partkey, pos, tok, ner_type, score,
+      |    row_number() OVER (PARTITION BY p_partkey, pos
+      |      ORDER BY score DESC, ner_type ASC) AS rn
+      |  FROM cand)
+      |SELECT tp.p_partkey, tp.pos, tp.tok, tp.ner_type,
+      |  CAST(tp.score AS BIGINT) AS score, (tp.ner_type = p.p_type) AS is_match
+      |FROM top tp JOIN part p USING (p_partkey)
+      |WHERE tp.rn = 1 ORDER BY tp.p_partkey, tp.pos""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q91_ner_trained", nerTrained, Some(nerTrainedSql)),
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
