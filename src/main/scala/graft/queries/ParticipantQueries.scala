@@ -466,8 +466,103 @@ object ParticipantQueries {
       |FROM top tp JOIN part p USING (p_partkey)
       |WHERE tp.rn = 1 ORDER BY tp.p_partkey, tp.pos""".stripMargin
 
+  /** Q92 — corpus-derived POS tagging (ops/PosTag): trigram-HMM
+    * max-sum Viterbi over integer fixed-point weights, self-trained
+    * from the rule tagger's weak labels (the B6 upgrade, q84/q91
+    * pattern). Every 7-word sentence is decoded exactly; the oracle
+    * replays training (both fixed-point conditional-frequency tables)
+    * and then checks the DECODE against brute-force enumeration of
+    * every tag path per sentence (a recursive CTE) — an independent
+    * algorithm, not a reimplementation of the DP — with the same
+    * (score desc, path asc) tie-break. `is_match` records where the
+    * learned sequence model agrees with the local rule tagger. */
+  def posTrained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.PosTag
+    val docs = Tables.documents(spark, dir)
+    val rule = graft.functions.TextFunctions.posTag _
+    val words = PosTag.labeledWords(docs, "doc_id", "text", rule)
+      .localCheckpoint(true) // eager: three consumers (emit, trans, rule replay)
+    val dec = PosTag.decode(docs, "doc_id", "text",
+      PosTag.emissions(words), PosTag.transitions(words))
+    val ruleSent = words.groupBy(col("id").as("doc_id"), col("sent"))
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, tag))), s -> s.tag)")).as("rule_tags"))
+    dec.join(ruleSent, Seq("doc_id", "sent"))
+      .select(col("doc_id"), col("sent"), col("n_words"), col("tags"),
+        col("score_e6"), col("rule_tags"),
+        (col("tags") === col("rule_tags")).as("is_match"))
+      .orderBy(col("doc_id"), col("sent"))
+  }
+
+  val posTrainedSql: String = {
+    import graft.functions.TextFunctions._
+    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+    val posCase =
+      s"""CASE WHEN regexp_matches(w, '^[0-9]+$$') THEN 'CD'
+         |     WHEN w IN (${inList(PosDeterminers)}) THEN 'DT'
+         |     WHEN w IN (${inList(PosConjunctions)}) THEN 'CC'
+         |     WHEN w IN (${inList(PosPrepositions)}) THEN 'IN'
+         |     WHEN w LIKE '%ing' THEN 'VBG'
+         |     WHEN w LIKE '%ed' THEN 'VBD'
+         |     WHEN w LIKE '%ly' THEN 'RB'
+         |     WHEN w LIKE '%s' THEN 'NNS'
+         |     ELSE 'NN' END""".stripMargin
+    s"""WITH RECURSIVE
+       |w AS (
+       |  SELECT doc_id, (t.i - 1) // 7 AS sent, (t.i - 1) % 7 AS pos, words[t.i] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |       UNNEST(generate_series(1, len(words))) AS t(i)),
+       |tagged AS (SELECT doc_id, sent, pos, w, $posCase AS tag FROM w),
+       |emit AS (
+       |  SELECT w, tag,
+       |    (COUNT(*) * 1000000) // (SUM(COUNT(*)) OVER (PARTITION BY tag)) AS emit_e6
+       |  FROM tagged GROUP BY w, tag),
+       |tri AS (
+       |  SELECT COALESCE(lag(tag, 2) OVER sw, '^') AS t1,
+       |    COALESCE(lag(tag, 1) OVER sw, '^') AS t2, tag AS t3
+       |  FROM tagged WINDOW sw AS (PARTITION BY doc_id, sent ORDER BY pos)),
+       |trans AS (
+       |  SELECT t1, t2, t3,
+       |    (COUNT(*) * 1000000) // (SUM(COUNT(*)) OVER (PARTITION BY t1, t2)) AS trans_e6
+       |  FROM tri GROUP BY t1, t2, t3),
+       |tags AS (SELECT DISTINCT tag FROM tagged),
+       |slen AS (SELECT doc_id, sent, COUNT(*) AS n FROM tagged GROUP BY 1, 2),
+       |paths(doc_id, sent, pos, a, b, score, path) AS (
+       |  SELECT g.doc_id, g.sent, 0, '^', t.tag,
+       |    COALESCE(tr.trans_e6, 0) + COALESCE(e.emit_e6, 0), t.tag
+       |  FROM tagged g CROSS JOIN tags t
+       |  LEFT JOIN trans tr ON tr.t1 = '^' AND tr.t2 = '^' AND tr.t3 = t.tag
+       |  LEFT JOIN emit e ON e.w = g.w AND e.tag = t.tag
+       |  WHERE g.pos = 0
+       |  UNION ALL
+       |  SELECT p.doc_id, p.sent, p.pos + 1, p.b, t.tag,
+       |    p.score + COALESCE(tr.trans_e6, 0) + COALESCE(e.emit_e6, 0),
+       |    p.path || ' ' || t.tag
+       |  FROM paths p
+       |  JOIN tagged g ON g.doc_id = p.doc_id AND g.sent = p.sent AND g.pos = p.pos + 1
+       |  CROSS JOIN tags t
+       |  LEFT JOIN trans tr ON tr.t1 = p.a AND tr.t2 = p.b AND tr.t3 = t.tag
+       |  LEFT JOIN emit e ON e.w = g.w AND e.tag = t.tag),
+       |best AS (
+       |  SELECT p.doc_id, p.sent, s.n AS n_words, p.path AS tags, p.score AS score_e6,
+       |    row_number() OVER (PARTITION BY p.doc_id, p.sent
+       |      ORDER BY p.score DESC, p.path ASC) AS rn
+       |  FROM paths p JOIN slen s ON s.doc_id = p.doc_id AND s.sent = p.sent
+       |    AND p.pos = s.n - 1),
+       |rulestr AS (
+       |  SELECT doc_id, sent, string_agg(tag, ' ' ORDER BY pos) AS rule_tags
+       |  FROM tagged GROUP BY 1, 2)
+       |SELECT b.doc_id, CAST(b.sent AS BIGINT) AS sent,
+       |  CAST(b.n_words AS INTEGER) AS n_words, b.tags,
+       |  CAST(b.score_e6 AS BIGINT) AS score_e6, r.rule_tags,
+       |  (b.tags = r.rule_tags) AS is_match
+       |FROM best b JOIN rulestr r USING (doc_id, sent)
+       |WHERE b.rn = 1 ORDER BY b.doc_id, b.sent""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q91_ner_trained", nerTrained, Some(nerTrainedSql)),
+    QueryDef("q92_pos_trained", posTrained, Some(posTrainedSql)),
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
