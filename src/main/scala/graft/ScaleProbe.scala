@@ -27,7 +27,10 @@ object ScaleProbe {
     "q79_ann_ivf_batch", "q80_embedding_clusters", "q81_incremental_dedup",
     "q82_bpe_train", "q83_bpe_encode", "q86_keyphrases", "q87_paragraph_dedup",
     "q70_repeated_spans", "q72_span_scrub", "q73_image_decode",
-    "q74_audio_decode")
+    "q74_audio_decode",
+    // round-6 binary/prep family (judge item 8): PDF ingestion, bloom
+    // decontamination, video frame sampling
+    "q85_pdf_pipeline", "q88_bloom_decontam", "q89_video_frames")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy
