@@ -275,4 +275,73 @@ object TrainingPrep {
         .as(Seq("pos", "span")))
       .select(col("id"), col("pos"),
         graft.functions.TextFunctions.portableHash60(col("span")).as("span_hash"))
+
+  /** CCNet-style LM-perplexity quality bucketing (Wenzek et al. 2020:
+    * score web documents against a reference-domain language model,
+    * split head/middle/tail by perplexity terciles; the paper uses
+    * KenLM — here the LM is the corpus-trainable integer bigram model
+    * of q58, with surprisal in exact floor-log₂ bits so both engines
+    * reproduce every score bit-for-bit):
+    *
+    *   bits(w₁→w₂) = ⌊log₂ c_ref(w₁)⌋ − ⌊log₂ c_ref(w₁w₂)⌋  (≥ 0 since
+    *   c₁₂ ≤ c₁), or `unseenBits` when the reference never saw the
+    *   bigram — the integer backoff.
+    *
+    * Per doc: mean surprisal in fixed-point micro-bits; buckets by
+    * VALUE-tercile thresholds t₁ = percentile_disc(1/3) of the per-doc
+    * averages (smallest value v with 3·|{avg ≤ v}| ≥ n), t₂ likewise at
+    * 2/3 — equal scores always share a bucket, unlike an ntile split.
+    *
+    * Scale shape: the reference count tables are corpus-sized in
+    * general, so scoring is a shuffle hash join on the bigram/unigram
+    * key (map-side partial counts) — the q58 posture; per-doc
+    * re-aggregation keys on the id. The tercile thresholds come from a
+    * VALUE histogram of the integer averages (bounded by score
+    * granularity, not corpus size), so the only unpartitioned window
+    * runs over that reduced histogram — the q71 sketch-window pattern —
+    * and the thresholds re-join as a 1-row broadcast. Docs with fewer
+    * than 2 words carry no evidence and emit no row (the q58/q84/Bpe
+    * domain stance). */
+  def lmQualityBuckets(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, unseenBits: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .withColumn("__ws", split(col(textCol), " "))
+      .filter(size(col("__ws")) >= 2)
+      .select(extra :+ explode(expr(
+        "transform(sequence(0, size(__ws) - 2)," +
+          " i -> struct(element_at(__ws, i + 1) AS w1," +
+          " concat(element_at(__ws, i + 1), ' ', element_at(__ws, i + 2)) AS bg))"))
+        .as("__b"): _*)
+      .select(extra :+ col("__b.w1").as("w1") :+ col("__b.bg").as("bg"): _*)
+    val refUni = ref.select(explode(split(col(textCol), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val refBg = bigrams(ref, Seq.empty)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val perDoc = bigrams(docs, Seq(col(idCol)))
+      .join(refBg, Seq("bg"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .withColumn("bits", when(col("c12").isNull, lit(unseenBits))
+        .otherwise((length(bin(col("c1"))) - length(bin(col("c12")))).cast("long")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("bits_total"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("avg_micro", expr("bits_total * 1000000 div n_bigrams"))
+    val hist = perDoc.groupBy(col("avg_micro")).agg(count(lit(1)).as("nv"))
+      .withColumn("cum", sum(col("nv")).over(
+        Window.orderBy(col("avg_micro"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val thr = hist
+      .crossJoin(broadcast(hist.agg(sum(col("nv")).as("n")))) // 1-row total
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("avg_micro"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("avg_micro"))).as("t2"))
+    perDoc.crossJoin(broadcast(thr)) // 1-row thresholds
+      .withColumn("bucket",
+        when(col("avg_micro") <= col("t1"), 1)
+          .when(col("avg_micro") <= col("t2"), 2).otherwise(3))
+      .select(col(idCol), col("n_bigrams"), col("bits_total"),
+        col("n_unseen"), col("avg_micro"), col("bucket"))
+  }
 }

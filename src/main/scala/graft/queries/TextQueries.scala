@@ -405,8 +405,61 @@ object TextQueries {
       |  FROM sc)
       |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Q93 — CCNet-style LM-perplexity quality bucketing
+    * (TrainingPrep.lmQualityBuckets): an integer bigram LM trained on
+    * the reference slice (doc_id % 3 == 0 — CCNet's trusted-domain
+    * corpus), every document scored by exact floor-log₂ conditional
+    * surprisal with a 20-bit unseen backoff, then split head/middle/
+    * tail by value-tercile thresholds (percentile_disc semantics: equal
+    * scores share a bucket). The oracle replays tokenization, both
+    * count tables, every per-bigram bit score, the fixed-point average,
+    * the histogram-derived thresholds, and the bucket assignment. */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TrainingPrep.lmQualityBuckets(
+      docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val lmQualitySql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |refuni AS (
+      |  SELECT w1, COUNT(*) AS c1
+      |  FROM (SELECT unnest(ws) AS w1 FROM base WHERE doc_id % 3 = 0) GROUP BY 1),
+      |refbg AS (
+      |  SELECT bg, COUNT(*) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |    FROM base WHERE doc_id % 3 = 0 AND len(ws) >= 2) GROUP BY 1),
+      |allbg AS (
+      |  SELECT doc_id, t.w1, t.w1 || ' ' || t.w2 AS bg FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS t
+      |    FROM base WHERE len(ws) >= 2)),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN c12 IS NULL THEN 20
+      |             ELSE length(bin(c1)) - length(bin(c12)) END) AS BIGINT) AS bits_total,
+      |    CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+      |  FROM allbg LEFT JOIN refbg USING (bg) LEFT JOIN refuni USING (w1)
+      |  GROUP BY doc_id),
+      |avgd AS (
+      |  SELECT *, (bits_total * 1000000) // n_bigrams AS avg_micro FROM perdoc),
+      |hist AS (SELECT avg_micro, COUNT(*) AS nv FROM avgd GROUP BY 1),
+      |cumh AS (SELECT avg_micro, SUM(nv) OVER (ORDER BY avg_micro) AS cum FROM hist),
+      |tot AS (SELECT COUNT(*) AS n FROM avgd),
+      |thr AS (
+      |  SELECT MIN(CASE WHEN cum * 3 >= n THEN avg_micro END) AS t1,
+      |    MIN(CASE WHEN cum * 3 >= n * 2 THEN avg_micro END) AS t2
+      |  FROM cumh, tot)
+      |SELECT a.doc_id, a.n_bigrams, a.bits_total, a.n_unseen,
+      |  CAST(a.avg_micro AS BIGINT) AS avg_micro,
+      |  CAST(CASE WHEN a.avg_micro <= t.t1 THEN 1
+      |       WHEN a.avg_micro <= t.t2 THEN 2 ELSE 3 END AS INTEGER) AS bucket
+      |FROM avgd a, thr t ORDER BY a.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
+    QueryDef("q93_lm_quality", lmQuality, Some(lmQualitySql)),
     QueryDef("q86_keyphrases", keyphrases, Some(keyphrasesSql)),
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q82_bpe_train", bpeTrain, Some(bpeTrainSql)),

@@ -128,4 +128,26 @@ class TrainingPrepSpec extends SparkSpec {
       "doc_id", "text", n = 4).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
+
+  test("LM quality buckets: exact floor-log2 surprisal, unseen backoff, value-tercile ties share a bucket") {
+    // ref = doc 0: unigrams x:2 y:1; bigrams "x x":1 "x y":1
+    val docs = Seq(
+      (0L, "x x y"),   // bits: (len bin 2 - len bin 1)=1 twice → avg 1e6
+      (1L, "x x x"),   // two "x x" bigrams → avg 1e6
+      (2L, "x z"),     // unseen bigram → 20 bits → avg 20e6
+      (3L, "q")        // <2 words: no row
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TrainingPrep.lmQualityBuckets(
+      docs, docs.filter($"doc_id" % 3 === 0), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(0L) === ((2L, 2L, 0L, 1000000L, 1)))
+    assert(out(1L) === ((2L, 2L, 0L, 1000000L, 1)))
+    // n=3: t1 = t2 = 1e6 (cum 2 at the first value satisfies both 3cum>=n
+    // and 3cum>=2n), so both low-surprisal docs land in the HEAD bucket
+    // together (equal scores may never straddle a boundary) and the
+    // middle bucket is legitimately empty; the unseen-heavy doc is tail
+    assert(out(2L) === ((1L, 20L, 1L, 20000000L, 3)))
+  }
 }
