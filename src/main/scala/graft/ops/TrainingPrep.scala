@@ -344,4 +344,55 @@ object TrainingPrep {
       .select(col(idCol), col("n_bigrams"), col("bits_total"),
         col("n_unseen"), col("avg_micro"), col("bucket"))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank a raw corpus
+    * by how target-domain-like each document's HASHED n-gram feature
+    * profile is, and keep the top k. Per feature bucket f (word bigrams
+    * hashed into `buckets` cells — the hashing is what makes the model
+    * CONSTANT-SIZE regardless of corpus scale, DSIR's central move):
+    *
+    *   w(f) = 64 + ⌊log₂(c_target(f)+1)⌋ − ⌊log₂(c_raw(f)+1)⌋
+    *
+    * — the integer floor-log₂ surrogate of DSIR's log p_t(f)/p_s(f)
+    * (+1 Laplace smoothing; the corpus-size normalizers and the +64
+    * offset shift every feature equally, so per-bigram-average ranking
+    * is unchanged while every weight stays positive — which keeps the
+    * fixed-point average away from engine-dependent negative integer
+    * division). Doc score = mean feature weight in micro-bits; top-k by
+    * (score desc, id asc), fully tie-broken.
+    *
+    * Scale shape: the weight table is ≤ `buckets` rows by construction
+    * → broadcast; scoring is one corpus pass + per-doc hash-aggregate;
+    * selection is TakeOrdered (no global sort). Raw docs with < 2 words
+    * carry no evidence and are never selected. */
+  def importanceSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def feats(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .withColumn("__ws", split(col(textCol), " "))
+      .filter(size(col("__ws")) >= 2)
+      .select(extra :+ explode(expr(
+        "transform(sequence(0, size(__ws) - 2)," +
+          " i -> concat(element_at(__ws, i + 1), ' ', element_at(__ws, i + 2)))"))
+        .as("bg"): _*)
+      .select(extra :+ pmod(TextFunctions.portableHash60(col("bg")), lit(buckets)).as("f"): _*)
+    val ct = feats(target, Seq.empty).groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val cs = feats(raw, Seq.empty).groupBy(col("f")).agg(count(lit(1)).as("cs"))
+    // raw-side features are the scoring domain; target-only cells can
+    // never be probed by a raw document
+    val weights = cs.join(ct, Seq("f"), "left")
+      .select(col("f"), (lit(64)
+        + length(bin(coalesce(col("ct"), lit(0L)) + 1))
+        - length(bin(col("cs") + 1))).cast("long").as("wb"))
+    feats(raw, Seq(col(idCol)))
+      .join(broadcast(weights), Seq("f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wb")).as("bits_total"))
+      .withColumn("avg_micro", expr("bits_total * 1000000 div n_bigrams"))
+      .orderBy(col("avg_micro").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("avg_micro").desc, col(idCol).asc)))
+  }
 }

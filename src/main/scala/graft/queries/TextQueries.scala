@@ -457,9 +457,51 @@ object TextQueries {
       |       WHEN a.avg_micro <= t.t2 THEN 2 ELSE 3 END AS INTEGER) AS bucket
       |FROM avgd a, thr t ORDER BY a.doc_id""".stripMargin
 
+  /** Q94 — DSIR-style importance selection
+    * (TrainingPrep.importanceSelect): target domain = source 'src0',
+    * raw pool = every other source; word bigrams hashed into 4096
+    * feature cells, integer floor-log₂ weight surrogate with Laplace
+    * smoothing and the +64 positivity offset, top-25 raw docs by mean
+    * feature weight (fully tie-broken). The oracle replays the portable
+    * 60-bit hash, the bucket counts, every weight, the fixed-point
+    * averages, and the ranked selection. */
+  def importanceSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.TrainingPrep.importanceSelect(
+      docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"),
+      "doc_id", "text")
+      .orderBy(col("rank"))
+  }
+
+  val importanceSelectSql: String =
+    """WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |  FROM base WHERE len(ws) >= 2),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substring(md5(bg), 1, 15)) AS BIGINT) % 4096 AS f
+      |  FROM bg),
+      |ct AS (SELECT f, COUNT(*) AS ct FROM f WHERE source = 'src0' GROUP BY 1),
+      |cs AS (SELECT f, COUNT(*) AS cs FROM f WHERE source <> 'src0' GROUP BY 1),
+      |w AS (
+      |  SELECT s.f,
+      |    64 + length(bin(COALESCE(t.ct, 0) + 1)) - length(bin(s.cs + 1)) AS wb
+      |  FROM cs s LEFT JOIN ct t USING (f)),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(wb) AS BIGINT) AS bits_total,
+      |    (SUM(wb) * 1000000) // COUNT(*) AS avg_micro
+      |  FROM f JOIN w USING (f) WHERE source <> 'src0' GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, bits_total, CAST(avg_micro AS BIGINT) AS avg_micro,
+      |  CAST(row_number() OVER (ORDER BY avg_micro DESC, doc_id ASC) AS INTEGER) AS rank
+      |FROM perdoc ORDER BY avg_micro DESC, doc_id ASC LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q93_lm_quality", lmQuality, Some(lmQualitySql)),
+    QueryDef("q94_importance_select", importanceSelect, Some(importanceSelectSql)),
     QueryDef("q86_keyphrases", keyphrases, Some(keyphrasesSql)),
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q82_bpe_train", bpeTrain, Some(bpeTrainSql)),

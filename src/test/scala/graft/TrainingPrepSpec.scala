@@ -150,4 +150,31 @@ class TrainingPrepSpec extends SparkSpec {
     // middle bucket is legitimately empty; the unseen-heavy doc is tail
     assert(out(2L) === ((1L, 20L, 1L, 20000000L, 3)))
   }
+
+  test("importance selection ranks target-like raw docs first, fully tie-broken") {
+    // target speaks "alpha beta"; raw doc 10 repeats it, doc 11 shares
+    // one bigram, doc 12 is pure off-domain, doc 13 has no bigrams
+    val target = Seq((1L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, "alpha beta alpha beta"),
+      (11L, "alpha beta zz ww"),
+      (12L, "qq rr ss tt"),
+      (13L, "solo")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TrainingPrep.importanceSelect(raw, target,
+      "doc_id", "text", buckets = 4096, k = 3)
+      .collect().map(r => (r.getInt(4), r.getLong(0), r.getLong(3)))
+    assert(out.map(_._2).toSeq === Seq(10L, 11L, 12L),
+      s"rank order wrong: ${out.toSeq}")
+    // target-like doc scores strictly above the mixed one, mixed above
+    // off-domain; and the no-bigram doc is absent entirely
+    val byId = out.map(t => t._2 -> t._3).toMap
+    assert(byId(10L) > byId(11L) && byId(11L) > byId(12L))
+
+    // plan: weight join broadcasts, selection is TakeOrdered (no global sort)
+    val plan = graft.ops.TrainingPrep.importanceSelect(raw, target,
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+  }
 }
