@@ -147,4 +147,53 @@ object TextSearch {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("score_e6"))
   }
+
+  /** Batched POSITIONAL phrase search — exact consecutive-words match
+    * for a whole batch of phrase queries in ONE join + ONE aggregate
+    * (the set-intersection formulation of positional-postings phrase
+    * retrieval, the classic IR-engine algorithm over (term, doc, pos)
+    * lists):
+    *
+    *   a phrase (t₀ … t_{k-1}) matches at `start` iff all k offsets
+    *   agree, i.e. the corpus holds (t_i, doc, start+i) for every i —
+    *   so join corpus positions to (query, offset, term) rows on the
+    *   term, project `start = pos − offset`, and keep (query, doc,
+    *   start) groups covering all k distinct offsets.
+    *
+    * Repeated phrase terms work (each offset i is matched
+    * independently; count(DISTINCT offset) = k is the cover test).
+    * Arbitrary phrase lengths mix in one batch — no per-stage join
+    * cascade, no length-specialized plans.
+    *
+    * Scale shape: the query side is tiny (Σ phrase lengths rows) →
+    * broadcast; the corpus side explodes once to (term, doc, pos),
+    * filtered by the broadcast term set BEFORE any exchange, so only
+    * positions of query terms shuffle — keyed by (query, doc, start) —
+    * and the aggregate is map-side partial. At 100 TB with a
+    * term-bucketed stored postings table (sources.Bucketing, the
+    * `postings` layout above) the probe prunes to the query terms'
+    * buckets and the explode disappears entirely.
+    *
+    * Output: (query, doc, n_hits, first_pos) per matching doc. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Map[String, Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.values.forall(_.nonEmpty), "non-empty phrases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = phrases.toSeq
+      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) => (q, i, t, ts.size) } }
+      .toDF("query", "offset", "term", "phrase_len")
+    val positions = docs
+      .select(col(idCol).as("doc_id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    positions
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("query"), col("doc_id"), col("phrase_len"),
+        (col("pos") - col("offset")).as("start"), col("offset"))
+      .filter(col("start") >= 0)
+      .groupBy(col("query"), col("doc_id"), col("phrase_len"), col("start"))
+      .agg(countDistinct(col("offset")).as("n_offsets"))
+      .filter(col("n_offsets") === col("phrase_len"))
+      .groupBy(col("query"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+  }
 }

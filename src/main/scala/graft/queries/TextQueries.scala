@@ -498,10 +498,46 @@ object TextQueries {
       |  CAST(row_number() OVER (ORDER BY avg_micro DESC, doc_id ASC) AS INTEGER) AS rank
       |FROM perdoc ORDER BY avg_micro DESC, doc_id ASC LIMIT 25""".stripMargin
 
+  /** Q95 — batched positional phrase search (TextSearch.phraseSearch):
+    * three phrases of mixed length — including one with a REPEATED
+    * term — matched exactly (consecutive words) across the corpus in
+    * one join + one aggregate. The oracle replays the positional
+    * set-intersection independently (per-phrase correlated position
+    * arithmetic over the split arrays), so every (query, doc) hit
+    * count and first position must agree. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextSearch.phraseSearch(
+      Tables.documents(spark, dir), "doc_id", "text",
+      Map(
+        "p_bigram" -> Seq("table", "hash"),
+        "p_trigram" -> Seq("part", "filter", "scan"),
+        "p_repeat" -> Seq("table", "table")))
+      .orderBy(col("query"), col("doc_id"))
+
+  val phraseSearchSql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ph AS (
+      |  SELECT * FROM (VALUES
+      |    ('p_bigram', ['table', 'hash']),
+      |    ('p_trigram', ['part', 'filter', 'scan']),
+      |    ('p_repeat', ['table', 'table'])) AS t(query, terms)),
+      |hits AS (
+      |  SELECT p.query, b.doc_id, s.i - 1 AS start
+      |  FROM base b CROSS JOIN ph p,
+      |    UNNEST(range(1, len(b.ws) - len(p.terms) + 2)) AS s(i)
+      |  WHERE len(b.ws) >= len(p.terms)
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM UNNEST(range(1, len(p.terms) + 1)) AS o(j)
+      |      WHERE b.ws[s.i + o.j - 1] <> p.terms[o.j]))
+      |SELECT query, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |  CAST(MIN(start) AS INTEGER) AS first_pos
+      |FROM hits GROUP BY 1, 2 ORDER BY query, doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q93_lm_quality", lmQuality, Some(lmQualitySql)),
     QueryDef("q94_importance_select", importanceSelect, Some(importanceSelectSql)),
+    QueryDef("q95_phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("q86_keyphrases", keyphrases, Some(keyphrasesSql)),
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q82_bpe_train", bpeTrain, Some(bpeTrainSql)),

@@ -106,4 +106,27 @@ class TextSearchSpec extends SparkSpec {
       s"expected broadcast joins in:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no sort-merge join expected:\n$plan")
   }
+
+  test("phrase search: exact consecutive matches, overlapping repeats, batch of mixed lengths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b"),     // "a b" at 0 and 3; "a b c" at 0
+      (2L, "x x x"),         // "x x" OVERLAPS at 0 and 1
+      (3L, "b a c b"),       // words present, phrase never consecutive
+      (4L, "a")              // shorter than any phrase
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextSearch.phraseSearch(docs, "doc_id", "text",
+      Map("ab" -> Seq("a", "b"), "abc" -> Seq("a", "b", "c"), "xx" -> Seq("x", "x")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out === Map(
+      ("ab", 1L) -> ((2L, 0)),   // two hits, first at 0
+      ("abc", 1L) -> ((1L, 0)),
+      ("xx", 2L) -> ((2L, 0))))  // overlapping starts 0 and 1 both count
+
+    // plan: query side broadcasts; corpus never sort-merge-joined
+    val plan = graft.ops.TextSearch.phraseSearch(docs, "doc_id", "text",
+      Map("ab" -> Seq("a", "b"))).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge join expected:\n$plan")
+  }
 }
