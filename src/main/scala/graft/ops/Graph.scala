@@ -129,4 +129,39 @@ object Graph {
     undirectedEdges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("n_halfedges"),
         max(col("deg")).as("max_deg"), min(col("deg")).as("min_deg"))
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * UNDIRECTED edge set — community detection as iterated neighbor
+    * majority vote: every node starts labeled with its own id; each
+    * round it adopts the most frequent label among its neighbors, ties
+    * to the SMALLEST label. The synchronous schedule + integer counts +
+    * total tie order make the whole run deterministic (asynchronous LPA
+    * is famously order-dependent — useless against an oracle), so an
+    * independent engine replays all rounds bit-for-bit.
+    *
+    * Scale shape: per round, one join keyed on the edge source (labels
+    * are (node, label) pairs — never adjacency materialized per node)
+    * and one (dst, label) hash-aggregate; the per-node argmax windows
+    * over ≤ degree distinct labels. Same persist/checkpoint lifecycle
+    * as [[pageRank]]: rounds truncate lineage eagerly, inputs release
+    * before return. */
+  def labelPropagation(undirectedEdges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = undirectedEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 0 until iters) {
+      labels = e
+        .join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("c").desc, col("label").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    labels
+  }
 }

@@ -99,7 +99,55 @@ object GraphQueries {
   // the oracle's u<v 3-way join counts each triangle once (a<b<c); the
   // engine's (degree, id) orientation must agree on the same set
 
+  /** Q96 — label-propagation communities (Graph.labelPropagation,
+    * Raghavan 2007) over the q77 co-purchase graph: 3 synchronous
+    * rounds of neighbor majority vote, ties to the smallest label —
+    * fully deterministic, so the oracle unrolls all three rounds (the
+    * q47 PageRank convention) and every node's final community plus its
+    * size must match exactly. */
+  def labelPropQuery(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val l = items.select(col("ok"), col("pk").as("u"))
+    val r = items.select(col("ok"), col("pk").as("v"))
+    val pairs = l.join(r, Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val labels = Graph.labelPropagation(Graph.undirected(pairs), iters = 3)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node"), col("label"), col("community_size"))
+      .orderBy(col("node"))
+  }
+
+  val labelPropSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, l.label, COUNT(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ed AS (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e AS (SELECT u AS src, v AS dst FROM ed UNION SELECT v, u FROM ed),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$rounds,
+       |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size FROM l3 GROUP BY 1)
+       |SELECT l.node, l.label, s.community_size
+       |FROM l3 l JOIN sz s USING (label) ORDER BY l.node""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q47_pagerank", pageRankQuery, Some(pageRankSql)),
+    QueryDef("q96_label_prop", labelPropQuery, Some(labelPropSql)),
     QueryDef("q77_triangles", trianglesQuery, Some(trianglesSql)))
 }

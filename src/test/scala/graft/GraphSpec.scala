@@ -73,4 +73,29 @@ class GraphSpec extends SparkSpec {
     val g = Seq((2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L), (3L, 4L)).toDF("u", "v")
     assert(tri(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("label propagation: disjoint cliques each converge to their min id, blocks released") {
+    val base = snapshotBlocks()
+    // two triangles {0,1,2} and {10,11,12} plus a pendant 3–2
+    val e = Graph.undirected(edges(
+      (0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)))
+    val out = Graph.labelPropagation(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // clique nodes all vote each other's labels; min-label tie-break
+    // floods 0 through the first component and 10 through the second
+    assert(out(0L) === 0L && out(1L) === 0L && out(2L) === 0L && out(3L) === 0L)
+    assert(out(10L) === 10L && out(11L) === 10L && out(12L) === 10L)
+    assertNoLeakedBlocks("labelPropagation", base)
+  }
+
+  test("label propagation is synchronous: one round moves labels exactly one hop") {
+    // path 0–1–2: after ONE round each node adopts its neighbors' min
+    // initial label (0→1's label... 1 has neighbors {0,2} → 0; 0 has {1} → 1)
+    val e = Graph.undirected(edges((0L, 1L), (1L, 2L)))
+    val out = Graph.labelPropagation(e, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 1L, 1L -> 0L, 2L -> 1L),
+      s"synchronous single-round semantics violated: $out")
+  }
 }
