@@ -355,7 +355,38 @@ object DedupQueries {
       |    s -> s.para), ' '), '')) AS clean_digest
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q97 — sorted-neighborhood entity resolution
+    * (Dedup.sortedNeighborhoodPairs): customers blocked by nation,
+    * sorted by (name, key), each compared to its next 3 neighbors;
+    * pairs within 2 edits are match candidates. The oracle unrolls the
+    * three lead offsets and recomputes every Levenshtein distance, so
+    * the neighborhood definition and each edit distance must agree
+    * exactly. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.sortedNeighborhoodPairs(
+      Tables.customer(spark, dir), "c_nationkey", "c_custkey", "c_name",
+      window = 3, maxDist = 2)
+      .orderBy(col("block"), col("key_a"), col("key_b"))
+
+  val entityResolutionSql: String = {
+    val branches = (1 to 3).map { i =>
+      // distinct window names: DuckDB scopes WINDOW clauses per statement,
+      // so a shared name across UNION branches is "already defined"
+      s"""SELECT c_nationkey AS block, c_custkey AS key_a, c_name AS name_a,
+         |  lead(c_name, $i) OVER w$i AS name_b, lead(c_custkey, $i) OVER w$i AS key_b
+         |FROM customer WINDOW w$i AS (PARTITION BY c_nationkey ORDER BY c_name, c_custkey)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH nb AS (
+       |$branches)
+       |SELECT block, key_a, key_b,
+       |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+       |FROM nb
+       |WHERE key_b IS NOT NULL AND levenshtein(name_a, name_b) <= 2
+       |ORDER BY block, key_a, key_b""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q97_entity_resolution", entityResolution, Some(entityResolutionSql)),
     QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),
     QueryDef("q87_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     QueryDef("q81_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),

@@ -364,4 +364,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"no join expected — first-occurrence is a window, not a dictionary join:\n$plan")
   }
+
+  test("sorted-neighborhood ER: window bounds candidates, blocks isolate, distances exact") {
+    import spark.implicits._
+    val recs = Seq(
+      // block 1: smith/smyth/smithe cluster sorted adjacently; zzz far away
+      (1, 10L, "smith"), (1, 11L, "smyth"), (1, 12L, "smithe"), (1, 13L, "zzz"),
+      // block 2: identical name to block 1 — must NOT pair across blocks
+      (2, 20L, "smith")
+    ).toDF("blk", "key", "name")
+    val out = graft.ops.Dedup.sortedNeighborhoodPairs(recs, "blk", "key", "name",
+      window = 2, maxDist = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // sort order in block 1: smith(10) < smithe(12) < smyth(11) < zzz(13)
+    // pairs within lead 2: (10,12) d1, (10,11) d1, (12,11) d2, (12,13) d>2,
+    // (11,13) d>2 — zzz matches nothing; block 2 emits nothing (no neighbor)
+    assert(out === Set((1, 10L, 12L, 1L), (1, 10L, 11L, 1L), (1, 12L, 11L, 2L)))
+
+    // plan: one exchange on the block key, no self-join
+    val plan = graft.ops.Dedup.sortedNeighborhoodPairs(recs, "blk", "key", "name")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"sorted neighborhood must not plan a join:\n$plan")
+  }
 }
