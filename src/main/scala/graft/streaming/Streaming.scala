@@ -329,6 +329,69 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** Continuous CCNet-style paragraph dedup — the streaming form of
+    * [[graft.ops.Dedup.paragraphDedup]] (q87), on the
+    * [[incrementalDedupSink]] chassis: each micro-batch splits its
+    * documents into `paraLen`-word paragraphs, drops every paragraph
+    * whose 128-bit fingerprint was already seen (earlier batch via the
+    * durable index, or earlier in THIS batch via the q87 first-
+    * occurrence window), writes the reassembled clean documents, and
+    * appends the surviving fingerprints to the index.
+    *
+    * The index holds ONLY (h1, h2) — 16 B per distinct paragraph ever
+    * seen, never the text. Crash-replay defense mirrors the near-dup
+    * sink: writes go to `batch_run=<id>` partitions with overwrite, and
+    * the index read filters out the replayed batch's own partition (by
+    * the partition column) so a crash after the index write still
+    * reproduces the original survivor set instead of dropping every
+    * paragraph as "seen". */
+  def incrementalParagraphDedupSink(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String, cleanDir: String, paraLen: Int = 7,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val paras = batch
+          .withColumn("__ws", split(col(textCol), " "))
+          .select(col(idCol).as("id"), posexplode(expr(
+            s"transform(sequence(0, cast(ceil(size(__ws)/$paraLen.0) as int) - 1)," +
+              s" i -> concat_ws(' ', slice(__ws, i*$paraLen + 1, $paraLen)))"))
+            .as(Seq("idx", "para")))
+          .withColumn("h1", xxhash64(col("para")))
+          .withColumn("h2", xxhash64(lit("graft::para2"), col("para")))
+          .localCheckpoint(true) // one materialization: window + index append
+        val seen = scala.util.Try(spark.read.parquet(indexDir)).toOption
+          .map(_.filter(col("batch_run") =!= batchId).select(col("h1"), col("h2")))
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            paras.select(col("h1"), col("h2")).schema))
+        val firstWin = Window.partitionBy(col("h1"), col("h2"))
+          .orderBy(col("id").asc, col("idx").asc)
+        val survivors = paras
+          .withColumn("__rn", row_number().over(firstWin))
+          .filter(col("__rn") === 1)
+          .join(seen, Seq("h1", "h2"), "left_anti")
+          .localCheckpoint(true) // two consumers: clean docs + index append
+        val clean = survivors
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("idx"), col("para")))),
+              p => p.getField("para"))).as("clean_text"))
+        val counts = paras.groupBy(col("id")).agg(count(lit(1)).as("n_paras"))
+        counts.join(clean, Seq("id"), "left")
+          .select(col("id"), col("n_paras"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+          .write.mode("overwrite").parquet(s"$cleanDir/batch_run=$batchId")
+        survivors.select(col("h1"), col("h2"))
+          .write.mode("overwrite").parquet(s"$indexDir/batch_run=$batchId")
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   /** Event-time session windows with watermarking — the upgrade over the
     * reference's processing-time SessionWindows (SURVEY.md §4 calls this
     * out as free in Spark). Input: the `events` table shape with ns-Long

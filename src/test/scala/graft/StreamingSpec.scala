@@ -437,6 +437,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental paragraph dedup sink: repeats drop across and within batches, index carries hashes only") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_para").toString
+    val input = MemoryStream[(Long, String)]
+    // paraLen 3 → paragraphs are 3-word slices
+    val q = Streaming.incrementalParagraphDedupSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$root/index", s"$root/clean", paraLen = 3)
+    try {
+      // trigger 1: doc 1 = [P1, P2]; doc 2 repeats P1 in-batch + its own P3
+      input.addData(
+        (1L, "a b c d e f"),          // P1="a b c", P2="d e f"
+        (2L, "a b c g h i"))          // P1 repeat (in-batch), P3="g h i"
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$root/clean")
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+      assert(c1(1L) === ((2L, 2L, "a b c d e f")))
+      assert(c1(2L) === ((2L, 1L, "g h i")), s"in-batch repeat survived: $c1")
+      // trigger 2: doc 3 repeats P2 (durable index) + new P4; doc 4 is ALL repeats
+      input.addData(
+        (3L, "d e f j k l"),
+        (4L, "a b c g h i"))
+      q.processAllAvailable()
+      val c2 = spark.read.parquet(s"$root/clean")
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+      assert(c2(3L) === ((2L, 1L, "j k l")), s"durable-index repeat survived: $c2")
+      assert(c2(4L) === ((2L, 0L, "")), s"all-repeat doc should be emptied: $c2")
+      // index: 16 B/paragraph — exactly the 4 distinct fingerprint pairs, no text
+      val idx = spark.read.parquet(s"$root/index")
+      assert(idx.columns.toSet === Set("h1", "h2", "batch_run"), idx.columns.mkString(","))
+      assert(idx.select("h1", "h2").distinct().count() === 4)
+    } finally q.stop()
+  }
+
   test("incremental dedup sink: checkpointed restart extends the index without reprocessing") {
     // the durable-index analog of the fold's crash-recovery guarantee: a
     // stopped sink restarted from its checkpoint must (a) NOT reprocess
