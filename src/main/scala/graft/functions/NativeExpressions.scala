@@ -532,6 +532,66 @@ object NativeExpressions {
       copy(valueExpr = c.head, ords = c.tail)
   }
 
+  /** Banded (Ukkonen) Levenshtein distance capped at `k`: returns the
+    * exact edit distance when ≤ k, else k+1. The DP only visits the
+    * 2k+1-wide diagonal band — O(k·n) instead of O(n·m) — with an
+    * early exit when a whole row saturates, so `dist ≤ k` predicates
+    * (entity resolution, fuzzy matching) cost ~k/len of the full
+    * matrix on long strings. Semantics: `boundedLev(a,b,k) ≤ k` ⟺
+    * `levenshtein(a,b) ≤ k`, and equal values below the cap
+    * (property-tested against Spark's own levenshtein; char-based DP —
+    * identical to code-point DP on BMP text). */
+  case class BoundedLevenshtein(left: Expression, right: Expression, k: Int)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    require(k >= 0, "bound must be >= 0")
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val s = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val t = b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      NativeExpressions.boundedLev(s, t, k)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): BoundedLevenshtein =
+      copy(left = l, right = r)
+  }
+
+  /** The banded DP itself (shared with tests). */
+  private[graft] def boundedLev(s: String, t: String, k: Int): Int = {
+    val n = s.length; val m = t.length
+    if (math.abs(n - m) > k) return k + 1
+    val inf = k + 1
+    var prev = new Array[Int](m + 1)
+    var curr = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val from = math.max(1, i - k)
+      val to = math.min(m, i + k)
+      curr(0) = if (i <= k) i else inf
+      // the only out-of-band cells the band loop / next row ever read
+      if (from > 1) curr(from - 1) = inf
+      if (to < m) curr(to + 1) = inf
+      var rowMin = if (from == 1) curr(0) else inf
+      j = from
+      while (j <= to) {
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        val del = prev(j) + 1
+        if (del < v) v = del
+        val ins = curr(j - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        curr(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin >= inf) return inf // whole band saturated: distance > k
+      val tmp = prev; prev = curr; curr = tmp
+      i += 1
+    }
+    math.min(prev(m), inf)
+  }
+
   // ------------------------------------------------------- Column bridges
 
   def simhash64(hashes: Column): Column =
@@ -560,6 +620,10 @@ object NativeExpressions {
 
   def longCosine(a: Column, b: Column): Column =
     ColumnBridge.column(LongCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def boundedLevenshtein(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(BoundedLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), k))
 
   /** Hash-aggregable `max_by(value, struct(ords...))` — see ArgMaxByOrd. */
   def argMaxBy(value: Column, ords: Column*): Column =

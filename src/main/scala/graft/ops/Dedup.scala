@@ -777,7 +777,11 @@ object Dedup {
       .select(col("block"), col("key_a"), col("name_a"),
         explode(col("__nbrs")).as("__b"))
       .filter(col("__b.key_b").isNotNull)
-      .withColumn("dist", levenshtein(col("name_a"), col("__b.name_b")))
+      // banded Ukkonen kernel: O(maxDist·len) per pair instead of the
+      // full O(len²) matrix; values ≤ maxDist are the exact distance, so
+      // the ≤-filtered result is identical to plain levenshtein
+      .withColumn("dist", graft.functions.NativeExpressions
+        .boundedLevenshtein(col("name_a"), col("__b.name_b"), maxDist))
       .filter(col("dist") <= maxDist)
       .select(col("block"), col("key_a"), col("__b.key_b").as("key_b"),
         col("dist").cast("long").as("dist"))

@@ -72,4 +72,36 @@ class GraftFunctionsSpec extends SparkSpec {
     val h = Seq("hello").toDF("t").select(TextFunctions.portableHash60($"t")).as[Long].head()
     assert(h == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
   }
+
+  test("bounded Levenshtein: min(lev, k+1) on random strings, band edges exact") {
+    import graft.functions.NativeExpressions.boundedLev
+    // hand cases incl. band boundary |n-m| = k and k = 0
+    assert(boundedLev("", "", 2) === 0)
+    assert(boundedLev("abc", "abc", 0) === 0)
+    assert(boundedLev("abc", "abd", 0) === 1) // capped at k+1
+    assert(boundedLev("abc", "abcde", 2) === 2)
+    assert(boundedLev("abc", "abcdef", 2) === 3) // length gap > k
+    assert(boundedLev("kitten", "sitting", 3) === 3)
+    assert(boundedLev("kitten", "sitting", 2) === 3) // true 3 > k → k+1
+    // property vs Spark's own levenshtein: equal below cap, k+1 above
+    val rnd = new scala.util.Random(0xBADC0DE)
+    val alphabet = "abcd" // small alphabet → dense distance distribution
+    val cases = (1 to 300).map { _ =>
+      def str() = (0 until rnd.between(0, 12)).map(_ => alphabet(rnd.between(0, 4))).mkString
+      (str(), str(), rnd.between(0, 5))
+    }
+    val df = cases.toDF("a", "b", "k")
+    val sparkLev = df.select(levenshtein($"a", $"b")).as[Int].collect()
+    cases.zip(sparkLev).foreach { case ((a, b, k), ref) =>
+      val got = boundedLev(a, b, k)
+      val want = math.min(ref, k + 1)
+      assert(got === want, s"boundedLev('$a','$b',$k) = $got, want $want (lev=$ref)")
+    }
+    // the Column wrapper evaluates the same kernel distributed
+    val viaCol = df.select(graft.functions.NativeExpressions
+      .boundedLevenshtein($"a", $"b", 2)).as[Int].collect()
+    cases.zip(sparkLev).zip(viaCol).foreach { case (((a, b, _), ref), got) =>
+      assert(got === math.min(ref, 3), s"column kernel diverged on ('$a','$b')")
+    }
+  }
 }
