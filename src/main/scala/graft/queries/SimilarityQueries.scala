@@ -486,6 +486,66 @@ object SimilarityQueries {
        |                    GROUP BY cluster_id) z ON l.cluster_id = z.cluster_id
        |ORDER BY vec_id""".stripMargin
 
+  /** Q98 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): within
+    * each q80 embedding cluster, keep the canonical representative
+    * (min id) and drop every member whose quantized cosine to it
+    * reaches the threshold — semantically-redundant-but-not-identical
+    * items document-level dedup can't see. Composition of the audited
+    * pieces: capped LSH pairs → connected components → one broadcast-
+    * sized representative table → per-member integer-quantized cosine
+    * (bit-identical across engines). The oracle replays pair
+    * generation, the transitive closure, representative election, and
+    * every cosine. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, planes = 8, tables = 12, cosineThreshold = 0.3, maxDegree = 4)
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    // representatives are one row per cluster — broadcastable at any scale
+    val reps = labels.groupBy(col("cluster_id")).agg(min(col("id")).as("rep_id"))
+    val v = emb.select(col("vec_id"), col("embedding"))
+    labels.join(broadcast(reps), Seq("cluster_id"))
+      .join(v, col("id") === col("vec_id"))
+      .drop("vec_id")
+      .join(broadcast(v.select(col("vec_id").as("rep_vid"), col("embedding").as("rep_emb"))
+        .join(broadcast(reps.select(col("rep_id"))), col("rep_vid") === col("rep_id"), "left_semi")),
+        col("rep_id") === col("rep_vid"))
+      .withColumn("cosine", graft.functions.NativeExpressions
+        .quantizedCosine(col("embedding"), col("rep_emb")))
+      .select(col("id").as("vec_id"), col("cluster_id"), col("rep_id"), col("cosine"),
+        (col("id") === col("rep_id") || col("cosine") < lit(0.35)).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.r AS r FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |reps AS (SELECT cluster_id, MIN(id) AS rep_id FROM labels GROUP BY 1),
+       |qvt AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |j AS (
+       |  SELECT l.id AS vec_id, l.cluster_id, r.rep_id, a.qv AS va, b.qv AS vb
+       |  FROM labels l JOIN reps r USING (cluster_id)
+       |  JOIN qvt a ON a.vec_id = l.id JOIN qvt b ON b.vec_id = r.rep_id),
+       |semscored AS (
+       |  SELECT vec_id, cluster_id, rep_id,
+       |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> va[i] * vb[i])) AS BIGINT) AS DOUBLE) /
+       |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> va[i] * va[i])) AS BIGINT) AS DOUBLE)) *
+       |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> vb[i] * vb[i])) AS BIGINT) AS DOUBLE))) AS cosine
+       |  FROM j)
+       |SELECT vec_id, cluster_id, rep_id, cosine,
+       |  (vec_id = rep_id OR cosine < 0.35) AS keep
+       |FROM semscored ORDER BY vec_id""".stripMargin
+
   /** Q40 — int8 scalar quantization of the embedding corpus
     * (Similarity.scalarQuantize): the driver gate cannot hash array
     * columns, so the query emits exact integer summaries — total, range,
@@ -595,6 +655,7 @@ object SimilarityQueries {
     QueryDef("q15c_ann_ivf", ivfTopK, Some(ivfTopKSql)),
     QueryDef("q79_ann_ivf_batch", ivfTopKBatch, Some(ivfTopKBatchSql)),
     QueryDef("q80_embedding_clusters", embeddingClusters, Some(embeddingClustersSql)),
+    QueryDef("q98_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q73_image_decode", imageDecode, Some(imageDecodeSql)),
     QueryDef("q74_audio_decode", audioDecode, Some(audioDecodeSql)),
