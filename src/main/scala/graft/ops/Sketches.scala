@@ -175,4 +175,68 @@ object Sketches {
     cum.groupBy(keys.map(col): _*)
       .agg(max(col("total")).as("total"), qs: _*)
   }
+
+  /** KMV / theta-style distinct sketch (Bar-Yossef et al. 2002; the
+    * k-minimum-values estimator behind theta sketches): per set, the k
+    * SMALLEST portable-60-bit hashes of its distinct values. Unlike HLL
+    * (q25) a KMV sketch supports SET OPERATIONS — union by merging
+    * k-mins, intersection via the Jaccard of the merged sketch — which
+    * is what cross-source audience overlap needs.
+    *
+    * Everything is integer-exact: hashes are the portable md5-prefix
+    * 60-bit family (oracle-replayable), the estimator is fixed-point
+    * integer division, and a set with < k distinct values keeps ALL its
+    * hashes (the sketch degenerates to the exact set — estimates below
+    * are then exact by construction).
+    *
+    * Scale shape: one distinct on (set, hash) then a rank-k window that
+    * WindowGroupLimit prunes map-side — each partition forwards at most
+    * k rows per set, so the exchange carries O(sets·k), never the data.
+    * Sketches are tiny arrays (k·8 B); pairwise ops are row-local. */
+  def kmvSketch(df: DataFrame, setCol: String, value: Column,
+      k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(setCol).as("set"),
+        graft.functions.TextFunctions.portableHash60(value.cast("string")).as("h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("set")).orderBy(col("h").asc)))
+      .filter(col("__rn") <= k)
+      .groupBy(col("set"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+  }
+
+  /** Distinct-count estimate from a KMV sketch: (k−1)·2⁶⁰ div h_k when
+    * the sketch is full, else the exact held count. DECIMAL(38) keeps
+    * the 2⁶⁸-scale numerator exact (the oracle uses HUGEINT). */
+  def kmvEstimate(sketch: DataFrame, k: Int = 128): DataFrame =
+    sketch.select(col("set"),
+      when(size(col("hs")) < k, size(col("hs")).cast("long"))
+        .otherwise(expr(
+          s"cast((cast($k as decimal(38,0)) - 1) * 1152921504606846976 div element_at(hs, $k) as bigint)"))
+        .as("est_distinct"))
+
+  /** Pairwise set-operation estimates from two KMV sketches, all
+    * row-local array math: merge the k-mins (union sketch), estimate
+    * |A∪B| from its k-th value, count merged values present in BOTH
+    * input sketches → Jaccard in fixed-point permille and
+    * |A∩B| ≈ j·|A∪B| div k. Exact when the union sketch is not full. */
+  def kmvPairStats(pairs: DataFrame, k: Int = 128): DataFrame =
+    pairs
+      .withColumn("u", expr(s"slice(array_sort(array_union(hs_a, hs_b)), 1, $k)"))
+      .withColumn("n_union_held", size(col("u")))
+      .withColumn("n_both", expr(
+        "size(filter(u, v -> array_contains(hs_a, v) AND array_contains(hs_b, v)))").cast("long"))
+      .withColumn("est_union",
+        when(col("n_union_held") < k, col("n_union_held").cast("long"))
+          .otherwise(expr(
+            s"cast((cast($k as decimal(38,0)) - 1) * 1152921504606846976 div element_at(u, $k) as bigint)")))
+      .withColumn("jaccard_permille",
+        expr(s"n_both * 1000 div n_union_held"))
+      .withColumn("est_intersect",
+        when(col("n_union_held") < k, col("n_both"))
+          // decimal: n_both·est_union can reach 2⁶⁷ (k · hash-domain/h_k)
+          .otherwise(expr(
+            s"cast(cast(n_both as decimal(38,0)) * est_union div $k as bigint)")))
+      .drop("u", "hs_a", "hs_b")
 }

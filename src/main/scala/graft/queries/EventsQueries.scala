@@ -269,7 +269,85 @@ object EventsQueries {
       |       LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Q99 — KMV/theta sketch set operations (Sketches.kmvSketch):
+    * per-event-type audience sketches over user ids, then pairwise
+    * union / intersection / Jaccard ESTIMATES from the merged k-mins —
+    * the set algebra HLL cannot do — with the exact intersection
+    * alongside (the q88 sketch-vs-exact audit convention). Integer-
+    * exact throughout: portable 60-bit hashes, fixed-point estimators
+    * (DECIMAL(38) vs the oracle's HUGEINT for the 2⁶⁸ numerators), so
+    * every estimate replays bit-for-bit. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val ev = Tables.events(spark, dir)
+    val sk = Sketches.kmvSketch(ev, "event_type", col("user_id"), k = 128)
+      .localCheckpoint(true) // three consumers: estimates + both pair sides
+    val est = Sketches.kmvEstimate(sk, 128)
+    val pairs = sk.select(col("set").as("type_a"), col("hs").as("hs_a"))
+      .crossJoin(broadcast(sk.select(col("set").as("type_b"), col("hs").as("hs_b"))))
+      .filter(col("type_a") < col("type_b"))
+    val stats = Sketches.kmvPairStats(pairs, 128)
+    val du = ev.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true) // both sides of the exact-intersection join
+    val exact = du.as("a")
+      .join(du.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    stats
+      .join(est.select(col("set").as("type_a"), col("est_distinct").as("est_a")), Seq("type_a"))
+      .join(est.select(col("set").as("type_b"), col("est_distinct").as("est_b")), Seq("type_b"))
+      .join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"), col("jaccard_permille"),
+        col("exact_intersect"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val kmvOverlapSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT event_type AS s,
+      |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |rk AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM d),
+      |sk AS (SELECT s, list(h ORDER BY h) AS hs FROM rk WHERE rn <= 128 GROUP BY s),
+      |est AS (
+      |  SELECT s, CASE WHEN len(hs) < 128 THEN len(hs)
+      |    ELSE CAST((127::HUGEINT * 1152921504606846976) // hs[128] AS BIGINT) END AS est
+      |  FROM sk),
+      |pr AS (
+      |  SELECT a.s AS type_a, b.s AS type_b, a.hs AS ha, b.hs AS hb
+      |  FROM sk a JOIN sk b ON a.s < b.s),
+      |m AS (
+      |  SELECT type_a, type_b, ha, hb,
+      |    list_sort(list_distinct(list_concat(ha, hb)))[1:128] AS u
+      |  FROM pr),
+      |st AS (
+      |  SELECT type_a, type_b, len(u) AS n_union_held,
+      |    len(list_filter(u, v -> list_contains(ha, v) AND list_contains(hb, v))) AS n_both,
+      |    CASE WHEN len(u) < 128 THEN len(u)
+      |      ELSE CAST((127::HUGEINT * 1152921504606846976) // u[128] AS BIGINT) END AS est_union
+      |  FROM m),
+      |du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |ex AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS exact_intersect
+      |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT st.type_a, st.type_b, ea.est AS est_a, eb.est AS est_b,
+      |  st.est_union,
+      |  CAST(CASE WHEN st.n_union_held < 128 THEN st.n_both
+      |    ELSE (st.n_both::HUGEINT * st.est_union) // 128 END AS BIGINT) AS est_intersect,
+      |  CAST(st.n_both * 1000 // st.n_union_held AS BIGINT) AS jaccard_permille,
+      |  ex.exact_intersect
+      |FROM st
+      |JOIN est ea ON ea.s = st.type_a
+      |JOIN est eb ON eb.s = st.type_b
+      |JOIN ex ON ex.type_a = st.type_a AND ex.type_b = st.type_b
+      |ORDER BY st.type_a, st.type_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q99_kmv_overlap", kmvOverlap, Some(kmvOverlapSql)),
     QueryDef("q1_latest_state", latestState, Some(latestStateSql)),
     QueryDef("q90_funnel_stages", funnelStages, Some(funnelStagesSql)),
     QueryDef("q5_interval_join", intervalJoin, Some(intervalJoinSql)),

@@ -110,4 +110,31 @@ class ApproxSpec extends SparkSpec {
     assert(mergedHist.exceptAll(hist).isEmpty && hist.exceptAll(mergedHist).isEmpty,
       "half-histograms must merge to the full histogram")
   }
+
+  test("KMV sketch: exact below k, ~accurate above, pair algebra on known overlap") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    // set A = 0..999, set B = 500..1499 → |A|=|B|=1000, |A∩B|=500, |A∪B|=1500
+    val rows = (0 until 1000).map(i => ("a", i.toLong)) ++
+      (500 until 1500).map(i => ("b", i.toLong)) ++
+      (0 until 10).map(i => ("tiny", i.toLong))
+    val df = rows.toDF("s", "v")
+    val sk = Sketches.kmvSketch(df, "s", col("v"), k = 128)
+    val est = Sketches.kmvEstimate(sk, 128).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("tiny") === 10L, "below-k sketch must be exact")
+    // k=128 → se ≈ 1/sqrt(126) ≈ 9%; allow 25%
+    assert(math.abs(est("a") - 1000L) <= 250, s"est(a)=${est("a")}")
+    assert(math.abs(est("b") - 1000L) <= 250, s"est(b)=${est("b")}")
+    val pairs = sk.filter(col("set") === "a")
+      .select(col("hs").as("hs_a"), lit("a").as("type_a"))
+      .crossJoin(sk.filter(col("set") === "b").select(col("hs").as("hs_b")))
+    val st = Sketches.kmvPairStats(pairs, 128).head()
+    val estUnion = st.getAs[Long]("est_union")
+    val estInter = st.getAs[Long]("est_intersect")
+    val jac = st.getAs[Long]("jaccard_permille")
+    assert(math.abs(estUnion - 1500L) <= 400, s"est_union=$estUnion")
+    assert(math.abs(estInter - 500L) <= 250, s"est_intersect=$estInter")
+    assert(jac > 150 && jac < 550, s"jaccard_permille=$jac (true 333)")
+  }
 }
