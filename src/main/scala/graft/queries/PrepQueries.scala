@@ -152,6 +152,119 @@ object PrepQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Q100 — the END-TO-END curation pipeline in ONE declarative plan:
+    * exact content dedup (min-id per text) → CCNet paragraph dedup
+    * (q87) → reference-LM quality terciles over the CLEANED text (q93)
+    * → tail-bucket cut → per-source token-budget packing (q36) — the
+    * Dolma/CCNet-style chain a training-data run executes, composed
+    * from the individually-audited operators so Catalyst sees one
+    * lineage (scan once, no materialization between stages beyond the
+    * two eager checkpoints that feed multi-consumer stages). Docs
+    * whose cleaned text carries no bigram evidence drop with the tail.
+    * The oracle replays the ENTIRE chain — dedup window, paragraph
+    * first-occurrence, count tables, surprisal, tercile thresholds,
+    * bucket cut, and pack ids — in a single stitched CTE chain. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val uniq = docs
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true) // consumers: paragraph split + source re-join
+    val paras = uniq
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(ws)/7.0) as int) - 1)," +
+          " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
+    val cleaned = graft.ops.Dedup.paragraphDedup(paras)
+      .localCheckpoint(true) // consumers: LM quality (×2) + token count + output stats
+    val cleanedDocs = cleaned.select(col("doc_id"), col("clean_text").as("text"))
+    val buckets = TrainingPrep.lmQualityBuckets(
+      cleanedDocs, cleanedDocs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val toks = buckets.filter(col("bucket") <= 2)
+      .join(cleanedDocs, Seq("doc_id"))
+      .join(uniq.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), col("bucket"))
+    TrainingPrep.packByTokens(toks, "source", "doc_id", "n_tokens", budget = 512L)
+      .join(cleaned.select(col("doc_id"), col("n_paras"), col("n_kept")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_paras"), col("n_kept"),
+        col("bucket"), col("n_tokens"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationPipelineSql: String =
+    """WITH uniq AS (
+      |  SELECT doc_id, source, text FROM (
+      |    SELECT doc_id, source, text,
+      |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM uniq),
+      |p AS (
+      |  SELECT doc_id, t.i AS idx,
+      |    array_to_string(ws[(t.i*7)+1:(t.i+1)*7], ' ') AS para
+      |  FROM w, UNNEST(range(0, CAST(ceil(len(ws)/7.0) AS BIGINT))) AS t(i)),
+      |f AS (
+      |  SELECT doc_id, idx, para,
+      |    row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1 AS is_first
+      |  FROM p),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |    CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    COALESCE(array_to_string(list_transform(
+      |      list_sort(list({'idx': idx, 'para': para}) FILTER (is_first)),
+      |      s -> s.para), ' '), '') AS text
+      |  FROM f GROUP BY doc_id),
+      |base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM cleaned),
+      |refuni AS (
+      |  SELECT w1, COUNT(*) AS c1
+      |  FROM (SELECT unnest(ws) AS w1 FROM base WHERE doc_id % 3 = 0) GROUP BY 1),
+      |refbg AS (
+      |  SELECT bg, COUNT(*) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |    FROM base WHERE doc_id % 3 = 0 AND len(ws) >= 2) GROUP BY 1),
+      |allbg AS (
+      |  SELECT doc_id, t.w1, t.w1 || ' ' || t.w2 AS bg FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS t
+      |    FROM base WHERE len(ws) >= 2)),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN c12 IS NULL THEN 20
+      |             ELSE length(bin(c1)) - length(bin(c12)) END) AS BIGINT) AS bits_total
+      |  FROM allbg LEFT JOIN refbg USING (bg) LEFT JOIN refuni USING (w1)
+      |  GROUP BY doc_id),
+      |avgd AS (SELECT doc_id, (bits_total * 1000000) // n_bigrams AS avg_micro FROM perdoc),
+      |hist AS (SELECT avg_micro, COUNT(*) AS nv FROM avgd GROUP BY 1),
+      |cumh AS (SELECT avg_micro, SUM(nv) OVER (ORDER BY avg_micro) AS cum FROM hist),
+      |tot AS (SELECT COUNT(*) AS n FROM avgd),
+      |thr AS (
+      |  SELECT MIN(CASE WHEN cum * 3 >= n THEN avg_micro END) AS t1,
+      |    MIN(CASE WHEN cum * 3 >= n * 2 THEN avg_micro END) AS t2
+      |  FROM cumh, tot),
+      |kept AS (
+      |  SELECT a.doc_id,
+      |    CASE WHEN a.avg_micro <= t.t1 THEN 1 WHEN a.avg_micro <= t.t2 THEN 2 ELSE 3 END AS bucket
+      |  FROM avgd a, thr t
+      |  WHERE CASE WHEN a.avg_micro <= t.t1 THEN 1 WHEN a.avg_micro <= t.t2 THEN 2 ELSE 3 END <= 2),
+      |toks AS (
+      |  SELECT k.doc_id, u.source,
+      |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens, k.bucket
+      |  FROM kept k JOIN cleaned c USING (doc_id) JOIN uniq u USING (doc_id)),
+      |packed AS (
+      |  SELECT doc_id, source, n_tokens, bucket,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM toks)
+      |SELECT p.doc_id, p.source, c.n_paras, c.n_kept,
+      |  CAST(p.bucket AS INTEGER) AS bucket, p.n_tokens,
+      |  CAST((p.cum - p.n_tokens) // 512 AS BIGINT) AS pack_id
+      |FROM packed p JOIN cleaned c USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
   /** Q37 — scrubbing: numeric tokens redacted; output counts the redacted
     * tokens and digests the scrubbed text, so the redaction itself is
     * verified byte-exactly. */
@@ -415,6 +528,7 @@ object PrepQueries {
     QueryDef("q72_span_scrub", spanScrub, Some(spanScrubSql)),
     QueryDef("q35_dataset_split", datasetSplit, Some(datasetSplitSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
+    QueryDef("q100_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q37_scrub", scrub, Some(scrubSql)),
     QueryDef("q38_curation", curation, Some(curationSql)),
     QueryDef("q41_decontamination", decontamination, Some(decontaminationSql)),

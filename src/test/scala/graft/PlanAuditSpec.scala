@@ -309,6 +309,18 @@ class PlanAuditSpec extends SparkSpec {
       s"narrow input not spread: ${out.rdd.getNumPartitions} partitions")
   }
 
+  test("KMV sketch build: rank-k window gets the WindowGroupLimit pushdown, two exchanges") {
+    // the sketch-build exchange must carry O(sets·k) rows — each map task
+    // forwards at most k per set — regardless of corpus size
+    spark.catalog.clearCache()
+    val ev = graft.sources.Tables.events(spark, sf())
+    val p = graft.ops.Sketches.kmvSketch(ev, "event_type",
+      org.apache.spark.sql.functions.col("user_id"), 128)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"rank-k not pruned map-side:\n${p.take(800)}")
+    assert("Exchange".r.findAllMatchIn(p).size <= 2, s"extra exchanges:\n${p.take(800)}")
+  }
+
   test("paragraph dedup exchanges on 128-bit fingerprints, never raw paragraph text") {
     // At 100 TB a raw-text window key makes the partitioner hash and every
     // sort comparison walk full paragraphs; the first-occurrence window
