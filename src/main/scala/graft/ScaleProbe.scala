@@ -30,7 +30,11 @@ object ScaleProbe {
     "q74_audio_decode",
     // round-6 binary/prep family (judge item 8): PDF ingestion, bloom
     // decontamination, video frame sampling
-    "q85_pdf_pipeline", "q88_bloom_decontam", "q89_video_frames")
+    "q85_pdf_pipeline", "q88_bloom_decontam", "q89_video_frames",
+    // round-7 corpus-backed family: LM quality, DSIR selection, phrase
+    // search, SemDeDup, and the end-to-end curation chain
+    "q93_lm_quality", "q94_importance_select", "q95_phrase_search",
+    "q98_semantic_dedup", "q100_curation_pipeline")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy
