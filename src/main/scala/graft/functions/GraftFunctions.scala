@@ -58,7 +58,11 @@ object GraftFunctions {
       "graft_max_by_ord(value, ord, ...) - hash-aggregable argmax (agg)"),
     ("graft_wav_stats",
       (args: Seq[Expression]) => NativeExpressions.WavSampleStats(args.head),
-      "graft_wav_stats(binary) - one-pass PCM-16 sample stats (sum_abs, peak_abs)"))
+      "graft_wav_stats(binary) - one-pass PCM-16 sample stats (sum_abs, peak_abs)"),
+    ("graft_bounded_levenshtein",
+      (args: Seq[Expression]) => NativeExpressions.BoundedLevenshtein(
+        args(0), args(1), intArg(args(2), "k")),
+      "graft_bounded_levenshtein(a, b, k) - min(levenshtein, k+1) via the banded DP"))
 
   /** Register every graft_* function on an existing session. */
   def register(spark: SparkSession): Unit =

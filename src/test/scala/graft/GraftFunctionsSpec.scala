@@ -37,6 +37,14 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getInt(4) == 4)
   }
 
+  test("graft_bounded_levenshtein runs from SQL, capped at k+1") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_bounded_levenshtein('kitten', 'sitting', 3) AS d3," +
+        " graft_bounded_levenshtein('kitten', 'sitting', 2) AS d2").head()
+    assert(r.getInt(0) === 3 && r.getInt(1) === 3) // exact at k=3; cap 2+1 at k=2
+  }
+
   test("graft_max_by_ord aggregates in SQL like the native argmax") {
     GraftFunctions.register(spark)
     Seq((1L, 10L, 0L, "old"), (1L, 20L, 0L, "new"), (1L, 20L, -1L, "older"),
