@@ -395,4 +395,44 @@ object TrainingPrep {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("avg_micro").desc, col(idCol).asc)))
   }
+
+  /** Token-distribution DRIFT between two corpus slices — the data-ops
+    * monitor that catches an ingest change (new crawl source, template
+    * shift, generator regression) before it reaches training: per
+    * token, the chi-square homogeneity contribution of its count split
+    * between slice a and slice b. With d = o_a·N − (o_a+o_b)·N_a (and
+    * the b-side residual = −d exactly),
+    *
+    *   χ²(t)·10⁶ = d²·10⁶ div (N·c·N_a) + d²·10⁶ div (N·c·N_b)
+    *
+    * — pure integer arithmetic in DECIMAL(38) (d² alone reaches ~10²²
+    * at sf0.1; the oracle uses HUGEINT), no ln/FP anywhere, so every
+    * contribution replays bit-for-bit. PSI would need logarithms; the
+    * chi-square statistic is the rational-arithmetic drift measure.
+    *
+    * Scale shape: ONE corpus pass — explode + a single (token)
+    * hash-aggregate with conditional counts (no join between the
+    * slices) — then the 1-row totals broadcast back. Output is
+    * vocabulary-sized, never corpus-sized. */
+  def tokenDriftChiSq(docs: DataFrame, labelCol: String, textCol: String,
+      labelA: String, labelB: String): DataFrame = {
+    val counts = docs
+      .filter(col(labelCol).isin(labelA, labelB))
+      .select(col(labelCol).as("__l"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        sum(when(col("__l") === labelA, 1L).otherwise(0L)).as("o_a"),
+        sum(when(col("__l") === labelB, 1L).otherwise(0L)).as("o_b"))
+    val totals = counts.agg(
+      sum(col("o_a")).as("na"), sum(col("o_b")).as("nb"))
+    counts.crossJoin(broadcast(totals)) // 1-row totals
+      .withColumn("__d", expr(
+        "cast(o_a as decimal(38,0)) * (na + nb) - (o_a + o_b) * na"))
+      .withColumn("chi2_e6", expr(
+        """cast(
+          |  __d * __d * 1000000 div ((na + nb) * (o_a + o_b) * na) +
+          |  __d * __d * 1000000 div ((na + nb) * (o_a + o_b) * nb)
+          |as bigint)""".stripMargin))
+      .select(col("token"), col("o_a"), col("o_b"), col("chi2_e6"))
+  }
 }

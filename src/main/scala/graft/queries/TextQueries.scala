@@ -533,11 +533,42 @@ object TextQueries {
       |  CAST(MIN(start) AS INTEGER) AS first_pos
       |FROM hits GROUP BY 1, 2 ORDER BY query, doc_id""".stripMargin
 
+  /** Q101 — token-distribution drift monitor
+    * (TrainingPrep.tokenDriftChiSq): chi-square homogeneity
+    * contributions of every token's count split between the src0 and
+    * src1 corpus slices — integer-exact in DECIMAL(38)/HUGEINT, no
+    * logarithms, one corpus pass. The oracle recomputes every
+    * contribution from the same conditional counts. */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TrainingPrep.tokenDriftChiSq(
+      Tables.documents(spark, dir), "source", "text", "src0", "src1")
+      .orderBy(col("token"))
+
+  val tokenDriftSql: String =
+    """WITH t AS (
+      |  SELECT source AS l, unnest(string_split(text, ' ')) AS token
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |c AS (
+      |  SELECT token,
+      |    CAST(SUM(CASE WHEN l = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+      |    CAST(SUM(CASE WHEN l = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+      |  FROM t GROUP BY token),
+      |tot AS (SELECT SUM(o_a) AS na, SUM(o_b) AS nb FROM c),
+      |d AS (
+      |  SELECT token, o_a, o_b, na, nb,
+      |    o_a::HUGEINT * (na + nb) - (o_a + o_b)::HUGEINT * na AS dd
+      |  FROM c, tot)
+      |SELECT token, o_a, o_b,
+      |  CAST(dd * dd * 1000000 // ((na + nb)::HUGEINT * (o_a + o_b) * na)
+      |     + dd * dd * 1000000 // ((na + nb)::HUGEINT * (o_a + o_b) * nb) AS BIGINT) AS chi2_e6
+      |FROM d ORDER BY token""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q93_lm_quality", lmQuality, Some(lmQualitySql)),
     QueryDef("q94_importance_select", importanceSelect, Some(importanceSelectSql)),
     QueryDef("q95_phrase_search", phraseSearch, Some(phraseSearchSql)),
+    QueryDef("q101_token_drift", tokenDrift, Some(tokenDriftSql)),
     QueryDef("q86_keyphrases", keyphrases, Some(keyphrasesSql)),
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q82_bpe_train", bpeTrain, Some(bpeTrainSql)),

@@ -177,4 +177,21 @@ class TrainingPrepSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
   }
+
+  test("token drift chi-square: hand-computed 2x2 contributions, zero on identical slices") {
+    // A = 'x x x y', B = 'x y y y': classic 2x2 with chi2 = 2.0 split
+    // evenly — each token contributes exactly 1e6 micro-units
+    val docs = Seq(("a", "x x x y"), ("b", "x y y y"), ("c", "ignored wholly"))
+      .toDF("src", "text")
+    val out = graft.ops.TrainingPrep.tokenDriftChiSq(docs, "src", "text", "a", "b")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet === Set("x", "y"), s"slice filter leaked: ${out.keySet}")
+    assert(out("x") === ((3L, 1L, 1000000L)))
+    assert(out("y") === ((1L, 3L, 1000000L)))
+    // identical slices → d = 0 → zero drift everywhere
+    val same = Seq(("a", "p q q"), ("b", "q p q")).toDF("src", "text")
+    val z = graft.ops.TrainingPrep.tokenDriftChiSq(same, "src", "text", "a", "b")
+      .collect().map(_.getLong(3))
+    assert(z.forall(_ === 0L), s"identical slices must show zero drift: ${z.toSeq}")
+  }
 }
