@@ -392,6 +392,45 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** Continuously-maintained KMV distinct sketches
+    * ([[graft.ops.Sketches.kmvSketch]], q99) — the streaming form falls
+    * out of MERGEABILITY: each micro-batch writes its own per-set k-min
+    * PARTIAL to a `batch_run=<id>` partition (overwrite → replay
+    * re-writes the same partial, idempotent by construction — no
+    * read-filter defense needed, unlike the dedup sinks, because
+    * k-min-of-k-mins is associative/commutative/idempotent), and
+    * [[mergedKmv]] folds all partials back to the exact same sketch a
+    * batch build over the union would produce. State per set is k·8 B
+    * per batch partition; compaction (re-merging old partitions) is an
+    * offline concern, not a correctness one. */
+  def kmvSketchSink(rows: DataFrame, setCol: String, valueCol: String,
+      indexDir: String, k: Int = 128,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.kmvSketch(batch, setCol, col(valueCol), k)
+          .write.mode("overwrite").parquet(s"$indexDir/batch_run=$batchId")
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** Merge every stored KMV partial back into one sketch per set —
+    * k-min over the unioned k-mins, identical to a batch build over all
+    * data ever seen. */
+  def mergedKmv(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(indexDir)
+      .select(col("set"), explode(col("hs")).as("h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("set")).orderBy(col("h").asc)))
+      .filter(col("__rn") <= k)
+      .groupBy(col("set"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+  }
+
   /** Event-time session windows with watermarking — the upgrade over the
     * reference's processing-time SessionWindows (SURVEY.md §4 calls this
     * out as free in Spark). Input: the `events` table shape with ns-Long

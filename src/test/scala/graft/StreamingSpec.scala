@@ -473,6 +473,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KMV sketch sink: micro-batch partials merge to the exact batch-build sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_kmv_sink").toString
+    val input = MemoryStream[(String, Long)]
+    val q = Streaming.kmvSketchSink(
+      input.toDF().toDF("s", "v"), "s", "v", s"$root/index", k = 8)
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+      q.processAllAvailable()
+      input.addData(("a", 3L), ("a", 4L), ("b", 11L), ("b", 12L))
+      q.processAllAvailable()
+      val merged = Streaming.mergedKmv(spark, s"$root/index", k = 8)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      // batch build over ALL data ever seen must agree exactly
+      import spark.implicits._
+      val all = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L),
+        ("a", 3L), ("a", 4L), ("b", 11L), ("b", 12L)).toDF("s", "v")
+      val expect = graft.ops.Sketches.kmvSketch(all, "s", col("v"), 8)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(merged === expect, s"merged $merged != batch $expect")
+      assert(merged("a").size === 4 && merged("b").size === 3) // dups collapsed
+    } finally q.stop()
+  }
+
   test("incremental dedup sink: checkpointed restart extends the index without reprocessing") {
     // the durable-index analog of the fold's crash-recovery guarantee: a
     // stopped sink restarted from its checkpoint must (a) NOT reprocess
