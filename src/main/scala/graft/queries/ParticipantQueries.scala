@@ -560,7 +560,42 @@ object ParticipantQueries {
        |WHERE b.rn = 1 ORDER BY b.doc_id, b.sent""".stripMargin
   }
 
+  /** Q102 — small-file COMPACTION planning, the warehouse-maintenance
+    * pass every large table needs (thousands of small files → scan
+    * overhead; the fix is periodic bin-packed rewrites): a REAL file
+    * listing (binaryFile over the q29 fixture tree) is packed into
+    * target-size rewrite bins by cumulative size in stable name order —
+    * the same first-fit-by-offset discipline as token packing (q36),
+    * applied to bytes. Per-directory bins, so at scale each partition
+    * directory plans independently. The oracle recomputes every file's
+    * size closed-form from the generating table (the q29 move) and
+    * replays the cumulative binning. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val fx = DirectoryIngest.ensureFixture(spark, dir, modulo = 10)
+    val files = DirectoryIngest.scan(spark, fx)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("id"),
+        lit("fixture").as("dir"),
+        col("length").as("n_bytes"))
+    graft.ops.TrainingPrep.packByTokens(files, "dir", "id", "n_bytes",
+        budget = 4096L)
+      .select(col("id"), col("n_bytes"), col("pack_id").as("bin_id"))
+      .orderBy(col("id"))
+  }
+
+  val compactionPlanSql: String =
+    """SELECT id, n_bytes, CAST((cum - n_bytes) // 4096 AS BIGINT) AS bin_id
+      |FROM (
+      |  SELECT doc_id AS id,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |    SUM(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) OVER (
+      |      ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |ORDER BY id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q102_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     QueryDef("q91_ner_trained", nerTrained, Some(nerTrainedSql)),
     QueryDef("q92_pos_trained", posTrained, Some(posTrainedSql)),
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
