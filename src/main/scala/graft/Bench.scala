@@ -139,7 +139,13 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     System.err.println(s"[bench] end $envHuman contended=$contended")
     val localFile = try {
-      val repo = new java.io.File("/root/repo")
+      // Only a run at the benchmark scale may replace the committed
+      // artifact: local sf0.001/sf0.01 iteration runs used to clobber
+      // BENCH_local_r<N>.json with numbers from the wrong scale (the
+      // round-6 baseline-contamination lesson, generalized). Off-scale
+      // runs keep the full JSON too — just under /tmp.
+      val repo = if (sfDir.stripSuffix("/").endsWith("sf0.1")) new java.io.File("/root/repo")
+        else new java.io.File("/tmp")
       val prior = Option(repo.listFiles).getOrElse(Array.empty[java.io.File])
         .flatMap(f => "^BENCH_r0*(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
           .map(_.group(1).toInt))

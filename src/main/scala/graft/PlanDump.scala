@@ -30,6 +30,9 @@ object PlanDump {
           .replaceAll("plan_id=\\d+", "plan_id=#")
           .replaceAll("#\\d+", "#N")
           .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[#]")
+          // JVM lambda class ids + identity hashes churn per run
+          .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+(@[0-9a-f]+)?", "Lambda\\$#")
+          .replaceAll("@[0-9a-f]{6,}", "@#")
         Files.writeString(Paths.get(s"$outDir/${q.name}.txt"), cleaned)
       } catch {
         case e: Throwable =>

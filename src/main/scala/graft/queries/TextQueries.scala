@@ -563,8 +563,57 @@ object TextQueries {
       |     + dd * dd * 1000000 // ((na + nb)::HUGEINT * (o_a + o_b) * nb) AS BIGINT) AS chi2_e6
       |FROM d ORDER BY token""".stripMargin
 
+  /** Q103 — corpus-trained Naive Bayes classification
+    * (Classify.nbClassify): the supervised model-based filter stage —
+    * train a multinomial NB on the %5≠0 slice (label = source), classify
+    * the held-out %5=0 slice. Integer floor-log₂ bits throughout; the
+    * oracle replays the vocabulary, every smoothed (class, word) weight,
+    * every per-class score and the fully-tie-broken argmax. */
+  def nbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    graft.ops.Classify.nbClassify(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "source", "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val nbClassifierSql: String =
+    """WITH tr AS (
+      |  SELECT source AS label, doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |te AS (
+      |  SELECT doc_id, source AS actual, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |vocab AS (SELECT DISTINCT w FROM tr),
+      |vs AS (SELECT COUNT(*) AS v FROM vocab),
+      |cls AS (SELECT label, COUNT(*) AS tc, COUNT(DISTINCT doc_id) AS dc
+      |  FROM tr GROUP BY 1),
+      |wc AS (SELECT label, w, COUNT(*) AS cwc FROM tr GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT c.label, vb.w,
+      |    64 + length(bin(COALESCE(x.cwc, 0) + 1)) - length(bin(c.tc + vs.v)) AS bits,
+      |    length(bin(c.dc + 1)) - 1 AS prior_bits
+      |  FROM cls c CROSS JOIN vocab vb CROSS JOIN vs
+      |  LEFT JOIN wc x ON x.label = c.label AND x.w = vb.w),
+      |perdl AS (
+      |  SELECT te.doc_id, g.label,
+      |    CAST(COUNT(*) AS BIGINT) AS n_vocab_tokens,
+      |    CAST(SUM(g.bits) + MIN(g.prior_bits) AS BIGINT) AS score_bits,
+      |    MIN(te.actual) AS actual
+      |  FROM te JOIN grid g USING (w)
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, n_vocab_tokens, label, score_bits, actual,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score_bits DESC, label DESC) AS rn
+      |  FROM perdl)
+      |SELECT doc_id, n_vocab_tokens, label AS pred_label, score_bits, actual,
+      |  CAST(CASE WHEN label = actual THEN 1 ELSE 0 END AS INTEGER) AS hit
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
+    QueryDef("q103_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     QueryDef("q93_lm_quality", lmQuality, Some(lmQualitySql)),
     QueryDef("q94_importance_select", importanceSelect, Some(importanceSelectSql)),
     QueryDef("q95_phrase_search", phraseSearch, Some(phraseSearchSql)),
