@@ -164,4 +164,50 @@ object Graph {
     e.unpersist()
     labels
   }
+
+  /** Multi-source BFS: exact shortest HOP distance from a landmark set,
+    * plus the nearest landmark itself (ties to the smallest landmark id)
+    * — the landmark-bucketing primitive (assign every document/product
+    * node to its closest hub; distance-bounded neighborhood extraction).
+    *
+    * Frontier expansion: per hop, one join of the CURRENT frontier (not
+    * the full distance table) against the edge list, one anti-join to
+    * drop already-settled nodes, one min-aggregate for the landmark
+    * tie-break. Everything is integers and set algebra — no scores, no
+    * order dependence — so an oracle replays it with a bounded recursive
+    * walk: a node's settled landmark is min over ALL shortest walks
+    * (penultimate frontier nodes propagate their own min, and min is
+    * associative over the walk tree).
+    *
+    * Scale shape: work per hop is O(edges incident to the frontier), the
+    * anti-join keys on node ids, and the settled table only ever grows by
+    * union — the [[pageRank]] persist/eager-checkpoint lifecycle keeps
+    * lineage O(1) across hops. Early-exits when a frontier empties. */
+  def bfsHops(undirectedEdges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val e = undirectedEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("node"), lit(0L).as("hops"), col("node").as("landmark"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var hop = 1L
+    var expanding = true
+    while (expanding && hop <= maxHops) {
+      val next = e
+        .join(frontier, e("src") === frontier("node"))
+        .select(col("dst"), col("landmark"))
+        .join(dist.select(col("node").as("__settled")),
+          col("dst") === col("__settled"), "left_anti")
+        .groupBy(col("dst"))
+        .agg(min(col("landmark")).as("landmark"))
+        .select(col("dst").as("node"), lit(hop).as("hops"), col("landmark"))
+        .localCheckpoint(true)
+      expanding = next.limit(1).count() > 0
+      if (expanding) {
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next
+      }
+      hop += 1
+    }
+    e.unpersist()
+    dist
+  }
 }

@@ -146,8 +146,54 @@ object GraphQueries {
        |FROM l3 l JOIN sz s USING (label) ORDER BY l.node""".stripMargin
   }
 
+  /** Q104 — multi-source BFS landmark assignment (Graph.bfsHops) over
+    * the q77 co-purchase graph: landmarks = every graph node with
+    * pk % 10 = 0, exact shortest hop distance ≤ 3 plus the nearest
+    * landmark (ties to the smallest). The oracle replays it with a
+    * bounded recursive walk: min hops per node, then min landmark over
+    * the walks achieving that minimum — which equals the engine's
+    * frontier-propagated tie-break because min is associative over the
+    * shortest-walk tree. */
+  def bfsHopsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val l = items.select(col("ok"), col("pk").as("u"))
+    val r = items.select(col("ok"), col("pk").as("v"))
+    val pairs = l.join(r, Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val e = Graph.undirected(pairs)
+    val sources = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % 10 === 0)
+    Graph.bfsHops(e, sources, maxHops = 3)
+      .orderBy(col("node"))
+  }
+
+  val bfsHopsSql: String =
+    """WITH RECURSIVE items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ed AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT u AS src, v AS dst FROM ed UNION SELECT v, u FROM ed),
+      |srcs AS (SELECT DISTINCT src AS node FROM e WHERE src % 10 = 0),
+      |walk(node, hops, landmark) AS (
+      |  SELECT node, 0, node FROM srcs
+      |  UNION ALL
+      |  SELECT e.dst, w.hops + 1, w.landmark
+      |  FROM walk w JOIN e ON e.src = w.node WHERE w.hops < 3),
+      |d AS (SELECT node, MIN(hops) AS hops FROM walk GROUP BY 1)
+      |SELECT d.node, CAST(d.hops AS BIGINT) AS hops,
+      |  CAST(MIN(w.landmark) AS BIGINT) AS landmark
+      |FROM d JOIN walk w ON w.node = d.node AND w.hops = d.hops
+      |GROUP BY d.node, d.hops ORDER BY d.node""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q47_pagerank", pageRankQuery, Some(pageRankSql)),
     QueryDef("q96_label_prop", labelPropQuery, Some(labelPropSql)),
+    QueryDef("q104_bfs_landmarks", bfsHopsQuery, Some(bfsHopsSql)),
     QueryDef("q77_triangles", trianglesQuery, Some(trianglesSql)))
 }

@@ -98,4 +98,40 @@ class GraphSpec extends SparkSpec {
     assert(out === Map(0L -> 1L, 1L -> 0L, 2L -> 1L),
       s"synchronous single-round semantics violated: $out")
   }
+
+  private def bfs(e: org.apache.spark.sql.DataFrame, srcs: Long*) = {
+    import spark.implicits._
+    Graph.bfsHops(e, srcs.toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("bfs: exact hop distances on a path graph, unreachable absent") {
+    // 1-2-3-4-5 and isolated pair 8-9: from {1}, 5 is 4 hops (> maxHops)
+    val e = Graph.undirected(edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)))
+    val out = bfs(e, 1L)
+    assert(out === Map(1L -> ((0L, 1L)), 2L -> ((1L, 1L)), 3L -> ((2L, 1L)),
+      4L -> ((3L, 1L))), s"path distances wrong: $out")
+  }
+
+  test("bfs: equidistant node takes the smallest landmark, not the closest-first") {
+    // 3 is 1 hop from both landmarks 2 and 6 -> landmark must be 2
+    val e = Graph.undirected(edges((2L, 3L), (6L, 3L), (6L, 7L)))
+    val out = bfs(e, 6L, 2L)
+    assert(out(3L) === ((1L, 2L)), s"tie must break to landmark 2: $out")
+    assert(out(7L) === ((1L, 6L)))
+    assert(out(2L) === ((0L, 2L)) && out(6L) === ((0L, 6L)))
+  }
+
+  test("bfs: a landmark inside another's neighborhood stays its own (hops 0)") {
+    val e = Graph.undirected(edges((1L, 2L), (2L, 3L)))
+    val out = bfs(e, 1L, 2L)
+    assert(out === Map(1L -> ((0L, 1L)), 2L -> ((0L, 2L)), 3L -> ((1L, 2L))))
+  }
+
+  test("bfs: no leaked cached blocks after the frontier loop") {
+    val base = snapshotBlocks()
+    val e = Graph.undirected(edges((1L, 2L), (2L, 3L)))
+    bfs(e, 1L)
+    assertNoLeakedBlocks("bfsHops", base)
+  }
 }
