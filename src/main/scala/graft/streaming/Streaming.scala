@@ -431,6 +431,71 @@ object Streaming {
       .agg(sort_array(collect_list(col("h"))).as("hs"))
   }
 
+  /** Per-key funnel progress: the per-stage hit timestamps (ns), with
+    * Long.MinValue = stage not reached (Option-free so the product
+    * encoder stays flat for the RocksDB state store). */
+  case class FunnelState(st: Seq[Long])
+
+  /** Streaming twin of the batch k-stage funnel (Sessions.funnel, q90):
+    * per key, maintain the earliest greedy chain of `stages` events
+    * ACROSS micro-batches and emit the key's progress whenever it
+    * advances. State is exactly k timestamps per key — constant-size
+    * regardless of event volume, the property that lets a 100 TB event
+    * stream track funnels with a keyspace-sized store.
+    *
+    * Semantics: each micro-batch's events are sorted by (ts, type) and
+    * folded with the SAME greedy step as the batch operator; stage slots
+    * only ever fill forward. When events arrive in event-time order
+    * across batches (per key), the final state EQUALS the batch funnel
+    * over the union — the StreamingSpec parity property. A cross-batch
+    * late event can fill a still-empty earlier slot but never retracts a
+    * later chain built without it (prefix-monotone approximation; exact
+    * late-data replay would need per-key event retention, which is the
+    * batch operator's job).
+    *
+    * Input columns: key (long), ts (epoch-ns long), et (stage name). */
+  def funnelUpdates(events: Dataset[(Long, Long, String)],
+      stages: Seq[String],
+      stateTtl: Option[String] = Some("1 hour")): Dataset[(Long, Int, Seq[Option[Long]])] = {
+    require(stages.nonEmpty && stages.size <= 8, "1..8 funnel stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Unset = Long.MinValue
+    val timeoutConf = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (Long, Int, Seq[Option[Long]])](
+        OutputMode.Update, timeoutConf) {
+        (key: Long, rows: Iterator[(Long, Long, String)], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.map(_.st.toArray)
+              .getOrElse(Array.fill(stages.size)(Unset))
+            val before = st.toSeq
+            // same greedy step as the batch fold, batch-sorted by (ts, et)
+            rows.map(r => (r._2, r._3)).toSeq.sortBy(identity).foreach {
+              case (ts, et) =>
+                // first ELIGIBLE slot whose stage name matches — repeated
+                // stage names fall through to their next slot, exactly the
+                // batch fold's when-cascade
+                stages.indices
+                  .find(i => stages(i) == et && st(i) == Unset &&
+                    (i == 0 || (st(i - 1) != Unset && ts > st(i - 1))))
+                  .foreach(i => st(i) = ts)
+            }
+            if (st.toSeq == before) Iterator.empty
+            else {
+              state.update(FunnelState(st.toSeq))
+              stateTtl.foreach(state.setTimeoutDuration)
+              val stage = st.takeWhile(_ != Unset).length
+              Iterator.single((key, stage,
+                st.toSeq.map(t => if (t == Unset) None else Some(t))))
+            }
+          }
+      }
+  }
+
   /** Event-time session windows with watermarking — the upgrade over the
     * reference's processing-time SessionWindows (SURVEY.md §4 calls this
     * out as free in Spark). Input: the `events` table shape with ns-Long

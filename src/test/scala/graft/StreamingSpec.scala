@@ -233,6 +233,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel advances across micro-batches and matches the batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, Long, String)]
+    val stages = Seq("view", "cart", "buy")
+    val q = Streaming.funnelUpdates(input.toDS(), stages, stateTtl = None)
+      .toDF("key", "stage", "st")
+      .writeStream.format("memory").queryName("funnel_stream_test")
+      .outputMode("update").start()
+    try {
+      // key 1 advances in order across batches; key 2's cart/buy arrive
+      // BEFORE its view (cross-batch late start — chain can't begin)
+      input.addData(Seq((1L, 50L, "cart"), (1L, 100L, "view"),
+        (2L, 100L, "cart"), (2L, 200L, "buy")))
+      q.processAllAvailable()
+      input.addData(Seq((1L, 200L, "cart"), (1L, 300L, "buy"), (2L, 50L, "view")))
+      q.processAllAvailable()
+      val last = spark.table("funnel_stream_test")
+        .groupBy(col("key")).agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct(col("stage"), col("st"))).as("b"))
+        .select(col("key"), col("b.stage"), col("b.st"))
+        .as[(Long, Int, Seq[Option[Long]])].collect()
+        .map { case (k, s, st) => k -> ((s, st)) }.toMap
+      // key 1 saw everything in event-time order across batches -> must
+      // EQUAL the batch funnel over the union
+      assert(last(1L) === ((3, Seq(Some(100L), Some(200L), Some(300L)))),
+        s"in-order key must match batch: $last")
+      // key 2: the late view fills stage 0 but the earlier-batch cart/buy
+      // are gone — prefix-monotone, no retroactive replay
+      assert(last(2L) === ((1, Seq(Some(50L), None, None))), s"late-start key: $last")
+      // parity check against the batch operator for the in-order key
+      import spark.implicits._
+      val batch = graft.ops.Sessions.funnel(
+        Seq((1L, 50L, "cart"), (1L, 100L, "view"), (1L, 200L, "cart"),
+          (1L, 300L, "buy")).toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", stages)
+        .select(col("stage"), col("st")).as[(Int, Seq[Option[Long]])].head()
+      assert(batch === last(1L), s"streaming ${last(1L)} != batch $batch")
+    } finally q.stop()
+  }
+
   test("event-time near-dup: collides within ttl, evicts after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
