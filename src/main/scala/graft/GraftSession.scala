@@ -87,6 +87,12 @@ object GraftSession {
         !spark.experimental.extraOptimizations.contains(graft.plans.RewriteMaxBy))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteMaxBy
+    val boundedLevEnabled = spark.conf
+      .getOption("spark.graft.rewriteBoundedLev").forall(_.toBoolean)
+    if (boundedLevEnabled && !spark.experimental.extraOptimizations
+        .contains(graft.plans.RewriteBoundedLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteBoundedLevenshtein
     spark
   }
 }

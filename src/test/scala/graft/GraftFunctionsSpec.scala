@@ -45,6 +45,61 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getInt(0) === 3 && r.getInt(1) === 3) // exact at k=3; cap 2+1 at k=2
   }
 
+  test("levenshtein-vs-literal comparisons rewrite to the banded kernel") {
+    GraftSession.ensureRuntimeConfs(spark)
+    // range-backed so ConvertToLocalRelation can't fold the filter away
+    val df = spark.range(2)
+      .selectExpr("concat('kitten', id) AS a", "'sitting' AS b")
+      .filter("levenshtein(a, b) <= 2")
+    val opt = df.queryExecution.optimizedPlan.toString
+    val low = opt.toLowerCase
+    assert(low.contains("boundedlevenshtein"), s"rewrite did not fire:\n$opt")
+    // every levenshtein occurrence must be the bounded form
+    assert("(?<!bounded)levenshtein".r.findFirstIn(low).isEmpty,
+      s"built-in survived:\n$opt")
+  }
+
+  test("the bounded-lev rewrite preserves every comparison, both operand orders") {
+    GraftSession.ensureRuntimeConfs(spark)
+    // distances to "abc": 0, 1, 2, 3, 6 — probes both sides of every k
+    val words = Seq("abc", "abd", "abde", "xbde", "xxxxxx")
+    words.map(w => ("abc", w)).toDF("a", "b").createOrReplaceTempView("lev_rw")
+    for (k <- 0 to 3; op <- Seq("<=", "<", "=", ">", ">=", "<=>")) {
+      val fwd = spark.sql(s"SELECT b FROM lev_rw WHERE levenshtein(a, b) $op $k")
+        .as[String].collect().toSet
+      val rev = spark.sql(s"SELECT b FROM lev_rw WHERE $k $op levenshtein(a, b)")
+        .as[String].collect().toSet
+      val expect = words.filter { w =>
+        val d = NativeExpressions.boundedLev("abc", w, 10)
+        op match {
+          case "<=" => d <= k; case "<" => d < k
+          case "=" | "<=>" => d == k
+          case ">" => d > k; case ">=" => d >= k
+        }
+      }.toSet
+      assert(fwd === expect, s"lev $op $k")
+      val expectRev = words.filter { w =>
+        val d = NativeExpressions.boundedLev("abc", w, 10)
+        op match {
+          case "<=" => k <= d; case "<" => k < d
+          case "=" | "<=>" => k == d
+          case ">" => k > d; case ">=" => k >= d
+        }
+      }.toSet
+      assert(rev === expectRev, s"$k $op lev")
+    }
+  }
+
+  test("the bounded-lev rewrite leaves negative bounds and 3-arg forms alone") {
+    GraftSession.ensureRuntimeConfs(spark)
+    val neg = Seq(("a", "b")).toDF("a", "b").filter("levenshtein(a, b) <= -1")
+    assert(!neg.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("boundedlevenshtein"), "negative bound must not rewrite")
+    // thresholded built-in (returns -1 beyond the bound) keeps its semantics
+    val thr = spark.sql("SELECT levenshtein('kitten', 'sitting', 2) AS d").head()
+    assert(thr.getInt(0) === -1)
+  }
+
   test("graft_max_by_ord aggregates in SQL like the native argmax") {
     GraftFunctions.register(spark)
     Seq((1L, 10L, 0L, "old"), (1L, 20L, 0L, "new"), (1L, 20L, -1L, "older"),
