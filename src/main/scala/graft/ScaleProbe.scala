@@ -34,7 +34,9 @@ object ScaleProbe {
     // round-7 corpus-backed family: LM quality, DSIR selection, phrase
     // search, SemDeDup, and the end-to-end curation chain
     "q93_lm_quality", "q94_importance_select", "q95_phrase_search",
-    "q98_semantic_dedup", "q100_curation_pipeline")
+    "q98_semantic_dedup", "q100_curation_pipeline",
+    // round-7 classifier + graph-landmark family
+    "q103_nb_classifier", "q104_bfs_landmarks")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy
@@ -70,6 +72,18 @@ object ScaleProbe {
             .as("embedding"),
           col("label"))
       embs.coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // lineitem for the co-purchase graph family: order/part keys offset
+      // per copy (disjoint components per copy -> the graph and its
+      // landmark set scale linearly; 10^8 is divisible by 10, so the
+      // pk % 10 landmark rule selects the same nodes in every copy)
+      val items = graft.sources.Tables.lineitem(spark, sfDir)
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+      items.select(
+          (col("l_orderkey") + col("copy") * 100000000L).as("l_orderkey") +:
+          (col("l_partkey") + col("copy") * 100000000L).as("l_partkey") +:
+          items.columns.filterNot(c => c == "l_orderkey" || c == "l_partkey" || c == "copy")
+            .map(col).toSeq: _*)
+        .coalesce(4).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       marker.createNewFile()
     }
     out
