@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   * count. The +64 offset keeps every per-token weight positive (the q94
   * stance — no engine-dependent negative integer division anywhere), and
   * shifts every class equally per in-vocab token, so the argmax is the NB
-  * argmax. Prediction = max score, ties broken by LARGER label (the score
-  * struct carries the label, so `max(struct(score, label))` is total —
-  * one aggregate, no window, no nondeterministic `max_by`).
+  * argmax. Prediction = max score, ties broken by LARGER label — the
+  * (score, label) order is total, evaluated by the hash-aggregable
+  * ArgMaxByOrd kernel (one aggregate, no window, no nondeterministic
+  * `max_by`, no SortAggregate fallback).
   *
   * Scale shape: the model is a dense (vocab × classes) grid — Heaps-law
   * bounded rows × a constant class count, broadcastable at any corpus
@@ -87,26 +88,35 @@ object Classify {
       idCol: String, textCol: String): DataFrame = {
     val model = nbTrain(
       train.withColumn("train_doc_id", col(idCol)), labelCol, textCol)
+    // `actual` rides in the GROUPING KEYS, not as min(string): it is
+    // functionally dependent on the doc id (no extra groups), and a
+    // string-valued aggregate would force the whole aggregation to
+    // SortAggregate — HashAggregate only takes mutable-buffer functions
     val scored = tokens(
         test.select(col(idCol), col(labelCol).as("actual"), col(textCol)),
         Seq(col(idCol), col("actual")), textCol)
       .join(broadcast(model), Seq("w"))
-      .groupBy(col(idCol), col("label"))
+      .groupBy(col(idCol), col("actual"), col("label"))
       .agg(count(lit(1)).as("n_vocab_tokens"),
-        (sum(col("bits")) + min(col("prior_bits"))).as("score_bits"),
-        min(col("actual")).as("actual"))
+        (sum(col("bits")) + min(col("prior_bits"))).as("score_bits"))
+    // per-doc argmax via the hash-aggregable ArgMaxByOrd kernel ordered by
+    // (score, label) — max(struct(...)) would be the same total order but
+    // plans as SortAggregate (struct buffers aren't hash-aggregable), the
+    // exact fallback RewriteMaxBy exists to avoid; the winner's score is
+    // max(score_bits) since ties share it
     scored
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("actual"))
       .agg(
-        max(struct(col("score_bits"), col("label"))).as("best"),
-        min(col("n_vocab_tokens")).as("n_vocab_tokens"), // same for every class
-        min(col("actual")).as("actual"))
+        graft.functions.NativeExpressions.argMaxBy(
+          col("label"), col("score_bits"), col("label")).as("pred_label"),
+        max(col("score_bits")).as("score_bits"),
+        min(col("n_vocab_tokens")).as("n_vocab_tokens")) // same for every class
       .select(col(idCol),
         col("n_vocab_tokens"),
-        col("best.label").as("pred_label"),
-        col("best.score_bits").as("score_bits"),
+        col("pred_label"),
+        col("score_bits"),
         col("actual"),
-        when(col("best.label") === col("actual"), 1).otherwise(0)
+        when(col("pred_label") === col("actual"), 1).otherwise(0)
           .cast("int").as("hit"))
   }
 }

@@ -321,6 +321,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllMatchIn(p).size <= 2, s"extra exchanges:\n${p.take(800)}")
   }
 
+  test("NB classifier: broadcast model apply, every aggregate hash-based") {
+    val p = plan("q103_nb_classifier")
+    assert(p.contains("BroadcastHashJoin"), "model grid must broadcast onto test tokens")
+    assert(!p.contains("SortAggregate"),
+      "classifier aggregates must stay hash-based (string aggregates / struct max " +
+        "would fall back to SortAggregate)")
+    assert(p.contains("argmaxbyord"), "per-doc argmax must use the hash-aggregable kernel")
+  }
+
   test("paragraph dedup exchanges on 128-bit fingerprints, never raw paragraph text") {
     // At 100 TB a raw-text window key makes the partitioner hash and every
     // sort comparison walk full paragraphs; the first-occurrence window
