@@ -252,7 +252,37 @@ object AnalyticsQueries {
       |             RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Q105 — per-user linear trend (Trend.linearTrend): the exact OLS
+    * slope of `value` over event time, micro-units per second, every
+    * moment an integer and the division truncation-exact in both
+    * engines (Spark's regr_slope is FP and order-dependent — unusable
+    * against an oracle). Users whose events share one second report a
+    * null slope but keep their census row. */
+  def trend(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Trend.linearTrend(
+      Tables.events(spark, dir), Seq("user_id"), col("ts"), col("value"))
+      .orderBy(col("user_id"))
+
+  val trendSql: String =
+    """WITH base AS (SELECT MIN(epoch_ns(ts)) AS x0 FROM events),
+      |pts AS (
+      |  SELECT user_id,
+      |    (epoch_ns(ts) - x0) // 1000000000 AS x,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+      |  FROM events, base),
+      |m AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM pts GROUP BY 1)
+      |SELECT user_id, n_events,
+      |  CAST(CASE WHEN n_events::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN NULL
+      |    ELSE (n_events::HUGEINT * sxy - sx::HUGEINT * sy) * 100
+      |         // (n_events::HUGEINT * sxx - sx::HUGEINT * sx)
+      |  END AS BIGINT) AS slope_e6
+      |FROM m ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),
     QueryDef("q56_retention", retention, Some(retentionSql)),

@@ -129,4 +129,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly 1 exchange, got $shuffles in:\n$plan")
     assert(!plan.contains("Join"), s"no joins expected:\n$plan")
   }
+
+  private def trendOf(rows: (Long, Long, Double)*): Map[Long, (Long, Option[Long])] =
+    graft.ops.Trend.linearTrend(
+      rows.toDF("user_id", "ts", "value"),
+      Seq("user_id"), col("ts"), col("value"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+
+  test("linearTrend: exact slopes in micro-units per second") {
+    val ns = 1000000000L
+    val out = trendOf(
+      // user 1: y = 2x + 1 -> slope exactly 2e6
+      (1L, 0L, 1.0), (1L, ns, 3.0), (1L, 2 * ns, 5.0),
+      // user 2: x = 0,1,3 s; y = 1e-4,0,0 -> slope_e6 = -400/14 = -28.57…,
+      // truncation -28 (floor would give -29 — the discriminator)
+      (2L, 0L, 0.0001), (2L, ns, 0.0), (2L, 3 * ns, 0.0),
+      // user 3: one distinct second -> null slope, row kept
+      (3L, 0L, 7.0), (3L, 1L, 9.0))
+    assert(out(1L) === ((3L, Some(2000000L))), s"exact slope: $out")
+    assert(out(2L) === ((3L, Some(-28L))),
+      s"negative slope must truncate toward zero: $out")
+    assert(out(3L) === ((2L, None)), s"degenerate key keeps a null-slope row: $out")
+  }
+
+  test("linearTrend: sub-second jitter is truncated to the second grid") {
+    val ns = 1000000000L
+    // same seconds as user 1 above, with nanosecond jitter inside them
+    val out = trendOf(
+      (1L, 5L, 1.0), (1L, ns + 999999L, 3.0), (1L, 2 * ns + 17L, 5.0))
+    assert(out(1L) === ((3L, Some(2000000L))), s"jitter must not move x: $out")
+  }
 }
