@@ -196,4 +196,69 @@ object TextSearch {
       .groupBy(col("query"), col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
   }
+
+  /** COLLOCATION extraction (Manning & Schütze ch. 5, the chi-square
+    * association test): word pairs that co-occur as bigrams far more
+    * often than their unigram frequencies predict — the multiword-term
+    * miner that complements per-doc keyphrases (tfidf) and the
+    * cross-slice drift monitor (q101's chi-square, applied here to the
+    * word × next-word contingency table instead of token × slice).
+    *
+    * Per bigram (x, y) over the corpus' N bigram tokens, the 2×2 table
+    * O11 = c(x,y), O12 = c(x,·) − O11, O21 = c(·,y) − O11,
+    * O22 = N − O11 − O12 − O21, and with d = O11·O22 − O12·O21:
+    *
+    *   χ²·10⁶ = N · d² · 10⁶ div ((O11+O12)(O21+O22)(O11+O21)(O12+O22))
+    *
+    * — pure integer arithmetic in DECIMAL(38,0) (d² alone reaches ~10²¹
+    * at sf0.1; the oracle uses HUGEINT), no logarithms (the
+    * log-likelihood-ratio alternative would need them), so every score
+    * replays bit-for-bit. Pairs below `minCount` are noise-cut first
+    * (the textbook move — χ² is unstable on counts of 1-2).
+    *
+    * Scale shape: ONE corpus pass to the (x, y) bigram-type counts; both
+    * margins derive from that bounded frame by re-aggregation (the type
+    * table is Heaps-bounded, orders of magnitude smaller than the
+    * corpus) and join back keyed on x resp. y; N is a 1-row broadcast.
+    * Top-k by TakeOrdered — no global sort. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 25): DataFrame = {
+    val bg = docs
+      .withColumn("__ws", split(col(textCol), " "))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ws) - 2)," +
+          " i -> struct(element_at(__ws, i + 1) AS x," +
+          " element_at(__ws, i + 2) AS y))")).as("__b"))
+      .groupBy(col("__b.x").as("x"), col("__b.y").as("y"))
+      .agg(count(lit(1)).as("o11"))
+      // ONE corpus pass: the Heaps-bounded bigram-type table materializes
+      // once and margins/total/probe all derive from it — without the
+      // checkpoint each consumer re-plans its own corpus scan (the q103
+      // training posture)
+      .localCheckpoint()
+    val mx = bg.groupBy(col("x")).agg(sum(col("o11")).as("cx"))
+    val my = bg.groupBy(col("y")).agg(sum(col("o11")).as("cy"))
+    val n = bg.agg(sum(col("o11")).as("n"))
+    bg.filter(col("o11") >= minCount)
+      .join(mx, Seq("x"))
+      .join(my, Seq("y"))
+      .crossJoin(broadcast(n)) // 1-row bigram total
+      // degenerate margins (a word owning an ENTIRE margin: cx = N or
+      // cy = N) zero the denominator; χ² is undefined there — cut, as
+      // the oracle does
+      .filter(col("n") > col("cx") && col("n") > col("cy"))
+      .withColumn("o12", col("cx") - col("o11"))
+      .withColumn("o21", col("cy") - col("o11"))
+      .withColumn("o22", col("n") - col("o11") - col("o12") - col("o21"))
+      .withColumn("__d", expr(
+        "cast(o11 as decimal(38,0)) * o22 - cast(o12 as decimal(38,0)) * o21"))
+      .withColumn("chi2_e6", expr(
+        """cast(cast(n as decimal(38,0)) * __d * __d * 1000000 div
+          |  (cast(o11 + o12 as decimal(38,0)) * (o21 + o22) * (o11 + o21) * (o12 + o22))
+          |as bigint)""".stripMargin))
+      .select(col("x"), col("y"), col("o11").as("n_pair"), col("chi2_e6"))
+      .orderBy(col("chi2_e6").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
 }

@@ -611,9 +611,43 @@ object TextQueries {
       |  CAST(CASE WHEN label = actual THEN 1 ELSE 0 END AS INTEGER) AS hit
       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Q106 — collocation extraction (TextSearch.collocations): top-25
+    * word pairs by chi-square association over the corpus bigram table,
+    * min pair count 5, integer-exact in DECIMAL(38)/HUGEINT. The oracle
+    * rebuilds the full 2×2 contingency table per surviving pair and
+    * replays every χ² contribution and the tie-broken ranking. */
+  def collocationsQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TextSearch.collocations(
+      Tables.documents(spark, dir), "doc_id", "text")
+
+  val collocationsSql: String =
+    """WITH base AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT ws[i] AS x, ws[i + 1] AS y, COUNT(*) AS o11
+      |  FROM base, UNNEST(range(1, len(ws))) AS t(i)
+      |  WHERE len(ws) >= 2
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT x, SUM(o11) AS cx FROM bg GROUP BY 1),
+      |my AS (SELECT y, SUM(o11) AS cy FROM bg GROUP BY 1),
+      |tot AS (SELECT SUM(o11) AS n FROM bg),
+      |tab AS (
+      |  SELECT bg.x, bg.y, bg.o11, m1.cx - bg.o11 AS o12, m2.cy - bg.o11 AS o21,
+      |    t.n - m1.cx - m2.cy + bg.o11 AS o22, m1.cx, m2.cy, t.n
+      |  FROM bg JOIN mx m1 USING (x) JOIN my m2 USING (y), tot t
+      |  WHERE bg.o11 >= 5 AND t.n > m1.cx AND t.n > m2.cy),
+      |sc AS (
+      |  SELECT x, y, o11,
+      |    (o11::HUGEINT * o22 - o12::HUGEINT * o21) AS d,
+      |    (o11 + o12)::HUGEINT * (o21 + o22) * (o11 + o21) * (o12 + o22) AS den
+      |  FROM tab)
+      |SELECT x, y, CAST(o11 AS BIGINT) AS n_pair,
+      |  CAST((SELECT n FROM tot)::HUGEINT * d * d * 1000000 // den AS BIGINT) AS chi2_e6
+      |FROM sc ORDER BY chi2_e6 DESC, x ASC, y ASC LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q103_nb_classifier", nbClassifier, Some(nbClassifierSql)),
+    QueryDef("q106_collocations", collocationsQuery, Some(collocationsSql)),
     QueryDef("q93_lm_quality", lmQuality, Some(lmQualitySql)),
     QueryDef("q94_importance_select", importanceSelect, Some(importanceSelectSql)),
     QueryDef("q95_phrase_search", phraseSearch, Some(phraseSearchSql)),

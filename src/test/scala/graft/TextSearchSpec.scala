@@ -129,4 +129,21 @@ class TextSearchSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no sort-merge join expected:\n$plan")
   }
+
+  test("collocations: hand-computed chi-square, min-count cut") {
+    import spark.implicits._
+    // bigrams: (a,b)x5, (b,a)x4 -> N=9. For (a,b): O=(5,0,0,4), d=20,
+    // chi2_e6 = 9*400*1e6 // (5*4*5*4) = 9_000_000. (b,a) dies at minCount.
+    val docs = Seq((1L, "a b a b a b a b a b")).toDF("doc_id", "text")
+    val out = TextSearch.collocations(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("a", "b", 5L, 9000000L)), out.mkString(", "))
+  }
+
+  test("collocations: a word owning a whole margin is cut, not divided by zero") {
+    import spark.implicits._
+    // every bigram is (a,a): cx = cy = N -> denominator would be 0
+    val docs = Seq((1L, "a a a a a a")).toDF("doc_id", "text")
+    assert(TextSearch.collocations(docs, "doc_id", "text").count() === 0L)
+  }
 }
