@@ -62,7 +62,10 @@ object GraftFunctions {
     ("graft_bounded_levenshtein",
       (args: Seq[Expression]) => NativeExpressions.BoundedLevenshtein(
         args(0), args(1), intArg(args(2), "k")),
-      "graft_bounded_levenshtein(a, b, k) - min(levenshtein, k+1) via the banded DP"))
+      "graft_bounded_levenshtein(a, b, k) - min(levenshtein, k+1) via the banded DP"),
+    ("graft_normalize",
+      (args: Seq[Expression]) => NativeExpressions.NormalizeFold(args.head),
+      "graft_normalize(text) - NFC + strip diacritics + casefold (dedup canonical form)"))
 
   /** Register every graft_* function on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -50,6 +50,33 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  /** Unicode text FOLDING for canonicalization before hashing/dedup (the
+    * CCNet-style normalize step): NFC-compose, strip combining diacritics
+    * (NFD → drop NON_SPACING_MARK → NFC), then ROOT-locale lowercase. The
+    * DuckDB twin is `lower(strip_accents(nfc_normalize(x)))` — verified
+    * equal on the Latin diacritic range the oracle exercises. Idempotent.
+    * Row-local, no UDF serialization, safe inside any pushdown. */
+  case class NormalizeFold(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      import java.text.Normalizer
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val nfd = Normalizer.normalize(
+        Normalizer.normalize(s, Normalizer.Form.NFC), Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val c = nfd.charAt(i)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+        i += 1
+      }
+      val folded = Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+        .toLowerCase(java.util.Locale.ROOT)
+      org.apache.spark.unsafe.types.UTF8String.fromString(folded)
+    }
+    override protected def withNewChildInternal(c: Expression): NormalizeFold = copy(c)
+  }
+
   /** Multi-table sign-random-projection signatures for an array<float>
     * vector: returns array<long> of `tables` packed signatures (bit p of
     * table t set iff the projection onto plane (t,p) is positive).
@@ -624,6 +651,9 @@ object NativeExpressions {
   def boundedLevenshtein(a: Column, b: Column, k: Int): Column =
     ColumnBridge.column(BoundedLevenshtein(
       ColumnBridge.expression(a), ColumnBridge.expression(b), k))
+
+  def normalizeFold(text: Column): Column =
+    ColumnBridge.column(NormalizeFold(ColumnBridge.expression(text)))
 
   /** Hash-aggregable `max_by(value, struct(ords...))` — see ArgMaxByOrd. */
   def argMaxBy(value: Column, ords: Column*): Column =

@@ -644,10 +644,37 @@ object TextQueries {
       |  CAST((SELECT n FROM tot)::HUGEINT * d * d * 1000000 // den AS BIGINT) AS chi2_e6
       |FROM sc ORDER BY chi2_e6 DESC, x ASC, y ASC LIMIT 25""".stripMargin
 
+  /** Q107 — unicode canonicalization (NormalizeFold): the CCNet-style
+    * normalize-before-dedup step. The corpus is ASCII, so the query
+    * MANUFACTURES the unicode surface deterministically in both engines
+    * (translate vowels to precomposed diacritics + uppercase) and the
+    * kernel must fold it back: NFC, strip combining marks, casefold.
+    * `folds_back` pins round-trip equality with lower(text) row by row;
+    * the oracle computes the same fold via DuckDB's own unicode stack
+    * (nfc_normalize / strip_accents / lower), so the two independent
+    * unicode implementations must agree on every byte. */
+  def normalizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val mangled = upper(translate(col("text"), "aeiou", "áéíóú"))
+    val folded = graft.functions.NativeExpressions.normalizeFold(mangled)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), folded.as("norm_text"),
+        when(folded === lower(col("text")), 1).otherwise(0)
+          .cast("int").as("folds_back"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normalizeSql: String =
+    """SELECT doc_id,
+      |  lower(strip_accents(nfc_normalize(upper(translate(text, 'aeiou', 'áéíóú'))))) AS norm_text,
+      |  CAST(CASE WHEN lower(strip_accents(nfc_normalize(upper(translate(text, 'aeiou', 'áéíóú')))))
+      |            = lower(text) THEN 1 ELSE 0 END AS INTEGER) AS folds_back
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q103_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     QueryDef("q106_collocations", collocationsQuery, Some(collocationsSql)),
+    QueryDef("q107_normalize", normalizeQuery, Some(normalizeSql)),
     QueryDef("q93_lm_quality", lmQuality, Some(lmQualitySql)),
     QueryDef("q94_importance_select", importanceSelect, Some(importanceSelectSql)),
     QueryDef("q95_phrase_search", phraseSearch, Some(phraseSearchSql)),

@@ -100,6 +100,32 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(thr.getInt(0) === -1)
   }
 
+  test("normalizeFold: composed/decomposed agree, marks strip, casefold, idempotent") {
+    import graft.functions.NativeExpressions.normalizeFold
+    val rows = Seq(
+      "Café",            // precomposed é
+      "Café",           // decomposed e + combining acute — same fold
+      "ÄRGER straße", // Ä + ß (ß must survive: not a mark)
+      "naïve ÑO",
+      "plain ascii").toDF("s")
+    val out = rows.select(normalizeFold(col("s")).as("n"),
+      normalizeFold(normalizeFold(col("s"))).as("nn"))
+      .as[(String, String)].collect()
+    assert(out(0)._1 === "cafe" && out(1)._1 === "cafe",
+      s"composed vs decomposed must fold identically: ${out.toSeq}")
+    assert(out(2)._1 === "arger straße", s"ß is not a diacritic: ${out.toSeq}")
+    assert(out(3)._1 === "naive no")
+    assert(out(4)._1 === "plain ascii")
+    assert(out.forall(p => p._1 == p._2), s"fold must be idempotent: ${out.toSeq}")
+  }
+
+  test("graft_normalize runs from SQL and nulls propagate") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_normalize('ÉLÈVE') AS a, graft_normalize(NULL) AS b").head()
+    assert(r.getString(0) === "eleve" && r.isNullAt(1))
+  }
+
   test("graft_max_by_ord aggregates in SQL like the native argmax") {
     GraftFunctions.register(spark)
     Seq((1L, 10L, 0L, "old"), (1L, 20L, 0L, "new"), (1L, 20L, -1L, "older"),
