@@ -33,6 +33,9 @@ object PlanDump {
           // JVM lambda class ids + identity hashes churn per run
           .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+(@[0-9a-f]+)?", "Lambda\\$#")
           .replaceAll("@[0-9a-f]{6,}", "@#")
+          // the lambda-variable counter is global: an unrelated new query
+          // shifts every later query's x_NN names
+          .replaceAll("lambda x_\\d+", "lambda x_#")
         Files.writeString(Paths.get(s"$outDir/${q.name}.txt"), cleaned)
       } catch {
         case e: Throwable =>

@@ -211,30 +211,36 @@ object DedupQueries {
       .orderBy(col("id"))
   }
 
+  /** The q33 pair-generation + transitive-closure CTE chain (assumes the
+    * `sim` CTE from simhashCtes; must run under WITH RECURSIVE). Shared
+    * by q33 and the canonical-selection q108. */
+  private val closureCtes: String =
+    """pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+      |psym AS (
+      |  SELECT id_a AS node, id_b AS other, hamming FROM pr
+      |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
+      |prk AS (
+      |  SELECT node, other,
+      |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+      |  FROM psym),
+      |pairs AS (SELECT DISTINCT LEAST(node, other) AS id_a,
+      |                 GREATEST(node, other) AS id_b
+      |          FROM prk WHERE r <= 4),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src AS id, r.r AS r FROM edges e JOIN reach r ON e.dst = r.id),
+      |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val dupClustersSql: String =
     s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
-       |pr AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
-       |psym AS (
-       |  SELECT id_a AS node, id_b AS other, hamming FROM pr
-       |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
-       |prk AS (
-       |  SELECT node, other,
-       |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
-       |  FROM psym),
-       |pairs AS (SELECT DISTINCT LEAST(node, other) AS id_a,
-       |                 GREATEST(node, other) AS id_b
-       |          FROM prk WHERE r <= 4),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-       |reach AS (
-       |  SELECT src AS id, src AS r FROM edges
-       |  UNION
-       |  SELECT e.src AS id, r.r AS r FROM edges e JOIN reach r ON e.dst = r.id),
-       |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |$closureCtes
        |SELECT l.id, l.cluster_id, c.n AS cluster_size
        |FROM labels l JOIN (SELECT cluster_id, COUNT(*) AS n FROM labels GROUP BY cluster_id) c
        |  ON l.cluster_id = c.cluster_id
@@ -393,5 +399,68 @@ object DedupQueries {
     QueryDef("q13_simhash", simhashSignatures, Some(simhashSignaturesSql)),
     QueryDef("q13b_simhash_neardup", simhashNearDups, Some(simhashNearDupsSql)),
     QueryDef("q14_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
-    QueryDef("q33_dup_clusters", dupClusters, Some(dupClustersSql)))
+    QueryDef("q33_dup_clusters", dupClusters, Some(dupClustersSql)),
+    QueryDef("q108_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)))
+
+  /** Q108 — cluster-CANONICAL selection, the "keep best, drop rest"
+    * dedup policy (Dolma/CCNet keep the highest-quality member of each
+    * near-dup cluster, not the first seen): q33's SimHash clusters +
+    * singletons (complete corpus census) scored by the q17 integer
+    * quality signal; per cluster, the canonical is the max-quality
+    * member with ties to the SMALLEST id — one hash-aggregated
+    * ArgMaxByOrd over (quality, −id), no window over the corpus. The
+    * oracle stitches the full chain: signatures, capped pairs,
+    * recursive closure, quality, and the tie-broken selection. */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argMaxBy
+    val corpus = withPlantedNearDups(Tables.documents(spark, dir))
+    val sims = Dedup.simhashTable(corpus, "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+    val labels = Dedup.connectedComponents(pairs)
+    val scored = corpus.select(col("doc_id").as("id"),
+      round(graft.functions.TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
+        .cast("long").as("quality_micro"))
+    scored.join(labels, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id"))) // singletons
+      .groupBy(col("cluster_id"))
+      .agg(
+        argMaxBy(col("id"), col("quality_micro"), -col("id")).as("canonical_id"),
+        max(col("quality_micro")).as("canonical_quality_micro"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), col("canonical_id"), col("cluster_size"),
+        col("canonical_quality_micro"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val clusterCanonicalSql: String =
+    s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
+       |$closureCtes,
+       |corpus AS ($corpusSql),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(round((0.3 * least(1.0, n / 50)
+       |        + 0.3 * (nd / n)
+       |        + 0.2 * (1.0 - dig / n)
+       |        + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS quality_micro
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+       |      CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) AS dig
+       |    FROM corpus)),
+       |lab AS (
+       |  SELECT q.doc_id AS id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id,
+       |    q.quality_micro
+       |  FROM q LEFT JOIN labels l ON l.id = q.doc_id),
+       |ranked AS (
+       |  SELECT cluster_id, id, quality_micro,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_micro DESC, id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |    MAX(quality_micro) OVER (PARTITION BY cluster_id) AS canonical_quality_micro
+       |  FROM lab)
+       |SELECT cluster_id, id AS canonical_id,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size, canonical_quality_micro
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 }
