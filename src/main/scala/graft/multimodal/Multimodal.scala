@@ -192,6 +192,46 @@ object Multimodal {
       val n = (w.toLong * h).toFloat
       Array(w.toFloat, h.toFloat, sr / n, sg / n, sb / n)
     }
+
+    /** 64-bit average-hash (aHash) of a REAL decoded 8×8 image — the
+      * perceptual fingerprint that makes images dedup-able with the
+      * SimHash machinery (near-identical images → small hamming
+      * distance). Integer-exact by construction: per pixel
+      * gray = (r+g+b) div 3, mean = Σgray div 64, bit p = y·8+x set iff
+      * gray > mean — every step replayable closed-form by the oracle.
+      * Returns (hi, lo) 32-bit halves (a SQL engine cannot build bit 63
+      * of a signed BIGINT without overflow; the engine packs
+      * (hi << 32) | lo when it wants the single-long SimHash form). */
+    def aHash64(bytes: Array[Byte]): (Long, Long, Int) = {
+      val img = decode(bytes)
+      val w = img.getWidth; val h = img.getHeight
+      require(w == 8 && h == 8, s"aHash64 expects 8x8, got ${w}x$h")
+      val gray = new Array[Long](64)
+      var sum = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val p = img.getRGB(x, y)
+          val g = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+          gray(y * 8 + x) = g
+          sum += g
+          x += 1
+        }
+        y += 1
+      }
+      val mean = sum / 64
+      var hi = 0L; var lo = 0L; var nSet = 0
+      var i = 0
+      while (i < 64) {
+        if (gray(i) > mean) {
+          nSet += 1
+          if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+        }
+        i += 1
+      }
+      (hi, lo, nSet)
+    }
   }
 
   /** REAL resize: decode → nearest-neighbour scale into the target box

@@ -649,7 +649,105 @@ object SimilarityQueries {
       |FROM packed JOIN adc USING (id)
       |ORDER BY id""".stripMargin
 
+  /** The q109/q110 image corpus: every document's synthetic PNG plus a
+    * PLANTED byte-identical copy for every 7th doc at +2M ids (the
+    * generator is keyed by gen_id, so the planted copy decodes to the
+    * same pixels — guaranteed hamming-0 pairs). */
+  private def imageMedia(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id").as("media_id"), col("doc_id").as("gen_id"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("media_id"), col("doc_id").as("gen_id")))
+  }
+
+  private val imageMediaSql: String =
+    """SELECT doc_id AS media_id, doc_id AS gen_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS media_id, doc_id AS gen_id
+      |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** Shared oracle CTEs: closed-form grayscale, per-image mean, aHash
+    * halves (a SQL BIGINT cannot hold bit 63 via shift — 32-bit halves
+    * sidestep the sign bit; the engine packs them into one long). */
+  private def aHashCtes(media: String): String =
+    s"""media AS ($media),
+       |px AS (
+       |  SELECT media_id, y.y * 8 + x.x AS p,
+       |    ((((gen_id % 1009) * 31 + x.x * 7 + y.y * 13) % 256)
+       |     + (((gen_id % 1013) * 17 + x.x * 11 + y.y * 3) % 256)
+       |     + (((gen_id % 997) * 23 + x.x * 5 + y.y * 19) % 256)) // 3 AS gray
+       |  FROM media, range(0, 8) x(x), range(0, 8) y(y)),
+       |mn AS (SELECT media_id, SUM(gray) // 64 AS mean FROM px GROUP BY 1),
+       |ah AS (
+       |  SELECT px.media_id,
+       |    CAST(COALESCE(SUM(CASE WHEN px.gray > mn.mean AND px.p >= 32
+       |      THEN (1::BIGINT << (px.p - 32)) END), 0) AS BIGINT) AS hash_hi,
+       |    CAST(COALESCE(SUM(CASE WHEN px.gray > mn.mean AND px.p < 32
+       |      THEN (1::BIGINT << px.p) END), 0) AS BIGINT) AS hash_lo,
+       |    CAST(COALESCE(SUM(CASE WHEN px.gray > mn.mean THEN 1 END), 0) AS BIGINT) AS n_set
+       |  FROM px JOIN mn USING (media_id)
+       |  GROUP BY px.media_id)""".stripMargin
+
+  /** Q109 — image perceptual hashing (ImageCodec.aHash64): the REAL
+    * decode path (javax.imageio) reduced to the 64-bit average-hash that
+    * makes images dedup-able; the oracle recomputes every gray value,
+    * the floor-mean and every bit closed-form from the generator — one
+    * corrupted pixel anywhere flips the hash compare (the q73 trust
+    * model, extended from channel sums to a per-pixel threshold
+    * signature). */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageMedia(spark, dir).select(col("media_id"), col("gen_id")).as[(Long, Long)]
+      .mapPartitions(_.map { case (mid, gid) =>
+        val (hi, lo, n) = Multimodal.ImageCodec.aHash64(
+          Multimodal.ImageCodec.syntheticPng(gid))
+        (mid, hi, lo, n.toLong)
+      })
+      .toDF("media_id", "hash_hi", "hash_lo", "n_set")
+      .orderBy(col("media_id"))
+  }
+
+  val imagePhashSql: String =
+    s"""WITH ${aHashCtes(imageMediaSql)}
+       |SELECT media_id, hash_hi, hash_lo, n_set FROM ah ORDER BY media_id""".stripMargin
+
+  /** Q110 — image NEAR-DUP pairs: the aHash table fed straight into the
+    * q13b SimHash machinery (4×16-bit chunks, 1-bit multi-probe, exact
+    * recall at hamming ≤ 7, per-node degree cap 4) — byte-identical
+    * planted copies surface at hamming 0, shift-similar gradients at
+    * small distances. The oracle does the plain quadratic hamming join
+    * over the closed-form hashes plus the same degree-cap ranking, which
+    * must equal the banded candidate generation exactly. */
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
+    val sims = imagePhash(spark, dir)
+      .select(col("media_id").as("id"),
+        (shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))).as("simhash"))
+    Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val imageNearDupsSql: String =
+    s"""WITH ${aHashCtes(imageMediaSql)},
+       |pr AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) AS hamming
+       |  FROM ah a JOIN ah b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 7),
+       |psym AS (
+       |  SELECT id_a AS node, id_b AS other, hamming FROM pr
+       |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
+       |prk AS (
+       |  SELECT node, other, hamming,
+       |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+       |  FROM psym)
+       |SELECT DISTINCT LEAST(node, other) AS id_a, GREATEST(node, other) AS id_b,
+       |  CAST(hamming AS INTEGER) AS hamming
+       |FROM prk WHERE r <= 4 ORDER BY id_a, id_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
+    QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
     QueryDef("q15b_ann_lsh", annLshPairs, Some(annLshPairsSql)),
     QueryDef("q15c_ann_ivf", ivfTopK, Some(ivfTopKSql)),

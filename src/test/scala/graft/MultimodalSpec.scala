@@ -125,6 +125,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash64: formula-exact bits, identical images collide, uniform image hashes to 0") {
+    import Multimodal.ImageCodec
+    // independent recomputation from the closed-form pixels
+    val gid = 42L
+    val gray = for { y <- 0 until 8; x <- 0 until 8 } yield
+      ((((gid % 1009) * 31 + x * 7 + y * 13) % 256)
+        + (((gid % 1013) * 17 + x * 11 + y * 3) % 256)
+        + (((gid % 997) * 23 + x * 5 + y * 19) % 256)) / 3
+    val mean = gray.sum / 64
+    var (ehi, elo, en) = (0L, 0L, 0)
+    gray.zipWithIndex.foreach { case (g, p) =>
+      if (g > mean) {
+        en += 1
+        if (p < 32) elo |= (1L << p) else ehi |= (1L << (p - 32))
+      }
+    }
+    val (hi, lo, n) = ImageCodec.aHash64(ImageCodec.syntheticPng(gid))
+    assert((hi, lo, n) === ((ehi, elo, en)), "decoded hash must equal the formula hash")
+    // identical generator id -> identical hash (the planted-dup guarantee)
+    assert(ImageCodec.aHash64(ImageCodec.syntheticPng(gid)) ===
+      ImageCodec.aHash64(ImageCodec.syntheticPng(gid)))
+    // uniform image: strict gray > mean sets no bit
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x7f7f7f)
+    assert(ImageCodec.aHash64(ImageCodec.encodePng(img)) === ((0L, 0L, 0)))
+    // non-8x8 inputs are a loud error, not a silent wrong hash
+    intercept[IllegalArgumentException] {
+      ImageCodec.aHash64(ImageCodec.encodePng(
+        new java.awt.image.BufferedImage(4, 4,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)))
+    }
+  }
+
   test("GRAV container: bad magic, payload rot, and lying index all isolate") {
     import graft.multimodal.VideoCodec
     val vid = VideoCodec.syntheticVideo(3L)
