@@ -400,7 +400,65 @@ object DedupQueries {
     QueryDef("q13b_simhash_neardup", simhashNearDups, Some(simhashNearDupsSql)),
     QueryDef("q14_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q33_dup_clusters", dupClusters, Some(dupClustersSql)),
-    QueryDef("q108_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)))
+    QueryDef("q108_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
+    QueryDef("q111_winnowing", winnowing, Some(winnowingSql)))
+
+  /** Q111 — winnowing document fingerprints (NativeExpressions.WinnowStats;
+    * Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS scheme): hash every
+    * char 8-gram, slide a 4-gram window, keep each window's minimum hash
+    * (rightmost on ties). Guarantees any shared substring of length ≥ 11
+    * chars yields a shared fingerprint — the position-robust complement
+    * to q8's whole-document digest and q14's word shingles. One map-only
+    * pass per document (no shuffle until the per-doc census row); the
+    * oracle replays every selection through the `h*64 + offset` integer
+    * argmin key, the distinct-position census, and the fingerprint-set
+    * checksum. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val ws = graft.functions.NativeExpressions.winnowStats(col("text"), 8, 4)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        col("ws.n_windows").as("n_windows"),
+        col("ws.n_selected").as("n_selected"),
+        col("ws.n_distinct_fp").as("n_distinct_fp"),
+        col("ws.fp_checksum").as("fp_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowingSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, greatest(length(text) - 7, 0) AS ng
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |    CAST(('0x' || substring(md5(substring(text, CAST(i AS INTEGER), 8)), 1, 10)) AS BIGINT) AS h
+      |  FROM d, UNNEST(range(1, ng + 1)) AS t(i)
+      |  WHERE ng > 0),
+      |win AS (
+      |  SELECT doc_id, s FROM d,
+      |    UNNEST(range(1, (CASE WHEN ng >= 4 THEN ng - 3
+      |                          WHEN ng >= 1 THEN 1 ELSE 0 END) + 1)) AS t(s)),
+      |sel AS (
+      |  SELECT w.doc_id, w.s, MIN(g.h * 64 + (w.s + 3 - g.pos)) AS kmin
+      |  FROM win w JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3
+      |  GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT DISTINCT doc_id, s + 3 - (kmin % 64) AS pos, kmin // 64 AS h
+      |  FROM sel),
+      |selagg AS (SELECT doc_id, COUNT(*) AS n_selected FROM sp GROUP BY 1),
+      |fp AS (SELECT DISTINCT doc_id, h FROM sp),
+      |fpagg AS (
+      |  SELECT doc_id, COUNT(*) AS n_distinct_fp, SUM(h) AS fp_checksum
+      |  FROM fp GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(CASE WHEN ng >= 4 THEN ng - 3 WHEN ng >= 1 THEN 1 ELSE 0 END AS BIGINT) AS n_windows,
+      |  CAST(COALESCE(sa.n_selected, 0) AS BIGINT) AS n_selected,
+      |  CAST(COALESCE(fa.n_distinct_fp, 0) AS BIGINT) AS n_distinct_fp,
+      |  CAST(COALESCE(fa.fp_checksum, 0) AS BIGINT) AS fp_checksum
+      |FROM d
+      |LEFT JOIN selagg sa USING (doc_id)
+      |LEFT JOIN fpagg fa USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Q108 — cluster-CANONICAL selection, the "keep best, drop rest"
     * dedup policy (Dolma/CCNet keep the highest-quality member of each

@@ -670,7 +670,66 @@ object TextQueries {
       |            = lower(text) THEN 1 ELSE 0 END AS INTEGER) AS folds_back
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q112 — Aho–Corasick multi-pattern scan (NativeExpressions.
+    * MultiPatternStats): the blocklist/contamination-span verb — every
+    * occurrence (overlaps included) of every pattern in ONE automaton
+    * pass per document. The "blocklist" derives deterministically from
+    * the corpus: all distinct word bigrams of the %100=0 document sample
+    * (a few hundred strings, collected like q88's bloom vocabulary and
+    * shipped inside the expression). Substring semantics, not
+    * word-boundary — the automaton and the oracle both count raw char
+    * positions. n_hits/n_patterns_hit/hit_checksum (Σ endPos·31+|p|) pin
+    * every match position and length; the oracle replays via a
+    * per-pattern-length substring equi-join. */
+  def multiPatternScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val pats = docs.filter(col("doc_id") % 100 === 0)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1)," +
+          " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("p"))
+      .distinct().orderBy(col("p")).as[String].collect()
+    val st = graft.functions.NativeExpressions.multiPatternStats(
+      col("text"), scala.collection.immutable.ArraySeq.unsafeWrapArray(pats))
+    docs.select(col("doc_id"), st.as("s"))
+      .select(col("doc_id"),
+        col("s.n_hits").as("n_hits"),
+        col("s.n_patterns_hit").as("n_patterns_hit"),
+        col("s.hit_checksum").as("hit_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multiPatternScanSql: String =
+    """WITH pats AS (
+      |  SELECT DISTINCT ws[i] || ' ' || ws[i + 1] AS p
+      |  FROM (SELECT string_split(text, ' ') AS ws
+      |        FROM documents WHERE doc_id % 100 = 0) s,
+      |       UNNEST(range(1, len(ws))) AS t(i)),
+      |pl AS (SELECT p, length(p) AS plen FROM pats),
+      |lens AS (SELECT DISTINCT plen FROM pl),
+      |pos AS (
+      |  SELECT doc_id, i, l.plen,
+      |    substr(text, CAST(i AS INTEGER), CAST(l.plen AS INTEGER)) AS sub
+      |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i), lens l
+      |  WHERE i + l.plen - 1 <= length(text)),
+      |occ AS (
+      |  SELECT doc_id, i + pos.plen - 1 AS e, pos.plen, p
+      |  FROM pos JOIN pl ON pl.plen = pos.plen AND pl.p = pos.sub),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT p) AS n_patterns_hit,
+      |    SUM(e * 31 + plen) AS hit_checksum
+      |  FROM occ GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(COALESCE(a.n_patterns_hit, 0) AS BIGINT) AS n_patterns_hit,
+      |  CAST(COALESCE(a.hit_checksum, 0) AS BIGINT) AS hit_checksum
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q112_multipattern", multiPatternScan, Some(multiPatternScanSql)),
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q103_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     QueryDef("q106_collocations", collocationsQuery, Some(collocationsSql)),

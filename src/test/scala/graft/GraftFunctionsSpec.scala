@@ -152,6 +152,71 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows(3) == ((1L, 1L, 0L, 0L, 0L)))
   }
 
+  // Independent reference winnower for the property test: returns the
+  // SET of selected (pos, hash) — the expression only ships stats, so the
+  // reference also exposes the set for the guarantee check.
+  private def refWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = text.length - k + 1
+    if (n <= 0) return Set.empty
+    val hs = (0 until n).map { i =>
+      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      (0 until 5).foldLeft(0L)((h, j) => (h << 8) | (d(j) & 0xffL))
+    }
+    val nWin = if (n >= w) n - w + 1 else 1
+    (0 until nWin).map { s =>
+      val window = (s until math.min(s + w, n))
+      // min hash, rightmost position on ties
+      val best = window.minBy(p => (hs(p), -p))
+      (best, hs(best))
+    }.toSet
+  }
+
+  test("winnowing: short-doc contract, single gram, rightmost ties") {
+    def stats(texts: String*) = texts.toDF("text")
+      .select(NativeExpressions.winnowStats($"text", 8, 4).as("w"))
+      .select($"w.n_windows", $"w.n_selected", $"w.n_distinct_fp", $"w.fp_checksum")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val Seq(short, one, ties) = stats("1234567", "12345678", "aaaaaaaaaaaa")
+    assert(short == ((0L, 0L, 0L, 0L)))
+    // exactly one gram: checksum = its 40-bit portable hash
+    val h = refWinnow("12345678", 8, 4).head._2
+    assert(one == ((1L, 1L, 1L, h)))
+    // 12 a's = 5 identical grams, 2 windows; rightmost tie-break selects
+    // the window's LAST gram each time → 2 selections, 1 distinct fp
+    assert(ties._1 == 2L && ties._2 == 2L && ties._3 == 1L)
+  }
+
+  test("winnowing guarantee: expression matches reference; planted 11-char overlap shares a fp") {
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val planted = randText(11) // k + w - 1: must force a shared fingerprint
+    val texts = (0 until 40).map { i =>
+      val a = randText(5 + rnd.nextInt(40))
+      val b = randText(5 + rnd.nextInt(40))
+      if (i % 2 == 0) a + planted + b else a + b
+    }
+    val got = texts.toDF("text")
+      .select(NativeExpressions.winnowStats($"text", 8, 4).as("w"))
+      .select($"w.n_windows", $"w.n_selected", $"w.n_distinct_fp", $"w.fp_checksum")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    texts.zip(got).foreach { case (t, (nw, ns, nd, cs)) =>
+      val ref = refWinnow(t, 8, 4)
+      val n = t.length - 7
+      val expWin = if (n >= 4) n - 3 else if (n >= 1) 1 else 0
+      assert(nw == expWin.toLong, s"n_windows for '$t'")
+      assert(ns == ref.size.toLong, s"n_selected for '$t'")
+      val fps = ref.map(_._2)
+      assert(nd == fps.size.toLong, s"n_distinct_fp for '$t'")
+      assert(cs == fps.sum, s"fp_checksum for '$t'")
+    }
+    // the winnowing guarantee: every pair of docs containing the planted
+    // 11-char substring shares at least one fingerprint
+    val withPlant = texts.filter(_.contains(planted)).map(refWinnow(_, 8, 4).map(_._2))
+    for (x <- withPlant; y <- withPlant)
+      assert(x.intersect(y).nonEmpty, "planted overlap must share a fingerprint")
+  }
+
   test("portable hash matches its DuckDB formulation contract") {
     // conv(substring(md5(x),1,15),16,10) must be a nonnegative 60-bit value
     val hs = Seq("a", "hello world", "").toDF("t")
