@@ -540,6 +540,7 @@ object NativeExpressions {
     // row and return silently corrupt winners — reject at analysis time.
     private def supported(dt: DataType): Boolean = dt match {
       case LongType | DoubleType | IntegerType | StringType => true
+      case _: DecimalType => true // exact wide orderings (e.g. DECIMAL(38) CUSUM deviations)
       case _ => false
     }
 
@@ -569,6 +570,8 @@ object NativeExpressions {
       case (x: java.lang.Integer, y: java.lang.Integer) => java.lang.Integer.compare(x, y)
       case (x: org.apache.spark.unsafe.types.UTF8String,
             y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+      case (x: org.apache.spark.sql.types.Decimal,
+            y: org.apache.spark.sql.types.Decimal) => x.compare(y)
       case other => throw new IllegalStateException(
         s"ArgMaxByOrd: unsupported ordering type ${other._1.getClass}")
     }
@@ -587,6 +590,8 @@ object NativeExpressions {
     private def copyVal(v: Any): Any = v match {
       // copy unsafe-backed values out of the reused input row
       case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+      case d: org.apache.spark.sql.types.Decimal =>
+        org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal, d.precision, d.scale)
       case other => other
     }
 
@@ -625,6 +630,9 @@ object NativeExpressions {
       case l: java.lang.Long => out.writeByte(2); out.writeLong(l)
       case d: java.lang.Double => out.writeByte(3); out.writeDouble(d)
       case i: java.lang.Integer => out.writeByte(4); out.writeInt(i)
+      case d: org.apache.spark.sql.types.Decimal =>
+        out.writeByte(5); out.writeInt(d.precision); out.writeInt(d.scale)
+        out.writeUTF(d.toJavaBigDecimal.toString)
       case other => throw new IllegalStateException(
         s"ArgMaxByOrd: unsupported value type ${other.getClass}")
     }
@@ -637,6 +645,9 @@ object NativeExpressions {
       case 2 => java.lang.Long.valueOf(in.readLong())
       case 3 => java.lang.Double.valueOf(in.readDouble())
       case 4 => java.lang.Integer.valueOf(in.readInt())
+      case 5 =>
+        val p = in.readInt(); val sc = in.readInt()
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(in.readUTF()), p, sc)
     }
 
     override def serialize(b: ArgMaxBuf): Array[Byte] = {

@@ -281,7 +281,53 @@ object AnalyticsQueries {
       |  END AS BIGINT) AS slope_e6
       |FROM m ORDER BY user_id""".stripMargin
 
+  /** Q113 — CUSUM change-point localization (ChangePoint.cusumSplit):
+    * per event_type, the day where the daily value total most likely
+    * step-changed — argmax over interior days of the division-cleared
+    * CUSUM deviation |S_t·T − S_T·t|, ties to the earliest day, exact
+    * integer arithmetic end-to-end. The monitoring verb that answers
+    * "WHEN did this metric shift", next to q60 (which events are
+    * outliers), q105 (what's the trend) and q101 (how far apart are two
+    * slices). The oracle replays the daily fixed-point totals, every
+    * prefix sum, every candidate deviation, and the tie-broken argmax. */
+  def changePoint(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ChangePoint.cusumSplit(
+      Tables.events(spark, dir), Seq("event_type"),
+      expr(s"ts div $DayNs"), col("value"))
+      .orderBy(col("event_type"))
+
+  val changePointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS b,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS y
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, b, y,
+      |    row_number() OVER w AS t,
+      |    SUM(y) OVER w AS st,
+      |    COUNT(*) OVER p AS tt,
+      |    SUM(y) OVER p AS stt
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY b
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         p AS (PARTITION BY event_type)),
+      |d AS (
+      |  SELECT event_type, b, tt,
+      |    CASE WHEN t < tt THEN abs(st::HUGEINT * tt - stt::HUGEINT * t) END AS dev
+      |  FROM c),
+      |best AS (
+      |  SELECT event_type, tt, b, dev,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY dev DESC NULLS LAST, b ASC) AS rn,
+      |    MAX(dev) OVER (PARTITION BY event_type) AS dmax
+      |  FROM d)
+      |SELECT event_type, CAST(tt AS BIGINT) AS n_buckets,
+      |  CAST(CASE WHEN dmax IS NOT NULL THEN b END AS BIGINT) AS split_bucket,
+      |  CAST(dmax // tt AS BIGINT) AS dev_e4
+      |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q113_changepoint", changePoint, Some(changePointSql)),
     QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),

@@ -160,4 +160,23 @@ class AnalyticsSpec extends SparkSpec {
       (1L, 5L, 1.0), (1L, ns + 999999L, 3.0), (1L, 2 * ns + 17L, 5.0))
     assert(out(1L) === ((3L, Some(2000000L))), s"jitter must not move x: $out")
   }
+
+  test("cusumSplit: planted step found, constant series ties to earliest, 1-bucket key null") {
+    val rows =
+      // key a: 10.0/bucket for 1-3, 20.0/bucket for 4-6 (two events of 10 each)
+      (1L to 3L).map(b => ("a", b, 10.0)) ++
+        (4L to 6L).flatMap(b => Seq(("a", b, 10.0), ("a", b, 10.0))) ++
+        // key b: constant -> all deviations 0, tie must pick the EARLIEST bucket
+        (1L to 3L).map(b => ("b", b, 5.0)) ++
+        Seq(("c", 1L, 9.0)) // single bucket: null split, census row kept
+    val out = graft.ops.ChangePoint.cusumSplit(
+      rows.toDF("k", "b", "v"), Seq("k"), col("b"), col("v"))
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a: S_t(e4) = 1e5,2e5,3e5,5e5,7e5,9e5; D_t = |S_t*6 - 9e5*t| peaks
+    // at t=3 (9e5) -> split bucket 3, dev_e4 = 9e5 div 6 = 150000
+    assert(out("a") === ((6L, Some(3L), Some(150000L))), s"planted step: $out")
+    assert(out("b") === ((3L, Some(1L), Some(0L))), s"tie -> earliest: $out")
+    assert(out("c") === ((1L, None, None)), s"1-bucket key: $out")
+  }
 }

@@ -217,6 +217,37 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(x.intersect(y).nonEmpty, "planted overlap must share a fingerprint")
   }
 
+  test("aho-corasick: agrees with the naive all-occurrence scan on overlap-heavy inputs") {
+    val rnd = new scala.util.Random(7)
+    // 2-letter alphabet maximizes overlaps, shared prefixes/suffixes, and
+    // fail-link traversal — the construction's stress case
+    def rs(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+    for (_ <- 0 until 15) {
+      val pats = (0 until (1 + rnd.nextInt(8))).map(_ => rs(1 + rnd.nextInt(5))).distinct
+      val text = rs(30 + rnd.nextInt(60))
+      var hits = 0L
+      var cs = 0L
+      val seen = scala.collection.mutable.Set[String]()
+      for (p <- pats; i <- 0 to text.length - p.length
+           if text.regionMatches(i, p, 0, p.length)) {
+        hits += 1
+        cs += (i + p.length).toLong * 31 + p.length // 1-based end pos
+        seen += p
+      }
+      val got = Seq(text).toDF("text")
+        .select(NativeExpressions.multiPatternStats($"text", pats).as("s"))
+        .select($"s.n_hits", $"s.n_patterns_hit", $"s.hit_checksum")
+        .as[(Long, Long, Long)].head()
+      assert(got == ((hits, seen.size.toLong, cs)), s"pats=$pats text=$text")
+    }
+    // hand case: nested patterns all fire at the same end position
+    val nested = Seq(Seq("ababa").toDF("text")
+      .select(NativeExpressions.multiPatternStats($"text", Seq("a", "aba", "ababa", "ba")).as("s"))
+      .select($"s.n_hits").as[Long].head())
+    // a×3, aba×2, ababa×1, ba×2
+    assert(nested.head == 8L)
+  }
+
   test("portable hash matches its DuckDB formulation contract") {
     // conv(substring(md5(x),1,15),16,10) must be a nonnegative 60-bit value
     val hs = Seq("a", "hello world", "").toDF("t")
