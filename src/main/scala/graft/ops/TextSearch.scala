@@ -261,4 +261,28 @@ object TextSearch {
       .orderBy(col("chi2_e6").desc, col("x").asc, col("y").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of
+    * already-ranked top-N lists — the hybrid-retrieval verb that merges a
+    * lexical and a semantic ranking without comparable scores: each list
+    * contributes `1e6 div (k + rank)` (integer division, so any engine
+    * replays the fused score bit-for-bit; the canonical k = 60), absent
+    * items contribute 0, output is top-N by fused score with ties to the
+    * smallest id.
+    *
+    * Input contract: each frame has (idCol, <rankCol>) where rank is a
+    * dense 1-based position. Lists are top-N — already driver-bounded —
+    * so the full-outer-join fold and final TakeOrdered touch only
+    * O(Σ list lengths) rows; the corpus itself is never re-ranked here. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCols: Seq[String],
+      kConst: Int = 60, topN: Int = 20): DataFrame = {
+    require(lists.size == rankCols.size && lists.nonEmpty)
+    val joined = lists.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val fused = rankCols
+      .map(rc => coalesce(expr(s"1000000 div ($kConst + $rc)").cast("long"), lit(0L)))
+      .reduce(_ + _)
+    joined.withColumn("rrf_e6", fused)
+      .orderBy(col("rrf_e6").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }

@@ -745,7 +745,102 @@ object SimilarityQueries {
        |  CAST(hamming AS INTEGER) AS hamming
        |FROM prk WHERE r <= 4 ORDER BY id_a, id_b""".stripMargin
 
+  /** Q114 — hybrid retrieval by reciprocal-rank fusion (TextSearch.
+    * rrfFuse): the modern two-tower search verb — a LEXICAL ranking
+    * (q45's integer BM25 over the standard term bag, top-100) fused with
+    * a SEMANTIC ranking (q15's quantized-cosine neighbours of the
+    * vec_id=0 probe, top-100; doc_id ≡ vec_id in the corpus) via
+    * RRF = Σ 1e6 div (60 + rank). Ranks come from total orders
+    * (score desc, id asc), contributions are integer divisions, so the
+    * oracle replays both lists, both rank assignments, the full-outer
+    * fusion and the tie-broken top-20 exactly. The re-rank windows run
+    * over the two 100-row lists only — the corpus is never re-sorted. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val listN = 100
+    val lex = graft.ops.TextSearch.bm25TopK(
+      Tables.documents(spark, dir), "doc_id", "text", TextQueries.Bm25Terms, listN)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_e12").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val sem = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
+        col("embedding"), col("q")))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(listN)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    graft.ops.TextSearch.rrfFuse(
+      Seq(lex, sem), "doc_id", Seq("lex_rank", "sem_rank"), kConst = 60, topN = 20)
+  }
+
+  val rrfFusionSql: String = {
+    val termList = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sdl
+       |  FROM base),
+       |tfrows AS (
+       |  SELECT doc_id, dl, term,
+       |    CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+       |  FROM base CROSS JOIN (SELECT unnest([$termList]) AS term)
+       |  WHERE len(list_filter(toks, x -> x = term)) > 0),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfrows GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(((2.0 * CAST((n_docs - df) AS DOUBLE) + 1.0)
+       |                / (2.0 * CAST(df AS DOUBLE) + 1.0)) * 1000000.0, 0) AS BIGINT)
+       |    * CAST(round(((CAST(tf AS DOUBLE) * 2.2)
+       |                  / (CAST(tf AS DOUBLE)
+       |                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |                                             / CAST(sdl AS DOUBLE))))) * 1000000.0, 0) AS BIGINT)
+       |      AS term_score
+       |  FROM tfrows JOIN dft USING (term) CROSS JOIN stats),
+       |lexlist AS (
+       |  SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e12
+       |  FROM scored GROUP BY doc_id
+       |  ORDER BY score_e12 DESC, doc_id LIMIT 100),
+       |lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score_e12 DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM lexlist),
+       |q AS (
+       |  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |c AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id <> 0),
+       |semscored AS (
+       |  SELECT c.vec_id,
+       |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS DOUBLE) /
+       |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)) *
+       |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+       |  FROM c CROSS JOIN q),
+       |semlist AS (
+       |  SELECT vec_id, cosine FROM semscored
+       |  ORDER BY cosine DESC, vec_id LIMIT 100),
+       |sem AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS sem_rank
+       |  FROM semlist),
+       |f AS (
+       |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       |    COALESCE(1000000 // (60 + lex_rank), 0)
+       |      + COALESCE(1000000 // (60 + sem_rank), 0) AS rrf_e6
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+       |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q114_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),

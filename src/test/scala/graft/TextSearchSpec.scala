@@ -146,4 +146,21 @@ class TextSearchSpec extends SparkSpec {
     val docs = Seq((1L, "a a a a a a")).toDF("doc_id", "text")
     assert(TextSearch.collocations(docs, "doc_id", "text").count() === 0L)
   }
+
+  test("rrf fusion: both-list items beat single-list, absent ranks contribute 0, ties to id") {
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "lex_rank")
+    val sem = Seq((20L, 1L), (40L, 2L)).toDF("id", "sem_rank")
+    val out = TextSearch.rrfFuse(Seq(lex, sem), "id", Seq("lex_rank", "sem_rank"))
+      .select("id", "rrf_e6").as[(Long, Long)].collect().toSeq
+    // 20: 1e6/62 + 1e6/61 = 16129 + 16393 = 32522 (integer division)
+    // 10: 1e6/61 = 16393; 40: 1e6/62 = 16129; 30: 1e6/63 = 15873
+    assert(out == Seq((20L, 32522L), (10L, 16393L), (40L, 16129L), (30L, 15873L)))
+    // identical fused scores must tie-break on the smaller id
+    val a = Seq((5L, 1L)).toDF("id", "r1")
+    val b = Seq((3L, 1L)).toDF("id", "r2")
+    val tied = TextSearch.rrfFuse(Seq(a, b), "id", Seq("r1", "r2"))
+      .select("id").as[Long].collect().toSeq
+    assert(tied == Seq(3L, 5L))
+  }
 }
