@@ -191,7 +191,54 @@ object GraphQueries {
       |FROM d JOIN walk w ON w.node = d.node AND w.hops = d.hops
       |GROUP BY d.node, d.hops ORDER BY d.node""".stripMargin
 
+  /** Q115 — link prediction by the resource-allocation index
+    * (Graph.linkPrediction) over the q77 co-purchase graph: which parts
+    * are NOT yet co-purchased but share many low-degree co-purchase
+    * neighbours — the "you may also like" / missing-edge verb, fourth in
+    * the graph family after components, PageRank, and triangles. Scores
+    * are Σ 1e6 div deg(z) over common neighbours (exact integers; the
+    * hub truncation at center degree ≤ 30 is part of the contract), so
+    * the oracle replays edges, degrees, every wedge, every score, the
+    * non-edge filter and the tie-broken top-50. */
+  def linkPredictionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val l = items.select(col("ok"), col("pk").as("u"))
+    val r = items.select(col("ok"), col("pk").as("v"))
+    val pairs = l.join(r, Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select(col("u"), col("v"))
+    Graph.linkPrediction(pairs, maxCenterDeg = 30, topK = 50)
+  }
+
+  val linkPredictionSql: String =
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT u AS src, v AS dst FROM edges UNION SELECT v, u FROM edges),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      |ctr AS (SELECT src, deg FROM deg WHERE deg <= 30),
+      |w AS (
+      |  SELECT e1.dst AS a, e2.dst AS b, c.deg
+      |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  JOIN ctr c ON c.src = e1.src),
+      |s AS (
+      |  SELECT a, b, CAST(SUM(1000000 // deg) AS BIGINT) AS ra_e6,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM w GROUP BY 1, 2),
+      |nw AS (
+      |  SELECT s.a, s.b, s.n_common, s.ra_e6
+      |  FROM s LEFT JOIN edges x ON x.u = s.a AND x.v = s.b
+      |  WHERE x.u IS NULL)
+      |SELECT a, b, n_common, ra_e6 FROM nw
+      |ORDER BY ra_e6 DESC, a ASC, b ASC LIMIT 50""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q115_link_prediction", linkPredictionQuery, Some(linkPredictionSql)),
     QueryDef("q47_pagerank", pageRankQuery, Some(pageRankSql)),
     QueryDef("q96_label_prop", labelPropQuery, Some(labelPropSql)),
     QueryDef("q104_bfs_landmarks", bfsHopsQuery, Some(bfsHopsSql)),

@@ -134,4 +134,33 @@ class GraphSpec extends SparkSpec {
     bfs(e, 1L)
     assertNoLeakedBlocks("bfsHops", base)
   }
+
+  private def predict(pairs: (Long, Long)*)(cap: Int = 30) = {
+    import spark.implicits._
+    Graph.linkPrediction(pairs.toDF("u", "v"), maxCenterDeg = cap, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+  }
+
+  test("link prediction: square scores both diagonals, path halves, ties to smaller pair") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share two deg-2
+    // neighbours -> ra = 2 * (1e6 div 2) = 1000000, tie -> (1,3) first
+    val sq = predict((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))()
+    assert(sq == Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // path 1-2-3: one deg-2 common neighbour -> 500000
+    assert(predict((1L, 2L), (2L, 3L))() == Seq((1L, 3L, 1L, 500000L)))
+    // triangle: every pair already an edge -> nothing to predict
+    assert(predict((1L, 2L), (2L, 3L), (1L, 3L))().isEmpty)
+  }
+
+  test("link prediction: hub centers above the degree cap are truncated, blocks released") {
+    val base = snapshotBlocks()
+    // star: hub 10 joins leaves 1..5; with cap 3 the only possible center
+    // (deg 5) is dropped -> no predictions; with cap 5 all C(5,2) pairs
+    // appear at 1e6 div 5 each
+    val star = (1L to 5L).map(l => (10L, l))
+    assert(predict(star: _*)(cap = 3).isEmpty)
+    val full = predict(star: _*)(cap = 5)
+    assert(full.size == 10 && full.forall(r => r._3 == 1L && r._4 == 200000L))
+    assertNoLeakedBlocks("linkPrediction", base)
+  }
 }
