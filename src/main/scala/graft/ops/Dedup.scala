@@ -689,6 +689,54 @@ object Dedup {
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** ASYMMETRIC containment pairs — |Sh(a) ∩ Sh(b)| / |Sh(a)| in exact
+    * permille (Broder's containment coefficient, the companion measure
+    * to resemblance in "On the resemblance and containment of
+    * documents", 1997): detects excerpt/quote/expansion relationships
+    * that symmetric Jaccard (q14) structurally misses — a 15-word
+    * excerpt of a 300-word page has near-zero Jaccard but containment
+    * ≈ 1. ORDERED pairs (a, b), a ≠ b: "a is contained in b".
+    *
+    * Same scale posture as [[ngramJaccardPairs]]: per-block df-capped
+    * inverted index (boilerplate shingles pruned from the SETS on both
+    * engine and oracle sides), one index self-join, one hash-aggregate;
+    * `common · 1000 div n_a` keeps every emitted score an exact
+    * integer. Word shingles are n=5 (the excerpt-detection granularity;
+    * sub-5-word docs collapse to their whole text, the WordShingles
+    * convention). */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleN: Int = 5, minPermille: Int = 700,
+      maxDf: Int = 1000): DataFrame = {
+    require(minPermille > 0, "inverted-index containment emits only overlapping pairs")
+    val base = spread(docs.select(col(blockCol).as("block"), col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("sh")))
+      .localCheckpoint(true)
+    val hotPerBlock = base
+      .select(col("block"), explode(col("sh")).as("shingle"))
+      .groupBy(col("block"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .groupBy(col("block")).agg(collect_list(col("shingle")).as("hot"))
+    val pruned = base
+      .join(broadcast(hotPerBlock), Seq("block"), "left_outer")
+      .withColumn("sh", when(col("hot").isNull, col("sh"))
+        .otherwise(array_except(col("sh"), col("hot"))))
+      .withColumn("n", size(col("sh")))
+      .filter(col("n") > 0)
+    val inv = pruned.select(col("block"), col("id"), col("n"), explode(col("sh")).as("shingle"))
+    val l = inv.select(col("block"), col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
+    val r = inv.select(col("block"), col("shingle"), col("id").as("id_b"))
+    l.join(r, Seq("block", "shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("block"), col("id_a"), col("id_b"), col("n_a"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment_permille", expr("common * 1000 div n_a"))
+      .filter(col("containment_permille") >= minPermille)
+      .select(col("block"), col("id_a"), col("id_b"),
+        col("n_a").cast("long").as("n_shingles_a"), col("common"),
+        col("containment_permille"))
+  }
+
   /** Cross-document PARAGRAPH dedup — the CCNet move (Wenzek et al.
     * 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
     * Crawl Data": boilerplate paragraphs repeat across a web crawl far

@@ -401,7 +401,65 @@ object DedupQueries {
     QueryDef("q14_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q33_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q108_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
-    QueryDef("q111_winnowing", winnowing, Some(winnowingSql)))
+    QueryDef("q111_winnowing", winnowing, Some(winnowingSql)),
+    QueryDef("q116_containment", containment, Some(containmentSql)))
+
+  /** Q116 — asymmetric containment detection (Dedup.ngramContainmentPairs):
+    * the excerpt/quote relationship Jaccard can't see. Every 7th document
+    * is re-added as its own 15-word excerpt (id offset +20,000,000, same
+    * source block) — the planted signal: an excerpt's 5-gram shingles are
+    * a subset of its source's, so containment(excerpt → source) = 1000‰
+    * while their Jaccard is tiny. Ordered pairs at ≥ 700‰ over the
+    * df-capped per-source inverted index; the oracle replays shingling,
+    * pruning, every intersection and the integer permille. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val planted = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, 15))").as("text"),
+        col("source"))
+    val corpus = docs.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(planted)
+    Dedup.ngramContainmentPairs(corpus, "doc_id", "text", blockCol = "source")
+      .select(col("id_a"), col("id_b"), col("n_shingles_a"), col("common"),
+        col("containment_permille"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val containmentSql: String =
+    """WITH pl AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000000,
+      |    array_to_string(string_split(text, ' ')[1:15], ' '), source
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(words) >= 5
+      |         THEN list_distinct([array_to_string(words[i:i+4], ' ')
+      |                             FOR i IN range(1, len(words) - 3)])
+      |         ELSE [text] END AS s
+      |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS words FROM pl)),
+      |hotkeys AS (
+      |  SELECT source, shingle FROM (
+      |    SELECT source, UNNEST(s) AS shingle FROM sh)
+      |  GROUP BY source, shingle HAVING COUNT(*) > 1000),
+      |hot AS (
+      |  SELECT source, list(shingle) AS hotl FROM hotkeys GROUP BY source),
+      |pr AS (
+      |  SELECT sh.doc_id, sh.source,
+      |    CASE WHEN h.hotl IS NULL THEN sh.s
+      |         ELSE list_filter(sh.s, x -> NOT list_contains(h.hotl, x)) END AS s
+      |  FROM sh LEFT JOIN hot h ON sh.source = h.source)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(a.s) AS BIGINT) AS n_shingles_a,
+      |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common,
+      |  CAST(len(list_intersect(a.s, b.s)) * 1000 // len(a.s) AS BIGINT)
+      |    AS containment_permille
+      |FROM pr a JOIN pr b ON a.source = b.source AND a.doc_id <> b.doc_id
+      |WHERE len(a.s) > 0 AND len(b.s) > 0
+      |  AND len(list_intersect(a.s, b.s)) * 1000 // len(a.s) >= 700
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Q111 — winnowing document fingerprints (NativeExpressions.WinnowStats;
     * Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS scheme): hash every

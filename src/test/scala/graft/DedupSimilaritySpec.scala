@@ -387,4 +387,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"sorted neighborhood must not plan a join:\n$plan")
   }
+
+  test("containment: excerpt fully contained, reverse direction low, jaccard blind to it") {
+    // doc 2 is a strict 6-word excerpt of the 20-word doc 1
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 6).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, words, "s"), (2L, excerpt, "s"), (3L, "x y z q r t", "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramContainmentPairs(corpus, "doc_id", "text", "source",
+      minPermille = 500)
+      .select("id_a", "id_b", "n_shingles_a", "common", "containment_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // excerpt has 2 distinct 5-gram shingles, both inside doc 1 -> 1000 permille;
+    // the reverse direction (doc 1 in doc 2) is 2/16 = 125 permille -> cut;
+    // doc 3 shares nothing
+    assert(pairs == Seq((2L, 1L, 2L, 2L, 1000L)), s"got $pairs")
+    // symmetric Jaccard on the same corpus misses the excerpt (2/16 = 0.125)
+    val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "source",
+      shingleN = 5, threshold = 0.5)
+    assert(j.count() === 0L, "jaccard at 0.5 must be blind to the excerpt")
+  }
 }
