@@ -496,6 +496,58 @@ object Streaming {
       }
   }
 
+  case class CusumState(pos: Long, neg: Long, n: Long)
+
+  /** STREAMING mean-shift monitor — Page's CUSUM test (Page, Biometrika
+    * 1954) as constant-size keyed state, the online companion to the
+    * batch change-point localizer (q113, which finds WHERE a shift was;
+    * this fires WHILE one is happening):
+    *
+    *   S⁺ ← max(0, S⁺ + (y − target − slack))
+    *   S⁻ ← max(0, S⁻ + (target − slack − y))    alert when either > h
+    *
+    * All quantities are e-4 fixed-point longs (the q105/q113 y
+    * convention), so the recursion is exact integer arithmetic and the
+    * spec replays it in plain Scala for batch parity. Page's statistic is
+    * arrival-order-dependent; rows are folded in (ts, y) order within
+    * each micro-batch — the funnelUpdates determinism contract — so any
+    * batch split of the same rows yields the same final state. State is
+    * three longs per key regardless of stream length; TTL expiry drops
+    * idle keys. Emits (key, n, sPos, sNeg, alert) whenever the state
+    * moves. */
+  def cusumUpdates(points: Dataset[(Long, Long, Long)], targetE4: Long,
+      slackE4: Long, thresholdE4: Long,
+      stateTtl: Option[String] = Some("1 hour")): Dataset[(Long, Long, Long, Long, Boolean)] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val timeoutConf = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    points
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, (Long, Long, Long, Long, Boolean)](
+        OutputMode.Update, timeoutConf) {
+        (key: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+            val before = st
+            rows.map(r => (r._2, r._3)).toSeq.sortBy(identity).foreach { case (_, y) =>
+              st = CusumState(
+                math.max(0L, st.pos + (y - targetE4 - slackE4)),
+                math.max(0L, st.neg + (targetE4 - slackE4 - y)),
+                st.n + 1)
+            }
+            if (st == before) Iterator.empty
+            else {
+              state.update(st)
+              stateTtl.foreach(state.setTimeoutDuration)
+              Iterator.single((key, st.n, st.pos, st.neg,
+                st.pos > thresholdE4 || st.neg > thresholdE4))
+            }
+          }
+      }
+  }
+
   /** Event-time session windows with watermarking — the upgrade over the
     * reference's processing-time SessionWindows (SURVEY.md §4 calls this
     * out as free in Spark). Input: the `events` table shape with ns-Long

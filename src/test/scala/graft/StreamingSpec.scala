@@ -274,6 +274,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: accumulates across batches, alerts on shift, matches the scala fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, Long, Long)]
+    // target 10.0, slack 1.0, threshold 25.0 (all e4)
+    val (target, slack, h) = (100000L, 10000L, 250000L)
+    val q = Streaming.cusumUpdates(input.toDS(), target, slack, h, stateTtl = None)
+      .toDF("key", "n", "s_pos", "s_neg", "alert")
+      .writeStream.format("memory").queryName("cusum_stream_test")
+      .outputMode("update").start()
+    try {
+      // key 1: on-target values -> statistics pinned at 0 by the slack;
+      // key 2: shifted to 25.0 -> S+ grows by 14.0 per point, alerts on 2nd
+      input.addData(Seq((1L, 1L, 100000L), (2L, 1L, 250000L)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, 2L, 100000L), (2L, 2L, 250000L)))
+      q.processAllAvailable()
+      val last = spark.table("cusum_stream_test")
+        .groupBy(col("key")).agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct(
+            col("n"), col("s_pos"), col("s_neg"), col("alert"))).as("b"))
+        .select(col("key"), col("b.n"), col("b.s_pos"), col("b.s_neg"), col("b.alert"))
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      // key 1 never moved off 0, but n is state too (the census), so every
+      // batch with arrivals emits — statistics pinned at 0 by the slack
+      assert(last(1L) === ((2L, 0L, 0L, false)), s"on-target key: $last")
+      assert(last(2L) === ((2L, 280000L, 0L, true)), s"shifted key must alert: $last")
+      // plain-scala replay of Page's recursion = the determinism contract
+      def fold(ys: Seq[Long]) = ys.foldLeft((0L, 0L)) { case ((p, n), y) =>
+        (math.max(0L, p + (y - target - slack)), math.max(0L, n + (target - slack - y)))
+      }
+      assert(fold(Seq(250000L, 250000L)) === ((280000L, 0L)))
+      // downward shift drives the one-sided S- instead
+      input.addData(Seq((3L, 1L, 10000L), (3L, 2L, 10000L)))
+      q.processAllAvailable()
+      val k3 = spark.table("cusum_stream_test").filter(col("key") === 3L)
+        .select(col("s_pos"), col("s_neg"), col("alert"))
+        .as[(Long, Long, Boolean)].collect().last
+      assert(k3 === ((0L, 160000L, false)), s"downward shift: $k3")
+    } finally q.stop()
+  }
+
   test("event-time near-dup: collides within ttl, evicts after the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
