@@ -36,7 +36,12 @@ object ScaleProbe {
     "q93_lm_quality", "q94_importance_select", "q95_phrase_search",
     "q98_semantic_dedup", "q100_curation_pipeline",
     // round-7 classifier + graph-landmark family
-    "q103_nb_classifier", "q104_bfs_landmarks")
+    "q103_nb_classifier", "q104_bfs_landmarks",
+    // round-7 continuation: scan kernels, change-point, fusion, graph
+    // prediction, containment
+    "q106_collocations", "q111_winnowing", "q112_multipattern",
+    "q113_changepoint", "q114_rrf_fusion", "q115_link_prediction",
+    "q116_containment")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy
@@ -85,6 +90,22 @@ object ScaleProbe {
             .map(col).toSeq: _*)
         .coalesce(4).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       marker.createNewFile()
+    }
+    // events joined the probe after lineitem (q113's daily totals): fill
+    // it into corpora whose marker predates it. Copies keep the SAME
+    // timestamps (bucket count stays fixed while event volume scales —
+    // the monitoring-aggregate shape) with ids offset per copy. The
+    // normalized loader emits epoch-ns Long ts, so the scaled parquet
+    // takes the legacy-Long read path by construction.
+    if (!new File(s"$out/events.parquet").exists()) {
+      graft.sources.Tables.events(spark, sfDir)
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select(
+          (col("event_id") + col("copy") * 100000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("copy") * 100000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(4).write.mode("overwrite").parquet(s"$out/events.parquet")
     }
     out
   }

@@ -98,6 +98,39 @@ object TrainingPrep {
       .drop("r1", "salt", "h")
   }
 
+  /** WEIGHTED sampling without replacement per stratum — priority
+    * sampling (Duffield/Lund/Thorup, JACM 2007): each item gets priority
+    * q = w / u with u uniform on (0,1]; the top-k by priority is the
+    * sample. Heavier items are proportionally likelier to be drawn — the
+    * length/quality-weighted corpus subsampling verb that unweighted q59
+    * cannot express.
+    *
+    * Determinism contract: u comes from the portable 60-bit hash of the
+    * item key (u ≈ (h+1)/2^60), so the priority is the exact integer
+    * `w · 2^60 div (h+1)` — any engine replays every draw. Computed in
+    * DECIMAL(38) and clamped at 2^62 (a priority that large needs
+    * h < w·4, probability ~1e-17 per item — and the clamp is replayed on
+    * both sides anyway) so the output column stays BIGINT.
+    *
+    * Scale: one narrow pass for (h, priority), one per-stratum top-k
+    * window map-side-pruned by WindowGroupLimit — identical posture to
+    * [[stratifiedSample]]. */
+  def prioritySample(df: DataFrame, strataCol: String, keyCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.portableHash60(
+      concat(col(keyCol).cast("string"), lit(":prio")))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("priority").desc, col(keyCol))
+    df.withColumn("__h", h)
+      .withColumn("priority", expr(
+        s"cast(least(cast($weightCol as decimal(38,0)) * 1152921504606846976" +
+          " div (__h + 1), 4611686018427387904) as bigint)"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("__h")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `n`-gram with an evaluation/benchmark document — the standard
     * train/test-overlap hygiene pass before LLM training.

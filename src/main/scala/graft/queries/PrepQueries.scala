@@ -533,5 +533,43 @@ object PrepQueries {
     QueryDef("q38_curation", curation, Some(curationSql)),
     QueryDef("q41_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q42_mixture", mixture, Some(mixtureSql)),
-    QueryDef("q59_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)))
+    QueryDef("q59_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("q117_priority_sample", prioritySampleQuery, Some(prioritySampleSql)))
+
+  /** Q117 — length-weighted corpus subsampling by PRIORITY sampling
+    * (TrainingPrep.prioritySample; Duffield/Lund/Thorup 2007): top-5
+    * docs per source by priority w·2^60 div (h+1) with w = word count —
+    * heavier documents proportionally likelier, every draw a
+    * deterministic exact integer the oracle replays (hash, priority,
+    * clamp, per-stratum ranks). The weighted counterpart of q59. */
+  def prioritySampleQuery(spark: SparkSession, dir: String): DataFrame =
+    TrainingPrep.prioritySample(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_words")),
+      "source", "doc_id", "n_words", k = 5)
+      .select(col("source"), col("sample_rank").cast("long").as("sample_rank"),
+        col("doc_id"), col("n_words"), col("priority"))
+      .orderBy(col("source"), col("sample_rank"))
+
+  val prioritySampleSql: String =
+    """WITH base AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':prio'), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |pr AS (
+      |  SELECT source, doc_id, n_words,
+      |    CAST(least(n_words::HUGEINT * 1152921504606846976 // (h + 1),
+      |               4611686018427387904::HUGEINT) AS BIGINT) AS priority
+      |  FROM base),
+      |rk AS (
+      |  SELECT source, doc_id, n_words, priority,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY priority DESC, doc_id) AS sample_rank
+      |  FROM pr)
+      |SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank,
+      |  doc_id, n_words, priority
+      |FROM rk WHERE sample_rank <= 5
+      |ORDER BY source, sample_rank""".stripMargin
 }

@@ -194,4 +194,32 @@ class TrainingPrepSpec extends SparkSpec {
       .collect().map(_.getLong(3))
     assert(z.forall(_ === 0L), s"identical slices must show zero drift: ${z.toSeq}")
   }
+
+  test("priority sampling: matches the integer formula, weights steer inclusion, strata isolate") {
+    // independent replay of the priority formula (md5-hash u, w*2^60 div (h+1))
+    def prio(id: Long, w: Long): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:prio".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = BigInt(hex, 16)
+      (BigInt(w) * BigInt(2).pow(60) / (h + 1)).min(BigInt(2).pow(62))
+    }
+    val rows = (1L to 20L).map(id => (id, if (id <= 10) "a" else "b",
+      if (id % 3 == 0) 1000L else 1L))
+    val got = TrainingPrep.prioritySample(
+      rows.toDF("id", "stratum", "w"), "stratum", "id", "w", k = 3)
+      .select("stratum", "sample_rank", "id", "priority")
+      .as[(String, Int, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (s, items) =>
+      items.map(r => (s, r._1, prio(r._1, r._3)))
+        .sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+        .map { case ((st, id, p), i) => (st, i + 1, id, p.toLong) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expected, s"got $got\nexpected $expected")
+    // strata isolate: 3 per stratum regardless of cross-stratum weights
+    assert(got.count(_._1 == "a") == 3 && got.count(_._1 == "b") == 3)
+    // the 1000x-weighted ids dominate each stratum's sample
+    assert(got.count(r => r._3 % 3 == 0) >= 4, s"weights must steer: $got")
+  }
 }
