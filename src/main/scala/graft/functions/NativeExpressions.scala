@@ -463,6 +463,50 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): WinnowStats = copy(child = c)
   }
 
+  /** One-pass audio QUALITY-CONTROL statistics over a RIFF/WAVE clip's
+    * PCM-16 section (bytes from offset 44, little-endian signed): the
+    * corpus-hygiene signals a speech/audio training pipeline gates on —
+    * clipping (|s| ≥ clipAbs: recorder saturation), dead air (the longest
+    * run of |s| < silenceAbs), and total energy (Σ|s|², exact — |s| ≤
+    * 2^15 so a clip needs > 2^33 samples to overflow). Same contract as
+    * [[WavSampleStats]]: callers gate on the columnar header validation;
+    * the kernel only assumes length ≥ 44. The SQL oracle replays the
+    * longest-run via the gaps-and-islands window construction. */
+  case class WavQcStats(child: Expression, clipAbs: Int, silenceAbs: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(clipAbs > silenceAbs && silenceAbs > 0)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_clipped", LongType, nullable = false),
+      StructField("longest_silence", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[Array[Byte]]
+      var n = 0L
+      var clipped = 0L
+      var longest = 0L
+      var run = 0L
+      var energy = 0L
+      var i = 44
+      while (i + 1 < b.length) {
+        val v = ((b(i) & 0xFF) | (b(i + 1) << 8)).toShort.toInt
+        val a = math.abs(v).toLong
+        n += 1
+        if (a >= clipAbs) clipped += 1
+        if (a < silenceAbs) {
+          run += 1
+          if (run > longest) longest = run
+        } else run = 0
+        energy += a * a
+        i += 2
+      }
+      org.apache.spark.sql.catalyst.InternalRow(n, clipped, longest, energy)
+    }
+    override protected def withNewChildInternal(c: Expression): WavQcStats =
+      copy(child = c)
+  }
+
   /** All-occurrences multi-pattern scan statistics over an Aho–Corasick
     * automaton (see [[graft.functions.AhoCorasick]]): struct<n_hits,
     * n_patterns_hit, hit_checksum>. The pattern list rides in the
@@ -780,6 +824,9 @@ object NativeExpressions {
 
   def multiPatternStats(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(MultiPatternStats(ColumnBridge.expression(text), patterns))
+
+  def wavQcStats(content: Column, clipAbs: Int, silenceAbs: Int): Column =
+    ColumnBridge.column(WavQcStats(ColumnBridge.expression(content), clipAbs, silenceAbs))
 
   /** Hash-aggregable `max_by(value, struct(ords...))` — see ArgMaxByOrd. */
   def argMaxBy(value: Column, ords: Column*): Column =

@@ -326,8 +326,47 @@ object AnalyticsQueries {
       |  CAST(dmax // tt AS BIGINT) AS dev_e4
       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** Q118 — behavioral PATH mining: the top event-type trigram sequences
+    * users actually walk (ordered by (ts, event_id) within user), with
+    * occurrence and distinct-user counts — the sequence-FREQUENCY verb
+    * next to the sequence-MATCHING funnel (q53/q90 ask "who completed
+    * this given path"; this asks "which paths exist"). One window over
+    * each user's stream (two leads), one hash-aggregate on the path
+    * string, top-20 with ties to the path. Scale: the window partitions
+    * by user (bounded per-user streams), the aggregate's key space is
+    * |event_types|³ — tiny — so map-side partials collapse everything. */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(20)
+  }
+
+  val eventPathsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+      |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n_occurrences DESC, path ASC LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q113_changepoint", changePoint, Some(changePointSql)),
+    QueryDef("q118_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),

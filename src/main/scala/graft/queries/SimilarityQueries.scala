@@ -308,6 +308,52 @@ object SimilarityQueries {
       |  CAST(MAX(a) AS BIGINT) AS peak_abs
       |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** Q119 — audio QC gating (NativeExpressions.WavQcStats): the
+    * corpus-hygiene pass over the synthetic WAV clips — clipping census
+    * (|s| ≥ 1000), the longest dead-air run (|s| < 50), and exact
+    * energy Σ|s|², all in one byte-level kernel pass per clip. The
+    * oracle regenerates every sample closed-form from the q74 clip
+    * formula and replays the longest run with the gaps-and-islands
+    * window construction — the kernel's sequential run counter against
+    * an independent relational formulation. */
+  def audioQc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wavs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, graft.multimodal.AudioWav.syntheticWav(id))))
+      .toDF("media_id", "content")
+    val qc = graft.functions.NativeExpressions.wavQcStats(col("content"), 1000, 50)
+    wavs.select(col("media_id"), qc.as("q"))
+      .select(col("media_id"), col("q.n_samples").as("n_samples"),
+        col("q.n_clipped").as("n_clipped"),
+        col("q.longest_silence").as("longest_silence"),
+        col("q.energy").as("energy"))
+      .orderBy(col("media_id"))
+  }
+
+  val audioQcSql: String =
+    """WITH clips AS (
+      |  SELECT doc_id AS media_id, 32 + doc_id % 32 AS n FROM documents),
+      |s AS (
+      |  SELECT media_id, i.i AS i,
+      |    abs((media_id * 97 + i.i * 31) % 2048 - 1024) AS a
+      |  FROM clips, range(0, 64) i(i) WHERE i.i < n),
+      |sil AS (
+      |  SELECT media_id, i,
+      |    i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS grp
+      |  FROM s WHERE a < 50),
+      |runs AS (
+      |  SELECT media_id, CAST(COUNT(*) AS BIGINT) AS run
+      |  FROM sil GROUP BY media_id, grp),
+      |longest AS (
+      |  SELECT media_id, MAX(run) AS longest_silence FROM runs GROUP BY media_id)
+      |SELECT s.media_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(CASE WHEN a >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |  CAST(COALESCE(MAX(l.longest_silence), 0) AS BIGINT) AS longest_silence,
+      |  CAST(SUM(a * a) AS BIGINT) AS energy
+      |FROM s LEFT JOIN longest l USING (media_id)
+      |GROUP BY s.media_id ORDER BY s.media_id""".stripMargin
+
   /** IVF-flat approximate top-k, INTEGER-EXACT build (Similarity.ivfExact*):
     * 8 md5-seeded cells, one Lloyd iteration with sum-centroids (cosine is
     * scale-invariant ⇒ sum ≡ mean, and integer sums are engine-exact),
@@ -841,6 +887,7 @@ object SimilarityQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q114_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
+    QueryDef("q119_audio_qc", audioQc, Some(audioQcSql)),
     QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),

@@ -184,4 +184,22 @@ class MultimodalSpec extends SparkSpec {
     val err = out.filter(_.getLong(0) == 2L)
     assert(err.length == 1 && err(0).getString(7) == "bad-grav", s"error rows: ${err.toSeq}")
   }
+
+  test("WAV QC kernel: clipping census, trailing silence run, energy, empty clip") {
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.AudioWav
+    def qc(samples: Short*) = Seq(Tuple1(AudioWav.encode(samples.toArray))).toDF("content")
+      .select(graft.functions.NativeExpressions.wavQcStats(col("content"), 1000, 50).as("q"))
+      .select(col("q.n_samples"), col("q.n_clipped"), col("q.longest_silence"), col("q.energy"))
+      .as[(Long, Long, Long, Long)].head()
+    // 2 clipped (±32767 and 1000 boundary is >=), silence runs 2 then a
+    // trailing 3 — the trailing run must count without a closing loud sample
+    val r = qc(32767, -32767, 10, -20, 1000, 0, 0, 49)
+    assert(r._1 == 8L && r._2 == 3L, s"census: $r")
+    assert(r._3 == 3L, s"trailing silence run must win: $r")
+    assert(r._4 == 2L * 32767L * 32767L + 100L + 400L + 1000000L + 2401L, s"energy: $r")
+    // silence threshold is strict <: a constant 50 clip has no silence
+    assert(qc(50, 50, 50) == ((3L, 0L, 0L, 7500L)))
+    assert(qc() == ((0L, 0L, 0L, 0L)), "empty data section folds to zeros")
+  }
 }
