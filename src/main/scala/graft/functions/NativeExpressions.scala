@@ -463,6 +463,44 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): WinnowStats = copy(child = c)
   }
 
+  /** Term-bag frequencies in ONE tokenization pass: array<long> of exact
+    * whitespace-token match counts, one slot per query term. The
+    * expression-tree alternative (`size(filter(split(text,' '), x -> x =
+    * term))` per term) re-evaluates an interpreted lambda chain per term
+    * per row — O(terms · tokens) with per-element dispatch; this kernel
+    * tokenizes once and counts via a ≤64-entry hash map, O(tokens).
+    * Used by the BM25/RRF lexical path; results are bit-identical to the
+    * filter form (exact string equality on space-split tokens), so the
+    * q45/q114 oracles are untouched. */
+  case class TermCounts(child: Expression, terms: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(terms.nonEmpty && terms.size <= 64, "bag-of-terms query expected")
+    @transient private lazy val slot: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      terms.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+      m
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.toString
+      val counts = new Array[Long](terms.size)
+      var start = 0
+      var i = 0
+      val n = text.length
+      while (i <= n) {
+        if (i == n || text.charAt(i) == ' ') {
+          val s = slot.get(text.substring(start, i))
+          if (s != null) counts(s.intValue()) += 1
+          start = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(counts)
+    }
+    override protected def withNewChildInternal(c: Expression): TermCounts =
+      copy(child = c)
+  }
+
   /** One-pass audio QUALITY-CONTROL statistics over a RIFF/WAVE clip's
     * PCM-16 section (bytes from offset 44, little-endian signed): the
     * corpus-hygiene signals a speech/audio training pipeline gates on —
@@ -827,6 +865,9 @@ object NativeExpressions {
 
   def wavQcStats(content: Column, clipAbs: Int, silenceAbs: Int): Column =
     ColumnBridge.column(WavQcStats(ColumnBridge.expression(content), clipAbs, silenceAbs))
+
+  def termCounts(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(text), terms))
 
   /** Hash-aggregable `max_by(value, struct(ords...))` — see ArgMaxByOrd. */
   def argMaxBy(value: Column, ords: Column*): Column =

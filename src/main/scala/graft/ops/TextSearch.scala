@@ -68,16 +68,18 @@ object TextSearch {
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.size <= 64, "bag-of-terms query expected")
     val base = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    // per-(doc, term) tf without a full explode: one struct per query term,
-    // computed row-locally, then exploded (≤ |terms| rows per doc) and
-    // filtered to hits
-    val perTerm = terms.map { t =>
-      struct(lit(t).as("term"),
-        size(filter(col("toks"), x => x === lit(t))).cast("long").as("tf"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        size(split(col(textCol), " ")).cast("long").as("dl"))
+    // per-(doc, term) tf without a full explode: ONE native tokenization
+    // pass counts all query terms (TermCounts — the per-term
+    // size(filter(...)) lambda chain re-tokenized per term, interpreted),
+    // then ≤ |terms| rows per doc explode and filter to hits
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("term"), col("__tc")(i).as("tf"))
     }
     val tfRows = base
+      .withColumn("__tc",
+        graft.functions.NativeExpressions.termCounts(col("__text"), terms))
       .select(col("doc_id"), col("dl"), explode(array(perTerm: _*)).as("p"))
       .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").as("tf"))
       .filter(col("tf") > 0)
