@@ -65,7 +65,23 @@ object GraftFunctions {
       "graft_bounded_levenshtein(a, b, k) - min(levenshtein, k+1) via the banded DP"),
     ("graft_normalize",
       (args: Seq[Expression]) => NativeExpressions.NormalizeFold(args.head),
-      "graft_normalize(text) - NFC + strip diacritics + casefold (dedup canonical form)"))
+      "graft_normalize(text) - NFC + strip diacritics + casefold (dedup canonical form)"),
+    ("graft_winnow",
+      (args: Seq[Expression]) => NativeExpressions.WinnowStats(
+        args.head, intArg(args(1), "k"), intArg(args(2), "w")),
+      "graft_winnow(text, k, w) - winnowing fingerprint stats (MOSS scheme)"),
+    ("graft_wav_qc",
+      (args: Seq[Expression]) => NativeExpressions.WavQcStats(
+        args.head, intArg(args(1), "clipAbs"), intArg(args(2), "silenceAbs")),
+      "graft_wav_qc(binary, clipAbs, silenceAbs) - clipping/dead-air/energy QC stats"),
+    ("graft_term_counts",
+      (args: Seq[Expression]) => NativeExpressions.TermCounts(args.head,
+        args.tail.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_term_counts terms must be string literals, got $other")
+        }),
+      "graft_term_counts(text, term, ...) - one-pass whitespace-token counts per term"))
 
   /** Register every graft_* function on an existing session. */
   def register(spark: SparkSession): Unit =

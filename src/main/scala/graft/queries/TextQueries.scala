@@ -611,6 +611,68 @@ object TextQueries {
       |  CAST(CASE WHEN label = actual THEN 1 ELSE 0 END AS INTEGER) AS hit
       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Q120 — classifier EVALUATION metrics (the model-ops verb that
+    * closes the q103 loop: train → classify → MEASURE): per-class
+    * confusion counts and precision / recall / F1 in exact permille over
+    * the q103 held-out predictions. F1 computes as `2·tp·1000 div
+    * (n_pred + n_actual)` — one integer division, no intermediate
+    * rounding; never-predicted or absent classes report null metrics but
+    * keep census rows. Three tiny per-class aggregates joined on the
+    * ≤ |classes| key space — everything after the q103 argmax is
+    * class-cardinality work. */
+  def classifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = nbClassifier(spark, dir)
+    val classes = pred.select(col("actual").as("label"))
+      .union(pred.select(col("pred_label").as("label"))).distinct()
+    val nActual = pred.groupBy(col("actual").as("label"))
+      .agg(count(lit(1)).as("n_actual"))
+    val nPred = pred.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = pred.filter(col("pred_label") === col("actual"))
+      .groupBy(col("actual").as("label")).agg(count(lit(1)).as("tp"))
+    classes
+      .join(nActual, Seq("label"), "left_outer")
+      .join(nPred, Seq("label"), "left_outer")
+      .join(tp, Seq("label"), "left_outer")
+      .na.fill(0L, Seq("n_actual", "n_pred", "tp"))
+      .withColumn("precision_permille",
+        when(col("n_pred") > 0, expr("tp * 1000 div n_pred")))
+      .withColumn("recall_permille",
+        when(col("n_actual") > 0, expr("tp * 1000 div n_actual")))
+      .withColumn("f1_permille",
+        when(col("n_pred") + col("n_actual") > 0,
+          expr("2 * tp * 1000 div (n_pred + n_actual)")))
+      .orderBy(col("label"))
+  }
+
+  val classifierEvalSql: String =
+    s"""WITH pred AS (SELECT * FROM (
+       |$nbClassifierSql
+       |) q),
+       |cls AS (SELECT actual AS label FROM pred
+       |        UNION SELECT pred_label FROM pred),
+       |na AS (SELECT actual AS label, COUNT(*) AS n_actual FROM pred GROUP BY 1),
+       |np AS (SELECT pred_label AS label, COUNT(*) AS n_pred FROM pred GROUP BY 1),
+       |tpt AS (SELECT actual AS label, COUNT(*) AS tp FROM pred
+       |        WHERE pred_label = actual GROUP BY 1),
+       |j AS (
+       |  SELECT cls.label,
+       |    COALESCE(na.n_actual, 0) AS n_actual,
+       |    COALESCE(np.n_pred, 0) AS n_pred,
+       |    COALESCE(tpt.tp, 0) AS tp
+       |  FROM cls LEFT JOIN na USING (label) LEFT JOIN np USING (label)
+       |  LEFT JOIN tpt USING (label))
+       |SELECT label, CAST(n_actual AS BIGINT) AS n_actual,
+       |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+       |  CAST(CASE WHEN n_pred > 0 THEN tp * 1000 // n_pred END AS BIGINT)
+       |    AS precision_permille,
+       |  CAST(CASE WHEN n_actual > 0 THEN tp * 1000 // n_actual END AS BIGINT)
+       |    AS recall_permille,
+       |  CAST(CASE WHEN n_pred + n_actual > 0
+       |       THEN 2 * tp * 1000 // (n_pred + n_actual) END AS BIGINT)
+       |    AS f1_permille
+       |FROM j ORDER BY label""".stripMargin
+
   /** Q106 — collocation extraction (TextSearch.collocations): top-25
     * word pairs by chi-square association over the corpus bigram table,
     * min pair count 5, integer-exact in DECIMAL(38)/HUGEINT. The oracle
@@ -730,6 +792,7 @@ object TextQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_multipattern", multiPatternScan, Some(multiPatternScanSql)),
+    QueryDef("q120_classifier_eval", classifierEval, Some(classifierEvalSql)),
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q103_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     QueryDef("q106_collocations", collocationsQuery, Some(collocationsSql)),

@@ -217,6 +217,23 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(x.intersect(y).nonEmpty, "planted overlap must share a fingerprint")
   }
 
+  test("graft_winnow / graft_wav_qc / graft_term_counts run from SQL, agree with Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_winnow('abcdefghijkl', 8, 4) AS w," +
+        " graft_term_counts('a b a c', 'a', 'c', 'z') AS tc")
+      .selectExpr("w.n_windows", "tc[0]", "tc[1]", "tc[2]").as[(Long, Long, Long, Long)].head()
+    assert(r == ((2L, 2L, 1L, 0L)))
+    val col = Seq("abcdefghijkl").toDF("t")
+      .select(NativeExpressions.winnowStats($"t", 8, 4).as("w"))
+      .select($"w.n_windows").as[Long].head()
+    assert(col == r._1)
+    val qc = Seq(Tuple1(graft.multimodal.AudioWav.encode(Array[Short](0, 2000)))).toDF("c")
+      .selectExpr("graft_wav_qc(c, 1000, 50) AS q").selectExpr("q.n_clipped", "q.longest_silence")
+      .as[(Long, Long)].head()
+    assert(qc == ((1L, 1L)))
+  }
+
   test("aho-corasick: agrees with the naive all-occurrence scan on overlap-heavy inputs") {
     val rnd = new scala.util.Random(7)
     // 2-letter alphabet maximizes overlaps, shared prefixes/suffixes, and
