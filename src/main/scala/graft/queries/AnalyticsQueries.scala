@@ -364,9 +364,53 @@ object AnalyticsQueries {
       |GROUP BY 1
       |ORDER BY n_occurrences DESC, path ASC LIMIT 20""".stripMargin
 
+  /** Q122 — conversion ATTRIBUTION (first-touch × last-touch): every
+    * purchase credited to the user's first and most recent non-purchase
+    * event within a 7-day lookback, rolled up into the attribution
+    * matrix (n_purchases + distinct converting users per touch pair).
+    * The RANGE frame ends at 1ns PRECEDING, so same-timestamp peers are
+    * excluded by VALUE — deterministic without a tie order, identically
+    * in both engines. Purchases with no prior touch keep a 'none'
+    * census cell. One window pass + one tiny-keyspace aggregate. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-7L * DayNs, -1L)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
+  val attributionSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+      |tw AS (
+      |  SELECT user_id, ts, event_type,
+      |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER w AS first_touch,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER w AS last_touch
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN 604800000000000 PRECEDING AND 1 PRECEDING))
+      |SELECT COALESCE(first_touch, 'none') AS first_touch,
+      |  COALESCE(last_touch, 'none') AS last_touch,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM tw WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q113_changepoint", changePoint, Some(changePointSql)),
     QueryDef("q118_event_paths", eventPaths, Some(eventPathsSql)),
+    QueryDef("q122_attribution", attribution, Some(attributionSql)),
     QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),

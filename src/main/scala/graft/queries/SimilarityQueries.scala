@@ -308,6 +308,69 @@ object SimilarityQueries {
       |  CAST(MAX(a) AS BIGINT) AS peak_abs
       |FROM s GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  /** Q121 — ANN retrieval EVALUATION (the q120 move for the similarity
+    * stack: index → query → MEASURE): for each of the four q79 probe
+    * vectors, rank the corpus by exact quantized cosine and score the
+    * ranking against label relevance (candidate.label == probe.label) —
+    * reciprocal rank of the first relevant hit as `1e6 div rank` and
+    * precision@10 in permille, both exact integers. Top-100 cut per
+    * probe bounds the window; the broadcast probe set keeps the corpus
+    * un-shuffled (the q79 serving posture, one scan for all probes). */
+  def annEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("q"),
+        col("label").as("probe_label"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
+        col("embedding"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .withColumn("rel", (col("label") === col("probe_label")).cast("long"))
+      .groupBy(col("probe_id"), col("probe_label"))
+      .agg(
+        min(when(col("rel") === 1, col("rank"))).cast("long").as("first_rel_rank"),
+        sum(when(col("rank") <= 10, col("rel")).otherwise(0L)).as("rel_at_10"))
+      .withColumn("rr_e6", expr("1000000 div first_rel_rank"))
+      .withColumn("p_at_10_permille", expr("rel_at_10 * 100"))
+      .orderBy(col("probe_id"))
+  }
+
+  val annEvalSql: String =
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, label AS probe_label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id < 4),
+      |c AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT p.probe_id, p.probe_label, c.vec_id, c.label,
+      |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * p.qv[i])) AS BIGINT) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> p.qv[i] * p.qv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+      |  FROM c CROSS JOIN p WHERE c.vec_id <> p.probe_id),
+      |rk AS (
+      |  SELECT probe_id, probe_label, vec_id, label, cosine,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY cosine DESC, vec_id ASC) AS rank
+      |  FROM scored),
+      |top AS (SELECT * FROM rk WHERE rank <= 100),
+      |agg AS (
+      |  SELECT probe_id, probe_label,
+      |    CAST(MIN(CASE WHEN label = probe_label THEN rank END) AS BIGINT) AS first_rel_rank,
+      |    CAST(SUM(CASE WHEN rank <= 10 AND label = probe_label THEN 1 ELSE 0 END) AS BIGINT) AS rel_at_10
+      |  FROM top GROUP BY 1, 2)
+      |SELECT probe_id, probe_label, first_rel_rank, rel_at_10,
+      |  CAST(1000000 // first_rel_rank AS BIGINT) AS rr_e6,
+      |  CAST(rel_at_10 * 100 AS BIGINT) AS p_at_10_permille
+      |FROM agg ORDER BY probe_id""".stripMargin
+
   /** Q119 — audio QC gating (NativeExpressions.WavQcStats): the
     * corpus-hygiene pass over the synthetic WAV clips — clipping census
     * (|s| ≥ 1000), the longest dead-air run (|s| < 50), and exact
@@ -888,6 +951,7 @@ object SimilarityQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q114_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q119_audio_qc", audioQc, Some(audioQcSql)),
+    QueryDef("q121_ann_eval", annEval, Some(annEvalSql)),
     QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
