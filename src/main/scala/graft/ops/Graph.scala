@@ -229,7 +229,8 @@ object Graph {
     * the dedup degree cap. Degrees come from the FULL graph; only
     * wedge CENTERS are capped. One wedge join, one hash-aggregate, one
     * anti-join against the edge set, one TakeOrdered. */
-  def linkPrediction(pairs: DataFrame, maxCenterDeg: Int, topK: Int): DataFrame = {
+  def linkPrediction(pairs: DataFrame, maxCenterDeg: Int, topK: Int,
+      materialize: Boolean = true): DataFrame = {
     val und = undirected(pairs.select(col("u").as("src"), col("v").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -240,12 +241,16 @@ object Graph {
       .filter(col("a") < col("b"))
     val scored = wedges.groupBy(col("a"), col("b"))
       .agg(sum(expr("1000000 div deg")).as("__ra"), count(lit(1)).as("n_common"))
-    val out = scored
+    val ranked = scored
       .join(und.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"), "left_anti")
       .select(col("a"), col("b"), col("n_common"), col("__ra").cast("long").as("ra_e6"))
       .orderBy(col("ra_e6").desc, col("a").asc, col("b").asc)
       .limit(topK)
-      .localCheckpoint(true)
+    // eager checkpoint so `und` can release before return (the Graph
+    // lifecycle); materialize=false keeps the plan visible for audits —
+    // the caller then owns the persist lifecycle
+    if (!materialize) return ranked
+    val out = ranked.localCheckpoint(true)
     und.unpersist()
     out
   }

@@ -364,6 +364,100 @@ object AnalyticsQueries {
       |GROUP BY 1
       |ORDER BY n_occurrences DESC, path ASC LIMIT 20""".stripMargin
 
+  /** Q123 — telemetry DUPLICATE-EVENT census (ingest hygiene): an event
+    * repeating the same (user, type) within 5 s of its predecessor is a
+    * client-retry/double-fire artifact; the census reports per-type
+    * volumes and the duplicate rate in exact permille — the gate a
+    * pipeline checks before trusting event counts. One window over
+    * (user, type) streams (lag on the (ts, event_id) total order), one
+    * tiny-keyspace aggregate. */
+  def eventDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("dup",
+        when(col("prev").isNotNull && col("ts") - col("prev") <= 5000000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("dup")).as("n_dups"))
+      .withColumn("dup_permille", expr("n_dups * 1000 div n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventDedupSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type FROM events),
+      |d AS (
+      |  SELECT event_type,
+      |    CASE WHEN lag(ts, 1) OVER w IS NOT NULL
+      |              AND ts - lag(ts, 1) OVER w <= 5000000000 THEN 1 ELSE 0 END AS dup
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(dup) AS BIGINT) AS n_dups,
+      |  CAST(SUM(dup) * 1000 // COUNT(*) AS BIGINT) AS dup_permille
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q124 — WINSORIZED robust statistics per event_type: clip values at
+    * the exact p05/p95 ORDER STATISTICS (rank ceil(p·n) of the
+    * fixed-point ordering — no interpolation, so unlike `percentile`
+    * the bound is a value that exists and replays as an exact integer)
+    * and report the raw vs winsorized mean in e-4 units. The
+    * trim-the-tails companion to q60's MAD flagging: q60 finds the
+    * outliers, this measures the metric with them neutralized. One
+    * ranked window + one tiny bounds table broadcast back. */
+  def winsorized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("y"))
+    val ranked = base
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("y"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val bounds = ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("r") === expr("(5 * n + 99) div 100"), col("y"))).as("lo_e4"),
+        min(when(col("r") === expr("(95 * n + 99) div 100"), col("y"))).as("hi_e4"))
+    base.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("cy", greatest(col("lo_e4"), least(col("hi_e4"), col("y"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("lo_e4")).as("lo_e4"),
+        max(col("hi_e4")).as("hi_e4"),
+        expr("sum(y) div max(n)").as("mean_e4"),
+        expr("sum(cy) div max(n)").as("winsor_mean_e4"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizedSql: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+      |  FROM events),
+      |rk AS (
+      |  SELECT event_type, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY y) AS r,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM base),
+      |b AS (
+      |  SELECT event_type, MAX(n) AS n,
+      |    MIN(CASE WHEN r = (5 * n + 99) // 100 THEN y END) AS lo_e4,
+      |    MIN(CASE WHEN r = (95 * n + 99) // 100 THEN y END) AS hi_e4
+      |  FROM rk GROUP BY 1)
+      |SELECT base.event_type, CAST(MAX(b.n) AS BIGINT) AS n,
+      |  CAST(MAX(b.lo_e4) AS BIGINT) AS lo_e4,
+      |  CAST(MAX(b.hi_e4) AS BIGINT) AS hi_e4,
+      |  CAST(SUM(y) // MAX(b.n) AS BIGINT) AS mean_e4,
+      |  CAST(SUM(greatest(b.lo_e4, least(b.hi_e4, y))) // MAX(b.n) AS BIGINT)
+      |    AS winsor_mean_e4
+      |FROM base JOIN b USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q122 — conversion ATTRIBUTION (first-touch × last-touch): every
     * purchase credited to the user's first and most recent non-purchase
     * event within a 7-day lookback, rolled up into the attribution
@@ -411,6 +505,8 @@ object AnalyticsQueries {
     QueryDef("q113_changepoint", changePoint, Some(changePointSql)),
     QueryDef("q118_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q122_attribution", attribution, Some(attributionSql)),
+    QueryDef("q123_event_dedup", eventDedup, Some(eventDedupSql)),
+    QueryDef("q124_winsorized", winsorized, Some(winsorizedSql)),
     QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),

@@ -346,4 +346,42 @@ class PlanAuditSpec extends SparkSpec {
     val rawTextKeyed = exchangeKeys.filter(_.contains("para"))
     assert(rawTextKeyed.isEmpty, s"raw-text exchange key: $rawTextKeyed")
   }
+
+  test("winnowing and the blocklist scan are map-only before the census row") {
+    for (name <- Seq("q111_winnowing", "q112_multipattern")) {
+      val p = plan(name)
+      // exactly ONE exchange: the final orderBy's range partitioning —
+      // the kernels themselves never shuffle anything
+      val exchanges = "Exchange (range|hash)partitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"$name must be map-only + sort, got $exchanges exchanges:\n${p.take(600)}")
+      assert(!p.contains("Join"), s"$name must not join")
+    }
+  }
+
+  test("change-point argmax hash-aggregates; windows run over buckets, not events") {
+    val p = plan("q113_changepoint")
+    assert(p.contains("ObjectHashAggregate"), p.take(500))
+    assert(!p.contains("SortAggregate"), "decimal-ordered argmax must stay hash-based")
+  }
+
+  test("link prediction: no cartesian product, wedge join is keyed, top-k is TakeOrdered") {
+    // the registered query eagerly checkpoints (Graph persist lifecycle),
+    // which hides the plan behind an RDD scan — audit the unmaterialized
+    // form on a synthetic graph (plan shape is data-independent)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val p = graft.ops.Graph.linkPrediction(pairs, maxCenterDeg = 30, topK = 50,
+      materialize = false).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "wedge join must be keyed")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("rrf fusion re-ranks only the bounded lists; the corpus scan is pruned") {
+    val p = plan("q114_rrf_fusion")
+    // the BM25 side reads (doc_id, text) only — column pruning reaches parquet
+    val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(read.exists(s => s.contains("doc_id") && s.contains("text") && !s.contains("lang")),
+      s"documents scan must prune to (doc_id, text): $read")
+  }
 }
