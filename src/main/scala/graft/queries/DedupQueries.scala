@@ -402,7 +402,63 @@ object DedupQueries {
     QueryDef("q33_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q108_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     QueryDef("q111_winnowing", winnowing, Some(winnowingSql)),
-    QueryDef("q116_containment", containment, Some(containmentSql)))
+    QueryDef("q116_containment", containment, Some(containmentSql)),
+    QueryDef("q125_dup_matrix", dupMatrix, Some(dupMatrixSql)))
+
+  /** Q125 — cross-source DUPLICATION matrix (data governance: which
+    * sources carry text first seen in which other sources): q87's
+    * paragraph grid keyed by md5, global first occurrence on the
+    * (doc_id, idx) total order, every LATER occurrence credited to the
+    * (first's source → duplicate's source) cell with occurrence and
+    * distinct-paragraph counts. The exchange keys on the 32-char md5
+    * (the q87 fingerprint lesson — never the raw text); the matrix key
+    * space is |sources|², so the final aggregate collapses map-side. */
+  def dupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val paras = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(ws)/7.0) as int) - 1)," +
+          " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
+      .withColumn("pk", md5(col("para").cast("binary")))
+      .drop("para")
+      .localCheckpoint(true) // two consumers below — don't recompute the grid
+    val firsts = paras
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pk")).orderBy(col("doc_id"), col("idx"))))
+      .filter(col("rn") === 1)
+      .select(col("pk"), col("doc_id").as("fdoc"), col("idx").as("fidx"),
+        col("source").as("source_first"))
+    paras
+      .join(firsts, Seq("pk"))
+      .filter(!(col("doc_id") === col("fdoc") && col("idx") === col("fidx")))
+      .groupBy(col("source_first"), col("source").as("source_dup"))
+      .agg(count(lit(1)).as("n_dup_paras"),
+        countDistinct(col("pk")).as("n_distinct_paras"))
+      .orderBy(col("source_first"), col("source_dup"))
+  }
+
+  val dupMatrixSql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, t.i AS idx,
+      |    md5(array_to_string(ws[(t.i*7)+1:(t.i+1)*7], ' ')) AS pk
+      |  FROM w, UNNEST(range(0, CAST(ceil(len(ws)/7.0) AS BIGINT))) AS t(i)),
+      |r AS (
+      |  SELECT doc_id, source, idx, pk,
+      |    row_number() OVER (PARTITION BY pk ORDER BY doc_id, idx) AS rn
+      |  FROM p),
+      |f AS (SELECT pk, doc_id AS fdoc, idx AS fidx, source AS source_first
+      |      FROM r WHERE rn = 1),
+      |d AS (
+      |  SELECT p.pk, f.source_first, p.source AS source_dup
+      |  FROM p JOIN f ON p.pk = f.pk
+      |  WHERE NOT (p.doc_id = f.fdoc AND p.idx = f.fidx))
+      |SELECT source_first, source_dup,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dup_paras,
+      |  CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_distinct_paras
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Q116 — asymmetric containment detection (Dedup.ngramContainmentPairs):
     * the excerpt/quote relationship Jaccard can't see. Every 7th document
