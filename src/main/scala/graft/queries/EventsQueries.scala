@@ -269,6 +269,63 @@ object EventsQueries {
       |       LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Q126 — funnel stage LATENCY (the time-to-convert companion of q90:
+    * q90 says who reached which stage; this says how long each
+    * transition takes): per transition of the view→click→click→purchase
+    * chain, the completing users' exact lower-median duration (order
+    * statistic at rank (n+1) div 2 — no interpolation, replays as an
+    * integer) and the truncated mean in ns. The funnel fold is the q90
+    * one-scan-one-exchange operator; everything after it is
+    * 3-transition-key work. */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = Sessions.funnel(Tables.events(spark, dir), "user_id", "ts",
+      "event_type", Seq("view", "click", "click", "purchase"))
+    val durs = f.select(explode(array(
+      struct(lit("1_view_to_click1").as("transition"),
+        (col("st")(1) - col("st")(0)).as("d")),
+      struct(lit("2_click1_to_click2").as("transition"),
+        (col("st")(2) - col("st")(1)).as("d")),
+      struct(lit("3_click2_to_purchase").as("transition"),
+        (col("st")(3) - col("st")(2)).as("d")))).as("t"))
+      .select(col("t.transition").as("transition"), col("t.d").as("d"))
+      .filter(col("d").isNotNull)
+    durs
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("transition")).orderBy(col("d"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("transition"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .groupBy(col("transition"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("r") === expr("(n + 1) div 2"), col("d"))).as("median_ns"),
+        expr("sum(d) div max(n)").as("mean_ns"))
+      .orderBy(col("transition"))
+  }
+
+  val funnelLatencySql: String =
+    s"""WITH f AS (SELECT * FROM (
+       |$funnelStagesSql
+       |) q),
+       |d AS (
+       |  SELECT '1_view_to_click1' AS transition, click1_ns - view_ns AS d
+       |  FROM f WHERE click1_ns IS NOT NULL
+       |  UNION ALL
+       |  SELECT '2_click1_to_click2', click2_ns - click1_ns
+       |  FROM f WHERE click2_ns IS NOT NULL
+       |  UNION ALL
+       |  SELECT '3_click2_to_purchase', purchase_ns - click2_ns
+       |  FROM f WHERE purchase_ns IS NOT NULL),
+       |r AS (
+       |  SELECT transition, d,
+       |    row_number() OVER (PARTITION BY transition ORDER BY d) AS r,
+       |    COUNT(*) OVER (PARTITION BY transition) AS n
+       |  FROM d)
+       |SELECT transition, CAST(MAX(n) AS BIGINT) AS n,
+       |  CAST(MIN(CASE WHEN r = (n + 1) // 2 THEN d END) AS BIGINT) AS median_ns,
+       |  CAST(SUM(d) // MAX(n) AS BIGINT) AS mean_ns
+       |FROM r GROUP BY transition ORDER BY transition""".stripMargin
+
   /** Q99 — KMV/theta sketch set operations (Sketches.kmvSketch):
     * per-event-type audience sketches over user ids, then pairwise
     * union / intersection / Jaccard ESTIMATES from the merged k-mins —
@@ -350,6 +407,7 @@ object EventsQueries {
     QueryDef("q99_kmv_overlap", kmvOverlap, Some(kmvOverlapSql)),
     QueryDef("q1_latest_state", latestState, Some(latestStateSql)),
     QueryDef("q90_funnel_stages", funnelStages, Some(funnelStagesSql)),
+    QueryDef("q126_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     QueryDef("q5_interval_join", intervalJoin, Some(intervalJoinSql)),
     QueryDef("q6_session_windows", sessionWindows, Some(sessionWindowsSql)),
     QueryDef("q27_asof_join", asofJoin, Some(asofJoinSql)),
