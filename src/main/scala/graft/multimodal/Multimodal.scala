@@ -277,6 +277,15 @@ case class VideoFrameRow(
     sum_b: Option[Long],
     video_error: Option[String])
 
+/** Kernel output row for VideoCodec.sceneCuts: one per-video summary (or
+  * error) row. */
+case class SceneCutRow(
+    media_id: Long,
+    n_frames: Option[Long],
+    n_cuts: Option[Long],
+    max_hamming: Option[Long],
+    video_error: Option[String])
+
 /** REAL video-container path — closes the last multimodal stub. No video
   * codec ships in a bare JDK, but a video CONTAINER is just an indexed
   * sequence of frames; this is the GRAV layout (GRFT's audio-video
@@ -370,6 +379,38 @@ object VideoCodec {
             VideoFrameRow(id, Some(idx), Some(w), Some(h),
               Some(sr), Some(sg), Some(sb), None)
           }
+        }
+      }).toDF()
+  }
+
+  /** Scene-cut detection: decode EVERY frame, aHash each, and count
+    * consecutive-frame hamming distances above `cutHamming` — the shot
+    * boundary signal a video-corpus pipeline samples keyframes by. One
+    * per-video summary row from one container pass (frames never leave
+    * the kernel); corrupt containers isolate as error rows, same
+    * contract as [[sampleFrames]]. */
+  def sceneCuts(media: DataFrame, cutHamming: Int,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseFrames(bytes, 1) match {
+          case Left(err) => SceneCutRow(id, None, None, None, Some(err))
+          case Right(frames) =>
+            val hashes = frames.map { case (_, png) =>
+              val (hi, lo, _) = Multimodal.ImageCodec.aHash64(png)
+              (hi, lo)
+            }
+            val hams = hashes.sliding(2).collect {
+              case Seq((h1, l1), (h2, l2)) =>
+                (java.lang.Long.bitCount(h1 ^ h2) +
+                  java.lang.Long.bitCount(l1 ^ l2)).toLong
+            }.toSeq
+            SceneCutRow(id, Some(frames.size.toLong),
+              Some(hams.count(_ > cutHamming).toLong),
+              Some(if (hams.isEmpty) 0L else hams.max), None)
         }
       }).toDF()
   }

@@ -854,6 +854,63 @@ object SimilarityQueries {
        |  CAST(hamming AS INTEGER) AS hamming
        |FROM prk WHERE r <= 4 ORDER BY id_a, id_b""".stripMargin
 
+  /** Q127 — video SCENE-CUT detection (VideoCodec.sceneCuts): every
+    * frame of every q89 container decoded and aHashed inside one kernel
+    * pass, consecutive-frame hamming distances counted against the cut
+    * threshold (20 of 64 bits) — the shot-boundary signal a video
+    * pipeline samples keyframes by. Same corruption planting and error
+    * isolation as q89. The oracle recomputes every frame's aHash
+    * closed-form (each frame id IS the pixel-generator seed), replays
+    * every hamming lag and the per-video census — one wrong bit in any
+    * frame's hash, or a stride slip, fails the compare. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = graft.multimodal.VideoCodec.syntheticVideo(id)
+        if (id % 50 == 0) {
+          val n = 4 + (id % 4).toInt
+          val p = 13 + 8 * n + 10
+          bytes(p) = (bytes(p) ^ 0x5A).toByte
+        }
+        (id, bytes)
+      }).toDF("media_id", "content")
+    graft.multimodal.VideoCodec.sceneCuts(vids, cutHamming = 20)
+      .orderBy(col("media_id"))
+  }
+
+  val sceneCutsSql: String = {
+    val frameMedia =
+      """SELECT doc_id * 100 + i.i AS media_id, doc_id * 100 + i.i AS gen_id
+        |  FROM (SELECT doc_id, 4 + doc_id % 4 AS n FROM documents
+        |        WHERE doc_id % 50 <> 0) v, range(0, 8) i(i)
+        |  WHERE i.i < n""".stripMargin
+    s"""WITH ${aHashCtes(frameMedia)},
+       |h AS (
+       |  SELECT media_id // 100 AS vid, media_id % 100 AS idx, hash_hi, hash_lo
+       |  FROM ah),
+       |ham AS (
+       |  SELECT vid, idx,
+       |    bit_count(xor(hash_hi, lag(hash_hi) OVER w))
+       |      + bit_count(xor(hash_lo, lag(hash_lo) OVER w)) AS hm
+       |  FROM h
+       |  WINDOW w AS (PARTITION BY vid ORDER BY idx)),
+       |agg AS (
+       |  SELECT vid AS media_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |    CAST(COUNT(CASE WHEN hm > 20 THEN 1 END) AS BIGINT) AS n_cuts,
+       |    CAST(COALESCE(MAX(hm), 0) AS BIGINT) AS max_hamming
+       |  FROM ham GROUP BY 1)
+       |SELECT media_id, n_frames, n_cuts, max_hamming,
+       |  CAST(NULL AS VARCHAR) AS video_error
+       |FROM agg
+       |UNION ALL
+       |SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |  CAST(NULL AS BIGINT), 'bad-grav'
+       |FROM documents WHERE doc_id % 50 = 0
+       |ORDER BY media_id""".stripMargin
+  }
+
   /** Q114 — hybrid retrieval by reciprocal-rank fusion (TextSearch.
     * rrfFuse): the modern two-tower search verb — a LEXICAL ranking
     * (q45's integer BM25 over the standard term bag, top-100) fused with
@@ -952,6 +1009,7 @@ object SimilarityQueries {
     QueryDef("q114_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q119_audio_qc", audioQc, Some(audioQcSql)),
     QueryDef("q121_ann_eval", annEval, Some(annEvalSql)),
+    QueryDef("q127_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),

@@ -185,6 +185,26 @@ class MultimodalSpec extends SparkSpec {
     assert(err.length == 1 && err(0).getString(7) == "bad-grav", s"error rows: ${err.toSeq}")
   }
 
+  test("scene cuts: identical frames no cut, distinct-frame hamming matches aHash, corrupt isolates") {
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.{Multimodal, VideoCodec}
+    val p1 = Multimodal.ImageCodec.syntheticPng(1L)
+    val p2 = Multimodal.ImageCodec.syntheticPng(2L)
+    val (h1a, l1a, _) = Multimodal.ImageCodec.aHash64(p1)
+    val (h2a, l2a, _) = Multimodal.ImageCodec.aHash64(p2)
+    val h12 = java.lang.Long.bitCount(h1a ^ h2a) + java.lang.Long.bitCount(l1a ^ l2a)
+    val good = VideoCodec.encode(Seq(p1, p1, p2)) // hams: 0, h12
+    val corrupt = { val b = VideoCodec.encode(Seq(p1, p2)); b(b.length - 10) = 0x7F; b }
+    val out = VideoCodec.sceneCuts(
+      Seq((1L, good), (2L, corrupt)).toDF("media_id", "content"), cutHamming = 20)
+      .orderBy(col("media_id"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    val expCuts = if (h12 > 20) 1L else 0L
+    assert(out(0) === ((1L, Some(3L), Some(expCuts), Some(h12.toLong), None)), s"got $out h12=$h12")
+    assert(out(1) === ((2L, None, None, None, Some("bad-grav"))), s"corrupt row: $out")
+  }
+
   test("WAV QC kernel: clipping census, trailing silence run, energy, empty clip") {
     import org.apache.spark.sql.functions.col
     import graft.multimodal.AudioWav
