@@ -232,6 +232,32 @@ object Multimodal {
       }
       (hi, lo, nSet)
     }
+
+    /** Image QC statistics through the same decode + per-pixel floor-gray
+      * convention as [[aHash64]] (gray = (r+g+b)/3 per pixel, mean =
+      * Σgray/64): (mean_gray, min_gray, max_gray) — the
+      * exposure/contrast gate of an image-corpus hygiene pass. */
+    def qcStats(bytes: Array[Byte]): (Long, Long, Long) = {
+      val img = decode(bytes)
+      require(img.getWidth == 8 && img.getHeight == 8)
+      var sum = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val p = img.getRGB(x, y)
+          val g = ((((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3).toLong
+          sum += g
+          if (g < mn) mn = g
+          if (g > mx) mx = g
+          x += 1
+        }
+        y += 1
+      }
+      (sum / 64, mn, mx)
+    }
   }
 
   /** REAL resize: decode → nearest-neighbour scale into the target box

@@ -364,6 +364,70 @@ object AnalyticsQueries {
       |GROUP BY 1
       |ORDER BY n_occurrences DESC, path ASC LIMIT 20""".stripMargin
 
+  /** Q129 — seasonality-aware anomaly pick: each event_type's daily
+    * totals are compared against their DAY-OF-WEEK median baseline (the
+    * seasonal decomposition a raw q60-style global scan would false-
+    * positive on every weekend); the output is each type's single most
+    * anomalous day — the largest |daily − dow-median| residual, ties to
+    * the earliest day. Medians are exact lower order statistics; the
+    * final argmax is one hash-aggregated ArgMaxByOrd over the (type,
+    * day) table (days, not events). dow = (epoch_day + 4) mod 7 — the
+    * 1970-01-01-was-Thursday convention, identical in both engines. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NativeExpressions.argMaxBy
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts div $DayNs").as("day"))
+      .agg(sum((col("value").cast("decimal(18,4)") * 10000).cast("long")).as("y"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val ranked = daily
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("event_type"), col("dow")).orderBy(col("y"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("dow"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val med = ranked.groupBy(col("event_type"), col("dow"))
+      .agg(min(when(col("r") === expr("(n + 1) div 2"), col("y"))).as("med"))
+    daily.join(med, Seq("event_type", "dow"))
+      .withColumn("resid", abs(col("y") - col("med")))
+      .groupBy(col("event_type"))
+      .agg(
+        argMaxBy(col("day"), col("resid"), -col("day")).as("anom_day"),
+        argMaxBy(col("dow"), col("resid"), -col("day")).as("anom_dow"),
+        argMaxBy(col("y"), col("resid"), -col("day")).as("day_total_e4"),
+        argMaxBy(col("med"), col("resid"), -col("day")).as("dow_median_e4"),
+        max(col("resid")).as("residual_e4"))
+      .orderBy(col("event_type"))
+  }
+
+  val seasonalitySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT event_type, day, y, (day + 4) % 7 AS dow FROM daily),
+      |rk AS (
+      |  SELECT event_type, dow, y,
+      |    row_number() OVER (PARTITION BY event_type, dow ORDER BY y) AS r,
+      |    COUNT(*) OVER (PARTITION BY event_type, dow) AS n
+      |  FROM d),
+      |med AS (
+      |  SELECT event_type, dow,
+      |    MIN(CASE WHEN r = (n + 1) // 2 THEN y END) AS med
+      |  FROM rk GROUP BY 1, 2),
+      |res AS (
+      |  SELECT d.event_type, d.day, d.dow, d.y, med.med,
+      |    abs(d.y - med.med) AS resid,
+      |    row_number() OVER (PARTITION BY d.event_type
+      |      ORDER BY abs(d.y - med.med) DESC, d.day ASC) AS rn
+      |  FROM d JOIN med USING (event_type, dow))
+      |SELECT event_type, CAST(day AS BIGINT) AS anom_day,
+      |  CAST(dow AS BIGINT) AS anom_dow,
+      |  CAST(y AS BIGINT) AS day_total_e4,
+      |  CAST(med AS BIGINT) AS dow_median_e4,
+      |  CAST(resid AS BIGINT) AS residual_e4
+      |FROM res WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   /** Q123 — telemetry DUPLICATE-EVENT census (ingest hygiene): an event
     * repeating the same (user, type) within 5 s of its predecessor is a
     * client-retry/double-fire artifact; the census reports per-type
@@ -507,6 +571,7 @@ object AnalyticsQueries {
     QueryDef("q122_attribution", attribution, Some(attributionSql)),
     QueryDef("q123_event_dedup", eventDedup, Some(eventDedupSql)),
     QueryDef("q124_winsorized", winsorized, Some(winsorizedSql)),
+    QueryDef("q129_seasonality", seasonality, Some(seasonalitySql)),
     QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),

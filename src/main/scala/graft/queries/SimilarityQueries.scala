@@ -854,6 +854,50 @@ object SimilarityQueries {
        |  CAST(hamming AS INTEGER) AS hamming
        |FROM prk WHERE r <= 4 ORDER BY id_a, id_b""".stripMargin
 
+  /** Q128 — image QC gating (ImageCodec.qcStats): the exposure/contrast
+    * hygiene pass for an image corpus — per image the floor-gray mean,
+    * min, max (the aHash64 gray convention exactly), the contrast span,
+    * and the dark/bright/flat flags the curation filter drops on. One
+    * decode per image inside the kernel; the oracle recomputes every
+    * gray value closed-form and replays mean, extremes, and every flag
+    * threshold. */
+  def imageQc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageMedia(spark, dir).select(col("media_id"), col("gen_id")).as[(Long, Long)]
+      .mapPartitions(_.map { case (mid, gid) =>
+        val (mean, mn, mx) = Multimodal.ImageCodec.qcStats(
+          Multimodal.ImageCodec.syntheticPng(gid))
+        (mid, mean, mn, mx)
+      })
+      .toDF("media_id", "mean_gray", "min_gray", "max_gray")
+      .withColumn("contrast", col("max_gray") - col("min_gray"))
+      .withColumn("too_dark", (col("mean_gray") < 64).cast("int"))
+      .withColumn("too_bright", (col("mean_gray") > 192).cast("int"))
+      .withColumn("low_contrast", (col("contrast") < 48).cast("int"))
+      .orderBy(col("media_id"))
+  }
+
+  val imageQcSql: String =
+    s"""WITH media AS ($imageMediaSql),
+       |px AS (
+       |  SELECT media_id,
+       |    ((((gen_id % 1009) * 31 + x.x * 7 + y.y * 13) % 256)
+       |     + (((gen_id % 1013) * 17 + x.x * 11 + y.y * 3) % 256)
+       |     + (((gen_id % 997) * 23 + x.x * 5 + y.y * 19) % 256)) // 3 AS gray
+       |  FROM media, range(0, 8) x(x), range(0, 8) y(y)),
+       |st AS (
+       |  SELECT media_id, SUM(gray) // 64 AS mean_gray,
+       |    MIN(gray) AS min_gray, MAX(gray) AS max_gray
+       |  FROM px GROUP BY 1)
+       |SELECT media_id, CAST(mean_gray AS BIGINT) AS mean_gray,
+       |  CAST(min_gray AS BIGINT) AS min_gray,
+       |  CAST(max_gray AS BIGINT) AS max_gray,
+       |  CAST(max_gray - min_gray AS BIGINT) AS contrast,
+       |  CAST(CASE WHEN mean_gray < 64 THEN 1 ELSE 0 END AS INTEGER) AS too_dark,
+       |  CAST(CASE WHEN mean_gray > 192 THEN 1 ELSE 0 END AS INTEGER) AS too_bright,
+       |  CAST(CASE WHEN max_gray - min_gray < 48 THEN 1 ELSE 0 END AS INTEGER) AS low_contrast
+       |FROM st ORDER BY media_id""".stripMargin
+
   /** Q127 — video SCENE-CUT detection (VideoCodec.sceneCuts): every
     * frame of every q89 container decoded and aHashed inside one kernel
     * pass, consecutive-frame hamming distances counted against the cut
@@ -1010,6 +1054,7 @@ object SimilarityQueries {
     QueryDef("q119_audio_qc", audioQc, Some(audioQcSql)),
     QueryDef("q121_ann_eval", annEval, Some(annEvalSql)),
     QueryDef("q127_scene_cuts", sceneCuts, Some(sceneCutsSql)),
+    QueryDef("q128_image_qc", imageQc, Some(imageQcSql)),
     QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
