@@ -417,8 +417,33 @@ object NativeExpressions {
 
     override def nullSafeEval(input: Any): Any = {
       val text = input.toString
+      val sel = WinnowKernel.selectedHashes(text, k, w)
+      if (sel == null) return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L, 0L)
       val nGrams = text.length - k + 1
-      if (nGrams <= 0) return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L, 0L)
+      val nWindows = if (nGrams >= w) nGrams - w + 1 else 1
+      val fps = new java.util.HashSet[java.lang.Long]()
+      var sum = 0L
+      var i = 0
+      while (i < sel.length) {
+        if (fps.add(sel(i))) sum += sel(i)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        nWindows.toLong, sel.length.toLong, fps.size.toLong, sum)
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowStats = copy(child = c)
+  }
+
+  /** Shared winnowing selection (used by [[WinnowStats]] and
+    * [[WinnowFingerprints]] so the two forms cannot drift): hashes every
+    * char k-gram (portable md5-40), slides the w-window, selects the
+    * minimum (rightmost ties). */
+  private[functions] object WinnowKernel {
+    /** Selected positions' hashes in position order, or null for texts
+      * shorter than k. */
+    def selectedHashes(text: String, k: Int, w: Int): Array[Long] = {
+      val nGrams = text.length - k + 1
+      if (nGrams <= 0) return null
       val md = md5Digest.get()
       val hs = new Array[Long](nGrams)
       var i = 0
@@ -446,21 +471,42 @@ object NativeExpressions {
         selected(bestP) = true
         s += 1
       }
-      var nSel = 0L
-      val fps = new java.util.HashSet[java.lang.Long]()
-      var sum = 0L
+      val out = new Array[Long](selected.count(identity))
+      var o = 0
       i = 0
       while (i < nGrams) {
-        if (selected(i)) {
-          nSel += 1
-          if (fps.add(hs(i))) sum += hs(i)
-        }
+        if (selected(i)) { out(o) = hs(i); o += 1 }
         i += 1
       }
-      org.apache.spark.sql.catalyst.InternalRow(
-        nWindows.toLong, nSel, fps.size.toLong, sum)
+      out
     }
-    override protected def withNewChildInternal(c: Expression): WinnowStats = copy(child = c)
+
+    /** Distinct selected fingerprints, ascending. */
+    def selectFingerprints(text: String, k: Int, w: Int): Array[Long] = {
+      val sel = selectedHashes(text, k, w)
+      if (sel == null) return Array.emptyLongArray
+      val distinct = sel.distinct
+      java.util.Arrays.sort(distinct)
+      distinct
+    }
+  }
+
+  /** The SET form of [[WinnowStats]]: the distinct selected fingerprints
+    * themselves, ascending (array<long>), for cross-document joins —
+    * df censuses, shared-fingerprint candidate pairs, plagiarism-style
+    * span lookups. Same selection algorithm bit-for-bit (the shared
+    * kernel), so the q111 oracle's argmin-key replay covers this form
+    * too. */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && w >= 2 && w <= 64, s"need k>=1, 2<=w<=64 (got k=$k w=$w)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val fps = WinnowKernel.selectFingerprints(input.toString, k, w)
+      new GenericArrayData(fps)
+    }
+    override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+      copy(child = c)
   }
 
   /** Term-bag frequencies in ONE tokenization pass: array<long> of exact
@@ -859,6 +905,9 @@ object NativeExpressions {
 
   def winnowStats(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowStats(ColumnBridge.expression(text), k, w))
+
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(text), k, w))
 
   def multiPatternStats(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(MultiPatternStats(ColumnBridge.expression(text), patterns))

@@ -403,7 +403,48 @@ object DedupQueries {
     QueryDef("q108_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     QueryDef("q111_winnowing", winnowing, Some(winnowingSql)),
     QueryDef("q116_containment", containment, Some(containmentSql)),
-    QueryDef("q125_dup_matrix", dupMatrix, Some(dupMatrixSql)))
+    QueryDef("q125_dup_matrix", dupMatrix, Some(dupMatrixSql)),
+    QueryDef("q130_shared_fingerprints", sharedFingerprints, Some(sharedFingerprintsSql)))
+
+  /** Q130 — most-SHARED winnowing fingerprints (the actionable half of
+    * q111: which ≥11-char substrings actually repeat across the corpus,
+    * the boilerplate-span census plagiarism/quote pipelines rank by):
+    * each document's distinct selected fingerprints (WinnowFingerprints,
+    * the same kernel as q111 so the two forms cannot drift) exploded
+    * into a document-frequency census, top-25 by (df, fp). One map-only
+    * kernel pass + one (fp) hash-aggregate + TakeOrdered; the oracle
+    * replays the full selection chain and the census. */
+  def sharedFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.NativeExpressions.winnowFingerprints(
+          col("text"), 8, 4)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("fp").asc)
+      .limit(25)
+
+  val sharedFingerprintsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, greatest(length(text) - 7, 0) AS ng
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |    CAST(('0x' || substring(md5(substring(text, CAST(i AS INTEGER), 8)), 1, 10)) AS BIGINT) AS h
+      |  FROM d, UNNEST(range(1, ng + 1)) AS t(i)
+      |  WHERE ng > 0),
+      |win AS (
+      |  SELECT doc_id, s FROM d,
+      |    UNNEST(range(1, (CASE WHEN ng >= 4 THEN ng - 3
+      |                          WHEN ng >= 1 THEN 1 ELSE 0 END) + 1)) AS t(s)),
+      |sel AS (
+      |  SELECT w.doc_id, w.s, MIN(g.h * 64 + (w.s + 3 - g.pos)) AS kmin
+      |  FROM win w JOIN g ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3
+      |  GROUP BY 1, 2),
+      |fp AS (SELECT DISTINCT doc_id, kmin // 64 AS h FROM sel)
+      |SELECT h AS fp, CAST(COUNT(*) AS BIGINT) AS df
+      |FROM fp GROUP BY 1
+      |ORDER BY df DESC, fp ASC LIMIT 25""".stripMargin
 
   /** Q125 — cross-source DUPLICATION matrix (data governance: which
     * sources carry text first seen in which other sources): q87's
