@@ -898,6 +898,97 @@ object SimilarityQueries {
        |  CAST(CASE WHEN max_gray - min_gray < 48 THEN 1 ELSE 0 END AS INTEGER) AS low_contrast
        |FROM st ORDER BY media_id""".stripMargin
 
+  /** Q131 — end-to-end MULTIMODAL curation census (the q100 move for
+    * the image corpus): QC gate first (q128's exposure/contrast flags),
+    * then near-dup canonicalization among the SURVIVORS (q110's banded
+    * aHash pairs → connected components → min-id canonical) — each image
+    * lands in exactly one cell of the keep/drop × reason matrix
+    * (qc, near_dup, canonical, unique). Composed from the audited
+    * operators so Catalyst sees one lineage; the oracle stitches the
+    * whole chain: every gray value, every flag, the hamming pairs over
+    * the qc-passing set, the degree cap, the recursive closure, and the
+    * final census. */
+  def multimodalCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
+    val qc = imageQc(spark, dir)
+    val bad = qc.filter(col("too_dark") === 1 || col("too_bright") === 1 ||
+        col("low_contrast") === 1)
+      .select(col("media_id"), lit(1).as("is_bad"))
+    val sims = imagePhash(spark, dir)
+      .join(bad.select(col("media_id")), Seq("media_id"), "left_anti")
+      .select(col("media_id").as("id"),
+        (shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))).as("simhash"))
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+    val labels = Dedup.connectedComponents(pairs)
+    imageMedia(spark, dir).select(col("media_id"))
+      .join(broadcast(bad), Seq("media_id"), "left_outer")
+      .join(labels.select(col("id").as("media_id"), col("cluster_id")),
+        Seq("media_id"), "left_outer")
+      .withColumn("decision",
+        when(col("is_bad") === 1, lit("drop"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
+            lit("drop"))
+          .otherwise(lit("keep")))
+      .withColumn("reason",
+        when(col("is_bad") === 1, lit("qc"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
+            lit("near_dup"))
+          .when(col("cluster_id").isNotNull, lit("canonical"))
+          .otherwise(lit("unique")))
+      .groupBy(col("decision"), col("reason"))
+      .agg(count(lit(1)).as("n_images"))
+      .orderBy(col("decision"), col("reason"))
+  }
+
+  val multimodalCurationSql: String =
+    s"""WITH RECURSIVE ${aHashCtes(imageMediaSql)},
+       |qc AS (
+       |  SELECT media_id, SUM(gray) // 64 AS mean_gray,
+       |    MIN(gray) AS mn_g, MAX(gray) AS mx_g
+       |  FROM px GROUP BY 1),
+       |bad AS (
+       |  SELECT media_id FROM qc
+       |  WHERE mean_gray < 64 OR mean_gray > 192 OR mx_g - mn_g < 48),
+       |sim AS (
+       |  SELECT media_id, hash_hi, hash_lo FROM ah
+       |  WHERE media_id NOT IN (SELECT media_id FROM bad)),
+       |pr AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |    bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) AS hamming
+       |  FROM sim a JOIN sim b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 7),
+       |psym AS (
+       |  SELECT id_a AS node, id_b AS other, hamming FROM pr
+       |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
+       |prk AS (
+       |  SELECT node, other,
+       |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+       |  FROM psym),
+       |pairs AS (SELECT DISTINCT LEAST(node, other) AS id_a,
+       |                 GREATEST(node, other) AS id_b
+       |          FROM prk WHERE r <= 4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS rt FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.rt AS rt FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(rt) AS cluster_id FROM reach GROUP BY id),
+       |verdict AS (
+       |  SELECT m.media_id,
+       |    CASE WHEN b.media_id IS NOT NULL THEN 'drop'
+       |         WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.media_id THEN 'drop'
+       |         ELSE 'keep' END AS decision,
+       |    CASE WHEN b.media_id IS NOT NULL THEN 'qc'
+       |         WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.media_id THEN 'near_dup'
+       |         WHEN l.cluster_id IS NOT NULL THEN 'canonical'
+       |         ELSE 'unique' END AS reason
+       |  FROM media m
+       |  LEFT JOIN bad b ON b.media_id = m.media_id
+       |  LEFT JOIN labels l ON l.id = m.media_id)
+       |SELECT decision, reason, CAST(COUNT(*) AS BIGINT) AS n_images
+       |FROM verdict GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Q127 — video SCENE-CUT detection (VideoCodec.sceneCuts): every
     * frame of every q89 container decoded and aHashed inside one kernel
     * pass, consecutive-frame hamming distances counted against the cut
@@ -1055,6 +1146,7 @@ object SimilarityQueries {
     QueryDef("q121_ann_eval", annEval, Some(annEvalSql)),
     QueryDef("q127_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     QueryDef("q128_image_qc", imageQc, Some(imageQcSql)),
+    QueryDef("q131_multimodal_curation", multimodalCuration, Some(multimodalCurationSql)),
     QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
