@@ -364,6 +364,118 @@ object AnalyticsQueries {
       |GROUP BY 1
       |ORDER BY n_occurrences DESC, path ASC LIMIT 20""".stripMargin
 
+  /** Q132 — two-sample Kolmogorov–Smirnov DISTANCE between corpus
+    * slices (the continuous-variable companion of q101's token
+    * chi-square: does the LENGTH distribution of one slice match the
+    * rest?): D = max over thresholds of |F_A − F_B|, computed with the
+    * division cleared — max |c_A·n_B − c_B·n_A| over the merged distinct
+    * values, then ONE fixed-point division — so the statistic and its
+    * argmax threshold (ties to the smallest value) replay exactly. The
+    * cumulative window runs over DISTINCT observed values (bounded — doc
+    * lengths, not docs); the final argmax is the hash-aggregable kernel. */
+  def ksDistance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.NativeExpressions.argMaxBy
+    val flagged = Tables.documents(spark, dir)
+      .select(col("n_chars").as("x"),
+        when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("in_a"))
+    val steps = flagged.groupBy(col("x"))
+      .agg(sum(col("in_a")).as("da"), sum(lit(1L) - col("in_a")).as("db"))
+    val tot = steps.agg(sum(col("da")).as("na"), sum(col("db")).as("nb"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps
+      .withColumn("ca", sum(col("da")).over(w))
+      .withColumn("cb", sum(col("db")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("dnum", expr(
+        "abs(cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na)"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        argMaxBy(col("x"), col("dnum"), -col("x")).as("ks_at"),
+        expr("cast(max(dnum) * 1000000 div (max(na) * cast(max(nb) as decimal(38,0))) as bigint)")
+          .as("d_e6"))
+  }
+
+  val ksDistanceSql: String =
+    """WITH f AS (
+      |  SELECT n_chars AS x,
+      |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS in_a
+      |  FROM documents),
+      |s AS (
+      |  SELECT x, SUM(in_a) AS da, SUM(1 - in_a) AS db
+      |  FROM f GROUP BY 1),
+      |t AS (SELECT SUM(da) AS na, SUM(db) AS nb FROM s),
+      |c AS (
+      |  SELECT x,
+      |    SUM(da) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |    SUM(db) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      |  FROM s),
+      |d AS (
+      |  SELECT c.x, abs(c.ca::HUGEINT * t.nb - c.cb::HUGEINT * t.na) AS dnum,
+      |    t.na, t.nb
+      |  FROM c, t),
+      |best AS (
+      |  SELECT x, dnum, na, nb,
+      |    row_number() OVER (ORDER BY dnum DESC, x ASC) AS rn
+      |  FROM d)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(x AS BIGINT) AS ks_at,
+      |  CAST(dnum * 1000000 // (na::HUGEINT * nb) AS BIGINT) AS d_e6
+      |FROM best WHERE rn = 1""".stripMargin
+
+  /** Q133 — Benford first-digit audit of the value column (the
+    * data-forensics gate: fabricated or unit-mangled amounts drift from the
+    * log-uniform leading-digit law): first significant digit of the
+    * cent-fixed-point value (leading char of the integer — no float
+    * log10 anywhere), observed counts vs the Benford permille table
+    * (301/176/125/…, exact literals on both sides), per-digit chi-square
+    * contribution in 1e-6 units via DECIMAL(38). */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    val BenfordPermille = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+    val expTable = BenfordPermille.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }
+    val ev = Tables.events(spark, dir)
+      .withColumn("v_e2", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .filter(col("v_e2") >= 1)
+      .withColumn("digit", substring(col("v_e2").cast("string"), 1, 1).cast("int"))
+    val obs = ev.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    val expected = spark.sql(
+      s"SELECT * FROM VALUES ${expTable.mkString(", ")} AS t(digit, exp_permille)")
+    expected.join(obs, Seq("digit"), "left_outer")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected_milli", expr("exp_permille * n"))
+      .withColumn("chi2_e6", expr(
+        """cast((cast(n_obs as decimal(38,0)) * 1000 - cast(exp_permille as decimal(38,0)) * n)
+          |  * (cast(n_obs as decimal(38,0)) * 1000 - cast(exp_permille as decimal(38,0)) * n)
+          |  * 1000000 div (cast(exp_permille as decimal(38,0)) * n * 1000) as bigint)""".stripMargin))
+      .select(col("digit"), col("n_obs"), col("expected_milli"), col("chi2_e6"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_e2
+      |  FROM events),
+      |d AS (
+      |  SELECT CAST(substring(CAST(v_e2 AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM ev WHERE v_e2 >= 1),
+      |obs AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+      |tot AS (SELECT SUM(n_obs) AS n FROM obs),
+      |expd AS (
+      |  SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+      |    (6, 67), (7, 58), (8, 51), (9, 46)) t(digit, exp_permille)),
+      |j AS (
+      |  SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs, e.exp_permille, t.n
+      |  FROM expd e LEFT JOIN obs o USING (digit), tot t)
+      |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+      |  CAST(exp_permille * n AS BIGINT) AS expected_milli,
+      |  CAST((n_obs::HUGEINT * 1000 - exp_permille::HUGEINT * n)
+      |       * (n_obs::HUGEINT * 1000 - exp_permille::HUGEINT * n)
+      |       * 1000000 // (exp_permille::HUGEINT * n * 1000) AS BIGINT) AS chi2_e6
+      |FROM j ORDER BY digit""".stripMargin
+
   /** Q129 — seasonality-aware anomaly pick: each event_type's daily
     * totals are compared against their DAY-OF-WEEK median baseline (the
     * seasonal decomposition a raw q60-style global scan would false-
@@ -572,6 +684,8 @@ object AnalyticsQueries {
     QueryDef("q123_event_dedup", eventDedup, Some(eventDedupSql)),
     QueryDef("q124_winsorized", winsorized, Some(winsorizedSql)),
     QueryDef("q129_seasonality", seasonality, Some(seasonalitySql)),
+    QueryDef("q132_ks_distance", ksDistance, Some(ksDistanceSql)),
+    QueryDef("q133_benford", benford, Some(benfordSql)),
     QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),
