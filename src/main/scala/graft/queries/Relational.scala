@@ -750,7 +750,107 @@ object Relational {
       |ORDER BY revenue DESC, order_ms, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Q134 — ABC (Pareto) inventory analysis per nation: parts classed by
+    * cumulative revenue share — A up to 800‰, B to 950‰, C the tail —
+    * the 80/20 stocking-policy verb. Revenue is the exact decimal
+    * extended-price sum; the running share is integer permille of
+    * DECIMAL(38) cents so every class boundary replays exactly; the
+    * cumulative window partitions by nation (never a global sort).
+    * Output: per (nation, class): part count and revenue cents. */
+  def abcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nation"), col("l_partkey").as("part"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(38,0)").as("cents"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("cents").desc, col("part").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("nation"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rev
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("tot", sum(col("cents")).over(tot))
+      .withColumn("share_permille", expr("cast(cum * 1000 div tot as bigint)"))
+      .withColumn("abc_class",
+        when(col("share_permille") <= 800, "A")
+          .when(col("share_permille") <= 950, "B")
+          .otherwise("C"))
+      .groupBy(col("nation"), col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        expr("cast(sum(cents) as bigint)").as("revenue_cents"))
+      .orderBy(col("nation"), col("abc_class"))
+  }
+
+  val abcAnalysisSql: String =
+    """WITH rev AS (
+      |  SELECT s.s_nationkey AS nation, l.l_partkey AS part,
+      |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS cents
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT nation, part, cents,
+      |    SUM(cents) OVER (PARTITION BY nation ORDER BY cents DESC, part ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cents) OVER (PARTITION BY nation) AS tot
+      |  FROM rev),
+      |k AS (
+      |  SELECT nation, part, cents,
+      |    CASE WHEN cum * 1000 // tot <= 800 THEN 'A'
+      |         WHEN cum * 1000 // tot <= 950 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM c)
+      |SELECT nation, abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q135 — functional-dependency DISCOVERY over a fixed candidate set
+    * (the q51 profiling family's constraint-mining half): for each
+    * candidate A → B, compare |distinct A| with |distinct (A, B)| — the
+    * FD holds iff equal, and the violation count (pairs beyond one B per
+    * A) is their difference. One pass per candidate over two exact
+    * distinct aggregates; candidates over `orders` columns. */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val candidates = Seq(
+      ("o_orderkey", "o_custkey"), // key → anything: must HOLD
+      ("o_custkey", "o_orderpriority"), // many orders per cust: violates
+      ("o_orderstatus", "o_orderpriority"), // tiny domains: almost surely violates
+      ("o_custkey", "o_orderstatus"))
+    val rows = candidates.map { case (a, b) =>
+      o.agg(
+        lit(a).as("lhs"), lit(b).as("rhs"),
+        countDistinct(col(a)).as("n_lhs"),
+        countDistinct(col(a), col(b)).as("n_pairs"))
+    }
+    rows.reduce(_ unionByName _)
+      .withColumn("holds", (col("n_pairs") === col("n_lhs")).cast("int"))
+      .withColumn("violations", col("n_pairs") - col("n_lhs"))
+      .orderBy(col("lhs"), col("rhs"))
+  }
+
+  val fdDiscoverySql: String = {
+    val cands = Seq(
+      ("o_orderkey", "o_custkey"),
+      ("o_custkey", "o_orderpriority"),
+      ("o_orderstatus", "o_orderpriority"),
+      ("o_custkey", "o_orderstatus"))
+    cands.map { case (a, b) =>
+      s"""SELECT '$a' AS lhs, '$b' AS rhs,
+         |  CAST(COUNT(DISTINCT $a) AS BIGINT) AS n_lhs,
+         |  CAST(COUNT(DISTINCT ($a, $b)) AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN COUNT(DISTINCT ($a, $b)) = COUNT(DISTINCT $a)
+         |       THEN 1 ELSE 0 END AS INTEGER) AS holds,
+         |  CAST(COUNT(DISTINCT ($a, $b)) - COUNT(DISTINCT $a) AS BIGINT) AS violations
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY lhs, rhs")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q134_abc_analysis", abcAnalysis, Some(abcAnalysisSql)),
+    QueryDef("q135_fd_discovery", fdDiscovery, Some(fdDiscoverySql)),
     QueryDef("q7_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q7b_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
     QueryDef("q11_top_orders", topOrders, Some(topOrdersSql)),
