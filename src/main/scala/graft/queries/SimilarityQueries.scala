@@ -898,6 +898,90 @@ object SimilarityQueries {
        |  CAST(CASE WHEN max_gray - min_gray < 48 THEN 1 ELSE 0 END AS INTEGER) AS low_contrast
        |FROM st ORDER BY media_id""".stripMargin
 
+  /** Q136 — cluster TOPIC labeling (the BERTopic c-TF-IDF move): the 10
+    * largest q80 embedding clusters (doc_id ≡ vec_id) summarized by
+    * their top-3 characteristic terms — in-cluster document frequency ×
+    * the integer RSJ idf over clusters (the q86 discipline: how many of
+    * the 10 clusters contain the term), score = cdf · idf_e6, all exact
+    * integers. This is the "what IS this cluster" verb that makes
+    * embedding clustering auditable. The oracle stitches the whole
+    * chain: LSH pairs, the recursive closure, singleton census, size
+    * ranking, tokenization, both frequency tables and the tie-broken
+    * top-3. */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", dim = 64, planes = 8, tables = 12,
+      cosineThreshold = 0.3, maxDegree = 4)
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    val docs = Tables.documents(spark, dir)
+    val lab = docs.select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val top = lab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("cluster_size").desc, col("cluster_id").asc)
+      .limit(10)
+    val words = docs.join(lab, Seq("doc_id"))
+      .join(broadcast(top), Seq("cluster_id"))
+      .select(col("cluster_id"), col("cluster_size"), col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val cdf = words.groupBy(col("cluster_id"), col("cluster_size"), col("term"))
+      .agg(count(lit(1)).as("cdf"))
+    val df = cdf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    cdf.join(df, Seq("term"))
+      .withColumn("idf_e6", expr("(2 * (10 - df) + 1) * 1000000 div (2 * df + 1)"))
+      .withColumn("score", expr("cdf * idf_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("rank").cast("long").as("rank"), col("term"), col("cdf"), col("score"))
+      .orderBy(col("cluster_id"), col("rank"))
+  }
+
+  val clusterTopicsSql: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.r AS r FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |lab AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+       |szs AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size,
+       |    row_number() OVER (ORDER BY COUNT(*) DESC, cluster_id ASC) AS szrn
+       |  FROM lab GROUP BY 1),
+       |top AS (SELECT cluster_id, cluster_size FROM szs WHERE szrn <= 10),
+       |words AS (
+       |  SELECT lab.cluster_id, top.cluster_size, lab.doc_id,
+       |    unnest(list_distinct(string_split(d.text, ' '))) AS term
+       |  FROM lab JOIN top USING (cluster_id) JOIN documents d USING (doc_id)),
+       |cdf AS (
+       |  SELECT cluster_id, cluster_size, term, COUNT(*) AS cdf
+       |  FROM words GROUP BY 1, 2, 3),
+       |dft AS (SELECT term, COUNT(*) AS df FROM cdf GROUP BY 1),
+       |sc AS (
+       |  SELECT c.cluster_id, c.cluster_size, c.term, c.cdf,
+       |    c.cdf * ((2 * (10 - d.df) + 1) * 1000000 // (2 * d.df + 1)) AS score
+       |  FROM cdf c JOIN dft d USING (term)),
+       |trk AS (
+       |  SELECT cluster_id, cluster_size, term, cdf, score,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY score DESC, term ASC) AS rank
+       |  FROM sc)
+       |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(rank AS BIGINT) AS rank, term, CAST(cdf AS BIGINT) AS cdf,
+       |  CAST(score AS BIGINT) AS score
+       |FROM trk WHERE rank <= 3
+       |ORDER BY cluster_id, rank""".stripMargin
+
   /** Q131 — end-to-end MULTIMODAL curation census (the q100 move for
     * the image corpus): QC gate first (q128's exposure/contrast flags),
     * then near-dup canonicalization among the SURVIVORS (q110's banded
@@ -1147,6 +1231,7 @@ object SimilarityQueries {
     QueryDef("q127_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     QueryDef("q128_image_qc", imageQc, Some(imageQcSql)),
     QueryDef("q131_multimodal_curation", multimodalCuration, Some(multimodalCurationSql)),
+    QueryDef("q136_cluster_topics", clusterTopics, Some(clusterTopicsSql)),
     QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
