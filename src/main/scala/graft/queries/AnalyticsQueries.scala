@@ -364,6 +364,47 @@ object AnalyticsQueries {
       |GROUP BY 1
       |ORDER BY n_occurrences DESC, path ASC LIMIT 20""".stripMargin
 
+  /** Q139 — time-weighted average (TWAP) per event_type: each value
+    * weighted by how long it was the LATEST observation —
+    * Σ y_i·(t_{i+1}−t_i) div (t_last−t_first), the metric that an
+    * arithmetic mean gets wrong whenever sampling is irregular (a value
+    * held for an hour should count 3600× one held for a second).
+    * Exact integers: e-4 fixed-point values × ns gaps in DECIMAL(38),
+    * one truncating division; the (ts, event_id) total order pins the
+    * gap assignment; zero-span keys keep a null census row. */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,4)") * 10000).cast("long").as("y"))
+      .withColumn("gap", lead(col("ts"), 1).over(w) - col("ts"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts")) - min(col("ts"))).as("span_ns"),
+        expr("sum(cast(y as decimal(38,0)) * gap)").as("__wsum"))
+      .withColumn("twap_e4", expr(
+        "cast(case when span_ns > 0 then __wsum div span_ns end as bigint)"))
+      .select(col("event_type"), col("n_events"), col("span_ns"), col("twap_e4"))
+      .orderBy(col("event_type"))
+  }
+
+  val twapSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) AS ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, ts, y,
+      |    lead(ts, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) - ts AS gap
+      |  FROM ev)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(ts) - MIN(ts) AS BIGINT) AS span_ns,
+      |  CAST(CASE WHEN MAX(ts) - MIN(ts) > 0
+      |       THEN SUM(y::HUGEINT * gap) // (MAX(ts) - MIN(ts)) END AS BIGINT) AS twap_e4
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q132 — two-sample Kolmogorov–Smirnov DISTANCE between corpus
     * slices (the continuous-variable companion of q101's token
     * chi-square: does the LENGTH distribution of one slice match the
@@ -686,6 +727,7 @@ object AnalyticsQueries {
     QueryDef("q129_seasonality", seasonality, Some(seasonalitySql)),
     QueryDef("q132_ks_distance", ksDistance, Some(ksDistanceSql)),
     QueryDef("q133_benford", benford, Some(benfordSql)),
+    QueryDef("q139_twap", twap, Some(twapSql)),
     QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),

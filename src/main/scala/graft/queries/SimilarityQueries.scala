@@ -898,6 +898,127 @@ object SimilarityQueries {
        |  CAST(CASE WHEN max_gray - min_gray < 48 THEN 1 ELSE 0 END AS INTEGER) AS low_contrast
        |FROM st ORDER BY media_id""".stripMargin
 
+  /** Q137 — embedding-corpus QC census (the vector modality's hygiene
+    * gate, completing text q17 / audio q119 / image q128): per-vector
+    * quantized squared norm (integer Σ floor(x·1000)², the engine-exact
+    * convention), then the corpus census — zero vectors, norms outside
+    * the exact p01/p99 order statistics (the q124 rank discipline), and
+    * the bounds themselves. One narrow kernel pass + one rank window +
+    * one census aggregate. */
+  def embeddingQc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("norm2_q", expr(
+        "aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)"))
+    val ranked = q
+      .withColumn("r", row_number().over(Window.orderBy(col("norm2_q"), col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val bounds = ranked.agg(
+      max(col("n")).as("n_vectors"),
+      min(when(col("r") === expr("(1 * n + 99) div 100"), col("norm2_q"))).as("p01_q"),
+      min(when(col("r") === expr("(99 * n + 99) div 100"), col("norm2_q"))).as("p99_q"))
+    q.crossJoin(broadcast(bounds))
+      .agg(
+        max(col("n_vectors")).as("n_vectors"),
+        sum(when(col("norm2_q") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("norm2_q") < col("p01_q"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("norm2_q") > col("p99_q"), 1L).otherwise(0L)).as("n_high"),
+        max(col("p01_q")).as("p01_q"), max(col("p99_q")).as("p99_q"))
+  }
+
+  val embeddingQcSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+      |           * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm2_q
+      |  FROM embeddings),
+      |rk AS (
+      |  SELECT vec_id, norm2_q,
+      |    row_number() OVER (ORDER BY norm2_q, vec_id) AS r,
+      |    COUNT(*) OVER () AS n
+      |  FROM q),
+      |b AS (
+      |  SELECT MAX(n) AS n_vectors,
+      |    MIN(CASE WHEN r = (1 * n + 99) // 100 THEN norm2_q END) AS p01_q,
+      |    MIN(CASE WHEN r = (99 * n + 99) // 100 THEN norm2_q END) AS p99_q
+      |  FROM rk)
+      |SELECT CAST(b.n_vectors AS BIGINT) AS n_vectors,
+      |  CAST(SUM(CASE WHEN q.norm2_q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(SUM(CASE WHEN q.norm2_q < b.p01_q THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(SUM(CASE WHEN q.norm2_q > b.p99_q THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  CAST(b.p01_q AS BIGINT) AS p01_q, CAST(b.p99_q AS BIGINT) AS p99_q
+      |FROM q, b
+      |GROUP BY b.n_vectors, b.p01_q, b.p99_q""".stripMargin
+
+  /** Q138 — cluster PURITY evaluation (the q121 move for clustering:
+    * cluster → MEASURE): each of the 10 largest q80 clusters scored by
+    * how well it respects the embeddings' ground-truth labels —
+    * majority-label share in exact permille, with the majority label
+    * itself (ties to the smallest label). High purity = the LSH/CC
+    * pipeline recovers real structure; the oracle replays the full
+    * clustering chain plus the tie-broken majority vote. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argMaxBy
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Similarity.lshNearDupPairs(emb,
+      "vec_id", "embedding", dim = 64, planes = 8, tables = 12,
+      cosineThreshold = 0.3, maxDegree = 4)
+    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    val lab = emb.select(col("vec_id"), col("label"))
+      .join(labels.select(col("id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+    val top = lab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("cluster_size").desc, col("cluster_id").asc)
+      .limit(10)
+    lab.join(broadcast(top), Seq("cluster_id"))
+      .groupBy(col("cluster_id"), col("cluster_size"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(
+        argMaxBy(col("label").cast("long"), col("n"), -col("label").cast("long"))
+          .as("majority_label"),
+        max(col("n")).as("n_majority"))
+      .withColumn("purity_permille", expr("n_majority * 1000 div cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val clusterPuritySql: String =
+    s"""WITH RECURSIVE $lshPairCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM lshpairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM lshpairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.r AS r FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |lab AS (
+       |  SELECT e.vec_id, e.label, COALESCE(l.cluster_id, e.vec_id) AS cluster_id
+       |  FROM embeddings e LEFT JOIN labels l ON l.id = e.vec_id),
+       |szs AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size,
+       |    row_number() OVER (ORDER BY COUNT(*) DESC, cluster_id ASC) AS szrn
+       |  FROM lab GROUP BY 1),
+       |top AS (SELECT cluster_id, cluster_size FROM szs WHERE szrn <= 10),
+       |cnt AS (
+       |  SELECT lab.cluster_id, top.cluster_size, lab.label, COUNT(*) AS n
+       |  FROM lab JOIN top USING (cluster_id) GROUP BY 1, 2, 3),
+       |mj AS (
+       |  SELECT cluster_id, cluster_size, label, n,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n DESC, label ASC) AS mrn,
+       |    MAX(n) OVER (PARTITION BY cluster_id) AS n_majority
+       |  FROM cnt)
+       |SELECT cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(label AS BIGINT) AS majority_label,
+       |  CAST(n_majority AS BIGINT) AS n_majority,
+       |  CAST(n_majority * 1000 // cluster_size AS BIGINT) AS purity_permille
+       |FROM mj WHERE mrn = 1 ORDER BY cluster_id""".stripMargin
+
   /** Q136 — cluster TOPIC labeling (the BERTopic c-TF-IDF move): the 10
     * largest q80 embedding clusters (doc_id ≡ vec_id) summarized by
     * their top-3 characteristic terms — in-cluster document frequency ×
@@ -1232,6 +1353,8 @@ object SimilarityQueries {
     QueryDef("q128_image_qc", imageQc, Some(imageQcSql)),
     QueryDef("q131_multimodal_curation", multimodalCuration, Some(multimodalCurationSql)),
     QueryDef("q136_cluster_topics", clusterTopics, Some(clusterTopicsSql)),
+    QueryDef("q137_embedding_qc", embeddingQc, Some(embeddingQcSql)),
+    QueryDef("q138_cluster_purity", clusterPurity, Some(clusterPuritySql)),
     QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
