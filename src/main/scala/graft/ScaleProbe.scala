@@ -41,7 +41,12 @@ object ScaleProbe {
     // prediction, containment
     "q106_collocations", "q111_winnowing", "q112_multipattern",
     "q113_changepoint", "q114_rrf_fusion", "q115_link_prediction",
-    "q116_containment")
+    "q116_containment",
+    // round-7 measurement/governance layer
+    "q117_priority_sample", "q122_attribution", "q123_event_dedup",
+    "q124_winsorized", "q125_dup_matrix", "q129_seasonality",
+    "q131_multimodal_curation", "q132_ks_distance", "q136_cluster_topics",
+    "q139_twap")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -185,7 +185,74 @@ object DocumentQueries {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Q140 — per-source DATASET CARDS: the one-scan corpus summary a
+    * data-governance review reads first — per source: document and
+    * token volume, mean integer quality (q17's micro-unit signal,
+    * truncating division), exact-duplicate rate (docs beyond their
+    * digest group's first), and the majority language with its share in
+    * permille (ties to the lexicographically smallest lang). Two tiny
+    * per-source aggregates + one |sources|-keyed window — everything
+    * after the scan is source-cardinality work. */
+  def datasetCards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+    val base = docs
+      .withColumn("q_micro",
+        round(TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(col("q_micro")).as("__qsum"),
+        countDistinct(md5(col("text").cast("binary"))).as("__ndistinct"))
+    val langs = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("majority_lang"), col("c").as("__langn"))
+    base.join(langs, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("__qsum div n_docs").as("mean_quality_micro"),
+        (col("n_docs") - col("__ndistinct")).as("n_dup_docs"),
+        col("majority_lang"),
+        expr("__langn * 1000 div n_docs").as("lang_share_permille"))
+      .orderBy(col("source"))
+  }
+
+  val datasetCardsSql: String =
+    """WITH q AS (
+      |  SELECT source, lang, text,
+      |    CAST(round((0.3 * least(1.0, n / 50)
+      |        + 0.3 * (nd / n)
+      |        + 0.2 * (1.0 - dig / n)
+      |        + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS q_micro,
+      |    CAST(n AS BIGINT) AS n_words
+      |  FROM (
+      |    SELECT source, lang, text,
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+      |      CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE) AS dig
+      |    FROM documents)),
+      |base AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(n_words) AS n_tokens,
+      |    SUM(q_micro) AS qsum, COUNT(DISTINCT md5(text)) AS ndistinct
+      |  FROM q GROUP BY 1),
+      |lng AS (
+      |  SELECT source, lang, COUNT(*) AS c,
+      |    row_number() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang ASC) AS rn
+      |  FROM q GROUP BY source, lang)
+      |SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+      |  CAST(b.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(b.qsum // b.n_docs AS BIGINT) AS mean_quality_micro,
+      |  CAST(b.n_docs - b.ndistinct AS BIGINT) AS n_dup_docs,
+      |  l.lang AS majority_lang,
+      |  CAST(l.c * 1000 // b.n_docs AS BIGINT) AS lang_share_permille
+      |FROM base b JOIN lng l ON l.source = b.source AND l.rn = 1
+      |ORDER BY b.source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q140_dataset_cards", datasetCards, Some(datasetCardsSql)),
     QueryDef("q26_chunk_lang_rollup", chunkLangRollup, Some(chunkLangRollupSql)),
     QueryDef("q3_word_chunks", wordChunks, Some(wordChunksSql)),
     QueryDef("q3b_window_chunks", windowChunks, Some(windowChunksSql)),

@@ -1119,26 +1119,45 @@ object SimilarityQueries {
     val bad = qc.filter(col("too_dark") === 1 || col("too_bright") === 1 ||
         col("low_contrast") === 1)
       .select(col("media_id"), lit(1).as("is_bad"))
-    val sims = imagePhash(spark, dir)
+      // two consumers (survivor anti-join + verdict join): unmaterialized,
+      // the whole decode-and-flag chain would run twice
+      .localCheckpoint(true)
+    val surv = imagePhash(spark, dir)
       .join(bad.select(col("media_id")), Seq("media_id"), "left_anti")
-      .select(col("media_id").as("id"),
-        (shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))).as("simhash"))
-    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+      .localCheckpoint(true) // groups + verdict both read it; decode once
+    // EXACT-hash collapse BEFORE any pairwise work — the production
+    // near-dup discipline (and the measured scale fix: the synthetic
+    // corpus is duplicate-HEAVY — one hash repeats thousands of times at
+    // 10× — so banding raw images generates quadratic pairs inside each
+    // identical-hash group; 19 s → sub-second at 1×, 828 s → seconds at
+    // 10×). Banding then runs over DISTINCT hashes only, whose count
+    // grows sublinearly.
+    val groups = surv.groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("gsize"))
+      .localCheckpoint(true)
+    val reps = groups.select(col("rep").as("id"),
+      (shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))).as("simhash"))
+    val pairs = Dedup.simhashNearDupPairs(reps, maxHamming = 7, maxDegree = 4)
     val labels = Dedup.connectedComponents(pairs)
     imageMedia(spark, dir).select(col("media_id"))
       .join(broadcast(bad), Seq("media_id"), "left_outer")
-      .join(labels.select(col("id").as("media_id"), col("cluster_id")),
+      .join(surv.join(groups, Seq("hash_hi", "hash_lo"))
+          .select(col("media_id"), col("rep"), col("gsize")),
         Seq("media_id"), "left_outer")
+      .join(labels.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left_outer")
       .withColumn("decision",
         when(col("is_bad") === 1, lit("drop"))
+          .when(col("media_id") =!= col("rep"), lit("drop"))
           .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
             lit("drop"))
           .otherwise(lit("keep")))
       .withColumn("reason",
         when(col("is_bad") === 1, lit("qc"))
+          .when(col("media_id") =!= col("rep"), lit("near_dup"))
           .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
             lit("near_dup"))
-          .when(col("cluster_id").isNotNull, lit("canonical"))
+          .when(col("cluster_id").isNotNull || col("gsize") > 1, lit("canonical"))
           .otherwise(lit("unique")))
       .groupBy(col("decision"), col("reason"))
       .agg(count(lit(1)).as("n_images"))
@@ -1154,13 +1173,16 @@ object SimilarityQueries {
        |bad AS (
        |  SELECT media_id FROM qc
        |  WHERE mean_gray < 64 OR mean_gray > 192 OR mx_g - mn_g < 48),
-       |sim AS (
+       |surv AS (
        |  SELECT media_id, hash_hi, hash_lo FROM ah
        |  WHERE media_id NOT IN (SELECT media_id FROM bad)),
+       |grp AS (
+       |  SELECT hash_hi, hash_lo, MIN(media_id) AS rep, COUNT(*) AS gsize
+       |  FROM surv GROUP BY 1, 2),
        |pr AS (
-       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  SELECT a.rep AS id_a, b.rep AS id_b,
        |    bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) AS hamming
-       |  FROM sim a JOIN sim b ON a.media_id < b.media_id
+       |  FROM grp a JOIN grp b ON a.rep < b.rep
        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 7),
        |psym AS (
        |  SELECT id_a AS node, id_b AS other, hamming FROM pr
@@ -1179,18 +1201,24 @@ object SimilarityQueries {
        |  UNION
        |  SELECT e.src AS id, r.rt AS rt FROM edges e JOIN reach r ON e.dst = r.id),
        |labels AS (SELECT id, MIN(rt) AS cluster_id FROM reach GROUP BY id),
+       |sg AS (
+       |  SELECT s.media_id, g.rep, g.gsize
+       |  FROM surv s JOIN grp g USING (hash_hi, hash_lo)),
        |verdict AS (
        |  SELECT m.media_id,
        |    CASE WHEN b.media_id IS NOT NULL THEN 'drop'
+       |         WHEN m.media_id <> sg.rep THEN 'drop'
        |         WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.media_id THEN 'drop'
        |         ELSE 'keep' END AS decision,
        |    CASE WHEN b.media_id IS NOT NULL THEN 'qc'
+       |         WHEN m.media_id <> sg.rep THEN 'near_dup'
        |         WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.media_id THEN 'near_dup'
-       |         WHEN l.cluster_id IS NOT NULL THEN 'canonical'
+       |         WHEN l.cluster_id IS NOT NULL OR sg.gsize > 1 THEN 'canonical'
        |         ELSE 'unique' END AS reason
        |  FROM media m
        |  LEFT JOIN bad b ON b.media_id = m.media_id
-       |  LEFT JOIN labels l ON l.id = m.media_id)
+       |  LEFT JOIN sg ON sg.media_id = m.media_id
+       |  LEFT JOIN labels l ON l.id = sg.rep)
        |SELECT decision, reason, CAST(COUNT(*) AS BIGINT) AS n_images
        |FROM verdict GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
