@@ -364,6 +364,67 @@ object AnalyticsQueries {
       |GROUP BY 1
       |ORDER BY n_occurrences DESC, path ASC LIMIT 20""".stripMargin
 
+  /** Q141 — RFM segmentation (recency / frequency / monetary): every
+    * user scored into exact terciles per dimension — tercile =
+    * (rank−1)·3 div n + 1 on the (metric, user_id) total order, so the
+    * buckets are balanced and deterministic without quantile
+    * interpolation — then rolled into the 27-cell segment census
+    * (segment = r·100 + f·10 + m, 333 = best everywhere). The windows
+    * rank the USER table (events already collapsed), and the census is
+    * 27 keys — the q61 decile discipline applied to the classic
+    * marketing segmentation. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("recency_ns"),
+        count(lit(1)).as("frequency"),
+        sum((col("value").cast("decimal(18,4)") * 10000).cast("long")).as("monetary_e4"))
+    def tercile(metric: String) =
+      expr(s"(cast(__r_$metric as long) - 1) * 3 div __n + 1")
+    val ranked = users
+      .withColumn("__r_recency_ns", row_number().over(
+        Window.orderBy(col("recency_ns"), col("user_id"))))
+      .withColumn("__r_frequency", row_number().over(
+        Window.orderBy(col("frequency"), col("user_id"))))
+      .withColumn("__r_monetary_e4", row_number().over(
+        Window.orderBy(col("monetary_e4"), col("user_id"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked
+      .withColumn("r_t", tercile("recency_ns"))
+      .withColumn("f_t", tercile("frequency"))
+      .withColumn("m_t", tercile("monetary_e4"))
+      .withColumn("segment", expr("r_t * 100 + f_t * 10 + m_t"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_e4")).as("monetary_e4"))
+      .orderBy(col("segment"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH u AS (
+      |  SELECT user_id, MAX(epoch_ns(ts)) AS recency_ns, COUNT(*) AS frequency,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS monetary_e4
+      |  FROM events GROUP BY 1),
+      |rk AS (
+      |  SELECT user_id, monetary_e4,
+      |    row_number() OVER (ORDER BY recency_ns, user_id) AS rr,
+      |    row_number() OVER (ORDER BY frequency, user_id) AS rf,
+      |    row_number() OVER (ORDER BY monetary_e4, user_id) AS rm,
+      |    COUNT(*) OVER () AS n
+      |  FROM u),
+      |seg AS (
+      |  SELECT user_id, monetary_e4,
+      |    ((rr - 1) * 3 // n + 1) * 100
+      |      + ((rf - 1) * 3 // n + 1) * 10
+      |      + ((rm - 1) * 3 // n + 1) AS segment
+      |  FROM rk)
+      |SELECT CAST(segment AS BIGINT) AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(monetary_e4) AS BIGINT) AS monetary_e4
+      |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q139 — time-weighted average (TWAP) per event_type: each value
     * weighted by how long it was the LATEST observation —
     * Σ y_i·(t_{i+1}−t_i) div (t_last−t_first), the metric that an
@@ -728,6 +789,7 @@ object AnalyticsQueries {
     QueryDef("q132_ks_distance", ksDistance, Some(ksDistanceSql)),
     QueryDef("q133_benford", benford, Some(benfordSql)),
     QueryDef("q139_twap", twap, Some(twapSql)),
+    QueryDef("q141_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),
