@@ -364,6 +364,38 @@ object AnalyticsQueries {
       |GROUP BY 1
       |ORDER BY n_occurrences DESC, path ASC LIMIT 20""".stripMargin
 
+  /** Q142 — BURST detection (rate-limit / abuse signal): each user's
+    * maximum event count inside any trailing 60-second window —
+    * computed exactly with a RANGE frame over the ns timeline (every
+    * event evaluates the window ending at itself; the true sliding-max
+    * equals the max over these, since any window's count is ≤ the count
+    * at its last contained event). Top-20 burstiest users, ties to the
+    * smaller id; the per-user window is the user's own stream. */
+  def burstDetection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-60L * 1000000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("in_window", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("in_window")).as("max_burst"), count(lit(1)).as("n_events"))
+      .orderBy(col("max_burst").desc, col("user_id").asc)
+      .limit(20)
+  }
+
+  val burstDetectionSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+      |c AS (
+      |  SELECT user_id,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+      |      RANGE BETWEEN 60000000000 PRECEDING AND CURRENT ROW) AS in_window
+      |  FROM ev)
+      |SELECT user_id, CAST(MAX(in_window) AS BIGINT) AS max_burst,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM c GROUP BY 1
+      |ORDER BY max_burst DESC, user_id ASC LIMIT 20""".stripMargin
+
   /** Q141 — RFM segmentation (recency / frequency / monetary): every
     * user scored into exact terciles per dimension — tercile =
     * (rank−1)·3 div n + 1 on the (metric, user_id) total order, so the
@@ -790,6 +822,7 @@ object AnalyticsQueries {
     QueryDef("q133_benford", benford, Some(benfordSql)),
     QueryDef("q139_twap", twap, Some(twapSql)),
     QueryDef("q141_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    QueryDef("q142_burst_detection", burstDetection, Some(burstDetectionSql)),
     QueryDef("q105_trend", trend, Some(trendSql)),
     QueryDef("q54_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q55_gap_fill", gapFill, Some(gapFillSql)),

@@ -673,6 +673,70 @@ object TextQueries {
        |    AS f1_permille
        |FROM j ORDER BY label""".stripMargin
 
+  /** Q143 — retrieval SNIPPETS (the search-UX half of q45): for each
+    * BM25 top-20 document, the earliest query-term hit position and a
+    * ±3-word highlight window around it — pure array ops (first
+    * array_position over the term bag, a bounded slice), so the oracle
+    * replays the ranking, every hit position and every snippet string.
+    * Hit position is the MIN over terms of the term's first occurrence
+    * (1-based; ties need no rule — min of exact integers). */
+  def snippets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val top = graft.ops.TextSearch.bm25TopK(docs, "doc_id", "text", Bm25Terms, Bm25K)
+    val posExprs = Bm25Terms.map(t =>
+      when(array_position(col("ws"), t) > 0, array_position(col("ws"), t)))
+    top.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("hit_pos", least(posExprs: _*))
+      .withColumn("snippet", expr(
+        "concat_ws(' ', slice(ws, greatest(1, cast(hit_pos as int) - 3)," +
+          " cast(hit_pos as int) + 3 - greatest(1, cast(hit_pos as int) - 3) + 1))"))
+      .select(col("doc_id"), col("score_e12"), col("hit_pos"), col("snippet"))
+      .orderBy(col("score_e12").desc, col("doc_id").asc)
+  }
+
+  val snippetsSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val posList = Bm25Terms.map(t => s"list_position(ws, '$t')").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sdl
+       |  FROM base),
+       |tfrows AS (
+       |  SELECT doc_id, dl, term,
+       |    CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+       |  FROM base CROSS JOIN (SELECT unnest([$termList]) AS term)
+       |  WHERE len(list_filter(toks, x -> x = term)) > 0),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfrows GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(((2.0 * CAST((n_docs - df) AS DOUBLE) + 1.0)
+       |                / (2.0 * CAST(df AS DOUBLE) + 1.0)) * 1000000.0, 0) AS BIGINT)
+       |    * CAST(round(((CAST(tf AS DOUBLE) * 2.2)
+       |                  / (CAST(tf AS DOUBLE)
+       |                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |                                             / CAST(sdl AS DOUBLE))))) * 1000000.0, 0) AS BIGINT)
+       |      AS term_score
+       |  FROM tfrows JOIN dft USING (term) CROSS JOIN stats),
+       |toplist AS (
+       |  SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e12
+       |  FROM scored GROUP BY doc_id
+       |  ORDER BY score_e12 DESC, doc_id LIMIT $Bm25K),
+       |sn AS (
+       |  SELECT t.doc_id, t.score_e12,
+       |    (SELECT MIN(p) FROM UNNEST([$posList]) AS u(p) WHERE p IS NOT NULL AND p > 0)
+       |      AS hit_pos, ws
+       |  FROM toplist t JOIN (SELECT doc_id, string_split(text, ' ') AS ws
+       |                       FROM documents) d USING (doc_id))
+       |SELECT doc_id, score_e12, CAST(hit_pos AS BIGINT) AS hit_pos,
+       |  array_to_string(ws[greatest(1, CAST(hit_pos AS INTEGER) - 3):CAST(hit_pos AS INTEGER) + 3], ' ')
+       |    AS snippet
+       |FROM sn ORDER BY score_e12 DESC, doc_id""".stripMargin
+  }
+
   /** Q106 — collocation extraction (TextSearch.collocations): top-25
     * word pairs by chi-square association over the corpus bigram table,
     * min pair count 5, integer-exact in DECIMAL(38)/HUGEINT. The oracle
@@ -793,6 +857,7 @@ object TextQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_multipattern", multiPatternScan, Some(multiPatternScanSql)),
     QueryDef("q120_classifier_eval", classifierEval, Some(classifierEvalSql)),
+    QueryDef("q143_snippets", snippets, Some(snippetsSql)),
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q103_nb_classifier", nbClassifier, Some(nbClassifierSql)),
     QueryDef("q106_collocations", collocationsQuery, Some(collocationsSql)),
