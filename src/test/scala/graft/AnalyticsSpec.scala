@@ -161,6 +161,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(1L) === ((3L, Some(2000000L))), s"jitter must not move x: $out")
   }
 
+  test("attribution frame: same-timestamp touch excluded by value, lookback bounds respected") {
+    // replicate the q122 window semantics on a hand stream via the query's
+    // own RANGE frame: a view at the SAME ns as the purchase must NOT
+    // count (frame ends at 1ns preceding); a view 8 days before must NOT
+    // count (outside the 7-day lookback); one 1ns before must count
+    val ns = 1000000000L
+    val day = 86400L * ns
+    val rows = Seq(
+      (1L, 100L * ns, "view"), (1L, 100L * ns, "purchase"), // same-ts: no touch
+      (2L, 100L * ns - 8 * day, "view"), (2L, 100L * ns, "purchase"), // too old
+      (3L, 100L * ns - 1, "click"), (3L, 100L * ns, "purchase")) // counts
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-7L * day, -1L)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val out = rows.toDF("user_id", "ts", "event_type")
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), coalesce(col("lt"), lit("none")))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "none", 2L -> "none", 3L -> "click"), s"got $out")
+  }
+
+  test("winsorized order-statistic bounds: rank ceil(p*n) picks existing values") {
+    // 100 values 1..100: p05 rank = ceil(5) = 5 -> value 5; p95 rank = 95
+    val n = 100
+    val lo = (5 * n + 99) / 100
+    val hi = (95 * n + 99) / 100
+    assert(lo == 5 && hi == 95)
+    // 7 values: p05 rank ceil(0.35) = 1, p95 rank ceil(6.65) = 7 — the
+    // bounds degrade to min/max, never out of range
+    assert((5 * 7 + 99) / 100 == 1 && (95 * 7 + 99) / 100 == 7)
+  }
+
   test("cusumSplit: planted step found, constant series ties to earliest, 1-bucket key null") {
     val rows =
       // key a: 10.0/bucket for 1-3, 20.0/bucket for 4-6 (two events of 10 each)
