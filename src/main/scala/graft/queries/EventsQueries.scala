@@ -269,6 +269,67 @@ object EventsQueries {
       |       LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Q144 — engagement census over the q6 sessions: total sessions,
+    * bounce rate (single-event sessions) in exact permille, and the
+    * exact lower-median session size and duration (order statistics on
+    * total orders — the q124 rank discipline). The ranking windows run
+    * over the SESSION table (events already collapsed by the q6
+    * aggregate); output is one census row. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sessions = Sessions.assignByGap(Tables.events(spark, dir),
+      col("user_id"), col("ts"), col("event_id"), GapNs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts")) - min(col("ts"))).as("dur_ns"))
+    val ranked = sessions
+      .withColumn("re", row_number().over(
+        Window.orderBy(col("n_events"), col("user_id"), col("session_id"))))
+      .withColumn("rd", row_number().over(
+        Window.orderBy(col("dur_ns"), col("user_id"), col("session_id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked.agg(
+      max(col("n")).as("n_sessions"),
+      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+      min(when(col("re") === expr("(n + 1) div 2"), col("n_events"))).as("median_events"),
+      min(when(col("rd") === expr("(n + 1) div 2"), col("dur_ns"))).as("median_duration_ns"))
+      .withColumn("bounce_permille", expr("n_bounces * 1000 div n_sessions"))
+      .select(col("n_sessions"), col("n_bounces"), col("bounce_permille"),
+        col("median_events"), col("median_duration_ns"))
+  }
+
+  val sessionStatsSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+       |    CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > $GapNs THEN 1
+       |         ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+       |assigned AS (
+       |  SELECT user_id, tns,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+       |  FROM flagged),
+       |sess AS (
+       |  SELECT user_id, session_id, COUNT(*) AS n_events,
+       |    MAX(tns) - MIN(tns) AS dur_ns
+       |  FROM assigned GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT n_events, dur_ns,
+       |    row_number() OVER (ORDER BY n_events, user_id, session_id) AS re,
+       |    row_number() OVER (ORDER BY dur_ns, user_id, session_id) AS rd,
+       |    COUNT(*) OVER () AS n
+       |  FROM sess)
+       |SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+       |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000 // MAX(n) AS BIGINT)
+       |    AS bounce_permille,
+       |  CAST(MIN(CASE WHEN re = (n + 1) // 2 THEN n_events END) AS BIGINT) AS median_events,
+       |  CAST(MIN(CASE WHEN rd = (n + 1) // 2 THEN dur_ns END) AS BIGINT) AS median_duration_ns
+       |FROM rk""".stripMargin
+
   /** Q126 — funnel stage LATENCY (the time-to-convert companion of q90:
     * q90 says who reached which stage; this says how long each
     * transition takes): per transition of the view→click→click→purchase
@@ -410,6 +471,7 @@ object EventsQueries {
     QueryDef("q126_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     QueryDef("q5_interval_join", intervalJoin, Some(intervalJoinSql)),
     QueryDef("q6_session_windows", sessionWindows, Some(sessionWindowsSql)),
+    QueryDef("q144_session_stats", sessionStats, Some(sessionStatsSql)),
     QueryDef("q27_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("q28_percentiles", percentiles, Some(percentilesSql)),
     QueryDef("q50_scd2", scd2Snapshot, Some(scd2SnapshotSql)),
