@@ -102,7 +102,12 @@ object ScaleProbe {
     // the monitoring-aggregate shape) with ids offset per copy. The
     // normalized loader emits epoch-ns Long ts, so the scaled parquet
     // takes the legacy-Long read path by construction.
-    if (!new File(s"$out/events.parquet").exists()) {
+    // marker (not directory-existence) guarded like the rest of the
+    // corpus: a run killed mid-write would otherwise leave a partial
+    // events.parquet that every later run silently treats as complete,
+    // corrupting all events-family scale measurements
+    val eventsMarker = new File(s"$out/_EVENTS_COMPLETE")
+    if (!eventsMarker.exists()) {
       graft.sources.Tables.events(spark, sfDir)
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select(
@@ -111,6 +116,7 @@ object ScaleProbe {
           (col("user_id") + col("copy") * 100000000L).as("user_id"),
           col("event_type"), col("value"), col("props"))
         .coalesce(4).write.mode("overwrite").parquet(s"$out/events.parquet")
+      eventsMarker.createNewFile()
     }
     out
   }

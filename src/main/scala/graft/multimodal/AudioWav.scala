@@ -52,6 +52,32 @@ object AudioWav {
     encode(Array.tabulate(n)(i => (((id * 97 + i * 31) % 2048) - 1024).toShort))
   }
 
+  /** 64-bit DELTA-SIGN fingerprint over a parsed clip: bit i is set iff
+    * sample i+1 > sample i (signed LE16 compare), for i < min(n−1, 64).
+    * The audio analogue of the image aHash — invariant to amplitude
+    * scaling direction changes are what survive re-encoding — and, like
+    * every multimodal signature here, closed-form replayable: an
+    * independent engine computes each bit from the clip formula without
+    * a decoder. Must run on [[parsed]] output (needs `n_samples`); yields
+    * null for clips with a `wav_error`. Map-only, one pass per clip. */
+  def deltaFingerprint(contentCol: String = "content"): org.apache.spark.sql.Column = {
+    val s = sampleSigned(contentCol, "i")
+    val sNext = sampleSigned(contentCol, "(i + 1)")
+    when(col("wav_error").isNull, expr(
+      s"case when n_samples >= 2 then " +
+        s"aggregate(sequence(0, least(cast(n_samples as int) - 2, 63)), 0L, " +
+        s"(acc, i) -> acc + (case when $sNext > $s then shiftleft(1L, cast(i as int)) else 0L end)) " +
+        "else 0L end"))
+  }
+
+  /** Signed 16-bit LE sample at 0-based index `iExpr` (SQL fragment). */
+  private def sampleSigned(c: String, iExpr: String): String = {
+    val hi = s"cast(conv(hex(substring($c, 46 + 2 * $iExpr, 1)), 16, 10) as bigint)"
+    val lo = s"cast(conv(hex(substring($c, 45 + 2 * $iExpr, 1)), 16, 10) as bigint)"
+    val sample = s"($hi * 256 + $lo)"
+    s"(case when $sample >= 32768 then $sample - 65536 else $sample end)"
+  }
+
   private def le16(c: String, pos1: Int): String =
     s"cast(conv(hex(substring($c, ${pos1 + 1}, 1)), 16, 10) as bigint) * 256 + " +
       s"cast(conv(hex(substring($c, $pos1, 1)), 16, 10) as bigint)"
@@ -76,10 +102,7 @@ object AudioWav {
       nativeSampleFold: Boolean = true): DataFrame = {
     val c = contentCol
     // signed LE16 sample i (0-based) at byte offset 44 + 2i (1-based 45)
-    val hi = s"cast(conv(hex(substring($c, 46 + 2 * i, 1)), 16, 10) as bigint)"
-    val lo = s"cast(conv(hex(substring($c, 45 + 2 * i, 1)), 16, 10) as bigint)"
-    val sample = s"($hi * 256 + $lo)"
-    val signed = s"(case when $sample >= 32768 then $sample - 65536 else $sample end)"
+    val signed = sampleSigned(c, "i")
     df
       .withColumn("__riff_ok", expr(
         s"substring($c, 1, 4) = cast('RIFF' as binary) and " +

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed ORDER STATISTICS without an unpartitioned row-table
+  * window.
+  *
+  * The naive exact-rank formulation — `row_number().over(Window.orderBy(v))`
+  * on the row table — funnels the entire input through ONE task (Spark
+  * plans an empty-partition Window as a single-partition sort), which is
+  * the canonical 100 TB scale-killer even when it measures flat at test
+  * scale. The repo's q93/q71/q100 discipline replaces it with a rank over
+  * the (value, count) HISTOGRAM; this object generalizes that discipline
+  * with a bucketed two-level prefix sum so even the histogram pass never
+  * runs an unbounded unpartitioned window:
+  *
+  *   1. histogram:   groupBy(value) → nv            (parallel hash agg)
+  *   2. range-bucket each distinct value into ≤ `buckets` cells by a
+  *      monotone (min,width) map                    (map-only)
+  *   3. per-bucket totals → cumulative over ≤ `buckets` rows
+  *                                                  (BOUNDED window)
+  *   4. within-bucket cumulative, partitioned by bucket
+  *                                                  (partitioned window)
+  *   5. cum(value) = bucket offset + within-bucket cumulative
+  *
+  * Every window is either bounded (≤ `buckets` rows per group) or
+  * partitioned; exactness is unconditional — bucketing only places
+  * boundaries, never changes a count. The value at row-rank k of the
+  * fully tie-broken ordering (value, id) is then `min value with
+  * cum ≥ k` — the id tie-break cannot change the VALUE at any rank, so
+  * order-statistic THRESHOLDS (medians, percentile bounds) come straight
+  * off the histogram. Per-row tie-broken ranks (q141's terciles) need
+  * row-level work only inside the ≤ parts−1 value groups that straddle a
+  * bucket boundary — see [[rankBucket]].
+  */
+object OrderStats {
+
+  /** Cumulative value histogram: one row per distinct (groupCols, value)
+    * with `nv` (count) and `cum` (rows with value′ ≤ value within the
+    * group). `valueCol` must be numeric (cast to long internally for the
+    * bucket map only; emitted unchanged). Input should be pre-projected
+    * to (groupCols, valueCol) — the histogram carries no payload. */
+  def cumHistogram(df: DataFrame, valueCol: String,
+      groupCols: Seq[String] = Nil, buckets: Int = 1024): DataFrame = {
+    val g = groupCols.map(col)
+    val hist = df.groupBy((g :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("nv"))
+    // monotone range-bucket map: only ORDER of bucket ids vs values
+    // matters (cum is exact regardless of how values land in buckets),
+    // so the double arithmetic is safe — long→double is monotone
+    val bounds = hist.groupBy(g: _*)
+      .agg(min(col(valueCol)).cast("double").as("__mn"),
+        max(col(valueCol)).cast("double").as("__mx"))
+    val withB =
+      (if (groupCols.isEmpty) hist.crossJoin(broadcast(bounds))
+       else hist.join(broadcast(bounds), groupCols))
+        .withColumn("__bk", least(lit(buckets - 1),
+          floor((col(valueCol).cast("double") - col("__mn")) * buckets /
+            (col("__mx") - col("__mn") + 1d)).cast("int")))
+    val bucketCum = withB.groupBy((g :+ col("__bk")): _*)
+      .agg(sum(col("nv")).as("__bn"))
+      .withColumn("__boff", sum(col("__bn")).over(
+        Window.partitionBy(g: _*).orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, 0)) - col("__bn"))
+    withB
+      .join(bucketCum.select((g :+ col("__bk") :+ col("__boff")): _*),
+        groupCols :+ "__bk")
+      .withColumn("cum", col("__boff") + sum(col("nv")).over(
+        Window.partitionBy((g :+ col("__bk")): _*).orderBy(col(valueCol))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select((g :+ col(valueCol) :+ col("nv") :+ col("cum")): _*)
+  }
+
+  /** Equal-frequency bucket per row — `(rank−1)·parts div n + 1` where
+    * rank = row_number over the total order (valueCol, idCol) — computed
+    * scale-safely. Returns (idCol, outCol): join it back on idCol.
+    *
+    * Values whose tie group lies inside one bucket (all but ≤ parts−1
+    * groups) are assigned from the histogram alone; the straddling
+    * groups get their id-tie-broken within-group ranks from a window
+    * PARTITIONED by value over only those groups' rows. Residual skew:
+    * a single tied value spanning a boundary ranks its ties in one
+    * task — unavoidable for exact tie-broken semantics, bounded by the
+    * tie-group size, and never the whole table. */
+  def rankBucket(df: DataFrame, valueCol: String, idCol: String,
+      parts: Int, outCol: String): DataFrame = {
+    val hist = cumHistogram(df.select(valueCol), valueCol)
+    val tot = hist.agg(sum(col("nv")).as("__n")) // 1 row
+    val h = hist.crossJoin(broadcast(tot))
+      // bucket of the group's first and last rank
+      .withColumn("__blo", expr(s"(cum - nv) * $parts div __n + 1"))
+      .withColumn("__bhi", expr(s"(cum - 1) * $parts div __n + 1"))
+    val settled = df
+      .join(h.filter(col("__blo") === col("__bhi"))
+          .select(col(valueCol), col("__blo").as(outCol)),
+        Seq(valueCol))
+      .select(col(idCol), col(outCol))
+    val straddle = h.filter(col("__blo") =!= col("__bhi"))
+      .select(col(valueCol), (col("cum") - col("nv")).as("__cp"), col("__n"))
+    val split = df.join(broadcast(straddle), Seq(valueCol)) // ≤ parts−1 keys
+      .withColumn("__wr", row_number().over(
+        Window.partitionBy(col(valueCol)).orderBy(col(idCol))))
+      .withColumn(outCol, expr(s"(__cp + __wr - 1) * $parts div __n + 1"))
+      .select(col(idCol), col(outCol))
+    settled.unionByName(split)
+  }
+}

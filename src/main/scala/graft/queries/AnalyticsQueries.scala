@@ -406,27 +406,26 @@ object AnalyticsQueries {
     * 27 keys — the q61 decile discipline applied to the classic
     * marketing segmentation. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.OrderStats
     val users = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(max(col("ts")).as("recency_ns"),
         count(lit(1)).as("frequency"),
         sum((col("value").cast("decimal(18,4)") * 10000).cast("long")).as("monetary_e4"))
-    def tercile(metric: String) =
-      expr(s"(cast(__r_$metric as long) - 1) * 3 div __n + 1")
-    val ranked = users
-      .withColumn("__r_recency_ns", row_number().over(
-        Window.orderBy(col("recency_ns"), col("user_id"))))
-      .withColumn("__r_frequency", row_number().over(
-        Window.orderBy(col("frequency"), col("user_id"))))
-      .withColumn("__r_monetary_e4", row_number().over(
-        Window.orderBy(col("monetary_e4"), col("user_id"))))
-      .withColumn("__n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    ranked
-      .withColumn("r_t", tercile("recency_ns"))
-      .withColumn("f_t", tercile("frequency"))
-      .withColumn("m_t", tercile("monetary_e4"))
+      // three independent tercile passes + the final join read it
+      .localCheckpoint(true)
+    // exact (metric, user_id)-ranked terciles via the OrderStats
+    // histogram — the old formulation ranked the whole user table
+    // through THREE unpartitioned row windows; rankBucket assigns all
+    // but the ≤ 2 boundary-straddling tie groups from the (value,
+    // count) histogram and ranks only those groups' rows by user_id
+    def tercile(metric: String, out: String) =
+      OrderStats.rankBucket(users.select(metric, "user_id"),
+        metric, "user_id", 3, out)
+    users
+      .join(tercile("recency_ns", "r_t"), Seq("user_id"))
+      .join(tercile("frequency", "f_t"), Seq("user_id"))
+      .join(tercile("monetary_e4", "m_t"), Seq("user_id"))
       .withColumn("segment", expr("r_t * 100 + f_t * 10 + m_t"))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_users"),
@@ -717,23 +716,25 @@ object AnalyticsQueries {
     * the bound is a value that exists and replays as an exact integer)
     * and report the raw vs winsorized mean in e-4 units. The
     * trim-the-tails companion to q60's MAD flagging: q60 finds the
-    * outliers, this measures the metric with them neutralized. One
-    * ranked window + one tiny bounds table broadcast back. */
+    * outliers, this measures the metric with them neutralized. The
+    * p05/p95 bounds come off the OrderStats value histogram (the value
+    * at per-type row-rank k is the min distinct value with cum ≥ k —
+    * row_number ties share the value, so the bound is identical), so no
+    * window ever ranks the raw event rows: the only per-row ranking the
+    * old 5-partition formulation did is replaced by partitioned
+    * histogram windows + one tiny bounds table broadcast back. */
   def winsorized(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.OrderStats
     val base = Tables.events(spark, dir)
       .select(col("event_type"),
         (col("value").cast("decimal(18,4)") * 10000).cast("long").as("y"))
-    val ranked = base
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("y"))))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy(col("event_type"))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val bounds = ranked.groupBy(col("event_type"))
+    val hist = OrderStats.cumHistogram(base, "y", Seq("event_type"))
+    val totals = hist.groupBy(col("event_type")).agg(sum(col("nv")).as("n"))
+    val bounds = hist.join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"),
-        min(when(col("r") === expr("(5 * n + 99) div 100"), col("y"))).as("lo_e4"),
-        min(when(col("r") === expr("(95 * n + 99) div 100"), col("y"))).as("hi_e4"))
+        min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("y"))).as("lo_e4"),
+        min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("y"))).as("hi_e4"))
     base.join(broadcast(bounds), Seq("event_type"))
       .withColumn("cy", greatest(col("lo_e4"), least(col("hi_e4"), col("y"))))
       .groupBy(col("event_type"))
@@ -770,22 +771,33 @@ object AnalyticsQueries {
 
   /** Q122 — conversion ATTRIBUTION (first-touch × last-touch): every
     * purchase credited to the user's first and most recent non-purchase
-    * event within a 7-day lookback, rolled up into the attribution
+    * touch within a 7-day lookback, rolled up into the attribution
     * matrix (n_purchases + distinct converting users per touch pair).
     * The RANGE frame ends at 1ns PRECEDING, so same-timestamp peers are
-    * excluded by VALUE — deterministic without a tie order, identically
-    * in both engines. Purchases with no prior touch keep a 'none'
-    * census cell. One window pass + one tiny-keyspace aggregate. */
+    * excluded by VALUE, and non-purchase events are pre-collapsed to ONE
+    * deterministic touch row per (user_id, ts) — min(event_type) among
+    * that instant's events — so first/last over ts-tied frame rows never
+    * depends on partition-local row order (Spark) or unspecified peer
+    * order (DuckDB). Purchases with no prior touch keep a 'none' census
+    * cell. One tiny pre-aggregate + one window pass + one tiny-keyspace
+    * aggregate. */
   def attribution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_type")).as("touch"))
+      .withColumn("is_purchase", lit(0))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("string").as("touch"), lit(1).as("is_purchase"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rangeBetween(-7L * DayNs, -1L)
-    val touch = when(col("event_type") =!= "purchase", col("event_type"))
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("ts"), col("event_type"))
-      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
-      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    touches.unionByName(purchases)
+      .withColumn("first_touch", first(col("touch"), ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
       .groupBy(coalesce(col("first_touch"), lit("none")).as("first_touch"),
         coalesce(col("last_touch"), lit("none")).as("last_touch"))
       .agg(count(lit(1)).as("n_purchases"),
@@ -795,20 +807,26 @@ object AnalyticsQueries {
 
   val attributionSql: String =
     """WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+      |tch AS (
+      |  SELECT user_id, ts, MIN(event_type) AS touch, 0 AS is_purchase
+      |  FROM ev WHERE event_type <> 'purchase' GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT * FROM tch
+      |  UNION ALL
+      |  SELECT user_id, ts, NULL AS touch, 1 AS is_purchase
+      |  FROM ev WHERE event_type = 'purchase'),
       |tw AS (
-      |  SELECT user_id, ts, event_type,
-      |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-      |      OVER w AS first_touch,
-      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-      |      OVER w AS last_touch
-      |  FROM ev
+      |  SELECT user_id, is_purchase,
+      |    first_value(touch IGNORE NULLS) OVER w AS first_touch,
+      |    last_value(touch IGNORE NULLS) OVER w AS last_touch
+      |  FROM uni
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
       |    RANGE BETWEEN 604800000000000 PRECEDING AND 1 PRECEDING))
       |SELECT COALESCE(first_touch, 'none') AS first_touch,
       |  COALESCE(last_touch, 'none') AS last_touch,
       |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-      |FROM tw WHERE event_type = 'purchase'
+      |FROM tw WHERE is_purchase = 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

@@ -272,28 +272,31 @@ object EventsQueries {
   /** Q144 — engagement census over the q6 sessions: total sessions,
     * bounce rate (single-event sessions) in exact permille, and the
     * exact lower-median session size and duration (order statistics on
-    * total orders — the q124 rank discipline). The ranking windows run
-    * over the SESSION table (events already collapsed by the q6
-    * aggregate); output is one census row. */
+    * total orders — the q124 rank discipline). The medians come off the
+    * OrderStats value histograms of the SESSION table (the value at
+    * row-rank (n+1) div 2 of the tie-broken total order is the min
+    * distinct value with cum ≥ that rank — the (user_id, session_id)
+    * tie-break never changes the VALUE at a rank), so no window ranks
+    * the session rows; output is one census row. */
   def sessionStats(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.OrderStats
     val sessions = Sessions.assignByGap(Tables.events(spark, dir),
       col("user_id"), col("ts"), col("event_id"), GapNs)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         (max(col("ts")) - min(col("ts"))).as("dur_ns"))
-    val ranked = sessions
-      .withColumn("re", row_number().over(
-        Window.orderBy(col("n_events"), col("user_id"), col("session_id"))))
-      .withColumn("rd", row_number().over(
-        Window.orderBy(col("dur_ns"), col("user_id"), col("session_id"))))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    ranked.agg(
-      max(col("n")).as("n_sessions"),
-      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
-      min(when(col("re") === expr("(n + 1) div 2"), col("n_events"))).as("median_events"),
-      min(when(col("rd") === expr("(n + 1) div 2"), col("dur_ns"))).as("median_duration_ns"))
+      // two histograms + the census aggregate read it
+      .localCheckpoint(true)
+    val census = sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+    def median(valueCol: String, out: String) =
+      OrderStats.cumHistogram(sessions.select(valueCol), valueCol)
+        .crossJoin(broadcast(census.select(col("n_sessions").as("n"))))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col(valueCol))).as(out))
+    census
+      .crossJoin(median("n_events", "median_events"))
+      .crossJoin(median("dur_ns", "median_duration_ns"))
       .withColumn("bounce_permille", expr("n_bounces * 1000 div n_sessions"))
       .select(col("n_sessions"), col("n_bounces"), col("bounce_permille"),
         col("median_events"), col("median_duration_ns"))

@@ -758,18 +758,20 @@ object SimilarityQueries {
       |FROM packed JOIN adc USING (id)
       |ORDER BY id""".stripMargin
 
-  /** The q109/q110 image corpus: every document's synthetic PNG plus a
+  /** The planted-duplicate media corpus shared by every modality's
+    * dedup family (q109/q110/q128/q131 images, q145 audio): every
+    * document's synthetic media plus a
     * PLANTED byte-identical copy for every 7th doc at +2M ids (the
     * generator is keyed by gen_id, so the planted copy decodes to the
     * same pixels — guaranteed hamming-0 pairs). */
-  private def imageMedia(spark: SparkSession, dir: String): DataFrame = {
+  private def plantedMedia(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     docs.select(col("doc_id").as("media_id"), col("doc_id").as("gen_id"))
       .unionByName(docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000L).as("media_id"), col("doc_id").as("gen_id")))
   }
 
-  private val imageMediaSql: String =
+  private val plantedMediaSql: String =
     """SELECT doc_id AS media_id, doc_id AS gen_id FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000 AS media_id, doc_id AS gen_id
@@ -806,7 +808,7 @@ object SimilarityQueries {
     * signature). */
   def imagePhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    imageMedia(spark, dir).select(col("media_id"), col("gen_id")).as[(Long, Long)]
+    plantedMedia(spark, dir).select(col("media_id"), col("gen_id")).as[(Long, Long)]
       .mapPartitions(_.map { case (mid, gid) =>
         val (hi, lo, n) = Multimodal.ImageCodec.aHash64(
           Multimodal.ImageCodec.syntheticPng(gid))
@@ -817,31 +819,60 @@ object SimilarityQueries {
   }
 
   val imagePhashSql: String =
-    s"""WITH ${aHashCtes(imageMediaSql)}
+    s"""WITH ${aHashCtes(plantedMediaSql)}
        |SELECT media_id, hash_hi, hash_lo, n_set FROM ah ORDER BY media_id""".stripMargin
 
-  /** Q110 — image NEAR-DUP pairs: the aHash table fed straight into the
-    * q13b SimHash machinery (4×16-bit chunks, 1-bit multi-probe, exact
-    * recall at hamming ≤ 7, per-node degree cap 4) — byte-identical
-    * planted copies surface at hamming 0, shift-similar gradients at
-    * small distances. The oracle does the plain quadratic hamming join
-    * over the closed-form hashes plus the same degree-cap ranking, which
-    * must equal the banded candidate generation exactly. */
+  /** Q110 — image NEAR-DUP pairs with the EXACT-HASH COLLAPSE the q131
+    * census proved out (SCALE.md's measured lesson: banding raw hashes
+    * over a duplicate-heavy corpus generates quadratic candidate pairs
+    * inside every identical-hash bucket — 828 s at 10× before q131
+    * collapsed them): identical aHashes collapse to their min-id
+    * representative FIRST, so the contract is
+    *
+    *   (a) a hamming-0 star pair (rep, member) for every exact
+    *       duplicate — linear in corpus size, no banding involved; and
+    *   (b) the q13b banded SimHash machinery (4×16-bit chunks, 1-bit
+    *       multi-probe, exact recall at hamming ≤ 7, per-node degree
+    *       cap 4) over the DISTINCT hashes only, whose count grows
+    *       sublinearly.
+    *
+    * The oracle replays the same collapse: grouped hashes, star pairs,
+    * the plain quadratic hamming join over distinct closed-form hashes,
+    * and the degree-cap ranking. */
   def imageNearDups(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
-    val sims = imagePhash(spark, dir)
-      .select(col("media_id").as("id"),
-        (shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))).as("simhash"))
-    Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+    // one decode pass feeds both the star pairs and the rep table
+    val ah = imagePhash(spark, dir)
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+      .localCheckpoint(true)
+    val groups = ah.groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(min(col("media_id")).as("rep"))
+      .localCheckpoint(true)
+    val exactPairs = ah.join(groups, Seq("hash_hi", "hash_lo"))
+      .filter(col("media_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("media_id").as("id_b"),
+        lit(0).as("hamming"))
+    val reps = groups.select(col("rep").as("id"),
+      (shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))).as("simhash"))
+    // distinct hashes ⇒ every banded pair lands at hamming ≥ 1
+    val nearPairs = Dedup.simhashNearDupPairs(reps, maxHamming = 7, maxDegree = 4)
+    exactPairs.unionByName(nearPairs)
       .orderBy(col("id_a"), col("id_b"))
   }
 
   val imageNearDupsSql: String =
-    s"""WITH ${aHashCtes(imageMediaSql)},
+    s"""WITH ${aHashCtes(plantedMediaSql)},
+       |grp AS (
+       |  SELECT hash_hi, hash_lo, MIN(media_id) AS rep
+       |  FROM ah GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT g.rep AS id_a, a.media_id AS id_b, 0 AS hamming
+       |  FROM ah a JOIN grp g USING (hash_hi, hash_lo)
+       |  WHERE a.media_id <> g.rep),
        |pr AS (
-       |  SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  SELECT a.rep AS id_a, b.rep AS id_b,
        |    bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) AS hamming
-       |  FROM ah a JOIN ah b ON a.media_id < b.media_id
+       |  FROM grp a JOIN grp b ON a.rep < b.rep
        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 7),
        |psym AS (
        |  SELECT id_a AS node, id_b AS other, hamming FROM pr
@@ -849,10 +880,13 @@ object SimilarityQueries {
        |prk AS (
        |  SELECT node, other, hamming,
        |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
-       |  FROM psym)
-       |SELECT DISTINCT LEAST(node, other) AS id_a, GREATEST(node, other) AS id_b,
-       |  CAST(hamming AS INTEGER) AS hamming
-       |FROM prk WHERE r <= 4 ORDER BY id_a, id_b""".stripMargin
+       |  FROM psym),
+       |near AS (
+       |  SELECT DISTINCT LEAST(node, other) AS id_a, GREATEST(node, other) AS id_b, hamming
+       |  FROM prk WHERE r <= 4)
+       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+       |FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Q128 — image QC gating (ImageCodec.qcStats): the exposure/contrast
     * hygiene pass for an image corpus — per image the floor-gray mean,
@@ -863,7 +897,7 @@ object SimilarityQueries {
     * threshold. */
   def imageQc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    imageMedia(spark, dir).select(col("media_id"), col("gen_id")).as[(Long, Long)]
+    plantedMedia(spark, dir).select(col("media_id"), col("gen_id")).as[(Long, Long)]
       .mapPartitions(_.map { case (mid, gid) =>
         val (mean, mn, mx) = Multimodal.ImageCodec.qcStats(
           Multimodal.ImageCodec.syntheticPng(gid))
@@ -878,7 +912,7 @@ object SimilarityQueries {
   }
 
   val imageQcSql: String =
-    s"""WITH media AS ($imageMediaSql),
+    s"""WITH media AS ($plantedMediaSql),
        |px AS (
        |  SELECT media_id,
        |    ((((gen_id % 1009) * 31 + x.x * 7 + y.y * 13) % 256)
@@ -903,22 +937,24 @@ object SimilarityQueries {
     * quantized squared norm (integer Σ floor(x·1000)², the engine-exact
     * convention), then the corpus census — zero vectors, norms outside
     * the exact p01/p99 order statistics (the q124 rank discipline), and
-    * the bounds themselves. One narrow kernel pass + one rank window +
-    * one census aggregate. */
+    * the bounds themselves. One narrow kernel pass + the OrderStats
+    * histogram rank (no row-table window: the value at row-rank k of
+    * the (norm, vec_id) total order is the min distinct norm with
+    * cum ≥ k — the vec_id tie-break cannot change the VALUE at a rank)
+    * + one census aggregate. */
   def embeddingQc(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.ops.OrderStats
     val q = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("norm2_q", expr(
         "aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)"))
-    val ranked = q
-      .withColumn("r", row_number().over(Window.orderBy(col("norm2_q"), col("vec_id"))))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val bounds = ranked.agg(
-      max(col("n")).as("n_vectors"),
-      min(when(col("r") === expr("(1 * n + 99) div 100"), col("norm2_q"))).as("p01_q"),
-      min(when(col("r") === expr("(99 * n + 99) div 100"), col("norm2_q"))).as("p99_q"))
+    val hist = OrderStats.cumHistogram(q.select("norm2_q"), "norm2_q")
+    val bounds = hist
+      .crossJoin(broadcast(hist.agg(sum(col("nv")).as("n")))) // 1-row total
+      .agg(
+        max(col("n")).as("n_vectors"),
+        min(when(col("cum") >= expr("(1 * n + 99) div 100"), col("norm2_q"))).as("p01_q"),
+        min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("norm2_q"))).as("p99_q"))
     q.crossJoin(broadcast(bounds))
       .agg(
         max(col("n_vectors")).as("n_vectors"),
@@ -1140,7 +1176,7 @@ object SimilarityQueries {
       (shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))).as("simhash"))
     val pairs = Dedup.simhashNearDupPairs(reps, maxHamming = 7, maxDegree = 4)
     val labels = Dedup.connectedComponents(pairs)
-    imageMedia(spark, dir).select(col("media_id"))
+    plantedMedia(spark, dir).select(col("media_id"))
       .join(broadcast(bad), Seq("media_id"), "left_outer")
       .join(surv.join(groups, Seq("hash_hi", "hash_lo"))
           .select(col("media_id"), col("rep"), col("gsize")),
@@ -1165,7 +1201,7 @@ object SimilarityQueries {
   }
 
   val multimodalCurationSql: String =
-    s"""WITH RECURSIVE ${aHashCtes(imageMediaSql)},
+    s"""WITH RECURSIVE ${aHashCtes(plantedMediaSql)},
        |qc AS (
        |  SELECT media_id, SUM(gray) // 64 AS mean_gray,
        |    MIN(gray) AS mn_g, MAX(gray) AS mx_g
@@ -1220,6 +1256,154 @@ object SimilarityQueries {
        |  LEFT JOIN sg ON sg.media_id = m.media_id
        |  LEFT JOIN labels l ON l.id = sg.rep)
        |SELECT decision, reason, CAST(COUNT(*) AS BIGINT) AS n_images
+       |FROM verdict GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q145 — end-to-end AUDIO curation census, completing the
+    * per-modality trio (text q100, image q131, audio here): QC gate
+    * first (q119's clipping + dead-air thresholds over the real WAV
+    * parse), then near-dup canonicalization among the SURVIVORS via the
+    * delta-sign fingerprint (AudioWav.deltaFingerprint) with the q131
+    * exact-hash-collapse discipline — identical fingerprints collapse
+    * to a min-id representative before any banding, DISTINCT
+    * fingerprints band at hamming ≤ 1 with the q110 degree cap, and
+    * connected components pick the min-id canonical. Each clip lands in
+    * exactly one cell of the keep/drop × reason matrix (qc, near_dup,
+    * canonical, unique). The oracle stitches the whole chain
+    * closed-form from the clip formula: every sample, both QC stats
+    * (gaps-and-islands for the silence run), every fingerprint bit, the
+    * hamming pairs, the degree cap, the recursive closure, the census. */
+  def audioCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val media = plantedMedia(spark, dir)
+    val wavs = media.select(col("media_id"), col("gen_id")).as[(Long, Long)]
+      .mapPartitions(_.map { case (mid, gid) =>
+        (mid, graft.multimodal.AudioWav.syntheticWav(gid))
+      }).toDF("media_id", "content")
+    val qc = graft.functions.NativeExpressions.wavQcStats(col("content"), 1000, 50)
+    val stats = graft.multimodal.AudioWav.parsed(wavs)
+      .withColumn("q", qc)
+      .select(col("media_id"), col("q.n_clipped").as("n_clipped"),
+        col("q.longest_silence").as("longest_silence"),
+        graft.multimodal.AudioWav.deltaFingerprint().as("fp"))
+      // bad + survivors both read it; decode-and-fingerprint once
+      .localCheckpoint(true)
+    val bad = stats
+      .filter(col("n_clipped") >= 2 || col("longest_silence") >= 4)
+      .select(col("media_id"), lit(1).as("is_bad"))
+    val surv = stats.join(bad.select(col("media_id")), Seq("media_id"), "left_anti")
+      .select(col("media_id"), col("fp"))
+    // exact-fingerprint collapse BEFORE banding (the q131/q110 move):
+    // 81 exact-dup groups at sf0.01 and the planted copies guarantee
+    // identical fingerprints repeat — banding raw clips would be
+    // quadratic inside every identical-fp bucket
+    val groups = surv.groupBy(col("fp"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("gsize"))
+      .localCheckpoint(true)
+    // hamming ≤ 1 (not the image family's 7): the delta-sign space is
+    // low-entropy by construction — a wider radius chains every wrap
+    // position into one cluster and the census degenerates
+    val pairs = Dedup.simhashNearDupPairs(
+      groups.select(col("rep").as("id"), col("fp").as("simhash")),
+      maxHamming = 1, maxDegree = 4)
+    val labels = Dedup.connectedComponents(pairs)
+    media.select(col("media_id"))
+      .join(broadcast(bad), Seq("media_id"), "left_outer")
+      .join(surv.join(groups, Seq("fp"))
+          .select(col("media_id"), col("rep"), col("gsize")),
+        Seq("media_id"), "left_outer")
+      .join(labels.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left_outer")
+      .withColumn("decision",
+        when(col("is_bad") === 1, lit("drop"))
+          .when(col("media_id") =!= col("rep"), lit("drop"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
+            lit("drop"))
+          .otherwise(lit("keep")))
+      .withColumn("reason",
+        when(col("is_bad") === 1, lit("qc"))
+          .when(col("media_id") =!= col("rep"), lit("near_dup"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
+            lit("near_dup"))
+          .when(col("cluster_id").isNotNull || col("gsize") > 1, lit("canonical"))
+          .otherwise(lit("unique")))
+      .groupBy(col("decision"), col("reason"))
+      .agg(count(lit(1)).as("n_clips"))
+      .orderBy(col("decision"), col("reason"))
+  }
+
+  val audioCurationSql: String =
+    s"""WITH RECURSIVE media AS ($plantedMediaSql),
+       |clips AS (SELECT media_id, gen_id, 32 + gen_id % 32 AS n FROM media),
+       |smp AS (
+       |  SELECT media_id, i.i AS i,
+       |    ((gen_id * 97 + i.i * 31) % 2048) - 1024 AS sv,
+       |    abs((gen_id * 97 + i.i * 31) % 2048 - 1024) AS a, n
+       |  FROM clips, range(0, 64) i(i) WHERE i.i < n),
+       |sil AS (
+       |  SELECT media_id, i,
+       |    i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS isl
+       |  FROM smp WHERE a < 50),
+       |runs AS (SELECT media_id, COUNT(*) AS run FROM sil GROUP BY media_id, isl),
+       |longest AS (SELECT media_id, MAX(run) AS ls FROM runs GROUP BY media_id),
+       |qc AS (
+       |  SELECT smp.media_id,
+       |    SUM(CASE WHEN a >= 1000 THEN 1 ELSE 0 END) AS nc,
+       |    COALESCE(MAX(l.ls), 0) AS ls
+       |  FROM smp LEFT JOIN longest l USING (media_id)
+       |  GROUP BY smp.media_id),
+       |bad AS (SELECT media_id FROM qc WHERE nc >= 2 OR ls >= 4),
+       |dd AS (
+       |  SELECT media_id, i, sv, n,
+       |    lead(sv) OVER (PARTITION BY media_id ORDER BY i) AS nx
+       |  FROM smp),
+       |fp AS (
+       |  SELECT media_id,
+       |    CAST(COALESCE(SUM(CASE WHEN nx > sv THEN (1::BIGINT << i) END), 0) AS BIGINT) AS f
+       |  FROM dd WHERE i <= n - 2 GROUP BY 1),
+       |surv AS (
+       |  SELECT media_id, f FROM fp
+       |  WHERE media_id NOT IN (SELECT media_id FROM bad)),
+       |fgrp AS (SELECT f, MIN(media_id) AS rep, COUNT(*) AS gsize FROM surv GROUP BY 1),
+       |pr AS (
+       |  SELECT a.rep AS id_a, b.rep AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+       |  FROM fgrp a JOIN fgrp b ON a.rep < b.rep
+       |  WHERE bit_count(xor(a.f, b.f)) <= 1),
+       |psym AS (
+       |  SELECT id_a AS node, id_b AS other, hamming FROM pr
+       |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
+       |prk AS (
+       |  SELECT node, other,
+       |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+       |  FROM psym),
+       |pairs AS (SELECT DISTINCT LEAST(node, other) AS id_a,
+       |                 GREATEST(node, other) AS id_b
+       |          FROM prk WHERE r <= 4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS rt FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.rt AS rt FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(rt) AS cluster_id FROM reach GROUP BY id),
+       |sg AS (
+       |  SELECT s.media_id, g.rep, g.gsize
+       |  FROM surv s JOIN fgrp g USING (f)),
+       |verdict AS (
+       |  SELECT m.media_id,
+       |    CASE WHEN b.media_id IS NOT NULL THEN 'drop'
+       |         WHEN m.media_id <> sg.rep THEN 'drop'
+       |         WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.media_id THEN 'drop'
+       |         ELSE 'keep' END AS decision,
+       |    CASE WHEN b.media_id IS NOT NULL THEN 'qc'
+       |         WHEN m.media_id <> sg.rep THEN 'near_dup'
+       |         WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.media_id THEN 'near_dup'
+       |         WHEN l.cluster_id IS NOT NULL OR sg.gsize > 1 THEN 'canonical'
+       |         ELSE 'unique' END AS reason
+       |  FROM media m
+       |  LEFT JOIN bad b ON b.media_id = m.media_id
+       |  LEFT JOIN sg ON sg.media_id = m.media_id
+       |  LEFT JOIN labels l ON l.id = sg.rep)
+       |SELECT decision, reason, CAST(COUNT(*) AS BIGINT) AS n_clips
        |FROM verdict GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Q127 — video SCENE-CUT detection (VideoCodec.sceneCuts): every
@@ -1380,6 +1564,7 @@ object SimilarityQueries {
     QueryDef("q127_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     QueryDef("q128_image_qc", imageQc, Some(imageQcSql)),
     QueryDef("q131_multimodal_curation", multimodalCuration, Some(multimodalCurationSql)),
+    QueryDef("q145_audio_curation", audioCuration, Some(audioCurationSql)),
     QueryDef("q136_cluster_topics", clusterTopics, Some(clusterTopicsSql)),
     QueryDef("q137_embedding_qc", embeddingQc, Some(embeddingQcSql)),
     QueryDef("q138_cluster_purity", clusterPurity, Some(clusterPuritySql)),

@@ -511,7 +511,12 @@ object Streaming {
     * spec replays it in plain Scala for batch parity. Page's statistic is
     * arrival-order-dependent; rows are folded in (ts, y) order within
     * each micro-batch — the funnelUpdates determinism contract — so any
-    * batch split of the same rows yields the same final state. State is
+    * ORDER-RESPECTING batch split of the same rows (every batch's rows ≥
+    * the previous batch's in (ts, y)) yields the same final state. A
+    * late row arriving in a later batch folds after larger timestamps,
+    * and the max(0, ·) recursion then yields a genuinely different
+    * statistic than the single-batch fold — cross-batch late data
+    * changes the alert sequence, exactly as in any online CUSUM. State is
     * three longs per key regardless of stream length; TTL expiry drops
     * idle keys. Emits (key, n, sPos, sNeg, alert) whenever the state
     * moves. */

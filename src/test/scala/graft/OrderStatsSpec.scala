@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.ops.OrderStats
+
+/** OrderStats = the scale-safe exact-rank kernel behind q124/q137/q141/
+  * q144. Its contract is EQUALITY with the naive unpartitioned-window
+  * formulation on every input — property-tested (seeded trials) against
+  * skew, ties, negatives, and tiny/degenerate shapes the bucket map must
+  * survive. */
+class OrderStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic trial inputs: alternates a heavy-tie regime (few
+    * distinct values over many rows — the straddle path) with a wide
+    * near-unique regime (the settled path). */
+  private def trialValues(rnd: Random): List[Long] = {
+    val n = 1 + rnd.nextInt(60)
+    if (rnd.nextBoolean()) List.fill(n)(rnd.between(-5L, 6L))
+    else List.fill(n)(rnd.between(-1000000L, 1000001L))
+  }
+
+  test("cumHistogram matches the naive cumulative rank on arbitrary data") {
+    val rnd = new Random(137)
+    for (_ <- 1 to 40) {
+      val vs = trialValues(rnd)
+      val buckets = 1 + rnd.nextInt(8)
+      val df = vs.toDF("v")
+      val got = OrderStats.cumHistogram(df, "v", buckets = buckets)
+        .select("v", "nv", "cum").as[(Long, Long, Long)].collect().sortBy(_._1)
+      val naive = df.groupBy($"v").agg(count(lit(1)).as("nv"))
+        .withColumn("cum", sum($"nv").over(
+          Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == naive.toSeq, s"buckets=$buckets vs=$vs")
+    }
+  }
+
+  test("cumHistogram grouped: per-group cumulative counts are exact") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 3L), ("b", -2L), ("b", -2L),
+      ("b", -2L), ("b", 7L)).toDF("g", "v")
+    val got = OrderStats.cumHistogram(df, "v", Seq("g"), buckets = 2)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 2L, 2L), ("a", 3L, 1L, 3L),
+      ("b", -2L, 3L, 3L), ("b", 7L, 1L, 4L)))
+  }
+
+  test("rankBucket matches the naive tie-broken equal-frequency bucket") {
+    val rnd = new Random(141)
+    for (trial <- 1 to 40) {
+      val vs = trialValues(rnd)
+      val parts = Seq(2, 3, 4, 10)(rnd.nextInt(4))
+      val df = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+      val got = OrderStats.rankBucket(df, "v", "id", parts, "b")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val naive = df
+        .withColumn("r", row_number().over(Window.orderBy($"v", $"id")))
+        .withColumn("n", count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select($"id", expr(s"(cast(r as long) - 1) * $parts div n + 1"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == naive.toSeq, s"trial=$trial parts=$parts vs=$vs")
+    }
+  }
+
+  test("rankBucket emits every id exactly once (straddle/settled split is a partition)") {
+    // all rows one tied value: the single group straddles every boundary
+    val df = (0L until 20L).map(i => (42L, i)).toDF("v", "id")
+    val got = OrderStats.rankBucket(df, "v", "id", 4, "b")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 20L))
+    assert(got.map(_._2).toSeq == (0L until 20L).map(i => i * 4 / 20 + 1))
+  }
+}

@@ -377,6 +377,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("exact order statistics rank histograms, never the row table") {
+    // the q93 discipline generalized (OrderStats): q137/q141/q144/q124
+    // previously ranked unbounded row tables through unpartitioned (or
+    // 5-partition) windows — a single-task global sort at 100×. Pin the
+    // converted shape: every window either carries a partition spec
+    // (windowspecdefinition renders partition cols before the ORDER
+    // fields, so a partitioned spec's first field has no sort direction)
+    // or runs over the bounded ≤`buckets`-row per-bucket table (__bk).
+    for (name <- Seq("q137_embedding_qc", "q141_rfm_segments",
+        "q144_session_stats", "q124_winsorized")) {
+      val p = plan(name)
+      val windows = p.split("\n").filter(_.contains("windowspecdefinition"))
+      assert(windows.nonEmpty, s"$name lost its histogram windows entirely")
+      for (w <- windows) {
+        val spec = w.substring(w.indexOf("windowspecdefinition") + 21)
+        val firstField = spec.split(",")(0).trim
+        val partitioned = !firstField.contains(" ASC") && !firstField.contains(" DESC")
+        assert(partitioned || firstField.startsWith("__bk"),
+          s"$name has an unpartitioned window over a non-bucket table: $w")
+      }
+      // the old row_number-over-the-row-table shape must not reappear
+      // unpartitioned (q141's straddle ranks are partitioned by value)
+      for (w <- windows if w.contains("row_number")) {
+        val spec = w.substring(w.indexOf("windowspecdefinition") + 21)
+        val firstField = spec.split(",")(0).trim
+        assert(!firstField.contains(" ASC") && !firstField.contains(" DESC"),
+          s"$name ranks rows through an unpartitioned window: $w")
+      }
+    }
+  }
+
   test("rrf fusion re-ranks only the bounded lists; the corpus scan is pruned") {
     val p = plan("q114_rrf_fusion")
     // the BM25 side reads (doc_id, text) only — column pruning reaches parquet
