@@ -548,6 +548,52 @@ object Dedup {
     else verified
   }
 
+  /** Asymmetric banded hamming matcher — each PROBE row's 64-bit
+    * signature matched against a (usually much larger) signature INDEX,
+    * exact recall for the requested radius by the same 16-bit-chunk
+    * pigeonhole / 1-bit multi-probe argument as [[simhashNearDupPairs]]
+    * (probes fan out, the index side stays at 4 rows/signature — the
+    * daily-crawl shape: the corpus is chunked once, only the new batch
+    * pays the 68-row probe cost). `maxMatchesPerProbe > 0` keeps each
+    * probe's lowest-hamming matches only. Returns
+    * (batch_id, match_id, hamming). */
+  def hammingProbe(probe: DataFrame, index: DataFrame, maxHamming: Int = 7,
+      maxBucket: Int = 5000, maxMatchesPerProbe: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming exceeds the 1-bit-probe banding radius (7)")
+    val chunks = 4
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
+    val idxChunks = index.select(col("id").as("match_id"), col("simhash").as("sim_m"),
+      explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("chunk_val",
+        expr(s"shiftrightunsigned(sim_m, chunk * $bits) & $mask"))
+    val capped = dropOversizedBuckets(idxChunks, Seq("chunk", "chunk_val"), maxBucket)
+    val base = probe.select(col("id").as("batch_id"), col("simhash").as("sim_p"),
+      explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .withColumn("base_val",
+        expr(s"shiftrightunsigned(sim_p, chunk * $bits) & $mask"))
+    val probes =
+      if (maxHamming <= chunks - 1) base.withColumn("chunk_val", col("base_val"))
+      else base.select(col("batch_id"), col("sim_p"), col("chunk"),
+        explode(expr(
+          s"concat(array(base_val), transform(sequence(0, ${bits - 1}), " +
+            s"b -> base_val ^ shiftleft(1L, b)))")).as("chunk_val"))
+    val verified = probes.join(capped, Seq("chunk", "chunk_val"))
+      .dropDuplicates("batch_id", "match_id")
+      .withColumn("hamming", expr("bit_count(sim_p ^ sim_m)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("match_id"), col("hamming"))
+    if (maxMatchesPerProbe > 0)
+      verified.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("batch_id"))
+            .orderBy(col("hamming").asc, col("match_id").asc)))
+        .filter(col("__rk") <= maxMatchesPerProbe)
+        .drop("__rk")
+    else verified
+  }
+
   // -------------------------------------------------- duplicate clusters
 
   /** Connected components over a near-dup pair set → duplicate clusters:

@@ -683,16 +683,28 @@ object TextQueries {
   def snippets(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val top = graft.ops.TextSearch.bm25TopK(docs, "doc_id", "text", Bm25Terms, Bm25K)
+    attachSnippets(spark, dir, top)
+      .select(col("doc_id"), col("score_e12"), col("hit_pos"), col("snippet"))
+      .orderBy(col("score_e12").desc, col("doc_id").asc)
+  }
+
+  /** The q143 snippet attachment factored for reuse (q143 + the service
+    * facade's /search): joins ANY ranked doc-id list back to the corpus
+    * and adds the earliest query-term hit position and the ±3-word
+    * highlight window. Docs without a term hit (semantic-only hybrid
+    * results) keep null hit_pos/snippet. The ranked list is top-k
+    * bounded, so the join broadcasts it against one pruned corpus scan. */
+  def attachSnippets(spark: SparkSession, dir: String, ranked: DataFrame): DataFrame = {
+    val docs = Tables.documents(spark, dir)
     val posExprs = Bm25Terms.map(t =>
       when(array_position(col("ws"), t) > 0, array_position(col("ws"), t)))
-    top.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    broadcast(ranked).join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .withColumn("ws", split(col("text"), " "))
       .withColumn("hit_pos", least(posExprs: _*))
       .withColumn("snippet", expr(
         "concat_ws(' ', slice(ws, greatest(1, cast(hit_pos as int) - 3)," +
           " cast(hit_pos as int) + 3 - greatest(1, cast(hit_pos as int) - 3) + 1))"))
-      .select(col("doc_id"), col("score_e12"), col("hit_pos"), col("snippet"))
-      .orderBy(col("score_e12").desc, col("doc_id").asc)
+      .drop("ws", "text")
   }
 
   val snippetsSql: String = {

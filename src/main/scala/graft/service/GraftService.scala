@@ -108,6 +108,29 @@ final class GraftService private (
         }
       case ("POST", "/stopPipeline") =>
         stopPipeline(); (200, """{"stopped":true}""")
+      case ("GET", "/search") =>
+        // the reference's query surface is its service layer
+        // (service.kt:22-80); retrieval end-to-end behind the facade:
+        // lexical = q45 BM25 top-k + q143 snippets (rows match the q143
+        // oracle); hybrid = the q114 RRF fusion of the lexical and
+        // semantic rankings, snippets attached the same way. Both are
+        // top-k bounded serving reads — the corpus is scanned once
+        // distributed, only the ranked page is collected.
+        val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
+        ps.get("dir") match {
+          case None => (400, """{"error":"dir required"}""")
+          case Some(dir) =>
+            val limit = math.min(ps.get("limit").map(_.toInt).getOrElse(20),
+              GraftService.MaxPageRows)
+            val ranked = ps.get("mode") match {
+              case Some("hybrid") =>
+                graft.queries.TextQueries.attachSnippets(spark, dir,
+                  graft.queries.SimilarityQueries.rrfFusion(spark, dir))
+                  .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+              case _ => graft.queries.TextQueries.snippets(spark, dir)
+            }
+            (200, ranked.limit(limit).toJSON.collect().mkString("[", ",", "]"))
+        }
       case ("GET", "/datarecords") =>
         running match {
           case None => (409, """{"error":"no pipeline running"}""")

@@ -329,6 +329,57 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** Continuous incremental IMAGE near-dup maintenance — the
+    * [[incrementalDedupSink]] chassis applied to the aHash modality
+    * (q110's daily-crawl form, mirroring q81's text index): every
+    * micro-batch of images is decoded ONCE to 64-bit aHashes, probed
+    * against the DURABLE (id, simhash) index with the banded
+    * [[graft.ops.Dedup.hammingProbe]] (exact recall at the requested
+    * radius, 8 B/image index growth), matched within the batch itself
+    * via the q110 banding, and then appended to the index so later
+    * batches see earlier images. Corrupt images isolate per record (the
+    * A19 posture — a failed decode contributes no hash and no match).
+    * Crash-replay defense is identical to the text sink: per-batch
+    * `batch_run=<id>` overwrite partitions + broadcast anti-join of the
+    * replayed batch's own ids out of the index read. Matches carry
+    * src = 'corpus' (durable index hit) or 'batch' (within-batch, the
+    * LATER id probes the earlier). */
+  def incrementalImageDedupSink(media: DataFrame, idCol: String,
+      contentCol: String, indexDir: String, matchesDir: String,
+      maxHamming: Int = 7, maxBucket: Int = 5000, maxMatchesPerProbe: Int = 0,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val bsig = batch.select(col(idCol).cast("long"), col(contentCol))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, bytes) =>
+            scala.util.Try(graft.multimodal.Multimodal.ImageCodec.aHash64(bytes))
+              .toOption.map { case (hi, lo, _) => (id, (hi << 32) | lo) }
+          })
+          .toDF("id", "simhash")
+          .localCheckpoint(true) // probe + in-batch pairs + index append
+        val index = scala.util.Try(spark.read.parquet(indexDir)).toOption
+          .map(_.select(col("id"), col("simhash")))
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), bsig.schema))
+          .join(broadcast(bsig.select(col("id"))), Seq("id"), "left_anti")
+        val corpus = graft.ops.Dedup.hammingProbe(bsig, index,
+            maxHamming, maxBucket, maxMatchesPerProbe)
+          .withColumn("src", lit("corpus"))
+        val inBatch = graft.ops.Dedup.simhashNearDupPairs(bsig, maxHamming,
+            maxBucket, maxDegree = 0)
+          .select(col("id_b").as("batch_id"), col("id_a").as("match_id"),
+            col("hamming"), lit("batch").as("src"))
+        corpus.unionByName(inBatch)
+          .write.mode("overwrite").parquet(s"$matchesDir/batch_run=$batchId")
+        bsig.write.mode("overwrite").parquet(s"$indexDir/batch_run=$batchId")
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   /** Continuous CCNet-style paragraph dedup — the streaming form of
     * [[graft.ops.Dedup.paragraphDedup]] (q87), on the
     * [[incrementalDedupSink]] chassis: each micro-batch splits its

@@ -94,4 +94,36 @@ class ServiceSpec extends SparkSpec {
       assert(b.contains("\"id\":4") && !b.contains("\"id\":3"), b)
     } finally svc.close()
   }
+
+  test("/search drives q45→q143 over HTTP; rows match the oracle-verified snippets query") {
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      assert(get(svc, "/search")._1 == 400, "dir is required")
+      val dir = java.net.URLEncoder.encode(sf(), "UTF-8")
+      val (code, body) = get(svc, s"/search?dir=$dir")
+      assert(code == 200, body)
+      // the endpoint's payload must be exactly the q143 result, row
+      // order included — same engine serializer on both sides
+      val expected = graft.queries.TextQueries.snippets(spark, sf())
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(body == expected, body.take(400))
+      // limit pages the ranked list
+      val (c3, b3) = get(svc, s"/search?dir=$dir&limit=3")
+      assert(c3 == 200 && b3.count(_ == '{') == 3, b3)
+    } finally svc.close()
+  }
+
+  test("/search mode=hybrid returns the q114 fused ranking with snippets attached") {
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      val dir = java.net.URLEncoder.encode(sf(), "UTF-8")
+      val (code, body) = get(svc, s"/search?dir=$dir&mode=hybrid")
+      assert(code == 200, body)
+      val gotIds = "\"doc_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      val fused = graft.queries.SimilarityQueries.rrfFusion(spark, sf())
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(gotIds == fused, s"got=$gotIds fused=$fused")
+      assert(body.contains("\"rrf_e6\":"), body.take(400))
+    } finally svc.close()
+  }
 }

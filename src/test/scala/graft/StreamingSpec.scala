@@ -521,6 +521,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental image dedup sink: aHash index across batches, checkpointed restart, batch parity") {
+    // the q110/q81 daily-crawl shape for images: trigger 1 seeds the
+    // aHash index; after a stop (crash point: offsets only in the
+    // checkpoint), trigger 2's arrivals must hit trigger 1's images via
+    // the DURABLE index and each other in-batch, a corrupt image must
+    // isolate, and the streamed matches must equal the batch-computed
+    // pair set over the same corpus
+    import graft.multimodal.Multimodal.ImageCodec
+    val root = java.nio.file.Files.createTempDirectory("graft_img_idx").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    def start() = Streaming.incrementalImageDedupSink(
+      spark.readStream.schema(schema).parquet(srcDir), "media_id", "content",
+      s"$root/index", s"$root/matches", checkpointDir = Some(s"$root/ckpt"))
+
+    // trigger 1: two unrelated images
+    Seq((1L, ImageCodec.syntheticPng(11L)), (2L, ImageCodec.syntheticPng(57L)))
+      .toDF("media_id", "content").write.mode("append").parquet(srcDir)
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(spark.read.parquet(s"$root/matches").count() == 0)
+    q1.stop()
+
+    // arrives while nothing runs: a byte-identical copy of image 1, a
+    // fresh image 4, its in-batch copy 5, and a corrupt record
+    Seq((3L, ImageCodec.syntheticPng(11L)), (4L, ImageCodec.syntheticPng(321L)),
+      (5L, ImageCodec.syntheticPng(321L)), (6L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "content").write.mode("append").parquet(srcDir)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val m = spark.read.parquet(s"$root/matches")
+        .select("batch_id", "match_id", "hamming", "src")
+        .as[(Long, Long, Int, String)].collect().toSet
+      assert(m == Set((3L, 1L, 0, "corpus"), (5L, 4L, 0, "batch")), s"matches: $m")
+      // corrupt image isolates: no hash, no match, rest of batch lands
+      val idx = spark.read.parquet(s"$root/index")
+      assert(idx.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+        "index must carry every decodable image exactly once")
+      // batch parity: the streamed matches are exactly the batch-mode
+      // pair set over the full corpus (orientation: later id probes)
+      val pairs = graft.ops.Dedup.simhashNearDupPairs(
+          idx.select($"id", $"simhash"), maxHamming = 7)
+        .select("id_b", "id_a", "hamming").as[(Long, Long, Int)].collect().toSet
+      assert(m.map(t => (t._1, t._2, t._3)) == pairs, s"stream=$m batch=$pairs")
+    } finally q2.stop()
+  }
+
   test("incremental paragraph dedup sink: repeats drop across and within batches, index carries hashes only") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_inc_para").toString
