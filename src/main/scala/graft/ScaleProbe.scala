@@ -46,7 +46,13 @@ object ScaleProbe {
     "q117_priority_sample", "q122_attribution", "q123_event_dedup",
     "q124_winsorized", "q125_dup_matrix", "q129_seasonality",
     "q131_multimodal_curation", "q132_ks_distance", "q136_cluster_topics",
-    "q139_twap")
+    "q139_twap",
+    // round-8 coverage (VERDICT item 3): the image/video family, the
+    // q140-q144 governance tail, and the round's new audio census
+    "q109_image_phash", "q110_image_neardup", "q127_scene_cuts",
+    "q128_image_qc", "q137_embedding_qc", "q140_dataset_cards",
+    "q141_rfm_segments", "q142_burst_detection", "q143_snippets",
+    "q144_session_stats", "q145_audio_curation")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -312,6 +312,16 @@ case class SceneCutRow(
     max_hamming: Option[Long],
     video_error: Option[String])
 
+/** Kernel output row for VideoCodec.videoSignature: per-video curation
+  * signature (or error) row. */
+case class VideoSigRow(
+    media_id: Long,
+    n_frames: Option[Long],
+    n_cuts: Option[Long],
+    fp_hi: Option[Long],
+    fp_lo: Option[Long],
+    video_error: Option[String])
+
 /** REAL video-container path — closes the last multimodal stub. No video
   * codec ships in a bare JDK, but a video CONTAINER is just an indexed
   * sequence of frames; this is the GRAV layout (GRFT's audio-video
@@ -437,6 +447,51 @@ object VideoCodec {
             SceneCutRow(id, Some(frames.size.toLong),
               Some(hams.count(_ > cutHamming).toLong),
               Some(if (hams.isEmpty) 0L else hams.max), None)
+        }
+      }).toDF()
+  }
+
+  /** One-pass per-video CURATION signature (q146): frame count, scene
+    * cuts (consecutive-frame aHash hamming > `cutHamming` — the q127
+    * signal), and the MAJORITY-VOTE SimHash of the frame aHashes — bit b
+    * of the fingerprint is set iff more than half the frames set bit b
+    * of their aHash, emitted as 32-bit halves (the aHash64 convention:
+    * a SQL BIGINT cannot form bit 63 by shift). Videos sharing most
+    * frames land within small hamming of each other; byte-identical
+    * containers collide exactly. Frames never leave the kernel; corrupt
+    * containers isolate as error rows (A19). */
+  def videoSignature(media: DataFrame, cutHamming: Int,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseFrames(bytes, 1) match {
+          case Left(err) => VideoSigRow(id, None, None, None, None, Some(err))
+          case Right(frames) =>
+            val hashes = frames.map { case (_, png) =>
+              val (hi, lo, _) = Multimodal.ImageCodec.aHash64(png)
+              (hi, lo)
+            }
+            val n = hashes.size
+            val hams = hashes.sliding(2).collect {
+              case Seq((h1, l1), (h2, l2)) =>
+                (java.lang.Long.bitCount(h1 ^ h2) +
+                  java.lang.Long.bitCount(l1 ^ l2)).toLong
+            }.toSeq
+            var fpHi = 0L
+            var fpLo = 0L
+            var b = 0
+            while (b < 32) {
+              if (2 * hashes.count(h => ((h._2 >>> b) & 1L) == 1L) > n)
+                fpLo |= (1L << b)
+              if (2 * hashes.count(h => ((h._1 >>> b) & 1L) == 1L) > n)
+                fpHi |= (1L << b)
+              b += 1
+            }
+            VideoSigRow(id, Some(n.toLong), Some(hams.count(_ > cutHamming).toLong),
+              Some(fpHi), Some(fpLo), None)
         }
       }).toDF()
   }

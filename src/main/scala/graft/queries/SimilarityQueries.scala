@@ -1406,6 +1406,160 @@ object SimilarityQueries {
        |SELECT decision, reason, CAST(COUNT(*) AS BIGINT) AS n_clips
        |FROM verdict GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q146 — end-to-end VIDEO curation census, closing the per-modality
+    * curation set (text q100, image q131, audio q145, video here): one
+    * kernel pass (VideoCodec.videoSignature) yields per container the
+    * frame count, the q127 scene-cut count, and the majority-vote
+    * SimHash of the frame aHashes; the QC gate drops corrupt containers
+    * (the q127 CRC-flip planting) and unstable ones (n_cuts ≥ 4), then
+    * the q131 discipline: exact-fingerprint collapse, DISTINCT
+    * fingerprints banded at hamming ≤ 3 (pigeonhole regime) with degree
+    * cap 4, connected components, min-id canonical, keep/drop census.
+    * The oracle recomputes every frame's aHash closed-form, every
+    * consecutive hamming, every majority bit, and replays the collapse,
+    * cap, closure and census. */
+  def videoCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val media = plantedMedia(spark, dir)
+    val vids = media.select(col("media_id"), col("gen_id")).as[(Long, Long)]
+      .mapPartitions(_.map { case (mid, gid) =>
+        val bytes = graft.multimodal.VideoCodec.syntheticVideo(gid)
+        if (gid % 50 == 0) { // q127's corruption planting, gen-keyed
+          val n = 4 + (gid % 4).toInt
+          val p = 13 + 8 * n + 10
+          bytes(p) = (bytes(p) ^ 0x5A).toByte
+        }
+        (mid, bytes)
+      }).toDF("media_id", "content")
+    val sig = graft.multimodal.VideoCodec.videoSignature(vids, cutHamming = 20)
+      .localCheckpoint(true) // bad + survivors read it; decode once
+    val bad = sig.filter(col("video_error").isNotNull || col("n_cuts") >= 4)
+      .select(col("media_id"), lit(1).as("is_bad"))
+    val surv = sig.join(bad.select(col("media_id")), Seq("media_id"), "left_anti")
+      .select(col("media_id"), col("fp_hi"), col("fp_lo"))
+    val groups = surv.groupBy(col("fp_hi"), col("fp_lo"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("gsize"))
+      .localCheckpoint(true)
+    val reps = groups.select(col("rep").as("id"),
+      (shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo"))).as("simhash"))
+    val pairs = Dedup.simhashNearDupPairs(reps, maxHamming = 3, maxDegree = 4)
+    val labels = Dedup.connectedComponents(pairs)
+    media.select(col("media_id"))
+      .join(broadcast(bad), Seq("media_id"), "left_outer")
+      .join(surv.join(groups, Seq("fp_hi", "fp_lo"))
+          .select(col("media_id"), col("rep"), col("gsize")),
+        Seq("media_id"), "left_outer")
+      .join(labels.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left_outer")
+      .withColumn("decision",
+        when(col("is_bad") === 1, lit("drop"))
+          .when(col("media_id") =!= col("rep"), lit("drop"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
+            lit("drop"))
+          .otherwise(lit("keep")))
+      .withColumn("reason",
+        when(col("is_bad") === 1, lit("qc"))
+          .when(col("media_id") =!= col("rep"), lit("near_dup"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
+            lit("near_dup"))
+          .when(col("cluster_id").isNotNull || col("gsize") > 1, lit("canonical"))
+          .otherwise(lit("unique")))
+      .groupBy(col("decision"), col("reason"))
+      .agg(count(lit(1)).as("n_videos"))
+      .orderBy(col("decision"), col("reason"))
+  }
+
+  val videoCurationSql: String =
+    s"""WITH RECURSIVE media AS ($plantedMediaSql),
+       |fmedia AS (
+       |  SELECT m.media_id * 100 + i.i AS media_id, m.gen_id * 100 + i.i AS gen_id
+       |  FROM media m, range(0, 8) i(i)
+       |  WHERE i.i < 4 + m.gen_id % 4 AND m.gen_id % 50 <> 0),
+       |px AS (
+       |  SELECT media_id, y.y * 8 + x.x AS p,
+       |    ((((gen_id % 1009) * 31 + x.x * 7 + y.y * 13) % 256)
+       |     + (((gen_id % 1013) * 17 + x.x * 11 + y.y * 3) % 256)
+       |     + (((gen_id % 997) * 23 + x.x * 5 + y.y * 19) % 256)) // 3 AS gray
+       |  FROM fmedia, range(0, 8) x(x), range(0, 8) y(y)),
+       |mn AS (SELECT media_id, SUM(gray) // 64 AS mean FROM px GROUP BY 1),
+       |ah AS (
+       |  SELECT px.media_id,
+       |    CAST(COALESCE(SUM(CASE WHEN px.gray > mn.mean AND px.p >= 32
+       |      THEN (1::BIGINT << (px.p - 32)) END), 0) AS BIGINT) AS hash_hi,
+       |    CAST(COALESCE(SUM(CASE WHEN px.gray > mn.mean AND px.p < 32
+       |      THEN (1::BIGINT << px.p) END), 0) AS BIGINT) AS hash_lo
+       |  FROM px JOIN mn USING (media_id) GROUP BY px.media_id),
+       |fh AS (SELECT media_id // 100 AS vid, media_id % 100 AS idx,
+       |       hash_hi, hash_lo FROM ah),
+       |hamr AS (
+       |  SELECT vid, bit_count(xor(hash_hi, lag(hash_hi) OVER w))
+       |       + bit_count(xor(hash_lo, lag(hash_lo) OVER w)) AS hm
+       |  FROM fh WINDOW w AS (PARTITION BY vid ORDER BY idx)),
+       |cuts AS (SELECT vid, COUNT(CASE WHEN hm > 20 THEN 1 END) AS n_cuts
+       |         FROM hamr GROUP BY 1),
+       |bits AS (
+       |  SELECT vid, b.b,
+       |    SUM(CASE WHEN b.b < 32 THEN (hash_lo >> b.b) & 1
+       |        ELSE (hash_hi >> (b.b - 32)) & 1 END) AS c,
+       |    COUNT(*) AS nf
+       |  FROM fh, range(0, 64) b(b) GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT vid AS media_id,
+       |    CAST(COALESCE(SUM(CASE WHEN 2 * c > nf AND b >= 32
+       |      THEN (1::BIGINT << (b - 32)) END), 0) AS BIGINT) AS fp_hi,
+       |    CAST(COALESCE(SUM(CASE WHEN 2 * c > nf AND b < 32
+       |      THEN (1::BIGINT << b) END), 0) AS BIGINT) AS fp_lo
+       |  FROM bits GROUP BY 1),
+       |bad AS (
+       |  SELECT media_id FROM media WHERE gen_id % 50 = 0
+       |  UNION ALL SELECT vid FROM cuts WHERE n_cuts >= 4),
+       |surv AS (SELECT f.media_id, fp_hi, fp_lo FROM fp f
+       |         WHERE f.media_id NOT IN (SELECT media_id FROM bad)),
+       |grpv AS (SELECT fp_hi, fp_lo, MIN(media_id) AS rep, COUNT(*) AS gsize
+       |         FROM surv GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT a.rep AS id_a, b.rep AS id_b,
+       |    bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) AS hamming
+       |  FROM grpv a JOIN grpv b ON a.rep < b.rep
+       |  WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3),
+       |psym AS (
+       |  SELECT id_a AS node, id_b AS other, hamming FROM pr
+       |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
+       |prk AS (
+       |  SELECT node, other,
+       |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+       |  FROM psym),
+       |pairs AS (SELECT DISTINCT LEAST(node, other) AS id_a,
+       |                 GREATEST(node, other) AS id_b
+       |          FROM prk WHERE r <= 4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS rt FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.rt AS rt FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(rt) AS cluster_id FROM reach GROUP BY id),
+       |sg AS (
+       |  SELECT s.media_id, g.rep, g.gsize
+       |  FROM surv s JOIN grpv g USING (fp_hi, fp_lo)),
+       |verdict AS (
+       |  SELECT m.media_id,
+       |    CASE WHEN b.media_id IS NOT NULL THEN 'drop'
+       |         WHEN m.media_id <> sg.rep THEN 'drop'
+       |         WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.media_id THEN 'drop'
+       |         ELSE 'keep' END AS decision,
+       |    CASE WHEN b.media_id IS NOT NULL THEN 'qc'
+       |         WHEN m.media_id <> sg.rep THEN 'near_dup'
+       |         WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> m.media_id THEN 'near_dup'
+       |         WHEN l.cluster_id IS NOT NULL OR sg.gsize > 1 THEN 'canonical'
+       |         ELSE 'unique' END AS reason
+       |  FROM media m
+       |  LEFT JOIN (SELECT DISTINCT media_id FROM bad) b ON b.media_id = m.media_id
+       |  LEFT JOIN sg ON sg.media_id = m.media_id
+       |  LEFT JOIN labels l ON l.id = sg.rep)
+       |SELECT decision, reason, CAST(COUNT(*) AS BIGINT) AS n_videos
+       |FROM verdict GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Q127 — video SCENE-CUT detection (VideoCodec.sceneCuts): every
     * frame of every q89 container decoded and aHashed inside one kernel
     * pass, consecutive-frame hamming distances counted against the cut
@@ -1565,6 +1719,7 @@ object SimilarityQueries {
     QueryDef("q128_image_qc", imageQc, Some(imageQcSql)),
     QueryDef("q131_multimodal_curation", multimodalCuration, Some(multimodalCurationSql)),
     QueryDef("q145_audio_curation", audioCuration, Some(audioCurationSql)),
+    QueryDef("q146_video_curation", videoCuration, Some(videoCurationSql)),
     QueryDef("q136_cluster_topics", clusterTopics, Some(clusterTopicsSql)),
     QueryDef("q137_embedding_qc", embeddingQc, Some(embeddingQcSql)),
     QueryDef("q138_cluster_purity", clusterPurity, Some(clusterPuritySql)),

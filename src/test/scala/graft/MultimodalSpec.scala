@@ -205,6 +205,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) === ((2L, None, None, None, Some("bad-grav"))), s"corrupt row: $out")
   }
 
+  test("video signature: majority-vote fp bits, exact dup collision, corrupt isolates") {
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.{Multimodal, VideoCodec}
+    val p1 = Multimodal.ImageCodec.syntheticPng(101L)
+    val p2 = Multimodal.ImageCodec.syntheticPng(707L)
+    val (h1, l1, _) = Multimodal.ImageCodec.aHash64(p1)
+    val (h2, l2, _) = Multimodal.ImageCodec.aHash64(p2)
+    // 2-of-3 majority over (p1, p1, p2): fp bit set iff BOTH p1 copies
+    // set it (p1's bit) — p2 alone can never reach majority
+    val good = VideoCodec.encode(Seq(p1, p1, p2))
+    val corrupt = { val b = VideoCodec.encode(Seq(p1)); b(5) = 99; b }
+    val out = VideoCodec.videoSignature(
+      Seq((1L, good), (2L, good), (3L, corrupt)).toDF("media_id", "content"),
+      cutHamming = 20)
+      .orderBy(col("media_id"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    assert(out(0)._4 == Some(h1) && out(0)._5 == Some(l1),
+      s"2-of-3 majority must equal the repeated frame's aHash: ${out(0)}")
+    assert(out(0)._2 == Some(3L))
+    assert(out(1)._4 == out(0)._4 && out(1)._5 == out(0)._5,
+      "byte-identical containers must collide exactly")
+    assert(out(2) === ((3L, None, None, None, None, Some("bad-grav"))), s"$out")
+  }
+
   test("WAV QC kernel: clipping census, trailing silence run, energy, empty clip") {
     import org.apache.spark.sql.functions.col
     import graft.multimodal.AudioWav
