@@ -66,6 +66,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hammingProbe: asymmetric probe equals brute-force within radius, cap bounds matches") {
+    // seeded random index + probes that are worst-case flips of index
+    // entries (every chunk differs for h >= 4, like the multi-probe
+    // planting above): the asymmetric banding must return EXACTLY the
+    // brute-force match set at radius 7
+    val rnd = new scala.util.Random(81)
+    val index = (0 until 200).map(i => (i.toLong, rnd.nextLong()))
+    val probes = (0 until 60).map { i =>
+      val (_, base) = index(i * 3)
+      val h = i % 9 // 0..8 flipped bits; h=8 must NOT match at radius 7
+      val positions = (0 until h).map(j => (j % 4) * 16 + ((i + j * 5) % 16))
+      (1000L + i, positions.foldLeft(base)((v, b) => v ^ (1L << b)))
+    }
+    val got = Dedup.hammingProbe(probes.toDF("id", "simhash"),
+        index.toDF("id", "simhash"), maxHamming = 7)
+      .select("batch_id", "match_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (pid, pv) <- probes
+      (mid, mv) <- index
+      h = java.lang.Long.bitCount(pv ^ mv) if h <= 7
+    } yield (pid, mid, h)).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // per-probe cap keeps only the lowest-hamming matches
+    val capped = Dedup.hammingProbe(probes.toDF("id", "simhash"),
+        index.toDF("id", "simhash"), maxHamming = 7, maxMatchesPerProbe = 1)
+      .select("batch_id", "hamming").as[(Long, Int)].collect()
+    assert(capped.map(_._1).distinct.length == capped.length, "cap must bound per probe")
+    val bestByProbe = brute.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    capped.foreach { case (pid, h) =>
+      assert(h == bestByProbe(pid), s"probe $pid kept hamming $h, best is ${bestByProbe(pid)}")
+    }
+  }
+
   test("exact dedup groups duplicates and keeps min id") {
     val corpus = docs.select($"doc_id", $"text")
       .unionByName(docs.select(($"doc_id" + 5000L).as("doc_id"), $"text"))
