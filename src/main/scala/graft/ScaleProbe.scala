@@ -52,7 +52,7 @@ object ScaleProbe {
     "q109_image_phash", "q110_image_neardup", "q127_scene_cuts",
     "q128_image_qc", "q137_embedding_qc", "q140_dataset_cards",
     "q141_rfm_segments", "q142_burst_detection", "q143_snippets",
-    "q144_session_stats", "q145_audio_curation")
+    "q144_session_stats", "q145_audio_curation", "q146_video_curation")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy
