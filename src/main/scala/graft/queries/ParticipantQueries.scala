@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.model._
 import graft.ops.{ChunkAlgebra, ChunkCommand, ChunkCommandOp}
 import graft.pipeline.{Consolidate, Renditions}
-import graft.sources.{DirectoryIngest, Tables}
+import graft.sources.{DirectoryIngest, Tables, Warc}
 
 /** Participant-pattern query surface: raw-file ingestion (B9/A3),
   * chunk-command log fold (D), rendition extraction (B3), sentence
@@ -41,6 +41,40 @@ object ParticipantQueries {
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
       |  md5(text) AS digest
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY id""".stripMargin
+
+  /** Q147 — WARC segment ingestion (sources/Warc.scala): the Common-Crawl
+    * container format, the shape a 100 TB pretraining crawl actually
+    * arrives in. A deterministic 8-segment fixture (plain .warc on even
+    * shards, per-record-gzip-member .warc.gz on odd) is scanned with the
+    * distributed binaryFile source and parsed record-sequentially per
+    * file; every doc_id % 70 == 0 record carries a corrupt version line
+    * that must isolate as an error row (absent here, pinned by WarcSpec)
+    * with resync to the next record — never fail the scan. The oracle
+    * recomputes uri/type/length/digest/compression straight from the
+    * generating table, so header round-trip, payload framing, gzip member
+    * concatenation, AND corrupt-record exclusion are all hash-pinned. */
+  def warcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val fx = Warc.ensureFixture(spark, dir)
+    Warc.scan(spark, fx).toDF()
+      .filter(col("error").isNull)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("target_uri"), col("content_type"),
+        col("content_length").as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        col("path").endsWith(".warc.gz").as("compressed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val warcIngestSql: String =
+    """SELECT doc_id,
+      |  'http://graft.test/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+      |  'text/plain; charset=utf-8' AS content_type,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  ((doc_id // 7) % 2 = 1) AS compressed
+      |FROM documents WHERE doc_id % 7 = 0 AND doc_id % 70 <> 0
+      |ORDER BY doc_id""".stripMargin
 
   /** Q30 — chunk-command log fold (SURVEY §2 D): a deterministic
     * adversarial command log per document — START, three ADDs, INSERT,
@@ -599,6 +633,7 @@ object ParticipantQueries {
     QueryDef("q91_ner_trained", nerTrained, Some(nerTrainedSql)),
     QueryDef("q92_pos_trained", posTrained, Some(posTrainedSql)),
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
+    QueryDef("q147_warc_ingest", warcIngest, Some(warcIngestSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
     QueryDef("q31b_dual_renditions", dualRenditions, Some(dualRenditionsSql)),

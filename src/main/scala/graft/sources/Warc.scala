@@ -1,0 +1,272 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One parsed WARC record (or one isolated parse failure). `payload` is
+  * the raw record block — null on error rows; `skipped_bytes` counts the
+  * bytes consumed while resynchronizing past a corrupt region. */
+case class WarcRecord(
+    path: String,
+    rec_idx: Int,
+    warc_type: String,
+    record_id: String,
+    target_uri: String,
+    warc_date: String,
+    content_type: String,
+    content_length: Long,
+    payload: Array[Byte],
+    error: String,
+    skipped_bytes: Long)
+
+/** WARC (Web ARChive, ISO 28500) source — the Common-Crawl ingestion
+  * format, and the de-facto standard container for LLM pretraining web
+  * corpora. The reference ingests documents one file per record via a
+  * directory walk (participants/implementations.kt:334-341); a crawl at
+  * 100 TB ships instead as ~1 GB WARC segments, each a concatenation of
+  * framed records:
+  *
+  *   WARC/1.0\r\n
+  *   WARC-Type: response\r\n
+  *   WARC-Record-ID: <urn:...>\r\n
+  *   WARC-Date: ...\r\n
+  *   WARC-Target-URI: http://...\r\n
+  *   Content-Type: text/plain\r\n
+  *   Content-Length: N\r\n
+  *   \r\n
+  *   <N payload bytes>\r\n\r\n
+  *
+  * `.warc.gz` files are a concatenation of per-record (or per-run) gzip
+  * members; `GZIPInputStream` consumes multi-member streams natively.
+  *
+  * Scale posture: the FILE is the parallelism unit — the `binaryFile`
+  * source distributes the listing and ships each segment's bytes straight
+  * to one task; records stream out of a per-file iterator (no
+  * whole-file record list is ever materialized) and payload bytes never
+  * visit the driver. Gzip members are not offset-splittable, which is
+  * exactly why crawl archives ship as many ~1 GB segments — at 100 TB
+  * that is ~100k files, far above any realistic executor count, so
+  * per-file granularity saturates the cluster. Corrupt regions degrade
+  * to `error` rows with resynchronization to the next record marker
+  * (the A19 isolation posture): at crawl scale some fraction of any
+  * archive IS damaged, and one bad record must cost bytes, not the job.
+  */
+object Warc {
+
+  private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Lets a per-record GZIPOutputStream be close()d (releasing its native
+    * Deflater) without closing the shared shard file stream. */
+  private final class CloseShield(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+    override def close(): Unit = flush()
+  }
+  private val VersionPrefix = "WARC/1.".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ---------------------------------------------------------------- writer
+
+  /** Serialize one record. The parser must invert this exactly. */
+  def writeRecord(out: java.io.OutputStream, warcType: String, recordId: String,
+      targetUri: String, warcDate: String, contentType: String,
+      payload: Array[Byte], versionLine: String = "WARC/1.0"): Unit = {
+    val h = new StringBuilder
+    h.append(versionLine).append("\r\n")
+    h.append("WARC-Type: ").append(warcType).append("\r\n")
+    h.append("WARC-Record-ID: ").append(recordId).append("\r\n")
+    h.append("WARC-Date: ").append(warcDate).append("\r\n")
+    if (targetUri != null) h.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+    h.append("Content-Type: ").append(contentType).append("\r\n")
+    h.append("Content-Length: ").append(payload.length).append("\r\n")
+    h.append("\r\n")
+    out.write(h.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(payload)
+    out.write(Crlf); out.write(Crlf)
+  }
+
+  // ---------------------------------------------------------------- parser
+
+  /** Multi-member gzip inflate (magic 1f 8b) — pass-through otherwise. */
+  def inflateIfGzip(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    } else bytes
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Next plausible record start at/after `from`: "WARC/1." at offset 0
+    * or preceded by a LF (payload bytes could contain the string mid-line;
+    * real readers accept that residual ambiguity). */
+  private def nextRecordStart(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i >= 0) {
+      i = indexOf(bytes, VersionPrefix, i)
+      if (i < 0) return -1
+      if (i == 0 || bytes(i - 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Stream the records of one (possibly gzipped) WARC file. Corrupt
+    * regions produce one error row each and parsing resumes at the next
+    * record marker; the iterator never throws on malformed input. */
+  def parseAll(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
+    val bytes = try inflateIfGzip(raw) catch {
+      case _: java.io.IOException =>
+        return Iterator.single(WarcRecord(path, 0, null, null, null, null,
+          null, -1L, null, "bad-gzip", raw.length.toLong))
+    }
+    new Iterator[WarcRecord] {
+      private var pos = 0
+      private var idx = 0
+      private def eof: Boolean = {
+        // trailing CRLF padding between/after records is frame, not data
+        while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+        pos >= bytes.length
+      }
+      override def hasNext: Boolean = !eof
+      override def next(): WarcRecord = {
+        val start = pos
+        def fail(err: String): WarcRecord = {
+          val resync = nextRecordStart(bytes, start + 1)
+          pos = if (resync < 0) bytes.length else resync
+          val r = WarcRecord(path, idx, null, null, null, null, null, -1L,
+            null, err, (pos - start).toLong)
+          idx += 1; r
+        }
+        // qualified: the anonymous Iterator inherits its own `indexOf`
+        val headEnd = Warc.indexOf(bytes, "\r\n\r\n".getBytes, start)
+        if (headEnd < 0) return fail("no-header-terminator")
+        val head = new String(bytes, start, headEnd - start,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val lines = head.split("\r\n")
+        if (!(lines(0) == "WARC/1.0" || lines(0) == "WARC/1.1"))
+          return fail("bad-version")
+        // header names are case-insensitive (ISO 28500 §4); first wins
+        val hdrs = scala.collection.mutable.Map.empty[String, String]
+        var malformed: String = null
+        lines.iterator.drop(1).foreach { ln =>
+          val c = ln.indexOf(':')
+          if (c <= 0) { if (malformed == null) malformed = "bad-header-line" }
+          else {
+            val k = ln.substring(0, c).trim.toLowerCase
+            if (!hdrs.contains(k)) hdrs(k) = ln.substring(c + 1).trim
+          }
+        }
+        if (malformed != null) return fail(malformed)
+        val clen = hdrs.get("content-length").flatMap(s => s.toLongOption)
+          .getOrElse(-1L)
+        if (clen < 0) return fail("bad-content-length")
+        val bodyStart = headEnd + 4
+        if (bodyStart + clen > bytes.length) return fail("truncated")
+        val payload = java.util.Arrays.copyOfRange(bytes, bodyStart,
+          bodyStart + clen.toInt)
+        pos = bodyStart + clen.toInt
+        val r = WarcRecord(path, idx,
+          hdrs.getOrElse("warc-type", null),
+          hdrs.getOrElse("warc-record-id", null),
+          hdrs.getOrElse("warc-target-uri", null),
+          hdrs.getOrElse("warc-date", null),
+          hdrs.getOrElse("content-type", null),
+          clen, payload, null, 0L)
+        idx += 1; r
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- source
+
+  /** Batch scan: every record of every WARC segment under `dir`.
+    * Listing is distributed by the binaryFile source; each file parses
+    * in the task that holds its bytes. */
+  def scan(spark: SparkSession, dir: String, glob: String = "*.warc*"): Dataset[WarcRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => parseAll(p, bytes) }
+  }
+
+  /** Streaming scan — newly-landed crawl segments per micro-batch (the
+    * A4 scheduled re-walk shape, same parser). */
+  def scanStream(spark: SparkSession, dir: String, glob: String = "*.warc*"): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val schema = spark.read.format("binaryFile").option("pathGlobFilter", glob)
+      .load(dir).schema
+    spark.readStream.format("binaryFile").option("pathGlobFilter", glob)
+      .schema(schema).load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => parseAll(p, bytes) }
+  }
+
+  // --------------------------------------------------------------- fixture
+
+  /** Deterministic WARC corpus for the ingest query/specs: documents with
+    * doc_id % 7 == 0, sharded into 8 segments by (doc_id/7) % 8 — even
+    * shards plain `.warc`, odd shards per-record-gzip-member `.warc.gz`.
+    * Every doc_id % 70 == 0 record is written with a corrupt version line
+    * ("WARC/9.9") so the query exercises resync isolation. Each shard is
+    * written by the one task that owns its records (B11 posture);
+    * idempotent via marker. */
+  def ensureFixture(spark: SparkSession, sfDir: String): String = {
+    val name = new java.io.File(sfDir).getName
+    val out = java.nio.file.Paths.get(s"/tmp/graft_warc_fixture/$name")
+    val marker = out.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(out)
+      val outStr = out.toString
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"),
+          ((col("doc_id") / 7).cast("long") % 8).as("shard"))
+        .repartition(8, col("shard"))
+        .sortWithinPartitions(col("doc_id"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val byShard = rows.toSeq.groupBy(_.getLong(2))
+          byShard.foreach { case (shard, rs) =>
+            val gz = shard % 2 == 1
+            val f = new java.io.File(outStr,
+              if (gz) s"segment-$shard.warc.gz" else s"segment-$shard.warc")
+            val fos = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(f))
+            try rs.foreach { r =>
+              val id = r.getLong(0)
+              val payload = r.getString(1)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val target: java.io.OutputStream =
+                if (gz) new java.util.zip.GZIPOutputStream(new CloseShield(fos))
+                else fos
+              writeRecord(target, "response",
+                s"<urn:graft:$id>", s"http://graft.test/doc/$id",
+                f"2026-01-${id % 28 + 1}%02dT00:00:00Z",
+                "text/plain; charset=utf-8", payload,
+                versionLine = if (id % 70 == 0) "WARC/9.9" else "WARC/1.0")
+              target match {
+                case g: java.util.zip.GZIPOutputStream => g.close()
+                case _ =>
+              }
+            } finally fos.close()
+          }
+        }
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    out.toString
+  }
+}

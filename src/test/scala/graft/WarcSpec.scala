@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+
+/** WARC source (sources/Warc.scala): framing round-trip, gzip member
+  * concatenation, corrupt-record isolation with resync, and the scan
+  * itself — every byte of the parser contract, off-cluster first, then
+  * through the distributed source. */
+class WarcSpec extends SparkSpec {
+
+  private def record(uri: String, payload: String,
+      version: String = "WARC/1.0", ctype: String = "text/plain"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.writeRecord(bos, "response", s"<urn:test:$uri>", uri,
+      "2026-01-01T00:00:00Z", ctype,
+      payload.getBytes(java.nio.charset.StandardCharsets.UTF_8), version)
+    bos.toByteArray
+  }
+
+  private def cat(parts: Array[Byte]*): Array[Byte] =
+    parts.reduce(_ ++ _)
+
+  test("single record round-trips every header and the exact payload") {
+    val rs = Warc.parseAll("f", record("http://x/1", "hello warc")).toList
+    assert(rs.size === 1)
+    val r = rs.head
+    assert(r.error === null)
+    assert(r.warc_type === "response")
+    assert(r.record_id === "<urn:test:http://x/1>")
+    assert(r.target_uri === "http://x/1")
+    assert(r.warc_date === "2026-01-01T00:00:00Z")
+    assert(r.content_type === "text/plain")
+    assert(r.content_length === 10L)
+    assert(new String(r.payload, "UTF-8") === "hello warc")
+    assert(r.rec_idx === 0 && r.skipped_bytes === 0L)
+  }
+
+  test("multi-record file parses in order; empty payload is a record, not an error") {
+    val rs = Warc.parseAll("f", cat(
+      record("u0", "aaa"), record("u1", ""), record("u2", "ccc"))).toList
+    assert(rs.map(_.target_uri) === List("u0", "u1", "u2"))
+    assert(rs.map(_.rec_idx) === List(0, 1, 2))
+    assert(rs(1).content_length === 0L && rs(1).error === null)
+  }
+
+  test("payload bytes are length-framed: embedded CRLFCRLF and 'WARC/1.0' text survive") {
+    val tricky = "line1\r\n\r\nWARC/1.0\r\nnot-a-header: x"
+    val rs = Warc.parseAll("f", cat(record("u0", tricky), record("u1", "tail"))).toList
+    assert(rs.map(_.error) === List(null, null))
+    assert(new String(rs.head.payload, "UTF-8") === tricky)
+    assert(rs(1).target_uri === "u1")
+  }
+
+  test("header names are case-insensitive, values trimmed") {
+    val raw = ("WARC/1.0\r\n" +
+      "warc-type: response\r\n" +
+      "WARC-TARGET-URI:   http://y/2  \r\n" +
+      "content-length: 3\r\n" +
+      "\r\nxyz\r\n\r\n").getBytes("US-ASCII")
+    val rs = Warc.parseAll("f", raw).toList
+    assert(rs.size === 1 && rs.head.error === null)
+    assert(rs.head.target_uri === "http://y/2")
+    assert(rs.head.warc_type === "response")
+  }
+
+  test("corrupt version line isolates ONE error row and resyncs to the next record") {
+    val rs = Warc.parseAll("f", cat(
+      record("u0", "good0"),
+      record("uBad", "broken", version = "WARC/9.9"),
+      record("u2", "good2"))).toList
+    assert(rs.size === 3)
+    assert(rs.map(_.error) === List(null, "bad-version", null))
+    assert(rs(1).skipped_bytes > 0)
+    assert(rs.map(_.target_uri) === List("u0", null, "u2"))
+  }
+
+  test("corrupt final record consumes to EOF without looping") {
+    val rs = Warc.parseAll("f", cat(
+      record("u0", "good0"),
+      record("uBad", "broken", version = "WARC/9.9"))).toList
+    assert(rs.size === 2)
+    assert(rs(1).error === "bad-version")
+  }
+
+  test("truncated payload (Content-Length past EOF) is an error row") {
+    val full = record("u0", "0123456789")
+    val cut = java.util.Arrays.copyOfRange(full, 0, full.length - 8)
+    val rs = Warc.parseAll("f", cut).toList
+    assert(rs.size === 1 && rs.head.error === "truncated")
+  }
+
+  test("missing Content-Length is an error row") {
+    val raw = ("WARC/1.0\r\nWARC-Type: response\r\n\r\npayload").getBytes("US-ASCII")
+    val rs = Warc.parseAll("f", raw).toList
+    assert(rs.map(_.error) === List("bad-content-length"))
+  }
+
+  test("concatenated gzip members inflate to the same records as the plain file") {
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val plain = cat(record("u0", "aaa"), record("u1", "bbb"))
+    val gz = cat(gzMember(record("u0", "aaa")), gzMember(record("u1", "bbb")))
+    val a = Warc.parseAll("f", plain).toList
+    val b = Warc.parseAll("f.gz", gz).toList
+    assert(a.map(r => (r.target_uri, new String(r.payload, "UTF-8"))) ===
+      b.map(r => (r.target_uri, new String(r.payload, "UTF-8"))))
+  }
+
+  test("garbage bytes are one bad-gzip/bad-version row, never an exception") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
+    val rs = Warc.parseAll("f", junk).toList
+    assert(rs.size === 1 && rs.head.error != null)
+    // gzip magic with a broken body must also isolate
+    val fakeGz = Array[Byte](0x1f.toByte, 0x8b.toByte) ++ junk
+    val rs2 = Warc.parseAll("f", fakeGz).toList
+    assert(rs2.size === 1 && rs2.head.error === "bad-gzip")
+  }
+
+  test("distributed scan over the fixture matches the generating table") {
+    val fx = Warc.ensureFixture(spark, sf())
+    val got = Warc.scan(spark, fx).toDF()
+    val good = got.filter(col("error").isNull)
+    val bad = got.filter(col("error").isNotNull)
+
+    val expect = graft.sources.Tables.documents(spark, sf())
+      .filter(col("doc_id") % 7 === 0)
+    val nCorrupt = expect.filter(col("doc_id") % 70 === 0).count()
+    assert(bad.count() === nCorrupt)
+    assert(bad.select("error").distinct().collect().map(_.getString(0)).toSet
+      === (if (nCorrupt > 0) Set("bad-version") else Set.empty[String]))
+
+    // every good record's payload digest equals the source row's text digest
+    val byId = good.select(
+      regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+      md5(col("payload")).as("d1"))
+    val joined = byId.join(
+      expect.select(col("doc_id"), md5(col("text")).as("d2")), Seq("doc_id"))
+    assert(joined.count() === expect.count() - nCorrupt)
+    assert(joined.filter(col("d1") =!= col("d2")).count() === 0)
+  }
+}
