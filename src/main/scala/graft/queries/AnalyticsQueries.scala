@@ -829,7 +829,63 @@ object AnalyticsQueries {
       |FROM tw WHERE is_purchase = 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q149 — k-ANONYMITY / l-DIVERSITY census (Sweeney 2002; Machanavajjhala
+    * 2007): release-risk governance for a training corpus carrying user
+    * attributes. Quasi-identifier = (c_nationkey, c_mktsegment); sensitive
+    * attribute = the account-balance sign bucket. For each candidate k the
+    * census reports how many equivalence classes and rows fall BELOW the
+    * k-anonymity bar (exact millionths) and the worst-case l-diversity
+    * among the classes that pass. Scale shape: one exchange keyed on the
+    * quasi-identifier builds the class table (bounded: |nations|×|segments|
+    * rows); the per-k rollup is a broadcast cross over that tiny table —
+    * the row table is scanned once, never re-shuffled per k. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, lit("debt")).otherwise(lit("credit")).as("sens"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("sens")).as("l_div"))
+      .localCheckpoint(true) // tiny (nations x segments); two consumers per k
+    val ks = spark.range(0, 5).select(
+      element_at(typedLit(Seq(2L, 5L, 10L, 25L, 50L)), (col("id") + 1).cast("int")).as("k"))
+    ks.crossJoin(classes)
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("class_size") < col("k"), lit(1L)).otherwise(lit(0L)))
+          .as("n_classes_below"),
+        sum(when(col("class_size") < col("k"), col("class_size")).otherwise(lit(0L)))
+          .as("n_rows_below"),
+        sum(col("class_size")).as("n_rows"),
+        min(when(col("class_size") >= col("k"), col("l_div"))).as("min_l_safe"))
+      .select(col("k"), col("n_classes_below"), col("n_rows_below"),
+        expr("n_rows_below * 1000000 div n_rows").as("rows_below_micro"),
+        coalesce(col("min_l_safe"), lit(0L)).as("min_l_safe"))
+      .orderBy(col("k"))
+  }
+
+  val kAnonymitySql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(COUNT(*) AS BIGINT) AS class_size,
+      |    CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END)
+      |      AS BIGINT) AS l_div
+      |  FROM customer GROUP BY 1, 2),
+      |ks AS (SELECT unnest([2, 5, 10, 25, 50]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_classes_below,
+      |  CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) AS BIGINT)
+      |    AS n_rows_below,
+      |  CAST((SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END) * 1000000)
+      |    // SUM(class_size) AS BIGINT) AS rows_below_micro,
+      |  CAST(COALESCE(MIN(CASE WHEN class_size >= k THEN l_div END), 0) AS BIGINT)
+      |    AS min_l_safe
+      |FROM ks, cls
+      |GROUP BY k ORDER BY k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q149_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q113_changepoint", changePoint, Some(changePointSql)),
     QueryDef("q118_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q122_attribution", attribution, Some(attributionSql)),

@@ -327,6 +327,53 @@ object TextQueries {
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Q148 — tokenizer FERTILITY by language: the per-language cost of a
+    * shared vocabulary (subwords emitted per 1000 words), the standard
+    * multilingual-tokenizer fairness measurement — a language whose
+    * fertility is high pays more sequence length per sentence under the
+    * same budget. Reuses the q82-trained merges and the q83 encoder; the
+    * only new work is the rollup keyed by the (bounded) lang column, so
+    * the exchange carries one row per language. The oracle replays
+    * training, encoding, AND the per-language exact-integer rollup. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("subwords_per_kiloword",
+        expr("n_subwords * 1000 div n_words"))
+      .orderBy(col("lang"))
+  }
+
+  val bpeFertilitySql: String = {
+    val n = 10
+    val applied = (1 to n).foldLeft("regexp_replace(word, '(.)', '<\\1>', 'g')") {
+      (e, i) => s"replace($e, '<' || m$i.l || '><' || m$i.r || '>', '<' || m$i.l || m$i.r || '>')"
+    }
+    s"""WITH ${bpeStagesSql(n)},
+       |words AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$')),
+       |enc AS (
+       |  SELECT doc_id, length(r) - length(replace(r, '<', '')) AS n_sub
+       |  FROM (SELECT doc_id, $applied AS r
+       |        FROM words, ${(1 to n).map(i => s"m$i").mkString(", ")})),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS w, SUM(n_sub) AS s FROM enc GROUP BY doc_id)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(p.w) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.s) AS BIGINT) AS n_subwords,
+       |  CAST((SUM(p.s) * 1000) // SUM(p.w) AS BIGINT) AS subwords_per_kiloword
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Q84 — corpus-TRAINED language ID (ops/LangId.scala): char-trigram
     * majority model learned from the labeled corpus, applied back by
     * integer trigram vote. Oracle replays training (per-trigram argmax
@@ -882,6 +929,7 @@ object TextQueries {
     QueryDef("q16_lang_id", langIdQuery, Some(langIdSql)),
     QueryDef("q82_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("q83_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("q148_bpe_fertility", bpeFertility, Some(bpeFertilitySql)),
     QueryDef("q17_quality_score", qualityQuery, Some(qualitySql)),
     QueryDef("q18_token_counts", tokenCounts, Some(tokenCountsSql)),
     QueryDef("q19_fingerprint", fingerprintQuery, Some(fingerprintSql)),

@@ -121,6 +121,30 @@ class WarcSpec extends SparkSpec {
     assert(rs2.size === 1 && rs2.head.error === "bad-gzip")
   }
 
+  test("streaming scan (A4 re-walk) sees segments as they land, batch-parity per record") {
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream").toString
+    def writeSegment(name: String, recs: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), recs)
+    writeSegment("seg0.warc", cat(record("u0", "aaa"), record("u1", "bbb")))
+    val parsed = Warc.scanStream(spark, dir).toDF()
+      .select(col("target_uri"), col("content_length"), col("error"))
+    val q = parsed.writeStream.format("memory").queryName("warc_stream_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a later micro-batch picks up a NEW segment (with a corrupt record)
+      writeSegment("seg1.warc", cat(
+        record("uBad", "broken", version = "WARC/9.9"), record("u2", "cc")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select target_uri, content_length, error from warc_stream_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows === Set(
+        ("u0", 3L, null), ("u1", 3L, null),
+        (null, -1L, "bad-version"), ("u2", 2L, null)))
+    } finally q.stop()
+  }
+
   test("distributed scan over the fixture matches the generating table") {
     val fx = Warc.ensureFixture(spark, sf())
     val got = Warc.scan(spark, fx).toDF()
