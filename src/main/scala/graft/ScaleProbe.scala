@@ -52,7 +52,10 @@ object ScaleProbe {
     "q109_image_phash", "q110_image_neardup", "q127_scene_cuts",
     "q128_image_qc", "q137_embedding_qc", "q140_dataset_cards",
     "q141_rfm_segments", "q142_burst_detection", "q143_snippets",
-    "q144_session_stats", "q145_audio_curation", "q146_video_curation")
+    "q144_session_stats", "q145_audio_curation", "q146_video_curation",
+    // round-8 additions: crawl-container ingestion, tokenizer fairness,
+    // release-risk governance
+    "q147_warc_ingest", "q148_bpe_fertility", "q149_k_anonymity")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy
@@ -123,6 +126,20 @@ object ScaleProbe {
           col("event_type"), col("value"), col("props"))
         .coalesce(4).write.mode("overwrite").parquet(s"$out/events.parquet")
       eventsMarker.createNewFile()
+    }
+    // customer joined the probe with q149 (k-anonymity): ids offset per
+    // copy, quasi-identifiers and balances unchanged — every equivalence
+    // class scales by `copies` while the class-table cardinality stays
+    // fixed, the governance-aggregate shape. Same marker discipline.
+    val customerMarker = new File(s"$out/_CUSTOMER_COMPLETE")
+    if (!customerMarker.exists()) {
+      graft.sources.Tables.customer(spark, sfDir)
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select(
+          (col("c_custkey") + col("copy") * 100000000L).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .coalesce(4).write.mode("overwrite").parquet(s"$out/customer.parquet")
+      customerMarker.createNewFile()
     }
     out
   }

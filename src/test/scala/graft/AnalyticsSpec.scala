@@ -213,4 +213,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("b") === ((3L, Some(1L), Some(0L))), s"tie -> earliest: $out")
     assert(out("c") === ((1L, None, None)), s"1-bucket key: $out")
   }
+
+  test("k-anonymity census: brute-force replay, monotone in k, l bounded by sensitive domain") {
+    val got = graft.queries.AnalyticsQueries.kAnonymity(spark, sf())
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // plain-Scala replay from the raw table
+    val rows = graft.sources.Tables.customer(spark, sf())
+      .select(col("c_nationkey"), col("c_mktsegment"), (col("c_acctbal") < 0).as("d"))
+      .as[(Long, String, Boolean)].collect()
+    val classes = rows.groupBy(r => (r._1, r._2)).values
+      .map(g => (g.size.toLong, g.map(_._3).distinct.size.toLong)).toSeq
+    val n = classes.map(_._1).sum
+    val expect = Seq(2L, 5L, 10L, 25L, 50L).map { k =>
+      val below = classes.filter(_._1 < k)
+      val safe = classes.filter(_._1 >= k)
+      (k, below.size.toLong, below.map(_._1).sum,
+        below.map(_._1).sum * 1000000L / n,
+        if (safe.isEmpty) 0L else safe.map(_._2).min)
+    }
+    assert(got === expect)
+    // structural invariants: rows-below monotone nondecreasing in k,
+    // l-diversity of binary sensitive attribute never exceeds 2
+    assert(got.map(_._3) === got.map(_._3).sorted)
+    assert(got.forall(_._5 <= 2L))
+  }
+
+  test("BPE fertility: exact weighted rollup of the per-document q83 encoding") {
+    val perDoc = graft.queries.TextQueries.bpeEncode(spark, sf())
+      .join(graft.sources.Tables.documents(spark, sf())
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("w"), sum("n_subwords").as("s"))
+      .select(col("lang"), col("n_docs"), col("w"), col("s"),
+        expr("s * 1000 div w"))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = graft.queries.TextQueries.bpeFertility(spark, sf())
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === perDoc)
+    // every merge strictly reduces or preserves token count: fertility is
+    // bounded above by characters-as-tokens and below by 1000/kiloword
+    assert(got.forall(r => r._5 >= 1000L))
+  }
 }
