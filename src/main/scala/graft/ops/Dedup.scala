@@ -482,17 +482,36 @@ object Dedup {
     * [[capPairDegree]]) — the 100 TB guard against quadratic pair volume
     * on dup-heavy corpora. `materialize = false` returns the lazy plan
     * with no persist/checkpoint (plan-audit seam). */
+  /** The 64-bit hamming banding scheme, shared by the symmetric pair
+    * generator ([[simhashNearDupPairs]]) and the asymmetric probe
+    * ([[hammingProbe]]) so the chunk width, probe expansion, and radius
+    * bound cannot drift apart: 16-bit chunks — the widest (best bucket
+    * distribution) that still cover hamming ≤ chunks−1 by pigeonhole and
+    * ≤ 2·chunks−1 with 1-bit probes. */
+  private[graft] object HammingBands {
+    val Chunks = 4
+    val Bits = 64 / Chunks
+    val Mask = (1L << Bits) - 1
+    val MaxRadius = 2 * Chunks - 1
+    def requireRadius(maxHamming: Int, alt: String = ""): Unit =
+      require(maxHamming >= 0 && maxHamming <= MaxRadius,
+        s"maxHamming=$maxHamming exceeds the 1-bit-probe banding radius ($MaxRadius)$alt")
+    /** chunk value of `simCol` at the exploded `chunk` ordinal. */
+    def chunkVal(simCol: String): org.apache.spark.sql.Column =
+      expr(s"shiftrightunsigned($simCol, chunk * $Bits) & $Mask")
+    /** the un-flipped chunk value plus its `Bits` one-bit flips — a pair
+      * within radius 2·chunks−1 shares a chunk differing in ≤ 1 bit. */
+    def oneBitProbes(valCol: String): org.apache.spark.sql.Column =
+      expr(s"concat(array($valCol), transform(sequence(0, ${Bits - 1}), " +
+        s"b -> $valCol ^ shiftleft(1L, b)))")
+  }
+
   def simhashNearDupPairs(sims: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 5000, maxDegree: Int = 0,
       materialize: Boolean = true): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming=$maxHamming exceeds the 1-bit-probe banding radius (7); " +
-        "route coarser radii through minhashNearDupPairs")
-    val chunks = 4 // 16-bit chunks in both regimes: widest chunks (best
-    // bucket distribution) that still cover hamming ≤ 3 by pigeonhole and
-    // hamming ≤ 7 with 1-bit probes
-    val bits = 64 / chunks
-    val mask = (1L << bits) - 1
+    HammingBands.requireRadius(maxHamming,
+      alt = "; route coarser radii through minhashNearDupPairs")
+    val chunks = HammingBands.Chunks
     // eager localCheckpoint: the signature table feeds BOTH sides of the
     // bucket join — unmaterialized, the full upstream simhash computation
     // would be inlined and recomputed per side (and per AQE replan); a
@@ -500,8 +519,7 @@ object Dedup {
     // tradeoff in the minhash comment above)
     val chunkedBase = sims.select(col("id"), col("simhash"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
-      .withColumn("chunk_val",
-        expr(s"shiftrightunsigned(simhash, chunk * $bits) & $mask"))
+      .withColumn("chunk_val", HammingBands.chunkVal("simhash"))
     val chunked =
       if (materialize) chunkedBase.localCheckpoint(true)
       else chunkedBase
@@ -526,9 +544,8 @@ object Dedup {
         // one-directional (A probes B's exact row and vice versa), so
         // canonicalize and dedup after the join.
         val probes = chunked.select(col("id").as("id_a"), col("simhash").as("sim_a"),
-          col("chunk"), explode(expr(
-            s"concat(array(chunk_val), transform(sequence(0, ${bits - 1}), " +
-              s"b -> chunk_val ^ shiftleft(1L, b)))")).as("chunk_val"))
+          col("chunk"),
+          explode(HammingBands.oneBitProbes("chunk_val")).as("chunk_val"))
         val exact = capped.select(col("chunk"), col("chunk_val"),
           col("id").as("id_b"), col("simhash").as("sim_b"))
         probes.join(exact, Seq("chunk", "chunk_val"))
@@ -560,26 +577,19 @@ object Dedup {
   def hammingProbe(probe: DataFrame, index: DataFrame, maxHamming: Int = 7,
       maxBucket: Int = 5000, maxMatchesPerProbe: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming=$maxHamming exceeds the 1-bit-probe banding radius (7)")
-    val chunks = 4
-    val bits = 64 / chunks
-    val mask = (1L << bits) - 1
+    HammingBands.requireRadius(maxHamming)
+    val chunks = HammingBands.Chunks
     val idxChunks = index.select(col("id").as("match_id"), col("simhash").as("sim_m"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
-      .withColumn("chunk_val",
-        expr(s"shiftrightunsigned(sim_m, chunk * $bits) & $mask"))
+      .withColumn("chunk_val", HammingBands.chunkVal("sim_m"))
     val capped = dropOversizedBuckets(idxChunks, Seq("chunk", "chunk_val"), maxBucket)
     val base = probe.select(col("id").as("batch_id"), col("simhash").as("sim_p"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
-      .withColumn("base_val",
-        expr(s"shiftrightunsigned(sim_p, chunk * $bits) & $mask"))
+      .withColumn("base_val", HammingBands.chunkVal("sim_p"))
     val probes =
       if (maxHamming <= chunks - 1) base.withColumn("chunk_val", col("base_val"))
       else base.select(col("batch_id"), col("sim_p"), col("chunk"),
-        explode(expr(
-          s"concat(array(base_val), transform(sequence(0, ${bits - 1}), " +
-            s"b -> base_val ^ shiftleft(1L, b)))")).as("chunk_val"))
+        explode(HammingBands.oneBitProbes("base_val")).as("chunk_val"))
     val verified = probes.join(capped, Seq("chunk", "chunk_val"))
       .dropDuplicates("batch_id", "match_id")
       .withColumn("hamming", expr("bit_count(sim_p ^ sim_m)"))

@@ -40,13 +40,24 @@ object OrderStats {
   /** Cumulative value histogram: one row per distinct (groupCols, value)
     * with `nv` (count) and `cum` (rows with value′ ≤ value within the
     * group). `valueCol` must be numeric (cast to long internally for the
-    * bucket map only; emitted unchanged). Input should be pre-projected
-    * to (groupCols, valueCol) — the histogram carries no payload. */
+    * bucket map only; emitted unchanged) and NON-NULL: ranking nulls is a
+    * convention, not a fact (NULLS FIRST vs LAST diverge between engines,
+    * and the rankBucket equi-join would silently drop them), so a null
+    * value fails the job loudly — the events-loader fail-loud posture —
+    * instead of mis-ranking. The guard costs one predicate on the
+    * DISTINCT-value table, never a pass over rows. Input should be
+    * pre-projected to (groupCols, valueCol) — the histogram carries no
+    * payload. */
   def cumHistogram(df: DataFrame, valueCol: String,
       groupCols: Seq[String] = Nil, buckets: Int = 1024): DataFrame = {
     val g = groupCols.map(col)
     val hist = df.groupBy((g :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("nv"))
+      // assert_true yields NULL on pass, so the `when` keeps nv intact;
+      // a null value raises at the first histogram materialization
+      .withColumn("nv", when(assert_true(col(valueCol).isNotNull,
+          lit(s"OrderStats: null in '$valueCol' — null ranking is undefined; " +
+            "filter or coalesce before ranking")).isNull, col("nv")))
     // monotone range-bucket map: only ORDER of bucket ids vs values
     // matters (cum is exact regardless of how values land in buckets),
     // so the double arithmetic is safe — long→double is monotone

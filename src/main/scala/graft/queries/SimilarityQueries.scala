@@ -1149,6 +1149,40 @@ object SimilarityQueries {
     * whole chain: every gray value, every flag, the hamming pairs over
     * the qc-passing set, the degree cap, the recursive closure, and the
     * final census. */
+  /** Shared keep/drop verdict + census tail of the per-modality curation
+    * queries (q131 image / q145 audio / q146 video). Inputs: the full
+    * media id set, the QC-failed ids (`bad`: media_id, is_bad=1), the
+    * survivor→exact-group map (`members`: media_id, rep, gsize), and the
+    * near-dup cluster labels over group reps (`labels`: id, cluster_id).
+    * Verdict ladder (first match wins): QC-failed → drop/qc; non-rep of
+    * an exact group → drop/near_dup; rep whose cluster canonical is
+    * another id → drop/near_dup; rep of a multi-member group or cluster
+    * → keep/canonical; else keep/unique. One broadcast + two key joins,
+    * then a 10-cell aggregate — the tie logic lives HERE once, so the
+    * three modalities cannot diverge. */
+  private def curationCensus(media: DataFrame, bad: DataFrame,
+      members: DataFrame, labels: DataFrame, countName: String): DataFrame =
+    media.select(col("media_id"))
+      .join(broadcast(bad), Seq("media_id"), "left_outer")
+      .join(members, Seq("media_id"), "left_outer")
+      .join(labels.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left_outer")
+      .withColumn("decision",
+        when(col("is_bad") === 1, lit("drop"))
+          .when(col("media_id") =!= col("rep"), lit("drop"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
+            lit("drop"))
+          .otherwise(lit("keep")))
+      .withColumn("reason",
+        when(col("is_bad") === 1, lit("qc"))
+          .when(col("media_id") =!= col("rep"), lit("near_dup"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
+            lit("near_dup"))
+          .when(col("cluster_id").isNotNull || col("gsize") > 1, lit("canonical"))
+          .otherwise(lit("unique")))
+      .groupBy(col("decision"), col("reason"))
+      .agg(count(lit(1)).as(countName))
+      .orderBy(col("decision"), col("reason"))
+
   def multimodalCuration(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
     val qc = imageQc(spark, dir)
@@ -1176,28 +1210,10 @@ object SimilarityQueries {
       (shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))).as("simhash"))
     val pairs = Dedup.simhashNearDupPairs(reps, maxHamming = 7, maxDegree = 4)
     val labels = Dedup.connectedComponents(pairs)
-    plantedMedia(spark, dir).select(col("media_id"))
-      .join(broadcast(bad), Seq("media_id"), "left_outer")
-      .join(surv.join(groups, Seq("hash_hi", "hash_lo"))
-          .select(col("media_id"), col("rep"), col("gsize")),
-        Seq("media_id"), "left_outer")
-      .join(labels.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left_outer")
-      .withColumn("decision",
-        when(col("is_bad") === 1, lit("drop"))
-          .when(col("media_id") =!= col("rep"), lit("drop"))
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
-            lit("drop"))
-          .otherwise(lit("keep")))
-      .withColumn("reason",
-        when(col("is_bad") === 1, lit("qc"))
-          .when(col("media_id") =!= col("rep"), lit("near_dup"))
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
-            lit("near_dup"))
-          .when(col("cluster_id").isNotNull || col("gsize") > 1, lit("canonical"))
-          .otherwise(lit("unique")))
-      .groupBy(col("decision"), col("reason"))
-      .agg(count(lit(1)).as("n_images"))
-      .orderBy(col("decision"), col("reason"))
+    curationCensus(plantedMedia(spark, dir), bad,
+      surv.join(groups, Seq("hash_hi", "hash_lo"))
+        .select(col("media_id"), col("rep"), col("gsize")),
+      labels, "n_images")
   }
 
   val multimodalCurationSql: String =
@@ -1307,28 +1323,10 @@ object SimilarityQueries {
       groups.select(col("rep").as("id"), col("fp").as("simhash")),
       maxHamming = 1, maxDegree = 4)
     val labels = Dedup.connectedComponents(pairs)
-    media.select(col("media_id"))
-      .join(broadcast(bad), Seq("media_id"), "left_outer")
-      .join(surv.join(groups, Seq("fp"))
-          .select(col("media_id"), col("rep"), col("gsize")),
-        Seq("media_id"), "left_outer")
-      .join(labels.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left_outer")
-      .withColumn("decision",
-        when(col("is_bad") === 1, lit("drop"))
-          .when(col("media_id") =!= col("rep"), lit("drop"))
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
-            lit("drop"))
-          .otherwise(lit("keep")))
-      .withColumn("reason",
-        when(col("is_bad") === 1, lit("qc"))
-          .when(col("media_id") =!= col("rep"), lit("near_dup"))
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
-            lit("near_dup"))
-          .when(col("cluster_id").isNotNull || col("gsize") > 1, lit("canonical"))
-          .otherwise(lit("unique")))
-      .groupBy(col("decision"), col("reason"))
-      .agg(count(lit(1)).as("n_clips"))
-      .orderBy(col("decision"), col("reason"))
+    curationCensus(media, bad,
+      surv.join(groups, Seq("fp"))
+        .select(col("media_id"), col("rep"), col("gsize")),
+      labels, "n_clips")
   }
 
   val audioCurationSql: String =
@@ -1445,28 +1443,10 @@ object SimilarityQueries {
       (shiftleft(col("fp_hi"), 32).bitwiseOR(col("fp_lo"))).as("simhash"))
     val pairs = Dedup.simhashNearDupPairs(reps, maxHamming = 3, maxDegree = 4)
     val labels = Dedup.connectedComponents(pairs)
-    media.select(col("media_id"))
-      .join(broadcast(bad), Seq("media_id"), "left_outer")
-      .join(surv.join(groups, Seq("fp_hi", "fp_lo"))
-          .select(col("media_id"), col("rep"), col("gsize")),
-        Seq("media_id"), "left_outer")
-      .join(labels.select(col("id").as("rep"), col("cluster_id")), Seq("rep"), "left_outer")
-      .withColumn("decision",
-        when(col("is_bad") === 1, lit("drop"))
-          .when(col("media_id") =!= col("rep"), lit("drop"))
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
-            lit("drop"))
-          .otherwise(lit("keep")))
-      .withColumn("reason",
-        when(col("is_bad") === 1, lit("qc"))
-          .when(col("media_id") =!= col("rep"), lit("near_dup"))
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("media_id"),
-            lit("near_dup"))
-          .when(col("cluster_id").isNotNull || col("gsize") > 1, lit("canonical"))
-          .otherwise(lit("unique")))
-      .groupBy(col("decision"), col("reason"))
-      .agg(count(lit(1)).as("n_videos"))
-      .orderBy(col("decision"), col("reason"))
+    curationCensus(media, bad,
+      surv.join(groups, Seq("fp_hi", "fp_lo"))
+        .select(col("media_id"), col("rep"), col("gsize")),
+      labels, "n_videos")
   }
 
   val videoCurationSql: String =

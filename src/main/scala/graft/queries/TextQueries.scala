@@ -748,9 +748,12 @@ object TextQueries {
     broadcast(ranked).join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .withColumn("ws", split(col("text"), " "))
       .withColumn("hit_pos", least(posExprs: _*))
-      .withColumn("snippet", expr(
+      // guard the null-hit case explicitly: concat_ws IGNORES null args
+      // (returns ''), so without it a semantic-only doc would carry
+      // snippet="" where the contract promises null
+      .withColumn("snippet", when(col("hit_pos").isNotNull, expr(
         "concat_ws(' ', slice(ws, greatest(1, cast(hit_pos as int) - 3)," +
-          " cast(hit_pos as int) + 3 - greatest(1, cast(hit_pos as int) - 3) + 1))"))
+          " cast(hit_pos as int) + 3 - greatest(1, cast(hit_pos as int) - 3) + 1))")))
       .drop("ws", "text")
   }
 

@@ -86,18 +86,89 @@ object Warc {
 
   // ---------------------------------------------------------------- parser
 
-  /** Multi-member gzip inflate (magic 1f 8b) — pass-through otherwise. */
-  def inflateIfGzip(bytes: Array[Byte]): Array[Byte] =
-    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+  /** Result of a gzip inflate: the bytes that decompressed cleanly, plus
+    * how many compressed TAIL bytes were abandoned mid-stream (0 = clean).
+    * JDK GZIPInputStream cannot report the latter — it swallows a
+    * malformed next-member header as end-of-stream, silently dropping
+    * every later member — so the member loop is hand-rolled on Inflater
+    * (RFC 1952 header/trailer parse + RFC 1951 raw deflate). */
+  final case class Inflated(bytes: Array[Byte], corruptTailBytes: Long)
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** Multi-member gzip inflate (magic 1f 8b) — pass-through otherwise.
+    * Each member is inflated independently; the first malformed member
+    * ends the walk and reports the remaining compressed bytes as corrupt
+    * instead of silently truncating (data loss) or throwing (job loss). */
+  def inflateIfGzip(raw: Array[Byte]): Inflated = {
+    if (!isGzip(raw)) return Inflated(raw, 0L)
+    // initial-capacity hint only (BAOS grows): long math so a multi-GB
+    // segment can't overflow Int and throw before inflation even starts
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(raw.length.toLong * 4, 1L << 26).toInt)
+    var pos = 0
+    while (pos < raw.length) {
+      val member = new java.io.ByteArrayOutputStream(64 * 1024)
+      parseMember(raw, pos, member) match {
+        // a malformed member's PARTIAL inflate is discarded with it —
+        // only whole verified members join the clean prefix
+        case -1 => return Inflated(out.toByteArray, (raw.length - pos).toLong)
+        case next => member.writeTo(out); pos = next
+      }
+    }
+    Inflated(out.toByteArray, 0L)
+  }
+
+  /** Inflate ONE gzip member starting at `pos`, appending to `out`.
+    * Returns the offset just past the member's trailer, or -1 when the
+    * member is malformed (header, deflate stream, CRC, or length). */
+  private def parseMember(raw: Array[Byte], pos: Int,
+      out: java.io.ByteArrayOutputStream): Int = {
+    var p = pos
+    def u8(i: Int): Int = raw(i) & 0xff
+    // RFC 1952 fixed header: magic, CM=8 (deflate), FLG, 4B MTIME, XFL, OS
+    if (p + 10 > raw.length || u8(p) != 0x1f || u8(p + 1) != 0x8b || u8(p + 2) != 8)
+      return -1
+    val flg = u8(p + 3)
+    p += 10
+    if ((flg & 0x04) != 0) { // FEXTRA: 2B little-endian length + payload
+      if (p + 2 > raw.length) return -1
+      p += 2 + u8(p) + (u8(p + 1) << 8)
+    }
+    if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+      while (p < raw.length && raw(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT: zero-terminated
+      while (p < raw.length && raw(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 0x02) != 0) p += 2 // FHCRC
+    if (p > raw.length) return -1
+    val inf = new java.util.zip.Inflater(true) // nowrap: raw deflate
+    try {
+      inf.setInput(raw, p, raw.length - p)
+      val crc = new java.util.zip.CRC32()
       val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      out.toByteArray
-    } else bytes
+      var isize = 0L
+      while (!inf.finished()) {
+        val n = try inf.inflate(buf) catch {
+          case _: java.util.zip.DataFormatException => return -1
+        }
+        if (n == 0 && !inf.finished()) return -1 // needs input past EOF
+        out.write(buf, 0, n); crc.update(buf, 0, n); isize += n
+      }
+      val trailer = p + inf.getBytesRead.toInt
+      if (trailer + 8 > raw.length) return -1
+      def le32(i: Int): Long =
+        (u8(i).toLong) | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+          (u8(i + 3).toLong << 24)
+      if (le32(trailer) != crc.getValue || le32(trailer + 4) != (isize & 0xffffffffL))
+        return -1
+      trailer + 8
+    } finally inf.end()
+  }
 
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = math.max(from, 0)
@@ -127,16 +198,20 @@ object Warc {
 
   /** Stream the records of one (possibly gzipped) WARC file. Corrupt
     * regions produce one error row each and parsing resumes at the next
-    * record marker; the iterator never throws on malformed input. */
+    * record marker; a gzip member that fails mid-segment costs the
+    * compressed tail (one error row), never the members before it; the
+    * iterator never throws on malformed input. */
   def parseAll(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
-    val bytes = try inflateIfGzip(raw) catch {
-      case _: java.io.IOException =>
-        return Iterator.single(WarcRecord(path, 0, null, null, null, null,
-          null, -1L, null, "bad-gzip", raw.length.toLong))
-    }
-    new Iterator[WarcRecord] {
+    val inflated = inflateIfGzip(raw)
+    val bytes = inflated.bytes
+    if (bytes.isEmpty && inflated.corruptTailBytes > 0)
+      return Iterator.single(WarcRecord(path, 0, null, null, null, null,
+        null, -1L, null, "bad-gzip", inflated.corruptTailBytes))
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val main = new Iterator[WarcRecord] {
       private var pos = 0
-      private var idx = 0
+      private def idx = counter.get()
+      private def idxInc(): Unit = counter.incrementAndGet()
       private def eof: Boolean = {
         // trailing CRLF padding between/after records is frame, not data
         while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
@@ -150,7 +225,7 @@ object Warc {
           pos = if (resync < 0) bytes.length else resync
           val r = WarcRecord(path, idx, null, null, null, null, null, -1L,
             null, err, (pos - start).toLong)
-          idx += 1; r
+          idxInc(); r
         }
         // qualified: the anonymous Iterator inherits its own `indexOf`
         val headEnd = Warc.indexOf(bytes, "\r\n\r\n".getBytes, start)
@@ -187,9 +262,18 @@ object Warc {
           hdrs.getOrElse("warc-date", null),
           hdrs.getOrElse("content-type", null),
           clen, payload, null, 0L)
-        idx += 1; r
+        idxInc(); r
       }
     }
+    // the corrupt compressed tail (if any) surfaces as one final error
+    // row; `counter` is read only after `main` is exhausted
+    val tail =
+      if (inflated.corruptTailBytes > 0)
+        Iterator.single(()).map(_ => WarcRecord(path, counter.get(), null,
+          null, null, null, null, -1L, null, "bad-gzip-member",
+          inflated.corruptTailBytes))
+      else Iterator.empty
+    main ++ tail
   }
 
   // ---------------------------------------------------------------- source
@@ -237,21 +321,30 @@ object Warc {
         .select(col("doc_id"), col("text"),
           ((col("doc_id") / 7).cast("long") % 8).as("shard"))
         .repartition(8, col("shard"))
-        .sortWithinPartitions(col("doc_id"))
+        // hash-partitioning can co-locate two shards in one task, so sort
+        // by (shard, id) and STREAM rows, switching files on shard change
+        // — a partition is never materialized (segments outgrow memory
+        // long before they outgrow disk)
+        .sortWithinPartitions(col("shard"), col("doc_id"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          val byShard = rows.toSeq.groupBy(_.getLong(2))
-          byShard.foreach { case (shard, rs) =>
-            val gz = shard % 2 == 1
-            val f = new java.io.File(outStr,
-              if (gz) s"segment-$shard.warc.gz" else s"segment-$shard.warc")
-            val fos = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(f))
-            try rs.foreach { r =>
+          var shard = -1L
+          var fos: java.io.BufferedOutputStream = null
+          try {
+            rows.foreach { r =>
+              if (r.getLong(2) != shard) {
+                if (fos != null) fos.close()
+                shard = r.getLong(2)
+                val gz = shard % 2 == 1
+                fos = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+                  new java.io.File(outStr,
+                    if (gz) s"segment-$shard.warc.gz" else s"segment-$shard.warc")))
+              }
               val id = r.getLong(0)
               val payload = r.getString(1)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)
               val target: java.io.OutputStream =
-                if (gz) new java.util.zip.GZIPOutputStream(new CloseShield(fos))
+                if (shard % 2 == 1)
+                  new java.util.zip.GZIPOutputStream(new CloseShield(fos))
                 else fos
               writeRecord(target, "response",
                 s"<urn:graft:$id>", s"http://graft.test/doc/$id",
@@ -262,8 +355,8 @@ object Warc {
                 case g: java.util.zip.GZIPOutputStream => g.close()
                 case _ =>
               }
-            } finally fos.close()
-          }
+            }
+          } finally if (fos != null) fos.close()
         }
       java.nio.file.Files.write(marker, Array.emptyByteArray)
     }

@@ -369,8 +369,12 @@ object Streaming {
         val corpus = graft.ops.Dedup.hammingProbe(bsig, index,
             maxHamming, maxBucket, maxMatchesPerProbe)
           .withColumn("src", lit("corpus"))
+        // the caller's per-probe bound must hold for the UNION: uncapped
+        // in-batch pairs would reintroduce the quadratic identical-hash
+        // blowup on a duplicate-heavy batch even when the corpus probe
+        // is capped
         val inBatch = graft.ops.Dedup.simhashNearDupPairs(bsig, maxHamming,
-            maxBucket, maxDegree = 0)
+            maxBucket, maxDegree = maxMatchesPerProbe)
           .select(col("id_b").as("batch_id"), col("id_a").as("match_id"),
             col("hamming"), lit("batch").as("src"))
         corpus.unionByName(inBatch)

@@ -74,4 +74,22 @@ class OrderStatsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == (0L until 20L))
     assert(got.map(_._2).toSeq == (0L until 20L).map(i => i * 4 / 20 + 1))
   }
+
+  test("null values fail loudly instead of mis-ranking or silently dropping rows") {
+    // NULLS FIRST (window) vs last-bucket (least() null routing) vs
+    // equi-join drop (rankBucket) are three different wrong answers —
+    // the kernel's contract is to refuse the question
+    val df = Seq(Some(1L), None, Some(2L)).toDF("v")
+    val ex = intercept[Exception] {
+      OrderStats.cumHistogram(df, "v").collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("null ranking is undefined")), ex.toString)
+    val ex2 = intercept[Exception] {
+      OrderStats.rankBucket(df.withColumn("id", monotonically_increasing_id()),
+        "v", "id", 3, "b").collect()
+    }
+    assert(msgs(ex2).exists(_.contains("null ranking is undefined")), ex2.toString)
+  }
 }

@@ -124,6 +124,9 @@ class ServiceSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       assert(gotIds == fused, s"got=$gotIds fused=$fused")
       assert(body.contains("\"rrf_e6\":"), body.take(400))
+      // a semantic-only hit carries snippet NULL, never the empty string
+      // (concat_ws over a null slice yields '' unless guarded)
+      assert(!body.contains("\"snippet\":\"\""), body.take(400))
     } finally svc.close()
   }
 }

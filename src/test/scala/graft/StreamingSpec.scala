@@ -571,6 +571,33 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("image dedup sink: maxMatchesPerProbe caps IN-BATCH pairs too, not just corpus hits") {
+    // a duplicate-heavy batch (4 byte-identical images) with cap 1 must
+    // emit the degree-capped union (3 star pairs), not the quadratic 6 —
+    // the cap's whole point is bounding pair volume when a crawl dumps
+    // thousands of copies into one trigger
+    import graft.multimodal.Multimodal.ImageCodec
+    val root = java.nio.file.Files.createTempDirectory("graft_img_cap").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    (1L to 4L).map(i => (i, ImageCodec.syntheticPng(99L)))
+      .toDF("media_id", "content").write.mode("append").parquet(srcDir)
+    val q = Streaming.incrementalImageDedupSink(
+      spark.readStream.schema(schema).parquet(srcDir), "media_id", "content",
+      s"$root/index", s"$root/matches", maxMatchesPerProbe = 1,
+      checkpointDir = Some(s"$root/ckpt"))
+    try {
+      q.processAllAvailable()
+      val m = spark.read.parquet(s"$root/matches")
+        .select("batch_id", "match_id", "src")
+        .as[(Long, Long, String)].collect().toSet
+      assert(m === Set((2L, 1L, "batch"), (3L, 1L, "batch"), (4L, 1L, "batch")),
+        s"cap-1 union should be the 3-pair star, got $m")
+    } finally q.stop()
+  }
+
   test("incremental paragraph dedup sink: repeats drop across and within batches, index carries hashes only") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_inc_para").toString

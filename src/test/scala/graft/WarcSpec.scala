@@ -111,6 +111,34 @@ class WarcSpec extends SparkSpec {
       b.map(r => (r.target_uri, new String(r.payload, "UTF-8"))))
   }
 
+  test("corrupt gzip member mid-segment: earlier members' records survive, tail is ONE error row") {
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val m0 = gzMember(record("u0", "first member"))
+    val m1 = gzMember(record("u1", "second member"))
+    // flip a byte inside m1's deflate stream (past the 10-byte header)
+    val bad = m1.clone(); bad(12) = (bad(12) ^ 0x5a).toByte
+    val rs = Warc.parseAll("f.gz", cat(m0, bad)).toList
+    assert(rs.size === 2, s"got $rs")
+    assert(rs.head.target_uri === "u0" && rs.head.error === null)
+    assert(rs(1).error === "bad-gzip-member")
+    assert(rs(1).skipped_bytes === bad.length.toLong)
+    // and the JDK silent-truncation shape (malformed next-member HEADER)
+    // must also surface, not vanish
+    val badHeader = m1.clone(); badHeader(2) = 7 // CM != deflate
+    val rs2 = Warc.parseAll("f.gz", cat(m0, badHeader)).toList
+    assert(rs2.map(_.error) === List(null, "bad-gzip-member"))
+    // a corrupted TRAILER (crc mismatch) discards that member's partial
+    // payload rather than emitting half-inflated bytes
+    val badCrc = m1.clone(); badCrc(m1.length - 5) = (badCrc(m1.length - 5) ^ 1).toByte
+    val rs3 = Warc.parseAll("f.gz", cat(m0, badCrc)).toList
+    assert(rs3.map(_.error) === List(null, "bad-gzip-member"))
+  }
+
   test("garbage bytes are one bad-gzip/bad-version row, never an exception") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     val rs = Warc.parseAll("f", junk).toList
