@@ -196,28 +196,26 @@ object Warc {
     -1
   }
 
-  /** Stream the records of one (possibly gzipped) WARC file. Corrupt
-    * regions produce one error row each and parsing resumes at the next
-    * record marker; a gzip member that fails mid-segment costs the
-    * compressed tail (one error row), never the members before it; the
-    * iterator never throws on malformed input. */
-  def parseAll(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
-    val inflated = inflateIfGzip(raw)
-    val bytes = inflated.bytes
-    if (bytes.isEmpty && inflated.corruptTailBytes > 0)
-      return Iterator.single(WarcRecord(path, 0, null, null, null, null,
-        null, -1L, null, "bad-gzip", inflated.corruptTailBytes))
-    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
-    val main = new Iterator[WarcRecord] {
-      private var pos = 0
+  /** The framing walk shared by the whole-file parse and the byte-range
+    * split parse: records whose START offset lies in [startPos,
+    * stopBefore) — a record may EXTEND past stopBefore (split overshoot
+    * semantics, the classic input-split rule). `atEof` distinguishes a
+    * record cut off by the file (`truncated`) from one cut off by the
+    * split buffer (`record-too-large` — it exceeds the overshoot the
+    * split reader budgeted). */
+  private def recordIterator(path: String, bytes: Array[Byte], startPos: Int,
+      stopBefore: Int, atEof: Boolean,
+      counter: java.util.concurrent.atomic.AtomicInteger): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var pos = startPos
       private def idx = counter.get()
       private def idxInc(): Unit = counter.incrementAndGet()
-      private def eof: Boolean = {
+      private def done: Boolean = {
         // trailing CRLF padding between/after records is frame, not data
         while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-        pos >= bytes.length
+        pos >= bytes.length || pos >= stopBefore
       }
-      override def hasNext: Boolean = !eof
+      override def hasNext: Boolean = !done
       override def next(): WarcRecord = {
         val start = pos
         def fail(err: String): WarcRecord = {
@@ -229,7 +227,8 @@ object Warc {
         }
         // qualified: the anonymous Iterator inherits its own `indexOf`
         val headEnd = Warc.indexOf(bytes, "\r\n\r\n".getBytes, start)
-        if (headEnd < 0) return fail("no-header-terminator")
+        if (headEnd < 0) return fail(if (atEof) "no-header-terminator"
+          else "record-too-large")
         val head = new String(bytes, start, headEnd - start,
           java.nio.charset.StandardCharsets.US_ASCII)
         val lines = head.split("\r\n")
@@ -251,7 +250,8 @@ object Warc {
           .getOrElse(-1L)
         if (clen < 0) return fail("bad-content-length")
         val bodyStart = headEnd + 4
-        if (bodyStart + clen > bytes.length) return fail("truncated")
+        if (bodyStart + clen > bytes.length)
+          return fail(if (atEof) "truncated" else "record-too-large")
         val payload = java.util.Arrays.copyOfRange(bytes, bodyStart,
           bodyStart + clen.toInt)
         pos = bodyStart + clen.toInt
@@ -265,6 +265,20 @@ object Warc {
         idxInc(); r
       }
     }
+
+  /** Stream the records of one (possibly gzipped) WARC file. Corrupt
+    * regions produce one error row each and parsing resumes at the next
+    * record marker; a gzip member that fails mid-segment costs the
+    * compressed tail (one error row), never the members before it; the
+    * iterator never throws on malformed input. */
+  def parseAll(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
+    val inflated = inflateIfGzip(raw)
+    val bytes = inflated.bytes
+    if (bytes.isEmpty && inflated.corruptTailBytes > 0)
+      return Iterator.single(WarcRecord(path, 0, null, null, null, null,
+        null, -1L, null, "bad-gzip", inflated.corruptTailBytes))
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val main = recordIterator(path, bytes, 0, bytes.length, atEof = true, counter)
     // the corrupt compressed tail (if any) surfaces as one final error
     // row; `counter` is read only after `main` is exhausted
     val tail =
@@ -274,6 +288,32 @@ object Warc {
           inflated.corruptTailBytes))
       else Iterator.empty
     main ++ tail
+  }
+
+  /** Parse the records of ONE byte-range split of a PLAIN (uncompressed)
+    * WARC file — the pure kernel behind [[scanSplits]], exposed for
+    * property-testing split invariance without a cluster.
+    *
+    * `buf` holds file bytes [bufStart, bufStart + buf.length); the split
+    * owns records whose start offset ∈ [rangeStart, rangeEnd). The first
+    * split (rangeStart == 0) starts at offset 0; later splits resync to
+    * the first record marker at/after rangeStart (the partial record
+    * crossing the boundary belongs to the PREVIOUS split, which parses
+    * past its rangeEnd to finish it — so the union over splits is exactly
+    * the whole-file record set, each record once). `rec_idx` is the
+    * ordinal WITHIN the split. */
+  def parseRange(path: String, buf: Array[Byte], bufStart: Long,
+      rangeStart: Long, rangeEnd: Long, fileLen: Long): Iterator[WarcRecord] = {
+    val searchFrom = (rangeStart - bufStart).toInt
+    val startPos =
+      if (rangeStart == 0L) 0
+      else nextRecordStart(buf, searchFrom) // buf includes rangeStart-1, so
+    // a marker exactly at the boundary still sees its preceding LF
+    val stopBefore = (rangeEnd - bufStart).toInt
+    if (startPos < 0 || startPos >= stopBefore) return Iterator.empty
+    val atEof = bufStart + buf.length >= fileLen
+    recordIterator(path, buf, startPos, stopBefore, atEof,
+      new java.util.concurrent.atomic.AtomicInteger(0))
   }
 
   // ---------------------------------------------------------------- source
@@ -286,6 +326,59 @@ object Warc {
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => parseAll(p, bytes) }
+  }
+
+  /** Offset-splittable scan for PLAIN WARC: one task per byte range, the
+    * scalable read path when archives ship as few HUGE uncompressed
+    * files (gzip members are not seekable, so `.gz` segments fall back
+    * to one whole-file split each). Each split reads only
+    * [rangeStart − 1, rangeEnd + maxRecordBytes) — split size + overshoot
+    * of executor memory, never the file — resyncs to the first record
+    * marker in its range, and parses records STARTING in the range,
+    * running past its end to finish the last one (the input-split rule:
+    * every VALID record parses exactly once, property-pinned by
+    * WarcSpec). Corruption accounting is best-effort under splitting —
+    * a corrupt region surfaces as an error row only when the split that
+    * reaches it sequentially still owns it; a region whose start falls
+    * just past a boundary has no recognizable marker for the next split
+    * to claim, so its bytes skip silently (the inherent limit of marker
+    * resync; every Hadoop-style WARC splitter shares it). Whole-file
+    * [[scan]] is authoritative for corruption forensics. A record longer
+    * than `maxRecordBytes` surfaces as a `record-too-large` error row
+    * rather than unbounded task memory. */
+  def scanSplits(spark: SparkSession, dir: String, glob: String = "*.warc*",
+      splitBytes: Long = 128L << 20, maxRecordBytes: Int = 16 << 20): Dataset[WarcRecord] = {
+    import spark.implicits._
+    require(splitBytes > 0 && maxRecordBytes > 0 &&
+      splitBytes + maxRecordBytes + 1 <= Int.MaxValue,
+      "split + overshoot must fit one JVM byte array")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val splits: Seq[(String, Long, Long, Long)] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(p, glob)).toSeq.flatMap { st =>
+        val path = st.getPath.toString
+        val len = st.getLen
+        if (path.endsWith(".gz") || len <= splitBytes)
+          Seq((path, 0L, len, len)) // unsplittable / small: one split
+        else (0L until len by splitBytes).map(s =>
+          (path, s, math.min(s + splitBytes, len), len))
+      }
+    val maxRec = maxRecordBytes.toLong
+    spark.createDataset(splits)
+      .repartition(math.max(splits.size, 1)) // one task per split
+      .flatMap { case (path, rangeStart, rangeEnd, fileLen) =>
+        val hp = new org.apache.hadoop.fs.Path(path)
+        // fresh Configuration: Hadoop confs are not serializable and the
+        // default resolves file:// and any fs.defaultFS-configured store
+        val tfs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val bufStart = math.max(0L, rangeStart - 1)
+        val bufEnd = math.min(fileLen, rangeEnd + maxRec)
+        val buf = new Array[Byte]((bufEnd - bufStart).toInt)
+        val in = tfs.open(hp)
+        try { in.seek(bufStart); in.readFully(buf) } finally in.close()
+        if (rangeStart == 0L && isGzip(buf)) parseAll(path, buf)
+        else parseRange(path, buf, bufStart, rangeStart, rangeEnd, fileLen)
+      }
   }
 
   /** Streaming scan — newly-landed crawl segments per micro-batch (the

@@ -173,6 +173,79 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def splitUnion(file: Array[Byte], split: Long,
+      maxRec: Long = 4096L): List[graft.sources.WarcRecord] =
+    (0L until file.length.toLong by split).flatMap { s =>
+      val e = math.min(s + split, file.length.toLong)
+      val bufStart = math.max(0L, s - 1)
+      val bufEnd = math.min(file.length.toLong, e + maxRec)
+      val buf = java.util.Arrays.copyOfRange(file, bufStart.toInt, bufEnd.toInt)
+      Warc.parseRange("f", buf, bufStart, s, e, file.length.toLong).toList
+    }.toList
+
+  private def key(r: graft.sources.WarcRecord) =
+    (r.target_uri, r.error, Option(r.payload).map(new String(_, "UTF-8")).orNull)
+
+  test("byte-range splits are invariant: every VALID record exactly once, ANY split grid") {
+    // records of varied sizes incl. an empty payload
+    val file = cat(
+      record("u0", "alpha beta gamma delta"),
+      record("u1", ""),
+      record("u3", "x" * 257),
+      record("u4", "tail words"))
+    val whole = Warc.parseAll("f", file).toList.map(key)
+    for (split <- Seq(1L, 7L, 64L, 100L, 257L, file.length / 2L, file.length.toLong))
+      assert(splitUnion(file, split).map(key) === whole, s"split=$split")
+  }
+
+  test("splits over a corrupt region: good records never lost or duplicated, errors best-effort") {
+    val file = cat(
+      record("u0", "alpha"),
+      record("uBad", "broken", version = "WARC/9.9"),
+      record("u2", "omega"))
+    val wholeGood = Warc.parseAll("f", file).toList.filter(_.error == null).map(key)
+    val wholeErrs = Warc.parseAll("f", file).count(_.error != null)
+    for (split <- Seq(1L, 13L, 50L, file.length.toLong)) {
+      val got = splitUnion(file, split)
+      assert(got.filter(_.error == null).map(key) === wholeGood, s"split=$split")
+      // a corrupt region surfaces only when reached sequentially by its
+      // owner split — never MORE errors than the authoritative scan
+      assert(got.count(_.error != null) <= wholeErrs, s"split=$split")
+    }
+    // whole-file-as-one-split IS the authoritative scan
+    assert(splitUnion(file, file.length.toLong).count(_.error != null) === wholeErrs)
+  }
+
+  test("a record exceeding the split overshoot is record-too-large, not unbounded memory") {
+    val big = record("uBig", "y" * 500)
+    val file = cat(record("u0", "small"), big, record("u2", "after"))
+    // budget (~300 B) fits the small records but not the 500-byte-payload
+    // one: the split that owns its start cannot see its end
+    val got = splitUnion(file, 80L, maxRec = 300L)
+    assert(got.exists(_.error == "record-too-large"), got.map(_.error).toList)
+    // the small records around it still parse
+    assert(got.count(_.error == null) === 2, got.map(key))
+  }
+
+  test("scanSplits over the fixture matches the whole-file scan (plain AND gz fallback)") {
+    val fx = Warc.ensureFixture(spark, sf())
+    def normalize(ds: org.apache.spark.sql.Dataset[graft.sources.WarcRecord]) =
+      ds.toDF().filter(col("error").isNull)
+        .select(col("target_uri"), md5(col("payload")).as("d"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val whole = normalize(Warc.scan(spark, fx))
+    val split = normalize(Warc.scanSplits(spark, fx, splitBytes = 1024))
+    assert(split === whole)
+    // corruption accounting is best-effort under splitting (a corrupt
+    // start just past a boundary has no marker to claim) — never MORE
+    // than the authoritative whole-file scan, and gz shards (whole-file
+    // fallback) keep exact parity
+    val errWhole = Warc.scan(spark, fx).filter(_.error != null).count()
+    val errSplit = Warc.scanSplits(spark, fx, splitBytes = 1024)
+      .filter(_.error != null).count()
+    assert(errSplit <= errWhole && errWhole > 0)
+  }
+
   test("distributed scan over the fixture matches the generating table") {
     val fx = Warc.ensureFixture(spark, sf())
     val got = Warc.scan(spark, fx).toDF()
