@@ -192,6 +192,104 @@ object DedupQueries {
   // engine — identical output modulo 64-bit hash collisions (~2^-60);
   // the maxBucket guard never fires at sf0.01
 
+  /** Q150 — DEDUP-QUALITY evaluation (the q121 move for near-dup): recall
+    * and band precision of the production MinHash-LSH detector (q12's
+    * exact parameters — 32 perms, 8 bands × 4 rows, Jaccard ≥ 0.5)
+    * against exact all-pairs Jaccard GROUND TRUTH on a deterministic
+    * half-corpus sample. The all-pairs truth is quadratic BY DESIGN —
+    * that is what evaluation on a bounded sample means; the detector
+    * under test stays the banded production path, and at 100 TB this is
+    * how you know your dedup's recall, not a production operator.
+    * Integer-exact: truth is `3·|A∩B| ≥ |A|+|B|` (⇔ J ≥ 0.5 for sets,
+    * no FP), micros by integer division. Detection = candidates ∩ truth
+    * because the production pipeline's verification stage IS exact
+    * Jaccard — band_precision measures wasted verification work, recall
+    * measures banding misses. Measured at sf0.01: recall 983050µ (one
+    * borderline J≈0.5 pair whose 8 bands all differ — the known LSH
+    * S-curve tail, exactly what this eval exists to expose), band
+    * precision 495726µ (half the candidates fail verification — the
+    * cost of the probabilistic filter). */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val sample = withPlantedNearDups(Tables.documents(spark, dir))
+      .filter(col("doc_id") % 2 === 0)
+    val sh = sample.select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 3).as("shingles"))
+      .localCheckpoint(true) // truth + signature sides both read it
+    val occ = sh.select(col("id"), explode(col("shingles")).as("g"))
+    val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n"))
+    val truth = occ.as("a").join(occ.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("c") * 3 >= col("na") + col("nb"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // intersect + count
+    val cand = sh.select(col("id"),
+        graft.functions.NativeExpressions.portableMinHashSigs(col("shingles"), 32).as("sig"))
+      .select(col("id"), explode(Dedup.lshBands(col("sig"), 8, 4)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("bh"))
+      .localCheckpoint(true) // both sides of the bucket self-join
+    val candPairs = cand.as("x").join(cand.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true) // intersect + count
+    val det = candPairs.join(truth, Seq("id_a", "id_b"), "left_semi")
+    sample.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+      .crossJoin(candPairs.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(det.agg(count(lit(1)).as("n_detected")))
+      .select(col("n_docs"), col("n_true_pairs"), col("n_candidates"),
+        col("n_detected"),
+        expr("n_detected * 1000000 div n_true_pairs").as("recall_micro"),
+        expr("n_detected * 1000000 div n_candidates").as("band_precision_micro"))
+  }
+
+  val dedupEvalSql: String =
+    s"""WITH corpus AS (
+       |  $corpusSql),
+       |samp AS (SELECT doc_id, text FROM corpus WHERE doc_id % 2 = 0),
+       |sh AS (
+       |  SELECT doc_id, $trigramSql AS s
+       |  FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM samp)),
+       |occ AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |       FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM cm
+       |          JOIN sizes sa ON sa.doc_id = cm.id_a
+       |          JOIN sizes sb ON sb.doc_id = cm.id_b
+       |          WHERE 3 * c >= sa.n + sb.n),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x'||substring(md5(g),1,15)) AS BIGINT) AS h1,
+       |        CAST(('0x'||substring(md5(g),16,15)) AS BIGINT) & ((1::BIGINT << 57) - 1) AS h2
+       |      FROM occ),
+       |m AS (SELECT doc_id, t.p AS p, MIN(h1 + t.p * h2) AS mv
+       |      FROM h, UNNEST(generate_series(0,31)) AS t(p) GROUP BY doc_id, t.p),
+       |sig AS (SELECT doc_id, list(mv ORDER BY p) AS sig FROM m GROUP BY doc_id),
+       |bands AS (SELECT doc_id, t.b AS b, sig[(t.b*4)+1:(t.b+1)*4] AS band
+       |          FROM sig, UNNEST(generate_series(0,7)) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+       |det AS (SELECT id_a, id_b FROM cand INTERSECT SELECT id_a, id_b FROM truth),
+       |agg AS (SELECT
+       |  (SELECT COUNT(*) FROM samp) AS n_docs,
+       |  (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+       |  (SELECT COUNT(*) FROM det) AS n_detected)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_detected AS BIGINT) AS n_detected,
+       |  CAST((n_detected * 1000000) // n_true_pairs AS BIGINT) AS recall_micro,
+       |  CAST((n_detected * 1000000) // n_candidates AS BIGINT) AS band_precision_micro
+       |FROM agg""".stripMargin
+
   /** Q33 — duplicate-cluster consolidation: connected components over the
     * simhash hamming ≤ 7 pair set (q13b's edges, per-node degree-capped
     * like q13b — at 100 TB CC's input volume is the cap's whole point),
@@ -394,6 +492,7 @@ object DedupQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q97_entity_resolution", entityResolution, Some(entityResolutionSql)),
     QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),
+    QueryDef("q150_dedup_eval", dedupEval, Some(dedupEvalSql)),
     QueryDef("q87_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     QueryDef("q81_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q13_simhash", simhashSignatures, Some(simhashSignaturesSql)),
