@@ -55,7 +55,8 @@ object ScaleProbe {
     "q144_session_stats", "q145_audio_curation", "q146_video_curation",
     // round-8 additions: crawl-container ingestion, tokenizer fairness,
     // release-risk governance
-    "q147_warc_ingest", "q148_bpe_fertility", "q149_k_anonymity")
+    "q147_warc_ingest", "q148_bpe_fertility", "q149_k_anonymity",
+    "q150_dedup_eval")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

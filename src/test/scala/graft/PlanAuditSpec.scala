@@ -415,4 +415,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(read.exists(s => s.contains("doc_id") && s.contains("text") && !s.contains("lang")),
       s"documents scan must prune to (doc_id, text): $read")
   }
+
+  test("k-anonymity: class table broadcasts into the per-k cross; rows shuffle once") {
+    val p = plan("q149_k_anonymity")
+    // the per-k rollup crosses the k list with the BOUNDED class table —
+    // a broadcast nested loop over 125 rows, never the customer rows
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "per-k rollup must broadcast, not cartesian")
+    // (the customer scan itself sits behind the class table's eager
+    // localCheckpoint, so its pruning is not visible in this plan — the
+    // pre-aggregate projects the three census columns explicitly)
+  }
+
+  test("dedup eval: banding and truth stay keyed joins, never a row-table cross") {
+    val p = plan("q150_dedup_eval")
+    assert(!p.contains("CartesianProduct"),
+      "all-pairs truth must come from the shingle inverted index, not a cross")
+    // the final 1-row census is the ONLY nested-loop (1x1 crossJoins)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }
