@@ -76,6 +76,69 @@ object ParticipantQueries {
       |FROM documents WHERE doc_id % 7 = 0 AND doc_id % 70 <> 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Q151 — WARC → register → curate, the actual Common-Crawl ingest
+    * chain END-TO-END in one declarative lineage (reference:
+    * KafkaIntelligencePipeline.kt:304-391 ingest-to-enriched-records, with
+    * the crawl container replacing the directory walk of
+    * implementations.kt:334-341): the 8-segment WARC fixture is scanned
+    * distributed (q147's source), good records become CREATE events whose
+    * representation POINTS at `segment#rec_idx` (payloads stay off the
+    * event log — the reference's ship-pointers posture), the events fold
+    * through Consolidate.batch (A11), content is resolved back by a
+    * uri-keyed join (C4's resolver shape at crawl granularity), `source`
+    * derives from the SEGMENT the record physically arrived in, and the
+    * registered documents run the full q100 curation chain (exact dedup →
+    * paragraph dedup → LM-quality terciles → tail cut → per-segment token
+    * packing). Corrupt crawl records (doc_id % 70 == 0, planted) drop at
+    * the error gate before registration — A19 end-to-end. The oracle
+    * replays the ENTIRE q100 CTE chain over the crawl subset with the
+    * segment-derived source, so ingestion, registration, content
+    * resolution, exclusion, and every curation stage are hash-pinned as
+    * one unit. */
+  def crawlCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fx = Warc.ensureFixture(spark, dir)
+    val scanned = Warc.scan(spark, fx).toDF()
+      .localCheckpoint(true) // eager: two consumers (events + content resolve)
+    val good = scanned.filter(col("error").isNull)
+    val events = good.select(
+      lit(graft.model.Command.Create).as("command"),
+      regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("id"),
+      lit(1L).as("timestamp"),
+      lit(0L).as("seq"),
+      col("target_uri").as("name"),
+      struct(
+        concat(col("path"), lit("#"), col("rec_idx")).as("path"),
+        lit("warc").as("createdBy")).as("representation"),
+      lit(null).cast("struct<values:map<string,string>,createdBy:string>").as("meta"))
+      .as[graft.model.DataRecordEvent]
+    val records = Consolidate.batch(events).toDF()
+    // resolve content for the registered records by their crawl uri (the
+    // pointer the representation names) — payload bytes never rode the
+    // event fold
+    val content = good.select(
+      col("target_uri").as("name"),
+      col("payload").cast("string").as("text"),
+      concat(lit("crawl-"),
+        regexp_extract(col("path"), "segment-([0-9]+)\\.warc", 1)).as("source"))
+    val docs = records.select(col("id").as("doc_id"), col("name"))
+      .join(content, Seq("name"))
+      .select(col("doc_id"), col("source"), col("text"))
+    PrepQueries.curationChain(docs)
+  }
+
+  /** The q100 oracle verbatim, re-rooted at the crawl subset with the
+    * segment-derived source — the composition is pinned by construction
+    * to "q100's semantics over exactly what the crawl delivered". */
+  val crawlCurationSql: String =
+    """WITH crawl_docs AS (
+      |  SELECT doc_id,
+      |    'crawl-' || CAST((doc_id // 7) % 8 AS VARCHAR) AS source, text
+      |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 70 <> 0),
+      |""".stripMargin +
+      PrepQueries.curationPipelineSql.stripPrefix("WITH ")
+        .replace("FROM documents", "FROM crawl_docs")
+
   /** Q30 — chunk-command log fold (SURVEY §2 D): a deterministic
     * adversarial command log per document — START, three ADDs, INSERT,
     * UPDATE, an out-of-bounds UPDATE (must no-op), MERGE, DELETE, and an
@@ -634,6 +697,7 @@ object ParticipantQueries {
     QueryDef("q92_pos_trained", posTrained, Some(posTrainedSql)),
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q147_warc_ingest", warcIngest, Some(warcIngestSql)),
+    QueryDef("q151_crawl_curation", crawlCuration, Some(crawlCurationSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
     QueryDef("q31b_dual_renditions", dualRenditions, Some(dualRenditionsSql)),

@@ -164,9 +164,15 @@ object PrepQueries {
     * The oracle replays the ENTIRE chain — dedup window, paragraph
     * first-occurrence, count tables, surprisal, tercile thresholds,
     * bucket cut, and pack ids — in a single stitched CTE chain. */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationChain(Tables.documents(spark, dir))
+
+  /** The q100 chain over ANY (doc_id, source, text) document set — shared
+    * by q100 (the parquet corpus) and q151 (the WARC crawl composition,
+    * ParticipantQueries.crawlCuration): the chain itself is
+    * source-agnostic, exactly like a production curation run. */
+  def curationChain(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
     val uniq = docs
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id").asc)))

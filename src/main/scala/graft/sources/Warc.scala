@@ -46,10 +46,16 @@ case class WarcRecord(
   * visit the driver. Gzip members are not offset-splittable, which is
   * exactly why crawl archives ship as many ~1 GB segments — at 100 TB
   * that is ~100k files, far above any realistic executor count, so
-  * per-file granularity saturates the cluster. Corrupt regions degrade
-  * to `error` rows with resynchronization to the next record marker
-  * (the A19 isolation posture): at crawl scale some fraction of any
-  * archive IS damaged, and one bad record must cost bytes, not the job.
+  * per-file granularity saturates the cluster. Inflation is streamed
+  * per MEMBER (Common Crawl writes one member per record): peak task
+  * heap is compressed segment + ONE inflated member + a bounded carry
+  * for records spanning members — never the whole inflated segment.
+  * A single member inflating past `maxMemberBytes` (default 1 GiB) and
+  * a record outgrowing `maxCarryBytes` (default 64 MiB) each degrade to
+  * one error row, not an OOM. Corrupt regions degrade to `error` rows
+  * with resynchronization to the next record marker (the A19 isolation
+  * posture): at crawl scale some fraction of any archive IS damaged,
+  * and one bad record must cost bytes, not the job.
   */
 object Warc {
 
@@ -86,45 +92,20 @@ object Warc {
 
   // ---------------------------------------------------------------- parser
 
-  /** Result of a gzip inflate: the bytes that decompressed cleanly, plus
-    * how many compressed TAIL bytes were abandoned mid-stream (0 = clean).
-    * JDK GZIPInputStream cannot report the latter — it swallows a
-    * malformed next-member header as end-of-stream, silently dropping
-    * every later member — so the member loop is hand-rolled on Inflater
-    * (RFC 1952 header/trailer parse + RFC 1951 raw deflate). */
-  final case class Inflated(bytes: Array[Byte], corruptTailBytes: Long)
-
   private def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
 
-  /** Multi-member gzip inflate (magic 1f 8b) — pass-through otherwise.
-    * Each member is inflated independently; the first malformed member
-    * ends the walk and reports the remaining compressed bytes as corrupt
-    * instead of silently truncating (data loss) or throwing (job loss). */
-  def inflateIfGzip(raw: Array[Byte]): Inflated = {
-    if (!isGzip(raw)) return Inflated(raw, 0L)
-    // initial-capacity hint only (BAOS grows): long math so a multi-GB
-    // segment can't overflow Int and throw before inflation even starts
-    val out = new java.io.ByteArrayOutputStream(
-      math.min(raw.length.toLong * 4, 1L << 26).toInt)
-    var pos = 0
-    while (pos < raw.length) {
-      val member = new java.io.ByteArrayOutputStream(64 * 1024)
-      parseMember(raw, pos, member) match {
-        // a malformed member's PARTIAL inflate is discarded with it —
-        // only whole verified members join the clean prefix
-        case -1 => return Inflated(out.toByteArray, (raw.length - pos).toLong)
-        case next => member.writeTo(out); pos = next
-      }
-    }
-    Inflated(out.toByteArray, 0L)
-  }
-
   /** Inflate ONE gzip member starting at `pos`, appending to `out`.
-    * Returns the offset just past the member's trailer, or -1 when the
-    * member is malformed (header, deflate stream, CRC, or length). */
+    * The member loop is hand-rolled on Inflater (RFC 1952 header/trailer
+    * parse + RFC 1951 raw deflate) because JDK GZIPInputStream swallows a
+    * malformed next-member header as end-of-stream, silently dropping
+    * every later member. Returns the offset just past the member's
+    * trailer, -1 when the member is malformed (header, deflate stream,
+    * CRC, or length), or -2 when its inflated size exceeds `maxOut`
+    * (the cap that turns a pathological member into an error row rather
+    * than an executor OOM / 2 GiB array failure). */
   private def parseMember(raw: Array[Byte], pos: Int,
-      out: java.io.ByteArrayOutputStream): Int = {
+      out: java.io.ByteArrayOutputStream, maxOut: Int = Int.MaxValue - 16): Int = {
     var p = pos
     def u8(i: Int): Int = raw(i) & 0xff
     // RFC 1952 fixed header: magic, CM=8 (deflate), FLG, 4B MTIME, XFL, OS
@@ -158,6 +139,7 @@ object Warc {
         }
         if (n == 0 && !inf.finished()) return -1 // needs input past EOF
         out.write(buf, 0, n); crc.update(buf, 0, n); isize += n
+        if (isize > maxOut) return -2
       }
       val trailer = p + inf.getBytesRead.toInt
       if (trailer + 8 > raw.length) return -1
@@ -196,6 +178,61 @@ object Warc {
     -1
   }
 
+  private val HeadSep = "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Outcome of attempting ONE record at `start` in `bytes`. */
+  private sealed trait ParseOutcome
+  /** A complete record occupying [start, nextPos). */
+  private final case class ParsedRec(warcType: String, recordId: String,
+      targetUri: String, warcDate: String, contentType: String, clen: Long,
+      payload: Array[Byte], nextPos: Int) extends ParseOutcome
+  /** Definitely malformed. `resyncPos` = first record marker after start,
+    * -1 when none exists in the available bytes. */
+  private final case class ParseErr(err: String, resyncPos: Int) extends ParseOutcome
+  /** More bytes could complete the record. `reason` is the error name if
+    * none will arrive; `knownTotal` = the record's full framed size
+    * (header + payload) once the header has parsed, -1 before that. */
+  private final case class Incomplete(reason: String, knownTotal: Long) extends ParseOutcome
+
+  /** Attempt one record at `start`; never consumes — callers advance. */
+  private def parseOne(bytes: Array[Byte], start: Int): ParseOutcome = {
+    val headEnd = indexOf(bytes, HeadSep, start)
+    if (headEnd < 0) return Incomplete("no-header-terminator", -1L)
+    def err(e: String) = ParseErr(e, nextRecordStart(bytes, start + 1))
+    val head = new String(bytes, start, headEnd - start,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val lines = head.split("\r\n")
+    if (!(lines(0) == "WARC/1.0" || lines(0) == "WARC/1.1"))
+      return err("bad-version")
+    // header names are case-insensitive (ISO 28500 §4); first wins
+    val hdrs = scala.collection.mutable.Map.empty[String, String]
+    var malformed: String = null
+    lines.iterator.drop(1).foreach { ln =>
+      val c = ln.indexOf(':')
+      if (c <= 0) { if (malformed == null) malformed = "bad-header-line" }
+      else {
+        val k = ln.substring(0, c).trim.toLowerCase
+        if (!hdrs.contains(k)) hdrs(k) = ln.substring(c + 1).trim
+      }
+    }
+    if (malformed != null) return err(malformed)
+    val clen = hdrs.get("content-length").flatMap(s => s.toLongOption)
+      .getOrElse(-1L)
+    if (clen < 0) return err("bad-content-length")
+    val bodyStart = headEnd + 4
+    if (bodyStart + clen > bytes.length)
+      return Incomplete("truncated", (bodyStart - start).toLong + clen)
+    val payload = java.util.Arrays.copyOfRange(bytes, bodyStart,
+      bodyStart + clen.toInt)
+    ParsedRec(
+      hdrs.getOrElse("warc-type", null),
+      hdrs.getOrElse("warc-record-id", null),
+      hdrs.getOrElse("warc-target-uri", null),
+      hdrs.getOrElse("warc-date", null),
+      hdrs.getOrElse("content-type", null),
+      clen, payload, bodyStart + clen.toInt)
+  }
+
   /** The framing walk shared by the whole-file parse and the byte-range
     * split parse: records whose START offset lies in [startPos,
     * stopBefore) — a record may EXTEND past stopBefore (split overshoot
@@ -208,8 +245,6 @@ object Warc {
       counter: java.util.concurrent.atomic.AtomicInteger): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
       private var pos = startPos
-      private def idx = counter.get()
-      private def idxInc(): Unit = counter.incrementAndGet()
       private def done: Boolean = {
         // trailing CRLF padding between/after records is frame, not data
         while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
@@ -218,76 +253,200 @@ object Warc {
       override def hasNext: Boolean = !done
       override def next(): WarcRecord = {
         val start = pos
-        def fail(err: String): WarcRecord = {
-          val resync = nextRecordStart(bytes, start + 1)
-          pos = if (resync < 0) bytes.length else resync
-          val r = WarcRecord(path, idx, null, null, null, null, null, -1L,
-            null, err, (pos - start).toLong)
-          idxInc(); r
+        val idx = counter.getAndIncrement()
+        parseOne(bytes, start) match {
+          case p: ParsedRec =>
+            pos = p.nextPos
+            WarcRecord(path, idx, p.warcType, p.recordId, p.targetUri,
+              p.warcDate, p.contentType, p.clen, p.payload, null, 0L)
+          case ParseErr(e, resync) =>
+            pos = if (resync < 0) bytes.length else resync
+            WarcRecord(path, idx, null, null, null, null, null, -1L,
+              null, e, (pos - start).toLong)
+          case Incomplete(reason, _) =>
+            // a bogus Content-Length can claim bytes that still hold later
+            // records — resync past the marker rather than abandoning them
+            val resync = nextRecordStart(bytes, start + 1)
+            pos = if (resync < 0) bytes.length else resync
+            WarcRecord(path, idx, null, null, null, null, null, -1L,
+              null, if (atEof) reason else "record-too-large",
+              (pos - start).toLong)
         }
-        // qualified: the anonymous Iterator inherits its own `indexOf`
-        val headEnd = Warc.indexOf(bytes, "\r\n\r\n".getBytes, start)
-        if (headEnd < 0) return fail(if (atEof) "no-header-terminator"
-          else "record-too-large")
-        val head = new String(bytes, start, headEnd - start,
-          java.nio.charset.StandardCharsets.US_ASCII)
-        val lines = head.split("\r\n")
-        if (!(lines(0) == "WARC/1.0" || lines(0) == "WARC/1.1"))
-          return fail("bad-version")
-        // header names are case-insensitive (ISO 28500 §4); first wins
-        val hdrs = scala.collection.mutable.Map.empty[String, String]
-        var malformed: String = null
-        lines.iterator.drop(1).foreach { ln =>
-          val c = ln.indexOf(':')
-          if (c <= 0) { if (malformed == null) malformed = "bad-header-line" }
-          else {
-            val k = ln.substring(0, c).trim.toLowerCase
-            if (!hdrs.contains(k)) hdrs(k) = ln.substring(c + 1).trim
-          }
-        }
-        if (malformed != null) return fail(malformed)
-        val clen = hdrs.get("content-length").flatMap(s => s.toLongOption)
-          .getOrElse(-1L)
-        if (clen < 0) return fail("bad-content-length")
-        val bodyStart = headEnd + 4
-        if (bodyStart + clen > bytes.length)
-          return fail(if (atEof) "truncated" else "record-too-large")
-        val payload = java.util.Arrays.copyOfRange(bytes, bodyStart,
-          bodyStart + clen.toInt)
-        pos = bodyStart + clen.toInt
-        val r = WarcRecord(path, idx,
-          hdrs.getOrElse("warc-type", null),
-          hdrs.getOrElse("warc-record-id", null),
-          hdrs.getOrElse("warc-target-uri", null),
-          hdrs.getOrElse("warc-date", null),
-          hdrs.getOrElse("content-type", null),
-          clen, payload, null, 0L)
-        idxInc(); r
       }
     }
+
+  /** Streaming per-member gzip record iterator — the 100 TB read path.
+    * Inflates ONE member at a time, frames its records, emits them, and
+    * releases the buffer; only a bounded carry (a record spanning the
+    * member boundary, or garbage awaiting a resync marker) survives from
+    * one member to the next. Peak heap is O(largest member + carry), not
+    * O(inflated segment): at Common Crawl's one-member-per-record
+    * convention that is one record, for any segment size.
+    *
+    * Degradation contract (all error rows, never exceptions or OOM):
+    *  - malformed member → the compressed tail is ONE `bad-gzip-member`
+    *    row (`bad-gzip` when no member inflated cleanly before it); the
+    *    malformed member's partial inflate is discarded with it; members
+    *    before it are unaffected;
+    *  - a member inflating past `maxMember` → `gzip-member-too-large`
+    *    tail row (gzip offers no way to skip an unfinished member);
+    *  - a record outgrowing `maxCarry` whose header parsed → ONE
+    *    `record-too-large` row accounting its full framed size, then its
+    *    remaining payload bytes are SKIPPED across members without
+    *    buffering and framing resumes at the next record;
+    *  - unframeable garbage outgrowing `maxCarry` → `record-too-large`
+    *    row, then marker resync with only a marker-sized tail retained. */
+  private final class GzipStreamRecords(path: String, raw: Array[Byte],
+      maxCarry: Int, maxMember: Int) extends Iterator[WarcRecord] {
+    private val outQ = new scala.collection.mutable.Queue[WarcRecord]()
+    private var cpos = 0                              // compressed offset
+    private var buf: Array[Byte] = Array.emptyByteArray // unconsumed frame bytes
+    private var bpos = 0
+    private var idx = 0
+    private var cleanBytes = 0L
+    private var skipRemaining = 0L                    // too-large payload skip
+    private var resyncing = false
+    private var membersDone = false
+    private var tailErr: (String, Long) = null        // emitted after draining
+    private var finished = false
+
+    private def emitErr(e: String, skipped: Long): Unit = {
+      outQ.enqueue(WarcRecord(path, idx, null, null, null, null, null, -1L,
+        null, e, skipped)); idx += 1
+    }
+    private def emitRec(p: ParsedRec): Unit = {
+      outQ.enqueue(WarcRecord(path, idx, p.warcType, p.recordId, p.targetUri,
+        p.warcDate, p.contentType, p.clen, p.payload, null, 0L)); idx += 1
+    }
+    /** Drop the consumed prefix, retaining only buf[keepFrom..). */
+    private def compact(keepFrom: Int): Unit = {
+      val keep = buf.length - keepFrom
+      if (keep == 0) buf = Array.emptyByteArray
+      else {
+        val nb = new Array[Byte](keep)
+        System.arraycopy(buf, keepFrom, nb, 0, keep)
+        buf = nb
+      }
+      bpos = 0
+    }
+    /** Inflate the next member onto the carry. False = no more bytes will
+      * arrive (clean EOF, or a malformed/oversized member set `tailErr`). */
+    private def inflateNext(): Boolean = {
+      if (membersDone) return false
+      if (cpos >= raw.length) { membersDone = true; return false }
+      val member = new java.io.ByteArrayOutputStream(64 * 1024)
+      parseMember(raw, cpos, member, maxMember) match {
+        case -1 =>
+          membersDone = true
+          tailErr = (if (cleanBytes == 0) "bad-gzip" else "bad-gzip-member",
+            (raw.length - cpos).toLong)
+          false
+        case -2 =>
+          membersDone = true
+          tailErr = ("gzip-member-too-large", (raw.length - cpos).toLong)
+          false
+        case next =>
+          val m = member.toByteArray
+          cleanBytes += m.length
+          if (buf.length - bpos == 0) buf = m
+          else {
+            val keep = buf.length - bpos
+            val nb = new Array[Byte](keep + m.length)
+            System.arraycopy(buf, bpos, nb, 0, keep)
+            System.arraycopy(m, 0, nb, keep, m.length)
+            buf = nb
+          }
+          bpos = 0
+          cpos = next
+          true
+      }
+    }
+    /** Keep only a marker-sized tail (a "WARC/1." possibly spanning the
+      * member boundary plus its preceding-LF byte), then enter resync. */
+    private def keepMarkerTail(): Unit = {
+      val keep = math.min(buf.length - bpos, VersionPrefix.length + 1)
+      compact(buf.length - keep)
+      resyncing = true
+    }
+
+    private def fill(): Unit = {
+      while (outQ.isEmpty && !finished) {
+        if (skipRemaining > 0) {
+          val take = math.min(skipRemaining, (buf.length - bpos).toLong)
+          bpos += take.toInt; skipRemaining -= take
+          if (skipRemaining > 0 && !inflateNext()) skipRemaining = 0
+        } else {
+          // inter-record CRLF padding is frame, not data
+          while (bpos < buf.length && (buf(bpos) == '\r' || buf(bpos) == '\n')) bpos += 1
+          if (resyncing) {
+            val m = nextRecordStart(buf, bpos)
+            if (m >= 0) { bpos = m; resyncing = false }
+            else {
+              val keep = math.min(buf.length - bpos, VersionPrefix.length + 1)
+              compact(buf.length - keep)
+              if (!inflateNext()) { bpos = buf.length; resyncing = false }
+            }
+          } else if (bpos >= buf.length) {
+            if (!inflateNext()) {
+              if (tailErr != null) { emitErr(tailErr._1, tailErr._2); tailErr = null }
+              finished = true
+            }
+          } else parseOne(buf, bpos) match {
+            case p: ParsedRec => emitRec(p); bpos = p.nextPos
+            case ParseErr(e, resync) =>
+              if (resync >= 0) { emitErr(e, (resync - bpos).toLong); bpos = resync }
+              else if (buf.length - bpos > maxCarry) {
+                emitErr(e, (buf.length - bpos).toLong)
+                keepMarkerTail()
+              } else if (!inflateNext()) {
+                emitErr(e, (buf.length - bpos).toLong); bpos = buf.length
+              }
+            case Incomplete(reason, knownTotal) =>
+              if (knownTotal >= 0 && knownTotal > maxCarry) {
+                // full size known from the header: account it in one row,
+                // then skip the unseen payload bytes without buffering
+                emitErr("record-too-large", knownTotal)
+                skipRemaining = knownTotal - (buf.length - bpos)
+                bpos = buf.length
+              } else if (knownTotal < 0 && buf.length - bpos > maxCarry) {
+                emitErr("record-too-large", (buf.length - bpos).toLong)
+                keepMarkerTail()
+              } else if (!inflateNext()) {
+                // end of stream: same recovery as the whole-file walk — a
+                // bogus Content-Length must not hide later records
+                val resync = nextRecordStart(buf, bpos + 1)
+                val stop = if (resync < 0) buf.length else resync
+                emitErr(reason, (stop - bpos).toLong); bpos = stop
+              }
+          }
+        }
+      }
+    }
+    override def hasNext: Boolean = {
+      if (outQ.isEmpty && !finished) fill()
+      outQ.nonEmpty
+    }
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("empty WARC iterator")
+      outQ.dequeue()
+    }
+  }
 
   /** Stream the records of one (possibly gzipped) WARC file. Corrupt
     * regions produce one error row each and parsing resumes at the next
     * record marker; a gzip member that fails mid-segment costs the
     * compressed tail (one error row), never the members before it; the
-    * iterator never throws on malformed input. */
-  def parseAll(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
-    val inflated = inflateIfGzip(raw)
-    val bytes = inflated.bytes
-    if (bytes.isEmpty && inflated.corruptTailBytes > 0)
-      return Iterator.single(WarcRecord(path, 0, null, null, null, null,
-        null, -1L, null, "bad-gzip", inflated.corruptTailBytes))
-    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
-    val main = recordIterator(path, bytes, 0, bytes.length, atEof = true, counter)
-    // the corrupt compressed tail (if any) surfaces as one final error
-    // row; `counter` is read only after `main` is exhausted
-    val tail =
-      if (inflated.corruptTailBytes > 0)
-        Iterator.single(()).map(_ => WarcRecord(path, counter.get(), null,
-          null, null, null, null, -1L, null, "bad-gzip-member",
-          inflated.corruptTailBytes))
-      else Iterator.empty
-    main ++ tail
+    * iterator never throws on malformed input. Gzip inflation is
+    * streamed per member (see [[GzipStreamRecords]]) so peak heap is one
+    * member + a bounded carry, never the inflated segment. */
+  def parseAll(path: String, raw: Array[Byte],
+      maxCarryBytes: Int = 64 << 20,
+      maxMemberBytes: Int = 1 << 30): Iterator[WarcRecord] = {
+    require(maxCarryBytes > 0 && maxMemberBytes > 0,
+      "carry and member caps must be positive")
+    if (isGzip(raw)) new GzipStreamRecords(path, raw, maxCarryBytes, maxMemberBytes)
+    else recordIterator(path, raw, 0, raw.length, atEof = true,
+      new java.util.concurrent.atomic.AtomicInteger(0))
   }
 
   /** Parse the records of ONE byte-range split of a PLAIN (uncompressed)
@@ -358,7 +517,19 @@ object Warc {
       fs.globStatus(new org.apache.hadoop.fs.Path(p, glob)).toSeq.flatMap { st =>
         val path = st.getPath.toString
         val len = st.getLen
-        if (path.endsWith(".gz") || len <= splitBytes)
+        // gzip is never byte-range-splittable: trust neither way on the
+        // suffix alone — a large non-".gz" file gets its magic bytes
+        // sniffed (splitting a gzip stream would parse garbage silently).
+        // The sniff only opens LARGE files that passed the suffix test, so
+        // the listing stays one RPC per file for the common crawl layout.
+        def gzBySniff: Boolean = {
+          val in = fs.open(st.getPath)
+          try {
+            val b = new Array[Byte](2)
+            in.readFully(b); isGzip(b)
+          } catch { case _: java.io.IOException => false } finally in.close()
+        }
+        if (len <= splitBytes || path.endsWith(".gz") || gzBySniff)
           Seq((path, 0L, len, len)) // unsplittable / small: one split
         else (0L until len by splitBytes).map(s =>
           (path, s, math.min(s + splitBytes, len), len))
@@ -373,11 +544,19 @@ object Warc {
         val tfs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val bufStart = math.max(0L, rangeStart - 1)
         val bufEnd = math.min(fileLen, rangeEnd + maxRec)
-        val buf = new Array[Byte]((bufEnd - bufStart).toInt)
-        val in = tfs.open(hp)
-        try { in.seek(bufStart); in.readFully(buf) } finally in.close()
-        if (rangeStart == 0L && isGzip(buf)) parseAll(path, buf)
-        else parseRange(path, buf, bufStart, rangeStart, rangeEnd, fileLen)
+        if (bufEnd - bufStart > Int.MaxValue - 16)
+          // an unsplittable (gzip) file beyond one JVM byte array: the
+          // require() above guards only ranged splits — degrade to an
+          // error row instead of a NegativeArraySizeException
+          Iterator.single(WarcRecord(path, 0, null, null, null, null, null,
+            -1L, null, "file-too-large", fileLen))
+        else {
+          val buf = new Array[Byte]((bufEnd - bufStart).toInt)
+          val in = tfs.open(hp)
+          try { in.seek(bufStart); in.readFully(buf) } finally in.close()
+          if (rangeStart == 0L && isGzip(buf)) parseAll(path, buf)
+          else parseRange(path, buf, bufStart, rangeStart, rangeEnd, fileLen)
+        }
       }
   }
 
@@ -403,7 +582,14 @@ object Warc {
     * written by the one task that owns its records (B11 posture);
     * idempotent via marker. */
   def ensureFixture(spark: SparkSession, sfDir: String): String = {
-    val name = new java.io.File(sfDir).getName
+    // key the cache on the FULL canonical path, not the basename — two
+    // corpora named ".../sf0.01" in different parents must not share a
+    // fixture (basename kept as a readable prefix only)
+    val f = new java.io.File(sfDir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getCanonicalPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    val name = s"${f.getName}_$digest"
     val out = java.nio.file.Paths.get(s"/tmp/graft_warc_fixture/$name")
     val marker = out.resolve("_COMPLETE")
     if (!java.nio.file.Files.exists(marker)) {

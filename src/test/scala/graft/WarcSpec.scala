@@ -139,6 +139,77 @@ class WarcSpec extends SparkSpec {
     assert(rs3.map(_.error) === List(null, "bad-gzip-member"))
   }
 
+  private def gzMemberOf(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("a record SPANNING gzip members parses via the bounded carry, identical to plain") {
+    val plain = cat(record("u0", "alpha"), record("u1", "b" * 300), record("u2", "omega"))
+    // cut the byte stream at arbitrary offsets unaligned with any record
+    for (cuts <- Seq(Seq(13), Seq(7, 90, 91, 200), (1 until plain.length by 23).toSeq)) {
+      val bounds = (0 +: cuts.filter(_ < plain.length) :+ plain.length).distinct.sorted
+      val gz = bounds.sliding(2).map { case Seq(a, b) =>
+        gzMemberOf(java.util.Arrays.copyOfRange(plain, a, b))
+      }.reduce(_ ++ _)
+      val a = Warc.parseAll("f", plain).toList.map(key)
+      val b = Warc.parseAll("f.gz", gz).toList.map(key)
+      assert(b === a, s"cuts=$cuts")
+    }
+  }
+
+  test("streaming walk: corrupt record spanning members still isolates ONE row with resync") {
+    val plain = cat(
+      record("u0", "good0"),
+      record("uBad", "broken-" * 40, version = "WARC/9.9"),
+      record("u2", "good2"))
+    // member-per-record AND an adversarial 17-byte-member grid must both
+    // match the plain parse (error name, skipped accounting, order)
+    val perRecordCut = {
+      val r0 = record("u0", "good0")
+      val rb = record("uBad", "broken-" * 40, version = "WARC/9.9")
+      val r2 = record("u2", "good2")
+      cat(gzMemberOf(r0), gzMemberOf(rb), gzMemberOf(r2))
+    }
+    val fineCut = (0 until plain.length by 17).map { a =>
+      gzMemberOf(java.util.Arrays.copyOfRange(plain, a,
+        math.min(a + 17, plain.length)))
+    }.reduce(_ ++ _)
+    val want = Warc.parseAll("f", plain).toList
+      .map(r => (r.target_uri, r.error, r.skipped_bytes))
+    for ((gz, tag) <- Seq((perRecordCut, "perRecord"), (fineCut, "fine"))) {
+      val got = Warc.parseAll("f.gz", gz).toList
+        .map(r => (r.target_uri, r.error, r.skipped_bytes))
+      assert(got === want, tag)
+    }
+  }
+
+  test("a gzip member inflating past the member cap is one error row; earlier records survive") {
+    val m0 = gzMemberOf(record("u0", "fine"))
+    val big = gzMemberOf(record("uBig", "z" * 4096))
+    val rs = Warc.parseAll("f.gz", cat(m0, big), maxMemberBytes = 1024).toList
+    assert(rs.map(_.error) === List(null, "gzip-member-too-large"))
+    assert(rs.head.target_uri === "u0")
+    assert(rs(1).skipped_bytes === big.length.toLong)
+  }
+
+  test("a record outgrowing the carry cap is record-too-large with full-size accounting; later records parse") {
+    val bigRec = record("uBig", "q" * 5000)
+    val plain = cat(record("u0", "pre"), bigRec, record("u2", "post"))
+    // small members force the big record through the carry; cap below it
+    val gz = (0 until plain.length by 64).map { a =>
+      gzMemberOf(java.util.Arrays.copyOfRange(plain, a,
+        math.min(a + 64, plain.length)))
+    }.reduce(_ ++ _)
+    val rs = Warc.parseAll("f.gz", gz, maxCarryBytes = 1024).toList
+    assert(rs.map(_.error) === List(null, "record-too-large", null))
+    assert(rs.map(_.target_uri) === List("u0", null, "u2"))
+    // skipped accounts the record's FULL framed size (header + payload)
+    assert(rs(1).skipped_bytes === bigRec.length.toLong - 4) // minus trailing CRLFCRLF
+  }
+
   test("garbage bytes are one bad-gzip/bad-version row, never an exception") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     val rs = Warc.parseAll("f", junk).toList
