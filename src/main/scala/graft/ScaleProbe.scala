@@ -56,7 +56,12 @@ object ScaleProbe {
     // round-8 additions: crawl-container ingestion, tokenizer fairness,
     // release-risk governance
     "q147_warc_ingest", "q148_bpe_fertility", "q149_k_anonymity",
-    "q150_dedup_eval")
+    "q150_dedup_eval",
+    // round-9: the WARC -> register -> curate composition (q151) — the
+    // whole Common-Crawl ingest chain, fixture segments scale with the
+    // corpus so the streaming gzip walk is measured too — and the PII
+    // release gate (q152, map-only)
+    "q151_crawl_curation", "q152_pii_scrub")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -117,4 +117,46 @@ object OrderStats {
       .select(col(idCol), col(outCol))
     settled.unionByName(split)
   }
+
+  /** [[rankBucket]] for SEVERAL metrics of one table in ONE histogram
+    * pipeline: `metrics` maps metricCol → outCol; returns (idCol,
+    * out₁, out₂, …). The input unpivots to (metric, value, id) rows and
+    * every stage of the bucketed-histogram rank runs once, grouped by
+    * metric — one shuffle set for all metrics instead of one full
+    * pipeline per metric (q141 ran three). Values are cast to LONG for
+    * the shared unpivot column: exact for the integer/fixed-point
+    * metrics this repo ranks (the e-4 convention); don't feed raw
+    * doubles. Semantics per metric are exactly [[rankBucket]]'s:
+    * equal-frequency bucket of the (value, id) total order, straddling
+    * tie groups ranked in a window partitioned by (metric, value). */
+  def rankBuckets(df: DataFrame, metrics: Seq[(String, String)],
+      idCol: String, parts: Int): DataFrame = {
+    val long = df.select(col(idCol),
+      explode(map(metrics.flatMap { case (m, _) =>
+        Seq(lit(m), col(m).cast("long")) }: _*)).as(Seq("__metric", "__v")))
+    val hist = cumHistogram(long.select(col("__metric"), col("__v")),
+      "__v", groupCols = Seq("__metric"))
+    val tot = hist.groupBy(col("__metric")).agg(sum(col("nv")).as("__n"))
+    val h = hist.join(broadcast(tot), Seq("__metric"))
+      .withColumn("__blo", expr(s"(cum - nv) * $parts div __n + 1"))
+      .withColumn("__bhi", expr(s"(cum - 1) * $parts div __n + 1"))
+    val settled = long
+      .join(h.filter(col("__blo") === col("__bhi"))
+          .select(col("__metric"), col("__v"), col("__blo").as("__bk")),
+        Seq("__metric", "__v"))
+      .select(col(idCol), col("__metric"), col("__bk"))
+    val straddle = h.filter(col("__blo") =!= col("__bhi"))
+      .select(col("__metric"), col("__v"),
+        (col("cum") - col("nv")).as("__cp"), col("__n"))
+    val split = long.join(broadcast(straddle), Seq("__metric", "__v"))
+      .withColumn("__wr", row_number().over(
+        Window.partitionBy(col("__metric"), col("__v")).orderBy(col(idCol))))
+      .withColumn("__bk", expr(s"(__cp + __wr - 1) * $parts div __n + 1"))
+      .select(col(idCol), col("__metric"), col("__bk"))
+    settled.unionByName(split)
+      .groupBy(col(idCol))
+      .pivot("__metric", metrics.map(_._1))
+      .agg(first(col("__bk")))
+      .select(col(idCol) +: metrics.map { case (m, o) => col(m).as(o) }: _*)
+  }
 }

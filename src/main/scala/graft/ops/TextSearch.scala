@@ -83,8 +83,17 @@ object TextSearch {
       .select(col("doc_id"), col("dl"), explode(array(perTerm: _*)).as("p"))
       .select(col("doc_id"), col("dl"), col("p.term").as("term"), col("p.tf").as("tf"))
       .filter(col("tf") > 0)
-    // tiny aggregates: corpus stats (1 row) and per-term df (≤ |terms| rows)
+    // tiny aggregate: corpus stats (1 row)
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sdl"))
+    bm25Score(tfRows, stats, k)
+  }
+
+  /** The BM25 scoring tail shared by the scan path ([[bm25TopK]]) and the
+    * stored-index path ([[bm25TopKIndexed]]): `tfRows` = matching
+    * (doc_id, dl, term, tf) rows, `stats` = the 1-row (n_docs, sdl)
+    * corpus table. Same expressions → bit-identical fixed-point scores
+    * whichever side produced the rows. */
+  private def bm25Score(tfRows: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     val dfTab = tfRows.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ratio = col("dl").cast("double") * col("n_docs").cast("double") /
       col("sdl").cast("double")
@@ -103,6 +112,60 @@ object TextSearch {
       .agg(sum(col("term_score")).as("score_e12"), count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score_e12").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Build the SERVING index for [[bm25TopKIndexed]] under `indexDir`:
+    * the postings table (term, doc_id, tf, dl — dl denormalized so a
+    * serving read never joins a document table) written
+    * parquet-PARTITIONED by `bucket = pmod(xxhash64(term), nBuckets)`,
+    * plus the 1-row corpus stats table. A query's scan then prunes to
+    * its terms' bucket partitions (directory-level pruning) and
+    * row-group-filters on `term` inside them — the index is touched,
+    * never the corpus. One explode + one (term, doc_id) shuffle to
+    * build, same as [[postings]]; at 100 TB this runs once per corpus
+    * snapshot and every query amortizes it. */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    // ONE corpus scan: dl rides the group key (functionally dependent on
+    // doc_id, so the key is no wider in practice)
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexDir/postings")
+    // corpus stats from the index itself (column-pruned read; every doc
+    // has ≥ 1 posting row because split('') still yields one token, and
+    // Σ tf per doc IS dl)
+    spark.read.parquet(s"$indexDir/postings")
+      .agg(count_distinct(col("doc_id")).as("n_docs"), sum(col("tf")).as("sdl"))
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** BM25 top-k straight off the STORED postings index
+    * ([[writePostingsIndex]]): the postings scan prunes to the query
+    * terms' bucket partitions, per-term df is recomputed from exactly
+    * the matching rows, and the scoring tail is [[bm25Score]] — scores
+    * are bit-identical to [[bm25TopK]] over the same corpus. This is
+    * the serving read: cost scales with the queried terms' posting
+    * lists, not the corpus. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, terms: Seq[String], k: Int,
+      nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(terms.nonEmpty && terms.size <= 64, "bag-of-terms query expected")
+    // the terms' bucket ids via the engine's own xxhash64 (one local-
+    // relation job over ≤ 64 rows — no reimplementation to drift)
+    val bucketIds = terms.toDS()
+      .select(pmod(xxhash64(col("value")), lit(nBuckets)))
+      .distinct().as[Long].collect().toSeq
+    val tfRows = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    bm25Score(tfRows, spark.read.parquet(s"$indexDir/stats"), k)
   }
 
   /** Per-document top-k keyphrases by TF-IDF — the corpus-statistical

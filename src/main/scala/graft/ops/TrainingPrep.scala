@@ -46,6 +46,36 @@ object TrainingPrep {
   def scrubNumbers(text: Column, replacement: String = "<num>"): Column =
     regexp_replace(text, "[0-9]+", replacement)
 
+  /** PII patterns for [[scrubPii]]/[[piiCounts]] — the Dolma/CCNet-style
+    * release-gate redaction (emails, IPv4 literals, international-format
+    * phone numbers). Deliberately simple character-class regexes with no
+    * engine-specific syntax: Java (Spark codegen) and RE2 (the DuckDB
+    * oracle) match them identically, so the scrub is replayable
+    * bit-for-bit by an independent engine. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9][0-9-]{7,}[0-9]"
+
+  /** Redact PII in place: emails → `<email>`, THEN IPv4 → `<ip>`, THEN
+    * phones → `<phone>` (email first — its local/domain parts contain
+    * dotted digit runs an IP pass would half-eat). One narrow projection,
+    * no shuffle: scrubbing 100 TB is a map-only pass. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      text, EmailRe, "<email>"), Ipv4Re, "<ip>"), PhoneRe, "<phone>")
+
+  /** Per-row PII hit counts (n_emails, n_ips, n_phones) as a struct —
+    * the detection census a release gate reports before scrubbing. */
+  def piiCounts(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<email>")
+    struct(
+      regexp_count(text, lit(EmailRe)).as("n_emails"),
+      // count on the email-scrubbed text, mirroring the scrub order
+      regexp_count(noEmail, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(regexp_replace(noEmail, Ipv4Re, "<ip>"), lit(PhoneRe))
+        .as("n_phones"))
+  }
+
   /** Deterministic mixture sampling: keep each row with its source's
     * target fraction — the dataset-mixing step that turns raw corpus
     * proportions into the training mixture. Membership is a pure function

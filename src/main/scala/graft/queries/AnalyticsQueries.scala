@@ -416,16 +416,16 @@ object AnalyticsQueries {
       .localCheckpoint(true)
     // exact (metric, user_id)-ranked terciles via the OrderStats
     // histogram — the old formulation ranked the whole user table
-    // through THREE unpartitioned row windows; rankBucket assigns all
-    // but the ≤ 2 boundary-straddling tie groups from the (value,
-    // count) histogram and ranks only those groups' rows by user_id
-    def tercile(metric: String, out: String) =
-      OrderStats.rankBucket(users.select(metric, "user_id"),
-        metric, "user_id", 3, out)
+    // through THREE unpartitioned row windows; rankBuckets assigns all
+    // but the ≤ 2 boundary-straddling tie groups per metric from the
+    // (value, count) histogram, with ALL THREE metrics riding ONE
+    // unpivoted histogram pipeline (one shuffle set, not three)
+    val terciles = OrderStats.rankBuckets(
+      users.select("user_id", "recency_ns", "frequency", "monetary_e4"),
+      Seq("recency_ns" -> "r_t", "frequency" -> "f_t", "monetary_e4" -> "m_t"),
+      "user_id", 3)
     users
-      .join(tercile("recency_ns", "r_t"), Seq("user_id"))
-      .join(tercile("frequency", "f_t"), Seq("user_id"))
-      .join(tercile("monetary_e4", "m_t"), Seq("user_id"))
+      .join(terciles, Seq("user_id"))
       .withColumn("segment", expr("r_t * 100 + f_t * 10 + m_t"))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_users"),

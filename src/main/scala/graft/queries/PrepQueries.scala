@@ -288,6 +288,60 @@ object PrepQueries {
       |  md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS scrubbed_digest
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q152 — PII detection + redaction (TrainingPrep.scrubPii), the
+    * Dolma/CCNet-style release gate: emails, IPv4 literals, and
+    * international-format phone numbers detected and replaced in the
+    * scrub order email → ip → phone. The corpus text is synthetic, so
+    * PII is PLANTED deterministically per doc_id (the q147 fixture
+    * discipline): every doc_id % 3 gets an email, % 5 an IP, % 7 a phone
+    * — docs hit 0-3 of the patterns, including all overlaps. The oracle
+    * replants identically and replays detection counts AND the scrubbed
+    * digest with its own regex engine (RE2 vs Java — the patterns are
+    * deliberately engine-portable), so a single mis-redacted byte fails
+    * the hash. Map-only: scrubbing 100 TB is one narrow projection. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), col("doc_id") % 256, lit(".0."),
+            col("doc_id") % 100)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1-555-"), col("doc_id") % 9000 + 1000))
+          .otherwise(lit(""))).as("t2"))
+    planted
+      .withColumn("c", TrainingPrep.piiCounts(col("t2")))
+      .select(col("doc_id"),
+        col("c.n_emails").cast("long").as("n_emails"),
+        col("c.n_ips").cast("long").as("n_ips"),
+        col("c.n_phones").cast("long").as("n_phones"),
+        md5(TrainingPrep.scrubPii(col("t2")).cast("binary")).as("scrubbed_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String = {
+    import graft.ops.TrainingPrep.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH planted AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0
+       |       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |       THEN ' call +1-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS t2
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, t2, regexp_replace(t2, '$EmailRe', '<email>', 'g') AS t3 FROM planted),
+       |s2 AS (SELECT doc_id, t2, t3, regexp_replace(t3, '$Ipv4Re', '<ip>', 'g') AS t4 FROM s1)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t3, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t4, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(t4, '$PhoneRe', '<phone>', 'g')) AS scrubbed_digest
+       |FROM s2 ORDER BY doc_id""".stripMargin
+  }
+
   /** Q38 — the end-to-end corpus-curation composition, ONE declarative
     * plan: quality gate (micro-score ≥ 0.70) ∩ exact-dedup canonicals ∩
     * near-dup cluster canonicals (simhash + connected components), then
@@ -536,6 +590,7 @@ object PrepQueries {
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
     QueryDef("q100_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q37_scrub", scrub, Some(scrubSql)),
+    QueryDef("q152_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q38_curation", curation, Some(curationSql)),
     QueryDef("q41_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q42_mixture", mixture, Some(mixtureSql)),

@@ -1607,11 +1607,19 @@ object SimilarityQueries {
     * oracle replays both lists, both rank assignments, the full-outer
     * fusion and the tie-broken top-20 exactly. The re-rank windows run
     * over the two 100-row lists only — the corpus is never re-sorted. */
-  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfFusionFrom(spark, dir, graft.ops.TextSearch.bm25TopK(
+      Tables.documents(spark, dir), "doc_id", "text", TextQueries.Bm25Terms, 100))
+
+  /** The q114 fusion with the LEXICAL top-100 supplied by the caller —
+    * the service facade feeds the stored-postings ranking
+    * (TextSearch.bm25TopKIndexed) here; q114 itself feeds the scan-path
+    * ranking. Both produce identical (score_e12, doc_id) rows, so the
+    * fused result is one contract either way. */
+  def rrfFusionFrom(spark: SparkSession, dir: String, lexTop: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val listN = 100
-    val lex = graft.ops.TextSearch.bm25TopK(
-      Tables.documents(spark, dir), "doc_id", "text", TextQueries.Bm25Terms, listN)
+    val lex = lexTop
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("score_e12").desc, col("doc_id").asc)).cast("long"))
       .select(col("doc_id"), col("lex_rank"))

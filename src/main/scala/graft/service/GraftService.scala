@@ -111,23 +111,35 @@ final class GraftService private (
       case ("GET", "/search") =>
         // the reference's query surface is its service layer
         // (service.kt:22-80); retrieval end-to-end behind the facade:
-        // lexical = q45 BM25 top-k + q143 snippets (rows match the q143
-        // oracle); hybrid = the q114 RRF fusion of the lexical and
-        // semantic rankings, snippets attached the same way. Both are
-        // top-k bounded serving reads — the corpus is scanned once
-        // distributed, only the ranked page is collected.
+        // lexical = q45 BM25 + q143 snippets; hybrid = the q114 RRF
+        // fusion, snippets attached the same way. The LEXICAL ranking is
+        // served from the STORED term-bucketed postings index (built once
+        // per corpus dir, lazily): the request's scan prunes to the query
+        // terms' bucket partitions — a serving read touches the index,
+        // never the corpus text. Only the top-k doc_ids resolve back to
+        // text, for snippets. Rows are identical to the q143/q114
+        // oracles (bm25TopKIndexed is score-bit-equal to bm25TopK).
         val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
         ps.get("dir") match {
           case None => (400, """{"error":"dir required"}""")
           case Some(dir) =>
             val limit = math.min(ps.get("limit").map(_.toInt).getOrElse(20),
               GraftService.MaxPageRows)
+            val idx = GraftService.postingsIndexFor(spark, dir)
+            def lexTop(k: Int) = graft.ops.TextSearch.bm25TopKIndexed(
+              spark, idx, graft.queries.TextQueries.Bm25Terms, k)
             val ranked = ps.get("mode") match {
               case Some("hybrid") =>
                 graft.queries.TextQueries.attachSnippets(spark, dir,
-                  graft.queries.SimilarityQueries.rrfFusion(spark, dir))
+                  graft.queries.SimilarityQueries.rrfFusionFrom(spark, dir,
+                    lexTop(100)))
                   .orderBy(col("rrf_e6").desc, col("doc_id").asc)
-              case _ => graft.queries.TextQueries.snippets(spark, dir)
+              case _ =>
+                graft.queries.TextQueries.attachSnippets(spark, dir,
+                    lexTop(graft.queries.TextQueries.Bm25K))
+                  .select(col("doc_id"), col("score_e12"), col("hit_pos"),
+                    col("snippet"))
+                  .orderBy(col("score_e12").desc, col("doc_id").asc)
             }
             (200, ranked.limit(limit).toJSON.collect().mkString("[", ",", "]"))
         }
@@ -159,6 +171,28 @@ object GraftService {
   /** Page cap for the facade read — keeps the driver-side collect a
     * bounded serving read, never a bulk-export path. */
   val MaxPageRows: Int = 10000
+
+  /** Lazily-built per-corpus postings index for `/search`
+    * (TextSearch.writePostingsIndex), keyed on the FULL canonical dir
+    * path, idempotent via marker. The cache assumes an immutable corpus
+    * directory (true of every sf dir here); a mutated corpus needs the
+    * index dir removed — serving caches trade that for never re-scanning
+    * the corpus per request. */
+  private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def postingsIndexFor(spark: SparkSession, dir: String): String =
+    indexBuilt.computeIfAbsent(new java.io.File(dir).getCanonicalPath, { canon =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      val out = s"/tmp/graft_postings_index/${new java.io.File(canon).getName}_$digest"
+      val marker = java.nio.file.Paths.get(out, "_COMPLETE")
+      if (!java.nio.file.Files.exists(marker)) {
+        graft.ops.TextSearch.writePostingsIndex(
+          graft.sources.Tables.documents(spark, dir), "doc_id", "text", out)
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+      out
+    })
 
   /** Start the facade on `port` (0 = ephemeral, for tests). */
   def start(spark: SparkSession, port: Int = 7000): GraftService = {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.model._
@@ -327,6 +327,33 @@ object Streaming {
         bsig.write.mode("overwrite").parquet(s"$indexDir/batch_run=$batchId")
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** The daily-crawl production loop END-TO-END: newly-landed WARC
+    * segments ([[graft.sources.Warc.scanStream]] — the A4 scheduled
+    * re-walk over the crawl landing zone, reference IngestConnector.kt:
+    * 33-96) parse per micro-batch, corrupt records isolate as error rows
+    * and are gated out BEFORE identity assignment (A19), good records
+    * become (id, text) documents, and each batch probes-then-extends the
+    * durable near-dup signature index ([[incrementalDedupSink]] — q81's
+    * shape). One declarative lineage from crawl bytes to dedup matches;
+    * checkpoint/crash-replay semantics are the sink's.
+    *
+    * `idExpr` defaults to xxhash64 of the WARC-Record-ID — the record's
+    * own identity header (ISO 28500 §5.2), stable across replays. */
+  def crawlDedupSink(spark: SparkSession, crawlDir: String, indexDir: String,
+      matchesDir: String, glob: String = "*.warc*",
+      idExpr: Column = xxhash64(col("record_id")),
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8, minMatches: Int = 16,
+      maxBucket: Int = 1000, maxMatchesPerProbe: Int = 0,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val docs = graft.sources.Warc.scanStream(spark, crawlDir, glob).toDF()
+      .filter(col("error").isNull)
+      .select(idExpr.cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+    incrementalDedupSink(docs, "doc_id", "text", indexDir, matchesDir,
+      shingleN, k, bands, minMatches, maxBucket, maxMatchesPerProbe,
+      checkpointDir)
   }
 
   /** Continuous incremental IMAGE near-dup maintenance — the

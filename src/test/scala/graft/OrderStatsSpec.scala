@@ -66,6 +66,26 @@ class OrderStatsSpec extends SparkSpec {
     }
   }
 
+  test("rankBuckets (multi-metric, one histogram pipeline) equals per-metric rankBucket") {
+    val rnd = new Random(151)
+    for (trial <- 1 to 10) {
+      val n = 5 + rnd.nextInt(40)
+      val rows = (0L until n.toLong).map(i =>
+        (i, rnd.between(-5L, 6L), rnd.between(-1000L, 1001L), rnd.between(0L, 3L)))
+      val df = rows.toDF("id", "m1", "m2", "m3")
+      val parts = Seq(2, 3, 7)(rnd.nextInt(3))
+      val got = OrderStats.rankBuckets(df,
+        Seq("m1" -> "b1", "m2" -> "b2", "m3" -> "b3"), "id", parts)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      val want = OrderStats.rankBucket(df.select("m1", "id"), "m1", "id", parts, "b1")
+        .join(OrderStats.rankBucket(df.select("m2", "id"), "m2", "id", parts, "b2"), "id")
+        .join(OrderStats.rankBucket(df.select("m3", "id"), "m3", "id", parts, "b3"), "id")
+        .select("id", "b1", "b2", "b3")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == want.toSeq, s"trial=$trial parts=$parts")
+    }
+  }
+
   test("rankBucket emits every id exactly once (straddle/settled split is a partition)") {
     // all rows one tied value: the single group straddles every boundary
     val df = (0L until 20L).map(i => (42L, i)).toDF("v", "id")

@@ -4,6 +4,8 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 
+import org.apache.spark.sql.functions._
+
 import graft.service.GraftService
 
 /** The service facade (C analog of reference service.kt) driven over real
@@ -111,6 +113,37 @@ class ServiceSpec extends SparkSpec {
       val (c3, b3) = get(svc, s"/search?dir=$dir&limit=3")
       assert(c3 == 200 && b3.count(_ == '{') == 3, b3)
     } finally svc.close()
+  }
+
+  test("/search serves the lexical ranking from the stored postings index, scan pruned to the query terms' buckets") {
+    import graft.queries.TextQueries
+    val idx = GraftService.postingsIndexFor(spark, sf())
+    val terms = TextQueries.Bm25Terms
+    val indexed = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, idx, terms, TextQueries.Bm25K)
+    // bit-identical to the oracle-verified scan-path ranking (q45)
+    val scanPath = graft.ops.TextSearch.bm25TopK(
+      graft.sources.Tables.documents(spark, sf()), "doc_id", "text",
+      terms, TextQueries.Bm25K)
+    assert(indexed.collect().toSeq == scanPath.collect().toSeq,
+      "stored-index scores must equal the corpus-scan scores")
+    // the serving read prunes: partition filter on the terms' buckets,
+    // and only those bucket directories' files are touched
+    val p = indexed.queryExecution.executedPlan.toString
+    val pf = p.split("\n").find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"no partition filter on bucket: $p")
+    import spark.implicits._
+    val nTermBuckets = terms.toDS()
+      .select(pmod(xxhash64(col("value")), lit(64))).distinct().count()
+    val allBuckets = new java.io.File(s"$idx/postings").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(nTermBuckets < allBuckets,
+      s"fixture degenerate: $nTermBuckets term buckets vs $allBuckets total")
+    // the physical scan reports the pruned partition count
+    val scanned = "partition count: (\\d+)".r.findFirstMatchIn(p.toLowerCase)
+      .map(_.group(1).toInt)
+    scanned.foreach(n => assert(n == nTermBuckets,
+      s"scan read $n partitions, expected $nTermBuckets of $allBuckets"))
   }
 
   test("/search mode=hybrid returns the q114 fused ranking with snippets attached") {

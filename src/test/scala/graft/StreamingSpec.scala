@@ -696,6 +696,74 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("crawl-to-dedup composition: WARC segments stream into the durable near-dup index") {
+    // the daily-crawl production loop: Warc.scanStream -> crawlDedupSink
+    // across two triggers with a checkpointed restart between them; the
+    // second segment is GZIPPED and carries a corrupt record that must
+    // isolate before identity; the streamed matches must equal the
+    // batch-mode incrementalNearDups pair set over the same corpus
+    val root = java.nio.file.Files.createTempDirectory("graft_crawl_dedup").toString
+    val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
+    def rec(id: Long, text: String, version: String = "WARC/1.0"): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.Warc.writeRecord(bos, "response", s"<urn:crawl:$id>",
+        s"http://crawl.test/doc/$id", "2026-01-01T00:00:00Z", "text/plain",
+        text.getBytes("UTF-8"), version)
+      bos.toByteArray
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def seg(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(crawl, name), bytes)
+    def start() = Streaming.crawlDedupSink(spark, crawl,
+      s"$root/index", s"$root/matches",
+      idExpr = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1),
+      checkpointDir = Some(s"$root/ckpt"))
+
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "totally different words entirely over here"
+    val t3 = "beta gamma delta epsilon zeta" // near-dup of t1
+    // trigger 1: a plain segment with two unrelated documents
+    seg("seg0.warc", rec(1L, t1) ++ rec(2L, t2))
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(spark.read.parquet(s"$root/matches").count() == 0)
+    q1.stop() // crash point: offsets live only in the checkpoint
+
+    // lands while nothing runs: a gzipped segment (per-record members)
+    // with a near-dup of doc 1, an exact dup of doc 2, a CORRUPT record,
+    // and an in-batch twin of the near-dup
+    seg("seg1.warc.gz", gz(rec(3L, t3)) ++ gz(rec(4L, t2)) ++
+      gz(rec(66L, "broken words", version = "WARC/9.9")) ++ gz(rec(5L, t3)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val idx = spark.read.parquet(s"$root/index")
+      assert(idx.select("id").as[Long].collect().sorted.toSeq == (1L to 5L),
+        "corrupt record must contribute nothing; restart must not reprocess seg0")
+      val m = spark.read.parquet(s"$root/matches")
+        .select("batch_id", "match_id", "matches", "src")
+        .as[(Long, Long, Int, String)].collect().toSet
+      assert(m.exists(t => t._1 == 3L && t._2 == 1L && t._4 == "corpus"),
+        s"near-dup missed the durable index: $m")
+      assert(m.contains((4L, 2L, 32, "corpus")), s"exact dup vs index: $m")
+      assert(m.contains((5L, 3L, 32, "batch")), s"in-batch twin: $m")
+      // batch parity: the same second-day batch probed against a
+      // batch-computed index of day one yields the identical match set
+      val day1 = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val day2 = Seq((3L, t3), (4L, t2), (5L, t3)).toDF("doc_id", "text")
+      val batchPairs = graft.ops.Dedup.incrementalNearDups(
+          day2, "doc_id", "text",
+          graft.ops.Dedup.minhashIndex(day1, "doc_id", "text"))
+        .select("batch_id", "match_id", "matches", "src")
+        .as[(Long, Long, Int, String)].collect().toSet
+      assert(m === batchPairs, s"stream=$m batch=$batchPairs")
+    } finally q2.stop()
+  }
+
   test("crash recovery: fold state survives a checkpoint stop/restart (replay semantics)") {
     // The 100 TB contract: a killed stateful query restarted from its
     // checkpoint must resume the SAME fold state — reference replay/offset

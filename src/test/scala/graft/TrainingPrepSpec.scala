@@ -222,4 +222,25 @@ class TrainingPrepSpec extends SparkSpec {
     // the 1000x-weighted ids dominate each stratum's sample
     assert(got.count(r => r._3 % 3 == 0) >= 4, s"weights must steer: $got")
   }
+
+  test("scrubPii redacts email -> ip -> phone in order; counts mirror the scrub") {
+    val cases = Seq(
+      // (input, scrubbed, (emails, ips, phones))
+      ("mail a.b-c%d@ex-1.org now", "mail <email> now", (1, 0, 0)),
+      ("host 10.2.0.45 and 192.168.1.1.", "host <ip> and <ip>.", (0, 2, 0)),
+      ("call +1-555-0199 ok", "call <phone> ok", (0, 0, 1)),
+      // an email's dotted digits must NOT half-match as an IP afterwards
+      ("x 1.2.3.4u@a.io y", "x <email> y", (1, 0, 0)),
+      // all three in one row; non-PII digit runs survive
+      ("v 1234 u9@e.co 8.8.8.8 +49-30-123456 end",
+        "v 1234 <email> <ip> <phone> end", (1, 1, 1)),
+      ("no pii here", "no pii here", (0, 0, 0)))
+    val df = cases.map(_._1).toDF("t")
+      .select(TrainingPrep.scrubPii($"t").as("s"),
+        TrainingPrep.piiCounts($"t").as("c"))
+      .select($"s", $"c.n_emails", $"c.n_ips", $"c.n_phones")
+      .as[(String, Int, Int, Int)].collect().toSeq
+    assert(df == cases.map(c => (c._2, c._3._1, c._3._2, c._3._3)),
+      s"got $df")
+  }
 }
