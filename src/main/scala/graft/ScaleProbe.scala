@@ -61,7 +61,10 @@ object ScaleProbe {
     // whole Common-Crawl ingest chain, fixture segments scale with the
     // corpus so the streaming gzip walk is measured too — and the PII
     // release gate (q152, map-only)
-    "q151_crawl_curation", "q152_pii_scrub")
+    "q151_crawl_curation", "q152_pii_scrub",
+    // round-9: exact-substring dedup — the rolling-window digest table is
+    // the suite's widest shuffle (one row per token), worth watching
+    "q153_substring_dedup")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -890,4 +890,71 @@ object Dedup {
       .select(col("block"), col("key_a"), col("__b.key_b").as("key_b"),
         col("dist").cast("long").as("dist"))
   }
+
+  /** EXACT-SUBSTRING deduplication census (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": remove
+    * every duplicated token run of length ≥ w, keeping one occurrence).
+    * The suffix-array of the paper is a single-machine structure; the
+    * distributed equivalent is the w-token ROLLING-WINDOW table: a token
+    * run of length ≥ w is duplicated iff all its length-w windows are,
+    * so marking duplicated windows and merging their overlapping spans
+    * yields exactly the paper's removal set at granularity w.
+    *
+    * Per document: `n_windows` (token_count − w + 1, floored at 0),
+    * `n_dup_windows` (windows whose text occurred EARLIER in the
+    * (doc, pos) total order — the first occurrence is the kept one and
+    * is not counted), and `n_removed_tokens` (the token count of the
+    * union of the duplicated windows' [pos, pos+w) spans — overlapping
+    * windows merge, so a long duplicated run costs its length once, not
+    * once per window).
+    *
+    * Scale shape: windows are md5 digests (16 B), never window text —
+    * ~tokens × digest rows through ONE exchange on the digest (the
+    * first-occurrence window aggregate), then per-doc span merging in
+    * windows PARTITIONED by doc. No pairwise term anywhere: a window
+    * duplicated k× costs k rows, not k² pairs. */
+  def exactSubstringCensus(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, s"window w=$w too small to mean anything")
+    val toks = docs.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("ws"))
+    // md5 of the window TEXT (not a seeded hash): portable, so an
+    // independent engine replays every digest; 0-based window start pos
+    val wins = toks.select(col("id"), posexplode(expr(
+      s"case when size(ws) >= $w then transform(sequence(0, size(ws) - $w)," +
+        s" i -> md5(cast(concat_ws(' ', slice(ws, i + 1, $w)) as binary)))" +
+        " else array() end")).as(Seq("pos", "h")))
+    // first occurrence in the (id, pos) total order keeps; later ones dup
+    val marked = wins
+      .withColumn("__f", min(struct(col("id"), col("pos")))
+        .over(Window.partitionBy(col("h"))))
+      .filter(struct(col("id"), col("pos")) =!= col("__f"))
+      .select(col("id"), col("pos"))
+    // gaps-and-islands span merge per doc: a window starts a new island
+    // iff it begins at/after every earlier window's end
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // ONE downstream pipeline off `marked` (a second consumer would make
+    // Catalyst replay the whole window-digest exchange): island merge,
+    // then per-doc rollup carrying both the window count and the span
+    // cover through the same aggregates
+    val perDoc = marked
+      .withColumn("__pe", max(col("pos") + w)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__ni",
+        when(col("__pe").isNull || col("pos") >= col("__pe"), 1).otherwise(0))
+      .withColumn("__island", sum(col("__ni")).over(byDoc))
+      .groupBy(col("id"), col("__island"))
+      .agg((max(col("pos")) + w - min(col("pos"))).as("__covered"),
+        count(lit(1)).as("__nw"))
+      .groupBy(col("id"))
+      .agg(sum(col("__nw")).as("n_dup_windows"),
+        sum(col("__covered")).as("n_removed_tokens"))
+    toks.select(col("id"),
+        greatest(size(col("ws")) - w + 1, lit(0)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"))
+  }
 }

@@ -489,7 +489,77 @@ object DedupQueries {
        |ORDER BY block, key_a, key_b""".stripMargin
   }
 
+  /** Q153 — EXACT-SUBSTRING dedup census (Dedup.exactSubstringCensus;
+    * Lee et al. 2022): duplicated ≥ w-token runs located via the
+    * rolling-window digest table, first occurrence kept, overlapping
+    * windows span-merged into removed-token counts. The synthetic corpus
+    * has cross-doc duplication only at whole-text granularity, so a
+    * 12-word BOILERPLATE is planted on every doc_id % 4 == 0 document
+    * (the crawl reality this operator exists for: nav bars, cookie
+    * banners, newsletter footers) — its w=8 windows duplicate across
+    * every planted doc while the flanking windows stay unique, and
+    * exact-dup texts duplicate end-to-end. The oracle replants and
+    * replays window digests, the (doc, pos) first-occurrence rule, and
+    * the island merge. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" " + SubstringBoiler))
+          .otherwise(lit(""))).as("t2"))
+    Dedup.exactSubstringCensus(planted, "doc_id", "t2", w = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val SubstringBoiler =
+    "sign up for our newsletter today to get free daily updates now"
+
+  val substringDedupSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 4 = 0 THEN ' $SubstringBoiler' ELSE '' END AS t2
+       |  FROM documents),
+       |tok AS (SELECT doc_id, string_split(t2, ' ') AS ws FROM planted),
+       |wins AS (
+       |  SELECT doc_id, t.i AS pos,
+       |    md5(array_to_string(ws[t.i + 1 : t.i + 8], ' ')) AS h
+       |  FROM tok, UNNEST(range(0, greatest(len(ws) - 8 + 1, 0))) t(i)),
+       |marked AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM wins),
+       |dups AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pe IS NULL OR pos >= pe THEN 1 ELSE 0 END AS ni
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |      MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |    FROM dups)),
+       |islands AS (
+       |  SELECT doc_id, pos,
+       |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       |cov AS (
+       |  SELECT doc_id, island, MAX(pos) + 8 - MIN(pos) AS covered
+       |  FROM islands GROUP BY 1, 2),
+       |perdoc AS (
+       |  SELECT t.doc_id,
+       |    CAST(greatest(len(t.ws) - 8 + 1, 0) AS BIGINT) AS n_windows,
+       |    CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dup_windows,
+       |    CAST(COALESCE(c.r, 0) AS BIGINT) AS n_removed_tokens
+       |  FROM tok t
+       |  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM dups GROUP BY 1) d
+       |    USING (doc_id)
+       |  LEFT JOIN (SELECT doc_id, SUM(covered) AS r FROM cov GROUP BY 1) c
+       |    USING (doc_id))
+       |SELECT doc_id, n_windows, n_dup_windows, n_removed_tokens
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q153_substring_dedup", substringDedup, Some(substringDedupSql)),
     QueryDef("q97_entity_resolution", entityResolution, Some(entityResolutionSql)),
     QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),
     QueryDef("q150_dedup_eval", dedupEval, Some(dedupEvalSql)),

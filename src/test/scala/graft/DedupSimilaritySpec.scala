@@ -441,4 +441,25 @@ class DedupSimilaritySpec extends SparkSpec {
       shingleN = 5, threshold = 0.5)
     assert(j.count() === 0L, "jaccard at 0.5 must be blind to the excerpt")
   }
+
+  test("exactSubstringCensus: first occurrence kept, overlapping dup windows merge, short docs zero") {
+    // w=3. doc 1 is first everywhere; doc 2 shares the run "a b c d"
+    // (2 overlapping dup windows -> ONE 4-token span, not 6); doc 3 is a
+    // verbatim copy of doc 1 (all 4 windows dup -> whole 6 tokens
+    // removed once); doc 4 is shorter than w
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "a b c d e f"),
+      (4L, "p q")).toDF("id", "t")
+    val got = Dedup.exactSubstringCensus(docs, "id", "t", w = 3)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0L),   // first occurrence: nothing removed
+      (2L, 4L, 2L, 4L),   // spans [1,4)+[2,5) merge to [1,5): 4 tokens
+      (3L, 4L, 4L, 6L),   // verbatim copy: [0,6) covered once
+      (4L, 0L, 0L, 0L)),  // no window fits
+      s"got $got")
+  }
 }
