@@ -378,4 +378,30 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id"), col("cosine"), col("rank"))
   }
+
+  /** HARD-NEGATIVE mining for contrastive training (the SimCSE/DPR data
+    * prep verb): for each probe vector, the top-k most-similar corpus
+    * vectors carrying a DIFFERENT label — maximally confusing negatives,
+    * the ones a contrastive loss learns most from. Exact quantized
+    * cosine (the q15 convention, engine-replayable bit-for-bit); the
+    * probe set is the BOUNDED side and broadcasts, the corpus scans once,
+    * and the per-probe top-k is a WindowGroupLimit ranking partitioned
+    * by probe — nothing global sorts, output is k rows per probe. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, probes: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+      col(labelCol).as("__pl"))
+    corpus.select(col(idCol).as("neg_id"), col(vecCol).as("__cv"),
+        col(labelCol).as("label"))
+      .crossJoin(broadcast(p))
+      .filter(col("neg_id") =!= col("probe_id") && col("label") =!= col("__pl"))
+      .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
+        col("__cv"), col("__pv")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("neg_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("label"), col("cosine"))
+  }
 }

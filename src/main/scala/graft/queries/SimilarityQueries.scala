@@ -44,6 +44,40 @@ object SimilarityQueries {
       |ORDER BY cosine DESC, vec_id ASC
       |LIMIT 20""".stripMargin
 
+  /** Q154 — HARD-NEGATIVE mining (Similarity.hardNegatives), the
+    * contrastive-training data-prep verb: for every probe
+    * (vec_id % 50 == 0, the bounded broadcast side), the 3 most-similar
+    * corpus vectors with a DIFFERENT label, by the exact quantized
+    * cosine of the q15 convention. The oracle replays quantization, dot
+    * products, the label gate, and the (cosine desc, id) rank per probe
+    * — a drifted 4th neighbour or a same-label leak fails the compare. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") % 50 === 0), k = 3)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, label AS pl, qv AS pqv FROM v WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT p.probe_id, c.vec_id AS neg_id, c.label,
+      |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * p.pqv[i])) AS BIGINT) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> p.pqv[i] * p.pqv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+      |  FROM v c CROSS JOIN p
+      |  WHERE c.vec_id <> p.probe_id AND c.label <> p.pl),
+      |rk AS (
+      |  SELECT probe_id, neg_id, label, cosine,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neg_id) AS rank
+      |  FROM scored)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neg_id, label, cosine
+      |FROM rk WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
   /** Multi-table sign-projection-LSH candidate pairs with quantized-cosine
     * scoring — the ANN scale path. Rademacher planes are md5-derived and
     * projections integer-exact (NativeExpressions.RademacherSigs), so the
@@ -1714,6 +1748,7 @@ object SimilarityQueries {
     QueryDef("q109_image_phash", imagePhash, Some(imagePhashSql)),
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
+    QueryDef("q154_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("q15b_ann_lsh", annLshPairs, Some(annLshPairsSql)),
     QueryDef("q15c_ann_ivf", ivfTopK, Some(ivfTopKSql)),
     QueryDef("q79_ann_ivf_batch", ivfTopKBatch, Some(ivfTopKBatchSql)),

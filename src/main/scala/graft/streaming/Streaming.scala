@@ -329,6 +329,45 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** OFFLINE compaction for the incremental-dedup sinks' durable indexes:
+    * folds the accumulated `batch_run=<id>` partition tree (one dir per
+    * micro-batch ever run — thousands after a month of triggers, and the
+    * sink re-reads the tree every trigger) into ONE partition, keyed by
+    * the LOWEST existing batch id — batch ids only grow from the
+    * checkpoint, so the sink can never collide with it, and the replay
+    * defense is untouched because it anti-joins the index by the
+    * replayed batch's IDS, never by partition. Rows are deduplicated by
+    * id on the way through, which also makes the operation self-healing:
+    * a crash between the staging swap and the old-partition deletes
+    * leaves duplicate ids that the next compaction (or the dedup here)
+    * removes. Run it while the sink is stopped (a maintenance window) —
+    * readers racing the swap can see a partially-deleted tree.
+    * Returns the number of partitions folded (0 = nothing to do). */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    import spark.implicits._
+    val df = spark.read.parquet(indexDir)
+    val runs = df.select(col("batch_run").cast("long")).distinct()
+      .as[Long].collect().sorted
+    if (runs.length <= 1) return 0
+    val lo = runs.head
+    val dataCols = df.columns.filterNot(_ == "batch_run").map(col)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(indexDir, ".compact_staging")
+    // 1. stage everything (dot-dir: invisible to parquet reads)
+    df.select(dataCols: _*).dropDuplicates("id")
+      .write.mode("overwrite").parquet(staging.toString)
+    // 2. swap the staging dir into the lowest partition
+    val loDir = new org.apache.hadoop.fs.Path(indexDir, s"batch_run=$lo")
+    fs.delete(loDir, true)
+    fs.rename(staging, loDir)
+    // 3. drop the now-redundant partitions
+    runs.tail.foreach { r =>
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir, s"batch_run=$r"), true)
+    }
+    runs.length
+  }
+
   /** The daily-crawl production loop END-TO-END: newly-landed WARC
     * segments ([[graft.sources.Warc.scanStream]] — the A4 scheduled
     * re-walk over the crawl landing zone, reference IngestConnector.kt:

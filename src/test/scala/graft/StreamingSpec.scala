@@ -696,6 +696,41 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("compactIndex folds the batch_run tree to one partition; a restarted sink probes and extends it unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def start() = Streaming.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(srcDir), "doc_id", "text",
+      s"$root/index", s"$root/matches", checkpointDir = Some(s"$root/ckpt"))
+    def addBatch(rows: (Long, String)*) = {
+      rows.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+      val q = start(); q.processAllAvailable(); q.stop()
+    }
+    // two separate sink incarnations -> two batch_run partitions
+    addBatch((1L, "alpha beta gamma delta epsilon zeta"))
+    addBatch((2L, "totally different words entirely over here"))
+    def partitions() = new java.io.File(s"$root/index").listFiles()
+      .count(_.getName.startsWith("batch_run="))
+    assert(partitions() == 2, "two triggers must leave two partitions")
+    // maintenance window: fold the tree
+    assert(Streaming.compactIndex(spark, s"$root/index") == 2)
+    assert(partitions() == 1, "compaction must leave ONE partition")
+    assert(Streaming.compactIndex(spark, s"$root/index") == 0, "idempotent")
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the restarted sink probes the COMPACTED index and extends past it
+    addBatch((3L, "totally different words entirely over here"))
+    val m = spark.read.parquet(s"$root/matches")
+      .select("batch_id", "match_id", "matches").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(m == Set((3L, 2L, 32)), s"probe vs compacted index: $m")
+    assert(spark.read.parquet(s"$root/index")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("crawl-to-dedup composition: WARC segments stream into the durable near-dup index") {
     // the daily-crawl production loop: Warc.scanStream -> crawlDedupSink
     // across two triggers with a checkpointed restart between them; the

@@ -210,6 +210,36 @@ class WarcSpec extends SparkSpec {
     assert(rs(1).skipped_bytes === bigRec.length.toLong - 4) // minus trailing CRLFCRLF
   }
 
+  test("fuzz: random member grids + random byte flips never throw; surviving records are byte-exact, none duplicated") {
+    val rnd = new scala.util.Random(147)
+    for (trial <- 1 to 60) {
+      val recs = (0 until 1 + rnd.nextInt(5)).map(i =>
+        (s"u$trial-$i", rnd.alphanumeric.take(rnd.nextInt(200)).mkString))
+      val plain = recs.map { case (u, p) => record(u, p) }.reduce(_ ++ _)
+      // random member grid (1..n cuts at arbitrary offsets)
+      val cuts = (0 +: Seq.fill(rnd.nextInt(6))(rnd.nextInt(plain.length))
+        :+ plain.length).distinct.sorted
+      val gz = cuts.sliding(2).map { case Seq(a, b) =>
+        gzMemberOf(java.util.Arrays.copyOfRange(plain, a, b))
+      }.reduce(_ ++ _).clone()
+      // flip one random byte anywhere in the compressed stream
+      val at = rnd.nextInt(gz.length)
+      gz(at) = (gz(at) ^ (1 + rnd.nextInt(255))).toByte
+      val out = Warc.parseAll("f.gz", gz).toList // must not throw
+      val byUri = recs.toMap
+      val goodUris = out.filter(_.error == null).map(_.target_uri)
+      assert(goodUris.distinct.size == goodUris.size,
+        s"trial $trial: record parsed twice after corruption")
+      out.filter(_.error == null).foreach { r =>
+        // any record that DID parse must carry its exact original payload
+        byUri.get(r.target_uri).foreach { p =>
+          assert(new String(r.payload, "UTF-8") == p,
+            s"trial $trial: corrupted payload surfaced as clean")
+        }
+      }
+    }
+  }
+
   test("garbage bytes are one bad-gzip/bad-version row, never an exception") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     val rs = Warc.parseAll("f", junk).toList
