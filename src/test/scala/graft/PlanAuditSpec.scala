@@ -437,4 +437,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("substring dedup: ONE window-digest exchange, doc-partitioned windows, no pairwise join") {
+    val p = plan("q153_substring_dedup")
+    assert(!p.contains("CartesianProduct"), "no pairwise term exists in this op")
+    // the rolling-window digest table (~1 row per token) must cross the
+    // wire exactly once — a second consumer of the marked frame would
+    // replay the whole digest pipeline (the reviewed fold)
+    val hExchanges = p.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning(h#"))
+    assert(hExchanges == 1, s"digest exchange count $hExchanges != 1:\n" +
+      p.split("\n").filter(_.contains("Exchange")).mkString("\n"))
+    // island windows run partitioned by doc, never SinglePartition
+    assert(!p.split("\n").exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      "span merge must stay doc-partitioned")
+  }
+
+  test("PII scrub is map-only: no exchange before the output sort") {
+    val p = plan("q152_pii_scrub")
+    val exchanges = p.split("\n").filter(l => l.contains("Exchange") &&
+      !l.contains("rangepartitioning"))
+    assert(exchanges.isEmpty,
+      s"release-gate scrub must be one narrow pass: ${exchanges.mkString("\n")}")
+  }
+
+  test("hard negatives broadcast the probe side; per-probe rank is group-limited") {
+    val p = plan("q154_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the bounded probe set must broadcast against one corpus scan")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("WindowGroupLimit"),
+      "per-probe top-k must prune map-side, not rank everything")
+  }
 }
