@@ -462,6 +462,25 @@ class PlanAuditSpec extends SparkSpec {
       s"release-gate scrub must be one narrow pass: ${exchanges.mkString("\n")}")
   }
 
+  test("registry sweep: NO query plans a CartesianProduct or a SinglePartition window") {
+    // the global form of every pin above, over the ENTIRE query surface:
+    // a cartesian or an unpartitioned row window anywhere is a 100 TB
+    // scale defect regardless of which query grew it. Measured clean
+    // across all 161 queries before pinning (round 9); a future query
+    // that needs an exemption must argue it here explicitly.
+    val offenders = graft.queries.Registry.all.map(_.name).sorted.flatMap { n =>
+      spark.catalog.clearCache()
+      val p = Registry.byName(n).run(spark, sf()).queryExecution.executedPlan.toString
+      val cart = p.contains("CartesianProduct")
+      val single = p.split("\n").exists(l =>
+        l.contains("Window") && l.contains("SinglePartition"))
+      if (cart || single)
+        Some(s"$n${if (cart) ":cartesian" else ""}${if (single) ":single-partition-window" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
   test("hard negatives broadcast the probe side; per-probe rank is group-limited") {
     val p = plan("q154_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
