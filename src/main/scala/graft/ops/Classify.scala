@@ -84,7 +84,10 @@ object Classify {
   /** Classify `test` docs against the model trained on `train`. Output:
     * (id, n_vocab_tokens, pred_label, score_bits, actual, hit), one row
     * per test doc that shares ≥ 1 token with the training vocabulary. */
-  def nbClassify(train: DataFrame, test: DataFrame, labelCol: String,
+  /** The per-(doc, class) score table shared by [[nbClassify]] and
+    * [[nbClassifyMargin]]: one row per (test doc, class) with the full
+    * integer NB score. */
+  private def nbScores(train: DataFrame, test: DataFrame, labelCol: String,
       idCol: String, textCol: String): DataFrame = {
     val model = nbTrain(
       train.withColumn("train_doc_id", col(idCol)), labelCol, textCol)
@@ -92,13 +95,18 @@ object Classify {
     // functionally dependent on the doc id (no extra groups), and a
     // string-valued aggregate would force the whole aggregation to
     // SortAggregate — HashAggregate only takes mutable-buffer functions
-    val scored = tokens(
+    tokens(
         test.select(col(idCol), col(labelCol).as("actual"), col(textCol)),
         Seq(col(idCol), col("actual")), textCol)
       .join(broadcast(model), Seq("w"))
       .groupBy(col(idCol), col("actual"), col("label"))
       .agg(count(lit(1)).as("n_vocab_tokens"),
         (sum(col("bits")) + min(col("prior_bits"))).as("score_bits"))
+  }
+
+  def nbClassify(train: DataFrame, test: DataFrame, labelCol: String,
+      idCol: String, textCol: String): DataFrame = {
+    val scored = nbScores(train, test, labelCol, idCol, textCol)
     // per-doc argmax via the hash-aggregable ArgMaxByOrd kernel ordered by
     // (score, label) — max(struct(...)) would be the same total order but
     // plans as SortAggregate (struct buffers aren't hash-aggregable), the
@@ -116,6 +124,32 @@ object Classify {
         col("pred_label"),
         col("score_bits"),
         col("actual"),
+        when(col("pred_label") === col("actual"), 1).otherwise(0)
+          .cast("int").as("hit"))
+  }
+
+  /** [[nbClassify]] plus the decision MARGIN — winner bits minus
+    * runner-up bits under the same (score DESC, label DESC) total order —
+    * the integer confidence proxy a margin-calibration eval stratifies
+    * accuracy by (the model-ops answer to "can I trust the filter at
+    * threshold X"). A two-way score tie margins 0; the class count is a
+    * constant, so the ranked table is (test docs × classes) rows and the
+    * per-doc window is partitioned. */
+  def nbClassifyMargin(train: DataFrame, test: DataFrame, labelCol: String,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = nbScores(train, test, labelCol, idCol, textCol)
+      .withColumn("rn", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("score_bits").desc, col("label").desc)))
+      .localCheckpoint(true) // winner + runner-up consumers
+    val w1 = ranked.filter(col("rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"),
+        col("score_bits").as("__s1"), col("actual"))
+    val w2 = ranked.filter(col("rn") === 2)
+      .select(col(idCol), col("score_bits").as("__s2"))
+    w1.join(w2, Seq(idCol), "left")
+      .select(col(idCol), col("pred_label"), col("actual"),
+        (col("__s1") - coalesce(col("__s2"), col("__s1"))).as("margin_bits"),
         when(col("pred_label") === col("actual"), 1).otherwise(0)
           .cast("int").as("hit"))
   }

@@ -900,6 +900,15 @@ object Dedup {
     * so marking duplicated windows and merging their overlapping spans
     * yields exactly the paper's removal set at granularity w.
     *
+    * Relationship to [[graft.ops.TrainingPrep.repeatedSpans]]/
+    * `cutRepeatedSpans` (q70/q72): those implement the BOILERPLATE-REMOVAL
+    * policy — a span repeated across ≥ minDocs documents is cut from ALL
+    * of them (license headers should survive in zero copies). This op
+    * implements the paper's RETENTION policy — the FIRST occurrence in
+    * the (doc, pos) total order is kept and only later copies count as
+    * removable, and within-document repeats count too. Same family, two
+    * deliberate policies; a curation run picks per content class.
+    *
     * Per document: `n_windows` (token_count − w + 1, floored at 0),
     * `n_dup_windows` (windows whose text occurred EARLIER in the
     * (doc, pos) total order — the first occurrence is the kept one and

@@ -135,6 +135,11 @@ object TextSearch {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      // cluster by bucket before the partitioned write: without it every
+      // task writes a file into every bucket dir (tasks × nBuckets small
+      // files at corpus scale); with it each bucket dir gets its writers'
+      // contiguous output
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/postings")
     // corpus stats from the index itself (column-pruned read; every doc

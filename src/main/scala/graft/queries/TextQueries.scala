@@ -624,7 +624,10 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val nbClassifierSql: String =
+  /** The NB scoring CTE chain shared by the q103 oracle and the q155
+    * margin-calibration oracle (everything through the per-doc ranked
+    * score table). */
+  private val nbCtes: String =
     """WITH tr AS (
       |  SELECT source AS label, doc_id, unnest(string_split(text, ' ')) AS w
       |  FROM documents WHERE doc_id % 5 <> 0),
@@ -653,10 +656,67 @@ object TextQueries {
       |  SELECT doc_id, n_vocab_tokens, label, score_bits, actual,
       |    row_number() OVER (PARTITION BY doc_id
       |      ORDER BY score_bits DESC, label DESC) AS rn
-      |  FROM perdl)
+      |  FROM perdl)""".stripMargin
+
+  val nbClassifierSql: String = nbCtes +
+    """
       |SELECT doc_id, n_vocab_tokens, label AS pred_label, score_bits, actual,
       |  CAST(CASE WHEN label = actual THEN 1 ELSE 0 END AS INTEGER) AS hit
       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Q155 — classifier margin CALIBRATION (Classify.nbClassifyMargin):
+    * held-out accuracy stratified by the integer decision margin (winner
+    * bits − runner-up bits) — the model-ops answer to "at what
+    * confidence threshold can the q103 filter be trusted". The synthetic
+    * text is label-independent (q103's census is honest about that:
+    * held-out accuracy 0), so a weak label token is PLANTED on every
+    * doc_id % 3 == 0 document — the classifier is then RIGHT exactly
+    * when it is CONFIDENT, the monotone accuracy-vs-margin shape a
+    * calibration census exists to reveal (and whose absence flags a
+    * broken confidence signal). Margins are floor-log₂ bit counts
+    * (single digits by construction), so each margin value is its own
+    * stratum. The split is doc_id % 7 — NOT q103's % 5, which is
+    * label-DISJOINT against source = f(doc_id % 20) (every test class
+    * unseen in training; q103 measures mechanism under that, a
+    * calibration census needs a class-covering split). All integers; the
+    * oracle replays the scoring chain, the per-doc top-2, and the
+    * census. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          repeat(concat(lit(" marker"), col("source")), 8))
+          .otherwise(lit(""))).as("text"))
+    graft.ops.Classify.nbClassifyMargin(
+        docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0),
+        "source", "doc_id", "text")
+      .groupBy(col("margin_bits"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("hit")).cast("long").as("n_hits"))
+      .withColumn("accuracy_permille", expr("n_hits * 1000 div n_docs"))
+      .orderBy(col("margin_bits"))
+  }
+
+  val classifierCalibrationSql: String =
+    nbCtes
+      .replace("doc_id % 5", "doc_id % 7") // class-covering split (see scaladoc)
+      .replace("FROM documents",
+        """FROM (SELECT doc_id, source, text
+          |  || CASE WHEN doc_id % 3 = 0 THEN repeat(' marker' || source, 8) ELSE '' END AS text
+          |  FROM documents)""".stripMargin) +
+    """,
+      |w1 AS (SELECT doc_id, label, score_bits, actual FROM best WHERE rn = 1),
+      |w2 AS (SELECT doc_id, score_bits AS s2 FROM best WHERE rn = 2),
+      |m AS (
+      |  SELECT w1.doc_id,
+      |    w1.score_bits - COALESCE(w2.s2, w1.score_bits) AS margin_bits,
+      |    CASE WHEN w1.label = w1.actual THEN 1 ELSE 0 END AS hit
+      |  FROM w1 LEFT JOIN w2 USING (doc_id))
+      |SELECT CAST(margin_bits AS BIGINT) AS margin_bits,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+      |  CAST(SUM(hit) * 1000 // COUNT(*) AS BIGINT) AS accuracy_permille
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Q120 — classifier EVALUATION metrics (the model-ops verb that
     * closes the q103 loop: train → classify → MEASURE): per-class
@@ -922,6 +982,8 @@ object TextQueries {
     QueryDef("q143_snippets", snippets, Some(snippetsSql)),
     QueryDef("q84_langid_trained", langIdTrained, Some(langIdTrainedSql)),
     QueryDef("q103_nb_classifier", nbClassifier, Some(nbClassifierSql)),
+    QueryDef("q155_classifier_calibration", classifierCalibration,
+      Some(classifierCalibrationSql)),
     QueryDef("q106_collocations", collocationsQuery, Some(collocationsSql)),
     QueryDef("q107_normalize", normalizeQuery, Some(normalizeSql)),
     QueryDef("q93_lm_quality", lmQuality, Some(lmQualitySql)),
