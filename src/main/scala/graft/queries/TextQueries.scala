@@ -801,13 +801,15 @@ object TextQueries {
     * highlight window. Docs without a term hit (semantic-only hybrid
     * results) keep null hit_pos/snippet. The ranked list is top-k
     * bounded, so the join broadcasts it against one pruned corpus scan. */
-  def attachSnippets(spark: SparkSession, dir: String, ranked: DataFrame): DataFrame = {
+  def attachSnippets(spark: SparkSession, dir: String, ranked: DataFrame,
+      terms: Seq[String] = Bm25Terms): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val posExprs = Bm25Terms.map(t =>
+    val posExprs = terms.map(t =>
       when(array_position(col("ws"), t) > 0, array_position(col("ws"), t)))
     broadcast(ranked).join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("hit_pos", least(posExprs: _*))
+      .withColumn("hit_pos",
+        if (posExprs.size == 1) posExprs.head else least(posExprs: _*))
       // guard the null-hit case explicitly: concat_ws IGNORES null args
       // (returns ''), so without it a semantic-only doc would carry
       // snippet="" where the contract promises null

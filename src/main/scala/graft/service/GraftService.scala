@@ -125,23 +125,32 @@ final class GraftService private (
           case Some(dir) =>
             val limit = math.min(ps.get("limit").map(_.toInt).getOrElse(20),
               GraftService.MaxPageRows)
-            val idx = GraftService.postingsIndexFor(spark, dir)
-            def lexTop(k: Int) = graft.ops.TextSearch.bm25TopKIndexed(
-              spark, idx, graft.queries.TextQueries.Bm25Terms, k)
-            val ranked = ps.get("mode") match {
-              case Some("hybrid") =>
-                graft.queries.TextQueries.attachSnippets(spark, dir,
-                  graft.queries.SimilarityQueries.rrfFusionFrom(spark, dir,
-                    lexTop(100)))
-                  .orderBy(col("rrf_e6").desc, col("doc_id").asc)
-              case _ =>
-                graft.queries.TextQueries.attachSnippets(spark, dir,
-                    lexTop(graft.queries.TextQueries.Bm25K))
-                  .select(col("doc_id"), col("score_e12"), col("hit_pos"),
-                    col("snippet"))
-                  .orderBy(col("score_e12").desc, col("doc_id").asc)
+            // user query terms (`q=spark vector`, URL-decoded by the
+            // parser); absent -> the q45/q143 standard term bag
+            val terms = ps.get("q")
+              .map(_.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+              .filter(_.nonEmpty)
+              .getOrElse(graft.queries.TextQueries.Bm25Terms)
+            if (terms.size > 64) (400, """{"error":"at most 64 query terms"}""")
+            else {
+              val idx = GraftService.postingsIndexFor(spark, dir)
+              def lexTop(k: Int) = graft.ops.TextSearch.bm25TopKIndexed(
+                spark, idx, terms, k)
+              val ranked = ps.get("mode") match {
+                case Some("hybrid") =>
+                  graft.queries.TextQueries.attachSnippets(spark, dir,
+                    graft.queries.SimilarityQueries.rrfFusionFrom(spark, dir,
+                      lexTop(100)), terms)
+                    .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+                case _ =>
+                  graft.queries.TextQueries.attachSnippets(spark, dir,
+                      lexTop(graft.queries.TextQueries.Bm25K), terms)
+                    .select(col("doc_id"), col("score_e12"), col("hit_pos"),
+                      col("snippet"))
+                    .orderBy(col("score_e12").desc, col("doc_id").asc)
+              }
+              (200, ranked.limit(limit).toJSON.collect().mkString("[", ",", "]"))
             }
-            (200, ranked.limit(limit).toJSON.collect().mkString("[", ",", "]"))
         }
       case ("GET", "/datarecords") =>
         running match {

@@ -146,6 +146,30 @@ class ServiceSpec extends SparkSpec {
       s"scan read $n partitions, expected $nTermBuckets of $allBuckets"))
   }
 
+  test("/search q= runs USER terms through the same indexed path; results match the operator") {
+    import graft.queries.TextQueries
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      val dir = java.net.URLEncoder.encode(sf(), "UTF-8")
+      val q = java.net.URLEncoder.encode("customer line", "UTF-8")
+      val (code, body) = get(svc, s"/search?dir=$dir&q=$q&limit=5")
+      assert(code == 200, body)
+      val gotIds = "\"doc_id\":(\\d+)".r.findAllMatchIn(body)
+        .map(_.group(1).toLong).toSeq
+      val want = graft.ops.TextSearch.bm25TopKIndexed(spark,
+          GraftService.postingsIndexFor(spark, sf()),
+          Seq("customer", "line"), TextQueries.Bm25K)
+        .orderBy(col("score_e12").desc, col("doc_id").asc)
+        .limit(5).select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(gotIds == want && gotIds.nonEmpty, s"got=$gotIds want=$want")
+      // snippets highlight the USER terms, not the default bag
+      assert(body.contains("customer") || body.contains("line"), body.take(400))
+      // term-count cap surfaces as a client error, not a require() blowup
+      val many = java.net.URLEncoder.encode((1 to 65).map("t" + _).mkString(" "), "UTF-8")
+      assert(get(svc, s"/search?dir=$dir&q=$many")._1 == 400)
+    } finally svc.close()
+  }
+
   test("/search mode=hybrid returns the q114 fused ranking with snippets attached") {
     val svc = GraftService.start(spark, port = 0)
     try {
