@@ -139,6 +139,72 @@ object ParticipantQueries {
       PrepQueries.curationPipelineSql.stripPrefix("WITH ")
         .replace("FROM documents", "FROM crawl_docs")
 
+  /** Q156 — crawl SNAPSHOT CHURN: the month-over-month diff census a
+    * continuously-refreshed crawl corpus runs before re-curation (which
+    * URLs appeared, vanished, changed content, stayed byte-identical —
+    * and how many bytes each class moved). Snapshot A = doc_id % 3 == 0;
+    * snapshot B drops every % 9 == 0 page (gone), adds % 9 == 1 pages
+    * from the % 3 == 1 universe (new), and re-crawls % 6 == 0 pages with
+    * changed content. ONE full-outer join on the URL key with content
+    * digests — no content comparison beyond the digest, the shape that
+    * holds when each snapshot is 100 TB. The oracle replays membership
+    * arithmetic, digest equality, and the byte accounting. */
+  def crawlChurn(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val snapA = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val snapB = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 9 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 6 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 9 === 1)
+        .select(col("doc_id"), col("text")))
+    val a = snapA.select(col("doc_id"), md5(col("text").cast("binary")).as("da"),
+      length(col("text").cast("binary")).cast("long").as("ba"))
+    val b = snapB.select(col("doc_id"), md5(col("text").cast("binary")).as("db"),
+      length(col("text").cast("binary")).cast("long").as("bb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("da").isNull, "added")
+          .when(col("db").isNull, "gone")
+          .when(col("da") =!= col("db"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("ba"), lit(0L)).as("ba"),
+        coalesce(col("bb"), lit(0L)).as("bb"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("ba")).as("bytes_before"),
+        sum(col("bb")).as("bytes_after"))
+      .orderBy(col("status"))
+  }
+
+  val crawlChurnSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS da,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS ba
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 6 = 0 THEN text || ' updated' ELSE text END) AS db,
+      |    CAST(octet_length(CAST(CASE WHEN doc_id % 6 = 0
+      |      THEN text || ' updated' ELSE text END AS BLOB)) AS BIGINT) AS bb
+      |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 9 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, md5(text) AS db,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS bb
+      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 9 = 1),
+      |j AS (
+      |  SELECT CASE WHEN a.da IS NULL THEN 'added'
+      |              WHEN b.db IS NULL THEN 'gone'
+      |              WHEN a.da <> b.db THEN 'changed'
+      |              ELSE 'unchanged' END AS status,
+      |    COALESCE(a.ba, 0) AS ba, COALESCE(b.bb, 0) AS bb
+      |  FROM a FULL OUTER JOIN b USING (doc_id))
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_urls,
+      |  CAST(SUM(ba) AS BIGINT) AS bytes_before,
+      |  CAST(SUM(bb) AS BIGINT) AS bytes_after
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q30 — chunk-command log fold (SURVEY §2 D): a deterministic
     * adversarial command log per document — START, three ADDs, INSERT,
     * UPDATE, an out-of-bounds UPDATE (must no-op), MERGE, DELETE, and an
@@ -698,6 +764,7 @@ object ParticipantQueries {
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q147_warc_ingest", warcIngest, Some(warcIngestSql)),
     QueryDef("q151_crawl_curation", crawlCuration, Some(crawlCurationSql)),
+    QueryDef("q156_crawl_churn", crawlChurn, Some(crawlChurnSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
     QueryDef("q31b_dual_renditions", dualRenditions, Some(dualRenditionsSql)),
