@@ -64,7 +64,10 @@ object ScaleProbe {
     "q151_crawl_curation", "q152_pii_scrub",
     // round-9: exact-substring dedup — the rolling-window digest table is
     // the suite's widest shuffle (one row per token), worth watching
-    "q153_substring_dedup")
+    "q153_substring_dedup",
+    // round-9 tail: hard negatives (broadcast probes), margin
+    // calibration (NB-train-bound), snapshot churn (one full-outer join)
+    "q154_hard_negatives", "q155_classifier_calibration", "q156_crawl_churn")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

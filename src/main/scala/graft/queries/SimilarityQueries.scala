@@ -53,8 +53,12 @@ object SimilarityQueries {
     * — a drifted 4th neighbour or a same-label leak fails the compare. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // the probe set must be BOUNDED (a serving batch), not a corpus
+    // fraction: % 50 alone scales probes WITH the corpus and turns the
+    // probe x corpus product quadratic — caught by the 10x scale probe
+    // (2.1 s -> 17.0 s); the id cap pins probe cardinality at any scale
     Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
-        emb.filter(col("vec_id") % 50 === 0), k = 3)
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 100000), k = 3)
       .orderBy(col("probe_id"), col("rank"))
   }
 
@@ -63,7 +67,8 @@ object SimilarityQueries {
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       |  FROM embeddings),
-      |p AS (SELECT vec_id AS probe_id, label AS pl, qv AS pqv FROM v WHERE vec_id % 50 = 0),
+      |p AS (SELECT vec_id AS probe_id, label AS pl, qv AS pqv
+      |      FROM v WHERE vec_id % 50 = 0 AND vec_id < 100000),
       |scored AS (
       |  SELECT p.probe_id, c.vec_id AS neg_id, c.label,
       |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * p.pqv[i])) AS BIGINT) AS DOUBLE) /
