@@ -65,7 +65,12 @@ object TextSearch {
     * one groupBy(doc_id) over only matching (doc, term) rows → TakeOrdered.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int): DataFrame = {
+      rawTerms: Seq[String], k: Int): DataFrame = {
+    // dedup defensively: a repeated term would emit two tfRows per doc,
+    // double-counting df (idf can go NEGATIVE via n_docs − df) — and the
+    // indexed path's postings filter dedups naturally, so the two paths'
+    // score-equality contract depends on this
+    val terms = rawTerms.distinct
     require(terms.nonEmpty && terms.size <= 64, "bag-of-terms query expected")
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
@@ -158,9 +163,10 @@ object TextSearch {
     * the serving read: cost scales with the queried terms' posting
     * lists, not the corpus. */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, terms: Seq[String], k: Int,
+      indexDir: String, rawTerms: Seq[String], k: Int,
       nBuckets: Int = 64): DataFrame = {
     import spark.implicits._
+    val terms = rawTerms.distinct // same contract as bm25TopK
     require(terms.nonEmpty && terms.size <= 64, "bag-of-terms query expected")
     // the terms' bucket ids via the engine's own xxhash64 (one local-
     // relation job over ≤ 64 rows — no reimplementation to drift)

@@ -100,7 +100,10 @@ object ParticipantQueries {
     val fx = Warc.ensureFixture(spark, dir)
     val scanned = Warc.scan(spark, fx).toDF()
       .localCheckpoint(true) // eager: two consumers (events + content resolve)
-    val good = scanned.filter(col("error").isNull)
+    // response records only: a real segment's warcinfo/request/metadata
+    // records must never register as documents
+    val good = scanned.filter(col("error").isNull &&
+      col("warc_type") === "response")
     val events = good.select(
       lit(graft.model.Command.Create).as("command"),
       regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("id"),

@@ -126,12 +126,18 @@ final class GraftService private (
             val limit = math.min(ps.get("limit").map(_.toInt).getOrElse(20),
               GraftService.MaxPageRows)
             // user query terms (`q=spark vector`, URL-decoded by the
-            // parser); absent -> the q45/q143 standard term bag
-            val terms = ps.get("q")
-              .map(_.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty))
+            // parser, deduplicated — a repeated term must not double-count
+            // df); absent -> the q45/q143 standard term bag
+            val userQ = ps.get("q")
+              .map(_.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty).distinct)
               .filter(_.nonEmpty)
-              .getOrElse(graft.queries.TextQueries.Bm25Terms)
+            val terms = userQ.getOrElse(graft.queries.TextQueries.Bm25Terms)
             if (terms.size > 64) (400, """{"error":"at most 64 query terms"}""")
+            else if (userQ.isDefined && ps.get("mode").contains("hybrid"))
+              // the hybrid SEMANTIC leg is the fixed q114 probe vector —
+              // fusing it with arbitrary user terms would silently rank
+              // probe-adjacent documents above matching ones
+              (400, """{"error":"mode=hybrid serves the standard query; q= is lexical-only"}""")
             else {
               val idx = GraftService.postingsIndexFor(spark, dir)
               def lexTop(k: Int) = graft.ops.TextSearch.bm25TopKIndexed(
@@ -190,10 +196,7 @@ object GraftService {
   private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def postingsIndexFor(spark: SparkSession, dir: String): String =
     indexBuilt.computeIfAbsent(new java.io.File(dir).getCanonicalPath, { canon =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(4).map(b => f"$b%02x").mkString
-      val out = s"/tmp/graft_postings_index/${new java.io.File(canon).getName}_$digest"
+      val out = s"/tmp/graft_postings_index/${graft.sources.Tables.dirCacheKey(canon)}"
       val marker = java.nio.file.Paths.get(out, "_COMPLETE")
       if (!java.nio.file.Files.exists(marker)) {
         graft.ops.TextSearch.writePostingsIndex(

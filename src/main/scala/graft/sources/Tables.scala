@@ -23,6 +23,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Stable cache-directory key for a corpus dir: readable basename plus
+    * 4 MD5 bytes of the FULL canonical path — two corpora whose dirs
+    * share a basename must never share a derived cache (fixtures,
+    * serving indexes). One definition for every cache in the repo. */
+  def dirCacheKey(dir: String): String = {
+    val f = new java.io.File(dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getCanonicalPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    s"${f.getName}_$digest"
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

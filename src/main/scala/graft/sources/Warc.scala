@@ -368,6 +368,24 @@ object Warc {
       compact(buf.length - keep)
       resyncing = true
     }
+    /** Grow the buffer GEOMETRICALLY before a re-parse: each needs-more
+      * re-attempt re-scans the accumulated carry from the record start,
+      * so appending one small member at a time would make recovery from
+      * a large unframed region quadratic in the carry (≈10¹¹ byte
+      * compares at a 64 MiB carry of 16 KiB members). Inflating until
+      * the unconsumed bytes grow by ≥ half their current size bounds
+      * total re-scan work at O(carry) amortized. */
+    private def inflateGrow(): Boolean = {
+      // never grow past the carry cap: the over-cap branches must get
+      // their turn to emit record-too-large instead of the growth
+      // silently absorbing an over-budget record
+      val target = math.min(maxCarry.toLong + 1,
+        (buf.length - bpos).toLong + math.max(64L * 1024,
+          (buf.length - bpos).toLong / 2))
+      var any = false
+      while ((buf.length - bpos).toLong < target && inflateNext()) any = true
+      any
+    }
 
     private def fill(): Unit = {
       while (outQ.isEmpty && !finished) {
@@ -398,7 +416,7 @@ object Warc {
               else if (buf.length - bpos > maxCarry) {
                 emitErr(e, (buf.length - bpos).toLong)
                 keepMarkerTail()
-              } else if (!inflateNext()) {
+              } else if (!inflateGrow()) {
                 emitErr(e, (buf.length - bpos).toLong); bpos = buf.length
               }
             case Incomplete(reason, knownTotal) =>
@@ -411,7 +429,7 @@ object Warc {
               } else if (knownTotal < 0 && buf.length - bpos > maxCarry) {
                 emitErr("record-too-large", (buf.length - bpos).toLong)
                 keepMarkerTail()
-              } else if (!inflateNext()) {
+              } else if (!inflateGrow()) {
                 // end of stream: same recovery as the whole-file walk — a
                 // bogus Content-Length must not hide later records
                 val resync = nextRecordStart(buf, bpos + 1)
@@ -582,15 +600,10 @@ object Warc {
     * written by the one task that owns its records (B11 posture);
     * idempotent via marker. */
   def ensureFixture(spark: SparkSession, sfDir: String): String = {
-    // key the cache on the FULL canonical path, not the basename — two
-    // corpora named ".../sf0.01" in different parents must not share a
-    // fixture (basename kept as a readable prefix only)
-    val f = new java.io.File(sfDir)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(f.getCanonicalPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(4).map(b => f"$b%02x").mkString
-    val name = s"${f.getName}_$digest"
-    val out = java.nio.file.Paths.get(s"/tmp/graft_warc_fixture/$name")
+    // keyed on the FULL canonical path, not the basename — two corpora
+    // named ".../sf0.01" in different parents must not share a fixture
+    val out = java.nio.file.Paths.get(
+      s"/tmp/graft_warc_fixture/${Tables.dirCacheKey(sfDir)}")
     val marker = out.resolve("_COMPLETE")
     if (!java.nio.file.Files.exists(marker)) {
       java.nio.file.Files.createDirectories(out)

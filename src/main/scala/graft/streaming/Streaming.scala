@@ -329,42 +329,70 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
-  /** OFFLINE compaction for the incremental-dedup sinks' durable indexes:
-    * folds the accumulated `batch_run=<id>` partition tree (one dir per
-    * micro-batch ever run — thousands after a month of triggers, and the
-    * sink re-reads the tree every trigger) into ONE partition, keyed by
-    * the LOWEST existing batch id — batch ids only grow from the
-    * checkpoint, so the sink can never collide with it, and the replay
-    * defense is untouched because it anti-joins the index by the
-    * replayed batch's IDS, never by partition. Rows are deduplicated by
-    * id on the way through, which also makes the operation self-healing:
-    * a crash between the staging swap and the old-partition deletes
-    * leaves duplicate ids that the next compaction (or the dedup here)
-    * removes. Run it while the sink is stopped (a maintenance window) —
-    * readers racing the swap can see a partially-deleted tree.
-    * Returns the number of partitions folded (0 = nothing to do). */
+  /** OFFLINE compaction for the SIGNATURE dedup sinks' durable indexes
+    * ([[incrementalDedupSink]] / [[incrementalImageDedupSink]] — (id,
+    * sig/simhash) rows): folds the accumulated `batch_run=<id>`
+    * partition tree (one dir per micro-batch ever run — thousands after
+    * a month of triggers, and the sink re-reads the tree every trigger)
+    * into ONE partition, keyed by the LOWEST existing batch id — batch
+    * ids only grow from the checkpoint, so the sink can never collide
+    * with it, and the replay defense is untouched because those sinks
+    * anti-join the index by the replayed batch's IDS, never by
+    * partition. NOT for [[incrementalParagraphDedupSink]]'s fingerprint
+    * index: that sink has no id column and defends replay BY PARTITION,
+    * which folding would defeat (fail-fast require below).
+    *
+    * Crash safety: the swap is move-aside → move-in → delete, every
+    * rename checked, and a crash between the renames is repaired by the
+    * recovery prologue on the next invocation (the move-aside dir is
+    * restored before anything else happens). Rows are deduplicated by
+    * id on the way through, so a crash after move-in but before the
+    * redundant-partition deletes only leaves duplicates the next
+    * compaction removes. Run it while the sink is stopped (a
+    * maintenance window) — readers racing the swap can observe a
+    * partially-deleted tree. Returns the number of partitions folded
+    * (0 = nothing to do). */
   def compactIndex(spark: SparkSession, indexDir: String): Int = {
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(src, dst), s"compactIndex: rename $src -> $dst failed")
+    // recovery prologue: a prior crash between move-aside and move-in
+    // left the lowest partition parked under the dot-dir — restore it
+    // BEFORE reading (and before the staging overwrite could discard the
+    // only full copy)
+    def glob(pattern: String) = // some Hadoop FS impls return null, not empty
+      Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
+    val runDirs = glob("batch_run=*").map(_.getPath.getName)
+    glob(".compact_old_*").foreach { st =>
+      val orig = st.getPath.getName.stripPrefix(".compact_old_")
+      if (runDirs.contains(orig)) fs.delete(st.getPath, true) // redundant copy
+      else move(st.getPath, p(orig))
+    }
     val df = spark.read.parquet(indexDir)
+    require(df.columns.contains("id"),
+      "compactIndex is for the (id, sig) signature indexes; the paragraph " +
+        "sink's fingerprint index defends replay by partition and must not " +
+        "be folded")
     val runs = df.select(col("batch_run").cast("long")).distinct()
       .as[Long].collect().sorted
     if (runs.length <= 1) return 0
     val lo = runs.head
     val dataCols = df.columns.filterNot(_ == "batch_run").map(col)
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(indexDir, ".compact_staging")
+    val staging = p(".compact_staging")
     // 1. stage everything (dot-dir: invisible to parquet reads)
     df.select(dataCols: _*).dropDuplicates("id")
       .write.mode("overwrite").parquet(staging.toString)
-    // 2. swap the staging dir into the lowest partition
-    val loDir = new org.apache.hadoop.fs.Path(indexDir, s"batch_run=$lo")
-    fs.delete(loDir, true)
-    fs.rename(staging, loDir)
-    // 3. drop the now-redundant partitions
-    runs.tail.foreach { r =>
-      fs.delete(new org.apache.hadoop.fs.Path(indexDir, s"batch_run=$r"), true)
-    }
+    // 2. move the lowest partition aside, then the staging dir in; any
+    // rename failure aborts BEFORE data is deleted
+    val loName = s"batch_run=$lo"
+    move(p(loName), p(s".compact_old_$loName"))
+    move(staging, p(loName))
+    // 3. drop the now-redundant copies
+    fs.delete(p(s".compact_old_$loName"), true)
+    runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
     runs.length
   }
 
@@ -379,15 +407,21 @@ object Streaming {
     * checkpoint/crash-replay semantics are the sink's.
     *
     * `idExpr` defaults to xxhash64 of the WARC-Record-ID — the record's
-    * own identity header (ISO 28500 §5.2), stable across replays. */
+    * own identity header (ISO 28500 §5.2), stable across replays. Only
+    * `warcTypes` records index as documents: a real crawl segment leads
+    * with a warcinfo record and interleaves request/metadata records
+    * whose payloads (HTTP headers, crawl telemetry) must NOT pollute the
+    * corpus index (default = response; pass e.g. `Seq("response",
+    * "conversion")` for WET-style archives). */
   def crawlDedupSink(spark: SparkSession, crawlDir: String, indexDir: String,
       matchesDir: String, glob: String = "*.warc*",
       idExpr: Column = xxhash64(col("record_id")),
+      warcTypes: Seq[String] = Seq("response"),
       shingleN: Int = 3, k: Int = 32, bands: Int = 8, minMatches: Int = 16,
       maxBucket: Int = 1000, maxMatchesPerProbe: Int = 0,
       checkpointDir: Option[String] = None): StreamingQuery = {
     val docs = graft.sources.Warc.scanStream(spark, crawlDir, glob).toDF()
-      .filter(col("error").isNull)
+      .filter(col("error").isNull && col("warc_type").isin(warcTypes: _*))
       .select(idExpr.cast("long").as("doc_id"),
         col("payload").cast("string").as("text"))
     incrementalDedupSink(docs, "doc_id", "text", indexDir, matchesDir,

@@ -167,6 +167,15 @@ class ServiceSpec extends SparkSpec {
       // term-count cap surfaces as a client error, not a require() blowup
       val many = java.net.URLEncoder.encode((1 to 65).map("t" + _).mkString(" "), "UTF-8")
       assert(get(svc, s"/search?dir=$dir&q=$many")._1 == 400)
+      // repeated terms dedup (the df-double-count hazard): identical result
+      val dup = java.net.URLEncoder.encode("customer customer line", "UTF-8")
+      assert(get(svc, s"/search?dir=$dir&q=$dup&limit=5")._2 == body)
+      // 65 repeats of ONE term is a 1-term query, not a cap violation
+      val rep = java.net.URLEncoder.encode(Seq.fill(65)("line").mkString(" "), "UTF-8")
+      assert(get(svc, s"/search?dir=$dir&q=$rep&limit=1")._1 == 200)
+      // hybrid's semantic leg is probe-fixed: q= with mode=hybrid is an
+      // explicit client error, never a silently-wrong fusion
+      assert(get(svc, s"/search?dir=$dir&mode=hybrid&q=$q")._1 == 400)
     } finally svc.close()
   }
 

@@ -729,6 +729,30 @@ class StreamingSpec extends SparkSpec {
     assert(m == Set((3L, 2L, 32)), s"probe vs compacted index: $m")
     assert(spark.read.parquet(s"$root/index")
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // crash-window recovery: a crash between move-aside and move-in
+    // leaves the lowest partition parked under the dot-dir — the next
+    // invocation must restore it BEFORE reading, losing nothing
+    val idxDir = new java.io.File(s"$root/index")
+    val lo = idxDir.listFiles().map(_.getName)
+      .filter(_.startsWith("batch_run=")).sorted.head
+    assert(new java.io.File(idxDir, lo).renameTo(
+      new java.io.File(idxDir, s".compact_old_$lo")))
+    assert(Streaming.compactIndex(spark, s"$root/index") == 2)
+    assert(spark.read.parquet(s"$root/index")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "parked partition must be restored, then folded")
+    assert(partitions() == 1)
+  }
+
+  test("compactIndex refuses the paragraph sink's fingerprint index (partition-based replay defense)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_para").toString
+    Seq((1L, 2L)).toDF("h1", "h2").write.parquet(s"$root/idx/batch_run=0")
+    Seq((3L, 4L)).toDF("h1", "h2").write.parquet(s"$root/idx/batch_run=1")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.compactIndex(spark, s"$root/idx")
+    }
+    assert(e.getMessage.contains("paragraph"), e.getMessage)
   }
 
   test("crawl-to-dedup composition: WARC segments stream into the durable near-dup index") {
