@@ -760,6 +760,127 @@ object ParticipantQueries {
       |  FROM documents WHERE doc_id % 10 = 0)
       |ORDER BY id""".stripMargin
 
+  /** Q157 — URL-level crawl curation (ops/UrlOps.scala): canonicalization
+    * → URL dedup → registrable-domain extraction → per-domain cap, the
+    * step a web-scale pipeline runs BEFORE text dedup (RefinedWeb §3.1;
+    * the reference keys records on the ingest URI —
+    * KafkaIntelligencePipeline.kt:304-341 — which only collides correctly
+    * once normalized). Each document synthesizes one deterministic crawl
+    * URL; doc pairs (2k, 2k+1) name the SAME page through two different
+    * surface forms drawn from four variants that jointly exercise every
+    * canonicalization rule: mixed-case scheme/host, default :80 port,
+    * `www.` label, trailing slash, fragment, `utm_*` tracking params, and
+    * shuffled query-param order. Collapse is a hash agg on the canonical
+    * form (no window); the per-domain cap is WindowGroupLimit-planned
+    * top-5 by (best_chars desc, canon asc). The census pins not just the
+    * counts but WHICH pages survived the cap (kept_pages_sum — an
+    * order-sensitive checksum of the selection). The oracle replays the
+    * identical canonicalization algebra in DuckDB (regexp + list
+    * functions), so the convention itself is hash-pinned. */
+  def urlCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlOps
+    val docs = Tables.documents(spark, dir)
+    val page = expr("doc_id div 2")
+    val site = page % 37
+    val p = page.cast("string")
+    val s = site.cast("string")
+    val urls = docs.select(col("doc_id"), col("n_chars"), page.as("page"),
+      when(pmod(col("doc_id"), lit(4)) === 0, concat(
+          lit("HTTP://WWW.Crawl.Site"), s, lit(".COM:80/page/"), p, lit("/?b=2&a=1")))
+        .when(pmod(col("doc_id"), lit(4)) === 1, concat(
+          lit("http://crawl.site"), s, lit(".com/page/"), p, lit("?a=1&b=2#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 2, concat(
+          lit("http://www.crawl.site"), s, lit(".com/page/"), p,
+          lit("?utm_source=feed&utm_campaign=x&b=2&a=1")))
+        .otherwise(concat(
+          lit("http://crawl.site"), s, lit(".com:80/page/"), p, lit("/?b=2&a=1")))
+        .as("url"))
+    // canonical collapse: hash agg, not a window — page and domain are
+    // constant within a canonical group, so max() reads them off
+    val perCanon = urls
+      .select(col("n_chars"), col("page"),
+        UrlOps.canonicalizeUrl(col("url")).as("canon"),
+        UrlOps.registrableDomain(UrlOps.urlHost(col("url"))).as("domain"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_urls"), max(col("n_chars")).as("best_chars"),
+        max(col("page")).as("page"), max(col("domain")).as("domain"))
+      .localCheckpoint(true) // eager: two consumers (census + cap)
+    val kept = UrlOps.capPerDomain(perCanon, "domain",
+      Seq(col("best_chars").desc, col("canon").asc), cap = 5)
+    val census = perCanon.groupBy(col("domain"))
+      .agg(sum(col("n_urls")).as("n_urls"), count(lit(1)).as("n_canonical"))
+    val keptAgg = kept.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("best_chars")).as("kept_chars"),
+        sum(col("page")).as("kept_pages_sum"))
+    census.join(keptAgg, Seq("domain"))
+      .select(col("domain"), col("n_urls"), col("n_canonical"), col("n_kept"),
+        col("kept_chars"), col("kept_pages_sum"))
+      .orderBy(col("domain"))
+  }
+
+  val urlCurationSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id, n_chars, doc_id // 2 AS page,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN 'HTTP://WWW.Crawl.Site' || CAST((doc_id // 2) % 37 AS VARCHAR)
+      |        || '.COM:80/page/' || CAST(doc_id // 2 AS VARCHAR) || '/?b=2&a=1'
+      |      WHEN 1 THEN 'http://crawl.site' || CAST((doc_id // 2) % 37 AS VARCHAR)
+      |        || '.com/page/' || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2#frag'
+      |      WHEN 2 THEN 'http://www.crawl.site' || CAST((doc_id // 2) % 37 AS VARCHAR)
+      |        || '.com/page/' || CAST(doc_id // 2 AS VARCHAR)
+      |        || '?utm_source=feed&utm_campaign=x&b=2&a=1'
+      |      ELSE 'http://crawl.site' || CAST((doc_id // 2) % 37 AS VARCHAR)
+      |        || '.com:80/page/' || CAST(doc_id // 2 AS VARCHAR) || '/?b=2&a=1'
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, n_chars, page, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS rawhost,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |  FROM urls),
+      |norm AS (
+      |  SELECT doc_id, n_chars, page,
+      |    regexp_replace(
+      |      CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+      |           WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+      |           ELSE rawhost END, '^www\.', '') AS host,
+      |    scheme,
+      |    CASE WHEN rawpath IN ('', '/') THEN '/'
+      |         ELSE regexp_replace(rawpath, '/$', '') END AS path,
+      |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      p -> len(p) > 0 AND p NOT LIKE 'utm_%')), '&') AS q
+      |  FROM parts),
+      |canon AS (
+      |  SELECT doc_id, n_chars, page,
+      |    scheme || '://' || host || path ||
+      |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon,
+      |    CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
+      |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+      |  FROM norm),
+      |per_canon AS (
+      |  SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_urls,
+      |    MAX(n_chars) AS best_chars, MAX(page) AS page, MAX(domain) AS domain
+      |  FROM canon GROUP BY canon),
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY domain
+      |      ORDER BY best_chars DESC, canon ASC) AS rn
+      |    FROM per_canon) WHERE rn <= 5),
+      |census AS (
+      |  SELECT domain, CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+      |    CAST(COUNT(*) AS BIGINT) AS n_canonical
+      |  FROM per_canon GROUP BY domain),
+      |kept_agg AS (
+      |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    CAST(SUM(best_chars) AS BIGINT) AS kept_chars,
+      |    CAST(SUM(page) AS BIGINT) AS kept_pages_sum
+      |  FROM kept GROUP BY domain)
+      |SELECT domain, n_urls, n_canonical, n_kept, kept_chars, kept_pages_sum
+      |FROM census JOIN kept_agg USING (domain)
+      |ORDER BY domain""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q102_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     QueryDef("q91_ner_trained", nerTrained, Some(nerTrainedSql)),
@@ -768,6 +889,7 @@ object ParticipantQueries {
     QueryDef("q147_warc_ingest", warcIngest, Some(warcIngestSql)),
     QueryDef("q151_crawl_curation", crawlCuration, Some(crawlCurationSql)),
     QueryDef("q156_crawl_churn", crawlChurn, Some(crawlChurnSql)),
+    QueryDef("q157_url_curation", urlCuration, Some(urlCurationSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
     QueryDef("q31b_dual_renditions", dualRenditions, Some(dualRenditionsSql)),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.UrlOps
+
+/** UrlOps = the URL canonicalization/domain kernel behind q157. The
+  * convention is hash-pinned against DuckDB by the q157 oracle; this spec
+  * pins the EDGE cases the fixture's four variants don't reach — garbage
+  * input, non-default ports, https, dot-free hosts, nested www, empty
+  * query survivors — plus the cap's determinism and top-k plan shape. */
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(UrlOps.canonicalizeUrl(col("u"))).as[String].head()
+
+  private def domain(host: String): String =
+    Seq(host).toDF("h").select(UrlOps.registrableDomain(col("h"))).as[String].head()
+
+  test("canonicalization merges the equivalent surface forms") {
+    val expected = "http://crawl.site3.com/page/9?a=1&b=2"
+    assert(canon("HTTP://WWW.Crawl.Site3.COM:80/page/9/?b=2&a=1") == expected)
+    assert(canon("http://crawl.site3.com/page/9?a=1&b=2#frag") == expected)
+    assert(canon("http://www.crawl.site3.com/page/9?utm_source=f&utm_campaign=x&b=2&a=1") == expected)
+    assert(canon("http://crawl.site3.com:80/page/9/?b=2&a=1") == expected)
+  }
+
+  test("canonicalization preserves the distinctions that matter") {
+    // non-default port survives; https default port strips; scheme is part
+    // of identity (http vs https never merge)
+    assert(canon("http://a.com:8080/x") == "http://a.com:8080/x")
+    assert(canon("https://a.com:443/x") == "https://a.com/x")
+    assert(canon("https://a.com:80/x") == "https://a.com:80/x")
+    assert(canon("http://a.com/x") != canon("https://a.com/x"))
+    // path identity: root vs empty merge, deeper trailing slash strips once
+    assert(canon("http://a.com") == "http://a.com/")
+    assert(canon("http://a.com/") == "http://a.com/")
+    // only a LEADING www. label strips
+    assert(canon("http://www.www.a.com/x") == "http://www.a.com/x")
+    assert(canon("http://notwww.a.com/x") == "http://notwww.a.com/x")
+    // params: all-utm query drops the '?' entirely; empty params vanish
+    assert(canon("http://a.com/x?utm_source=f") == "http://a.com/x")
+    assert(canon("http://a.com/x?&&a=1&") == "http://a.com/x?a=1")
+    // scheme-less garbage still gets a deterministic identity
+    assert(canon("Not A URL") == "not a url")
+  }
+
+  test("registrable domain is the last two labels, host when dot-free") {
+    assert(domain("crawl.site3.com") == "site3.com")
+    assert(domain("a.b.c.d.example.org") == "example.org")
+    assert(domain("example.org") == "example.org")
+    assert(domain("localhost") == "localhost")
+  }
+
+  test("capPerDomain keeps exactly cap rows best-first, deterministically") {
+    val df = Seq(
+      ("d1", "u1", 10L), ("d1", "u2", 30L), ("d1", "u3", 20L),
+      ("d1", "u4", 30L), // tie with u2 — canon asc breaks it
+      ("d2", "u5", 5L)).toDF("domain", "canon", "best_chars")
+    val kept = UrlOps.capPerDomain(df, "domain",
+        Seq(col("best_chars").desc, col("canon").asc), cap = 2)
+      .select("canon").as[String].collect().sorted.toSeq
+    assert(kept == Seq("u2", "u4", "u5"))
+  }
+
+  test("capPerDomain plans as a group-limited window (top-k pushdown)") {
+    // needs maxRows > cap: InferWindowGroupLimit skips a limit it can
+    // prove useless from the child's known row bound
+    val df = spark.range(100).selectExpr(
+      "concat('d', id % 3) AS domain", "concat('u', id) AS canon", "id AS best_chars")
+    val plan = UrlOps.capPerDomain(df, "domain",
+        Seq(col("best_chars").desc, col("canon").asc), cap = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+}
