@@ -58,30 +58,59 @@ object OrderStats {
       .withColumn("nv", when(assert_true(col(valueCol).isNotNull,
           lit(s"OrderStats: null in '$valueCol' — null ranking is undefined; " +
             "filter or coalesce before ranking")).isNull, col("nv")))
+    cumSums(hist, valueCol, Seq("nv"), groupCols, buckets)
+      .withColumnRenamed("cum_nv", "cum")
+  }
+
+  /** Generalized scale-safe prefix sums: for a table with ONE ROW PER
+    * DISTINCT (groupCols, value) — a histogram, a CDF step table, any
+    * reduced value-keyed aggregate — compute `cum_<m>` = Σ m over rows
+    * with value′ ≤ value (within the group) for every measure column,
+    * WITHOUT an unbounded unpartitioned window. Same two-level bucket
+    * scheme as the object doc: a ≤`buckets`-row bucket-offset window plus
+    * a bucket-partitioned within-bucket window; exactness is
+    * unconditional. Input rows that violate the one-row-per-value
+    * precondition are reduced by summing measures per value (ties in an
+    * ordered running sum are otherwise ill-defined). Returns
+    * (groupCols…, valueCol, measures…, cum_<m>…), one row per distinct
+    * value. */
+  def cumSums(df: DataFrame, valueCol: String, measureCols: Seq[String],
+      groupCols: Seq[String] = Nil, buckets: Int = 1024): DataFrame = {
+    require(measureCols.nonEmpty, "cumSums needs at least one measure")
+    val g = groupCols.map(col)
+    val mAggs = measureCols.map(m => sum(col(m)).as(m))
+    val dedup = df.groupBy((g :+ col(valueCol)): _*)
+      .agg(mAggs.head, mAggs.tail: _*)
     // monotone range-bucket map: only ORDER of bucket ids vs values
     // matters (cum is exact regardless of how values land in buckets),
     // so the double arithmetic is safe — long→double is monotone
-    val bounds = hist.groupBy(g: _*)
+    val bounds = dedup.groupBy(g: _*)
       .agg(min(col(valueCol)).cast("double").as("__mn"),
         max(col(valueCol)).cast("double").as("__mx"))
     val withB =
-      (if (groupCols.isEmpty) hist.crossJoin(broadcast(bounds))
-       else hist.join(broadcast(bounds), groupCols))
+      (if (groupCols.isEmpty) dedup.crossJoin(broadcast(bounds))
+       else dedup.join(broadcast(bounds), groupCols))
         .withColumn("__bk", least(lit(buckets - 1),
           floor((col(valueCol).cast("double") - col("__mn")) * buckets /
             (col("__mx") - col("__mn") + 1d)).cast("int")))
-    val bucketCum = withB.groupBy((g :+ col("__bk")): _*)
-      .agg(sum(col("nv")).as("__bn"))
-      .withColumn("__boff", sum(col("__bn")).over(
+    val bnAggs = measureCols.map(m => sum(col(m)).as(s"__bn_$m"))
+    val bucketCum = measureCols.foldLeft(
+      withB.groupBy((g :+ col("__bk")): _*).agg(bnAggs.head, bnAggs.tail: _*)
+    ) { (acc, m) =>
+      acc.withColumn(s"__boff_$m", sum(col(s"__bn_$m")).over(
         Window.partitionBy(g: _*).orderBy(col("__bk"))
-          .rowsBetween(Window.unboundedPreceding, 0)) - col("__bn"))
-    withB
-      .join(bucketCum.select((g :+ col("__bk") :+ col("__boff")): _*),
-        groupCols :+ "__bk")
-      .withColumn("cum", col("__boff") + sum(col("nv")).over(
+          .rowsBetween(Window.unboundedPreceding, 0)) - col(s"__bn_$m"))
+    }
+    val joined = withB.join(
+      bucketCum.select((g :+ col("__bk")) ++
+        measureCols.map(m => col(s"__boff_$m")): _*),
+      groupCols :+ "__bk")
+    measureCols.foldLeft(joined) { (acc, m) =>
+      acc.withColumn(s"cum_$m", col(s"__boff_$m") + sum(col(m)).over(
         Window.partitionBy((g :+ col("__bk")): _*).orderBy(col(valueCol))
           .rowsBetween(Window.unboundedPreceding, 0)))
-      .select((g :+ col(valueCol) :+ col("nv") :+ col("cum")): _*)
+    }.select((g :+ col(valueCol)) ++ measureCols.map(col) ++
+      measureCols.map(m => col(s"cum_$m")): _*)
   }
 
   /** Equal-frequency bucket per row — `(rank−1)·parts div n + 1` where

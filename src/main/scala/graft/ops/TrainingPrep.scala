@@ -359,15 +359,17 @@ object TrainingPrep {
     * general, so scoring is a shuffle hash join on the bigram/unigram
     * key (map-side partial counts) — the q58 posture; per-doc
     * re-aggregation keys on the id. The tercile thresholds come from a
-    * VALUE histogram of the integer averages (bounded by score
-    * granularity, not corpus size), so the only unpartitioned window
-    * runs over that reduced histogram — the q71 sketch-window pattern —
-    * and the thresholds re-join as a 1-row broadcast. Docs with fewer
-    * than 2 words carry no evidence and emit no row (the q58/q84/Bpe
-    * domain stance). */
+    * VALUE histogram of the integer averages via OrderStats.cumHistogram
+    * (score granularity bounds the histogram at ≤ unseenBits·10⁶ rows,
+    * but at that size even the histogram's running sum must not funnel
+    * through one task — the bucketed two-level kernel keeps every window
+    * bounded or partitioned), and re-join as a 1-row broadcast. The
+    * histogram is eagerly materialized: it feeds both the total and the
+    * threshold scan, and without the checkpoint each consumer would
+    * replay the whole bigram-join pipeline. Docs with fewer than 2 words
+    * carry no evidence and emit no row (the q58/q84/Bpe domain stance). */
   def lmQualityBuckets(docs: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, unseenBits: Long = 20L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame = df
       .withColumn("__ws", split(col(textCol), " "))
       .filter(size(col("__ws")) >= 2)
@@ -391,10 +393,8 @@ object TrainingPrep {
         sum(col("bits")).as("bits_total"),
         sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"))
       .withColumn("avg_micro", expr("bits_total * 1000000 div n_bigrams"))
-    val hist = perDoc.groupBy(col("avg_micro")).agg(count(lit(1)).as("nv"))
-      .withColumn("cum", sum(col("nv")).over(
-        Window.orderBy(col("avg_micro"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    val hist = OrderStats.cumHistogram(perDoc.select(col("avg_micro")), "avg_micro")
+      .localCheckpoint(true) // eager: total + threshold scan share one run
     val thr = hist
       .crossJoin(broadcast(hist.agg(sum(col("nv")).as("n")))) // 1-row total
       .agg(

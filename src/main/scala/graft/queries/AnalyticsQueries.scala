@@ -504,22 +504,26 @@ object AnalyticsQueries {
     * division cleared — max |c_A·n_B − c_B·n_A| over the merged distinct
     * values, then ONE fixed-point division — so the statistic and its
     * argmax threshold (ties to the smallest value) replay exactly. The
-    * cumulative window runs over DISTINCT observed values (bounded — doc
-    * lengths, not docs); the final argmax is the hash-aggregable kernel. */
+    * CDF running sums ride OrderStats.cumSums over the DISTINCT-value
+    * step table (doc lengths, not docs — but still unbounded enough that
+    * the bucketed kernel, not a single-task window, carries them); the
+    * final argmax is the hash-aggregable kernel. */
   def ksDistance(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.NativeExpressions.argMaxBy
     val flagged = Tables.documents(spark, dir)
       .select(col("n_chars").as("x"),
         when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("in_a"))
     val steps = flagged.groupBy(col("x"))
       .agg(sum(col("in_a")).as("da"), sum(lit(1L) - col("in_a")).as("db"))
-    val tot = steps.agg(sum(col("da")).as("na"), sum(col("db")).as("nb"))
-    val w = Window.orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    steps
-      .withColumn("ca", sum(col("da")).over(w))
-      .withColumn("cb", sum(col("db")).over(w))
+    // the CDF running sums ride the OrderStats bucketed kernel (no
+    // unpartitioned window over the distinct-value table), eagerly
+    // materialized so the totals (= the last cumulative value, since the
+    // CDF is monotone) don't replay the scan
+    val cdf = graft.ops.OrderStats.cumSums(steps, "x", Seq("da", "db"))
+      .withColumnRenamed("cum_da", "ca").withColumnRenamed("cum_db", "cb")
+      .localCheckpoint(true)
+    val tot = cdf.agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+    cdf
       .crossJoin(broadcast(tot))
       .withColumn("dnum", expr(
         "abs(cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na)"))

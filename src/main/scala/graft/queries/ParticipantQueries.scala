@@ -738,10 +738,15 @@ object ParticipantQueries {
     * replays the cumulative binning. */
   def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
     val fx = DirectoryIngest.ensureFixture(spark, dir, modulo = 10)
+    // the bin block is the file's PARENT DIRECTORY read off the path — a
+    // real column (a literal here would constant-fold out of the window's
+    // partition spec and plan a single-task global pack); the fixture
+    // tree is one flat dir, a partitioned warehouse table bins per
+    // partition directory independently
     val files = DirectoryIngest.scan(spark, fx)
       .select(
         regexp_extract(col("path"), "([0-9]+)\\.txt$", 1).cast("long").as("id"),
-        lit("fixture").as("dir"),
+        regexp_extract(col("path"), "^(.*)/[^/]*$", 1).as("dir"),
         col("length").as("n_bytes"))
     graft.ops.TrainingPrep.packByTokens(files, "dir", "id", "n_bytes",
         budget = 4096L)

@@ -48,6 +48,33 @@ class OrderStatsSpec extends SparkSpec {
       ("b", -2L, 3L, 3L), ("b", 7L, 1L, 4L)))
   }
 
+  test("cumSums matches the naive running sums for several measures at once") {
+    val rnd = new Random(139)
+    for (_ <- 1 to 25) {
+      val vs = trialValues(rnd)
+      val buckets = 1 + rnd.nextInt(8)
+      // one row per distinct v with two measures (the ksDistance shape)
+      val df = vs.toDF("v").groupBy($"v")
+        .agg(count(lit(1)).as("da"), sum(when($"v" % 2 === 0, 2L).otherwise(5L)).as("db"))
+      val got = OrderStats.cumSums(df, "v", Seq("da", "db"), buckets = buckets)
+        .select("v", "da", "db", "cum_da", "cum_db")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      val w = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
+      val naive = df
+        .withColumn("cum_da", sum($"da").over(w))
+        .withColumn("cum_db", sum($"db").over(w))
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq == naive.toSeq, s"buckets=$buckets vs=$vs")
+    }
+  }
+
+  test("cumSums reduces duplicate value rows by summing their measures") {
+    val df = Seq((3L, 1L), (3L, 10L), (1L, 4L), (2L, 2L)).toDF("v", "m")
+    val got = OrderStats.cumSums(df, "v", Seq("m"))
+      .select("v", "m", "cum_m").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 4L), (2L, 2L, 6L), (3L, 11L, 17L)))
+  }
+
   test("rankBucket matches the naive tie-broken equal-frequency bucket") {
     val rnd = new Random(141)
     for (trial <- 1 to 40) {
