@@ -75,7 +75,7 @@ object ScaleProbe {
     * ids offset; vectors rotated by the copy ordinal (same norm/angle
     * distribution, genuinely distinct vectors). */
   private def ensureCorpus(spark: SparkSession, sfDir: String, copies: Int): String = {
-    val out = s"/tmp/graft_scale/${new File(sfDir).getName}-x$copies"
+    val out = s"/tmp/graft_scale/${graft.sources.Tables.dirCacheKey(sfDir)}-x$copies"
     val marker = new File(s"$out/_COMPLETE")
     if (!marker.exists()) {
       new File(out).mkdirs()

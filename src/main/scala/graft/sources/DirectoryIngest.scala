@@ -70,7 +70,9 @@ object DirectoryIngest {
     * via a marker file; content is a pure function of the table, so
     * re-generation is safe. */
   def ensureFixture(spark: SparkSession, sfDir: String, modulo: Int = 10): String = {
-    val name = new java.io.File(sfDir).getName
+    // full-canonical-path key (Tables.dirCacheKey): two corpora sharing a
+    // basename must not share a fixture (the Warc.ensureFixture fix)
+    val name = Tables.dirCacheKey(sfDir)
     val out = java.nio.file.Paths.get(s"/tmp/graft_ingest_fixture/$name-m$modulo")
     val marker = out.resolve("_COMPLETE")
     if (!java.nio.file.Files.exists(marker)) {
@@ -99,7 +101,7 @@ object DirectoryIngest {
     * `!error` records instead of failing the job. Same foreachPartition
     * writer + idempotency marker as the txt fixture. */
   def ensureBinaryFixture(spark: SparkSession, sfDir: String, modulo: Int = 7): String = {
-    val name = new java.io.File(sfDir).getName
+    val name = Tables.dirCacheKey(sfDir)
     val out = java.nio.file.Paths.get(s"/tmp/graft_ingest_fixture/$name-bin-m$modulo")
     val marker = out.resolve("_COMPLETE")
     if (!java.nio.file.Files.exists(marker)) {
@@ -134,7 +136,7 @@ object DirectoryIngest {
     * `!error = bad-zip` instead of failing the job. Same foreachPartition
     * writer + idempotency marker as the other fixtures. */
   def ensureZipFixture(spark: SparkSession, sfDir: String, modulo: Int = 11): String = {
-    val name = new java.io.File(sfDir).getName
+    val name = Tables.dirCacheKey(sfDir)
     val out = java.nio.file.Paths.get(s"/tmp/graft_ingest_fixture/$name-zip-m$modulo")
     val marker = out.resolve("_COMPLETE")
     if (!java.nio.file.Files.exists(marker)) {
@@ -178,7 +180,7 @@ object DirectoryIngest {
     * foreachPartition writer + idempotency marker as the other
     * fixtures. */
   def ensurePdfFixture(spark: SparkSession, sfDir: String, modulo: Int = 13): String = {
-    val name = new java.io.File(sfDir).getName
+    val name = Tables.dirCacheKey(sfDir)
     val out = java.nio.file.Paths.get(s"/tmp/graft_ingest_fixture/$name-pdf-m$modulo")
     val marker = out.resolve("_COMPLETE")
     if (!java.nio.file.Files.exists(marker)) {
