@@ -67,7 +67,10 @@ object ScaleProbe {
     "q153_substring_dedup",
     // round-9 tail: hard negatives (broadcast probes), margin
     // calibration (NB-train-bound), snapshot churn (one full-outer join)
-    "q154_hard_negatives", "q155_classifier_calibration", "q156_crawl_churn")
+    "q154_hard_negatives", "q155_classifier_calibration", "q156_crawl_churn",
+    // round-9: URL-level crawl curation — map-only canonicalization into
+    // a hash-agg collapse and a WindowGroupLimit per-domain cap
+    "q157_url_curation")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -429,6 +429,76 @@ object Streaming {
       checkpointDir)
   }
 
+  /** Streaming CRAWL FRONTIER — the seen-URL gate every continuous
+    * crawler runs ahead of fetch scheduling (the URL-level companion of
+    * [[incrementalDedupSink]]'s content-level gate; reference
+    * correspondence: the ingest key IS the source URI,
+    * KafkaIntelligencePipeline.kt:304-341, and the reference's directory
+    * re-walk only re-ingests paths it hasn't registered): every
+    * micro-batch of candidate URLs is CANONICALIZED
+    * ([[graft.ops.UrlOps.canonicalizeUrl]] — so two surface forms of one
+    * page cannot enter the frontier twice), collapsed to distinct
+    * canonical forms within the batch, anti-joined against the DURABLE
+    * seen-URL index, and only the genuinely NEW pages land under
+    * `frontierDir` (canon, domain, n_in_batch) — the fetchable frontier.
+    * The new pages' identities then extend the index so later batches
+    * see them.
+    *
+    * The index carries 16 B/URL — a 128-bit identity from two
+    * independently-salted xxhash64s of the canonical form, NEVER the URL
+    * string (at crawl scale the frontier index is billions of rows; a
+    * single 64-bit key would birthday-collide around 2³² URLs and
+    * silently drop the colliding page forever, while 128 bits is
+    * collision-free for any real crawl). Crash-replay defense is the
+    * PARAGRAPH sink's, by PARTITION, not by id: identities here are
+    * content-derived, so a RE-CRAWLED url in a later batch shares its
+    * identity with the index row that must gate it — an id anti-join
+    * (the signature sinks' defense) would strip exactly that evidence.
+    * Instead each batch writes `batch_run=<id>` overwrite partitions and
+    * the index read excludes the CURRENT batch's partition, so a crash
+    * after the index write still reproduces the original frontier.
+    * Consequently NOT [[compactIndex]]-compatible (folding partitions
+    * would defeat the defense — the hash columns are deliberately not
+    * named `id` so its fail-fast refuses); compact only after a clean
+    * stop with the checkpoint committed past every written partition. */
+  def urlFrontierSink(urls: DataFrame, urlCol: String, indexDir: String,
+      frontierDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    import graft.ops.UrlOps
+    val writer = urls.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // one canonicalization pass; eager — feeds probe AND index append
+        val bcanon = batch
+          .select(UrlOps.canonicalizeUrl(col(urlCol)).as("canon"))
+          .groupBy(col("canon")).agg(count(lit(1)).as("n_in_batch"))
+          .select(col("canon"), col("n_in_batch"),
+            xxhash64(col("canon")).as("h1"),
+            xxhash64(col("canon"), lit(1)).as("h2"),
+            UrlOps.registrableDomain(UrlOps.urlHost(col("canon"))).as("domain"))
+          .localCheckpoint(true)
+        val seen = scala.util.Try(spark.read.parquet(indexDir)).toOption
+          // partition-scoped replay defense: a crashed-before-checkpoint
+          // batch already wrote its own partition — exclude it (partition
+          // pruning, not a scan filter), never anti-join by identity: a
+          // re-crawled url SHARES its identity with the row gating it
+          .map(_.filter(col("batch_run") =!= batchId).select(col("h1"), col("h2")))
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            bcanon.select(col("h1"), col("h2")).schema))
+        // only the NEW pages extend the index: a re-crawled URL (the
+        // common case in a steady-state crawl) must not regrow the index
+        // with a duplicate identity every time it reappears
+        val fresh = bcanon.join(seen, Seq("h1", "h2"), "left_anti")
+          .localCheckpoint(true)
+        fresh.select(col("canon"), col("domain"), col("n_in_batch"))
+          .write.mode("overwrite").parquet(s"$frontierDir/batch_run=$batchId")
+        fresh.select(col("h1"), col("h2"))
+          .write.mode("overwrite").parquet(s"$indexDir/batch_run=$batchId")
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   /** Continuous incremental IMAGE near-dup maintenance — the
     * [[incrementalDedupSink]] chassis applied to the aHash modality
     * (q110's daily-crawl form, mirroring q81's text index): every

@@ -658,6 +658,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("url frontier sink: canonical collapse in-batch, durable seen gate across batches, 16B index rows") {
+    // the crawl-frontier production loop: surface-form variants of one
+    // page must collapse BEFORE the gate, a re-crawled page must not
+    // re-enter the frontier, and the durable index must carry hash
+    // identities only — never URL strings
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+    val input = MemoryStream[String]
+    val q = Streaming.urlFrontierSink(
+      input.toDF().toDF("url"), "url", s"$root/index", s"$root/frontier")
+    try {
+      // trigger 1: page A under four surface forms + page B
+      input.addData(
+        "HTTP://WWW.SiteA.COM:80/page/1/?b=2&a=1",
+        "http://sitea.com/page/1?a=1&b=2#frag",
+        "http://www.sitea.com/page/1?utm_source=f&b=2&a=1",
+        "http://sitea.com:80/page/1/?b=2&a=1",
+        "https://siteb.org/x")
+      q.processAllAvailable()
+      val f1 = spark.read.parquet(s"$root/frontier")
+        .select("canon", "domain", "n_in_batch")
+        .as[(String, String, Long)].collect().sortBy(_._1)
+      assert(f1.toSeq == Seq(
+        ("http://sitea.com/page/1?a=1&b=2", "sitea.com", 4L),
+        ("https://siteb.org/x", "siteb.org", 1L)), f1.toSeq.toString)
+      // trigger 2: A re-crawled under yet another form, B again, new C
+      input.addData(
+        "http://SITEA.com/page/1?b=2&a=1&utm_campaign=x",
+        "https://siteb.org/x",
+        "https://sitec.net/y?k=v")
+      q.processAllAvailable()
+      val f2 = spark.read.parquet(s"$root/frontier")
+        .select("canon").as[String].collect().sorted
+      assert(f2.toSeq == Seq("http://sitea.com/page/1?a=1&b=2",
+        "https://siteb.org/x", "https://sitec.net/y?k=v"),
+        s"re-crawled pages leaked into the frontier: ${f2.toSeq}")
+      // the index: one 128-bit identity per distinct page, no strings —
+      // and deliberately NOT named `id`: this index defends replay by
+      // partition, and compactIndex's id-guard must refuse to fold it
+      val idx = spark.read.parquet(s"$root/index")
+      assert(idx.columns.filterNot(_ == "batch_run").sorted.toSeq == Seq("h1", "h2"),
+        idx.columns.toSeq.toString)
+      assert(idx.count() == 3 &&
+        idx.select("h1", "h2").distinct().count() == 3)
+      intercept[IllegalArgumentException] {
+        Streaming.compactIndex(spark, s"$root/index")
+      }
+    } finally q.stop()
+  }
+
   test("incremental dedup sink: checkpointed restart extends the index without reprocessing") {
     // the durable-index analog of the fold's crash-recovery guarantee: a
     // stopped sink restarted from its checkpoint must (a) NOT reprocess
