@@ -70,7 +70,10 @@ object ScaleProbe {
     "q154_hard_negatives", "q155_classifier_calibration", "q156_crawl_churn",
     // round-9: URL-level crawl curation — map-only canonicalization into
     // a hash-agg collapse and a WindowGroupLimit per-domain cap
-    "q157_url_curation")
+    "q157_url_curation",
+    // round-9: training-order shuffle manifest — one exchange on the
+    // shard hash, shard-partitioned rank
+    "q158_training_shuffle")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -40,6 +40,19 @@ object TrainingPrep {
       .drop("cum")
   }
 
+  /** Seeded deterministic training-order shuffle key: h =
+    * portableHash60(seed ‖ ':' ‖ key). The full shuffle convention is
+    * shard = h mod S, within-shard order = (h, key) — a reproducible
+    * global permutation computed with ONE exchange (the shard hash
+    * partition) and a SHARD-partitioned rank window; no global sort, no
+    * driver state. Changing the seed re-deals the entire permutation
+    * (per-epoch reshuffles), while any slice of it replays bit-for-bit
+    * on any cluster layout — the property a 100 TB training run needs
+    * from its data order (resume mid-epoch, re-materialize one lost
+    * shard, audit what batch k contained). */
+  def shuffleHash(key: Column, seed: String): Column =
+    TextFunctions.portableHash60(concat(lit(seed), lit(":"), key.cast("string")))
+
   /** Scrub numeric tokens (the offline stand-in for PII redaction —
     * emails/phones/SSNs are digit-bearing patterns; the synthetic corpus
     * has plain numbers). Global regexp_replace, no UDF. */

@@ -129,6 +129,51 @@ object PrepQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Q158 — deterministic TRAINING-ORDER SHUFFLE manifest: the last step
+    * before a pretraining run writes its shards is a seeded global
+    * permutation of the curated corpus (epoch order must be random-like
+    * but REPRODUCIBLE — resume mid-epoch, re-materialize one lost shard,
+    * audit what batch k contained). Convention ([[TrainingPrep
+    * .shuffleHash]]): h = hash(seed‖':'‖doc_id), shard = h mod 16,
+    * position = rank of (h, doc_id) within the shard. ONE exchange (the
+    * shard partition) + a shard-partitioned rank window; no global sort
+    * anywhere. The manifest census pins the ENTIRE permutation, not just
+    * shard sizes: order_sum = Σ position·(doc_id mod 1000003) is
+    * order-sensitive (any transposition changes it), and first_doc pins
+    * each shard's head. 16 bounded rows out; the oracle replays hash,
+    * deal, and rank exactly. */
+  def trainingShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 16
+    val dealt = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        TrainingPrep.shuffleHash(col("doc_id"), "epoch1").as("h"))
+      .withColumn("shard", pmod(col("h"), lit(S)).cast("int"))
+    val positioned = dealt.withColumn("pos", row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))).cast("long"))
+    positioned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("pos") * pmod(col("doc_id"), lit(1000003L))).as("order_sum"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"))
+      .orderBy(col("shard"))
+  }
+
+  val trainingShuffleSql: String =
+    """WITH dealt AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(('0x' || substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |positioned AS (
+      |  SELECT doc_id, n_chars, CAST(h % 16 AS INTEGER) AS shard,
+      |    CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+      |  FROM dealt)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS order_sum,
+      |  MIN_BY(doc_id, pos) AS first_doc
+      |FROM positioned GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Q36 — token-budget packing (2048-token packs) per source block:
     * pack_id from the cumulative token stream in stable doc order. */
   def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
@@ -587,6 +632,7 @@ object PrepQueries {
     QueryDef("q88_bloom_decontam", bloomDecontamination, Some(bloomDecontaminationSql)),
     QueryDef("q72_span_scrub", spanScrub, Some(spanScrubSql)),
     QueryDef("q35_dataset_split", datasetSplit, Some(datasetSplitSql)),
+    QueryDef("q158_training_shuffle", trainingShuffle, Some(trainingShuffleSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
     QueryDef("q100_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
     QueryDef("q37_scrub", scrub, Some(scrubSql)),
