@@ -49,22 +49,26 @@ object UrlOps {
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
   /** Canonical host: lowercased, default port stripped (scheme-aware),
-    * one leading `www.` label removed. "" for scheme-less input. */
+    * leading `www.` labels removed — ALL of them, not one: the canonical
+    * form must be a FIXED POINT of canonicalization (idempotence,
+    * property-pinned in UrlOpsSpec), or an index keyed on canonical
+    * forms would merge a re-fed key differently than the original.
+    * "" for scheme-less input. */
   def urlHost(url: Column): Column = {
     val raw = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val scheme = urlScheme(url)
     val noPort = when(scheme === "http", regexp_replace(raw, ":80$", ""))
       .when(scheme === "https", regexp_replace(raw, ":443$", ""))
       .otherwise(raw)
-    regexp_replace(noPort, "^www\\.", "")
+    regexp_replace(noPort, "^(www\\.)+", "")
   }
 
-  /** Canonical path: fragment-and-query-free, "" → "/", one trailing
-    * slash stripped off non-root paths. */
+  /** Canonical path: fragment-and-query-free, ALL trailing slashes
+    * stripped (one would break idempotence on `/a//`), "" → "/". */
   def urlPath(url: Column): Column = {
     val p = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    when(p === "" || p === "/", lit("/"))
-      .otherwise(regexp_replace(p, "/$", ""))
+    val stripped = regexp_replace(p, "/+$", "")
+    when(stripped === "", lit("/")).otherwise(stripped)
   }
 
   /** Canonical query string: fragment dropped, empty and `utm_*` params

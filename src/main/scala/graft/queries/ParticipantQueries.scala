@@ -850,10 +850,10 @@ object ParticipantQueries {
       |    regexp_replace(
       |      CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
       |           WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
-      |           ELSE rawhost END, '^www\.', '') AS host,
+      |           ELSE rawhost END, '^(www\.)+', '') AS host,
       |    scheme,
-      |    CASE WHEN rawpath IN ('', '/') THEN '/'
-      |         ELSE regexp_replace(rawpath, '/$', '') END AS path,
+      |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+      |         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
       |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
       |      p -> len(p) > 0 AND p NOT LIKE 'utm_%')), '&') AS q
       |  FROM parts),

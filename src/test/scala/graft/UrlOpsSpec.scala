@@ -33,17 +33,37 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("https://a.com:443/x") == "https://a.com/x")
     assert(canon("https://a.com:80/x") == "https://a.com:80/x")
     assert(canon("http://a.com/x") != canon("https://a.com/x"))
-    // path identity: root vs empty merge, deeper trailing slash strips once
+    // path identity: root vs empty merge, trailing slashes strip fully
     assert(canon("http://a.com") == "http://a.com/")
     assert(canon("http://a.com/") == "http://a.com/")
-    // only a LEADING www. label strips
-    assert(canon("http://www.www.a.com/x") == "http://www.a.com/x")
+    assert(canon("http://a.com///") == "http://a.com/")
+    assert(canon("http://a.com/x//") == "http://a.com/x")
+    // leading www. labels strip (ALL of them — idempotence), but only
+    // when they are the label prefix
+    assert(canon("http://www.www.a.com/x") == "http://a.com/x")
     assert(canon("http://notwww.a.com/x") == "http://notwww.a.com/x")
     // params: all-utm query drops the '?' entirely; empty params vanish
     assert(canon("http://a.com/x?utm_source=f") == "http://a.com/x")
     assert(canon("http://a.com/x?&&a=1&") == "http://a.com/x?a=1")
     // scheme-less garbage still gets a deterministic identity
     assert(canon("Not A URL") == "not a url")
+  }
+
+  test("canonicalization is IDEMPOTENT: every canonical form is a fixed point") {
+    // an identity key that is not a projection re-merges differently when
+    // a canonical form is fed back (a frontier index does exactly that)
+    val inputs = Seq(
+      "HTTP://WWW.Crawl.Site3.COM:80/page/9/?b=2&a=1",
+      "http://www.www.a.com/x//", "http://a.com///?utm_source=f",
+      "https://a.com:443/x/?&&b=2&a=1#frag", "http://a.com:8080/x",
+      "Not A URL", "http://", "ftp://Weird.Host:21/p/",
+      "http://www./x", "https://b.org/?utm_a=1&utm_b=2",
+      "http://a.com/x?a=1&a=1&b=", "   ", "?only=query", "//proto-relative")
+    val df = inputs.toDF("u")
+      .select(UrlOps.canonicalizeUrl(col("u")).as("c1"))
+      .select(col("c1"), UrlOps.canonicalizeUrl(col("c1")).as("c2"))
+    val bad = df.filter(col("c1") =!= col("c2")).collect()
+    assert(bad.isEmpty, s"non-fixed-points: ${bad.mkString(", ")}")
   }
 
   test("registrable domain is the last two labels, host when dot-free") {
