@@ -73,7 +73,10 @@ object ScaleProbe {
     "q157_url_curation",
     // round-9: training-order shuffle manifest — one exchange on the
     // shard hash, shard-partitioned rank
-    "q158_training_shuffle")
+    "q158_training_shuffle",
+    // round-9: domain-level curation verdict — one hash agg over the
+    // corpus into a bounded domain census
+    "q159_domain_curation")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -886,6 +886,77 @@ object ParticipantQueries {
       |FROM census JOIN kept_agg USING (domain)
       |ORDER BY domain""".stripMargin
 
+  /** Q159 — DOMAIN-level curation verdict (RefinedWeb §3.1's
+    * domain-level filtering, the aggregate companion of q157's URL-level
+    * pass): real pipelines drop WHOLE domains — spam farms, mirror
+    * hosts, boilerplate mills — from aggregate signals before touching
+    * individual documents, because a domain verdict costs one bounded
+    * census row while a doc verdict costs a scan per epoch. Signals per
+    * registrable domain: URL-duplication rate (mirror/alias density —
+    * the synthesis assigns each site a duplication factor g = 1+site%4,
+    * so the 37 domains exercise four distinct dup regimes) and mean
+    * heuristic quality (q17's kernel, exact integer micro-mean). Verdict
+    * thresholds: dup ≥ 700000µ → drop (alias farms), ≥ 600000µ →
+    * review, else keep. One hash aggregation over the corpus (domain is
+    * derived map-side by the q157 column algebra); 37 rows out. */
+  def domainCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlOps
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, dir)
+    // integer algebra only (expr's div): Column./ is double division
+    val site = expr("(doc_id div 100) % 37")
+    val page = expr("(doc_id % 100) div (((doc_id div 100) % 37) % 4 + 1)")
+    val url = concat(lit("http://site"), site.cast("string"), lit(".com/p/"),
+      page.cast("string"))
+    val perDoc = docs.select(
+      UrlOps.canonicalizeUrl(url).as("canon"),
+      UrlOps.registrableDomain(UrlOps.urlHost(url)).as("domain"),
+      round(TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
+        .cast("long").as("q_micro"))
+    perDoc.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_pages"),
+        expr("sum(q_micro) div count(1)").as("quality_micro"))
+      .withColumn("dup_micro",
+        expr("(n_docs - n_pages) * 1000000 div n_docs"))
+      .withColumn("verdict",
+        when(col("dup_micro") >= 700000L, "drop")
+          .when(col("dup_micro") >= 600000L, "review")
+          .otherwise("keep"))
+      .select(col("domain"), col("n_docs"), col("n_pages"),
+        col("dup_micro"), col("quality_micro"), col("verdict"))
+      .orderBy(col("domain"))
+  }
+
+  val domainCurationSql: String =
+    """WITH per_doc AS (
+      |  SELECT
+      |    'site' || CAST((doc_id // 100) % 37 AS VARCHAR) || '.com' AS domain,
+      |    'http://site' || CAST((doc_id // 100) % 37 AS VARCHAR) || '.com/p/'
+      |      || CAST((doc_id % 100) // (((doc_id // 100) % 37) % 4 + 1) AS VARCHAR) AS canon,
+      |    CAST(round((0.3 * least(1.0, n / 50)
+      |        + 0.3 * (nd / n)
+      |        + 0.2 * (1.0 - dig / n)
+      |        + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS q_micro
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+      |      CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE) AS dig
+      |    FROM documents)),
+      |census AS (
+      |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_pages,
+      |    CAST(SUM(q_micro) // COUNT(*) AS BIGINT) AS quality_micro
+      |  FROM per_doc GROUP BY domain)
+      |SELECT domain, n_docs, n_pages,
+      |  CAST((n_docs - n_pages) * 1000000 // n_docs AS BIGINT) AS dup_micro,
+      |  quality_micro,
+      |  CASE WHEN (n_docs - n_pages) * 1000000 // n_docs >= 700000 THEN 'drop'
+      |       WHEN (n_docs - n_pages) * 1000000 // n_docs >= 600000 THEN 'review'
+      |       ELSE 'keep' END AS verdict
+      |FROM census ORDER BY domain""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q102_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     QueryDef("q91_ner_trained", nerTrained, Some(nerTrainedSql)),
@@ -895,6 +966,7 @@ object ParticipantQueries {
     QueryDef("q151_crawl_curation", crawlCuration, Some(crawlCurationSql)),
     QueryDef("q156_crawl_churn", crawlChurn, Some(crawlChurnSql)),
     QueryDef("q157_url_curation", urlCuration, Some(urlCurationSql)),
+    QueryDef("q159_domain_curation", domainCuration, Some(domainCurationSql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
     QueryDef("q31b_dual_renditions", dualRenditions, Some(dualRenditionsSql)),
