@@ -499,6 +499,26 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** [[urlFrontierSink]] fed from the CRAWL itself — the discovery loop
+    * a continuous crawler closes: newly-landed WARC segments' response
+    * records carry the pages just fetched (WARC-Target-URI, ISO 28500
+    * §5.12); canonicalizing THOSE into the frontier index means the next
+    * crawl list is gated against everything any earlier segment already
+    * fetched, under any surface form. Corrupt records isolate upstream
+    * (error != null rows never reach the gate — the A19 posture), and
+    * records without a target URI (warcinfo has none) are dropped before
+    * canonicalization rather than minted a garbage identity. */
+  def crawlFrontierSink(spark: SparkSession, crawlDir: String, indexDir: String,
+      frontierDir: String, glob: String = "*.warc*",
+      warcTypes: Seq[String] = Seq("response"),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val urls = graft.sources.Warc.scanStream(spark, crawlDir, glob).toDF()
+      .filter(col("error").isNull && col("warc_type").isin(warcTypes: _*) &&
+        col("target_uri").isNotNull && col("target_uri") =!= "")
+      .select(col("target_uri").as("url"))
+    urlFrontierSink(urls, "url", indexDir, frontierDir, checkpointDir)
+  }
+
   /** Continuous incremental IMAGE near-dup maintenance — the
     * [[incrementalDedupSink]] chassis applied to the aHash modality
     * (q110's daily-crawl form, mirroring q81's text index): every

@@ -708,6 +708,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crawl frontier sink: WARC target URIs gate the frontier across segments and restarts") {
+    // the discovery loop closed: segment 1's fetched pages (one under two
+    // alias surface forms, plus a warcinfo and a corrupt record that must
+    // mint NO identity) seed the index; after a checkpointed restart,
+    // segment 2's re-crawl of the same page under a third form must stay
+    // out of the frontier while the genuinely new page enters
+    val root = java.nio.file.Files.createTempDirectory("graft_crawl_frontier").toString
+    val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
+    def rec(id: Long, uri: String, wtype: String = "response",
+        version: String = "WARC/1.0"): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.Warc.writeRecord(bos, wtype, s"<urn:crawl:$id>",
+        uri, "2026-01-01T00:00:00Z", "text/plain",
+        s"payload $id".getBytes("UTF-8"), version)
+      bos.toByteArray
+    }
+    def seg(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(crawl, name), bytes)
+    def start() = Streaming.crawlFrontierSink(spark, crawl,
+      s"$root/index", s"$root/frontier", checkpointDir = Some(s"$root/ckpt"))
+
+    seg("seg0.warc",
+      rec(0L, "", wtype = "warcinfo") ++
+      rec(1L, "HTTP://WWW.PageA.COM:80/x/?b=2&a=1") ++
+      rec(2L, "http://pagea.com/x?a=1&b=2#frag") ++      // alias of 1
+      rec(66L, "http://corrupt.example/", version = "WARC/9.9") ++
+      rec(3L, "https://pageb.org/y"))
+    val q1 = start()
+    q1.processAllAvailable()
+    val f1 = spark.read.parquet(s"$root/frontier")
+      .select("canon").as[String].collect().sorted
+    assert(f1.toSeq == Seq("http://pagea.com/x?a=1&b=2", "https://pageb.org/y"),
+      s"segment 1 frontier: ${f1.toSeq}")
+    q1.stop() // crash point: offsets live only in the checkpoint
+
+    seg("seg1.warc",
+      rec(4L, "http://PAGEA.com/x/?utm_source=f&b=2&a=1") ++ // re-crawl of 1
+      rec(5L, "https://pagec.net/z"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val f2 = spark.read.parquet(s"$root/frontier")
+        .select("canon").as[String].collect().sorted
+      assert(f2.toSeq == Seq("http://pagea.com/x?a=1&b=2",
+        "https://pageb.org/y", "https://pagec.net/z"),
+        s"re-crawled page leaked (or restart reprocessed seg0): ${f2.toSeq}")
+      // warcinfo + corrupt records never minted identities
+      assert(spark.read.parquet(s"$root/index").count() == 3)
+    } finally q2.stop()
+  }
+
   test("incremental dedup sink: checkpointed restart extends the index without reprocessing") {
     // the durable-index analog of the fold's crash-recovery guarantee: a
     // stopped sink restarted from its checkpoint must (a) NOT reprocess
