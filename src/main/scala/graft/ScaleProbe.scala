@@ -76,7 +76,10 @@ object ScaleProbe {
     "q158_training_shuffle",
     // round-9: domain-level curation verdict — one hash agg over the
     // corpus into a bounded domain census
-    "q159_domain_curation")
+    "q159_domain_curation",
+    // round-9: per-doc curation decision log — q100's chain with the
+    // verdicts emitted instead of aggregated (output is corpus-sized)
+    "q160_curation_log")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -246,6 +246,132 @@ object PrepQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Q160 — per-document curation DECISION LOG, the audit companion of
+    * q100's census (Dolma ships exactly this as its "attributes" files:
+    * for every input document, WHY it survived or died — the artifact
+    * that makes a 100 TB curation run explainable, reproducible, and
+    * appealable). Same stages as [[curationChain]], same public
+    * operators, but the per-doc verdicts are EMITTED instead of
+    * aggregated: `exact_dup` (with the canonical winner's id — the doc a
+    * deduped query should be attributed to), `no_evidence` (the cleaned
+    * text left <2 words, so the LM gate had nothing to judge),
+    * `low_quality` (tercile 3), or `kept` (with its quality bucket).
+    * Every input doc appears EXACTLY once — the union of the stages
+    * partitions the corpus, which the oracle verifies by construction.
+    * The synthetic corpus has no byte-identical texts, so the exact_dup
+    * verdict is exercised by PLANTING a re-ingested replica shard
+    * (doc_id % 50 == 0 re-registered at doc_id + 10⁶ with identical
+    * text — the double-delivered-shard incident the log exists to
+    * explain; the replicas must attribute to their ORIGINAL ids). */
+  def curationLog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+    val docs = base.select(col("doc_id"), col("text")).unionByName(
+      base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val ranked = docs.select(col("doc_id"), col("text"),
+      min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text").cast("binary")))).as("canon_doc"))
+    val exact = ranked.filter(col("doc_id") =!= col("canon_doc"))
+      .select(col("doc_id"), lit("exact_dup").as("verdict"), col("canon_doc"),
+        lit(-1).as("bucket"))
+    val uniq = ranked.filter(col("doc_id") === col("canon_doc"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val paras = uniq
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(ws)/7.0) as int) - 1)," +
+          " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
+    val cleanedDocs = graft.ops.Dedup.paragraphDedup(paras)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .localCheckpoint(true) // consumers: LM gate (docs + ref) + no-evidence anti-join
+    val buckets = TrainingPrep.lmQualityBuckets(
+      cleanedDocs, cleanedDocs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val judged = buckets.select(col("doc_id"),
+      when(col("bucket") <= 2, "kept").otherwise("low_quality").as("verdict"),
+      col("doc_id").as("canon_doc"), col("bucket"))
+    val noEvidence = cleanedDocs
+      .join(buckets.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("no_evidence").as("verdict"),
+        col("doc_id").as("canon_doc"), lit(-1).as("bucket"))
+    exact.unionByName(judged).unionByName(noEvidence)
+      .select(col("doc_id"), col("verdict"), col("canon_doc"),
+        col("bucket").cast("int").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationLogSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0),
+      |ranked AS (
+      |  SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS canon_doc
+      |  FROM corpus),
+      |exact AS (
+      |  SELECT doc_id, 'exact_dup' AS verdict, canon_doc, -1 AS bucket
+      |  FROM ranked WHERE doc_id != canon_doc),
+      |uniq AS (SELECT doc_id, text FROM ranked WHERE doc_id = canon_doc),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM uniq),
+      |p AS (
+      |  SELECT doc_id, t.i AS idx,
+      |    array_to_string(ws[(t.i*7)+1:(t.i+1)*7], ' ') AS para
+      |  FROM w, UNNEST(range(0, CAST(ceil(len(ws)/7.0) AS BIGINT))) AS t(i)),
+      |f AS (
+      |  SELECT doc_id, idx, para,
+      |    row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1 AS is_first
+      |  FROM p),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |    COALESCE(array_to_string(list_transform(
+      |      list_sort(list({'idx': idx, 'para': para}) FILTER (is_first)),
+      |      s -> s.para), ' '), '') AS text
+      |  FROM f GROUP BY doc_id),
+      |base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM cleaned),
+      |refuni AS (
+      |  SELECT w1, COUNT(*) AS c1
+      |  FROM (SELECT unnest(ws) AS w1 FROM base WHERE doc_id % 3 = 0) GROUP BY 1),
+      |refbg AS (
+      |  SELECT bg, COUNT(*) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |    FROM base WHERE doc_id % 3 = 0 AND len(ws) >= 2) GROUP BY 1),
+      |allbg AS (
+      |  SELECT doc_id, t.w1, t.w1 || ' ' || t.w2 AS bg FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS t
+      |    FROM base WHERE len(ws) >= 2)),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN c12 IS NULL THEN 20
+      |             ELSE length(bin(c1)) - length(bin(c12)) END) AS BIGINT) AS bits_total
+      |  FROM allbg LEFT JOIN refbg USING (bg) LEFT JOIN refuni USING (w1)
+      |  GROUP BY doc_id),
+      |avgd AS (SELECT doc_id, (bits_total * 1000000) // n_bigrams AS avg_micro FROM perdoc),
+      |hist AS (SELECT avg_micro, COUNT(*) AS nv FROM avgd GROUP BY 1),
+      |cumh AS (SELECT avg_micro, SUM(nv) OVER (ORDER BY avg_micro) AS cum FROM hist),
+      |tot AS (SELECT COUNT(*) AS n FROM avgd),
+      |thr AS (
+      |  SELECT MIN(CASE WHEN cum * 3 >= n THEN avg_micro END) AS t1,
+      |    MIN(CASE WHEN cum * 3 >= n * 2 THEN avg_micro END) AS t2
+      |  FROM cumh, tot),
+      |judged AS (
+      |  SELECT a.doc_id,
+      |    CASE WHEN a.avg_micro <= t.t1 THEN 'kept'
+      |         WHEN a.avg_micro <= t.t2 THEN 'kept'
+      |         ELSE 'low_quality' END AS verdict,
+      |    a.doc_id AS canon_doc,
+      |    CASE WHEN a.avg_micro <= t.t1 THEN 1 WHEN a.avg_micro <= t.t2 THEN 2
+      |         ELSE 3 END AS bucket
+      |  FROM avgd a, thr t),
+      |noev AS (
+      |  SELECT c.doc_id, 'no_evidence' AS verdict, c.doc_id AS canon_doc, -1 AS bucket
+      |  FROM cleaned c LEFT JOIN avgd a USING (doc_id) WHERE a.doc_id IS NULL)
+      |SELECT doc_id, verdict, canon_doc, CAST(bucket AS INTEGER) AS bucket FROM exact
+      |UNION ALL SELECT doc_id, verdict, canon_doc, CAST(bucket AS INTEGER) FROM judged
+      |UNION ALL SELECT doc_id, verdict, canon_doc, CAST(bucket AS INTEGER) FROM noev
+      |ORDER BY doc_id""".stripMargin
+
   val curationPipelineSql: String =
     """WITH uniq AS (
       |  SELECT doc_id, source, text FROM (
@@ -635,6 +761,7 @@ object PrepQueries {
     QueryDef("q158_training_shuffle", trainingShuffle, Some(trainingShuffleSql)),
     QueryDef("q36_token_packing", tokenPacking, Some(tokenPackingSql)),
     QueryDef("q100_curation_pipeline", curationPipeline, Some(curationPipelineSql)),
+    QueryDef("q160_curation_log", curationLog, Some(curationLogSql)),
     QueryDef("q37_scrub", scrub, Some(scrubSql)),
     QueryDef("q152_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q38_curation", curation, Some(curationSql)),
