@@ -74,6 +74,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => NativeExpressions.WavQcStats(
         args.head, intArg(args(1), "clipAbs"), intArg(args(2), "silenceAbs")),
       "graft_wav_qc(binary, clipAbs, silenceAbs) - clipping/dead-air/energy QC stats"),
+    // the URL-curation kernel (ops/UrlOps): pure Column compositions of
+    // codegen'd builtins, bridged to expressions — SQL users get the
+    // same canonicalization convention the q157/q159 oracles hash-pin
+    ("graft_canonical_url",
+      (args: Seq[Expression]) => ColumnBridge.composedExpression(
+        graft.ops.UrlOps.canonicalizeUrl(ColumnBridge.column(args.head))),
+      "graft_canonical_url(url) - idempotent canonical URL (dedup identity form)"),
+    ("graft_registrable_domain",
+      (args: Seq[Expression]) => ColumnBridge.composedExpression(
+        graft.ops.UrlOps.registrableDomain(graft.ops.UrlOps.urlHost(
+          ColumnBridge.column(args.head)))),
+      "graft_registrable_domain(url) - registrable domain of a url's host"),
     ("graft_term_counts",
       (args: Seq[Expression]) => NativeExpressions.TermCounts(args.head,
         args.tail.map {

@@ -14,6 +14,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGERLY convert a Column composition to its catalyst expression
+    * tree (unresolved function/lambda nodes intact — the analyzer
+    * resolves them to fixpoint once the tree lands in a plan). A
+    * FunctionRegistry builder that returns a COMPOSED-builtins function
+    * needs this: `expression`'s lazy ColumnNodeExpression wrapper is
+    * only converted on the DataFrame path, so from SQL it reaches
+    * codegen unresolved and fails. */
+  def composedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a temp SQL function on an EXISTING session (the
     * FunctionRegistry hangs off `sessionState`, which is `private[sql]`).
     * For sessions built from scratch, prefer the public

@@ -37,6 +37,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(row.getInt(4) == 4)
   }
 
+  test("graft_canonical_url / graft_registrable_domain agree with UrlOps and stay idempotent in SQL") {
+    GraftFunctions.register(spark)
+    val urls = Seq("HTTP://WWW.Crawl.Site3.COM:80/page/9/?b=2&a=1",
+      "http://www.www.a.com/x//?utm_source=f", "https://b.org:443/", "not a url")
+    urls.toDF("u").createOrReplaceTempView("gf_urls")
+    val sql = spark.sql(
+      """SELECT graft_canonical_url(u) AS c,
+        |  graft_canonical_url(graft_canonical_url(u)) AS c2,
+        |  graft_registrable_domain(u) AS d
+        |FROM gf_urls""".stripMargin).collect()
+    val viaCols = urls.toDF("u").select(
+      graft.ops.UrlOps.canonicalizeUrl($"u").as("c"),
+      graft.ops.UrlOps.registrableDomain(graft.ops.UrlOps.urlHost($"u")).as("d"))
+      .collect()
+    for ((s, c) <- sql.zip(viaCols)) {
+      assert(s.getString(0) == c.getString(0), "SQL vs Column canonical form")
+      assert(s.getString(1) == s.getString(0), "idempotence through the SQL route")
+      assert(s.getString(2) == c.getString(1), "SQL vs Column domain")
+    }
+    assert(sql(0).getString(0) == "http://crawl.site3.com/page/9?a=1&b=2")
+    assert(sql(0).getString(2) == "site3.com")
+  }
+
   test("graft_bounded_levenshtein runs from SQL, capped at k+1") {
     GraftFunctions.register(spark)
     val r = spark.sql(
