@@ -79,7 +79,10 @@ object ScaleProbe {
     "q159_domain_curation",
     // round-9: per-doc curation decision log — q100's chain with the
     // verdicts emitted instead of aggregated (output is corpus-sized)
-    "q160_curation_log")
+    "q160_curation_log",
+    // round-9: recrawl scheduling — 4x snapshot explode, page-partitioned
+    // digest-lag window, bounded (domain, policy) census
+    "q161_recrawl_policy")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

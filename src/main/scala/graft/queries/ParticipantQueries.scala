@@ -886,6 +886,70 @@ object ParticipantQueries {
       |FROM census JOIN kept_agg USING (domain)
       |ORDER BY domain""".stripMargin
 
+  /** Q161 — RECRAWL SCHEDULING policy (Cho & Garcia-Molina, "The
+    * Evolution of the Web and Implications for an Incremental Crawler",
+    * VLDB 2000): estimate each page's change rate from its content
+    * digests across k crawl snapshots, then assign a crawl frequency —
+    * the third leg of the crawl-economics set (frontier = discovery,
+    * q156 = churn census, this = scheduling). The synthesis plants a
+    * change PERIOD per page (1 + doc_id % 4 snapshots between content
+    * epochs), the operator sees only digests: per page, count
+    * digest≠lag(digest) over the 4 snapshots (page-partitioned window),
+    * rate = changes·10⁶ div 3, policy daily ≥ ⅔, weekly ≥ ⅓, else
+    * monthly. Census per (domain, policy) with the integer mean rate —
+    * the table a crawl scheduler allocates fetch budget from. */
+  def recrawlPolicy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pages = Tables.documents(spark, dir).select(col("doc_id"),
+      expr("doc_id % 37").as("site"), expr("1 + doc_id % 4").as("period"))
+    val snaps = pages
+      .withColumn("s", explode(sequence(lit(0), lit(3))))
+      .withColumn("digest", md5(concat(col("doc_id").cast("string"), lit(":"),
+        expr("s div period").cast("string")).cast("binary")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val rates = snaps
+      .withColumn("prev", lag(col("digest"), 1).over(w))
+      .groupBy(col("doc_id"), col("site"))
+      .agg(sum(when(col("prev").isNotNull && col("digest") =!= col("prev"), 1L)
+        .otherwise(0L)).as("n_changes"))
+      .withColumn("rate_micro", expr("n_changes * 1000000 div 3"))
+      .withColumn("policy",
+        when(col("rate_micro") >= 666667L, "daily")
+          .when(col("rate_micro") >= 333333L, "weekly")
+          .otherwise("monthly"))
+    rates
+      .groupBy(concat(lit("site"), col("site").cast("string"), lit(".com"))
+        .as("domain"), col("policy"))
+      .agg(count(lit(1)).as("n_pages"),
+        expr("sum(rate_micro) div count(1)").as("mean_rate_micro"))
+      .orderBy(col("domain"), col("policy"))
+  }
+
+  val recrawlPolicySql: String =
+    """WITH pages AS (
+      |  SELECT doc_id, doc_id % 37 AS site, 1 + doc_id % 4 AS period
+      |  FROM documents),
+      |snaps AS (
+      |  SELECT doc_id, site, t.s AS s,
+      |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.s // period AS VARCHAR)) AS digest
+      |  FROM pages, UNNEST(range(0, 4)) AS t(s)),
+      |lagged AS (
+      |  SELECT doc_id, site, digest,
+      |    lag(digest) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+      |  FROM snaps),
+      |rates AS (
+      |  SELECT doc_id, site,
+      |    SUM(CASE WHEN prev IS NOT NULL AND digest != prev THEN 1 ELSE 0 END)
+      |      * 1000000 // 3 AS rate_micro
+      |  FROM lagged GROUP BY 1, 2)
+      |SELECT 'site' || CAST(site AS VARCHAR) || '.com' AS domain,
+      |  CASE WHEN rate_micro >= 666667 THEN 'daily'
+      |       WHEN rate_micro >= 333333 THEN 'weekly'
+      |       ELSE 'monthly' END AS policy,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pages,
+      |  CAST(SUM(rate_micro) // COUNT(*) AS BIGINT) AS mean_rate_micro
+      |FROM rates GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Q159 — DOMAIN-level curation verdict (RefinedWeb §3.1's
     * domain-level filtering, the aggregate companion of q157's URL-level
     * pass): real pipelines drop WHOLE domains — spam farms, mirror
@@ -967,6 +1031,7 @@ object ParticipantQueries {
     QueryDef("q156_crawl_churn", crawlChurn, Some(crawlChurnSql)),
     QueryDef("q157_url_curation", urlCuration, Some(urlCurationSql)),
     QueryDef("q159_domain_curation", domainCuration, Some(domainCurationSql)),
+    QueryDef("q161_recrawl_policy", recrawlPolicy, Some(recrawlPolicySql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),
     QueryDef("q31_rendition_extract", renditionExtraction, Some(renditionExtractionSql)),
     QueryDef("q31b_dual_renditions", dualRenditions, Some(dualRenditionsSql)),
