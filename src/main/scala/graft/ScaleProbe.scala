@@ -82,7 +82,10 @@ object ScaleProbe {
     "q160_curation_log",
     // round-9: recrawl scheduling — 4x snapshot explode, page-partitioned
     // digest-lag window, bounded (domain, policy) census
-    "q161_recrawl_policy")
+    "q161_recrawl_policy",
+    // round-9: eval-set contamination report — bench shingles broadcast,
+    // train streams unshuffled, census bounded by eval-suite count
+    "q162_eval_contamination")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -199,6 +199,42 @@ object TrainingPrep {
         min(col("bench_id")).as("first_bench_id"))
   }
 
+  /** Per-EVAL-doc contamination overlap — the flip side of
+    * [[decontaminate]] (which flags TRAIN docs). This is the
+    * clean/dirty-split measurement the GPT-3 paper's Appendix C and its
+    * successors (PaLM, Llama) publish with the model card: for every
+    * benchmark document, what FRACTION of its distinct word n-grams
+    * appears anywhere in the training corpus. A benchmark doc whose
+    * grams are mostly covered by train text cannot honestly score the
+    * model, whatever specific train doc leaked it.
+    *
+    * Scale shape: the bench side broadcasts (it is the small side by
+    * definition — eval suites vs a 100 TB corpus), the train shingles
+    * stream through the broadcast join UNSHUFFLED, and the only exchange
+    * is the distinct-matched-gram rollup whose key space is bounded by
+    * the eval suite's own shingle count (map-side partial aggregation
+    * collapses the per-partition duplicate matches before they move).
+    * Returns one row per bench doc — also for fully-clean ones
+    * (n_overlap = 0), because the clean split is the point:
+    * (bench_id, n_grams, n_overlap, overlap_micro = overlap fraction in
+    * exact integer millionths). */
+  def evalOverlap(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 4): DataFrame = {
+    def shingled(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(graft.functions.NativeExpressions.wordShingles(col(textCol), n)).as("sh"))
+    val benchSh = shingled(bench, "bench_id")
+    // wordShingles emits DISTINCT shingles per doc: plain count = distinct
+    val totals = benchSh.groupBy(col("bench_id")).agg(count(lit(1)).as("n_grams"))
+    val matched = shingled(train, "id").select(col("sh"))
+      .join(broadcast(benchSh), "sh")
+      .select(col("bench_id"), col("sh")).distinct()
+      .groupBy(col("bench_id")).agg(count(lit(1)).as("n_overlap"))
+    totals.join(matched, Seq("bench_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_micro", expr("n_overlap * 1000000 div n_grams"))
+  }
+
   /** BLOOM-FILTER decontamination — the fixed-size scale path for
     * `decontaminate`. The exact pass broadcasts the benchmark's distinct
     * shingle STRINGS; that broadcast grows with every added eval suite.

@@ -633,6 +633,80 @@ object PrepQueries {
       |FROM train t JOIN bench b USING (sh)
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Q162 — EVAL-SET contamination report (GPT-3 Appendix C; PaLM §7;
+    * the clean/dirty-split measurement every model card publishes): for
+    * each benchmark document (same doc_id % 97 split as q41/q88, so all
+    * three decontamination views share one contract), the fraction of
+    * its distinct word 4-grams that appear ANYWHERE in the training
+    * corpus ([[TrainingPrep.evalOverlap]]); docs at ≥ 70% overlap are
+    * `dirty` (the PaLM threshold). The census rolls up per eval SET
+    * (the bench doc's source — each source plays one eval suite):
+    * n_docs, n_dirty, exact integer mean overlap, and an
+    * order-insensitive Σ overlap_micro·(bench_id mod 1000003) checksum
+    * that pins every per-doc fraction through the aggregate. The
+    * synthetic corpus has no verbatim bench-into-train leaks, so the
+    * dirty verdict is exercised by PLANTING them: every train doc with
+    * doc_id % 131 == 3 is re-labeled as a benchmark doc at
+    * bench_id = doc_id + 2·10⁶ while its original stays in train — the
+    * test-set-scraped-from-the-web incident this report exists to catch;
+    * each replica must measure exactly 10⁶ micro (100% overlap). q41
+    * answers "which TRAIN docs to drop"; this answers "which EVAL
+    * numbers to trust" — different artifact, same hygiene pass. */
+  def evalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("id"), col("source"), col("text"))
+      .unionByName(docs
+        .filter(col("doc_id") % 131 === 3 && col("doc_id") % 97 =!= 0)
+        .select((col("doc_id") + 2000000L).as("id"), col("source"), col("text")))
+    val per = TrainingPrep.evalOverlap(
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("id"), col("text")),
+      bench, "id", "text", n = 4)
+      .join(broadcast(bench.select(col("id").as("bench_id"), col("source"))),
+        "bench_id")
+    per.groupBy(col("source").as("eval_set"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("overlap_micro") >= 700000L, 1L).otherwise(0L)).as("n_dirty"),
+        expr("sum(overlap_micro) div count(1)").as("mean_overlap_micro"),
+        sum(col("overlap_micro") * pmod(col("bench_id"), lit(1000003L)))
+          .as("overlap_checksum"))
+      .orderBy(col("eval_set"))
+  }
+
+  val evalContaminationSql: String =
+    """WITH bench_docs AS (
+      |  SELECT doc_id AS bench_id, source, text FROM documents WHERE doc_id % 97 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS bench_id, source, text FROM documents
+      |  WHERE doc_id % 131 = 3 AND doc_id % 97 <> 0),
+      |bbase AS (SELECT bench_id, source, text, string_split(text, ' ') AS ws FROM bench_docs),
+      |bench AS (
+      |  SELECT bench_id, source,
+      |    unnest(CASE WHEN len(ws) < 4 THEN [text]
+      |           ELSE list_distinct(list_transform(range(1, len(ws) - 2),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) END) AS sh
+      |  FROM bbase),
+      |tbase AS (SELECT text, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 97 <> 0),
+      |train AS (
+      |  SELECT DISTINCT
+      |    unnest(CASE WHEN len(ws) < 4 THEN [text]
+      |           ELSE list_distinct(list_transform(range(1, len(ws) - 2),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) END) AS sh
+      |  FROM tbase),
+      |tot AS (SELECT bench_id, source, COUNT(*) AS n_grams FROM bench GROUP BY 1, 2),
+      |ov AS (SELECT b.bench_id, COUNT(*) AS n_overlap
+      |       FROM bench b JOIN train t USING (sh) GROUP BY 1),
+      |per AS (
+      |  SELECT bench_id, source, n_grams,
+      |    COALESCE(n_overlap, 0) * 1000000 // n_grams AS overlap_micro
+      |  FROM tot LEFT JOIN ov USING (bench_id))
+      |SELECT source AS eval_set, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN overlap_micro >= 700000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty,
+      |  CAST(SUM(overlap_micro) // COUNT(*) AS BIGINT) AS mean_overlap_micro,
+      |  CAST(SUM(overlap_micro * (bench_id % 1000003)) AS BIGINT) AS overlap_checksum
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The q42 mixture: target fractions 1, 1/2, 1/4, 1/8 cycling over the
     * source index — shared between the Spark query and the SQL oracle so
     * the two can never drift. */
@@ -766,6 +840,7 @@ object PrepQueries {
     QueryDef("q152_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q38_curation", curation, Some(curationSql)),
     QueryDef("q41_decontamination", decontamination, Some(decontaminationSql)),
+    QueryDef("q162_eval_contamination", evalContamination, Some(evalContaminationSql)),
     QueryDef("q42_mixture", mixture, Some(mixtureSql)),
     QueryDef("q59_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q117_priority_sample", prioritySampleQuery, Some(prioritySampleSql)))

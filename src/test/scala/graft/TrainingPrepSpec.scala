@@ -121,6 +121,44 @@ class TrainingPrepSpec extends SparkSpec {
     assert(byId(4L) == ((0L, 0L, 0L)), s"short doc: ${byId(4L)}")
   }
 
+  test("evalOverlap: exact per-eval-doc gram fractions, clean docs emit a zero row") {
+    val train = Seq(
+      (1L, "xx beta gamma delta epsilon yy"),
+      (2L, "one two three four five")).toDF("id", "text")
+    val bench = Seq(
+      // 3 distinct 4-grams, exactly 1 ("beta gamma delta epsilon") in train
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      // verbatim leak: its single 4-gram + whole text covered → 100%
+      (200L, "one two three four"),
+      // fully clean: must still appear, at 0
+      (300L, "nothing shared here at all")).toDF("id", "text")
+    val got = TrainingPrep.evalOverlap(train, bench, "id", "text", n = 4)
+      .select(col("bench_id"), col("n_grams"), col("n_overlap"), col("overlap_micro"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(100L) == ((3L, 1L, 333333L)), s"doc 100: ${got(100L)}")
+    assert(got(200L) == ((1L, 1L, 1000000L)), s"doc 200: ${got(200L)}")
+    assert(got(300L) == ((2L, 0L, 0L)), s"doc 300: ${got(300L)}")
+    assert(got.size == 3)
+  }
+
+  test("evalOverlap: sub-n eval docs fall back to whole-text membership") {
+    val train = Seq((1L, "tiny doc")).toDF("id", "text")
+    val bench = Seq((9L, "tiny doc"), (10L, "tiny")).toDF("id", "text")
+    val got = TrainingPrep.evalOverlap(train, bench, "id", "text", n = 4)
+      .select(col("bench_id"), col("overlap_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(9L -> 1000000L, 10L -> 0L))
+  }
+
+  test("evalOverlap plans a broadcast join on the eval side (train never shuffles pre-join)") {
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val plan = TrainingPrep.evalOverlap(
+      docs.filter($"doc_id" % 97 =!= 0).select($"doc_id".as("id"), $"text"),
+      docs.filter($"doc_id" % 97 === 0).select($"doc_id".as("id"), $"text"),
+      "id", "text", n = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
   test("decontamination plans a broadcast join on the benchmark side") {
     val docs = graft.sources.Tables.documents(spark, sf())
     val plan = TrainingPrep.decontaminate(
