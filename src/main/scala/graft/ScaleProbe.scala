@@ -85,7 +85,10 @@ object ScaleProbe {
     "q161_recrawl_policy",
     // round-9: eval-set contamination report — bench shingles broadcast,
     // train streams unshuffled, census bounded by eval-suite count
-    "q162_eval_contamination")
+    "q162_eval_contamination",
+    // round-9: D4 prototype pruning — IVF build + cell-partitioned rank,
+    // per-vector verdict artifact (corpus-sized output by design)
+    "q163_d4_pruning")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -645,6 +645,95 @@ object SimilarityQueries {
     * (bit-identical across engines). The oracle replays pair
     * generation, the transitive closure, representative election, and
     * every cosine. */
+  /** Q163 — D4 PROTOTYPE PRUNING (Tirumala et al. 2023, "D4: Improving
+    * LLM Pretraining via Document De-Duplication and Diversification"):
+    * SemDeDup (q98) removes semantic near-duplicates; D4's second stage
+    * then prunes each k-means cluster's most PROTOTYPICAL points — the
+    * items closest to their own centroid carry the least marginal
+    * information, and dropping them diversifies what the model trains
+    * on. Reuses the q15c integer-exact IVF build verbatim (md5-seeded
+    * cells, one Lloyd step with sum-centroids, argmax-cosine
+    * assignment), so index build and selection share one artifact the
+    * way the paper's pipeline does. Per vector: exact cosine to its OWN
+    * centroid, prototypicality rank within its cell (a CELL-partitioned
+    * window — no global sort; cells are the IVF partitioning, so at
+    * 100 TB the rank runs inside each index partition), and
+    * keep = rank past the top quarter of the cell (exact integer floor
+    * division). Output is the per-vector decision artifact, q160-style:
+    * every vector exactly once with its verdict. */
+  def d4Pruning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.ivfExactCentroids(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val qvecs = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val index = Similarity.ivfExactAssign(qvecs, cents)
+    val withCos = index
+      .join(broadcast(cents), Seq("cell"))
+      .withColumn("proto_cosine",
+        graft.functions.NativeExpressions.longCosine(col("qv"), col("cv")))
+    val sizes = withCos.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("proto_cosine").desc, col("id").asc)
+    withCos
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .join(broadcast(sizes), Seq("cell"))
+      .select(col("id").as("vec_id"), col("cell"), col("proto_cosine"),
+        col("proto_rank"), expr("proto_rank > n_cell div 4").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d4PruningSql: String = {
+    def cos(a: String, b: String): String =
+      s"""CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT) AS DOUBLE) /
+         |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS BIGINT) AS DOUBLE)) *
+         |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])) AS BIGINT) AS DOUBLE)))""".stripMargin
+    s"""WITH c AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT id AS cell, qv AS cv FROM c
+       |  ORDER BY CAST('0x'||substring(md5(CAST(id AS VARCHAR)),1,15) AS BIGINT) ASC, id ASC
+       |  LIMIT 8),
+       |a1 AS (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |        ${cos("c.qv", "s.cv")} DESC, s.cell ASC) AS rn
+       |    FROM c CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |sums AS (
+       |  SELECT a1.cell, r.d, CAST(sum(c.qv[r.d + 1]) AS BIGINT) AS sc
+       |  FROM a1 JOIN c USING (id) CROSS JOIN range(0, 64) r(d)
+       |  GROUP BY a1.cell, r.d),
+       |cents1 AS (SELECT cell, list(sc ORDER BY d) AS sv FROM sums GROUP BY cell),
+       |cents AS (
+       |  SELECT s.cell, coalesce(c1.sv, s.cv) AS cv
+       |  FROM seeds s LEFT JOIN cents1 c1 USING (cell)),
+       |a2 AS (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |        ${cos("c.qv", "ct.cv")} DESC, ct.cell ASC) AS rn
+       |    FROM c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |sizes AS (SELECT cell, COUNT(*) AS n_cell FROM a2 GROUP BY cell),
+       |r AS (
+       |  SELECT a2.id, a2.cell, ${cos("c.qv", "ct.cv")} AS proto_cosine
+       |  FROM a2 JOIN c USING (id) JOIN cents ct ON ct.cell = a2.cell),
+       |rk AS (
+       |  SELECT id, cell, proto_cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY proto_cosine DESC, id ASC) AS proto_rank
+       |  FROM r)
+       |SELECT rk.id AS vec_id, rk.cell, proto_cosine,
+       |  CAST(proto_rank AS BIGINT) AS proto_rank,
+       |  proto_rank > n_cell // 4 AS keep
+       |FROM rk JOIN sizes USING (cell)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
@@ -1759,6 +1848,7 @@ object SimilarityQueries {
     QueryDef("q79_ann_ivf_batch", ivfTopKBatch, Some(ivfTopKBatchSql)),
     QueryDef("q80_embedding_clusters", embeddingClusters, Some(embeddingClustersSql)),
     QueryDef("q98_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    QueryDef("q163_d4_pruning", d4Pruning, Some(d4PruningSql)),
     QueryDef("q20_multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q73_image_decode", imageDecode, Some(imageDecodeSql)),
     QueryDef("q74_audio_decode", audioDecode, Some(audioDecodeSql)),
