@@ -344,6 +344,70 @@ object DedupQueries {
        |  ON l.cluster_id = c.cluster_id
        |ORDER BY l.id""".stripMargin
 
+  /** Q166 — SOFT dedup: per-document sampling WEIGHTS from near-dup
+    * cluster size instead of hard removal (the SlimPajama/"soft dedup"
+    * trade: a cluster of k near-identical documents contributes one
+    * document's worth of sampling mass, weight = 1/k each, so no text is
+    * lost but duplicated content stops dominating the training mix).
+    * Clusters are q33's exact chain — simhash hamming ≤ 7, degree-capped
+    * pairs, connected components — docs in no pair weigh 1. Output is the
+    * per-language effective-dataset-size census: raw docs vs
+    * Σ weight (µ-units, integer-exact), the number down-weighted, and the
+    * duplicated mass the weighting removed. Planted near-dups (+10M ids)
+    * map back to their source doc's language for the rollup.
+    *
+    * Scale: everything up to `labels` is the audited q33 plan (banded
+    * pairs, capped degree, checkpointed CC); the weighting itself is one
+    * broadcast-sized join of cluster sizes plus a bounded-language
+    * hash aggregate — no new corpus shuffle beyond q33's. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = withPlantedNearDups(docs)
+    val sims = Dedup.simhashTable(corpus, "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+    val labels = Dedup.connectedComponents(pairs)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+    corpus.select(col("doc_id"))
+      .join(labels.join(sizes, Seq("cluster_id"))
+        .select(col("id").as("doc_id"), col("csz")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("csz"), lit(1L)).as("cluster_size"))
+      .withColumn("weight_micro",
+        expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
+      .withColumn("base_id", col("doc_id") % 10000000L)
+      .join(docs.select(col("doc_id").as("base_id"), col("lang")), Seq("base_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("weight_micro")).as("effective_docs_micro"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_downweighted"),
+        max(col("cluster_size")).as("max_cluster"))
+      .withColumn("dup_mass_micro",
+        col("n_docs") * 1000000L - col("effective_docs_micro"))
+      .orderBy(col("lang"))
+  }
+
+  val softDedupWeightsSql: String =
+    s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
+       |$closureCtes,
+       |sizes AS (SELECT cluster_id, COUNT(*) AS csz FROM labels GROUP BY cluster_id),
+       |w AS (
+       |  SELECT c.doc_id,
+       |    COALESCE(s.csz, 1) AS cluster_size
+       |  FROM (SELECT doc_id FROM ($corpusSql)) c
+       |  LEFT JOIN labels l ON c.doc_id = l.id
+       |  LEFT JOIN sizes s ON l.cluster_id = s.cluster_id),
+       |wl AS (
+       |  SELECT w.doc_id, w.cluster_size,
+       |    CAST(1000000 // w.cluster_size AS BIGINT) AS weight_micro, d.lang
+       |  FROM w JOIN documents d ON w.doc_id % 10000000 = d.doc_id)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(weight_micro) AS BIGINT) AS effective_docs_micro,
+       |  CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_downweighted,
+       |  CAST(MAX(cluster_size) AS BIGINT) AS max_cluster,
+       |  CAST(COUNT(*) * 1000000 - SUM(weight_micro) AS BIGINT) AS dup_mass_micro
+       |FROM wl GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Q81 — INCREMENTAL near-dup detection: the daily-crawl shape. The
     * corpus (doc_id % 4 ≠ 0) contributes only its precomputed (id, sig)
     * MinHash index; the new batch (doc_id % 4 = 0, plus planted
@@ -569,6 +633,7 @@ object DedupQueries {
     QueryDef("q13b_simhash_neardup", simhashNearDups, Some(simhashNearDupsSql)),
     QueryDef("q14_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q33_dup_clusters", dupClusters, Some(dupClustersSql)),
+    QueryDef("q166_soft_dedup", softDedupWeights, Some(softDedupWeightsSql)),
     QueryDef("q108_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     QueryDef("q111_winnowing", winnowing, Some(winnowingSql)),
     QueryDef("q116_containment", containment, Some(containmentSql)),

@@ -1827,7 +1827,181 @@ object SimilarityQueries {
        |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Q165 — BITEXT MINING by margin scoring (the Artetxe & Schwenk
+    * ratio-margin criterion, the standard parallel-corpus mining verb
+    * behind CCMatrix/WikiMatrix-style training sets): for a bounded
+    * batch of non-English probes, find the English document whose
+    * embedding cosine BEATS both sides' neighborhood averages —
+    * margin(x,y) = cos(x,y) / ((avg₄(x→EN) + avg₄(y→batch)) / 2) — and
+    * keep matches with margin ≥ 1 (above-neighborhood, the hubness
+    * filter that plain cosine thresholds lack). Integer-exact: cosines
+    * shift-quantize to qc = floor((cos+1)·1e6) ∈ [0, 2e6] (nonnegative,
+    * so truncating and flooring division agree between engines) and the
+    * margin is one BIGINT division. The backward neighborhood avg₄(y) is
+    * computed against the probe batch — the standard mine-against-batch
+    * approximation when the EN side is corpus-sized.
+    *
+    * Scale: probes are a bounded broadcast batch (a mining shard), the
+    * EN corpus streams through the broadcast join unshuffled; both
+    * top-4 windows run over the |batch|×|EN| candidate table partitioned
+    * on ids (WindowGroupLimit prunes to the rank cap before the sums),
+    * and the final best-match rank is per-probe. No corpus self-join
+    * ever happens. */
+  def bitextMining(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val lang = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val v = emb.join(lang, Seq("vec_id"))
+    val x = v.filter(col("lang") =!= "en" &&
+        col("vec_id") % 20 === 0 && col("vec_id") < 100000)
+      .select(col("vec_id").as("probe_id"), col("lang").as("probe_lang"),
+        col("embedding").as("__xv"))
+    val y = v.filter(col("lang") === "en")
+      .select(col("vec_id").as("match_id"), col("embedding").as("__yv"))
+    val pairs = y.crossJoin(broadcast(x))
+      .withColumn("qc", floor(
+        (graft.functions.NativeExpressions.quantizedCosine(
+          col("__yv"), col("__xv")) + lit(1.0d)) * lit(1000000.0d)).cast("long"))
+      .select(col("probe_id"), col("probe_lang"), col("match_id"), col("qc"))
+    val wx = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qc").desc, col("match_id").asc)
+    val wy = Window.partitionBy(col("match_id"))
+      .orderBy(col("qc").desc, col("probe_id").asc)
+    val sumx = pairs.withColumn("rx", row_number().over(wx))
+      .filter(col("rx") <= 4).groupBy(col("probe_id"))
+      .agg(sum(col("qc")).as("sumk_x"), count(lit(1)).as("kx"))
+    val sumy = pairs.withColumn("ry", row_number().over(wy))
+      .filter(col("ry") <= 4).groupBy(col("match_id"))
+      .agg(sum(col("qc")).as("sumk_y"), count(lit(1)).as("ky"))
+    val scored = pairs
+      .join(sumx, Seq("probe_id")).join(sumy, Seq("match_id"))
+      .withColumn("margin_micro", expr(
+        "CAST((2 * qc * kx * ky * 1000000) DIV (sumk_x * ky + sumk_y * kx) AS BIGINT)"))
+    val best = Window.partitionBy(col("probe_id"))
+      .orderBy(col("margin_micro").desc, col("match_id").asc)
+    scored.withColumn("rb", row_number().over(best))
+      .filter(col("rb") === 1 && col("margin_micro") >= 1000000L)
+      .select(col("probe_id"), col("probe_lang"), col("match_id"),
+        col("qc").as("qcos_shift_micro"), col("margin_micro"))
+      .orderBy(col("probe_id"))
+  }
+
+  val bitextMiningSql: String =
+    """WITH v AS (
+      |  SELECT e.vec_id, d.lang,
+      |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      |x AS (SELECT vec_id AS probe_id, lang AS probe_lang, qv AS xqv
+      |      FROM v WHERE lang <> 'en' AND vec_id % 20 = 0 AND vec_id < 100000),
+      |y AS (SELECT vec_id AS match_id, qv AS yqv FROM v WHERE lang = 'en'),
+      |pairs AS (
+      |  SELECT x.probe_id, x.probe_lang, y.match_id,
+      |    CAST(floor((
+      |      CAST(CAST(list_sum(list_transform(range(1, 65), i -> y.yqv[i] * x.xqv[i])) AS BIGINT) AS DOUBLE) /
+      |      (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> y.yqv[i] * y.yqv[i])) AS BIGINT) AS DOUBLE)) *
+      |       sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> x.xqv[i] * x.xqv[i])) AS BIGINT) AS DOUBLE)))
+      |      + 1.0) * 1000000.0) AS BIGINT) AS qc
+      |  FROM y CROSS JOIN x),
+      |rx AS (SELECT probe_id, qc,
+      |         row_number() OVER (PARTITION BY probe_id ORDER BY qc DESC, match_id) AS r
+      |       FROM pairs),
+      |sumx AS (SELECT probe_id, CAST(SUM(qc) AS BIGINT) AS sumk_x,
+      |                CAST(COUNT(*) AS BIGINT) AS kx
+      |         FROM rx WHERE r <= 4 GROUP BY probe_id),
+      |ry AS (SELECT match_id, qc,
+      |         row_number() OVER (PARTITION BY match_id ORDER BY qc DESC, probe_id) AS r
+      |       FROM pairs),
+      |sumy AS (SELECT match_id, CAST(SUM(qc) AS BIGINT) AS sumk_y,
+      |                CAST(COUNT(*) AS BIGINT) AS ky
+      |         FROM ry WHERE r <= 4 GROUP BY match_id),
+      |scored AS (
+      |  SELECT p.probe_id, p.probe_lang, p.match_id, p.qc,
+      |    CAST((2 * p.qc * sx.kx * sy.ky * 1000000) //
+      |         (sx.sumk_x * sy.ky + sy.sumk_y * sx.kx) AS BIGINT) AS margin_micro
+      |  FROM pairs p
+      |  JOIN sumx sx ON p.probe_id = sx.probe_id
+      |  JOIN sumy sy ON p.match_id = sy.match_id),
+      |best AS (
+      |  SELECT probe_id, probe_lang, match_id, qc, margin_micro,
+      |    row_number() OVER (PARTITION BY probe_id
+      |                       ORDER BY margin_micro DESC, match_id) AS rb
+      |  FROM scored)
+      |SELECT probe_id, probe_lang, match_id, qc AS qcos_shift_micro, margin_micro
+      |FROM best WHERE rb = 1 AND margin_micro >= 1000000
+      |ORDER BY probe_id""".stripMargin
+
+  /** Q168 — SEMANTIC eval-set decontamination: the embedding-space
+    * member of the decontamination family (exact-hash q41, bloom q88,
+    * n-gram overlap q162 are the lexical members — paraphrased leakage
+    * slips past all three). Eval set = a bounded id-capped slice; train
+    * docs whose max cosine to ANY eval vector clears 0.9 are flagged
+    * (planted exact copies of eval vectors at +30M ids guarantee the
+    * detector has true positives to find). Output is the per-label
+    * census: train size, flagged count, and the worst contamination
+    * score (µ-quantized).
+    *
+    * Scale: the eval side of a decontamination pass is FIXED and small
+    * (a benchmark suite) — it broadcasts; the train corpus streams
+    * through the join once and the per-doc max aggregates with map-side
+    * combine on the train id, so shuffle volume is one row per train
+    * doc, not per pair. */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val isEval = (col("vec_id") % 97 === 0) && (col("vec_id") < 100000)
+    val evalSide = emb.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("__ev"))
+    val planted = emb.filter(isEval)
+      .select((col("vec_id") + 30000000L).as("vec_id"),
+        col("embedding"), col("label"))
+    val train = emb.filter(!isEval)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(planted)
+    train.crossJoin(broadcast(evalSide))
+      .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
+        col("embedding"), col("__ev")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cosine")).as("max_cos"))
+      .withColumn("contam_micro", floor(col("max_cos") * lit(1000000.0d)).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("contam_micro") >= 900000L, 1L).otherwise(0L)).as("n_flagged"),
+        max(col("contam_micro")).as("worst_contam_micro"))
+      .orderBy(col("label"))
+  }
+
+  val semanticDecontamSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, qv AS eqv
+      |       FROM v WHERE vec_id % 97 = 0 AND vec_id < 100000),
+      |train AS (
+      |  SELECT vec_id, label, qv FROM v
+      |  WHERE NOT (vec_id % 97 = 0 AND vec_id < 100000)
+      |  UNION ALL
+      |  SELECT e.vec_id + 30000000 AS vec_id, e.label, e.qv
+      |  FROM v e WHERE e.vec_id % 97 = 0 AND e.vec_id < 100000),
+      |perdoc AS (
+      |  SELECT t.vec_id, t.label,
+      |    MAX(CAST(CAST(list_sum(list_transform(range(1, 65), i -> t.qv[i] * ev.eqv[i])) AS BIGINT) AS DOUBLE) /
+      |        (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> t.qv[i] * t.qv[i])) AS BIGINT) AS DOUBLE)) *
+      |         sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> ev.eqv[i] * ev.eqv[i])) AS BIGINT) AS DOUBLE)))) AS max_cos
+      |  FROM train t CROSS JOIN ev
+      |  GROUP BY t.vec_id, t.label),
+      |q AS (SELECT vec_id, label,
+      |        CAST(floor(max_cos * 1000000.0) AS BIGINT) AS contam_micro
+      |      FROM perdoc)
+      |SELECT label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_train,
+      |  CAST(SUM(CASE WHEN contam_micro >= 900000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(MAX(contam_micro) AS BIGINT) AS worst_contam_micro
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q165_bitext_mining", bitextMining, Some(bitextMiningSql)),
+    QueryDef("q168_semantic_decontam", semanticDecontam, Some(semanticDecontamSql)),
     QueryDef("q114_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q119_audio_qc", audioQc, Some(audioQcSql)),
     QueryDef("q121_ann_eval", annEval, Some(annEvalSql)),

@@ -978,7 +978,169 @@ object TextQueries {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Q164 — BOILERPLATE REMOVAL (the jusText/readability line-level
+    * content-extraction verb — the step between raw crawl HTML and every
+    * text-quality operator in the suite): pages are segmented into
+    * block-level elements, each block is scored by LINK DENSITY (chars
+    * of anchor text / chars of text) and LENGTH, and only
+    * content-shaped blocks (≥ 10 words, link density < 0.3) survive.
+    * Pages are built deterministically from each document — a
+    * link-dense nav strip, the text split into two paragraph blocks,
+    * and a boilerplate footer — so the kernel has real chrome to strip
+    * and the oracle can replay construction, block split (non-greedy
+    * tag-pair regex), anchor-text accounting, tag strip, and the census
+    * bit-for-bit. Output: per-source census of blocks / kept blocks /
+    * chars / kept chars and the kept-ratio (µ, integer division).
+    *
+    * Scale: pure map-side per-document kernel (regex split + per-block
+    * integer features) feeding one bounded-source hash aggregate; the
+    * only exchange is census-sized. At 100 TB this is exactly the
+    * trafilatura/jusText pass crawl pipelines run first — linear,
+    * stateless, no shuffle of page bytes. */
+  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val page = Tables.documents(spark, dir)
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__h", expr("CAST((size(__w) + 1) DIV 2 AS INT)"))
+      .withColumn("page", concat(
+        lit("<div><a href=\"/\">home</a> <a href=\"/s/"), col("source"),
+        lit("\">"), col("source"), lit("</a> menu</div>"),
+        lit("<p>"), concat_ws(" ", expr("slice(__w, 1, __h)")), lit("</p>"),
+        lit("<p>"), concat_ws(" ", expr("slice(__w, __h + 1, size(__w) - __h)")),
+        lit("</p>"),
+        lit("<div>(c) 2026 graft <a href=\"/terms\">terms of use</a> " +
+          "<a href=\"/privacy\">privacy</a></div>")))
+    page
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "regexp_extract_all(page, '<(?:p|div)>(.*?)</(?:p|div)>', 1)"))
+          .as("block"))
+      .withColumn("btxt", trim(regexp_replace(col("block"), "<[^>]*>", "")))
+      .withColumn("link_chars", expr(
+        "aggregate(regexp_extract_all(block, '<a [^>]*>([^<]*)</a>', 1), " +
+          "0, (a, x) -> a + length(x))"))
+      .withColumn("n_words", when(col("btxt") === "", lit(0))
+        .otherwise(size(split(col("btxt"), " "))))
+      .withColumn("n_chars", length(col("btxt")))
+      .withColumn("link_density_micro", expr(
+        "CAST(link_chars * 1000000 DIV greatest(n_chars, 1) AS BIGINT)"))
+      .withColumn("is_good",
+        col("n_words") >= 10 && col("link_density_micro") < 300000L)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("is_good"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars").cast("long")).as("chars_total"),
+        sum(when(col("is_good"), col("n_chars").cast("long")).otherwise(0L))
+          .as("chars_kept"))
+      .withColumn("kept_ratio_micro",
+        expr("CAST(chars_kept * 1000000 DIV greatest(chars_total, 1) AS BIGINT)"))
+      .orderBy(col("source"))
+  }
+
+  val boilerplateRemovalSql: String =
+    """WITH pg AS (
+      |  SELECT doc_id, source,
+      |    '<div><a href="/">home</a> <a href="/s/' || source || '">' || source ||
+      |    '</a> menu</div>' ||
+      |    '<p>' || array_to_string(words[1:h], ' ') || '</p>' ||
+      |    '<p>' || array_to_string(words[h+1:], ' ') || '</p>' ||
+      |    '<div>(c) 2026 graft <a href="/terms">terms of use</a> <a href="/privacy">privacy</a></div>'
+      |      AS page
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words,
+      |          CAST((len(string_split(text, ' ')) + 1) // 2 AS INT) AS h
+      |        FROM documents)),
+      |blocks AS (
+      |  SELECT doc_id, source,
+      |    UNNEST(regexp_extract_all(page, '<(?:p|div)>(.*?)</(?:p|div)>', 1)) AS block
+      |  FROM pg),
+      |feat AS (
+      |  SELECT doc_id, source,
+      |    trim(regexp_replace(block, '<[^>]*>', '', 'g')) AS btxt,
+      |    COALESCE(list_sum(list_transform(
+      |      regexp_extract_all(block, '<a [^>]*>([^<]*)</a>', 1),
+      |      x -> len(x))), 0) AS link_chars
+      |  FROM blocks),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN btxt = '' THEN 0 ELSE len(string_split(btxt, ' ')) END AS n_words,
+      |    len(btxt) AS n_chars,
+      |    CAST(link_chars * 1000000 // greatest(len(btxt), 1) AS BIGINT) AS link_density_micro
+      |  FROM feat),
+      |cls AS (
+      |  SELECT doc_id, source, n_chars,
+      |    (n_words >= 10 AND link_density_micro < 300000) AS is_good
+      |  FROM scored)
+      |SELECT source,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(CASE WHEN is_good THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      |  CAST(SUM(CASE WHEN is_good THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+      |  CAST(SUM(CASE WHEN is_good THEN n_chars ELSE 0 END) * 1000000 //
+      |       greatest(SUM(n_chars), 1) AS BIGINT) AS kept_ratio_micro
+      |FROM cls GROUP BY source ORDER BY source""".stripMargin
+
+  /** Q167 — VOCABULARY GROWTH census (Heaps' law, the type/token curve):
+    * the corpus in doc-id order is cut into 10 equal-width id deciles;
+    * for each decile, the count of NEW types (tokens whose first
+    * occurrence — min doc_id — lands in it), the running distinct
+    * vocabulary, the decile's token volume, and cumulative tokens. The
+    * curve is how tokenizer/vocab planning reads saturation: a corpus
+    * whose cum_types flatten early re-uses vocabulary; one growing
+    * linearly keeps minting types (OOV pressure at any fixed vocab).
+    *
+    * Scale: ONE exchange on the token (the min-doc_id aggregate — the
+    * canonical Heaps pass); token volume per decile aggregates map-side
+    * into 10 cells; both cumulative sums run through OrderStats.cumSums
+    * over the 10-row census, so no unpartitioned row window exists at
+    * any scale. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val maxId = docs.agg(max(col("doc_id")).as("__mx"))
+    val firstSeen = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("bucket", expr("CAST(first_doc * 10 DIV (__mx + 1) AS BIGINT)"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val tokCount = toks.crossJoin(broadcast(maxId))
+      .withColumn("bucket", expr("CAST(doc_id * 10 DIV (__mx + 1) AS BIGINT)"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_tokens"))
+    val census = tokCount.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        col("bucket_tokens"))
+    graft.ops.OrderStats.cumSums(census, "bucket",
+        Seq("new_types", "bucket_tokens"))
+      .select(col("bucket"), col("new_types"),
+        col("cum_new_types").as("cum_types"),
+        col("bucket_tokens"), col("cum_bucket_tokens").as("cum_tokens"))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS mxid FROM documents),
+      |toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |firstseen AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+      |nt AS (SELECT CAST(first_doc * 10 // (mxid + 1) AS BIGINT) AS bucket,
+      |              COUNT(*) AS new_types
+      |       FROM firstseen, mx GROUP BY 1),
+      |bt AS (SELECT CAST(doc_id * 10 // (mxid + 1) AS BIGINT) AS bucket,
+      |              COUNT(*) AS bucket_tokens
+      |       FROM toks, mx GROUP BY 1),
+      |census AS (
+      |  SELECT bt.bucket, COALESCE(nt.new_types, 0) AS new_types, bt.bucket_tokens
+      |  FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket)
+      |SELECT bucket,
+      |  CAST(new_types AS BIGINT) AS new_types,
+      |  CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types,
+      |  CAST(bucket_tokens AS BIGINT) AS bucket_tokens,
+      |  CAST(SUM(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+      |FROM census ORDER BY bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q164_boilerplate", boilerplateRemoval, Some(boilerplateRemovalSql)),
+    QueryDef("q167_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("q112_multipattern", multiPatternScan, Some(multiPatternScanSql)),
     QueryDef("q120_classifier_eval", classifierEval, Some(classifierEvalSql)),
     QueryDef("q143_snippets", snippets, Some(snippetsSql)),

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupQueries, SimilarityQueries, TextQueries}
+import graft.sources.Tables
+
+/** Structural invariants for the round-9 training-data operators
+  * (q164 boilerplate, q165 bitext mining, q166 soft dedup, q167 vocab
+  * growth, q168 semantic decontamination). Exact values are the DuckDB
+  * oracle's job; these pin the properties a value-compare can't express
+  * (conservation, monotonicity, planted-signal recall) against future
+  * refactors. */
+class TrainingDataOpsSpec extends SparkSpec {
+
+  test("q164: every page yields exactly 4 blocks; chrome never survives") {
+    val rows = TextQueries.boilerplateRemoval(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val nBlocks = r.getAs[Long]("n_blocks")
+      val nKept = r.getAs[Long]("n_kept")
+      assert(nBlocks == 4 * nDocs,
+        s"block split drifted: $nBlocks blocks for $nDocs docs in $r")
+      // nav and footer are link-dense/short by construction: at most the
+      // two paragraph blocks of each page can classify as content
+      assert(nKept <= 2 * nDocs, s"chrome classified as content: $r")
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+    }
+    assert(rows.map(_.getAs[Long]("n_kept")).sum > 0,
+      "no content block survived anywhere — classifier thresholds broken")
+  }
+
+  test("q167: Heaps census is an exact prefix structure over the corpus") {
+    val rows = TextQueries.vocabGrowth(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val toks = Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val nTok = toks.count()
+    val nTypes = toks.distinct().count()
+    assert(rows.last.getAs[Long]("cum_tokens") == nTok,
+      "cumulative tokens must end at the corpus token count")
+    assert(rows.last.getAs[Long]("cum_types") == nTypes,
+      "cumulative types must end at the distinct vocabulary size")
+    var ct = 0L; var ck = 0L
+    rows.foreach { r =>
+      ct += r.getAs[Long]("new_types"); ck += r.getAs[Long]("bucket_tokens")
+      assert(r.getAs[Long]("cum_types") == ct, s"cum_types drifted at $r")
+      assert(r.getAs[Long]("cum_tokens") == ck, s"cum_tokens drifted at $r")
+    }
+  }
+
+  test("q166: soft-dedup weights conserve mass and find the planted dups") {
+    val census = DedupQueries.softDedupWeights(spark, sf()).collect()
+    census.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val eff = r.getAs[Long]("effective_docs_micro")
+      assert(eff <= n * 1000000L, s"effective size above raw size: $r")
+      assert(eff > 0)
+      assert(r.getAs[Long]("dup_mass_micro") == n * 1000000L - eff)
+    }
+    assert(census.map(_.getAs[Long]("n_downweighted")).sum > 0,
+      "planted near-dups exist, so some docs must be down-weighted")
+  }
+
+  test("q168: planted eval copies are flagged as contaminated") {
+    val rows = SimilarityQueries.semanticDecontam(spark, sf()).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_train"))
+    }
+    val nEval = Tables.embeddings(spark, sf())
+      .filter(col("vec_id") % 97 === 0 && col("vec_id") < 100000).count()
+    assert(nEval > 0, "fixture must contain eval vectors")
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum >= nEval,
+      "every planted exact copy must clear the 0.9 flag threshold")
+    assert(rows.map(_.getAs[Long]("worst_contam_micro")).max >= 999000L,
+      "an exact copy must score ~1.0")
+  }
+
+  test("q165: one best match per probe, margins above neighborhood average") {
+    val rows = SimilarityQueries.bitextMining(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val probes = rows.map(_.getAs[Long]("probe_id"))
+    assert(probes.distinct.length == probes.length,
+      "a probe may emit at most one mined pair")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("margin_micro") >= 1000000L,
+        s"below-neighborhood match leaked through the margin gate: $r")
+      assert(r.getAs[String]("probe_lang") != "en")
+      val q = r.getAs[Long]("qcos_shift_micro")
+      assert(q >= 0L && q <= 2000000L, s"shift-quantized cosine out of range: $r")
+    }
+  }
+}
