@@ -176,7 +176,13 @@ object TextSearch {
     val tfRows = spark.read.parquet(s"$indexDir/postings")
       .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    bm25Score(tfRows, spark.read.parquet(s"$indexDir/stats"), k)
+    // SUM the stats read: identity over the batch builder's 1-row table,
+    // and the per-batch_run stats partitions of the incremental sink
+    // ([[graft.streaming.Streaming.incrementalPostingsSink]]) fold to the
+    // same integer totals — one serving path for both layouts
+    val stats = spark.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sdl")).as("sdl"))
+    bm25Score(tfRows, stats, k)
   }
 
   /** Per-document top-k keyphrases by TF-IDF — the corpus-statistical

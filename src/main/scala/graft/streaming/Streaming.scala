@@ -429,6 +429,59 @@ object Streaming {
       checkpointDir)
   }
 
+  /** INCREMENTAL POSTINGS-INDEX maintenance — the serving-index twin of
+    * [[incrementalDedupSink]]: each micro-batch of newly-ingested
+    * documents appends its own term-bucketed postings shard, so the
+    * `/search` lexical path ([[graft.ops.TextSearch.bm25TopKIndexed]])
+    * serves new content one trigger after it lands instead of waiting
+    * for the next full index rebuild. Layout:
+    *
+    *   indexDir/postings/batch_run=<id>/bucket=<b>/…   (term, doc_id, tf, dl)
+    *   indexDir/stats/batch_run=<id>/…                 (n_docs, sdl)
+    *
+    * — the same (bucket, term) pruning contract as the batch builder
+    * ([[graft.ops.TextSearch.writePostingsIndex]]): a serving read
+    * prunes to its terms' bucket dirs ACROSS all batch_run partitions,
+    * and corpus stats are the SUM of the per-batch stats rows
+    * (bm25TopKIndexed aggregates the stats read, so both layouts serve
+    * through one code path and scores stay bit-identical to a
+    * from-scratch build over the same documents).
+    *
+    * Replay/crash semantics are the [[keyedSink]] posture: both writes
+    * go to the batch's own `batch_run=<id>` partition with overwrite, so
+    * a batch replayed after a crash-before-checkpoint rewrites its own
+    * shard instead of double-counting it. Ingest must be append-only on
+    * doc_id (the register path's idempotency gate upstream — a
+    * re-UPSERTED document would otherwise post twice under two
+    * batch_runs; content updates go through a rebuild, as in every
+    * segment-merge search engine). Per-trigger cost is one shuffle of
+    * the BATCH's postings — the durable index is never read, let alone
+    * rewritten; shard-count growth is an offline compaction concern
+    * exactly like the dedup sinks' (one dir per trigger). */
+  def incrementalPostingsSink(docs: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nBuckets: Int = 64,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val post = batch
+          .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+          .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+            explode(col("__toks")).as("term"))
+          .groupBy(col("term"), col("doc_id"), col("dl"))
+          .agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+          .repartition(col("bucket")) // contiguous writers per bucket dir
+          .localCheckpoint(true) // two consumers: shard write + stats
+        post.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$indexDir/postings/batch_run=$batchId")
+        post.agg(count_distinct(col("doc_id")).as("n_docs"),
+            sum(col("tf")).as("sdl"))
+          .write.mode("overwrite").parquet(s"$indexDir/stats/batch_run=$batchId")
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
   /** Streaming CRAWL FRONTIER — the seen-URL gate every continuous
     * crawler runs ahead of fetch scheduling (the URL-level companion of
     * [[incrementalDedupSink]]'s content-level gate; reference

@@ -521,6 +521,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental postings sink: per-trigger shards serve bit-identically to a full rebuild") {
+    // the serving-index daily-crawl shape: trigger 1 seeds the postings
+    // index, trigger 2 appends its own shard, and the STORED-index BM25
+    // path over the accumulated partition tree must equal the scan-path
+    // BM25 over the union corpus bit-for-bit (shared scoring tail +
+    // summed per-batch stats = a from-scratch build's stats)
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_post").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalPostingsSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", s"$root/idx")
+    val t1 = Seq((1L, "spark query engine for big data"),
+      (2L, "query planning and data shuffles"),
+      (3L, "totally unrelated cooking recipe"))
+    val t2 = Seq((4L, "streaming query over spark data"),
+      (5L, "late arriving shard with novelterm inside"))
+    try {
+      input.addData(t1: _*)
+      q.processAllAvailable()
+      input.addData(t2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("query", "data", "spark")
+    val indexed = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, s"$root/idx", terms, k = 10).collect().toSeq
+    val scan = graft.ops.TextSearch.bm25TopK(
+      (t1 ++ t2).toDF("doc_id", "text"), "doc_id", "text", terms, 10)
+      .collect().toSeq
+    assert(indexed == scan,
+      s"stored-index serving drifted from the scan path:\n$indexed\n$scan")
+    // trigger-2 content is servable one trigger after landing
+    val novel = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, s"$root/idx", Seq("novelterm"), k = 10).collect()
+    assert(novel.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L))
+    // the summed per-batch stats equal the union corpus totals
+    val st = spark.read.parquet(s"$root/idx/stats")
+      .agg(sum("n_docs"), sum("sdl")).head()
+    assert(st.getLong(0) == 5L && st.getLong(1) ==
+      (t1 ++ t2).map(_._2.split(" ").length.toLong).sum)
+  }
+
   test("incremental image dedup sink: aHash index across batches, checkpointed restart, batch parity") {
     // the q110/q81 daily-crawl shape for images: trigger 1 seeds the
     // aHash index; after a stop (crash point: offsets only in the
