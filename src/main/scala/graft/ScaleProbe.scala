@@ -88,7 +88,21 @@ object ScaleProbe {
     "q162_eval_contamination",
     // round-9: D4 prototype pruning — IVF build + cell-partitioned rank,
     // per-vector verdict artifact (corpus-sized output by design)
-    "q163_d4_pruning")
+    "q163_d4_pruning",
+    // round-9 continuation: boilerplate strip (map-only regex kernel),
+    // margin bitext mining (bounded copy-0 probe batch x EN corpus),
+    // soft-dedup weights (q33's chain + census join), Heaps vocabulary
+    // curve (one token exchange), semantic decontamination (bounded
+    // copy-0 eval broadcast, train streams)
+    "q164_boilerplate", "q165_bitext_mining", "q166_soft_dedup",
+    "q167_vocab_growth", "q168_semantic_decontam",
+    // round-9 continuation: α=0.5 language reweighting (bounded census)
+    // and the 3-gate quality agreement census (q93's chain + row-local
+    // gates into 8 cells)
+    "q169_temperature_sampling", "q170_filter_agreement",
+    // round-9 continuation: map-side encoding QC and the robots gate
+    // (q157's canonical collapse + bounded rule census)
+    "q171_encoding_qc", "q172_robots_compliance")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

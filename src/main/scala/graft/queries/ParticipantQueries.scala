@@ -782,14 +782,17 @@ object ParticipantQueries {
     * order-sensitive checksum of the selection). The oracle replays the
     * identical canonicalization algebra in DuckDB (regexp + list
     * functions), so the convention itself is hash-pinned. */
-  def urlCuration(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.UrlOps
-    val docs = Tables.documents(spark, dir)
+  /** The deterministic messy-frontier synthesis shared by q157 and q172:
+    * each doc contributes one of four surface forms of its page URL
+    * (case/WWW/port/param-order/utm/fragment variation — two docs per
+    * canonical page, 37 sites). Mirrored CTE-for-CTE by
+    * [[urlCanonCtes]]. */
+  private def syntheticFrontier(docs: DataFrame): DataFrame = {
     val page = expr("doc_id div 2")
     val site = page % 37
     val p = page.cast("string")
     val s = site.cast("string")
-    val urls = docs.select(col("doc_id"), col("n_chars"), page.as("page"),
+    docs.select(col("doc_id"), col("n_chars"), page.as("page"),
       when(pmod(col("doc_id"), lit(4)) === 0, concat(
           lit("HTTP://WWW.Crawl.Site"), s, lit(".COM:80/page/"), p, lit("/?b=2&a=1")))
         .when(pmod(col("doc_id"), lit(4)) === 1, concat(
@@ -800,6 +803,11 @@ object ParticipantQueries {
         .otherwise(concat(
           lit("http://crawl.site"), s, lit(".com:80/page/"), p, lit("/?b=2&a=1")))
         .as("url"))
+  }
+
+  def urlCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlOps
+    val urls = syntheticFrontier(Tables.documents(spark, dir))
     // canonical collapse: hash agg, not a window — page and domain are
     // constant within a canonical group, so max() reads them off
     val perCanon = urls
@@ -823,8 +831,11 @@ object ParticipantQueries {
       .orderBy(col("domain"))
   }
 
-  val urlCurationSql: String =
-    """WITH urls AS (
+  /** The q157 frontier-synthesis + canonicalization CTE chain
+    * (urls → parts → norm → canon), shared with q172's robots gate so
+    * the two URL pipelines replay identical canonical forms. */
+  private val urlCanonCtes: String =
+    """urls AS (
       |  SELECT doc_id, n_chars, doc_id // 2 AS page,
       |    CASE CAST(doc_id % 4 AS INTEGER)
       |      WHEN 0 THEN 'HTTP://WWW.Crawl.Site' || CAST((doc_id // 2) % 37 AS VARCHAR)
@@ -858,13 +869,19 @@ object ParticipantQueries {
       |      p -> len(p) > 0 AND p NOT LIKE 'utm_%')), '&') AS q
       |  FROM parts),
       |canon AS (
-      |  SELECT doc_id, n_chars, page,
+      |  SELECT doc_id, n_chars, page, path,
       |    scheme || '://' || host || path ||
       |      CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon,
       |    CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
       |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
-      |  FROM norm),
-      |per_canon AS (
+      |  FROM norm)""".stripMargin
+
+  // concatenated, NOT interpolated under one stripMargin: the CTE block
+  // contains continuation lines that START with the `||` operator, and an
+  // outer stripMargin would eat their first pipe
+  val urlCurationSql: String =
+    s"WITH $urlCanonCtes,\n" +
+    """per_canon AS (
       |  SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_urls,
       |    MAX(n_chars) AS best_chars, MAX(page) AS page, MAX(domain) AS domain
       |  FROM canon GROUP BY canon),
@@ -885,6 +902,87 @@ object ParticipantQueries {
       |SELECT domain, n_urls, n_canonical, n_kept, kept_chars, kept_pages_sum
       |FROM census JOIN kept_agg USING (domain)
       |ORDER BY domain""".stripMargin
+
+  /** Q172 — ROBOTS-EXCLUSION COMPLIANCE gate (RFC 9309, the legal/
+    * politeness filter every crawl pipeline runs between frontier and
+    * fetch): the messy frontier canonicalizes (q157's shared chain),
+    * collapses to canonical pages, and each page is judged against its
+    * domain's parsed robots rules — here a deterministic bounded rule
+    * table (block-all for site ≡ 0 mod 11, the RFC's PREFIX-match
+    * `Disallow: /page/1` for site ≡ 0 mod 3, crawl-delay 10 s for
+    * site ≡ 0 mod 5; in production this table is the parsed robots.txt
+    * store, same shape). Output per domain: url/page volumes, verdict
+    * counts, the crawl delay, and the allowed share — the fetch-budget
+    * table a scheduler consumes next to q161's recrawl rates.
+    *
+    * Scale: rules are a bounded per-domain table (broadcast in
+    * production); the only exchanges are the canonical collapse (the
+    * q157-audited hash agg) and the bounded domain census. Prefix
+    * matching is a row-local starts_with — no per-rule explode. */
+  def robotsCompliance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlOps
+    val urls = syntheticFrontier(Tables.documents(spark, dir))
+    val perCanon = urls
+      .select(col("page"),
+        UrlOps.canonicalizeUrl(col("url")).as("canon"),
+        UrlOps.urlPath(col("url")).as("path"),
+        UrlOps.registrableDomain(UrlOps.urlHost(col("url"))).as("domain"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_urls"), max(col("page")).as("page"),
+        max(col("path")).as("path"), max(col("domain")).as("domain"))
+    judgedCensus(perCanon)
+  }
+
+  private def judgedCensus(perCanon: DataFrame): DataFrame =
+    perCanon
+      .withColumn("site", pmod(col("page"), lit(37)))
+      .withColumn("verdict",
+        when(col("site") % 11 === 0, lit("blocked_all"))
+          .when(col("site") % 3 === 0 && col("path").startsWith("/page/1"),
+            lit("blocked_prefix"))
+          .otherwise(lit("allowed")))
+      .withColumn("crawl_delay_s",
+        when(col("site") % 5 === 0, lit(10L)).otherwise(lit(0L)))
+      .groupBy(col("domain"))
+      .agg(sum(col("n_urls")).as("n_urls"),
+        count(lit(1)).as("n_pages"),
+        sum(when(col("verdict") === "blocked_all", 1L).otherwise(0L))
+          .as("n_blocked_all"),
+        sum(when(col("verdict") === "blocked_prefix", 1L).otherwise(0L))
+          .as("n_blocked_prefix"),
+        sum(when(col("verdict") === "allowed", 1L).otherwise(0L)).as("n_allowed"),
+        max(col("crawl_delay_s")).as("crawl_delay_s"))
+      .withColumn("allowed_share_micro",
+        expr("CAST(n_allowed * 1000000 DIV n_pages AS BIGINT)"))
+      .orderBy(col("domain"))
+
+  val robotsComplianceSql: String =
+    s"WITH $urlCanonCtes,\n" +
+    """per_canon AS (
+       |  SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_urls, MAX(page) AS page,
+       |    MAX(path) AS path, MAX(domain) AS domain
+       |  FROM canon GROUP BY canon),
+       |judged AS (
+       |  SELECT *,
+       |    CASE WHEN page % 37 % 11 = 0 THEN 'blocked_all'
+       |         WHEN page % 37 % 3 = 0 AND starts_with(path, '/page/1')
+       |           THEN 'blocked_prefix'
+       |         ELSE 'allowed' END AS verdict,
+       |    CASE WHEN page % 37 % 5 = 0 THEN 10 ELSE 0 END AS crawl_delay_s
+       |  FROM per_canon)
+       |SELECT domain,
+       |  CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pages,
+       |  CAST(SUM(CASE WHEN verdict = 'blocked_all' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_blocked_all,
+       |  CAST(SUM(CASE WHEN verdict = 'blocked_prefix' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_blocked_prefix,
+       |  CAST(SUM(CASE WHEN verdict = 'allowed' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_allowed,
+       |  CAST(MAX(crawl_delay_s) AS BIGINT) AS crawl_delay_s,
+       |  CAST(SUM(CASE WHEN verdict = 'allowed' THEN 1 ELSE 0 END) * 1000000
+       |       // COUNT(*) AS BIGINT) AS allowed_share_micro
+       |FROM judged GROUP BY domain ORDER BY domain""".stripMargin
 
   /** Q161 — RECRAWL SCHEDULING policy (Cho & Garcia-Molina, "The
     * Evolution of the Web and Implications for an Incremental Crawler",
@@ -1030,6 +1128,7 @@ object ParticipantQueries {
     QueryDef("q151_crawl_curation", crawlCuration, Some(crawlCurationSql)),
     QueryDef("q156_crawl_churn", crawlChurn, Some(crawlChurnSql)),
     QueryDef("q157_url_curation", urlCuration, Some(urlCurationSql)),
+    QueryDef("q172_robots_compliance", robotsCompliance, Some(robotsComplianceSql)),
     QueryDef("q159_domain_curation", domainCuration, Some(domainCurationSql)),
     QueryDef("q161_recrawl_policy", recrawlPolicy, Some(recrawlPolicySql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),

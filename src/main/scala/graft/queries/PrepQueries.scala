@@ -827,7 +827,64 @@ object PrepQueries {
       |FROM bloomdocs b LEFT JOIN exact e USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Q169 — TEMPERATURE-BASED language reweighting (the multilingual
+    * α-sampling recipe of mBERT/XLM-R: sample language i with
+    * probability ∝ (nᵢ/N)^α instead of its natural share, flattening
+    * the head so low-resource languages train at all): α = 0.5, so the
+    * reweighted mass is sᵢ = √nᵢ — IEEE sqrt is correctly rounded, so
+    * both engines derive the identical integer sᵢ = floor(√nᵢ · 1000)
+    * and every share is exact integer arithmetic from there. Output per
+    * language: token count, natural share, temperature share, and the
+    * sampling multiplier (m‰ = temperature/natural) a mixture loader
+    * applies. Shares divide as floor(n·1e6/total) on doubles (exact to
+    * 2⁵³ tokens ≈ 9e15 — two orders above a 100 TB corpus).
+    *
+    * Scale: one map-side token count folded into a per-language hash
+    * aggregate (bounded by |languages|), one broadcast total — content
+    * never shuffles, the census never grows. */
+  def temperatureSampling(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("s",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000.0)).cast("long"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("s")).as("tot_s"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        floor(col("n_tokens").cast("double") * lit(1000000.0) /
+          col("tot_tokens").cast("double")).cast("long").as("base_share_micro"),
+        floor(col("s").cast("double") * lit(1000000.0) /
+          col("tot_s").cast("double")).cast("long").as("temp_share_micro"))
+      .withColumn("multiplier_milli", expr(
+        "CAST(temp_share_micro * 1000 DIV greatest(base_share_micro, 1) AS BIGINT)"))
+      .orderBy(col("lang"))
+  }
+
+  val temperatureSamplingSql: String =
+    """WITH pl AS (
+      |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |ws AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000.0) AS BIGINT) AS s
+      |  FROM pl),
+      |tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(s) AS tot_s FROM ws),
+      |sh AS (
+      |  SELECT lang, n_tokens,
+      |    CAST(floor(CAST(n_tokens AS DOUBLE) * 1000000.0 /
+      |         CAST(tot_tokens AS DOUBLE)) AS BIGINT) AS base_share_micro,
+      |    CAST(floor(CAST(s AS DOUBLE) * 1000000.0 /
+      |         CAST(tot_s AS DOUBLE)) AS BIGINT) AS temp_share_micro
+      |  FROM ws, tot)
+      |SELECT lang, n_tokens, base_share_micro, temp_share_micro,
+      |  CAST(temp_share_micro * 1000 // greatest(base_share_micro, 1) AS BIGINT)
+      |    AS multiplier_milli
+      |FROM sh ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q169_temperature_sampling", temperatureSampling,
+      Some(temperatureSamplingSql)),
     QueryDef("q70_repeated_spans", repeatedSpans, Some(repeatedSpansSql)),
     QueryDef("q88_bloom_decontam", bloomDecontamination, Some(bloomDecontaminationSql)),
     QueryDef("q72_span_scrub", spanScrub, Some(spanScrubSql)),

@@ -468,8 +468,11 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val lmQualitySql: String =
-    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** The q93 CTE chain (reference-slice bigram LM → per-doc surprisal →
+    * tercile thresholds), shared with q170's agreement census so the two
+    * forms cannot drift. Composable under a plain WITH. */
+  private val lmQualityCtes: String =
+    """base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |refuni AS (
       |  SELECT w1, COUNT(*) AS c1
       |  FROM (SELECT unnest(ws) AS w1 FROM base WHERE doc_id % 3 = 0) GROUP BY 1),
@@ -497,12 +500,15 @@ object TextQueries {
       |thr AS (
       |  SELECT MIN(CASE WHEN cum * 3 >= n THEN avg_micro END) AS t1,
       |    MIN(CASE WHEN cum * 3 >= n * 2 THEN avg_micro END) AS t2
-      |  FROM cumh, tot)
-      |SELECT a.doc_id, a.n_bigrams, a.bits_total, a.n_unseen,
-      |  CAST(a.avg_micro AS BIGINT) AS avg_micro,
-      |  CAST(CASE WHEN a.avg_micro <= t.t1 THEN 1
-      |       WHEN a.avg_micro <= t.t2 THEN 2 ELSE 3 END AS INTEGER) AS bucket
-      |FROM avgd a, thr t ORDER BY a.doc_id""".stripMargin
+      |  FROM cumh, tot)""".stripMargin
+
+  val lmQualitySql: String =
+    s"""WITH $lmQualityCtes
+       |SELECT a.doc_id, a.n_bigrams, a.bits_total, a.n_unseen,
+       |  CAST(a.avg_micro AS BIGINT) AS avg_micro,
+       |  CAST(CASE WHEN a.avg_micro <= t.t1 THEN 1
+       |       WHEN a.avg_micro <= t.t2 THEN 2 ELSE 3 END AS INTEGER) AS bucket
+       |FROM avgd a, thr t ORDER BY a.doc_id""".stripMargin
 
   /** Q94 — DSIR-style importance selection
     * (TrainingPrep.importanceSelect): target domain = source 'src0',
@@ -1138,8 +1144,142 @@ object TextQueries {
       |  CAST(SUM(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
       |FROM census ORDER BY bucket""".stripMargin
 
+  /** Q170 — QUALITY-FILTER AGREEMENT census (the ensemble-disagreement
+    * audit behind every FineWeb-style ablation: before picking gate
+    * thresholds, measure how often the independent quality signals
+    * agree): three production gates — the heuristic composite score
+    * (q17, pass ≥ 0.7), the reference-LM perplexity tercile (q93, pass =
+    * head/middle), and language-ID consistency (q16's stopword argmax
+    * matching the recorded language) — evaluated per document and
+    * rolled into the 2³ agreement cells with exact shares. Cells where
+    * gates disagree are exactly the docs a threshold change moves, so
+    * this census IS the ablation planning table.
+    *
+    * Scale: the heuristic and langid gates are row-local kernels; the
+    * LM gate is q93's audited chain (bounded reference model, histogram
+    * terciles); the census aggregate is 8 rows. The ≤8-row cell table is
+    * localCheckpointed before the total join so the LM chain runs once,
+    * not once per consumer. */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gates = docs.select(col("doc_id"), col("lang"),
+      round(qualityScoreRaw(col("text")) * 1000000, 0).cast("long").as("__qm"),
+      (langId(col("text")) === col("lang")).as("g_lang"))
+    val lm = graft.ops.TrainingPrep.lmQualityBuckets(
+        docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      .select(col("doc_id"), col("bucket"))
+    val cells = gates.join(lm, Seq("doc_id"))
+      .select((col("__qm") >= 700000L).as("g_quality"),
+        (col("bucket") <= 2).as("g_lm"), col("g_lang"))
+      .groupBy(col("g_quality"), col("g_lm"), col("g_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+    val tot = cells.agg(sum(col("n_docs")).as("__tot"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_micro",
+        expr("CAST(n_docs * 1000000 DIV __tot AS BIGINT)"))
+      .drop("__tot")
+      .orderBy(col("g_quality"), col("g_lm"), col("g_lang"))
+  }
+
+  val filterAgreementSql: String = {
+    val (hEn, hDe, hEs, hFr) = (hitsSql("en"), hitsSql("de"), hitsSql("es"), hitsSql("fr"))
+    s"""WITH $lmQualityCtes,
+       |lmbuck AS (
+       |  SELECT a.doc_id,
+       |    CASE WHEN a.avg_micro <= t.t1 THEN 1
+       |         WHEN a.avg_micro <= t.t2 THEN 2 ELSE 3 END AS bucket
+       |  FROM avgd a, thr t),
+       |feats AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) AS dig,
+       |    $hEn AS h_en, $hDe AS h_de, $hEs AS h_es, $hFr AS h_fr
+       |  FROM documents),
+       |qd AS (
+       |  SELECT doc_id, lang,
+       |    CAST(round((0.3 * least(1.0, n / 50) + 0.3 * (nd / n)
+       |      + 0.2 * (1.0 - dig / n)
+       |      + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS qm,
+       |    CASE WHEN h_en = 0 AND h_de = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+       |         WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+       |         WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+       |         WHEN h_es >= h_fr THEN 'es'
+       |         ELSE 'fr' END AS predicted
+       |  FROM feats),
+       |cells AS (
+       |  SELECT (qm >= 700000) AS g_quality, (bucket <= 2) AS g_lm,
+       |    (predicted = lang) AS g_lang, COUNT(*) AS n_docs
+       |  FROM qd JOIN lmbuck USING (doc_id)
+       |  GROUP BY 1, 2, 3)
+       |SELECT g_quality, g_lm, g_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_docs * 1000000 // (SELECT SUM(n_docs) FROM cells) AS BIGINT) AS share_micro
+       |FROM cells ORDER BY g_quality, g_lm, g_lang""".stripMargin
+  }
+
+  /** Q171 — ENCODING QC census (the mojibake/transcoding-damage gate
+    * crawl pipelines run right after charset detection — CCNet/
+    * RefinedWeb drop or strip documents whose bytes survived transit
+    * but not decoding): per document, count C0 CONTROL characters
+    * (except tab/newline/CR — legitimate text never contains BEL or
+    * NUL; their presence means binary contamination or a charset
+    * mis-detect) and U+FFFD REPLACEMENT characters (the decoder's own
+    * damage marker), flag documents carrying either, and roll up per
+    * language. Deterministic damage is planted in-query (every 13th doc
+    * gains a BEL, every 26th additionally a U+FFFD) so the detector has
+    * known positives and the oracle replays plant + detection exactly.
+    *
+    * Scale: entirely map-side (two row-local scans of each string) into
+    * a bounded per-language hash aggregate — the cheapest QC pass in
+    * the suite, which is why production pipelines run it first. */
+  def encodingQc(spark: SparkSession, dir: String): DataFrame = {
+    val ControlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    Tables.documents(spark, dir)
+      .withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 13 === 0, lit("\u0007")).otherwise(lit("")),
+        when(col("doc_id") % 26 === 0, lit("\uFFFD")).otherwise(lit(""))))
+      .withColumn("n_control",
+        (length(col("t2")) - length(regexp_replace(col("t2"), ControlClass, "")))
+          .cast("long"))
+      .withColumn("n_repl",
+        (length(col("t2")) - length(translate(col("t2"), "\uFFFD", "")))
+          .cast("long"))
+      .withColumn("flag_bad", col("n_control") > 0 || col("n_repl") > 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flag_bad"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_control")).as("total_control_chars"),
+        sum(col("n_repl")).as("total_replacement_chars"))
+      .withColumn("clean_share_micro",
+        expr("CAST((n_docs - n_flagged) * 1000000 DIV n_docs AS BIGINT)"))
+      .orderBy(col("lang"))
+  }
+
+  val encodingQcSql: String =
+    """WITH mutated AS (
+      |  SELECT doc_id, lang,
+      |    text || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END
+      |         || CASE WHEN doc_id % 26 = 0 THEN chr(65533) ELSE '' END AS t2
+      |  FROM documents),
+      |feat AS (
+      |  SELECT lang,
+      |    CAST(len(t2) - len(regexp_replace(t2, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_control,
+      |    CAST(len(t2) - len(replace(t2, chr(65533), '')) AS BIGINT) AS n_repl
+      |  FROM mutated)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_control > 0 OR n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(n_control) AS BIGINT) AS total_control_chars,
+      |  CAST(SUM(n_repl) AS BIGINT) AS total_replacement_chars,
+      |  CAST((COUNT(*) - SUM(CASE WHEN n_control > 0 OR n_repl > 0 THEN 1 ELSE 0 END))
+      |       * 1000000 // COUNT(*) AS BIGINT) AS clean_share_micro
+      |FROM feat GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q164_boilerplate", boilerplateRemoval, Some(boilerplateRemovalSql)),
+    QueryDef("q170_filter_agreement", filterAgreement, Some(filterAgreementSql)),
+    QueryDef("q171_encoding_qc", encodingQc, Some(encodingQcSql)),
     QueryDef("q167_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("q112_multipattern", multiPatternScan, Some(multiPatternScanSql)),
     QueryDef("q120_classifier_eval", classifierEval, Some(classifierEvalSql)),

@@ -76,6 +76,66 @@ class TrainingDataOpsSpec extends SparkSpec {
       "an exact copy must score ~1.0")
   }
 
+  test("q169: temperature sampling flattens the language distribution") {
+    val rows = graft.queries.PrepQueries.temperatureSampling(spark, sf()).collect()
+    assert(rows.length >= 2)
+    val sumBase = rows.map(_.getAs[Long]("base_share_micro")).sum
+    val sumTemp = rows.map(_.getAs[Long]("temp_share_micro")).sum
+    // floor rounding loses < 1µ per language
+    assert(sumBase > 1000000L - rows.length && sumBase <= 1000000L)
+    assert(sumTemp > 1000000L - rows.length && sumTemp <= 1000000L)
+    // α = 0.5 flattening: the largest language is down-sampled, the
+    // smallest up-sampled
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTokens.last.getAs[Long]("multiplier_milli") < 1000L,
+      s"head language must down-sample: ${byTokens.last}")
+    assert(byTokens.head.getAs[Long]("multiplier_milli") > 1000L,
+      s"tail language must up-sample: ${byTokens.head}")
+  }
+
+  test("q170: agreement cells partition the corpus exactly") {
+    val rows = graft.queries.TextQueries.filterAgreement(spark, sf()).collect()
+    assert(rows.length <= 8)
+    val nDocs = Tables.documents(spark, sf()).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document lands in exactly one agreement cell")
+    val shares = rows.map(_.getAs[Long]("share_micro")).sum
+    assert(shares > 1000000L - rows.length && shares <= 1000000L)
+  }
+
+  test("q171: planted encoding damage is counted exactly") {
+    val rows = graft.queries.TextQueries.encodingQc(spark, sf()).collect()
+    val docs = Tables.documents(spark, sf())
+    val expFlagged = docs.filter(col("doc_id") % 13 === 0).count()
+    val expRepl = docs.filter(col("doc_id") % 26 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum == expFlagged,
+      "every 13th doc carries a planted BEL and nothing else is damaged")
+    assert(rows.map(_.getAs[Long]("total_control_chars")).sum == expFlagged)
+    assert(rows.map(_.getAs[Long]("total_replacement_chars")).sum == expRepl)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
+  test("q172: robots verdicts partition pages; rules bind per site class") {
+    val rows = graft.queries.ParticipantQueries.robotsCompliance(spark, sf())
+      .collect()
+    assert(rows.length == 37)
+    rows.foreach { r =>
+      // registrable domain of crawl.siteN.com = siteN.com (last 2 labels)
+      val site = r.getAs[String]("domain")
+        .stripPrefix("site").stripSuffix(".com").toInt
+      val (all, pre, ok) = (r.getAs[Long]("n_blocked_all"),
+        r.getAs[Long]("n_blocked_prefix"), r.getAs[Long]("n_allowed"))
+      assert(all + pre + ok == r.getAs[Long]("n_pages"), s"verdicts must partition: $r")
+      if (site % 11 == 0)
+        assert(ok == 0 && pre == 0 && all == r.getAs[Long]("n_pages"),
+          s"block-all domain leaked fetches: $r")
+      else assert(all == 0, s"non-blocked domain reported blocked_all: $r")
+      if (site % 3 != 0 || site % 11 == 0)
+        assert(pre == 0, s"prefix rule fired off its site class: $r")
+      assert(r.getAs[Long]("crawl_delay_s") == (if (site % 5 == 0) 10L else 0L))
+    }
+  }
+
   test("q165: one best match per probe, margins above neighborhood average") {
     val rows = SimilarityQueries.bitextMining(spark, sf()).collect()
     assert(rows.nonEmpty)
