@@ -482,6 +482,29 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** Crawl-to-SEARCHABLE end-to-end: newly-landed WARC segments parse
+    * per micro-batch (the [[crawlDedupSink]] ingest shape — same record
+    * gate, same identity rule) and feed the incremental postings index,
+    * so a page fetched in trigger N answers `/search` queries at
+    * trigger N+1. The dedup sink and this one can tail the same landing
+    * zone with separate checkpoints — the crawl pipeline's two standing
+    * consumers (near-dup gating and serving) stay independently
+    * restartable, exactly like two consumer groups on one topic (the
+    * reference's Kafka posture, KafkaIntelligencePipeline.kt:304-391). */
+  def crawlPostingsSink(spark: SparkSession, crawlDir: String, indexDir: String,
+      glob: String = "*.warc*",
+      idExpr: Column = xxhash64(col("record_id")),
+      warcTypes: Seq[String] = Seq("response"),
+      nBuckets: Int = 64,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val docs = graft.sources.Warc.scanStream(spark, crawlDir, glob).toDF()
+      .filter(col("error").isNull && col("warc_type").isin(warcTypes: _*))
+      .select(idExpr.cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+    incrementalPostingsSink(docs, "doc_id", "text", indexDir, nBuckets,
+      checkpointDir)
+  }
+
   /** Streaming CRAWL FRONTIER — the seen-URL gate every continuous
     * crawler runs ahead of fetch scheduling (the URL-level companion of
     * [[incrementalDedupSink]]'s content-level gate; reference

@@ -897,6 +897,53 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("paragraph"), e.getMessage)
   }
 
+  test("crawl-to-searchable composition: WARC segments stream into the serving postings index") {
+    // the second standing consumer of the crawl landing zone: the same
+    // segment layout as the dedup composition (checkpointed restart
+    // between triggers, gzipped second segment, corrupt record), but
+    // the sink is the postings index and the assertion is the SERVING
+    // read — a page fetched in trigger 2 must answer a BM25 query, the
+    // corrupt record must index nothing, and the restart must not
+    // double-post trigger 1
+    val root = java.nio.file.Files.createTempDirectory("graft_crawl_post").toString
+    val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
+    def rec(id: Long, text: String, version: String = "WARC/1.0"): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.Warc.writeRecord(bos, "response", s"<urn:crawl:$id>",
+        s"http://crawl.test/doc/$id", "2026-01-01T00:00:00Z", "text/plain",
+        text.getBytes("UTF-8"), version)
+      bos.toByteArray
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def start() = Streaming.crawlPostingsSink(spark, crawl, s"$root/idx",
+      idExpr = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1),
+      checkpointDir = Some(s"$root/ckpt"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(crawl, "seg0.warc"),
+      rec(1L, "spark engine for big data work") ++
+        rec(2L, "query planning and data shuffles"))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    java.nio.file.Files.write(java.nio.file.Paths.get(crawl, "seg1.warc.gz"),
+      gz(rec(3L, "freshpage about spark data streams")) ++
+        gz(rec(66L, "broken words", version = "WARC/9.9")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // the trigger-2 page answers a serving query one trigger after landing
+    val hit = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, s"$root/idx", Seq("freshpage"), k = 5).collect()
+    assert(hit.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L), hit.mkString(","))
+    // corrupt record indexed nothing; restart did not double-post seg0
+    val st = spark.read.parquet(s"$root/idx/stats").agg(sum("n_docs")).head()
+    assert(st.getLong(0) == 3L, s"stats show ${st.getLong(0)} docs, want 3")
+    // trigger-1 content still ranks (both docs share 'data')
+    val both = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, s"$root/idx", Seq("data"), k = 5).collect()
+    assert(both.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+  }
+
   test("crawl-to-dedup composition: WARC segments stream into the durable near-dup index") {
     // the daily-crawl production loop: Warc.scanStream -> crawlDedupSink
     // across two triggers with a checkpointed restart between them; the
