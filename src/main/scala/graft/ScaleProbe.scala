@@ -102,7 +102,10 @@ object ScaleProbe {
     "q169_temperature_sampling", "q170_filter_agreement",
     // round-9 continuation: map-side encoding QC and the robots gate
     // (q157's canonical collapse + bounded rule census)
-    "q171_encoding_qc", "q172_robots_compliance")
+    "q171_encoding_qc", "q172_robots_compliance",
+    // round-9 continuation: occurrence-level trigram novelty (two
+    // gram-keyed exchanges, the inverted-index shape)
+    "q173_ngram_novelty")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

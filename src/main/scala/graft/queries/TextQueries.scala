@@ -1276,10 +1276,76 @@ object TextQueries {
       |       * 1000000 // COUNT(*) AS BIGINT) AS clean_share_micro
       |FROM feat GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q173 — N-GRAM NOVELTY curve (the occurrence-level memorization-
+    * pressure metric of the dedup literature — Lee et al. 2022 measure
+    * exactly this before/after dedup): cut the corpus into 10 doc-id
+    * deciles; for each decile, how many of its word-trigram OCCURRENCES
+    * repeat a gram first minted in an EARLIER decile. The complement of
+    * q167's type-growth curve: q167 counts what's new, this counts how
+    * hard the past is being replayed — the share a model would see
+    * twice across the training order. Also emits each decile's newly-
+    * minted trigram types.
+    *
+    * Scale: the canonical novelty pass — one exchange on the gram for
+    * min-bucket, one gram-keyed join back to occurrences (both the
+    * shape of an inverted-index build), then a 10-cell census. The
+    * gram table is the corpus's trigram vocabulary: at 100 TB both
+    * exchanges bucket cleanly on the gram hash; nothing is broadcast,
+    * nothing funnels. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id")).as("__mx"))
+    val occ = docs
+      .withColumn("__w", split(col("text"), " "))
+      .filter(size(col("__w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(__w) - 3), " +
+          "i -> concat(__w[i], ' ', __w[i+1], ' ', __w[i+2]))")).as("gram"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("bucket", expr("CAST(doc_id * 10 DIV (__mx + 1) AS BIGINT)"))
+      .select(col("gram"), col("bucket"))
+    val firstB = occ.groupBy(col("gram")).agg(min(col("bucket")).as("first_bucket"))
+    val censusOcc = occ.join(firstB, Seq("gram"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bucket") > col("first_bucket"), 1L).otherwise(0L))
+          .as("n_repeat_past"))
+    val censusTypes = firstB.groupBy(col("first_bucket").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    censusOcc.join(censusTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_grams"), col("n_repeat_past"),
+        expr("CAST(n_repeat_past * 1000000 DIV n_grams AS BIGINT)")
+          .as("repeat_share_micro"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .orderBy(col("bucket"))
+  }
+
+  val ngramNoveltySql: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS mxid FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    UNNEST([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+      |            FOR i IN range(1, len(words) - 1)]) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+      |ob AS (SELECT gram, CAST(doc_id * 10 // (mxid + 1) AS BIGINT) AS bucket
+      |       FROM occ, mx),
+      |fb AS (SELECT gram, MIN(bucket) AS first_bucket FROM ob GROUP BY gram),
+      |co AS (SELECT bucket, COUNT(*) AS n_grams,
+      |         SUM(CASE WHEN bucket > first_bucket THEN 1 ELSE 0 END) AS n_repeat_past
+      |       FROM ob JOIN fb USING (gram) GROUP BY bucket),
+      |ct AS (SELECT first_bucket AS bucket, COUNT(*) AS new_types FROM fb GROUP BY 1)
+      |SELECT co.bucket,
+      |  CAST(co.n_grams AS BIGINT) AS n_grams,
+      |  CAST(co.n_repeat_past AS BIGINT) AS n_repeat_past,
+      |  CAST(co.n_repeat_past * 1000000 // co.n_grams AS BIGINT) AS repeat_share_micro,
+      |  CAST(COALESCE(ct.new_types, 0) AS BIGINT) AS new_types
+      |FROM co LEFT JOIN ct USING (bucket) ORDER BY co.bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q164_boilerplate", boilerplateRemoval, Some(boilerplateRemovalSql)),
     QueryDef("q170_filter_agreement", filterAgreement, Some(filterAgreementSql)),
     QueryDef("q171_encoding_qc", encodingQc, Some(encodingQcSql)),
+    QueryDef("q173_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("q167_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("q112_multipattern", multiPatternScan, Some(multiPatternScanSql)),
     QueryDef("q120_classifier_eval", classifierEval, Some(classifierEvalSql)),

@@ -482,6 +482,69 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** OFFLINE compaction for [[incrementalPostingsSink]]'s partition
+    * trees: folds the accumulated per-trigger postings shards (every
+    * `batch_run=<id>/bucket=<b>` directory) into ONE batch_run
+    * (keyed by the lowest existing id — sink batch ids only grow, so no
+    * collision) while PRESERVING the bucket partitioning the serving
+    * read prunes on, and folds the per-batch stats rows into one summed
+    * row. Rows are deduplicated by (term, doc_id) on the way through —
+    * the sink's append-only-id contract means duplicates only exist
+    * after a contract violation, and folding them once is strictly
+    * better than serving them twice. Same crash discipline as
+    * [[compactIndex]]: stage under a dot-dir, move-aside → move-in →
+    * delete with every rename checked, recovery prologue restores a
+    * parked partition before anything reads. Run while the sink is
+    * stopped. Returns the number of batch_run partitions folded
+    * across both subtrees (0 = nothing to do). */
+  def compactPostingsIndex(spark: SparkSession, indexDir: String): Int = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def foldTree(root: String, dedupKeys: Seq[String],
+        agg: DataFrame => DataFrame, partitionCols: Seq[String]): Int = {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(conf)
+      if (!fs.exists(rootPath)) return 0
+      def p(name: String) = new org.apache.hadoop.fs.Path(root, name)
+      def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+        require(fs.rename(src, dst), s"compactPostingsIndex: rename $src -> $dst failed")
+      def glob(pattern: String) =
+        Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
+      val runDirs = glob("batch_run=*").map(_.getPath.getName)
+      glob(".compact_old_*").foreach { st =>
+        val orig = st.getPath.getName.stripPrefix(".compact_old_")
+        if (runDirs.contains(orig)) fs.delete(st.getPath, true)
+        else move(st.getPath, p(orig))
+      }
+      val df = spark.read.parquet(root)
+      val runs = df.select(col("batch_run").cast("long")).distinct()
+        .as[Long].collect().sorted
+      if (runs.length <= 1) return 0
+      val lo = runs.head
+      val dataCols = df.columns.filterNot(_ == "batch_run").map(col)
+      val folded = agg(df.select(dataCols: _*))
+      val deduped =
+        if (dedupKeys.nonEmpty) folded.dropDuplicates(dedupKeys) else folded
+      val staging = p(".compact_staging")
+      val writer0 = deduped.write.mode("overwrite")
+      val writer = if (partitionCols.nonEmpty)
+        writer0.partitionBy(partitionCols: _*) else writer0
+      writer.parquet(staging.toString)
+      val loName = s"batch_run=$lo"
+      move(p(loName), p(s".compact_old_$loName"))
+      move(staging, p(loName))
+      fs.delete(p(s".compact_old_$loName"), true)
+      runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
+      runs.length
+    }
+    // cluster by bucket before the partitioned write, same as the sink
+    foldTree(s"$indexDir/postings", Seq("term", "doc_id"),
+      df => df.repartition(col("bucket")), Seq("bucket")) +
+      foldTree(s"$indexDir/stats", Nil,
+        df => df.agg(sum(col("n_docs")).as("n_docs"), sum(col("sdl")).as("sdl")),
+        Nil)
+  }
+
   /** Crawl-to-SEARCHABLE end-to-end: newly-landed WARC segments parse
     * per micro-batch (the [[crawlDedupSink]] ingest shape — same record
     * gate, same identity rule) and feed the incremental postings index,

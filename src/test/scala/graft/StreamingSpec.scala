@@ -897,6 +897,38 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("paragraph"), e.getMessage)
   }
 
+  test("postings compaction folds the partition tree without changing what serves") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_post_compact").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalPostingsSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", s"$root/idx")
+    try {
+      input.addData((1L, "spark query engine for big data"),
+        (2L, "query planning and data shuffles"))
+      q.processAllAvailable()
+      input.addData((3L, "streaming query over spark data"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("query", "spark", "data")
+    val before = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, s"$root/idx", terms, k = 10).collect().toSeq
+    val folded = Streaming.compactPostingsIndex(spark, s"$root/idx")
+    assert(folded == 4, s"expected 2 postings + 2 stats runs folded, got $folded")
+    // one batch_run partition left in each subtree; bucket dirs preserved
+    def runDirs(sub: String) = new java.io.File(s"$root/idx/$sub").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_run=")).toSeq
+    assert(runDirs("postings") == Seq("batch_run=0"))
+    assert(runDirs("stats") == Seq("batch_run=0"))
+    assert(new java.io.File(s"$root/idx/postings/batch_run=0").listFiles()
+      .exists(_.getName.startsWith("bucket=")), "bucket partitioning must survive")
+    val after = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, s"$root/idx", terms, k = 10).collect().toSeq
+    assert(after == before, s"compaction changed serving:\n$before\n$after")
+    // idempotent: a second pass has nothing to fold
+    assert(Streaming.compactPostingsIndex(spark, s"$root/idx") == 0)
+  }
+
   test("crawl-to-searchable composition: WARC segments stream into the serving postings index") {
     // the second standing consumer of the crawl landing zone: the same
     // segment layout as the dedup composition (checkpointed restart

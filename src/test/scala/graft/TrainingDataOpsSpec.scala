@@ -136,6 +136,23 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("q173: novelty census conserves occurrences; decile 0 replays nothing") {
+    val rows = graft.queries.TextQueries.ngramNovelty(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val docs = Tables.documents(spark, sf())
+    val expOcc = docs.select(
+        (greatest(size(split(col("text"), " ")) - 2, lit(0))).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_grams")).sum == expOcc,
+      "every trigram occurrence lands in exactly one decile")
+    assert(rows.head.getAs[Long]("n_repeat_past") == 0L,
+      "the first decile has no past to replay")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_repeat_past") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("new_types") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
   test("q165: one best match per probe, margins above neighborhood average") {
     val rows = SimilarityQueries.bitextMining(spark, sf()).collect()
     assert(rows.nonEmpty)
