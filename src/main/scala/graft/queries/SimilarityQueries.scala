@@ -1863,6 +1863,10 @@ object SimilarityQueries {
       .withColumn("qc", floor(
         (graft.functions.NativeExpressions.quantizedCosine(
           col("__yv"), col("__xv")) + lit(1.0d)) * lit(1000000.0d)).cast("long"))
+    // NOT checkpointed despite three consumers: the candidate table is a
+    // broadcast join + codegen'd integer cosine, and re-running it costs
+    // less than materializing |batch|×|EN| rows (measured: checkpointing
+    // REGRESSED 4.1 s -> 8.0 s at 1x, 12.0 s -> 18.1 s at 50x)
       .select(col("probe_id"), col("probe_lang"), col("match_id"), col("qc"))
     val wx = Window.partitionBy(col("probe_id"))
       .orderBy(col("qc").desc, col("match_id").asc)
