@@ -104,8 +104,10 @@ object ScaleProbe {
     // (q157's canonical collapse + bounded rule census)
     "q171_encoding_qc", "q172_robots_compliance",
     // round-9 continuation: occurrence-level trigram novelty (two
-    // gram-keyed exchanges, the inverted-index shape)
-    "q173_ngram_novelty")
+    // gram-keyed exchanges, the inverted-index shape) and the
+    // padding-vs-packing efficiency census (map-side explode x3 lengths
+    // into a bounded (source, L) aggregate)
+    "q173_ngram_novelty", "q174_padding_waste")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -882,7 +882,70 @@ object PrepQueries {
       |    AS multiplier_milli
       |FROM sh ORDER BY lang""".stripMargin
 
+  /** Q174 — PADDING-WASTE census (the training-economics table that
+    * justifies sequence packing): for each candidate context length L,
+    * compare NAIVE one-document-per-sequence batching (each doc costs
+    * ceil(n/L) sequences, the remainder padded) against CONCATENATED
+    * packing at q36's semantics (each source block is a token stream
+    * cut every L; padding only at each block's tail). Emits, per L:
+    * token volume, sequence counts and padded tokens under both
+    * regimes, and the share of padding that packing eliminates — the
+    * number that decides whether a run pays the packing complexity.
+    *
+    * Scale: one corpus scan exploded ×|L| map-side, a (source, L) hash
+    * aggregate (bounded by sources × lengths), then an |L|-row rollup —
+    * no windows, no joins wider than the bounded census. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("l", explode(array(lit(128L), lit(512L), lit(2048L))))
+    val perSource = toks.groupBy(col("l"), col("source"))
+      .agg(sum(col("n")).as("blk_tokens"),
+        sum(expr("(n + l - 1) DIV l")).as("naive_seqs"))
+    perSource.groupBy(col("l"))
+      .agg(sum(col("blk_tokens")).as("total_tokens"),
+        sum(col("naive_seqs")).as("naive_seqs"),
+        sum(expr("(blk_tokens + l - 1) DIV l")).as("packed_seqs"))
+      .withColumn("naive_pad_tokens",
+        expr("CAST(naive_seqs * l - total_tokens AS BIGINT)"))
+      .withColumn("packed_pad_tokens",
+        expr("CAST(packed_seqs * l - total_tokens AS BIGINT)"))
+      .withColumn("pad_saved_micro", expr(
+        "CAST((naive_pad_tokens - packed_pad_tokens) * 1000000 " +
+          "DIV greatest(naive_pad_tokens, 1) AS BIGINT)"))
+      .select(col("l"), col("total_tokens"), col("naive_seqs"),
+        col("naive_pad_tokens"), col("packed_seqs"),
+        col("packed_pad_tokens"), col("pad_saved_micro"))
+      .orderBy(col("l"))
+  }
+
+  val paddingWasteSql: String =
+    """WITH ls AS (SELECT UNNEST([128, 512, 2048]) AS l),
+      |toks AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n, l
+      |  FROM documents, ls),
+      |per_source AS (
+      |  SELECT l, source, SUM(n) AS blk_tokens,
+      |    SUM((n + l - 1) // l) AS naive_seqs
+      |  FROM toks GROUP BY l, source),
+      |per_l AS (
+      |  SELECT l,
+      |    CAST(SUM(blk_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(naive_seqs) AS BIGINT) AS naive_seqs,
+      |    CAST(SUM((blk_tokens + l - 1) // l) AS BIGINT) AS packed_seqs
+      |  FROM per_source GROUP BY l)
+      |SELECT CAST(l AS BIGINT) AS l, total_tokens, naive_seqs,
+      |  CAST(naive_seqs * l - total_tokens AS BIGINT) AS naive_pad_tokens,
+      |  packed_seqs,
+      |  CAST(packed_seqs * l - total_tokens AS BIGINT) AS packed_pad_tokens,
+      |  CAST((naive_seqs * l - total_tokens - (packed_seqs * l - total_tokens))
+      |       * 1000000 // greatest(naive_seqs * l - total_tokens, 1) AS BIGINT)
+      |    AS pad_saved_micro
+      |FROM per_l ORDER BY l""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q174_padding_waste", paddingWaste, Some(paddingWasteSql)),
     QueryDef("q169_temperature_sampling", temperatureSampling,
       Some(temperatureSamplingSql)),
     QueryDef("q70_repeated_spans", repeatedSpans, Some(repeatedSpansSql)),

@@ -153,6 +153,26 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("q174: packing never pads more than naive batching; accounting balances") {
+    val rows = graft.queries.PrepQueries.paddingWaste(spark, sf()).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l")
+      val tot = r.getAs[Long]("total_tokens")
+      assert(r.getAs[Long]("naive_seqs") * l ==
+        tot + r.getAs[Long]("naive_pad_tokens"))
+      assert(r.getAs[Long]("packed_seqs") * l ==
+        tot + r.getAs[Long]("packed_pad_tokens"))
+      assert(r.getAs[Long]("packed_pad_tokens") <= r.getAs[Long]("naive_pad_tokens"),
+        s"packing can only reduce padding: $r")
+      assert(r.getAs[Long]("packed_seqs") <= r.getAs[Long]("naive_seqs"))
+    }
+    // at L far above the median doc length, packing must help a lot
+    val big = rows.maxBy(_.getAs[Long]("l"))
+    assert(big.getAs[Long]("pad_saved_micro") > 500000L,
+      s"at L=2048 most padding should vanish: $big")
+  }
+
   test("q165: one best match per probe, margins above neighborhood average") {
     val rows = SimilarityQueries.bitextMining(spark, sf()).collect()
     assert(rows.nonEmpty)
