@@ -107,7 +107,10 @@ object ScaleProbe {
     // gram-keyed exchanges, the inverted-index shape) and the
     // padding-vs-packing efficiency census (map-side explode x3 lengths
     // into a bounded (source, L) aggregate)
-    "q173_ngram_novelty", "q174_padding_waste")
+    "q173_ngram_novelty", "q174_padding_waste",
+    // round-9 continuation: the IVF recall/cost tuning sweep (bounded
+    // query batch, index scanned once, candidates ~ avg(nprobe)/cells)
+    "q175_ivf_tuning")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

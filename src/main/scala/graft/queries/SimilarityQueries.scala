@@ -2003,7 +2003,148 @@ object SimilarityQueries {
       |  CAST(MAX(contam_micro) AS BIGINT) AS worst_contam_micro
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  /** Q175 — IVF TUNING CURVE: recall@10 versus probe breadth (nprobe ∈
+    * {1, 2, 4, 8}) against the exact full-scan truth, with the candidate
+    * volume each setting actually examined — the recall/cost table every
+    * IVF deployment is tuned from (completing the eval set: q121 =
+    * relevance, q150 = dedup banding, this = ANN pruning). Same
+    * integer-exact index build as q15c/q79, so the oracle replays
+    * build + per-query cell ranking + the nprobe sweep + both rankings
+    * bit-for-bit; recall is exact integer µ.
+    *
+    * Scale: the query batch is bounded and broadcasts with its probed
+    * cells; the index is scanned once with candidates ≈ Σₚ(p/cells)·n —
+    * linear with a constant ≈ |batch|·avg(nprobe)/cells; both rankings
+    * are WindowGroupLimit per (query, nprobe). The corpus never
+    * shuffles. */
+  def ivfTuning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Similarity.ivfExactCentroids(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val qvecs = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val index = Similarity.ivfExactAssign(qvecs, cents)
+    val queries = qvecs.filter(col("id") < 4)
+      .select(col("id").as("query_id"), col("qv").as("q"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    val truth = qvecs.crossJoin(broadcast(queries))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", graft.functions.NativeExpressions.longCosine(
+        col("qv"), col("q")))
+      .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 10)
+      .select(col("query_id"), col("id"))
+    val cellRank = queries.crossJoin(broadcast(cents))
+      .withColumn("sim", graft.functions.NativeExpressions.longCosine(
+        col("cv"), col("q")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cell").asc)))
+      .select(col("query_id"), col("q"), col("cell"), col("rk"))
+    val probed = cellRank
+      .withColumn("nprobe", explode(array(Seq(1, 2, 4, 8).map(lit): _*)))
+      .filter(col("rk") <= col("nprobe"))
+      .select(col("query_id"), col("q"), col("cell"), col("nprobe"))
+    val approx = index.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", graft.functions.NativeExpressions.longCosine(
+        col("qv"), col("q")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"), col("nprobe"))
+          .orderBy(col("cosine").desc, col("id").asc)))
+    val scanned = approx.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("candidates_scanned"))
+    val hits = approx.filter(col("rank") <= 10)
+      .join(truth, Seq("query_id", "id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits_at_10"))
+    val denom = queries.agg(count(lit(1)).as("n_queries"))
+    scanned.join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(denom))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_queries"),
+        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
+        col("candidates_scanned"))
+      .withColumn("recall_micro",
+        expr("CAST(hits_at_10 * 1000000 DIV (n_queries * 10) AS BIGINT)"))
+      .orderBy(col("nprobe"))
+  }
+
+  val ivfTuningSql: String = {
+    def cos(a: String, b: String): String =
+      s"""CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT) AS DOUBLE) /
+         |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS BIGINT) AS DOUBLE)) *
+         |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])) AS BIGINT) AS DOUBLE)))""".stripMargin
+    s"""WITH c AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT id AS cell, qv AS cv FROM c
+       |  ORDER BY CAST('0x'||substring(md5(CAST(id AS VARCHAR)),1,15) AS BIGINT) ASC, id ASC
+       |  LIMIT 8),
+       |a1 AS (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |        ${cos("c.qv", "s.cv")} DESC, s.cell ASC) AS rn
+       |    FROM c CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |sums AS (
+       |  SELECT a1.cell, r.d, CAST(sum(c.qv[r.d + 1]) AS BIGINT) AS sc
+       |  FROM a1 JOIN c USING (id) CROSS JOIN range(0, 64) r(d)
+       |  GROUP BY a1.cell, r.d),
+       |cents1 AS (SELECT cell, list(sc ORDER BY d) AS sv FROM sums GROUP BY cell),
+       |cents AS (
+       |  SELECT s.cell, coalesce(c1.sv, s.cv) AS cv
+       |  FROM seeds s LEFT JOIN cents1 c1 USING (cell)),
+       |a2 AS (
+       |  SELECT id, cell FROM (
+       |    SELECT c.id, ct.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+       |        ${cos("c.qv", "ct.cv")} DESC, ct.cell ASC) AS rn
+       |    FROM c CROSS JOIN cents ct)
+       |  WHERE rn = 1),
+       |qs AS (SELECT id AS query_id, qv AS q FROM c WHERE id < 4),
+       |truth AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT qs.query_id, c.id,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+       |        ${cos("c.qv", "qs.q")} DESC, c.id ASC) AS rn
+       |    FROM c CROSS JOIN qs WHERE c.id <> qs.query_id)
+       |  WHERE rn <= 10),
+       |cellrank AS (
+       |  SELECT qs.query_id, qs.q, ct.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+       |      ${cos("ct.cv", "qs.q")} DESC, ct.cell ASC) AS rk
+       |  FROM qs CROSS JOIN cents ct),
+       |probed AS (
+       |  SELECT query_id, q, cell, nprobe
+       |  FROM cellrank, (SELECT UNNEST([1, 2, 4, 8]) AS nprobe)
+       |  WHERE rk <= nprobe),
+       |approx AS (
+       |  SELECT p.query_id, p.nprobe, a2.id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id, p.nprobe ORDER BY
+       |      ${cos("c.qv", "p.q")} DESC, a2.id ASC) AS rank
+       |  FROM a2 JOIN probed p USING (cell) JOIN c ON a2.id = c.id
+       |  WHERE a2.id <> p.query_id),
+       |scanned AS (
+       |  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS candidates_scanned
+       |  FROM approx GROUP BY nprobe),
+       |hits AS (
+       |  SELECT a.nprobe, CAST(COUNT(*) AS BIGINT) AS hits_at_10
+       |  FROM approx a JOIN truth t ON a.query_id = t.query_id AND a.id = t.id
+       |  WHERE a.rank <= 10 GROUP BY a.nprobe),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs)
+       |SELECT CAST(s.nprobe AS BIGINT) AS nprobe, nq.n_queries,
+       |  CAST(COALESCE(h.hits_at_10, 0) AS BIGINT) AS hits_at_10,
+       |  s.candidates_scanned,
+       |  CAST(COALESCE(h.hits_at_10, 0) * 1000000 // (nq.n_queries * 10) AS BIGINT)
+       |    AS recall_micro
+       |FROM scanned s LEFT JOIN hits h ON s.nprobe = h.nprobe
+       |CROSS JOIN nq
+       |ORDER BY nprobe""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q175_ivf_tuning", ivfTuning, Some(ivfTuningSql)),
     QueryDef("q165_bitext_mining", bitextMining, Some(bitextMiningSql)),
     QueryDef("q168_semantic_decontam", semanticDecontam, Some(semanticDecontamSql)),
     QueryDef("q114_rrf_fusion", rrfFusion, Some(rrfFusionSql)),

@@ -173,6 +173,20 @@ class TrainingDataOpsSpec extends SparkSpec {
       s"at L=2048 most padding should vanish: $big")
   }
 
+  test("q175: recall is monotone in nprobe and exact at full probe breadth") {
+    val rows = graft.queries.SimilarityQueries.ivfTuning(spark, sf()).collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    val recalls = rows.map(_.getAs[Long]("recall_micro"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not drop as probe breadth grows: ${recalls.toSeq}")
+    assert(recalls.last == 1000000L,
+      "probing all 8 cells IS the exact scan — recall must be 1.0")
+    val costs = rows.map(_.getAs[Long]("candidates_scanned"))
+    assert(costs.zip(costs.tail).forall { case (a, b) => a < b },
+      s"candidate volume must grow with probe breadth: ${costs.toSeq}")
+  }
+
   test("q165: one best match per probe, margins above neighborhood average") {
     val rows = SimilarityQueries.bitextMining(spark, sf()).collect()
     assert(rows.nonEmpty)
