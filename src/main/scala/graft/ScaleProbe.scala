@@ -110,7 +110,9 @@ object ScaleProbe {
     "q173_ngram_novelty", "q174_padding_waste",
     // round-9 continuation: the IVF recall/cost tuning sweep (bounded
     // query batch, index scanned once, candidates ~ avg(nprobe)/cells)
-    "q175_ivf_tuning")
+    // and JSONL shard ingestion (line-splittable stock source + the
+    // A19 corrupt-line isolation posture)
+    "q175_ivf_tuning", "q176_jsonl_ingest")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

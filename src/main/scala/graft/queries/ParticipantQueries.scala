@@ -76,6 +76,50 @@ object ParticipantQueries {
       |FROM documents WHERE doc_id % 7 = 0 AND doc_id % 70 <> 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Q176 — JSONL shard ingestion with corrupt-line isolation: the
+    * de-facto LLM-corpus interchange format (every public dataset ships
+    * *.jsonl), read PERMISSIVE with an explicit schema (no inference
+    * pass) and an explicit `_corrupt` column — a truncated line (the
+    * interrupted-upload shard tail, planted at doc_id % 33 == 1) costs
+    * ONE null-data row, never the shard, and unknown extra fields
+    * (planted `meta` objects) are ignored (the schema-drift tolerance
+    * real dataset shards need). Census per language with the corrupt
+    * rows surfacing under the null-language group; the oracle
+    * reconstructs every aggregate from the generating table, so parse
+    * fidelity, corruption isolation, and drift tolerance are all
+    * hash-pinned. Unlike gzip WARC, JSONL is offset-splittable for
+    * free (line splits), so the 100 TB read path is the stock json
+    * source — the A19 error posture is the only thing to add. */
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.sources.Jsonl.ensureFixture(spark, dir)
+    graft.sources.Jsonl.scan(spark, fx)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("id")).as("sum_id"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+      .orderBy(col("lang"))
+  }
+
+  val jsonlIngestSql: String =
+    """WITH good AS (
+      |  SELECT lang, doc_id, len(text) AS ch FROM documents
+      |  WHERE doc_id % 3 = 1 AND doc_id % 33 <> 1),
+      |bad AS (
+      |  SELECT COUNT(*) AS n FROM documents
+      |  WHERE doc_id % 3 = 1 AND doc_id % 33 = 1)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(ch) AS BIGINT) AS sum_chars,
+      |  CAST(0 AS BIGINT) AS n_corrupt
+      |FROM good GROUP BY lang
+      |UNION ALL
+      |SELECT CAST(NULL AS VARCHAR) AS lang, CAST(n AS BIGINT) AS n_rows,
+      |  CAST(NULL AS BIGINT) AS sum_id, CAST(NULL AS BIGINT) AS sum_chars,
+      |  CAST(n AS BIGINT) AS n_corrupt
+      |FROM bad WHERE n > 0
+      |ORDER BY lang""".stripMargin
+
   /** Q151 — WARC → register → curate, the actual Common-Crawl ingest
     * chain END-TO-END in one declarative lineage (reference:
     * KafkaIntelligencePipeline.kt:304-391 ingest-to-enriched-records, with
@@ -1129,6 +1173,7 @@ object ParticipantQueries {
     QueryDef("q156_crawl_churn", crawlChurn, Some(crawlChurnSql)),
     QueryDef("q157_url_curation", urlCuration, Some(urlCurationSql)),
     QueryDef("q172_robots_compliance", robotsCompliance, Some(robotsComplianceSql)),
+    QueryDef("q176_jsonl_ingest", jsonlIngest, Some(jsonlIngestSql)),
     QueryDef("q159_domain_curation", domainCuration, Some(domainCurationSql)),
     QueryDef("q161_recrawl_policy", recrawlPolicy, Some(recrawlPolicySql)),
     QueryDef("q30_chunk_commands", chunkCommands, Some(chunkCommandsSql)),

@@ -897,6 +897,39 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("paragraph"), e.getMessage)
   }
 
+  test("jsonl shard stream: corrupt line isolates, unknown fields tolerated") {
+    // the daily dataset-drop shape for the LLM interchange format: new
+    // *.jsonl shards land per trigger; a truncated line costs one
+    // null-data row with _corrupt carrying the raw bytes, and an extra
+    // field the schema doesn't know parses cleanly
+    val root = java.nio.file.Files.createTempDirectory("graft_jsonl_stream").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    def shard(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    shard("a.jsonl",
+      """{"id":1,"lang":"en","text":"alpha beta"}""",
+      """{"id":2,"lang":"de","text":"gamma delta","meta":{"crawl":"2026-01"}}""")
+    val q = graft.sources.Jsonl.scanStream(spark, in).writeStream
+      .format("memory").queryName("jsonl_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("jsonl_stream").count() == 2)
+      assert(spark.table("jsonl_stream").filter(col("_corrupt").isNotNull).count() == 0)
+      shard("b.jsonl",
+        """{"id":3,"lang":"es","text":"epsilon zeta"}""",
+        """{"id":4,"lang":"en","text":"trunc""") // unterminated string
+      q.processAllAvailable()
+      val all = spark.table("jsonl_stream").collect()
+      assert(all.length == 4)
+      val corrupt = all.filter(_.getAs[String]("_corrupt") != null)
+      assert(corrupt.length == 1 && corrupt.head.isNullAt(0),
+        s"exactly the truncated line must isolate: ${all.mkString(";")}")
+      assert(all.filter(_.getAs[String]("_corrupt") == null)
+        .map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("postings compaction folds the partition tree without changing what serves") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_post_compact").toString
