@@ -112,7 +112,10 @@ object ScaleProbe {
     // query batch, index scanned once, candidates ~ avg(nprobe)/cells)
     // and JSONL shard ingestion (line-splittable stock source + the
     // A19 corrupt-line isolation posture)
-    "q175_ivf_tuning", "q176_jsonl_ingest")
+    "q175_ivf_tuning", "q176_jsonl_ingest",
+    // round-9 continuation: planted-gold PII recall eval (map-side regex
+    // kernel, 3-row census)
+    "q177_pii_eval")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -944,8 +944,108 @@ object PrepQueries {
       |    AS pad_saved_micro
       |FROM per_l ORDER BY l""".stripMargin
 
+  /** Q177 — PII-scrub EVALUATION against planted gold (the eval-family
+    * move for the q152 release gate — a gate without measured recall is
+    * a hope, not a control): deterministic emails / IPv4 literals /
+    * phone numbers are planted into known documents, the PRODUCTION
+    * detection and scrub kernels (TrainingPrep.piiCounts / scrubPii —
+    * not re-implementations) run over the damaged corpus, and the
+    * census reports per type: planted volume, detections, doc-level
+    * recall, FALSE-POSITIVE docs (detections where nothing was
+    * planted), and the residual detection count AFTER scrubbing —
+    * which must be zero for the release-gate claim to mean anything.
+    *
+    * Scale: entirely map-side (plant + three regex counts + scrub +
+    * recount per row) into a 3-row census — the eval costs one extra
+    * corpus scan over the gate it certifies. */
+  def piiEval(spark: SparkSession, dir: String): DataFrame = {
+    val t2 = concat(col("text"),
+      when(col("doc_id") % 11 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, concat(lit(" from 10."),
+        (col("doc_id") % 200).cast("string"), lit(".3."),
+        (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0, concat(lit(" call +1555"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("2468"))).otherwise(lit("")))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), t2.as("t2"))
+      .withColumn("c", TrainingPrep.piiCounts(col("t2")))
+      .withColumn("r", TrainingPrep.piiCounts(TrainingPrep.scrubPii(col("t2"))))
+    base.select(col("doc_id"), explode(array(
+        struct(lit("email").as("pii_type"), (col("doc_id") % 11 === 0).as("planted"),
+          col("c.n_emails").cast("long").as("det"), col("r.n_emails").cast("long").as("resid")),
+        struct(lit("ip").as("pii_type"), (col("doc_id") % 13 === 0).as("planted"),
+          col("c.n_ips").cast("long").as("det"), col("r.n_ips").cast("long").as("resid")),
+        struct(lit("phone").as("pii_type"), (col("doc_id") % 17 === 0).as("planted"),
+          col("c.n_phones").cast("long").as("det"), col("r.n_phones").cast("long").as("resid"))))
+        .as("x"))
+      .select(col("x.pii_type").as("pii_type"), col("x.planted").as("planted"),
+        col("x.det").as("det"), col("x.resid").as("resid"))
+      .groupBy(col("pii_type"))
+      .agg(sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
+        sum(col("det")).as("n_detected"),
+        sum(when(col("planted") && col("det") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(when(!col("planted") && col("det") > 0, 1L).otherwise(0L)).as("n_docs_fp"),
+        sum(col("resid")).as("n_residual_after_scrub"))
+      .withColumn("recall_micro",
+        expr("CAST(n_docs_hit * 1000000 DIV greatest(n_planted, 1) AS BIGINT)"))
+      .orderBy(col("pii_type"))
+  }
+
+  val piiEvalSql: String = {
+    import TrainingPrep.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+       |      || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 17 = 0 THEN ' call +1555'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '2468' ELSE '' END AS t2
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, t2,
+       |    len(regexp_extract_all(t2, '$EmailRe')) AS e,
+       |    len(regexp_extract_all(regexp_replace(t2, '$EmailRe', '<email>', 'g'),
+       |        '$Ipv4Re')) AS ip,
+       |    len(regexp_extract_all(regexp_replace(regexp_replace(t2,
+       |        '$EmailRe', '<email>', 'g'), '$Ipv4Re', '<ip>', 'g'), '$PhoneRe')) AS ph,
+       |    regexp_replace(regexp_replace(regexp_replace(t2,
+       |      '$EmailRe', '<email>', 'g'), '$Ipv4Re', '<ip>', 'g'),
+       |      '$PhoneRe', '<phone>', 'g') AS s2
+       |  FROM m),
+       |res AS (
+       |  SELECT doc_id, e, ip, ph,
+       |    len(regexp_extract_all(s2, '$EmailRe')) AS re,
+       |    len(regexp_extract_all(regexp_replace(s2, '$EmailRe', '<email>', 'g'),
+       |        '$Ipv4Re')) AS rip,
+       |    len(regexp_extract_all(regexp_replace(regexp_replace(s2,
+       |        '$EmailRe', '<email>', 'g'), '$Ipv4Re', '<ip>', 'g'), '$PhoneRe')) AS rph
+       |  FROM cnt),
+       |ex AS (
+       |  SELECT 'email' AS pii_type, doc_id % 11 = 0 AS planted,
+       |    CAST(e AS BIGINT) AS det, CAST(re AS BIGINT) AS resid FROM res
+       |  UNION ALL
+       |  SELECT 'ip', doc_id % 13 = 0, CAST(ip AS BIGINT), CAST(rip AS BIGINT) FROM res
+       |  UNION ALL
+       |  SELECT 'phone', doc_id % 17 = 0, CAST(ph AS BIGINT), CAST(rph AS BIGINT) FROM res)
+       |SELECT pii_type,
+       |  CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+       |  CAST(SUM(det) AS BIGINT) AS n_detected,
+       |  CAST(SUM(CASE WHEN planted AND det > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+       |  CAST(SUM(CASE WHEN NOT planted AND det > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fp,
+       |  CAST(SUM(resid) AS BIGINT) AS n_residual_after_scrub,
+       |  CAST(SUM(CASE WHEN planted AND det > 0 THEN 1 ELSE 0 END) * 1000000
+       |       // greatest(SUM(CASE WHEN planted THEN 1 ELSE 0 END), 1) AS BIGINT)
+       |    AS recall_micro
+       |FROM ex GROUP BY pii_type ORDER BY pii_type""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q174_padding_waste", paddingWaste, Some(paddingWasteSql)),
+    QueryDef("q177_pii_eval", piiEval, Some(piiEvalSql)),
     QueryDef("q169_temperature_sampling", temperatureSampling,
       Some(temperatureSamplingSql)),
     QueryDef("q70_repeated_spans", repeatedSpans, Some(repeatedSpansSql)),

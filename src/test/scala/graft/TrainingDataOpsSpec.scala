@@ -187,6 +187,21 @@ class TrainingDataOpsSpec extends SparkSpec {
       s"candidate volume must grow with probe breadth: ${costs.toSeq}")
   }
 
+  test("q177: the production scrub catches every plant and leaves no residue") {
+    val rows = graft.queries.PrepQueries.piiEval(spark, sf()).collect()
+    assert(rows.map(_.getAs[String]("pii_type")).sorted.toSeq ==
+      Seq("email", "ip", "phone"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_planted") > 0, s"fixture must plant every type: $r")
+      assert(r.getAs[Long]("recall_micro") == 1000000L,
+        s"a planted PII instance escaped detection: $r")
+      assert(r.getAs[Long]("n_docs_fp") == 0L,
+        s"detection fired on clean text: $r")
+      assert(r.getAs[Long]("n_residual_after_scrub") == 0L,
+        s"the scrubbed corpus still detects PII — the release gate is void: $r")
+    }
+  }
+
   test("q165: one best match per probe, margins above neighborhood average") {
     val rows = SimilarityQueries.bitextMining(spark, sf()).collect()
     assert(rows.nonEmpty)
