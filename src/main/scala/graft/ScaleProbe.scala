@@ -115,7 +115,10 @@ object ScaleProbe {
     "q175_ivf_tuning", "q176_jsonl_ingest",
     // round-9 continuation: planted-gold PII recall eval (map-side regex
     // kernel, 3-row census)
-    "q177_pii_eval")
+    "q177_pii_eval",
+    // round-9 continuation: canonical-choice audit (q33 chain + one
+    // cluster-keyed hash agg into a 1-row census)
+    "q178_canonical_choice")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

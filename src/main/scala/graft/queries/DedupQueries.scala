@@ -408,6 +408,85 @@ object DedupQueries {
        |  CAST(COUNT(*) * 1000000 - SUM(weight_micro) AS BIGINT) AS dup_mass_micro
        |FROM wl GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q178 — CANONICAL-CHOICE audit: when a near-dup cluster collapses
+    * to one kept document, keep-FIRST (min id — q33/q108's convention,
+    * the cheap deterministic default) and keep-BEST (max quality score)
+    * disagree on some fraction of clusters, and that disagreement IS
+    * the quality cost of the cheap policy. One census row: clusters,
+    * disagreements, the disagreement share, and the total quality mass
+    * (µ) the corpus would gain by keeping best instead of first — the
+    * number that decides whether a curation run pays for per-cluster
+    * quality ranking. Clusters are q33's exact chain; keep-best is the
+    * hash-aggregable argMaxBy kernel (quality desc, id asc tie-break),
+    * so no per-cluster window exists.
+    *
+    * Scale: everything up to labels is the audited q33 plan; the audit
+    * itself is one quality-kernel scan over cluster MEMBERS only (a
+    * corpus fraction) and one cluster-keyed hash aggregate into a
+    * 1-row census. */
+  def canonicalChoice(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedNearDups(Tables.documents(spark, dir))
+    val sims = Dedup.simhashTable(corpus, "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
+    val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+    val labels = Dedup.connectedComponents(pairs)
+    val qm = corpus.select(col("doc_id").as("id"),
+      round(graft.functions.TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
+        .cast("long").as("qm"))
+    val perCluster = labels.join(qm, Seq("id"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("id")).as("keep_first"),
+        graft.functions.NativeExpressions.argMaxBy(
+          col("id"), col("qm"), -col("id")).as("keep_best"),
+        max(col("qm")).as("qm_best"),
+        graft.functions.NativeExpressions.argMaxBy(
+          col("qm"), -col("id")).as("qm_first"))
+    perCluster
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("keep_first") =!= col("keep_best"), 1L).otherwise(0L))
+          .as("n_differ"),
+        sum(col("qm_best") - col("qm_first")).as("quality_gain_micro"))
+      .withColumn("differ_share_micro",
+        expr("CAST(n_differ * 1000000 DIV greatest(n_clusters, 1) AS BIGINT)"))
+      .orderBy(col("n_clusters"))
+  }
+
+  val canonicalChoiceSql: String =
+    s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
+       |$closureCtes,
+       |qm AS (
+       |  SELECT doc_id AS id,
+       |    CAST(round((0.3 * least(1.0, n / 50) + 0.3 * (nd / n)
+       |      + 0.2 * (1.0 - dig / n)
+       |      + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS qm
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |        t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) AS dig
+       |    FROM ($corpusSql))),
+       |ranked AS (
+       |  SELECT l.cluster_id, l.id, q.qm,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY q.qm DESC, l.id ASC) AS rq,
+       |    row_number() OVER (PARTITION BY l.cluster_id ORDER BY l.id ASC) AS ri
+       |  FROM labels l JOIN qm q ON l.id = q.id),
+       |per_cluster AS (
+       |  SELECT cluster_id,
+       |    MAX(CASE WHEN ri = 1 THEN id END) AS keep_first,
+       |    MAX(CASE WHEN rq = 1 THEN id END) AS keep_best,
+       |    MAX(CASE WHEN rq = 1 THEN qm END) AS qm_best,
+       |    MAX(CASE WHEN ri = 1 THEN qm END) AS qm_first
+       |  FROM ranked GROUP BY cluster_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(CASE WHEN keep_first <> keep_best THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_differ,
+       |  CAST(SUM(qm_best - qm_first) AS BIGINT) AS quality_gain_micro,
+       |  CAST(SUM(CASE WHEN keep_first <> keep_best THEN 1 ELSE 0 END) * 1000000
+       |       // greatest(COUNT(*), 1) AS BIGINT) AS differ_share_micro
+       |FROM per_cluster""".stripMargin
+
   /** Q81 — INCREMENTAL near-dup detection: the daily-crawl shape. The
     * corpus (doc_id % 4 ≠ 0) contributes only its precomputed (id, sig)
     * MinHash index; the new batch (doc_id % 4 = 0, plus planted
@@ -634,6 +713,7 @@ object DedupQueries {
     QueryDef("q14_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     QueryDef("q33_dup_clusters", dupClusters, Some(dupClustersSql)),
     QueryDef("q166_soft_dedup", softDedupWeights, Some(softDedupWeightsSql)),
+    QueryDef("q178_canonical_choice", canonicalChoice, Some(canonicalChoiceSql)),
     QueryDef("q108_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     QueryDef("q111_winnowing", winnowing, Some(winnowingSql)),
     QueryDef("q116_containment", containment, Some(containmentSql)),

@@ -202,6 +202,18 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("q178: keep-best only ever gains quality; ties collapse to keep-first") {
+    val r = graft.queries.DedupQueries.canonicalChoice(spark, sf()).head()
+    val (n, d, g) = (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_differ"),
+      r.getAs[Long]("quality_gain_micro"))
+    assert(n > 0, "planted near-dups guarantee clusters exist")
+    assert(d <= n)
+    // the argMaxBy tie-break prefers the lower id — a quality TIE can
+    // never produce a disagreement, so every disagreement gains ≥ 1µ
+    assert(g >= d, s"disagreements without quality gain: n=$n d=$d g=$g")
+    assert(r.getAs[Long]("differ_share_micro") == d * 1000000L / n)
+  }
+
   test("q165: one best match per probe, margins above neighborhood average") {
     val rows = SimilarityQueries.bitextMining(spark, sf()).collect()
     assert(rows.nonEmpty)
