@@ -25,13 +25,29 @@ object Bench {
     val json =
       s""""env":{"master":"$master","maxHeapMb":${rt.maxMemory / (1 << 20)},""" +
       s""""codeCacheMb":${codeCacheMax / (1 << 20)},"cores":${rt.availableProcessors},""" +
-      s""""gcMs":$gcMs,"loadavgStart":$loadAvgAtStart,"loadavg":$loadAvg}"""
+      f""""gcMs":$gcMs,"loadavgStart":$loadAvgAtStart,"loadavg":$loadAvg,"calibSec":$calibSec%.3f}"""
     val human = s"master=$master heap=${rt.maxMemory / (1 << 20)}m " +
       s"codeCache=${codeCacheMax / (1 << 20)}m cores=${rt.availableProcessors} " +
-      s"gcMs=$gcMs loadavgStart=$loadAvgAtStart loadavgEnd=$loadAvg " +
+      f"gcMs=$gcMs loadavgStart=$loadAvgAtStart loadavgEnd=$loadAvg calibSec=$calibSec%.3f " +
       s"jvmArgs=${args.filter(a => a.startsWith("-X") || a.startsWith("-Xmx")).mkString(" ")}"
     (json, human)
   }
+
+  /** Fixed CALIBRATION probe — the same data-independent Spark job every
+    * round (xxhash64-sum over 400M generated rows, best of 2, measured
+    * after warmup), so cross-round trend reads can normalize out BOX
+    * drift: round 9's quiet box got uniformly ~1.5× slower across a
+    * mid-round reboot and the headline total was unreadable without
+    * within-round forensics. A query total divided by calibSec is
+    * box-invariant up to scheduler noise. */
+  @volatile private var calibSec: Double = -1.0
+  private def calibrate(spark: SparkSession): Unit =
+    calibSec = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode overflows on summing full-range longs
+      spark.range(400000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
   /** Load average sampled BEFORE any query runs. The end-of-run loadavg is
     * dominated by the bench's own local[32] load (an idle box still ends
@@ -68,6 +84,7 @@ object Bench {
     // JVM/session warmup so the first measured query doesn't absorb
     // classloading + codegen compiler startup
     spark.range(1000000).selectExpr("sum(id)").collect()
+    calibrate(spark)
     // best-of-2 per query: this container exhibits stochastic multi-×
     // single-task stalls unrelated to the plan; min-of-two is the
     // standard way to report the query's actual cost

@@ -79,8 +79,12 @@ object Jsonl {
               if (r.getLong(3) != shard) {
                 if (w != null) w.close()
                 shard = r.getLong(3)
-                w = new java.io.BufferedWriter(new java.io.FileWriter(
-                  new java.io.File(outStr, s"shard-$shard.jsonl")))
+                // UTF-8 explicitly: FileWriter uses the platform default
+                // charset, which would corrupt non-ASCII text on a
+                // non-UTF-8 JVM while scan() and the oracle read UTF-8
+                w = java.nio.file.Files.newBufferedWriter(
+                  java.nio.file.Paths.get(outStr, s"shard-$shard.jsonl"),
+                  java.nio.charset.StandardCharsets.UTF_8)
               }
               val id = r.getLong(0)
               val extra = if (id % 7 == 1)

@@ -464,20 +464,28 @@ object Streaming {
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val post = batch
-          .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
-          .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
-            explode(col("__toks")).as("term"))
-          .groupBy(col("term"), col("doc_id"), col("dl"))
-          .agg(count(lit(1)).as("tf"))
-          .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
-          .repartition(col("bucket")) // contiguous writers per bucket dir
-          .localCheckpoint(true) // two consumers: shard write + stats
-        post.write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$indexDir/postings/batch_run=$batchId")
-        post.agg(count_distinct(col("doc_id")).as("n_docs"),
-            sum(col("tf")).as("sdl"))
-          .write.mode("overwrite").parquet(s"$indexDir/stats/batch_run=$batchId")
+        // an empty micro-batch (a trigger that found no new files) must
+        // not write shards: its stats row would carry sum(tf) = NULL
+        // (n_docs=0, sdl=NULL) — serving survives only because every
+        // current stats reader SUMs (nulls ignored), but a non-summing
+        // future reader would trip on the NULL; skipping is also free
+        // (no empty postings dirs accumulating per idle trigger)
+        if (!batch.isEmpty) {
+          val post = batch
+            .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
+            .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+              explode(col("__toks")).as("term"))
+            .groupBy(col("term"), col("doc_id"), col("dl"))
+            .agg(count(lit(1)).as("tf"))
+            .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+            .repartition(col("bucket")) // contiguous writers per bucket dir
+            .localCheckpoint(true) // two consumers: shard write + stats
+          post.write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$indexDir/postings/batch_run=$batchId")
+          post.agg(count_distinct(col("doc_id")).as("n_docs"),
+              coalesce(sum(col("tf")), lit(0L)).as("sdl"))
+            .write.mode("overwrite").parquet(s"$indexDir/stats/batch_run=$batchId")
+        }
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
@@ -487,8 +495,16 @@ object Streaming {
     * `batch_run=<id>/bucket=<b>` directory) into ONE batch_run
     * (keyed by the lowest existing id — sink batch ids only grow, so no
     * collision) while PRESERVING the bucket partitioning the serving
-    * read prunes on, and folds the per-batch stats rows into one summed
-    * row. Rows are deduplicated by (term, doc_id) on the way through —
+    * read prunes on, and folds the per-batch stats rows into one row
+    * DERIVED FROM THE COMPACTED POSTINGS TREE (count_distinct(doc_id),
+    * sum(tf) — the writePostingsIndex construction), never by summing
+    * the per-batch rows: a sum is not crash-idempotent (a crash between
+    * the move-in and the higher-run deletes would leave the folded total
+    * PLUS leftover runs, and a rerun would sum them again, silently
+    * inflating n_docs/sdl and skewing every BM25 score served after),
+    * while a derive re-reads whatever postings tree exists — which
+    * self-heals via the (term, doc_id) dedup — under any interleaving.
+    * Rows are deduplicated by (term, doc_id) on the way through —
     * the sink's append-only-id contract means duplicates only exist
     * after a contract violation, and folding them once is strictly
     * better than serving them twice. Same crash discipline as
@@ -537,12 +553,18 @@ object Streaming {
       runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
       runs.length
     }
-    // cluster by bucket before the partitioned write, same as the sink
-    foldTree(s"$indexDir/postings", Seq("term", "doc_id"),
-      df => df.repartition(col("bucket")), Seq("bucket")) +
-      foldTree(s"$indexDir/stats", Nil,
-        df => df.agg(sum(col("n_docs")).as("n_docs"), sum(col("sdl")).as("sdl")),
-        Nil)
+    // cluster by bucket before the partitioned write, same as the sink;
+    // postings fold FIRST so the stats derive below reads the deduped tree
+    val postingsFolded = foldTree(s"$indexDir/postings", Seq("term", "doc_id"),
+      df => df.repartition(col("bucket")), Seq("bucket"))
+    // stats: IGNORE the accumulated per-batch rows and re-derive the one
+    // folded row from the postings tree (crash-idempotent — see Scaladoc)
+    val statsFolded = foldTree(s"$indexDir/stats", Nil,
+      _ => spark.read.parquet(s"$indexDir/postings")
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          coalesce(sum(col("tf")), lit(0L)).as("sdl")),
+      Nil)
+    postingsFolded + statsFolded
   }
 
   /** Crawl-to-SEARCHABLE end-to-end: newly-landed WARC segments parse

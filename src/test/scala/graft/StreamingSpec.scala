@@ -962,6 +962,39 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.compactPostingsIndex(spark, s"$root/idx") == 0)
   }
 
+  test("postings-stats fold is crash-idempotent: a rerun over a half-deleted tree never inflates n_docs/sdl") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_post_crash").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalPostingsSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", s"$root/idx")
+    try {
+      input.addData((1L, "spark query engine for big data"),
+        (2L, "query planning and data shuffles"))
+      q.processAllAvailable()
+      input.addData((3L, "streaming query over spark data"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val truth = spark.read.parquet(s"$root/idx/postings")
+      .agg(count_distinct(col("doc_id")).cast("long"),
+        sum(col("tf")).cast("long")).as[(Long, Long)].head()
+    // simulate the crash WINDOW of a prior fold: the staged (already
+    // folded) stats row was moved into the lowest run, but the process
+    // died before deleting the higher run — a summing rerun would read
+    // folded-total + leftover and double-count it
+    val folded = spark.read.parquet(s"$root/idx/stats")
+      .agg(sum(col("n_docs")).cast("long"), sum(col("sdl")).cast("long"))
+      .as[(Long, Long)].head()
+    Seq(folded).toDF("n_docs", "sdl")
+      .write.mode("overwrite").parquet(s"$root/idx/stats/batch_run=0")
+    Streaming.compactPostingsIndex(spark, s"$root/idx")
+    val after = spark.read.parquet(s"$root/idx/stats")
+      .agg(sum(col("n_docs")).cast("long"), sum(col("sdl")).cast("long"))
+      .as[(Long, Long)].head()
+    assert(after == truth,
+      s"stats fold must re-derive from postings, got $after want $truth")
+  }
+
   test("crawl-to-searchable composition: WARC segments stream into the serving postings index") {
     // the second standing consumer of the crawl landing zone: the same
     // segment layout as the dedup composition (checkpointed restart
