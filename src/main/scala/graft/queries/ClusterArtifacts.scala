@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Dedup
+import graft.sources.Tables
+
+/** Shared on-disk NEAR-DUP CLUSTER artifacts — the `postingsIndexFor`
+  * move (service/GraftService.scala) applied to the two capped-LSH →
+  * connected-components chains that eight queries previously each
+  * recomputed from scratch:
+  *
+  *   - TEXT chain (q33/q108/q166/q178): planted-near-dup corpus →
+  *     portable SimHash table → hamming ≤ 7 banded pairs, degree-capped
+  *     at 4 → connected components → (id, cluster_id) labels.
+  *   - EMBEDDING chain (q80/q98/q136/q138): random-hyperplane LSH pairs
+  *     (8 planes × 12 tables, cosine ≥ 0.3, degree cap 4) → connected
+  *     components → (id, cluster_id) labels.
+  *
+  * Each label table is built ONCE per corpus directory (keyed on the
+  * FULL canonical path, idempotent via `_COMPLETE` marker, exactly the
+  * serving-index discipline) and every consumer reads the parquet — so
+  * the consumer plan is a FileScan of the artifact, never the
+  * signature/banding/fixpoint subtree. At 100 TB this is the difference
+  * between one cluster build per corpus and one per *consumer*: round
+  * 9 measured the text substrate alone at 304.6 s at 50× and eight
+  * queries each paid it. Both chains are fully deterministic (portable
+  * md5-derived hashes, deterministic degree-cap tie-breaks, CC's
+  * min-reachable-id fixpoint), so artifact reuse is bit-invisible to
+  * every consumer's output — the oracle SQL still replays the whole
+  * chain per query and must keep matching.
+  *
+  * The cache assumes an immutable corpus directory (true of every sf
+  * dir here); a mutated corpus needs the artifact dir removed.
+  */
+object ClusterArtifacts {
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def artifact(spark: SparkSession, dir: String, chain: String)(
+      build: String => Unit): DataFrame = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val path = built.computeIfAbsent(s"$canon#$chain", { _ =>
+      val out = s"/tmp/graft_cluster_artifacts/${Tables.dirCacheKey(canon)}/$chain"
+      val marker = java.nio.file.Paths.get(out, "_COMPLETE")
+      if (!java.nio.file.Files.exists(marker)) {
+        build(out) // overwrite-mode write: a crash before the marker rebuilds
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+      out
+    })
+    spark.read.parquet(path)
+  }
+
+  /** (id, cluster_id) labels of the TEXT near-dup chain over the
+    * planted-near-dup corpus — q33's exact substrate. */
+  def simhashLabels(spark: SparkSession, dir: String): DataFrame =
+    artifact(spark, dir, "simhash_h7_d4") { out =>
+      val corpus = DedupQueries.withPlantedNearDups(Tables.documents(spark, dir))
+      val sims = Dedup.simhashTable(corpus, "doc_id", "text",
+        hasher = graft.functions.TextFunctions.portableHash60)
+      val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+      Dedup.connectedComponents(pairs).write.mode("overwrite").parquet(out)
+    }
+
+  /** (id, cluster_id) labels of the EMBEDDING near-dup chain — q80's
+    * exact substrate. */
+  def embeddingLabels(spark: SparkSession, dir: String): DataFrame =
+    artifact(spark, dir, "emblsh_p8_t12_c030_d4") { out =>
+      val pairs = graft.ops.Similarity.lshNearDupPairs(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        dim = 64, planes = 8, tables = 12, cosineThreshold = 0.3, maxDegree = 4)
+      Dedup.connectedComponents(pairs).write.mode("overwrite").parquet(out)
+    }
+}

@@ -1043,7 +1043,68 @@ object PrepQueries {
        |FROM ex GROUP BY pii_type ORDER BY pii_type""".stripMargin
   }
 
+  /** Q179 — PACKED TRAINING SHARDS, written and read back
+    * ([[graft.ops.TokenShards]]): q158 orders the corpus and q36 packs
+    * it, but a trainer mmaps BINARY token files — this query WRITES the
+    * 16 fixed-width big-endian uint32 shard files in exactly the q158
+    * permutation (portable token ids, one separator id per document,
+    * per-shard build-once marker) and then emits its census FROM THE
+    * FILES: token count, document count, and the order-sensitive
+    * checksum Σ position·id mod 1e9+7. The oracle recomputes the same
+    * census from the documents TABLE + the q158 hash deal, so the
+    * row-hash comparison proves byte-for-byte that the written shards
+    * encode the manifest permutation — the read-back verify is the
+    * correctness gate itself, not a side assertion.
+    *
+    * Scale: the write is one exchange (shard repartition) + in-partition
+    * sort + streamed per-file writers; the census scans the files once.
+    * At 100 TB the shard COUNT scales at fixed shard size; both sides
+    * of this query parallelize over shards. */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenShards.shardCensus(spark, ensureShards(spark, dir))
+
+  /** Build-once shard files per corpus dir (marker discipline — the
+    * Jsonl.ensureFixture / postingsIndexFor pattern). */
+  private def ensureShards(spark: SparkSession, dir: String): String = {
+    val out = java.nio.file.Paths.get(
+      s"/tmp/graft_token_shards/${Tables.dirCacheKey(dir)}")
+    val marker = out.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.ops.TokenShards.writeShards(
+        Tables.documents(spark, dir), "doc_id", "text", out.toString)
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    out.toString
+  }
+
+  val tokenShardsSql: String =
+    """WITH dealt AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+      |    list_transform(string_split(text, ' '),
+      |      w -> CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) % 1000003)
+      |      || [CAST(1000003 AS BIGINT)] AS tids
+      |  FROM documents),
+      |pos AS (
+      |  SELECT CAST(h % 16 AS BIGINT) AS shard, tids,
+      |    row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+      |  FROM dealt),
+      |off AS (
+      |  SELECT shard, pos, tids,
+      |    COALESCE(SUM(len(tids)) OVER (PARTITION BY shard ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM pos),
+      |tok AS (
+      |  SELECT shard, off + t.i AS gpos, tids[t.i] AS tid
+      |  FROM off, UNNEST(generate_series(1, len(tids))) AS t(i))
+      |SELECT shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN tid = 1000003 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  CAST(SUM((gpos * tid) % 1000000007) % 1000000007 AS BIGINT) AS checksum
+      |FROM tok GROUP BY shard ORDER BY shard""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q179_token_shards", tokenShards, Some(tokenShardsSql)),
     QueryDef("q174_padding_waste", paddingWaste, Some(paddingWasteSql)),
     QueryDef("q177_pii_eval", piiEval, Some(piiEvalSql)),
     QueryDef("q169_temperature_sampling", temperatureSampling,

@@ -610,10 +610,9 @@ object SimilarityQueries {
     * recursive CTE, so the capped edge set and the fixpoint labels must
     * both be exact. */
   def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
-      "vec_id", "embedding", dim = 64, planes = 8, tables = 12,
-      cosineThreshold = 0.3, maxDegree = 4)
-    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    // labels READ from the shared cluster artifact — built once per
+    // corpus (graft.queries.ClusterArtifacts), consumed by q80/q98/q136/q138
+    val labels = graft.queries.ClusterArtifacts.embeddingLabels(spark, dir)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"))
@@ -736,9 +735,7 @@ object SimilarityQueries {
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
-      dim = 64, planes = 8, tables = 12, cosineThreshold = 0.3, maxDegree = 4)
-    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    val labels = graft.queries.ClusterArtifacts.embeddingLabels(spark, dir)
     // representatives are one row per cluster — broadcastable at any scale
     val reps = labels.groupBy(col("cluster_id")).agg(min(col("id")).as("rep_id"))
     val v = emb.select(col("vec_id"), col("embedding"))
@@ -1127,10 +1124,7 @@ object SimilarityQueries {
   def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.NativeExpressions.argMaxBy
     val emb = Tables.embeddings(spark, dir)
-    val pairs = Similarity.lshNearDupPairs(emb,
-      "vec_id", "embedding", dim = 64, planes = 8, tables = 12,
-      cosineThreshold = 0.3, maxDegree = 4)
-    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    val labels = graft.queries.ClusterArtifacts.embeddingLabels(spark, dir)
     val lab = emb.select(col("vec_id"), col("label"))
       .join(labels.select(col("id").as("vec_id"), col("cluster_id")),
         Seq("vec_id"), "left_outer")
@@ -1195,10 +1189,7 @@ object SimilarityQueries {
     * top-3. */
   def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = Similarity.lshNearDupPairs(Tables.embeddings(spark, dir),
-      "vec_id", "embedding", dim = 64, planes = 8, tables = 12,
-      cosineThreshold = 0.3, maxDegree = 4)
-    val labels = graft.ops.Dedup.connectedComponents(pairs)
+    val labels = graft.queries.ClusterArtifacts.embeddingLabels(spark, dir)
     val docs = Tables.documents(spark, dir)
     val lab = docs.select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("cluster_id")),

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.ClusterArtifacts
+
+/** The shared near-dup cluster artifacts: built once per corpus dir,
+  * bit-identical to the from-scratch chain, and consumers plan as a
+  * FileScan of the artifact — never the LSH→CC subtree. */
+class ClusterArtifactsSpec extends SparkSpec {
+
+  private def freshCorpus(): String = {
+    // a private copy of the sf0.001 tables so this suite controls the
+    // artifact lifecycle (the /tmp cache is keyed on the canonical dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_clart").toString
+    for (t <- Seq("documents", "embeddings")) {
+      spark.read.parquet(s"${sf()}/$t.parquet")
+        .write.parquet(s"$root/$t.parquet")
+    }
+    root
+  }
+
+  test("simhash labels match the from-scratch chain and build exactly once") {
+    val dir = freshCorpus()
+    val fromArtifact = ClusterArtifacts.simhashLabels(spark, dir)
+      .orderBy("id").collect().toSeq
+    // from-scratch reference: the exact q33 substrate (planted near-dups
+    // replicated inline — withPlantedNearDups is package-private)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))").as("text")))
+    val sims = graft.ops.Dedup.simhashTable(corpus, "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
+    val pairs = graft.ops.Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+    val fresh = graft.ops.Dedup.connectedComponents(pairs)
+      .orderBy("id").collect().toSeq
+    assert(fromArtifact == fresh,
+      s"artifact labels diverge from the from-scratch chain: " +
+        s"${fromArtifact.take(3)} vs ${fresh.take(3)}")
+    // idempotent: the marker exists and a second call must not rebuild
+    // (mtime of the marker is the witness)
+    val marker = java.nio.file.Paths.get(
+      s"/tmp/graft_cluster_artifacts/${graft.sources.Tables.dirCacheKey(dir)}/simhash_h7_d4/_COMPLETE")
+    assert(java.nio.file.Files.exists(marker))
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    ClusterArtifacts.simhashLabels(spark, dir).count()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t0,
+      "second call rebuilt the artifact")
+  }
+
+  test("consumers plan as a FileScan of the artifact, not the LSH-to-CC subtree") {
+    val dir = freshCorpus()
+    ClusterArtifacts.embeddingLabels(spark, dir).count() // ensure built
+    for ((name, df) <- Seq(
+        "q33" -> graft.queries.DedupQueries.dupClusters(spark, dir),
+        "q166" -> graft.queries.DedupQueries.softDedupWeights(spark, dir),
+        "q80" -> graft.queries.SimilarityQueries.embeddingClusters(spark, dir),
+        "q138" -> graft.queries.SimilarityQueries.clusterTopics(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_cluster_artifacts"),
+        s"$name does not read the shared cluster artifact:\n$plan")
+      // the signature/banding subtree must be GONE from the lineage: the
+      // artifact read replaces the simhash/hyperplane computation
+      assert(!plan.toLowerCase.contains("simhash") && !plan.contains("lsh_"),
+        s"$name still recomputes the cluster chain:\n$plan")
+    }
+  }
+
+  test("embedding labels match the from-scratch chain") {
+    val dir = freshCorpus()
+    val fromArtifact = ClusterArtifacts.embeddingLabels(spark, dir)
+      .orderBy("id").collect().toSeq
+    val pairs = graft.ops.Similarity.lshNearDupPairs(
+      graft.sources.Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = 64, planes = 8, tables = 12, cosineThreshold = 0.3, maxDegree = 4)
+    val fresh = graft.ops.Dedup.connectedComponents(pairs)
+      .orderBy("id").collect().toSeq
+    assert(fromArtifact == fresh)
+  }
+}

@@ -281,4 +281,47 @@ class TrainingPrepSpec extends SparkSpec {
     assert(df == cases.map(c => (c._2, c._3._1, c._3._2, c._3._3)),
       s"got $df")
   }
+
+  test("token shards: files are fixed-width and encode exactly the shuffle permutation") {
+    import graft.ops.TokenShards
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta eps"),
+      (3L, "zeta"), (4L, "eta theta iota kappa"), (5L, "lambda mu"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    TokenShards.writeShards(docs, "doc_id", "text", out, nShards = 2, seed = "s")
+    // independent JVM-side replay of the whole contract: portable hash,
+    // shard deal, (h, id) order, token ids, separator, checksum
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "delta eps"),
+      (3L, "zeta"), (4L, "eta theta iota kappa"), (5L, "lambda mu"))
+    val expected = rows
+      .map { case (id, text) =>
+        val h = h60(s"s:$id")
+        val tids = text.split(" ").map(w => h60(w) % TokenShards.Vocab) :+ TokenShards.Sep
+        (h % 2, h, id, tids)
+      }
+      .groupBy(_._1)
+      .map { case (shard, ds) =>
+        val stream = ds.sortBy(d => (d._2, d._3)).flatMap(_._4)
+        val checksum = stream.zipWithIndex.map { case (t, i) =>
+          ((i + 1).toLong * t) % TokenShards.ChecksumMod
+        }.sum % TokenShards.ChecksumMod
+        shard -> ((stream.length.toLong,
+          ds.length.toLong, checksum))
+      }
+    val census = TokenShards.shardCensus(spark, out).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(census == expected, s"census $census\nexpected $expected")
+    // fixed width: every file is a whole number of 4-byte tokens, sized
+    // exactly to its census token count
+    for ((shard, (nTok, _, _)) <- expected) {
+      val f = new java.io.File(out, f"shard-$shard%04d.bin")
+      assert(f.length == 4L * nTok, s"$f: ${f.length} != 4*$nTok")
+    }
+  }
 }
