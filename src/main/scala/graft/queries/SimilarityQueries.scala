@@ -1756,6 +1756,43 @@ object SimilarityQueries {
       Seq(lex, sem), "doc_id", Seq("lex_rank", "sem_rank"), kConst = 60, topN = 20)
   }
 
+  /** The fusion with a USER-SUPPLIED probe vector, the semantic leg
+    * served from the per-corpus IVF ARTIFACT
+    * (GraftService.ivfIndexFor: `centroids` + cell-partitioned `index`)
+    * instead of a brute-force corpus scan: the probe ranks its nProbe
+    * nearest cells, the index read prunes to those cell partitions
+    * (dynamic partition pruning over the broadcast probe join —
+    * [[graft.ops.Similarity.ivfExactTopKMany]]'s serving shape), and
+    * the top-100 fuses with the caller's lexical leg exactly like
+    * [[rrfFusionFrom]]. `excludeId` drops the probe's own corpus row
+    * (cosine 1.0 by construction) when the probe IS a corpus member.
+    *
+    * Scale: the corpus index is never shuffled and unprobed cells are
+    * never read; the re-rank after self-exclusion is a window over ≤101
+    * rows. */
+  def rrfFusionIvfProbe(spark: SparkSession, ivfDir: String, lexTop: DataFrame,
+      probeQv: Seq[Long], nProbe: Int, excludeId: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val listN = 100
+    val lex = lexTop
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_e12").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val index = spark.read.parquet(s"$ivfDir/index")
+    val cents = spark.read.parquet(s"$ivfDir/centroids")
+    val queries = Seq((0L, probeQv)).toDF("query_id", "q")
+    val top = Similarity.ivfExactTopKMany(index, cents, queries,
+      k = listN + 1, nProbe = nProbe)
+    val sem = excludeId.fold(top)(id => top.filter(col("id") =!= id))
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("id").asc)).cast("long"))
+      .filter(col("sem_rank") <= listN)
+      .select(col("id").as("doc_id"), col("sem_rank"))
+    graft.ops.TextSearch.rrfFuse(
+      Seq(lex, sem), "doc_id", Seq("lex_rank", "sem_rank"), kConst = 60, topN = 20)
+  }
+
   val rrfFusionSql: String = {
     val termList = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH base AS (

@@ -132,18 +132,50 @@ final class GraftService private (
               .map(_.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty).distinct)
               .filter(_.nonEmpty)
             val terms = userQ.getOrElse(graft.queries.TextQueries.Bm25Terms)
+            // hybrid's USER probe: `probeDoc=<vec_id>` (embed by lookup;
+            // its own corpus row is excluded from the semantic ranking) or
+            // `probe=<64 comma-separated floats>`; `nprobe=` widens the
+            // IVF cell fan-out (default 3 of 8, the q175-tuned point)
+            val probeSpec: Option[(Seq[Long], Option[Long])] =
+              ps.get("probeDoc").flatMap(s => scala.util.Try {
+                val id = s.toLong
+                val rows = graft.sources.Tables.embeddings(spark, dir)
+                  .filter(col("vec_id") === id)
+                  .select(graft.ops.Similarity.quantize(col("embedding")))
+                  .collect()
+                if (rows.isEmpty) None
+                else Some((rows.head.getSeq[Long](0).toSeq, Some(id)))
+              }.toOption.flatten)
+              .orElse(ps.get("probe").flatMap(s => scala.util.Try {
+                val v = s.split(",").map(x => math.floor(x.trim.toDouble * 1000).toLong).toSeq
+                if (v.size == 64) Some((v, None: Option[Long])) else None
+              }.toOption.flatten))
+            val probeRequested = ps.contains("probeDoc") || ps.contains("probe")
             if (terms.size > 64) (400, """{"error":"at most 64 query terms"}""")
-            else if (userQ.isDefined && ps.get("mode").contains("hybrid"))
-              // the hybrid SEMANTIC leg is the fixed q114 probe vector —
+            else if (probeRequested && probeSpec.isEmpty)
+              (400, """{"error":"probeDoc must be a known vec_id; probe must be 64 comma-separated numbers"}""")
+            else if (userQ.isDefined && ps.get("mode").contains("hybrid") &&
+                probeSpec.isEmpty)
+              // the DEFAULT hybrid semantic leg is the fixed q114 probe —
               // fusing it with arbitrary user terms would silently rank
-              // probe-adjacent documents above matching ones
-              (400, """{"error":"mode=hybrid serves the standard query; q= is lexical-only"}""")
+              // probe-adjacent documents above matching ones; supply
+              // probeDoc=/probe= to pick the semantic side explicitly
+              (400, """{"error":"mode=hybrid with q= needs probeDoc= or probe= for the semantic leg"}""")
             else {
               val idx = GraftService.postingsIndexFor(spark, dir)
               def lexTop(k: Int) = graft.ops.TextSearch.bm25TopKIndexed(
                 spark, idx, terms, k)
-              val ranked = ps.get("mode") match {
-                case Some("hybrid") =>
+              val ranked = (ps.get("mode"), probeSpec) match {
+                case (Some("hybrid"), Some((qv, excl))) =>
+                  val nProbe = math.min(8, math.max(1,
+                    ps.get("nprobe").flatMap(s => scala.util.Try(s.toInt).toOption)
+                      .getOrElse(3)))
+                  graft.queries.TextQueries.attachSnippets(spark, dir,
+                    graft.queries.SimilarityQueries.rrfFusionIvfProbe(spark,
+                      GraftService.ivfIndexFor(spark, dir), lexTop(100),
+                      qv, nProbe, excl), terms)
+                    .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+                case (Some("hybrid"), None) =>
                   graft.queries.TextQueries.attachSnippets(spark, dir,
                     graft.queries.SimilarityQueries.rrfFusionFrom(spark, dir,
                       lexTop(100)), terms)
@@ -201,6 +233,31 @@ object GraftService {
       if (!java.nio.file.Files.exists(marker)) {
         graft.ops.TextSearch.writePostingsIndex(
           graft.sources.Tables.documents(spark, dir), "doc_id", "text", out)
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+      out
+    })
+
+  /** Lazily-built per-corpus IVF index for the hybrid `/search` semantic
+    * leg — the q15c/q79/q163/q175 build verbatim (8 cells, one exact
+    * Lloyd step, integer-quantized vectors), persisted once:
+    * `centroids` (cell, cv) + `index` (id, qv) PARTITIONED BY cell, so
+    * a probe's serving read dynamically prunes to its nProbe cells.
+    * Same immutable-corpus cache contract as [[postingsIndexFor]]. */
+  private val ivfBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def ivfIndexFor(spark: SparkSession, dir: String): String =
+    ivfBuilt.computeIfAbsent(new java.io.File(dir).getCanonicalPath, { canon =>
+      val out = s"/tmp/graft_ivf_index/${graft.sources.Tables.dirCacheKey(canon)}"
+      val marker = java.nio.file.Paths.get(out, "_COMPLETE")
+      if (!java.nio.file.Files.exists(marker)) {
+        val emb = graft.sources.Tables.embeddings(spark, canon)
+        val cents = graft.ops.Similarity.ivfExactCentroids(
+          emb, "vec_id", "embedding", k = 8, iters = 1)
+        val qvecs = emb.select(col("vec_id").as("id"),
+          graft.ops.Similarity.quantize(col("embedding")).as("qv"))
+        cents.write.mode("overwrite").parquet(s"$out/centroids")
+        graft.ops.Similarity.ivfExactAssign(qvecs, cents)
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$out/index")
         java.nio.file.Files.write(marker, Array.emptyByteArray)
       }
       out

@@ -179,6 +179,43 @@ class ServiceSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("/search mode=hybrid with a user probe serves the semantic leg from the IVF artifact") {
+    import graft.queries.{SimilarityQueries, TextQueries}
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      val dir = java.net.URLEncoder.encode(sf(), "UTF-8")
+      val q = java.net.URLEncoder.encode("customer line", "UTF-8")
+      val (code, body) = get(svc, s"/search?dir=$dir&mode=hybrid&probeDoc=5&q=$q")
+      assert(code == 200, body)
+      val gotIds = "\"doc_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      // independent composition of the same public operators
+      val ivf = GraftService.ivfIndexFor(spark, sf())
+      val probeQv = graft.sources.Tables.embeddings(spark, sf())
+        .filter(col("vec_id") === 5L)
+        .select(graft.ops.Similarity.quantize(col("embedding")))
+        .collect().head.getSeq[Long](0).toSeq
+      val lexTop = graft.ops.TextSearch.bm25TopKIndexed(spark,
+        GraftService.postingsIndexFor(spark, sf()), Seq("customer", "line"), 100)
+      val fused = SimilarityQueries.rrfFusionIvfProbe(
+        spark, ivf, lexTop, probeQv, nProbe = 3, excludeId = Some(5L))
+      val want = fused.select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(gotIds == want && gotIds.nonEmpty, s"got=$gotIds want=$want")
+      // the probe's own row never ranks (it would be cosine 1.0)
+      assert(!want.take(1).contains(5L))
+      // the semantic serving read PRUNES to the probed cells: the
+      // cell-partitioned index scan carries a dynamic pruning filter
+      val plan = fused.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"index scan does not dynamically prune cells:\n$plan")
+      // a raw 64-dim probe is accepted; malformed probes are client errors
+      val vec = java.net.URLEncoder.encode(Seq.fill(64)("0.5").mkString(","), "UTF-8")
+      assert(get(svc, s"/search?dir=$dir&mode=hybrid&probe=$vec")._1 == 200)
+      assert(get(svc, s"/search?dir=$dir&mode=hybrid&probe=1,2,3")._1 == 400)
+      assert(get(svc, s"/search?dir=$dir&mode=hybrid&probeDoc=notanumber")._1 == 400)
+      assert(get(svc, s"/search?dir=$dir&mode=hybrid&probeDoc=999999999")._1 == 400)
+    } finally svc.close()
+  }
+
   test("/search mode=hybrid returns the q114 fused ranking with snippets attached") {
     val svc = GraftService.start(spark, port = 0)
     try {
