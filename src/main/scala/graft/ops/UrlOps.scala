@@ -100,6 +100,59 @@ object UrlOps {
     when(twoLabel === "", host).otherwise(twoLabel)
   }
 
+  /** Registrable-domain annotation with an OPTIONAL public-suffix table —
+    * the documented two-label simplification, parameterized: `*.co.uk`-
+    * class suffixes over-merge per-domain caps under the default rule
+    * (every co.uk site shares one cap bucket), so callers with a Public
+    * Suffix List snapshot pass it as a bounded one-string-column
+    * DataFrame and get PSL-correct grouping; callers without one get the
+    * default unchanged.
+    *
+    * Semantics (the PSL longest-match rule over the supported subset):
+    * a host whose last 3 labels equal a 3-label suffix → registrable =
+    * last 4 labels; else last 2 labels equal a 2-label suffix →
+    * registrable = last 3 labels; else the default two-label rule.
+    * A host that IS a bare suffix stays itself. 1-label suffixes (com,
+    * org …) are accepted and ignored — the default rule already yields
+    * label+suffix for them. Wildcard/exception PSL rules (`*.ck`,
+    * `!www.ck`) and suffixes over 3 labels are rejected fail-fast
+    * rather than silently mis-grouped.
+    *
+    * Scale: the suffix table is bounded (the full PSL is ~15k rows) and
+    * BROADCASTS onto both left joins; the host side never shuffles and
+    * the candidate extraction is codegen'd regexp — the same map-only
+    * posture as the default rule, plus two broadcast probes. */
+  def withRegistrableDomain(df: DataFrame, hostCol: String, outCol: String,
+      suffixes: Option[DataFrame] = None): DataFrame = {
+    val host = col(hostCol)
+    suffixes match {
+      case None => df.withColumn(outCol, registrableDomain(host))
+      case Some(suf) =>
+        val s = suf.select(col(suf.columns.head).cast("string").as("__suffix"))
+          .withColumn("__labels", size(split(col("__suffix"), "\\.")))
+        val bad = s.filter(col("__labels") > 3 ||
+            col("__suffix").contains("*") || col("__suffix").contains("!"))
+          .limit(5).collect() // bounded table by contract — cheap action
+        require(bad.isEmpty, "unsupported suffix rules (wildcard/exception/" +
+          s">3 labels): ${bad.map(_.getString(0)).mkString(", ")}")
+        val c2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+        val c3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+        val r4 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$", 1)
+        df.withColumn("__c2", c2).withColumn("__c3", c3)
+          .join(broadcast(s.filter(col("__labels") === 3)
+            .select(col("__suffix").as("__s3"))), col("__c3") === col("__s3"), "left")
+          .join(broadcast(s.filter(col("__labels") === 2)
+            .select(col("__suffix").as("__s2"))), col("__c2") === col("__s2"), "left")
+          .withColumn(outCol,
+            when(col("__s3").isNotNull, // longest match first (PSL rule)
+              when(r4 === "", host).otherwise(r4))
+            .when(col("__s2").isNotNull,
+              when(col("__c3") === "", host).otherwise(col("__c3")))
+            .otherwise(registrableDomain(host)))
+          .drop("__c2", "__c3", "__s3", "__s2")
+    }
+  }
+
   /** Keep at most `cap` rows per domain, best-first by `orderCols` (ties
     * MUST be broken by a unique key in `orderCols` for determinism).
     * Planned as `row_number ≤ cap` over a DOMAIN-partitioned window —

@@ -1163,7 +1163,80 @@ object ParticipantQueries {
       |       ELSE 'keep' END AS verdict
       |FROM census ORDER BY domain""".stripMargin
 
+  /** Q180 — PSL-aware registrable-domain extraction
+    * ([[graft.ops.UrlOps.withRegistrableDomain]]): the two-label default
+    * over-merges `*.co.uk`-class hosts into one per-domain cap bucket, so
+    * the extractor accepts an optional bounded public-suffix table
+    * (broadcast). This query runs BOTH modes side by side over a
+    * synthetic host population that exercises every rule: 2-label
+    * suffix (`shopN.co.uk` → 3-label registrable), 3-label suffix with
+    * longest-match precedence over its embedded 2-label one
+    * (`meN.blogspot.co.uk` → 4-label registrable), implicit 1-label
+    * suffix (`siteN.example.com` → default), a bare-suffix host
+    * (`co.uk` → itself), and a dotless host. The census pins the full
+    * default↔PSL mapping (n_hosts + first_doc per pair); the oracle
+    * replays the candidate extraction, both broadcast joins, and the
+    * longest-match ladder. Default-mode consumers (q157/q159/q172) are
+    * untouched — their hashes pin that the parameterization changed
+    * nothing when no table is supplied. */
+  def registrableSuffix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlOps
+    val hosts = Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 57 === 0, lit("co.uk"))
+        .when(col("doc_id") % 41 === 0, lit("localhost"))
+        .when(col("doc_id") % 3 === 0,
+          concat(lit("shop"), (col("doc_id") % 23).cast("string"), lit(".co.uk")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("me"), (col("doc_id") % 23).cast("string"), lit(".blogspot.co.uk")))
+        .otherwise(
+          concat(lit("site"), (col("doc_id") % 23).cast("string"), lit(".example.com")))
+        .as("host"))
+    import spark.implicits._
+    val suffixes = Seq("co.uk", "com.au", "blogspot.co.uk").toDF("suffix")
+    val both = UrlOps.withRegistrableDomain(
+      UrlOps.withRegistrableDomain(hosts, "host", "domain_default", None),
+      "host", "domain_psl", Some(suffixes))
+    both.groupBy(col("domain_psl"), col("domain_default"))
+      .agg(count(lit(1)).as("n_hosts"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("domain_psl"), col("domain_default"))
+  }
+
+  val registrableSuffixSql: String =
+    """WITH hosts AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 57 = 0 THEN 'co.uk'
+      |         WHEN doc_id % 41 = 0 THEN 'localhost'
+      |         WHEN doc_id % 3 = 0 THEN 'shop' || CAST(doc_id % 23 AS VARCHAR) || '.co.uk'
+      |         WHEN doc_id % 3 = 1 THEN 'me' || CAST(doc_id % 23 AS VARCHAR) || '.blogspot.co.uk'
+      |         ELSE 'site' || CAST(doc_id % 23 AS VARCHAR) || '.example.com' END AS host
+      |  FROM documents),
+      |suf AS (SELECT * FROM (VALUES ('co.uk'), ('com.au'), ('blogspot.co.uk')) s(suffix)),
+      |s3 AS (SELECT suffix FROM suf WHERE len(string_split(suffix, '.')) = 3),
+      |s2 AS (SELECT suffix FROM suf WHERE len(string_split(suffix, '.')) = 2),
+      |cand AS (
+      |  SELECT doc_id, host,
+      |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS c2,
+      |    regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) AS c3,
+      |    regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) AS r4
+      |  FROM hosts),
+      |j AS (
+      |  SELECT cand.*, s3.suffix AS m3, s2.suffix AS m2
+      |  FROM cand LEFT JOIN s3 ON cand.c3 = s3.suffix
+      |            LEFT JOIN s2 ON cand.c2 = s2.suffix),
+      |modes AS (
+      |  SELECT doc_id, host,
+      |    CASE WHEN c2 = '' THEN host ELSE c2 END AS domain_default,
+      |    CASE WHEN m3 IS NOT NULL THEN (CASE WHEN r4 = '' THEN host ELSE r4 END)
+      |         WHEN m2 IS NOT NULL THEN (CASE WHEN c3 = '' THEN host ELSE c3 END)
+      |         ELSE (CASE WHEN c2 = '' THEN host ELSE c2 END) END AS domain_psl
+      |  FROM j)
+      |SELECT domain_psl, domain_default,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hosts,
+      |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM modes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q180_registrable_suffix", registrableSuffix, Some(registrableSuffixSql)),
     QueryDef("q102_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     QueryDef("q91_ner_trained", nerTrained, Some(nerTrainedSql)),
     QueryDef("q92_pos_trained", posTrained, Some(posTrainedSql)),

@@ -94,4 +94,38 @@ class UrlOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("withRegistrableDomain: suffix table fixes *.co.uk grouping, longest match wins, default untouched") {
+    import spark.implicits._
+    val hosts = Seq(
+      "shop.co.uk",            // 2-label suffix -> 3-label registrable
+      "deep.shop.co.uk",       // still groups under shop.co.uk
+      "me.blogspot.co.uk",     // 3-label suffix beats its 2-label tail
+      "a.me.blogspot.co.uk",   // groups under me.blogspot.co.uk
+      "www-less.example.com",  // implicit 1-label suffix -> default rule
+      "co.uk",                 // bare suffix stays itself
+      "blogspot.co.uk",        // bare 3-label suffix stays itself
+      "localhost"              // dotless
+    ).toDF("host")
+    val suffixes = Seq("co.uk", "blogspot.co.uk", "com").toDF("suffix")
+    val out = UrlOps.withRegistrableDomain(
+        UrlOps.withRegistrableDomain(hosts, "host", "dflt", None),
+        "host", "psl", Some(suffixes))
+      .select("host", "dflt", "psl").as[(String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("shop.co.uk") == (("co.uk", "shop.co.uk")))
+    assert(out("deep.shop.co.uk") == (("co.uk", "shop.co.uk")))
+    assert(out("me.blogspot.co.uk") == (("co.uk", "me.blogspot.co.uk")))
+    assert(out("a.me.blogspot.co.uk") == (("co.uk", "me.blogspot.co.uk")))
+    assert(out("www-less.example.com") == (("example.com", "example.com")))
+    assert(out("co.uk") == (("co.uk", "co.uk")))
+    assert(out("blogspot.co.uk") == (("co.uk", "blogspot.co.uk")))
+    assert(out("localhost") == (("localhost", "localhost")))
+    // unsupported PSL rule shapes fail fast, never silently mis-group
+    val e = intercept[IllegalArgumentException] {
+      UrlOps.withRegistrableDomain(hosts, "host", "psl",
+        Some(Seq("*.ck").toDF("suffix")))
+    }
+    assert(e.getMessage.contains("unsupported"), e.getMessage)
+  }
 }
