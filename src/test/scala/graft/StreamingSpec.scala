@@ -1110,6 +1110,74 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("composed crawl deployment: dedup + frontier + postings tail ONE landing zone and agree on the surviving doc set") {
+    // the documented production pairing (three standing consumers of one
+    // crawl, separate checkpoints — the Kafka consumer-group posture):
+    // two triggers, a corrupt record, and a full stop/restart between
+    // them, asserted on ALL THREE indexes at once — the sinks are tested
+    // apart elsewhere; this is the deployment a real crawl runs
+    val root = java.nio.file.Files.createTempDirectory("graft_crawl_all").toString
+    val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
+    def rec(id: Long, text: String, version: String = "WARC/1.0"): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.Warc.writeRecord(bos, "response", s"<urn:crawl:$id>",
+        s"http://crawl.test/doc/$id", "2026-01-01T00:00:00Z", "text/plain",
+        text.getBytes("UTF-8"), version)
+      bos.toByteArray
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val idExpr = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+    def startAll(): Seq[org.apache.spark.sql.streaming.StreamingQuery] = Seq(
+      Streaming.crawlDedupSink(spark, crawl, s"$root/dedup_idx", s"$root/matches",
+        idExpr = idExpr, checkpointDir = Some(s"$root/ckpt_dedup")),
+      Streaming.crawlFrontierSink(spark, crawl, s"$root/frontier_idx",
+        s"$root/frontier", checkpointDir = Some(s"$root/ckpt_frontier")),
+      Streaming.crawlPostingsSink(spark, crawl, s"$root/postings_idx",
+        idExpr = idExpr, checkpointDir = Some(s"$root/ckpt_postings")))
+
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "totally different words entirely over here"
+    val t3 = "beta gamma delta epsilon zeta" // near-dup of t1
+    java.nio.file.Files.write(java.nio.file.Paths.get(crawl, "seg0.warc"),
+      rec(1L, t1) ++ rec(2L, t2))
+    val qs1 = startAll()
+    try qs1.foreach(_.processAllAvailable()) finally qs1.foreach(_.stop())
+    // restart point: a gzipped segment with a near-dup, a CORRUPT record,
+    // and a fresh page lands while nothing runs
+    java.nio.file.Files.write(java.nio.file.Paths.get(crawl, "seg1.warc.gz"),
+      gz(rec(3L, t3)) ++ gz(rec(66L, "broken words", version = "WARC/9.9")) ++
+        gz(rec(4L, "freshpage about spark data streams")))
+    val qs2 = startAll()
+    try qs2.foreach(_.processAllAvailable()) finally qs2.foreach(_.stop())
+
+    val want = Set(1L, 2L, 3L, 4L) // 66 died upstream of every consumer
+    val dedupIds = spark.read.parquet(s"$root/dedup_idx")
+      .select("id").as[Long].collect().toSet
+    val postingIds = spark.read.parquet(s"$root/postings_idx/postings")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val frontierIds = spark.read.parquet(s"$root/frontier")
+      .select(regexp_extract(col("canon"), "/doc/([0-9]+)$", 1).cast("long"))
+      .as[Long].collect().toSet
+    assert(dedupIds == want, s"dedup index: $dedupIds")
+    assert(postingIds == want, s"postings index: $postingIds")
+    assert(frontierIds == want, s"frontier: $frontierIds")
+    // the frontier's seen-URL index carries one 128-bit identity per page
+    assert(spark.read.parquet(s"$root/frontier_idx")
+      .select("h1", "h2").distinct().count() == 4)
+    // cross-consumer behavior on the same batch: the near-dup gated (3→1
+    // match recorded), yet doc 3 still SERVES (soft dedup decides later)
+    val m = spark.read.parquet(s"$root/matches")
+      .select("batch_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(m.contains((3L, 1L)), s"near-dup 3->1 missed: $m")
+    val hit = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, s"$root/postings_idx", Seq("freshpage"), k = 5).collect()
+    assert(hit.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L))
+  }
+
   test("crash recovery: fold state survives a checkpoint stop/restart (replay semantics)") {
     // The 100 TB contract: a killed stateful query restarted from its
     // checkpoint must resume the SAME fold state — reference replay/offset
