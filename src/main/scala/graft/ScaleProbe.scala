@@ -118,7 +118,15 @@ object ScaleProbe {
     "q177_pii_eval",
     // round-9 continuation: canonical-choice audit (q33 chain + one
     // cluster-keyed hash agg into a 1-row census)
-    "q178_canonical_choice")
+    "q178_canonical_choice",
+    // round-10: packed training shards (one shard exchange + streamed
+    // binary writers, then a census over the written FILES) and the
+    // PSL-aware registrable-domain census (two broadcast suffix joins)
+    "q179_token_shards", "q180_registrable_suffix",
+    // round-10: the threshold-selection yield curve (map-only scoring
+    // into a 10-key agg) and near-dup split leakage (the cluster
+    // artifact's ninth consumer — census cost over prebuilt labels)
+    "q181_quality_yield", "q182_split_leakage")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -694,7 +694,62 @@ object DedupQueries {
        |SELECT doc_id, n_windows, n_dup_windows, n_removed_tokens
        |FROM perdoc ORDER BY doc_id""".stripMargin
 
+  /** Q182 — near-dup LEAKAGE across the train/val/test split: the
+    * classic eval-inflation bug (a test document whose near-duplicate
+    * sits in train scores as memorization, not generalization —
+    * the reason Lee et al. 2022 and every serious pretraining run
+    * audit splits against the NEAR-dup relation, not just exact
+    * hashes). Composition of two audited pieces at census cost: the
+    * SHARED cluster artifact ([[ClusterArtifacts.simhashLabels]] — its
+    * ninth consumer, zero chain recompute) × the q35 hash split.
+    * Planted replicas (+10M ids) inherit their SOURCE document's split
+    * — they are the same underlying page, which is exactly the leakage
+    * being measured. Output: one row per split-combination a cluster
+    * touches (train, train+val, train+test, …) with cluster/doc/base
+    * counts — the `+`-joined rows ARE the leak report. Singleton
+    * documents are in no pair and cannot leak; the census covers
+    * clusters only.
+    *
+    * Scale: one artifact read, a cluster-keyed hash aggregate, and a
+    * ≤7-row rollup. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ClusterArtifacts.simhashLabels(spark, dir)
+    val withSplit = labels
+      .withColumn("base_id", col("id") % 10000000L)
+      .withColumn("split", graft.ops.TrainingPrep.splitAssign(col("base_id")))
+    withSplit.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("base_id")).as("n_base"),
+        array_join(array_sort(collect_set(col("split"))), "+").as("splits"))
+      .groupBy(col("splits"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_base")).as("n_base_docs"))
+      .orderBy(col("splits"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
+       |$closureCtes,
+       |sp AS (
+       |  SELECT l.id, l.cluster_id, l.id % 10000000 AS base_id,
+       |    CASE WHEN CAST(('0x' || substring(md5(CAST(l.id % 10000000 AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+       |         WHEN CAST(('0x' || substring(md5(CAST(l.id % 10000000 AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM labels l),
+       |per AS (
+       |  SELECT cluster_id, COUNT(*) AS n_docs,
+       |    COUNT(DISTINCT base_id) AS n_base,
+       |    array_to_string(list_sort(list(DISTINCT split)), '+') AS splits
+       |  FROM sp GROUP BY cluster_id)
+       |SELECT splits,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_base) AS BIGINT) AS n_base_docs
+       |FROM per GROUP BY splits ORDER BY splits""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q182_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("q153_substring_dedup", substringDedup, Some(substringDedupSql)),
     QueryDef("q97_entity_resolution", entityResolution, Some(entityResolutionSql)),
     QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),

@@ -1341,7 +1341,71 @@ object TextQueries {
       |  CAST(COALESCE(ct.new_types, 0) AS BIGINT) AS new_types
       |FROM co LEFT JOIN ct USING (bucket) ORDER BY co.bucket""".stripMargin
 
+  /** Q181 — curation YIELD CURVE: what a quality threshold would keep.
+    * Every curation run picks a cut-off; this is the artifact that
+    * decides it — documents bucketed by the q17 quality score into ten
+    * 0.1-wide bands, and for each band the census of what survives a
+    * "keep ≥ this band" gate: cumulative docs, cumulative tokens, and
+    * the mean quality of the survivors (all integer-exact). Reading the
+    * curve top-down is exactly the threshold-selection loop (FineWeb/
+    * DCLM-style ablations start here: how many tokens does each half-
+    * point of quality cost?).
+    *
+    * Scale: one map-only scoring pass (the codegen'd q17 kernel), a
+    * 10-key hash aggregate, and a window over the ≤10-row census — the
+    * unpartitioned window sits ABOVE the aggregation (the OrderStats
+    * discipline), never over the corpus. */
+  def qualityYield(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = Tables.documents(spark, dir)
+      .select(
+        round(qualityScoreRaw(col("text")) * 1000000, 0).cast("long").as("qm"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("least(qm div 100000, 9L)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("qm")).as("__qs"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("__cum_qs", sum(col("__qs")).over(w))
+      .withColumn("survivor_mean_qm", expr("__cum_qs div cum_docs")) // integer div, engine-exact
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("cum_docs"), col("cum_tokens"), col("survivor_mean_qm"))
+      .orderBy(col("bucket"))
+  }
+
+  val qualityYieldSql: String =
+    """WITH scored AS (
+      |  SELECT CAST(round((0.3 * least(1.0, n / 50)
+      |      + 0.3 * (nd / n)
+      |      + 0.2 * (1.0 - dig / n)
+      |      + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS qm,
+      |    CAST(n AS BIGINT) AS n_tokens
+      |  FROM (
+      |    SELECT text,
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+      |      CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE) AS dig
+      |    FROM documents)),
+      |census AS (
+      |  SELECT least(qm // 100000, 9) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(qm) AS BIGINT) AS qs
+      |  FROM scored GROUP BY 1)
+      |SELECT bucket, n_docs, n_tokens,
+      |  CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+      |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(qs) OVER w // SUM(n_docs) OVER w AS BIGINT) AS survivor_mean_qm
+      |FROM census
+      |WINDOW w AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q181_quality_yield", qualityYield, Some(qualityYieldSql)),
     QueryDef("q164_boilerplate", boilerplateRemoval, Some(boilerplateRemovalSql)),
     QueryDef("q170_filter_agreement", filterAgreement, Some(filterAgreementSql)),
     QueryDef("q171_encoding_qc", encodingQc, Some(encodingQcSql)),
