@@ -484,7 +484,11 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedWindowExemptions: Map[String, String] = Map(
     "q114_rrf_fusion" -> "ranks two post-limit top-100 retrieval lists",
     "q46_pq_codes" -> "row_number over the post-limit ksub-row codebook seeds",
-    "q94_importance_select" -> "rank over the post-limit top-k selection")
+    "q94_importance_select" -> "rank over the post-limit top-k selection",
+    "q181_quality_yield" -> ("cumulative sums over the post-aggregation " +
+      "bucket census — bucket = least(qm div 100000, 9) has a 10-value " +
+      "domain, so the window input is ≤10 rows by construction (the " +
+      "OrderStats __bk class, keyed differently)"))
 
   test("registry sweep: NO query plans a CartesianProduct or an unbounded unpartitioned window") {
     // the global form of every pin above, over the ENTIRE query surface:
