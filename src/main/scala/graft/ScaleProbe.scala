@@ -126,7 +126,10 @@ object ScaleProbe {
     // round-10: the threshold-selection yield curve (map-only scoring
     // into a 10-key agg) and near-dup split leakage (the cluster
     // artifact's ninth consumer — census cost over prebuilt labels)
-    "q181_quality_yield", "q182_split_leakage")
+    "q181_quality_yield", "q182_split_leakage",
+    // round-10: shard-mixing chi-square (bounded grid) and dedup
+    // threshold sensitivity (persisted pair artifact + 8-row grid)
+    "q183_shard_mixing", "q184_dedup_sensitivity")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

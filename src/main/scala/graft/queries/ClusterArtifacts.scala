@@ -37,10 +37,10 @@ object ClusterArtifacts {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def artifact(spark: SparkSession, dir: String, chain: String)(
-      build: String => Unit): DataFrame = {
+  private def artifact(dir: String, chain: String)(
+      build: String => Unit): String = {
     val canon = new java.io.File(dir).getCanonicalPath
-    val path = built.computeIfAbsent(s"$canon#$chain", { _ =>
+    built.computeIfAbsent(s"$canon#$chain", { _ =>
       val out = s"/tmp/graft_cluster_artifacts/${Tables.dirCacheKey(canon)}/$chain"
       val marker = java.nio.file.Paths.get(out, "_COMPLETE")
       if (!java.nio.file.Files.exists(marker)) {
@@ -49,27 +49,43 @@ object ClusterArtifacts {
       }
       out
     })
-    spark.read.parquet(path)
   }
 
   /** (id, cluster_id) labels of the TEXT near-dup chain over the
-    * planted-near-dup corpus — q33's exact substrate. */
+    * planted-near-dup corpus — q33's exact substrate. The build also
+    * persists the capped PAIR set (id_a, id_b, hamming) it passes
+    * through CC — [[simhashPairs]] reads it, so pair-level consumers
+    * (q184's threshold sensitivity) are census-cost too. */
   def simhashLabels(spark: SparkSession, dir: String): DataFrame =
-    artifact(spark, dir, "simhash_h7_d4") { out =>
+    textChain(spark, dir, "labels")
+
+  /** The capped (id_a, id_b, hamming) pair set of the TEXT chain —
+    * q13b's exact edges, persisted by the same one-per-corpus build. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    textChain(spark, dir, "pairs")
+
+  private def textChain(spark: SparkSession, dir: String, sub: String): DataFrame = {
+    val root = artifact(dir, "simhash_h7_d4_lp") { out =>
       val corpus = DedupQueries.withPlantedNearDups(Tables.documents(spark, dir))
       val sims = Dedup.simhashTable(corpus, "doc_id", "text",
         hasher = graft.functions.TextFunctions.portableHash60)
       val pairs = Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
-      Dedup.connectedComponents(pairs).write.mode("overwrite").parquet(out)
+        .localCheckpoint(true) // pair write + CC both consume
+      pairs.write.mode("overwrite").parquet(s"$out/pairs")
+      Dedup.connectedComponents(pairs).write.mode("overwrite").parquet(s"$out/labels")
     }
+    spark.read.parquet(s"$root/$sub")
+  }
 
   /** (id, cluster_id) labels of the EMBEDDING near-dup chain — q80's
     * exact substrate. */
-  def embeddingLabels(spark: SparkSession, dir: String): DataFrame =
-    artifact(spark, dir, "emblsh_p8_t12_c030_d4") { out =>
+  def embeddingLabels(spark: SparkSession, dir: String): DataFrame = {
+    val path = artifact(dir, "emblsh_p8_t12_c030_d4") { out =>
       val pairs = graft.ops.Similarity.lshNearDupPairs(
         Tables.embeddings(spark, dir), "vec_id", "embedding",
         dim = 64, planes = 8, tables = 12, cosineThreshold = 0.3, maxDegree = 4)
       Dedup.connectedComponents(pairs).write.mode("overwrite").parquet(out)
     }
+    spark.read.parquet(path)
+  }
 }

@@ -748,7 +748,71 @@ object DedupQueries {
        |  CAST(SUM(n_base) AS BIGINT) AS n_base_docs
        |FROM per GROUP BY splits ORDER BY splits""".stripMargin
 
+  /** Q184 — dedup THRESHOLD SENSITIVITY: what each hamming radius would
+    * have matched. Every dedup deployment picks a radius; this is the
+    * decision artifact (the q181 yield-curve move applied to the dedup
+    * gate): over the persisted h ≤ 7 capped pair set
+    * ([[ClusterArtifacts.simhashPairs]] — written by the same
+    * one-per-corpus build as the labels), the cumulative census per
+    * candidate threshold 0..7 of pairs matched and documents touched
+    * (a doc counts at the radius of its CLOSEST pair). Cumulative via
+    * an 8×8 threshold grid join, window-free. Scope, documented: the
+    * sweep reads the h ≤ 7, degree ≤ 4 edge set — it measures how the
+    * census contracts as the radius tightens, not a per-radius re-run
+    * of the cap (the cap binds at most at the widest radius).
+    *
+    * Scale: one artifact read + two bounded hash aggregates + an 8-row
+    * grid — census cost; the chain cost lives in the shared build. */
+  def dedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ClusterArtifacts.simhashPairs(spark, dir)
+      .localCheckpoint(true) // pair histogram + per-doc min both read it
+    val pairHist = pairs.groupBy(col("hamming")).agg(count(lit(1)).as("np"))
+    val nodeHist = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"), col("hamming"))
+      .groupBy(col("id")).agg(min(col("hamming")).as("minh"))
+      .groupBy(col("minh")).agg(count(lit(1)).as("nd"))
+    val th = spark.range(8).select(col("id").cast("int").as("threshold"))
+    val cp = th.join(pairHist, col("hamming") <= col("threshold"), "left_outer")
+      .groupBy(col("threshold"))
+      .agg(coalesce(sum(col("np")), lit(0L)).as("cum_pairs"))
+    val cd = th.join(nodeHist, col("minh") <= col("threshold"), "left_outer")
+      .groupBy(col("threshold"))
+      .agg(coalesce(sum(col("nd")), lit(0L)).as("cum_docs"))
+    cp.join(cd, Seq("threshold")).orderBy(col("threshold"))
+  }
+
+  val dedupSensitivitySql: String =
+    simhashSqlFrom(corpusSql) +
+      """,
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+        |sym AS (
+        |  SELECT id_a AS node, id_b AS other, hamming FROM pr
+        |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
+        |rk AS (
+        |  SELECT node, other, hamming,
+        |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+        |  FROM sym),
+        |cap AS (SELECT DISTINCT LEAST(node, other) AS id_a,
+        |               GREATEST(node, other) AS id_b, hamming
+        |        FROM rk WHERE r <= 4),
+        |ph AS (SELECT hamming, COUNT(*) AS np FROM cap GROUP BY 1),
+        |nm AS (SELECT id, MIN(hamming) AS minh FROM (
+        |         SELECT id_a AS id, hamming FROM cap
+        |         UNION ALL SELECT id_b AS id, hamming FROM cap)
+        |       GROUP BY 1),
+        |nh AS (SELECT minh, COUNT(*) AS nd FROM nm GROUP BY 1),
+        |t AS (SELECT CAST(UNNEST(generate_series(0, 7)) AS INTEGER) AS threshold)
+        |SELECT threshold,
+        |  CAST(COALESCE((SELECT SUM(np) FROM ph WHERE hamming <= threshold), 0) AS BIGINT) AS cum_pairs,
+        |  CAST(COALESCE((SELECT SUM(nd) FROM nh WHERE minh <= threshold), 0) AS BIGINT) AS cum_docs
+        |FROM t ORDER BY threshold""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q184_dedup_sensitivity", dedupSensitivity, Some(dedupSensitivitySql)),
     QueryDef("q182_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("q153_substring_dedup", substringDedup, Some(substringDedupSql)),
     QueryDef("q97_entity_resolution", entityResolution, Some(entityResolutionSql)),

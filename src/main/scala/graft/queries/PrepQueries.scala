@@ -1103,7 +1103,71 @@ object PrepQueries {
       |  CAST(SUM((gpos * tid) % 1000000007) % 1000000007 AS BIGINT) AS checksum
       |FROM tok GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Q183 — SHARD-MIXING audit: is the q158 shuffle actually well-mixed?
+    * A trainer streaming shards in order needs every shard to look like
+    * the global corpus — a language (or source) clumped into few shards
+    * shows up as loss spikes mid-epoch. Per shard: the χ² statistic of
+    * its language mix against the global mix (the q101 integer
+    * convention — decimal-exact cross products, µ-unit floor division,
+    * HUGEINT-replayed by the oracle), over the DENSE shard×lang grid so
+    * absent cells contribute their full expected mass. The hash deal is
+    * q158's exact permutation, so this audits the artifact the q179
+    * shards materialize.
+    *
+    * Scale: one corpus pass into a (16 × |langs|) cell table, two
+    * bounded rollups, one broadcast grid join — census cost. */
+  def shardMixing(spark: SparkSession, dir: String): DataFrame = {
+    val S = 16
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"),
+        pmod(TrainingPrep.shuffleHash(col("doc_id"), "epoch1"), lit(S.toLong))
+          .cast("int").as("shard"))
+      .groupBy(col("shard"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // grid + three rollups read it
+    val shardTot = cells.groupBy(col("shard")).agg(sum(col("o")).as("s"))
+    val langTot = cells.groupBy(col("lang")).agg(sum(col("o")).as("l"))
+    val total = cells.agg(sum(col("o")).as("n"))
+    shardTot.crossJoin(broadcast(langTot)) // dense grid: zero cells count
+      .join(cells, Seq("shard", "lang"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("__d", expr("cast(o as decimal(38,0)) * n - cast(s as decimal(38,0)) * l"))
+      .withColumn("contrib", expr(
+        "cast(__d * __d * 1000000 div (cast(n as decimal(38,0)) * s * l) as bigint)"))
+      .groupBy(col("shard"))
+      .agg(max(col("s")).as("n_docs"), sum(col("contrib")).as("chi2_micro"))
+      .orderBy(col("shard"))
+  }
+
+  val shardMixingSql: String =
+    """WITH dealt AS (
+      |  SELECT lang,
+      |    CAST((CAST(('0x' || substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) % 16 AS INTEGER) AS shard
+      |  FROM documents),
+      |cells AS (SELECT shard, lang, CAST(COUNT(*) AS BIGINT) AS o
+      |          FROM dealt GROUP BY 1, 2),
+      |st AS (SELECT shard, SUM(o) AS s FROM cells GROUP BY 1),
+      |lt AS (SELECT lang, SUM(o) AS l FROM cells GROUP BY 1),
+      |tot AS (SELECT SUM(o) AS n FROM cells),
+      |grid AS (
+      |  SELECT st.shard, lt.lang, st.s, lt.l, COALESCE(c.o, 0) AS o
+      |  FROM st CROSS JOIN lt
+      |  LEFT JOIN cells c ON c.shard = st.shard AND c.lang = lt.lang),
+      |x AS (
+      |  SELECT shard, s,
+      |    (o::HUGEINT * n - s::HUGEINT * l) AS dd, l
+      |  FROM grid, tot),
+      |contrib AS (
+      |  SELECT shard, s,
+      |    CAST(dd * dd * 1000000 // ((SELECT n FROM tot)::HUGEINT * s * l) AS BIGINT) AS c
+      |  FROM x)
+      |SELECT shard, CAST(MAX(s) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c) AS BIGINT) AS chi2_micro
+      |FROM contrib GROUP BY shard ORDER BY shard""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q183_shard_mixing", shardMixing, Some(shardMixingSql)),
     QueryDef("q179_token_shards", tokenShards, Some(tokenShardsSql)),
     QueryDef("q174_padding_waste", paddingWaste, Some(paddingWasteSql)),
     QueryDef("q177_pii_eval", piiEval, Some(piiEvalSql)),

@@ -42,7 +42,7 @@ class ClusterArtifactsSpec extends SparkSpec {
     // idempotent: the marker exists and a second call must not rebuild
     // (mtime of the marker is the witness)
     val marker = java.nio.file.Paths.get(
-      s"/tmp/graft_cluster_artifacts/${graft.sources.Tables.dirCacheKey(dir)}/simhash_h7_d4/_COMPLETE")
+      s"/tmp/graft_cluster_artifacts/${graft.sources.Tables.dirCacheKey(dir)}/simhash_h7_d4_lp/_COMPLETE")
     assert(java.nio.file.Files.exists(marker))
     val t0 = java.nio.file.Files.getLastModifiedTime(marker)
     ClusterArtifacts.simhashLabels(spark, dir).count()
@@ -66,6 +66,22 @@ class ClusterArtifactsSpec extends SparkSpec {
       assert(!plan.toLowerCase.contains("simhash") && !plan.contains("lsh_"),
         s"$name still recomputes the cluster chain:\n$plan")
     }
+  }
+
+  test("persisted pair set matches the from-scratch capped pairs") {
+    val dir = freshCorpus()
+    val fromArtifact = ClusterArtifacts.simhashPairs(spark, dir)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))").as("text")))
+    val sims = graft.ops.Dedup.simhashTable(corpus, "doc_id", "text",
+      hasher = graft.functions.TextFunctions.portableHash60)
+    val fresh = graft.ops.Dedup.simhashNearDupPairs(sims, maxHamming = 7, maxDegree = 4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(fromArtifact == fresh)
   }
 
   test("embedding labels match the from-scratch chain") {
