@@ -620,8 +620,9 @@ object Streaming {
     * after the index write still reproduces the original frontier.
     * Consequently NOT [[compactIndex]]-compatible (folding partitions
     * would defeat the defense — the hash columns are deliberately not
-    * named `id` so its fail-fast refuses); compact only after a clean
-    * stop with the checkpoint committed past every written partition. */
+    * named `id` so its fail-fast refuses); use [[compactFrontierIndex]]
+    * in a maintenance window: only after a clean stop with the
+    * checkpoint committed past every written partition. */
   def urlFrontierSink(urls: DataFrame, urlCol: String, indexDir: String,
       frontierDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
     import graft.ops.UrlOps
@@ -658,6 +659,58 @@ object Streaming {
           .write.mode("overwrite").parquet(s"$indexDir/batch_run=$batchId")
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** OFFLINE compaction for [[urlFrontierSink]]'s seen-URL index — the
+    * third of the three crawl indexes to get one (dedup:
+    * [[compactIndex]], postings: [[compactPostingsIndex]]): folds the
+    * per-trigger `batch_run=<id>` partitions into ONE (lowest id, rows
+    * deduplicated by the (h1, h2) identity), same staged
+    * move-aside → move-in → delete discipline and recovery prologue.
+    *
+    * CONTRACT — clean stop only: this index defends crash-replay BY
+    * PARTITION (a replaying batch excludes its own partition from the
+    * read), and folding destroys that for any batch that could still
+    * replay — its rows would sit in the folded partition and gate the
+    * replayed batch's own URLs, breaking frontier reproduction. After a
+    * CLEAN stop (checkpoint committed past every written partition) no
+    * batch can replay, the next batch id is strictly greater than every
+    * folded one, and the fold is invisible to the restarted sink. The
+    * sibling guard to [[compactIndex]]'s: this one REQUIRES the
+    * (h1, h2) frontier schema and refuses id-keyed indexes. Returns the
+    * number of partitions folded (0 = nothing to do). */
+  def compactFrontierIndex(spark: SparkSession, indexDir: String): Int = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(src, dst), s"compactFrontierIndex: rename $src -> $dst failed")
+    def glob(pattern: String) =
+      Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
+    val runDirs = glob("batch_run=*").map(_.getPath.getName)
+    glob(".compact_old_*").foreach { st =>
+      val orig = st.getPath.getName.stripPrefix(".compact_old_")
+      if (runDirs.contains(orig)) fs.delete(st.getPath, true)
+      else move(st.getPath, p(orig))
+    }
+    val df = spark.read.parquet(indexDir)
+    require(df.columns.filterNot(_ == "batch_run").sorted.sameElements(Array("h1", "h2")),
+      "compactFrontierIndex is for the frontier's (h1, h2) identity index; " +
+        "id-keyed signature indexes fold with compactIndex")
+    val runs = df.select(col("batch_run").cast("long")).distinct()
+      .as[Long].collect().sorted
+    if (runs.length <= 1) return 0
+    val lo = runs.head
+    val staging = p(".compact_staging")
+    df.select(col("h1"), col("h2")).dropDuplicates("h1", "h2")
+      .write.mode("overwrite").parquet(staging.toString)
+    val loName = s"batch_run=$lo"
+    move(p(loName), p(s".compact_old_$loName"))
+    move(staging, p(loName))
+    fs.delete(p(s".compact_old_$loName"), true)
+    runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
+    runs.length
   }
 
   /** [[urlFrontierSink]] fed from the CRAWL itself — the discovery loop

@@ -749,6 +749,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compactFrontierIndex folds after a clean stop; the restarted sink still gates re-crawls") {
+    // file source, SAME checkpoint across the restart: batch ids continue
+    // past the folded partition's (a fresh checkpoint would restart at
+    // batch 0 and overwrite the fold — the clean-stop contract includes
+    // restarting the same incarnation)
+    val root = java.nio.file.Files.createTempDirectory("graft_frontier_compact").toString
+    val in = s"$root/in"; new java.io.File(in).mkdirs()
+    var n = 0
+    def drop(urls: String*): Unit = {
+      n += 1
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, s"u$n.txt"),
+        urls.mkString("\n").getBytes("UTF-8"))
+    }
+    def start() = Streaming.urlFrontierSink(
+      spark.readStream.text(in).withColumnRenamed("value", "url"),
+      "url", s"$root/index", s"$root/frontier",
+      checkpointDir = Some(s"$root/ckpt"))
+    drop("http://a.com/1", "http://b.com/2")
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      drop("http://c.com/3", "http://a.com/1") // re-crawl of a
+      q1.processAllAvailable()
+    } finally q1.stop() // CLEAN stop: checkpoint committed past both batches
+    def partitions() = new java.io.File(s"$root/index").listFiles()
+      .count(_.getName.startsWith("batch_run="))
+    assert(partitions() == 2)
+    assert(Streaming.compactFrontierIndex(spark, s"$root/index") == 2)
+    assert(partitions() == 1, "compaction must leave ONE partition")
+    assert(Streaming.compactFrontierIndex(spark, s"$root/index") == 0, "idempotent")
+    assert(spark.read.parquet(s"$root/index").count() == 3) // 3 distinct pages
+    // the guard pair: the id-keyed signature index is refused here
+    intercept[IllegalArgumentException] {
+      val sig = java.nio.file.Files.createTempDirectory("graft_wrong_idx").toString
+      Seq((1L, 2L)).toDF("id", "sig").write.parquet(s"$sig/batch_run=0")
+      Seq((3L, 4L)).toDF("id", "sig").write.parquet(s"$sig/batch_run=1")
+      Streaming.compactFrontierIndex(spark, sig)
+    }
+    // restart from the same checkpoint: a re-crawl of folded history must
+    // still gate; a genuinely new page must still pass
+    drop("http://a.com/1", "http://d.com/4")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val f = spark.read.parquet(s"$root/frontier")
+        .select("canon").as[String].collect().sorted.toSeq
+      assert(f == Seq("http://a.com/1", "http://b.com/2",
+        "http://c.com/3", "http://d.com/4"),
+        s"folded history must keep gating re-crawls: $f")
+    } finally q2.stop()
+  }
+
   test("crawl frontier sink: WARC target URIs gate the frontier across segments and restarts") {
     // the discovery loop closed: segment 1's fetched pages (one under two
     // alias surface forms, plus a warcinfo and a corrupt record that must
