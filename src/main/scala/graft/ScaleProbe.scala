@@ -129,7 +129,9 @@ object ScaleProbe {
     "q181_quality_yield", "q182_split_leakage",
     // round-10: shard-mixing chi-square (bounded grid) and dedup
     // threshold sensitivity (persisted pair artifact + 8-row grid)
-    "q183_shard_mixing", "q184_dedup_sensitivity")
+    "q183_shard_mixing", "q184_dedup_sensitivity",
+    // round-10: crawl identity matrix (two md5-keyed hash aggs, 1 row)
+    "q185_identity_matrix")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

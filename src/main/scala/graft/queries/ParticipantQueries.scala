@@ -1235,7 +1235,96 @@ object ParticipantQueries {
       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
       |FROM modes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q185 — crawl IDENTITY MATRIX: the (canonical URL × content digest)
+    * cross that separates the three ways a crawl re-encounters content —
+    * RE-FETCH (same page, same bytes: a true duplicate the URL gate
+    * should have caught), UPDATE (same page, new bytes: feed the
+    * recrawl scheduler, not the dedup), and MIRROR / syndication
+    * (different pages, same bytes: content-level dedup territory, and
+    * the thing URL dedup is structurally blind to). Every
+    * crawl-governance decision routes on this distinction; conflating
+    * them either re-crawls nothing or dedups away legitimate updates.
+    * Planted signal: every doc_id % 6 == 0 page re-fetched verbatim
+    * (+20M ids), every % 6 == 1 page mirrored byte-identically under a
+    * different site (+30M), every % 6 == 3 page updated in place
+    * (+40M, same URL, new text). One census row; the oracle replays
+    * canonicalization, digests, and all three group censuses.
+    *
+    * Scale: two hash aggregates keyed on canon / digest (fixed-width
+    * md5 exchange keys, the q87 lesson) over one synthesized pass —
+    * no joins, no windows. */
+  def identityMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        concat(lit("http://site"), (expr("doc_id div 2") % 37).cast("string"),
+          lit(".com/page/"), col("doc_id").cast("string")).as("url"))
+    val refetch = base.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"), col("url"))
+    val mirror = base.filter(col("doc_id") % 6 === 1)
+      .select((col("doc_id") + 30000000L).as("doc_id"), col("text"),
+        concat(lit("http://mirror"), (expr("doc_id div 2") % 37).cast("string"),
+          lit(".net/page/"), col("doc_id").cast("string")).as("url"))
+    val update = base.filter(col("doc_id") % 6 === 3)
+      .select((col("doc_id") + 40000000L).as("doc_id"),
+        concat(col("text"), lit(" rev2")).as("text"), col("url"))
+    val all = base.unionByName(refetch).unionByName(mirror).unionByName(update)
+      .select(graft.ops.UrlOps.canonicalizeUrl(col("url")).as("canon"),
+        md5(col("text").cast("binary")).as("digest"))
+      .localCheckpoint(true) // three censuses read it
+    val pages = all.groupBy(col("canon"))
+      .agg(countDistinct(col("digest")).as("nd"), count(lit(1)).as("n"))
+    val contents = all.groupBy(col("digest"))
+      .agg(countDistinct(col("canon")).as("nc"))
+    val exact = all.groupBy(col("canon"), col("digest"))
+      .agg(count(lit(1)).as("n"))
+    all.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(pages.agg(
+        count(lit(1)).as("n_pages"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_updated_pages")))
+      .crossJoin(contents.agg(
+        count(lit(1)).as("n_contents"),
+        sum(when(col("nc") > 1, 1L).otherwise(0L)).as("n_mirrored_contents")))
+      .crossJoin(exact.agg(
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_refetch_dups")))
+      .select(col("n_docs"), col("n_pages"), col("n_updated_pages"),
+        col("n_contents"), col("n_mirrored_contents"), col("n_refetch_dups"))
+  }
+
+  val identityMatrixSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    'http://site' || CAST((doc_id // 2) % 37 AS VARCHAR)
+      |      || '.com/page/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |allrows AS (
+      |  SELECT url, md5(text) AS digest FROM base
+      |  UNION ALL
+      |  SELECT url, md5(text) FROM base WHERE doc_id % 6 = 0
+      |  UNION ALL
+      |  SELECT 'http://mirror' || CAST((doc_id // 2) % 37 AS VARCHAR)
+      |    || '.net/page/' || CAST(doc_id AS VARCHAR), md5(text)
+      |  FROM base WHERE doc_id % 6 = 1
+      |  UNION ALL
+      |  SELECT url, md5(text || ' rev2') FROM base WHERE doc_id % 6 = 3),
+      |canond AS (
+      |  SELECT lower(url) AS canon, digest FROM allrows),
+      |pages AS (
+      |  SELECT canon, COUNT(DISTINCT digest) AS nd, COUNT(*) AS n
+      |  FROM canond GROUP BY 1),
+      |contents AS (
+      |  SELECT digest, COUNT(DISTINCT canon) AS nc FROM canond GROUP BY 1),
+      |exact AS (
+      |  SELECT canon, digest, COUNT(*) AS n FROM canond GROUP BY 1, 2)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM canond) AS BIGINT) AS n_docs,
+      |  CAST((SELECT COUNT(*) FROM pages) AS BIGINT) AS n_pages,
+      |  CAST((SELECT SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) FROM pages) AS BIGINT) AS n_updated_pages,
+      |  CAST((SELECT COUNT(*) FROM contents) AS BIGINT) AS n_contents,
+      |  CAST((SELECT SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) FROM contents) AS BIGINT) AS n_mirrored_contents,
+      |  CAST((SELECT SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) FROM exact) AS BIGINT) AS n_refetch_dups""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q185_identity_matrix", identityMatrix, Some(identityMatrixSql)),
     QueryDef("q180_registrable_suffix", registrableSuffix, Some(registrableSuffixSql)),
     QueryDef("q102_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     QueryDef("q91_ner_trained", nerTrained, Some(nerTrainedSql)),
