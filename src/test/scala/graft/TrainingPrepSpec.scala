@@ -324,4 +324,43 @@ class TrainingPrepSpec extends SparkSpec {
       assert(f.length == 4L * nTok, s"$f: ${f.length} != 4*$nTok")
     }
   }
+
+  test("token shards property: random corpora round-trip the census over 10 seeds") {
+    import graft.ops.TokenShards
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val nShards = Seq(1, 2, 4)(rnd.nextInt(3))
+      val docs = (1 to (1 + rnd.nextInt(40))).map { i =>
+        val words = (1 to (1 + rnd.nextInt(30)))
+          .map(_ => s"w${rnd.nextInt(50)}")
+        (i.toLong * 7 + rnd.nextInt(3), words.mkString(" "))
+      }.distinct.groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val out = java.nio.file.Files.createTempDirectory(s"graft_shards_p$seed").toString
+      TokenShards.writeShards(docs.toDF("doc_id", "text"), "doc_id", "text",
+        out, nShards = nShards, seed = s"s$seed")
+      val expected = docs
+        .map { case (id, text) =>
+          val h = h60(s"s$seed:$id")
+          (h % nShards, h, id,
+            text.split(" ").map(w => h60(w) % TokenShards.Vocab) :+ TokenShards.Sep)
+        }
+        .groupBy(_._1)
+        .map { case (shard, ds) =>
+          val stream = ds.sortBy(d => (d._2, d._3)).flatMap(_._4)
+          shard -> ((stream.length.toLong, ds.length.toLong,
+            stream.zipWithIndex.map { case (t, i) =>
+              ((i + 1).toLong * t) % TokenShards.ChecksumMod
+            }.sum % TokenShards.ChecksumMod))
+        }
+      val census = TokenShards.shardCensus(spark, out).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(census == expected, s"seed=$seed nShards=$nShards")
+    }
+  }
 }
