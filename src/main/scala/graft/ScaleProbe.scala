@@ -131,7 +131,8 @@ object ScaleProbe {
     // threshold sensitivity (persisted pair artifact + 8-row grid)
     "q183_shard_mixing", "q184_dedup_sensitivity",
     // round-10: crawl identity matrix (two md5-keyed hash aggs, 1 row)
-    "q185_identity_matrix")
+    // and cross-modal alignment (decode-once kernel + id-keyed join)
+    "q185_identity_matrix", "q186_crossmodal_alignment")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -947,6 +947,76 @@ object SimilarityQueries {
     s"""WITH ${aHashCtes(plantedMediaSql)}
        |SELECT media_id, hash_hi, hash_lo, n_set FROM ah ORDER BY media_id""".stripMargin
 
+  /** Q186 — CROSS-MODAL alignment census: the LAION-style CLIP-score
+    * filtering verb — for every (image, caption) pair, a similarity
+    * between the image's visual feature and the caption's embedding,
+    * gated at a keep threshold. No CLIP ships in this container (the
+    * q91/q86 offline posture), so the visual feature is the REAL decode
+    * path reduced to a deterministic 64-d ±1 vector from the aHash bits
+    * (javax.imageio decode → grayscale → threshold signature — the same
+    * bits q109 pins), and alignment is the exact quantized cosine
+    * against the caption's 64-d embedding, shift-quantized to
+    * align_micro = floor((cos+1)·1e6) (the q165 convention). The
+    * PLUMBING is the production shape end-to-end: one decode pass, a
+    * broadcast-free id-keyed join of two modalities, a row-local score,
+    * a threshold gate — swap the feature kernel for a real CLIP tower
+    * and nothing else changes. The oracle recomputes every gray value,
+    * every hash bit, every quantized product, and the gate.
+    *
+    * Scale: decode once per image (kernel pass), join on the shared id
+    * (both sides pre-partitionable on it), score row-local — no
+    * all-pairs anything; this is the linear-cost gate LAION ran at 5 B
+    * pairs. */
+  def crossmodalAlignment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ah = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (hi, lo, _) = Multimodal.ImageCodec.aHash64(
+          Multimodal.ImageCodec.syntheticPng(id))
+        (id, hi, lo)
+      })
+      .toDF("media_id", "hash_hi", "hash_lo")
+    val feat = expr(
+      "transform(sequence(0, 63), p -> CAST(IF(((CASE WHEN p < 32 " +
+        "THEN shiftrightunsigned(hash_lo, p) " +
+        "ELSE shiftrightunsigned(hash_hi, p - 32) END) & 1) = 1, " +
+        "1.0, -1.0) AS FLOAT))")
+    ah.withColumn("feat", feat)
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("media_id"), col("embedding")), Seq("media_id"))
+      .withColumn("align_micro", floor(
+        (graft.functions.NativeExpressions.quantizedCosine(
+          col("embedding"), col("feat")) + 1) * 1000000).cast("long"))
+      .select(col("media_id"), col("align_micro"),
+        (col("align_micro") >= 1050000L).as("keep"))
+      .orderBy(col("media_id"))
+  }
+
+  val crossmodalAlignmentSql: String = {
+    def cos(a: String, b: String): String =
+      s"""CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT) AS DOUBLE) /
+         |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])) AS BIGINT) AS DOUBLE)) *
+         |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])) AS BIGINT) AS DOUBLE)))""".stripMargin
+    s"""WITH ${aHashCtes("SELECT doc_id AS media_id, doc_id AS gen_id FROM documents")},
+       |feat AS (
+       |  SELECT media_id, list_transform(range(0, 64), p ->
+       |    CASE WHEN (CASE WHEN p < 32 THEN (hash_lo >> CAST(p AS INTEGER))
+       |               ELSE (hash_hi >> CAST(p - 32 AS INTEGER)) END) % 2 = 1
+       |         THEN CAST(1000 AS BIGINT) ELSE CAST(-1000 AS BIGINT) END) AS fv
+       |  FROM ah),
+       |qvt AS (
+       |  SELECT vec_id AS media_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT f.media_id, ${cos("q.qv", "f.fv")} AS cosine
+       |  FROM feat f JOIN qvt q USING (media_id))
+       |SELECT media_id,
+       |  CAST(floor((cosine + 1) * 1000000) AS BIGINT) AS align_micro,
+       |  floor((cosine + 1) * 1000000) >= 1050000 AS keep
+       |FROM sc ORDER BY media_id""".stripMargin
+  }
+
   /** Q110 — image NEAR-DUP pairs with the EXACT-HASH COLLAPSE the q131
     * census proved out (SCALE.md's measured lesson: banding raw hashes
     * over a duplicate-heavy corpus generates quadratic candidate pairs
@@ -2172,6 +2242,8 @@ object SimilarityQueries {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q186_crossmodal_alignment", crossmodalAlignment,
+      Some(crossmodalAlignmentSql)),
     QueryDef("q175_ivf_tuning", ivfTuning, Some(ivfTuningSql)),
     QueryDef("q165_bitext_mining", bitextMining, Some(bitextMiningSql)),
     QueryDef("q168_semantic_decontam", semanticDecontam, Some(semanticDecontamSql)),
