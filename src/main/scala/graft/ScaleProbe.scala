@@ -132,7 +132,10 @@ object ScaleProbe {
     "q183_shard_mixing", "q184_dedup_sensitivity",
     // round-10: crawl identity matrix (two md5-keyed hash aggs, 1 row)
     // and cross-modal alignment (decode-once kernel + id-keyed join)
-    "q185_identity_matrix", "q186_crossmodal_alignment")
+    "q185_identity_matrix", "q186_crossmodal_alignment",
+    // round-10: domain quality pareto + URL template (trap) census —
+    // both map-only passes into bounded hash aggregates
+    "q187_domain_pareto", "q188_url_templates")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -1323,7 +1323,130 @@ object ParticipantQueries {
       |  CAST((SELECT SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) FROM contents) AS BIGINT) AS n_mirrored_contents,
       |  CAST((SELECT SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) FROM exact) AS BIGINT) AS n_refetch_dups""".stripMargin
 
+  /** Q187 — domain-level QUALITY PARETO: which domains carry the
+    * corpus's low-quality mass (the artifact behind RefinedWeb-style
+    * per-domain caps and blocklists — a handful of template-farm
+    * domains usually owns most of the junk, and capping THEM beats
+    * filtering doc-by-doc). Per registrable domain (the q157 synthetic
+    * site map): volume (docs, tokens), mean q17 quality (integer div),
+    * and the QUALITY DEFICIT — the total µ-mass below the 0.5 quality
+    * line, i.e. what a keep≥0.5 gate would discard from this domain.
+    * Reading the table sorted by deficit IS the blocklist-candidate
+    * review. One map-only scoring pass + a 37-key hash aggregate. */
+  def domainPareto(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(
+        concat(lit("site"), (expr("doc_id div 2") % 37).cast("string"),
+          lit(".com")).as("domain"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        round(graft.functions.TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
+          .cast("long").as("qm"))
+    scored.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("qm")).as("__qs"),
+        sum(when(col("qm") < 500000L, lit(500000L) - col("qm")).otherwise(0L))
+          .as("deficit_micro"),
+        sum(when(col("qm") < 500000L, 1L).otherwise(0L)).as("n_below"))
+      .withColumn("mean_qm", expr("__qs div n_docs"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("mean_qm"),
+        col("n_below"), col("deficit_micro"))
+      .orderBy(col("domain"))
+  }
+
+  val domainParetoSql: String =
+    """WITH scored AS (
+      |  SELECT 'site' || CAST((doc_id // 2) % 37 AS VARCHAR) || '.com' AS domain,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(round((0.3 * least(1.0, n / 50)
+      |      + 0.3 * (nd / n)
+      |      + 0.2 * (1.0 - dig / n)
+      |      + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS qm
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+      |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+      |      CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE) AS dig
+      |    FROM documents))
+      |SELECT domain,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(qm) // COUNT(*) AS BIGINT) AS mean_qm,
+      |  CAST(SUM(CASE WHEN qm < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |  CAST(SUM(CASE WHEN qm < 500000 THEN 500000 - qm ELSE 0 END) AS BIGINT) AS deficit_micro
+      |FROM scored GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** Q188 — URL TEMPLATE census, the crawler-TRAP detector: calendar
+    * pages, session-id paths, and pagination farms all produce one path
+    * TEMPLATE with disproportionate URL volume, and a crawler that
+    * doesn't notice spends its fetch budget there (every production
+    * crawler mines these — Heritrix's path-repetition rules, the
+    * Common Crawl URL frontier's per-pattern caps). Template = the
+    * canonical path with digit runs collapsed to `N` (the standard
+    * normalization); census per template: distinct URLs, distinct
+    * domains, volume share in µ. The planted synthesis gives four
+    * shapes — a calendar trap (3-level date explosion), flat pages,
+    * slug articles, and a 7-variant static set — so the share ranking
+    * is exercised. Map-only normalization (codegen'd regexp) into one
+    * bounded hash aggregate. */
+  def urlTemplates(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlOps
+    val urls = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("http://site"), (expr("doc_id div 2") % 37).cast("string"),
+        lit(".com"),
+        when(col("doc_id") % 4 === 0, concat(lit("/cal/"),
+          (col("doc_id") % 3).cast("string"), lit("/"),
+          (col("doc_id") % 12).cast("string"), lit("/"),
+          col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/p/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/article/guide-"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/faq"), (col("doc_id") % 7).cast("string"))))
+        .as("url"))
+    val t = urls.select(
+      UrlOps.registrableDomain(UrlOps.urlHost(col("url"))).as("domain"),
+      UrlOps.canonicalizeUrl(col("url")).as("canon"),
+      regexp_replace(UrlOps.urlPath(col("url")), "[0-9]+", "N").as("template"))
+    val total = t.agg(countDistinct(col("canon")).as("n_total"))
+    t.groupBy(col("template"))
+      .agg(countDistinct(col("canon")).as("n_urls"),
+        countDistinct(col("domain")).as("n_domains"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_micro", expr("n_urls * 1000000 div n_total"))
+      .select(col("template"), col("n_urls"), col("n_domains"), col("share_micro"))
+      .orderBy(col("template"))
+  }
+
+  val urlTemplatesSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    'http://site' || CAST((doc_id // 2) % 37 AS VARCHAR) || '.com' ||
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN '/cal/' || CAST(doc_id % 3 AS VARCHAR) || '/'
+      |        || CAST(doc_id % 12 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN '/p/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN '/article/guide-' || CAST(doc_id AS VARCHAR)
+      |      ELSE '/faq' || CAST(doc_id % 7 AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |t AS (
+      |  SELECT
+      |    regexp_extract(lower(url), '://([^/]+)', 1) AS host,
+      |    lower(url) AS canon,
+      |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      |      '[0-9]+', 'N', 'g') AS template
+      |  FROM urls),
+      |tot AS (SELECT COUNT(DISTINCT canon) AS n_total FROM t)
+      |SELECT template,
+      |  CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_urls,
+      |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_domains,
+      |  CAST(COUNT(DISTINCT canon) * 1000000 // (SELECT n_total FROM tot) AS BIGINT) AS share_micro
+      |FROM t GROUP BY template ORDER BY template""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q187_domain_pareto", domainPareto, Some(domainParetoSql)),
+    QueryDef("q188_url_templates", urlTemplates, Some(urlTemplatesSql)),
     QueryDef("q185_identity_matrix", identityMatrix, Some(identityMatrixSql)),
     QueryDef("q180_registrable_suffix", registrableSuffix, Some(registrableSuffixSql)),
     QueryDef("q102_compaction_plan", compactionPlan, Some(compactionPlanSql)),
