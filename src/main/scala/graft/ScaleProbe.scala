@@ -135,7 +135,10 @@ object ScaleProbe {
     "q185_identity_matrix", "q186_crossmodal_alignment",
     // round-10: domain quality pareto + URL template (trap) census —
     // both map-only passes into bounded hash aggregates
-    "q187_domain_pareto", "q188_url_templates")
+    "q187_domain_pareto", "q188_url_templates",
+    // round-10: chaining audit (tenth artifact consumer, census cost)
+    // and epoch-independence chi-square (one pass into 256 cells)
+    "q189_cluster_audit", "q190_epoch_independence")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -811,7 +811,76 @@ object DedupQueries {
         |  CAST(COALESCE((SELECT SUM(nd) FROM nh WHERE minh <= threshold), 0) AS BIGINT) AS cum_docs
         |FROM t ORDER BY threshold""".stripMargin
 
+  /** Q189 — cluster CHAINING audit: transitive closure's known failure
+    * mode is the chain — A≈B≈C≈…≈Z merges documents that are nothing
+    * alike (every near-dup paper flags it; SimHash's own authors cap
+    * radius for exactly this reason). The audit reads BOTH halves of
+    * the shared artifact at census cost (labels + persisted pairs —
+    * its tenth consumer) and ranks the 20 largest clusters by the
+    * structural chaining signals: edge count vs size (a TREE —
+    * edges = size−1 — is maximal chaining; a clique is none),
+    * the worst edge radius, and the total edge mass. A big tree-like
+    * cluster whose max edge sits at the radius ceiling is exactly the
+    * over-merge a curation reviewer should eyeball before collapsing
+    * it to one canonical. The oracle replays closure, sizes, per-
+    * cluster edge censuses, and the tie-broken top-20. */
+  def clusterAudit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ClusterArtifacts.simhashLabels(spark, dir)
+    val pairs = ClusterArtifacts.simhashPairs(spark, dir)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val edges = pairs
+      .join(labels.select(col("id").as("id_a"), col("cluster_id")), Seq("id_a"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        max(col("hamming")).as("max_edge_hamming"),
+        sum(col("hamming")).as("hamming_mass"))
+    sizes.join(edges, Seq("cluster_id"))
+      .withColumn("is_tree", col("n_edges") === col("cluster_size") - 1)
+      .orderBy(col("cluster_size").desc, col("cluster_id").asc)
+      .limit(20)
+      .select(col("cluster_id"), col("cluster_size"), col("n_edges"),
+        col("max_edge_hamming"), col("hamming_mass"), col("is_tree"))
+  }
+
+  val clusterAuditSql: String =
+    s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
+       |prh AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+       |psym AS (
+       |  SELECT id_a AS node, id_b AS other, hamming FROM prh
+       |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM prh),
+       |prk AS (
+       |  SELECT node, other, hamming,
+       |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+       |  FROM psym),
+       |cap AS (SELECT DISTINCT LEAST(node, other) AS id_a,
+       |               GREATEST(node, other) AS id_b, hamming
+       |        FROM prk WHERE r <= 4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM cap
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM cap),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.r AS r FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1),
+       |ec AS (
+       |  SELECT l.cluster_id, COUNT(*) AS n_edges,
+       |    MAX(c.hamming) AS max_edge_hamming, SUM(c.hamming) AS hamming_mass
+       |  FROM cap c JOIN labels l ON c.id_a = l.id GROUP BY 1)
+       |SELECT s.cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(n_edges AS BIGINT) AS n_edges,
+       |  CAST(max_edge_hamming AS INTEGER) AS max_edge_hamming,
+       |  CAST(hamming_mass AS BIGINT) AS hamming_mass,
+       |  n_edges = cluster_size - 1 AS is_tree
+       |FROM sizes s JOIN ec USING (cluster_id)
+       |ORDER BY cluster_size DESC, cluster_id ASC LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q189_cluster_audit", clusterAudit, Some(clusterAuditSql)),
     QueryDef("q184_dedup_sensitivity", dedupSensitivity, Some(dedupSensitivitySql)),
     QueryDef("q182_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("q153_substring_dedup", substringDedup, Some(substringDedupSql)),

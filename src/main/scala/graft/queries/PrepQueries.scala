@@ -1166,7 +1166,75 @@ object PrepQueries {
       |  CAST(SUM(c) AS BIGINT) AS chi2_micro
       |FROM contrib GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Q190 — EPOCH INDEPENDENCE: multi-epoch training reshuffles between
+    * epochs, and the reshuffle is only worth its cost if epoch 2's
+    * order is actually independent of epoch 1's (a correlated reshuffle
+    * re-feeds the same neighborhoods in the same batches — the quiet
+    * failure mode of seed-reuse bugs). The check: deal every doc under
+    * BOTH epoch seeds and test each epoch-1 shard's distribution over
+    * epoch-2 shards against uniformity — the q183 χ² convention over
+    * the dense 16×16 transition grid. Independent hashes ⇒ χ² stays at
+    * noise scale; a reused seed ⇒ the diagonal lights up (each row
+    * collapses onto one epoch-2 shard and the statistic explodes).
+    * One corpus pass into 256 cells + bounded rollups. */
+  def epochIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val S = 16
+    val cells = Tables.documents(spark, dir)
+      .select(
+        pmod(TrainingPrep.shuffleHash(col("doc_id"), "epoch1"), lit(S.toLong))
+          .cast("int").as("shard1"),
+        pmod(TrainingPrep.shuffleHash(col("doc_id"), "epoch2"), lit(S.toLong))
+          .cast("int").as("shard2"))
+      .groupBy(col("shard1"), col("shard2"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // grid + three rollups read it
+    val rowTot = cells.groupBy(col("shard1")).agg(sum(col("o")).as("s"))
+    val colTot = cells.groupBy(col("shard2")).agg(sum(col("o")).as("l"))
+    val total = cells.agg(sum(col("o")).as("n"))
+    rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("shard1", "shard2"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("__d", expr("cast(o as decimal(38,0)) * n - cast(s as decimal(38,0)) * l"))
+      .withColumn("contrib", expr(
+        "cast(__d * __d * 1000000 div (cast(n as decimal(38,0)) * s * l) as bigint)"))
+      .groupBy(col("shard1"))
+      .agg(max(col("s")).as("n_docs"),
+        sum(col("contrib")).as("chi2_micro"),
+        max(col("o")).as("max_cell"))
+      .orderBy(col("shard1"))
+  }
+
+  val epochIndependenceSql: String =
+    """WITH dealt AS (
+      |  SELECT
+      |    CAST((CAST(('0x' || substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) % 16 AS INTEGER) AS shard1,
+      |    CAST((CAST(('0x' || substring(md5('epoch2:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) % 16 AS INTEGER) AS shard2
+      |  FROM documents),
+      |cells AS (SELECT shard1, shard2, CAST(COUNT(*) AS BIGINT) AS o
+      |          FROM dealt GROUP BY 1, 2),
+      |st AS (SELECT shard1, SUM(o) AS s FROM cells GROUP BY 1),
+      |lt AS (SELECT shard2, SUM(o) AS l FROM cells GROUP BY 1),
+      |tot AS (SELECT SUM(o) AS n FROM cells),
+      |grid AS (
+      |  SELECT st.shard1, lt.shard2, st.s, lt.l, COALESCE(c.o, 0) AS o
+      |  FROM st CROSS JOIN lt
+      |  LEFT JOIN cells c ON c.shard1 = st.shard1 AND c.shard2 = lt.shard2),
+      |x AS (
+      |  SELECT shard1, s, l, o,
+      |    (o::HUGEINT * n - s::HUGEINT * l) AS dd
+      |  FROM grid, tot),
+      |contrib AS (
+      |  SELECT shard1, s, o,
+      |    CAST(dd * dd * 1000000 // ((SELECT n FROM tot)::HUGEINT * s * l) AS BIGINT) AS c
+      |  FROM x)
+      |SELECT shard1, CAST(MAX(s) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c) AS BIGINT) AS chi2_micro,
+      |  CAST(MAX(o) AS BIGINT) AS max_cell
+      |FROM contrib GROUP BY shard1 ORDER BY shard1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q190_epoch_independence", epochIndependence, Some(epochIndependenceSql)),
     QueryDef("q183_shard_mixing", shardMixing, Some(shardMixingSql)),
     QueryDef("q179_token_shards", tokenShards, Some(tokenShardsSql)),
     QueryDef("q174_padding_waste", paddingWaste, Some(paddingWasteSql)),
