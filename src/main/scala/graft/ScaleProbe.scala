@@ -138,7 +138,10 @@ object ScaleProbe {
     "q187_domain_pareto", "q188_url_templates",
     // round-10: chaining audit (tenth artifact consumer, census cost)
     // and epoch-independence chi-square (one pass into 256 cells)
-    "q189_cluster_audit", "q190_epoch_independence")
+    "q189_cluster_audit", "q190_epoch_independence",
+    // round-10: Zipf naturalness fit (one token exchange, source-
+    // partitioned rank, bounded OLS aggregate)
+    "q191_zipf_fit")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

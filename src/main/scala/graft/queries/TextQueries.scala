@@ -1404,7 +1404,77 @@ object TextQueries {
       |WINDOW w AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY bucket""".stripMargin
 
+  /** Q191 — ZIPF-fit naturalness check: natural language follows
+    * freq ∝ rank^(−s) with s ≈ 1; template farms, log spew, and
+    * machine-generated filler deviate hard — so the fitted slope per
+    * source is a cheap generated-text / corpus-pathology detector
+    * (used as a QC signal since Zipf 1949; modern synthetic-text
+    * audits still start here). Engine-reproducible throughout: the
+    * log-log points are FLOOR-log₂ buckets (binary digit count — the
+    * q58 convention; an FP log2 could round differently at powers of
+    * two), the OLS moments accumulate in exact decimal (the q65
+    * convention), and only the closed-form slope runs in double.
+    * hapax_micro (share of once-seen types) rides along — the other
+    * classic naturalness number.
+    *
+    * Scale: one token exchange into the per-source frequency table, a
+    * SOURCE-partitioned rank window (vocab-bounded per partition),
+    * and a bounded per-source aggregate. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("f"))
+    val ranked = freqs.withColumn("r", row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("f").desc, col("token").asc)).cast("long"))
+    val pts = ranked.select(col("source"), col("f"),
+      (length(bin(col("r"))) - 1).cast("decimal(19,0)").as("x"),
+      (length(bin(col("f"))) - 1).cast("decimal(19,0)").as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("__hapax"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_types"),
+        expr("__hapax * 1000000 div n_types").as("hapax_micro"),
+        round((col("n_types").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_types").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  val zipfFitSql: String =
+    """WITH freqs AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY source, token),
+      |ranked AS (
+      |  SELECT source, f,
+      |    row_number() OVER (PARTITION BY source ORDER BY f DESC, token ASC) AS r
+      |  FROM freqs),
+      |pts AS (
+      |  SELECT source, f,
+      |    CAST(length(bin(r)) - 1 AS DECIMAL(19,0)) AS x,
+      |    CAST(length(bin(f)) - 1 AS DECIMAL(19,0)) AS y
+      |  FROM ranked),
+      |m AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS hapax,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM pts GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n_types,
+      |  CAST(hapax * 1000000 // n AS BIGINT) AS hapax_micro,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |    AS zipf_slope
+      |FROM m ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q191_zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("q181_quality_yield", qualityYield, Some(qualityYieldSql)),
     QueryDef("q164_boilerplate", boilerplateRemoval, Some(boilerplateRemovalSql)),
     QueryDef("q170_filter_agreement", filterAgreement, Some(filterAgreementSql)),
