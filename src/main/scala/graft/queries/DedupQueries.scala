@@ -764,8 +764,9 @@ object DedupQueries {
     * Scale: one artifact read + two bounded hash aggregates + an 8-row
     * grid — census cost; the chain cost lives in the shared build. */
   def dedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    // no checkpoint: the artifact IS a materialization — both censuses
+    // re-scan the (tiny) pair parquet, keeping the FileScan in the plan
     val pairs = ClusterArtifacts.simhashPairs(spark, dir)
-      .localCheckpoint(true) // pair histogram + per-doc min both read it
     val pairHist = pairs.groupBy(col("hamming")).agg(count(lit(1)).as("np"))
     val nodeHist = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("id"), col("hamming"))

@@ -56,6 +56,9 @@ class ClusterArtifactsSpec extends SparkSpec {
     for ((name, df) <- Seq(
         "q33" -> graft.queries.DedupQueries.dupClusters(spark, dir),
         "q166" -> graft.queries.DedupQueries.softDedupWeights(spark, dir),
+        "q182" -> graft.queries.DedupQueries.splitLeakage(spark, dir),
+        "q184" -> graft.queries.DedupQueries.dedupSensitivity(spark, dir),
+        "q189" -> graft.queries.DedupQueries.clusterAudit(spark, dir),
         "q80" -> graft.queries.SimilarityQueries.embeddingClusters(spark, dir),
         "q138" -> graft.queries.SimilarityQueries.clusterTopics(spark, dir))) {
       val plan = df.queryExecution.executedPlan.toString
