@@ -10,9 +10,12 @@ import graft.sources.Tables
   * connected-components chains that eight queries previously each
   * recomputed from scratch:
   *
-  *   - TEXT chain (q33/q108/q166/q178): planted-near-dup corpus →
-  *     portable SimHash table → hamming ≤ 7 banded pairs, degree-capped
-  *     at 4 → connected components → (id, cluster_id) labels.
+  *   - TEXT chain (q33/q108/q166/q178/q182/q184/q189): planted-near-dup
+  *     corpus → portable SimHash table → hamming ≤ 7 banded pairs,
+  *     degree-capped at 4 → connected components. Persists BOTH the
+  *     (id, cluster_id) labels and the capped (id_a, id_b, hamming)
+  *     pair set — label consumers and pair consumers (threshold
+  *     sensitivity, chaining audit) share one build.
   *   - EMBEDDING chain (q80/q98/q136/q138): random-hyperplane LSH pairs
   *     (8 planes × 12 tables, cosine ≥ 0.3, degree cap 4) → connected
   *     components → (id, cluster_id) labels.

@@ -701,7 +701,7 @@ object DedupQueries {
     * audit splits against the NEAR-dup relation, not just exact
     * hashes). Composition of two audited pieces at census cost: the
     * SHARED cluster artifact ([[ClusterArtifacts.simhashLabels]] — its
-    * ninth consumer, zero chain recompute) × the q35 hash split.
+    * label half, zero chain recompute) × the q35 hash split.
     * Planted replicas (+10M ids) inherit their SOURCE document's split
     * — they are the same underlying page, which is exactly the leakage
     * being measured. Output: one row per split-combination a cluster
