@@ -1230,6 +1230,78 @@ class StreamingSpec extends SparkSpec {
     assert(hit.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L))
   }
 
+  test("maintenance-window drill: stop the composed crawl, compact ALL THREE indexes, restart — behavior unchanged") {
+    // the full ops cycle the three-sink deployment runs monthly: clean
+    // stop, compactIndex + compactPostingsIndex + compactFrontierIndex,
+    // restart from the same checkpoints; gating, serving, and frontier
+    // semantics must be indistinguishable from the uncompacted run
+    val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
+    def rec(id: Long, text: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.Warc.writeRecord(bos, "response", s"<urn:crawl:$id>",
+        s"http://crawl.test/doc/$id", "2026-01-01T00:00:00Z", "text/plain",
+        text.getBytes("UTF-8"), "WARC/1.0")
+      bos.toByteArray
+    }
+    val idExpr = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+    def startAll(): Seq[org.apache.spark.sql.streaming.StreamingQuery] = Seq(
+      Streaming.crawlDedupSink(spark, crawl, s"$root/dedup_idx", s"$root/matches",
+        idExpr = idExpr, checkpointDir = Some(s"$root/ck_d")),
+      Streaming.crawlFrontierSink(spark, crawl, s"$root/frontier_idx",
+        s"$root/frontier", checkpointDir = Some(s"$root/ck_f")),
+      Streaming.crawlPostingsSink(spark, crawl, s"$root/postings_idx",
+        idExpr = idExpr, checkpointDir = Some(s"$root/ck_p")))
+    def seg(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(crawl, name), bytes)
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    // two triggers so every index accumulates two batch_run partitions
+    seg("s0.warc", rec(1L, t1) ++ rec(2L, "totally different words entirely"))
+    val qs1 = startAll()
+    try {
+      qs1.foreach(_.processAllAvailable())
+      seg("s1.warc", rec(3L, "unrelated page about spark streams"))
+      qs1.foreach(_.processAllAvailable())
+    } finally qs1.foreach(_.stop())
+    // the maintenance window
+    assert(Streaming.compactIndex(spark, s"$root/dedup_idx") == 2)
+    assert(Streaming.compactPostingsIndex(spark, s"$root/postings_idx") == 4)
+    assert(Streaming.compactFrontierIndex(spark, s"$root/frontier_idx") == 2)
+    // restart; a near-dup of doc 1, a re-crawl of doc 3, and a new page
+    seg("s2.warc", rec(4L, "beta gamma delta epsilon zeta") ++
+      rec(3L, "unrelated page about spark streams") ++
+      rec(5L, "freshpage entirely new content here"))
+    val qs2 = startAll()
+    try qs2.foreach(_.processAllAvailable()) finally qs2.foreach(_.stop())
+    // dedup: the near-dup probe still matches FOLDED history
+    val m = spark.read.parquet(s"$root/matches")
+      .select("batch_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(m.contains((4L, 1L)), s"near-dup vs folded index missed: $m")
+    // frontier: the re-crawl of 3 stays gated by the folded index
+    val f = spark.read.parquet(s"$root/frontier")
+      .select(regexp_extract(col("canon"), "/doc/([0-9]+)$", 1).cast("long"))
+      .as[Long].collect().toSet
+    assert(f == Set(1L, 2L, 3L, 4L, 5L), s"frontier after compaction: $f")
+    // serving: pre-compaction and post-compaction content both rank
+    val hits = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, s"$root/postings_idx", Seq("freshpage", "alpha"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 5L), s"serving after compaction: $hits")
+    // the re-crawled id DOUBLE-POSTS in the postings index — the sink's
+    // documented append-only-on-id contract (this is why the production
+    // pairing gates fetch behind the frontier): raw stats count it twice
+    val st = spark.read.parquet(s"$root/postings_idx/stats")
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(st == 6L, s"stats show $st docs, want 6 (3 posted twice)")
+    // ...and the NEXT maintenance window REPAIRS the violation: the
+    // (term, doc_id) dedup folds the double post, and the
+    // derive-from-postings stats fold follows it back to the truth
+    assert(Streaming.compactPostingsIndex(spark, s"$root/postings_idx") > 0)
+    val st2 = spark.read.parquet(s"$root/postings_idx/stats")
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(st2 == 5L, s"stats after repair fold show $st2 docs, want 5")
+  }
+
   test("crash recovery: fold state survives a checkpoint stop/restart (replay semantics)") {
     // The 100 TB contract: a killed stateful query restarted from its
     // checkpoint must resume the SAME fold state — reference replay/offset
