@@ -34,7 +34,12 @@ import graft.sources.Tables
   * chain per query and must keep matching.
   *
   * The cache assumes an immutable corpus directory (true of every sf
-  * dir here); a mutated corpus needs the artifact dir removed.
+  * dir here); a mutated corpus needs the artifact dir removed. The
+  * CHAIN NAME is the schema/semantics contract: artifacts outlive the
+  * process, so any change to a chain's parameters, layout, or hash
+  * convention MUST bump its name (as `simhash_h7_d4` → `…_lp` did when
+  * the pair subtree landed) — a stale same-named artifact would serve
+  * silently wrong labels.
   */
 object ClusterArtifacts {
 
