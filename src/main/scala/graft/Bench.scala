@@ -80,11 +80,12 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    System.err.println(s"[bench] ${envDiag(spark)._2}")
     // JVM/session warmup so the first measured query doesn't absorb
-    // classloading + codegen compiler startup
+    // classloading + codegen compiler startup; calibrate BEFORE the
+    // startup banner so no env line ever shows the -1 sentinel
     spark.range(1000000).selectExpr("sum(id)").collect()
     calibrate(spark)
+    System.err.println(s"[bench] ${envDiag(spark)._2}")
     // best-of-2 per query: this container exhibits stochastic multi-×
     // single-task stalls unrelated to the plan; min-of-two is the
     // standard way to report the query's actual cost

@@ -67,8 +67,19 @@ object TokenShards {
       .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
       .select(col("shard"), col("tids"))
     dealt.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      // TASK-COMMIT protocol: write to an attempt-unique dot-temp and
+      // rename into place only after the whole partition streamed —
+      // without it, a speculative or zombie attempt racing its retry
+      // would interleave truncating writes into the same shard file
+      // while the job (and the build-once marker) still reported
+      // success. The atomic move makes the LAST completed attempt win
+      // with a complete file; abandoned temps are dot-files the
+      // `shard-*.bin` read glob never matches.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       var shard = -1
       var out: java.io.DataOutputStream = null
+      val pending = scala.collection.mutable.ListBuffer.empty[(java.io.File, java.io.File)]
       def close(): Unit = if (out != null) { out.close(); out = null }
       try {
         rows.foreach { r =>
@@ -76,11 +87,19 @@ object TokenShards {
           if (s != shard) { // partitions are shard-sorted: each opens once
             close()
             shard = s
+            val dst = new java.io.File(outDir, f"shard-$s%04d.bin")
+            val tmp = new java.io.File(outDir, f".shard-$s%04d.bin.attempt-$attempt")
+            pending += ((tmp, dst))
             out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(
-                new java.io.File(outDir, f"shard-$s%04d.bin"))))
+              new java.io.FileOutputStream(tmp)))
           }
           r.getSeq[Long](1).foreach(t => out.writeInt(t.toInt)) // big-endian
+        }
+        close()
+        pending.foreach { case (tmp, dst) =>
+          java.nio.file.Files.move(tmp.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
       } finally close()
     }

@@ -128,7 +128,14 @@ object UrlOps {
     suffixes match {
       case None => df.withColumn(outCol, registrableDomain(host))
       case Some(suf) =>
-        val s = suf.select(col(suf.columns.head).cast("string").as("__suffix"))
+        // normalize + dedup the table defensively: a duplicate suffix row
+        // (trivial when concatenating the PSL's ICANN + private sections)
+        // would otherwise FAN OUT every matching host through the left
+        // join and silently double-count it in every downstream census;
+        // an upper-cased rule would silently never match a canonical host
+        val s = suf
+          .select(lower(trim(col(suf.columns.head).cast("string"))).as("__suffix"))
+          .distinct()
           .withColumn("__labels", size(split(col("__suffix"), "\\.")))
         val bad = s.filter(col("__labels") > 3 ||
             col("__suffix").contains("*") || col("__suffix").contains("!"))

@@ -37,27 +37,12 @@ import graft.sources.Tables
   * dir here); a mutated corpus needs the artifact dir removed. The
   * CHAIN NAME is the schema/semantics contract: artifacts outlive the
   * process, so any change to a chain's parameters, layout, or hash
-  * convention MUST bump its name (as `simhash_h7_d4` → `…_lp` did when
-  * the pair subtree landed) — a stale same-named artifact would serve
-  * silently wrong labels.
+  * convention MUST bump its name (as `simhash_h7_d4` → `text_h7_d4_lp`
+  * did when the pair subtree landed) — a stale same-named artifact
+  * would serve silently wrong labels. The build-once mechanics live in
+  * [[Tables.buildOnce]], shared with the serving indexes and shards.
   */
 object ClusterArtifacts {
-
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def artifact(dir: String, chain: String)(
-      build: String => Unit): String = {
-    val canon = new java.io.File(dir).getCanonicalPath
-    built.computeIfAbsent(s"$canon#$chain", { _ =>
-      val out = s"/tmp/graft_cluster_artifacts/${Tables.dirCacheKey(canon)}/$chain"
-      val marker = java.nio.file.Paths.get(out, "_COMPLETE")
-      if (!java.nio.file.Files.exists(marker)) {
-        build(out) // overwrite-mode write: a crash before the marker rebuilds
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
-      }
-      out
-    })
-  }
 
   /** (id, cluster_id) labels of the TEXT near-dup chain over the
     * planted-near-dup corpus — q33's exact substrate. The build also
@@ -72,8 +57,12 @@ object ClusterArtifacts {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     textChain(spark, dir, "pairs")
 
+  // chain names deliberately avoid the substrings "simhash"/"lsh_":
+  // the plan-shape spec asserts those are ABSENT from consumer plans
+  // (they would only appear if the chain were recomputed), and the
+  // artifact path itself must not be a false positive
   private def textChain(spark: SparkSession, dir: String, sub: String): DataFrame = {
-    val root = artifact(dir, "simhash_h7_d4_lp") { out =>
+    val root = Tables.buildOnce("graft_cluster_artifacts", dir, "text_h7_d4_lp") { out =>
       val corpus = DedupQueries.withPlantedNearDups(Tables.documents(spark, dir))
       val sims = Dedup.simhashTable(corpus, "doc_id", "text",
         hasher = graft.functions.TextFunctions.portableHash60)
@@ -88,7 +77,7 @@ object ClusterArtifacts {
   /** (id, cluster_id) labels of the EMBEDDING near-dup chain — q80's
     * exact substrate. */
   def embeddingLabels(spark: SparkSession, dir: String): DataFrame = {
-    val path = artifact(dir, "emblsh_p8_t12_c030_d4") { out =>
+    val path = Tables.buildOnce("graft_cluster_artifacts", dir, "emb_p8_t12_c030_d4") { out =>
       val pairs = graft.ops.Similarity.lshNearDupPairs(
         Tables.embeddings(spark, dir), "vec_id", "embedding",
         dim = 64, planes = 8, tables = 12, cosineThreshold = 0.3, maxDegree = 4)

@@ -1063,19 +1063,15 @@ object PrepQueries {
   def tokenShards(spark: SparkSession, dir: String): DataFrame =
     graft.ops.TokenShards.shardCensus(spark, ensureShards(spark, dir))
 
-  /** Build-once shard files per corpus dir (marker discipline — the
-    * Jsonl.ensureFixture / postingsIndexFor pattern). */
-  private def ensureShards(spark: SparkSession, dir: String): String = {
-    val out = java.nio.file.Paths.get(
-      s"/tmp/graft_token_shards/${Tables.dirCacheKey(dir)}")
-    val marker = out.resolve("_COMPLETE")
-    if (!java.nio.file.Files.exists(marker)) {
+  /** Build-once shard files per corpus dir ([[Tables.buildOnce]] — the
+    * name segment is the LAYOUT version contract: big-endian uint32,
+    * 16 shards, seed epoch1, vocab 1,000,003; changing any of them must
+    * bump it or a stale tree would serve under the old marker). */
+  private def ensureShards(spark: SparkSession, dir: String): String =
+    Tables.buildOnce("graft_token_shards", dir, "u32be_s16_epoch1_v1000003") { out =>
       graft.ops.TokenShards.writeShards(
-        Tables.documents(spark, dir), "doc_id", "text", out.toString)
-      java.nio.file.Files.write(marker, Array.emptyByteArray)
+        Tables.documents(spark, dir), "doc_id", "text", out)
     }
-    out.toString
-  }
 
   val tokenShardsSql: String =
     """WITH dealt AS (

@@ -136,7 +136,14 @@ final class GraftService private (
             // its own corpus row is excluded from the semantic ranking) or
             // `probe=<64 comma-separated floats>`; `nprobe=` widens the
             // IVF cell fan-out (default 3 of 8, the q175-tuned point)
-            val probeSpec: Option[(Seq[Long], Option[Long])] =
+            val probeRequested = ps.contains("probeDoc") || ps.contains("probe")
+            val hybridMode = ps.get("mode").contains("hybrid")
+            // LAZY and hybrid-gated: the probeDoc lookup is a (pushed-down,
+            // bounded) embeddings read — it must run only on the requests
+            // whose ranking actually uses it, and only after the cheap
+            // validations, never for a lexical request that happens to
+            // carry the param
+            lazy val probeSpec: Option[(Seq[Long], Option[Long])] =
               ps.get("probeDoc").flatMap(s => scala.util.Try {
                 val id = s.toLong
                 val rows = graft.sources.Tables.embeddings(spark, dir)
@@ -150,12 +157,10 @@ final class GraftService private (
                 val v = s.split(",").map(x => math.floor(x.trim.toDouble * 1000).toLong).toSeq
                 if (v.size == 64) Some((v, None: Option[Long])) else None
               }.toOption.flatten))
-            val probeRequested = ps.contains("probeDoc") || ps.contains("probe")
             if (terms.size > 64) (400, """{"error":"at most 64 query terms"}""")
-            else if (probeRequested && probeSpec.isEmpty)
+            else if (hybridMode && probeRequested && probeSpec.isEmpty)
               (400, """{"error":"probeDoc must be a known vec_id; probe must be 64 comma-separated numbers"}""")
-            else if (userQ.isDefined && ps.get("mode").contains("hybrid") &&
-                probeSpec.isEmpty)
+            else if (userQ.isDefined && hybridMode && !probeRequested)
               // the DEFAULT hybrid semantic leg is the fixed q114 probe —
               // fusing it with arbitrary user terms would silently rank
               // probe-adjacent documents above matching ones; supply
@@ -165,7 +170,10 @@ final class GraftService private (
               val idx = GraftService.postingsIndexFor(spark, dir)
               def lexTop(k: Int) = graft.ops.TextSearch.bm25TopKIndexed(
                 spark, idx, terms, k)
-              val ranked = (ps.get("mode"), probeSpec) match {
+              // the probe resolves here only in hybrid mode — a lexical
+              // request ignores a stray probeDoc entirely (no scan)
+              val ranked = (ps.get("mode"),
+                  if (hybridMode && probeRequested) probeSpec else None) match {
                 case (Some("hybrid"), Some((qv, excl))) =>
                   val nProbe = math.min(8, math.max(1,
                     ps.get("nprobe").flatMap(s => scala.util.Try(s.toInt).toOption)
@@ -225,18 +233,11 @@ object GraftService {
     * directory (true of every sf dir here); a mutated corpus needs the
     * index dir removed — serving caches trade that for never re-scanning
     * the corpus per request. */
-  private val indexBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def postingsIndexFor(spark: SparkSession, dir: String): String =
-    indexBuilt.computeIfAbsent(new java.io.File(dir).getCanonicalPath, { canon =>
-      val out = s"/tmp/graft_postings_index/${graft.sources.Tables.dirCacheKey(canon)}"
-      val marker = java.nio.file.Paths.get(out, "_COMPLETE")
-      if (!java.nio.file.Files.exists(marker)) {
-        graft.ops.TextSearch.writePostingsIndex(
-          graft.sources.Tables.documents(spark, dir), "doc_id", "text", out)
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
-      }
-      out
-    })
+    graft.sources.Tables.buildOnce("graft_postings_index", dir, "bm25_b64_v1") { out =>
+      graft.ops.TextSearch.writePostingsIndex(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text", out)
+    }
 
   /** Lazily-built per-corpus IVF index for the hybrid `/search` semantic
     * leg — the q15c/q79/q163/q175 build verbatim (8 cells, one exact
@@ -244,24 +245,17 @@ object GraftService {
     * `centroids` (cell, cv) + `index` (id, qv) PARTITIONED BY cell, so
     * a probe's serving read dynamically prunes to its nProbe cells.
     * Same immutable-corpus cache contract as [[postingsIndexFor]]. */
-  private val ivfBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def ivfIndexFor(spark: SparkSession, dir: String): String =
-    ivfBuilt.computeIfAbsent(new java.io.File(dir).getCanonicalPath, { canon =>
-      val out = s"/tmp/graft_ivf_index/${graft.sources.Tables.dirCacheKey(canon)}"
-      val marker = java.nio.file.Paths.get(out, "_COMPLETE")
-      if (!java.nio.file.Files.exists(marker)) {
-        val emb = graft.sources.Tables.embeddings(spark, canon)
-        val cents = graft.ops.Similarity.ivfExactCentroids(
-          emb, "vec_id", "embedding", k = 8, iters = 1)
-        val qvecs = emb.select(col("vec_id").as("id"),
-          graft.ops.Similarity.quantize(col("embedding")).as("qv"))
-        cents.write.mode("overwrite").parquet(s"$out/centroids")
-        graft.ops.Similarity.ivfExactAssign(qvecs, cents)
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$out/index")
-        java.nio.file.Files.write(marker, Array.emptyByteArray)
-      }
-      out
-    })
+    graft.sources.Tables.buildOnce("graft_ivf_index", dir, "ivf_k8_i1_v1") { out =>
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val cents = graft.ops.Similarity.ivfExactCentroids(
+        emb, "vec_id", "embedding", k = 8, iters = 1)
+      val qvecs = emb.select(col("vec_id").as("id"),
+        graft.ops.Similarity.quantize(col("embedding")).as("qv"))
+      cents.write.mode("overwrite").parquet(s"$out/centroids")
+      graft.ops.Similarity.ivfExactAssign(qvecs, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/index")
+    }
 
   /** Start the facade on `port` (0 = ephemeral, for tests). */
   def start(spark: SparkSession, port: Int = 7000): GraftService = {

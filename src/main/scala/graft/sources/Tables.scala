@@ -35,6 +35,28 @@ object Tables {
     s"${f.getName}_$digest"
   }
 
+  /** Build-once on-disk artifact discipline — ONE implementation for
+    * every derived /tmp cache (serving indexes, cluster chains, token
+    * shards): keyed on the FULL canonical corpus path; `name` is the
+    * VERSION CONTRACT (artifacts outlive the process, so any change to
+    * parameters, layout, or hash convention MUST bump it — a stale
+    * same-named artifact would serve silently wrong data); idempotent
+    * via `_COMPLETE` marker, overwrite-mode builds make a crash before
+    * the marker rebuild cleanly. Assumes an immutable corpus dir. */
+  private val builtOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def buildOnce(root: String, dir: String, name: String)(build: String => Unit): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    builtOnce.computeIfAbsent(s"$canon#$root#$name", { _ =>
+      val out = s"/tmp/$root/${dirCacheKey(canon)}/$name"
+      val marker = java.nio.file.Paths.get(out, "_COMPLETE")
+      if (!java.nio.file.Files.exists(marker)) {
+        build(out)
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+      out
+    })
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

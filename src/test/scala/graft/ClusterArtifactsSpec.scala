@@ -42,7 +42,7 @@ class ClusterArtifactsSpec extends SparkSpec {
     // idempotent: the marker exists and a second call must not rebuild
     // (mtime of the marker is the witness)
     val marker = java.nio.file.Paths.get(
-      s"/tmp/graft_cluster_artifacts/${graft.sources.Tables.dirCacheKey(dir)}/simhash_h7_d4_lp/_COMPLETE")
+      s"/tmp/graft_cluster_artifacts/${graft.sources.Tables.dirCacheKey(dir)}/text_h7_d4_lp/_COMPLETE")
     assert(java.nio.file.Files.exists(marker))
     val t0 = java.nio.file.Files.getLastModifiedTime(marker)
     ClusterArtifacts.simhashLabels(spark, dir).count()

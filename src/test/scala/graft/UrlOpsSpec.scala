@@ -127,5 +127,14 @@ class UrlOpsSpec extends SparkSpec {
         Some(Seq("*.ck").toDF("suffix")))
     }
     assert(e.getMessage.contains("unsupported"), e.getMessage)
+    // duplicate + case-variant suffix rows (trivial when concatenating
+    // the PSL's ICANN and private sections) must neither fan rows out
+    // through the joins nor silently fail to match
+    val messy = Seq("co.uk", "CO.UK", " co.uk ", "blogspot.co.uk", "com")
+      .toDF("suffix")
+    val out2 = UrlOps.withRegistrableDomain(hosts, "host", "psl", Some(messy))
+    assert(out2.count() == hosts.count(), "duplicate suffixes fanned rows out")
+    assert(out2.filter(col("host") === "shop.co.uk")
+      .select("psl").as[String].head() == "shop.co.uk")
   }
 }
