@@ -213,6 +213,12 @@ class ServiceSpec extends SparkSpec {
       assert(get(svc, s"/search?dir=$dir&mode=hybrid&probe=1,2,3")._1 == 400)
       assert(get(svc, s"/search?dir=$dir&mode=hybrid&probeDoc=notanumber")._1 == 400)
       assert(get(svc, s"/search?dir=$dir&mode=hybrid&probeDoc=999999999")._1 == 400)
+      // a LEXICAL request ignores a stray probe param entirely: same 200
+      // body as without it, even when the probe would be invalid
+      val plain = get(svc, s"/search?dir=$dir&q=$q&limit=5")
+      assert(plain._1 == 200)
+      assert(get(svc, s"/search?dir=$dir&q=$q&limit=5&probeDoc=notanumber") == plain)
+      assert(get(svc, s"/search?dir=$dir&q=$q&limit=5&probe=1,2,3") == plain)
     } finally svc.close()
   }
 

@@ -982,6 +982,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jsonl: GZIPPED shards ingest transparently with the same corrupt-line isolation") {
+    // the other common interchange form (*.jsonl.gz — most public
+    // dataset mirrors ship compressed): Spark's json source inflates
+    // whole-file per task (gzip is not offset-splittable — shard-level
+    // parallelism, the WARC lesson), and the A19 posture is unchanged:
+    // a truncated line inside a compressed shard costs one _corrupt row
+    val root = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString
+    def gzShard(name: String, lines: String*): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(root, name)))
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    }
+    gzShard("a.jsonl.gz",
+      """{"id":1,"lang":"en","text":"alpha beta"}""",
+      """{"id":2,"lang":"de","text":"gamma","meta":{"x":1}}""",
+      """{"id":3,"lang":"es","text":"trunc""") // unterminated string
+    val df = graft.sources.Jsonl.scan(spark, root, glob = "*.jsonl.gz")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.count(_.getAs[String]("_corrupt") != null) == 1,
+      rows.mkString(";"))
+    assert(rows.filter(_.getAs[String]("_corrupt") == null)
+      .map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("postings compaction folds the partition tree without changing what serves") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_post_compact").toString
