@@ -172,8 +172,16 @@ object ScaleProbe {
         .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
         .select(
           (col("vec_id") + col("copy") * 100000000L).as("vec_id"),
+          // rotate by copy MOD dim (a raw `copy` overflows slice with a
+          // negative length past 64 copies), and NEGATE the vector on
+          // every odd wrap round so copy 64 is not a bit-identical
+          // duplicate of copy 0 (negation is an isometry: same norms and
+          // angle distribution, cosine −1 to its unrotated twin).
+          // Behavior for copies ≤ 64 is byte-identical to before.
           when(col("copy") === 0, col("embedding")).otherwise(expr(
-            s"concat(slice(embedding, copy + 1, $dim - copy), slice(embedding, 1, copy))"))
+            s"transform(concat(slice(embedding, pmod(copy, $dim) + 1, $dim - pmod(copy, $dim)), " +
+              s"slice(embedding, 1, pmod(copy, $dim))), " +
+              s"x -> CASE WHEN pmod(copy div $dim, 2) = 1 THEN -x ELSE x END)"))
             .as("embedding"),
           col("label"))
       embs.coalesce(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
