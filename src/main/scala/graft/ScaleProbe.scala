@@ -259,14 +259,23 @@ object ScaleProbe {
     Family.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val df = fn(spark, dir)
-      val rows = df.count()
+      // a per-query failure (e.g. heap pressure at extreme N on the
+      // fixed 8 GiB probe JVM) must cost one row, never the whole table
+      val rows = scala.util.Try(fn(spark, dir).count())
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"| $name | $dt%.1f | $rows |")
+      rows match {
+        case scala.util.Success(n) => println(f"| $name | $dt%.1f | $n |")
+        case scala.util.Failure(e) =>
+          println(f"| $name | FAILED | ${e.getClass.getSimpleName} |")
+      }
     }
 
-    // cap drop rates per banded candidate generator, at this corpus size
+    // cap drop rates per banded candidate generator, at this corpus size.
+    // The whole diagnostics tail is fail-soft: at extreme N the raw
+    // (uncapped) pair generators it measures can exhaust the probe JVM's
+    // fixed heap, and that must never cost the query table above.
+    try {
     println()
     println("| candidate generator | bucket key | cap | dropped keys | dropped rows | total rows | drop % |")
     println("|---|---|---|---|---|---|---|")
@@ -322,6 +331,10 @@ object ScaleProbe {
         graft.ops.Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
           dim = 64, planes = 8, tables = 12, cosineThreshold = 0.3),
         4, "cosine", ascending = false))
+    } catch {
+      case e: Throwable =>
+        println(s"| (diagnostics aborted: ${e.getClass.getSimpleName}) | | | | | | |")
+    }
 
     spark.stop()
   }

@@ -137,4 +137,35 @@ class UrlOpsSpec extends SparkSpec {
     assert(out2.filter(col("host") === "shop.co.uk")
       .select("psl").as[String].head() == "shop.co.uk")
   }
+
+  test("withRegistrableDomain property: random hosts match a JVM-side replay over 10 seeds") {
+    import spark.implicits._
+    // independent replay of the longest-match ladder
+    def expected(host: String, sufs: Set[String]): String = {
+      val labels = host.split("\\.")
+      def last(k: Int): String = labels.takeRight(k).mkString(".")
+      if (labels.length > 3 && sufs.contains(last(3))) last(4)
+      else if (labels.length == 3 && sufs.contains(last(3))) host
+      else if (labels.length > 2 && sufs.contains(last(2))) last(3)
+      else if (labels.length == 2 && sufs.contains(last(2))) host
+      else if (labels.length >= 2) last(2)
+      else host
+    }
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val parts = Seq("a", "bb", "shop", "co", "uk", "com", "net", "x9")
+      def lbl() = parts(rnd.nextInt(parts.length))
+      val hosts = (1 to 60).map(_ =>
+        (1 to (1 + rnd.nextInt(4))).map(_ => lbl()).mkString(".")).distinct
+      val sufs = (1 to 4).map(_ =>
+        (1 to (2 + rnd.nextInt(2))).map(_ => lbl()).mkString(".")).distinct
+      val out = UrlOps.withRegistrableDomain(
+          hosts.toDF("host"), "host", "rd", Some(sufs.toDF("suffix")))
+        .select("host", "rd").as[(String, String)].collect().toMap
+      val sufSet = sufs.toSet
+      for (h <- hosts)
+        assert(out(h) == expected(h, sufSet),
+          s"seed=$seed host=$h sufs=$sufs: got ${out(h)}, want ${expected(h, sufSet)}")
+    }
+  }
 }
