@@ -141,7 +141,10 @@ object ScaleProbe {
     "q189_cluster_audit", "q190_epoch_independence",
     // round-10: Zipf naturalness fit (one token exchange, source-
     // partitioned rank, bounded OLS aggregate)
-    "q191_zipf_fit")
+    "q191_zipf_fit",
+    // round-10: near-dup source matrix + duplication-quality census —
+    // both artifact reads into bounded aggregates
+    "q192_neardup_sources", "q193_dup_quality")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

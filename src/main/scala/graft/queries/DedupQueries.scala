@@ -880,7 +880,123 @@ object DedupQueries {
        |FROM sizes s JOIN ec USING (cluster_id)
        |ORDER BY cluster_size DESC, cluster_id ASC LIMIT 20""".stripMargin
 
+  /** Q192 — near-dup SOURCE matrix: which source pairs produce
+    * cross-source near-duplicates — the DOCUMENT-level syndication/
+    * mirror census (q125 answers it for verbatim paragraph copying;
+    * this is its fuzzy twin, and the pair that differs between them is
+    * exactly "rewrites vs copy-paste"). Reads the persisted pair set
+    * (labels never needed), maps endpoints back to their base docs'
+    * sources (planted +10M replicas inherit their source), and censuses
+    * unordered source pairs with pair counts and worst-radius. One
+    * artifact read + two bounded source lookups + a |sources|² hash
+    * aggregate — census cost. */
+  def nearDupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("base_id"), col("source"))
+    val pairs = ClusterArtifacts.simhashPairs(spark, dir)
+      .withColumn("ba", col("id_a") % 10000000L)
+      .withColumn("bb", col("id_b") % 10000000L)
+      .join(src.select(col("base_id").as("ba"), col("source").as("sa")), Seq("ba"))
+      .join(src.select(col("base_id").as("bb"), col("source").as("sb")), Seq("bb"))
+    pairs
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("hamming"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("hamming")).as("max_hamming"),
+        sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_exact"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val nearDupSourceMatrixSql: String =
+    simhashSqlFrom(corpusSql) +
+      """,
+        |prm AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 7),
+        |msym AS (
+        |  SELECT id_a AS node, id_b AS other, hamming FROM prm
+        |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM prm),
+        |mrk AS (
+        |  SELECT node, other, hamming,
+        |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+        |  FROM msym),
+        |mcap AS (SELECT DISTINCT LEAST(node, other) AS id_a,
+        |                GREATEST(node, other) AS id_b, hamming
+        |         FROM mrk WHERE r <= 4),
+        |j AS (
+        |  SELECT da.source AS sa, db.source AS sb, c.hamming
+        |  FROM mcap c
+        |  JOIN documents da ON c.id_a % 10000000 = da.doc_id
+        |  JOIN documents db ON c.id_b % 10000000 = db.doc_id)
+        |SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MAX(hamming) AS INTEGER) AS max_hamming,
+        |  CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Q193 — duplication × quality census: the empirical claim every
+    * dedup-first pipeline rests on (CCNet §4, RefinedWeb §3: duplicated
+    * content skews low-quality — boilerplate, spam farms, SEO chaff).
+    * Docs bucketed by their near-dup cluster size (1 = unclustered,
+    * via the shared labels), each bucket carrying doc count and mean
+    * q17 quality (integer div). If the mean does NOT fall with cluster
+    * size on a real corpus, dedup-before-quality is re-ordered — this
+    * census is how that decision is made from data rather than lore.
+    * One artifact read + the map-only quality kernel + a bounded
+    * bucket aggregate. */
+  def dupQuality(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedNearDups(Tables.documents(spark, dir))
+    val labels = ClusterArtifacts.simhashLabels(spark, dir)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+    corpus
+      .select(col("doc_id"),
+        round(graft.functions.TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
+          .cast("long").as("qm"))
+      .join(labels.join(sizes, Seq("cluster_id"))
+        .select(col("id").as("doc_id"), col("csz")), Seq("doc_id"), "left_outer")
+      .withColumn("cluster_size", coalesce(col("csz"), lit(1L)))
+      .withColumn("bucket", least(col("cluster_size"), lit(5L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("__qs"))
+      .withColumn("mean_qm", expr("__qs div n_docs"))
+      .select(col("bucket"), col("n_docs"), col("mean_qm"))
+      .orderBy(col("bucket"))
+  }
+
+  val dupQualitySql: String =
+    s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
+       |$closureCtes,
+       |sizes AS (SELECT cluster_id, COUNT(*) AS csz FROM labels GROUP BY 1),
+       |qm AS (
+       |  SELECT doc_id,
+       |    CAST(round((0.3 * least(1.0, n / 50) + 0.3 * (nd / n)
+       |      + 0.2 * (1.0 - dig / n)
+       |      + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT) AS qm
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |        t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) AS dig
+       |    FROM ($corpusSql))),
+       |w AS (
+       |  SELECT q.doc_id, q.qm,
+       |    least(COALESCE(s.csz, 1), 5) AS bucket
+       |  FROM qm q
+       |  LEFT JOIN labels l ON q.doc_id = l.id
+       |  LEFT JOIN sizes s ON l.cluster_id = s.cluster_id)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(qm) // COUNT(*) AS BIGINT) AS mean_qm
+       |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q192_neardup_sources", nearDupSourceMatrix, Some(nearDupSourceMatrixSql)),
+    QueryDef("q193_dup_quality", dupQuality, Some(dupQualitySql)),
     QueryDef("q189_cluster_audit", clusterAudit, Some(clusterAuditSql)),
     QueryDef("q184_dedup_sensitivity", dedupSensitivity, Some(dedupSensitivitySql)),
     QueryDef("q182_split_leakage", splitLeakage, Some(splitLeakageSql)),
