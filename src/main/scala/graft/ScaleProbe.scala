@@ -144,7 +144,15 @@ object ScaleProbe {
     "q191_zipf_fit",
     // round-10: near-dup source matrix + duplication-quality census —
     // both artifact reads into bounded aggregates
-    "q192_neardup_sources", "q193_dup_quality")
+    "q192_neardup_sources", "q193_dup_quality",
+    // round-10 continuation: MMR page rerank (one scan + bounded greedy),
+    // loss-tilted domain reweighting (q93's bigram join into a bounded
+    // source census), hubness diagnostic (fixed 200-vector sample —
+    // should be FLAT), policy A/B diff + filter-cascade ordering +
+    // readability + split balance (all map-only into bounded censuses)
+    "q194_mmr_rerank", "q195_domain_reweight", "q196_hubness",
+    "q197_policy_diff", "q198_filter_ordering", "q199_readability",
+    "q200_split_balance")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -404,4 +404,55 @@ object Similarity {
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("neg_id"), col("label"), col("cosine"))
   }
+
+  /** MAXIMAL-MARGINAL-RELEVANCE re-ranking (Carbonell & Goldstein 1998) —
+    * the serving-side diversification step after a top-k retrieval: from
+    * a BOUNDED candidate page (id, vector, relevance), greedily pick k
+    * results maximizing  λ·rel(i) − (1−λ)·max_{j∈selected} sim(i, j),
+    * so near-duplicate hits don't crowd the page. The empty-set maximum
+    * is 0, so pick 1 maximizes λ·rel. Ties break on id ascending at
+    * every step (same contract as every top-k in the suite).
+    *
+    * All similarities are the exact quantized cosine (q15 convention), so
+    * a SQL oracle replays every greedy step bit-for-bit. The candidate
+    * page is a serving artifact (tens of rows), NOT a corpus: it is
+    * localCheckpointed once, the pairwise sim table is |cand|² rows, and
+    * each of the k greedy steps is an anti-join + argmax over that
+    * bounded table — corpus scans never repeat, nothing here grows with
+    * corpus size. Reference correspondence: the reference serves ranked
+    * pages from its changelog store (service.kt:22-80); diversification
+    * is an extension operator from the public IR literature. */
+  def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double): DataFrame = {
+    val base = candidates.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      col(relCol).cast("double").as("rel")).localCheckpoint(true)
+    val sims = base.select(col("id").as("a"), col("__v").as("__va"))
+      .crossJoin(base.select(col("id").as("b"), col("__v").as("__vb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), graft.functions.NativeExpressions.quantizedCosine(
+        col("__va"), col("__vb")).as("sim"))
+      .localCheckpoint(true)
+    val first = base
+      .select(col("id"), col("rel"), (lit(lambda) * col("rel")).as("mmr_score"))
+      .orderBy(col("mmr_score").desc, col("id").asc).limit(1)
+      .select(lit(1L).as("rank"), col("id"), col("rel"), col("mmr_score"))
+    var selected = first.localCheckpoint(true)
+    var out = selected
+    for (step <- 2 to k) {
+      val selIds = selected.select(col("id"))
+      val maxSim = sims.join(selIds.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a")).agg(max(col("sim")).as("max_sim"))
+      val pick = base.join(selIds, Seq("id"), "left_anti")
+        .join(maxSim.withColumnRenamed("a", "id"), Seq("id"))
+        .select(col("id"), col("rel"),
+          (lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"))
+            .as("mmr_score"))
+        .orderBy(col("mmr_score").desc, col("id").asc).limit(1)
+        .select(lit(step.toLong).as("rank"), col("id"), col("rel"),
+          col("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+      out = selected
+    }
+    out
+  }
 }

@@ -419,29 +419,7 @@ object TrainingPrep {
     * carry no evidence and emit no row (the q58/q84/Bpe domain stance). */
   def lmQualityBuckets(docs: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, unseenBits: Long = 20L): DataFrame = {
-    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame = df
-      .withColumn("__ws", split(col(textCol), " "))
-      .filter(size(col("__ws")) >= 2)
-      .select(extra :+ explode(expr(
-        "transform(sequence(0, size(__ws) - 2)," +
-          " i -> struct(element_at(__ws, i + 1) AS w1," +
-          " concat(element_at(__ws, i + 1), ' ', element_at(__ws, i + 2)) AS bg))"))
-        .as("__b"): _*)
-      .select(extra :+ col("__b.w1").as("w1") :+ col("__b.bg").as("bg"): _*)
-    val refUni = ref.select(explode(split(col(textCol), " ")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val refBg = bigrams(ref, Seq.empty)
-      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    val perDoc = bigrams(docs, Seq(col(idCol)))
-      .join(refBg, Seq("bg"), "left")
-      .join(refUni, Seq("w1"), "left")
-      .withColumn("bits", when(col("c12").isNull, lit(unseenBits))
-        .otherwise((length(bin(col("c1"))) - length(bin(col("c12")))).cast("long")))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("bits")).as("bits_total"),
-        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"))
-      .withColumn("avg_micro", expr("bits_total * 1000000 div n_bigrams"))
+    val perDoc = lmSurprisalPerDoc(docs, ref, idCol, textCol, unseenBits)
     val hist = OrderStats.cumHistogram(perDoc.select(col("avg_micro")), "avg_micro")
       .localCheckpoint(true) // eager: total + threshold scan share one run
     val thr = hist
@@ -455,6 +433,38 @@ object TrainingPrep {
           .when(col("avg_micro") <= col("t2"), 2).otherwise(3))
       .select(col(idCol), col("n_bigrams"), col("bits_total"),
         col("n_unseen"), col("avg_micro"), col("bucket"))
+  }
+
+  /** The per-document surprisal half of [[lmQualityBuckets]] — bigram
+    * counts against the reference slice, exact floor-log₂ bits, the
+    * fixed-point average — WITHOUT the tercile thresholds. Consumers
+    * that aggregate the raw loss (q195's domain reweighting) use this
+    * directly and skip the histogram/threshold pass they don't need. */
+  def lmSurprisalPerDoc(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, unseenBits: Long = 20L): DataFrame = {
+    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .withColumn("__ws", split(col(textCol), " "))
+      .filter(size(col("__ws")) >= 2)
+      .select(extra :+ explode(expr(
+        "transform(sequence(0, size(__ws) - 2)," +
+          " i -> struct(element_at(__ws, i + 1) AS w1," +
+          " concat(element_at(__ws, i + 1), ' ', element_at(__ws, i + 2)) AS bg))"))
+        .as("__b"): _*)
+      .select(extra :+ col("__b.w1").as("w1") :+ col("__b.bg").as("bg"): _*)
+    val refUni = ref.select(explode(split(col(textCol), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val refBg = bigrams(ref, Seq.empty)
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    bigrams(docs, Seq(col(idCol)))
+      .join(refBg, Seq("bg"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .withColumn("bits", when(col("c12").isNull, lit(unseenBits))
+        .otherwise((length(bin(col("c1"))) - length(bin(col("c12")))).cast("long")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("bits_total"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("avg_micro", expr("bits_total * 1000000 div n_bigrams"))
   }
 
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection

@@ -1229,7 +1229,150 @@ object PrepQueries {
       |  CAST(MAX(o) AS BIGINT) AS max_cell
       |FROM contrib GROUP BY shard1 ORDER BY shard1""".stripMargin
 
+  /** Q197 — CURATION-POLICY A/B diff (the policy-regression census a
+    * pipeline runs BEFORE rolling a threshold change across 100 TB —
+    * the q184 sensitivity move applied to the quality gate): policy A
+    * keeps composite quality ≥ 0.70 (q17's gate); the candidate policy B
+    * relaxes the threshold to 0.65 but adds a lexical-diversity floor
+    * (distinct-token share ≥ 0.45, the repetition-spam guard). Every
+    * document lands in exactly one transition cell — kept→kept,
+    * kept→dropped, dropped→kept, dropped→dropped — with the flip CAUSE
+    * attributed deterministically: a kept→dropped flip can only be the
+    * new diversity gate (the threshold only relaxed); a dropped→kept
+    * flip can only be the relaxed threshold (score in [0.65, 0.70) and
+    * diversity-clean). Census per (lang, transition): docs, token mass,
+    * and the share of the language's corpus that moves — the impact
+    * statement reviewed before the rollout.
+    *
+    * Scale: both policies are row-local kernels over ONE scan; the
+    * census is ≤ |langs|·4 rows. Nothing re-runs per policy. */
+  def policyDiff(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("nd"),
+        round(graft.functions.TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
+          .cast("long").as("qm"))
+      .withColumn("ds_micro", expr("CAST(nd * 1000000 DIV n AS BIGINT)"))
+      .withColumn("kept_a", col("qm") >= 700000L)
+      .withColumn("kept_b", col("qm") >= 650000L && col("ds_micro") >= 450000L)
+    val cells = scored
+      .withColumn("transition",
+        when(col("kept_a") && col("kept_b"), "kept_kept")
+          .when(col("kept_a") && !col("kept_b"), "kept_dropped")
+          .when(!col("kept_a") && col("kept_b"), "dropped_kept")
+          .otherwise("dropped_dropped"))
+      .withColumn("cause",
+        when(col("kept_a") && !col("kept_b"), "diversity_gate")
+          .when(!col("kept_a") && col("kept_b"), "threshold_relaxed")
+          .otherwise("stable"))
+      .groupBy(col("lang"), col("transition"), col("cause"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .localCheckpoint(true) // consumers: per-lang share + output
+    val perLang = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("__lt"))
+    cells.join(broadcast(perLang), Seq("lang"))
+      .withColumn("lang_share_micro",
+        expr("CAST(n_docs * 1000000 DIV __lt AS BIGINT)"))
+      .drop("__lt")
+      .orderBy(col("lang"), col("transition"))
+  }
+
+  val policyDiffSql: String =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+      |    CAST(round((0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50)
+      |      + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |      + 0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |                t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE)
+      |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |      + 0.2 * least(1.0, ((length(text) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+      |               / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8)) * 1000000, 0) AS BIGINT) AS qm
+      |  FROM documents),
+      |flagged AS (
+      |  SELECT lang, n,
+      |    (qm >= 700000) AS kept_a,
+      |    (qm >= 650000 AND nd * 1000000 // n >= 450000) AS kept_b
+      |  FROM scored),
+      |cells AS (
+      |  SELECT lang,
+      |    CASE WHEN kept_a AND kept_b THEN 'kept_kept'
+      |         WHEN kept_a AND NOT kept_b THEN 'kept_dropped'
+      |         WHEN NOT kept_a AND kept_b THEN 'dropped_kept'
+      |         ELSE 'dropped_dropped' END AS transition,
+      |    CASE WHEN kept_a AND NOT kept_b THEN 'diversity_gate'
+      |         WHEN NOT kept_a AND kept_b THEN 'threshold_relaxed'
+      |         ELSE 'stable' END AS cause,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n) AS BIGINT) AS n_tokens
+      |  FROM flagged GROUP BY 1, 2, 3),
+      |pl AS (SELECT lang, SUM(n_docs) AS lt FROM cells GROUP BY lang)
+      |SELECT c.lang, c.transition, c.cause, c.n_docs, c.n_tokens,
+      |  CAST(c.n_docs * 1000000 // p.lt AS BIGINT) AS lang_share_micro
+      |FROM cells c JOIN pl p USING (lang)
+      |ORDER BY c.lang, c.transition""".stripMargin
+
+  /** Q200 — SPLIT-BALANCE audit (the companion gate to q35's assignment
+    * and q182's leakage check: a hash split is leakage-safe by
+    * construction but can still be UNREPRESENTATIVE — a language
+    * over-drawn into test silently skews every eval number): per
+    * (split, language), document counts, the language's share WITHIN the
+    * split vs its share in the whole corpus, and the signed deviation.
+    * The max |deviation| per split is the number a release gate bounds
+    * (hash splits concentrate near 0 by construction; a large deviation
+    * means the split key is correlated with language — the failure mode
+    * this census exists to catch).
+    *
+    * Scale: one scan, a (split × lang) hash aggregate (bounded 3·|langs|
+    * rows), two bounded broadcast joins. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TrainingPrep.splitAssign(col("doc_id")).as("split"))
+    val cells = assigned.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // consumers: split totals + lang totals + grand total
+    val splitTot = cells.groupBy(col("split")).agg(sum(col("n_docs")).as("__st"))
+    val langTot = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("__lt"))
+    val grand = cells.agg(sum(col("n_docs")).as("__gt"))
+    cells.join(broadcast(splitTot), Seq("split"))
+      .join(broadcast(langTot), Seq("lang"))
+      .crossJoin(broadcast(grand))
+      .select(col("split"), col("lang"), col("n_docs"),
+        expr("CAST(n_docs * 1000000 DIV __st AS BIGINT)").as("split_share_micro"),
+        expr("CAST(__lt * 1000000 DIV __gt AS BIGINT)").as("global_share_micro"))
+      .withColumn("dev_micro",
+        (col("split_share_micro") - col("global_share_micro")).cast("long"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val splitBalanceSql: String =
+    """WITH assigned AS (
+      |  SELECT lang,
+      |    CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT lang,
+      |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS pct
+      |        FROM documents)),
+      |cells AS (
+      |  SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM assigned GROUP BY 1, 2),
+      |st AS (SELECT split, SUM(n_docs) AS stot FROM cells GROUP BY split),
+      |lt AS (SELECT lang, SUM(n_docs) AS ltot FROM cells GROUP BY lang),
+      |gt AS (SELECT SUM(n_docs) AS gtot FROM cells)
+      |SELECT c.split, c.lang, c.n_docs,
+      |  CAST(c.n_docs * 1000000 // s.stot AS BIGINT) AS split_share_micro,
+      |  CAST(l.ltot * 1000000 // g.gtot AS BIGINT) AS global_share_micro,
+      |  CAST(CAST(c.n_docs * 1000000 // s.stot AS BIGINT)
+      |    - CAST(l.ltot * 1000000 // g.gtot AS BIGINT) AS BIGINT) AS dev_micro
+      |FROM cells c JOIN st s USING (split) JOIN lt l USING (lang)
+      |CROSS JOIN gt g
+      |ORDER BY c.split, c.lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q197_policy_diff", policyDiff, Some(policyDiffSql)),
+    QueryDef("q200_split_balance", splitBalance, Some(splitBalanceSql)),
     QueryDef("q190_epoch_independence", epochIndependence, Some(epochIndependenceSql)),
     QueryDef("q183_shard_mixing", shardMixing, Some(shardMixingSql)),
     QueryDef("q179_token_shards", tokenShards, Some(tokenShardsSql)),

@@ -2241,7 +2241,159 @@ object SimilarityQueries {
        |ORDER BY nprobe""".stripMargin
   }
 
+  /** Q194 — MMR-diversified top-k ([[Similarity.mmrRerank]], Carbonell &
+    * Goldstein 1998): retrieve the top-8 exact-cosine candidates for the
+    * q15 probe (vec_id = 0), then greedily re-rank 4 results by
+    * λ·rel − (1−λ)·max-sim-to-selected with λ = 0.7 — the page a
+    * retrieval UI should actually show, where the 2nd-4th hits are
+    * penalized for redundancy with what's already on the page. The
+    * oracle unrolls all four greedy steps (argmax + anti-membership +
+    * max-sim-to-selected) in SQL, so a drifted pick at ANY step fails
+    * the compare. NB the λ constants are CAST(... AS DOUBLE) in the SQL:
+    * DuckDB folds bare `1.0 - 0.7` in DECIMAL (exactly 0.3), while Scala's
+    * `1.0 - 0.7` is the double 0.30000000000000004 — a one-ulp score skew
+    * that flipped a greedy pick until the casts pinned both engines to
+    * the identical IEEE constants.
+    *
+    * Scale: the candidate page is a bounded serving artifact — one
+    * corpus scan produces it (WindowGroupLimit top-8), after which every
+    * greedy step is arithmetic over ≤ 8² checkpointed rows. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(query))
+      .withColumn("rel", graft.functions.NativeExpressions.quantizedCosine(
+        col("embedding"), col("q")))
+      .select(col("vec_id"), col("embedding"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(8)
+    Similarity.mmrRerank(cand, "vec_id", "embedding", "rel", k = 4, lambda = 0.7)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("rank"))
+  }
+
+  /** SQL replay of q194: quantize → top-8 candidates → pairwise sims →
+    * four unrolled greedy MMR steps. */
+  val mmrRerankSql: String =
+    """WITH q AS (
+      |  SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id = 0),
+      |c AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id <> 0),
+      |cand AS (
+      |  SELECT c.vec_id, c.qv,
+      |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS BIGINT) AS DOUBLE))) AS rel
+      |  FROM c CROSS JOIN q
+      |  ORDER BY rel DESC, vec_id ASC LIMIT 8),
+      |sims AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> x.qv[i] * y.qv[i])) AS BIGINT) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> x.qv[i] * x.qv[i])) AS BIGINT) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> y.qv[i] * y.qv[i])) AS BIGINT) AS DOUBLE))) AS sim
+      |  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id),
+      |s1 AS (
+      |  SELECT vec_id, rel, CAST(0.7 AS DOUBLE) * rel AS mmr_score FROM cand
+      |  ORDER BY mmr_score DESC, vec_id ASC LIMIT 1),
+      |s2 AS (
+      |  SELECT cd.vec_id, cd.rel, CAST(0.7 AS DOUBLE) * cd.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms.m AS mmr_score
+      |  FROM cand cd JOIN (
+      |    SELECT a, MAX(sim) AS m FROM sims WHERE b IN (SELECT vec_id FROM s1) GROUP BY a) ms
+      |    ON cd.vec_id = ms.a
+      |  WHERE cd.vec_id NOT IN (SELECT vec_id FROM s1)
+      |  ORDER BY mmr_score DESC, cd.vec_id ASC LIMIT 1),
+      |sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+      |s3 AS (
+      |  SELECT cd.vec_id, cd.rel, CAST(0.7 AS DOUBLE) * cd.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms.m AS mmr_score
+      |  FROM cand cd JOIN (
+      |    SELECT a, MAX(sim) AS m FROM sims WHERE b IN (SELECT vec_id FROM sel2) GROUP BY a) ms
+      |    ON cd.vec_id = ms.a
+      |  WHERE cd.vec_id NOT IN (SELECT vec_id FROM sel2)
+      |  ORDER BY mmr_score DESC, cd.vec_id ASC LIMIT 1),
+      |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+      |s4 AS (
+      |  SELECT cd.vec_id, cd.rel, CAST(0.7 AS DOUBLE) * cd.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ms.m AS mmr_score
+      |  FROM cand cd JOIN (
+      |    SELECT a, MAX(sim) AS m FROM sims WHERE b IN (SELECT vec_id FROM sel3) GROUP BY a) ms
+      |    ON cd.vec_id = ms.a
+      |  WHERE cd.vec_id NOT IN (SELECT vec_id FROM sel3)
+      |  ORDER BY mmr_score DESC, cd.vec_id ASC LIMIT 1)
+      |SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, mmr_score FROM s1
+      |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, rel, mmr_score FROM s2
+      |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, rel, mmr_score FROM s3
+      |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, rel, mmr_score FROM s4
+      |ORDER BY rank""".stripMargin
+
+  /** Q196 — HUBNESS diagnostic (Radovanović 2010): the k-occurrence
+    * distribution of an embedding space — for each vector in a bounded
+    * diagnostic sample, how many other sample vectors list it among
+    * their 5 exact-cosine nearest neighbours. High-dimensional spaces
+    * grow "hubs" (vectors that appear in everyone's neighbour lists) and
+    * "anti-hubs" (in-degree 0); a skewed k-occurrence histogram predicts
+    * degraded ANN recall and biased kNN classification, which is why the
+    * census belongs next to q121/q175 in the index-tuning loop.
+    *
+    * Scale: the sample is FIXED (vec_id < 200 — the q150 bounded-truth
+    * convention), so the all-pairs step is a constant 200² quantized
+    * cosines at any corpus size; the histogram is ≤ 200 rows. */
+  def hubness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.embeddings(spark, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val neigh = s.select(col("vec_id").as("a"), col("embedding").as("__va"))
+      .crossJoin(broadcast(
+        s.select(col("vec_id").as("b"), col("embedding").as("__vb"))))
+      .filter(col("a") =!= col("b"))
+      .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
+        col("__va"), col("__vb")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b").asc)))
+      .filter(col("__rk") <= 5)
+    val indeg = neigh.groupBy(col("b")).agg(count(lit(1)).as("in_degree"))
+    val perVec = s.select(col("vec_id"))
+      .join(indeg.withColumnRenamed("b", "vec_id"), Seq("vec_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .localCheckpoint(true) // consumers: histogram + total
+    val tot = perVec.agg(count(lit(1)).as("__n"))
+    perVec.groupBy(col("in_degree")).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_micro", expr("CAST(n_vecs * 1000000 DIV __n AS BIGINT)"))
+      .drop("__n")
+      .orderBy(col("in_degree"))
+  }
+
+  val hubnessSql: String =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id < 200),
+      |pairs AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> x.qv[i] * y.qv[i])) AS BIGINT) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> x.qv[i] * x.qv[i])) AS BIGINT) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> y.qv[i] * y.qv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+      |  FROM s x JOIN s y ON x.vec_id <> y.vec_id),
+      |ranked AS (
+      |  SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rk
+      |  FROM pairs),
+      |indeg AS (
+      |  SELECT b AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+      |  FROM ranked WHERE rk <= 5 GROUP BY b),
+      |pervec AS (
+      |  SELECT COALESCE(i.in_degree, 0) AS in_degree
+      |  FROM s LEFT JOIN indeg i USING (vec_id)),
+      |tot AS (SELECT COUNT(*) AS n FROM pervec)
+      |SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS share_micro
+      |FROM pervec GROUP BY in_degree ORDER BY in_degree""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q194_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
+    QueryDef("q196_hubness", hubness, Some(hubnessSql)),
     QueryDef("q186_crossmodal_alignment", crossmodalAlignment,
       Some(crossmodalAlignmentSql)),
     QueryDef("q175_ivf_tuning", ivfTuning, Some(ivfTuningSql)),

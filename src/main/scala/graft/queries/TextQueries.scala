@@ -1473,7 +1473,250 @@ object TextQueries {
       |    AS zipf_slope
       |FROM m ORDER BY source""".stripMargin
 
+  /** Q195 — LOSS-TILTED DOMAIN REWEIGHTING (the deterministic core of
+    * DoReMi, Xie et al. 2023: shift training mass toward domains the
+    * reference model finds HARD, away from domains it has already fit):
+    * per source-domain, token mass and the bigram-LM surprisal of q93's
+    * audited reference model (bits-per-bigram over the domain's pooled
+    * bigrams — exact integer counts, milli-scaled), then one
+    * multiplicative-weights step  w_d ∝ tokens_d · loss_d  normalized to
+    * micro shares. The output is the mixture table a loader consumes:
+    * natural share, loss, reweighted share, and the signed delta. The
+    * exponentiated-gradient exp(η·loss) of the paper is replaced by the
+    * linear tilt so every weight is exact integer arithmetic (exp is not
+    * correctly-rounded cross-engine); the ORDERING of domain boosts is
+    * identical for any monotone tilt.
+    *
+    * Scale: q93's chain (bounded reference model, one bigram join), a
+    * per-source hash aggregate (bounded by |sources|), one broadcast
+    * total. tilt = tokens · loss_milli ≤ 1e13 · 2e4 < 2⁶³ per domain at
+    * 100 TB; the ×1e6 share step runs in DECIMAL(38)/HUGEINT (the q99
+    * convention) so the normalization cannot overflow either. */
+  def domainReweight(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val loss = graft.ops.TrainingPrep.lmSurprisalPerDoc(
+        docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"), col("bits_total"))
+    val perSource = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .join(loss, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("n_tokens"),
+        sum(col("n_bigrams")).as("__nbg"), sum(col("bits_total")).as("__bits"))
+      .withColumn("loss_milli", expr("CAST(__bits * 1000 DIV __nbg AS BIGINT)"))
+      .withColumn("tilt", expr(
+        "CAST(n_tokens AS DECIMAL(38,0)) * CAST(loss_milli AS DECIMAL(38,0))"))
+      .localCheckpoint(true) // consumers: share normalization + total
+    val tot = perSource.agg(
+      sum(col("n_tokens")).as("__tt"), sum(col("tilt")).as("__tw"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("CAST(n_tokens * 1000000 DIV __tt AS BIGINT)").as("base_share_micro"),
+        col("loss_milli"),
+        expr("CAST((tilt * 1000000) DIV __tw AS BIGINT)").as("reweight_share_micro"))
+      .withColumn("delta_micro",
+        (col("reweight_share_micro") - col("base_share_micro")).cast("long"))
+      .orderBy(col("source"))
+  }
+
+  val domainReweightSql: String =
+    s"""WITH $lmQualityCtes,
+       |withsrc AS (
+       |  SELECT d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+       |    p.n_bigrams, p.bits_total
+       |  FROM documents d JOIN perdoc p ON d.doc_id = p.doc_id),
+       |per_source AS (
+       |  SELECT source, SUM(nt) AS n_tokens,
+       |    CAST(SUM(bits_total) * 1000 // SUM(n_bigrams) AS BIGINT) AS loss_milli
+       |  FROM withsrc GROUP BY source),
+       |tilted AS (
+       |  SELECT source, n_tokens, loss_milli,
+       |    CAST(n_tokens AS HUGEINT) * CAST(loss_milli AS HUGEINT) AS tilt
+       |  FROM per_source),
+       |gtot AS (SELECT SUM(n_tokens) AS tt, SUM(tilt) AS tw FROM tilted)
+       |SELECT source, n_tokens,
+       |  CAST(n_tokens * 1000000 // tt AS BIGINT) AS base_share_micro,
+       |  loss_milli,
+       |  CAST((tilt * 1000000) // tw AS BIGINT) AS reweight_share_micro,
+       |  CAST(CAST((tilt * 1000000) // tw AS BIGINT)
+       |    - CAST(n_tokens * 1000000 // tt AS BIGINT) AS BIGINT) AS delta_micro
+       |FROM tilted, gtot ORDER BY source""".stripMargin
+
+  /** Q198 — FILTER-CASCADE ORDERING optimizer (the pipeline-economics
+    * counterpart of q170's agreement census): a curation cascade
+    * short-circuits on the first failing gate, so gate ORDER sets the
+    * compute bill — run cheap high-rejection gates first (the classic
+    * selection-ordering result: sort by rejection-rate per unit cost).
+    * Three production gates with unit costs — length ≥ 45 tokens
+    * (cost 1, a row-local size), langid-consistency (cost 4, stopword
+    * profiles), heuristic quality ≥ 0.7 (cost 9, the full composite) —
+    * and all 6 orderings priced exactly: a doc pays each gate's cost
+    * until its first failure. Output ranks the orderings by total cost;
+    * the gap between rank 1 and rank 6 is what the ordering decision is
+    * worth at 100 TB.
+    *
+    * Scale: ONE corpus scan computes the 2³ gate-outcome census (all
+    * three gates are row-local kernels); the 6-ordering pricing is
+    * arithmetic over ≤ 8 × 6 bounded rows. The scan itself never
+    * repeats per ordering. */
+  def filterOrdering(spark: SparkSession, dir: String): DataFrame = {
+    val gates = Tables.documents(spark, dir)
+      .select(
+        (size(split(col("text"), " ")) >= 45).as("g_len"),
+        (langId(col("text")) === col("lang")).as("g_lang"),
+        (round(qualityScoreRaw(col("text")) * 1000000, 0).cast("long")
+          >= 700000L).as("g_quality"))
+    val cells = gates.groupBy(col("g_len"), col("g_lang"), col("g_quality"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // consumers: 6 ordering prices + total
+    val orderings = Seq(
+      ("len>lang>quality", "len", "lang", "quality"),
+      ("len>quality>lang", "len", "quality", "lang"),
+      ("lang>len>quality", "lang", "len", "quality"),
+      ("lang>quality>len", "lang", "quality", "len"),
+      ("quality>len>lang", "quality", "len", "lang"),
+      ("quality>lang>len", "quality", "lang", "len"))
+    import spark.implicits._
+    val ordDf = orderings.toDF("ordering", "f1", "f2", "f3")
+    def gateCost(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(f === "len", 1L).when(f === "lang", 4L).otherwise(9L)
+    def gatePass(f: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(f === "len", col("g_len")).when(f === "lang", col("g_lang"))
+        .otherwise(col("g_quality"))
+    val priced = cells.crossJoin(broadcast(ordDf))
+      .withColumn("__cost_per_doc",
+        gateCost(col("f1"))
+          + when(gatePass(col("f1")),
+              gateCost(col("f2"))
+                + when(gatePass(col("f2")), gateCost(col("f3"))).otherwise(0L))
+            .otherwise(0L))
+      .groupBy(col("ordering"))
+      .agg(sum(col("n_docs") * col("__cost_per_doc")).as("total_cost"),
+        sum(col("n_docs")).as("__n"))
+    priced
+      .withColumn("cost_per_doc_micro",
+        expr("CAST(total_cost * 1000000 DIV __n AS BIGINT)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("total_cost").asc, col("ordering").asc)).cast("long"))
+      .select(col("rank"), col("ordering"), col("total_cost"),
+        col("cost_per_doc_micro"))
+      .orderBy(col("rank"))
+  }
+
+  val filterOrderingSql: String = {
+    val (hEn, hDe, hEs, hFr) = (hitsSql("en"), hitsSql("de"), hitsSql("es"), hitsSql("fr"))
+    s"""WITH feats AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) AS dig,
+       |    $hEn AS h_en, $hDe AS h_de, $hEs AS h_es, $hFr AS h_fr
+       |  FROM documents),
+       |gates AS (
+       |  SELECT (n >= 45) AS g_len,
+       |    (CASE WHEN h_en = 0 AND h_de = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+       |          WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+       |          WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+       |          WHEN h_es >= h_fr THEN 'es'
+       |          ELSE 'fr' END = lang) AS g_lang,
+       |    (CAST(round((0.3 * least(1.0, n / 50) + 0.3 * (nd / n)
+       |      + 0.2 * (1.0 - dig / n)
+       |      + 0.2 * least(1.0, ((length(text) - (n - 1)) / n) / 8)) * 1000000, 0) AS BIGINT)
+       |      >= 700000) AS g_quality
+       |  FROM feats),
+       |cells AS (
+       |  SELECT g_len, g_lang, g_quality, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM gates GROUP BY 1, 2, 3),
+       |ords(ordering, f1, f2, f3) AS (VALUES
+       |  ('len>lang>quality', 'len', 'lang', 'quality'),
+       |  ('len>quality>lang', 'len', 'quality', 'lang'),
+       |  ('lang>len>quality', 'lang', 'len', 'quality'),
+       |  ('lang>quality>len', 'lang', 'quality', 'len'),
+       |  ('quality>len>lang', 'quality', 'len', 'lang'),
+       |  ('quality>lang>len', 'quality', 'lang', 'len')),
+       |priced AS (
+       |  SELECT o.ordering,
+       |    SUM(c.n_docs * (
+       |      (CASE o.f1 WHEN 'len' THEN 1 WHEN 'lang' THEN 4 ELSE 9 END)
+       |      + CASE WHEN (CASE o.f1 WHEN 'len' THEN c.g_len WHEN 'lang' THEN c.g_lang ELSE c.g_quality END)
+       |        THEN (CASE o.f2 WHEN 'len' THEN 1 WHEN 'lang' THEN 4 ELSE 9 END)
+       |          + CASE WHEN (CASE o.f2 WHEN 'len' THEN c.g_len WHEN 'lang' THEN c.g_lang ELSE c.g_quality END)
+       |            THEN (CASE o.f3 WHEN 'len' THEN 1 WHEN 'lang' THEN 4 ELSE 9 END)
+       |            ELSE 0 END
+       |        ELSE 0 END)) AS total_cost,
+       |    SUM(c.n_docs) AS n
+       |  FROM cells c CROSS JOIN ords o GROUP BY o.ordering)
+       |SELECT CAST(row_number() OVER (ORDER BY total_cost ASC, ordering ASC) AS BIGINT) AS rank,
+       |  ordering, CAST(total_cost AS BIGINT) AS total_cost,
+       |  CAST(total_cost * 1000000 // n AS BIGINT) AS cost_per_doc_micro
+       |FROM priced ORDER BY rank""".stripMargin
+  }
+
+  /** Q199 — READABILITY / lexical-complexity census (Flesch 1948's
+    * syllable rate + Björnsson 1968's LIX long-word share — the
+    * curriculum signals a difficulty-ordered pretraining schedule sorts
+    * by): per document, whitespace words, syllables by the standard
+    * vowel-group heuristic (runs of [aeiou], minimum 1 per word — the
+    * no-vowel correction is counted explicitly), LIX long words
+    * (≥ 7 chars), and the per-doc LIX score; rolled up per language.
+    * The corpus is punctuation-free so the sentence term degenerates to
+    * one sentence per document (documented; the words-per-sentence term
+    * then equals doc length) — the DISCRIMINATING terms here are the
+    * syllable rate and long-word share, which vary per word.
+    *
+    * Scale: entirely map-side (two regex scans + two array filters per
+    * row) into a bounded per-language aggregate — same posture as q171,
+    * cheap enough to run as an early gate. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(toks).cast("long").as("n"),
+        size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("__vg"),
+        size(filter(toks, t => !t.rlike("[aeiou]"))).cast("long").as("__nv"),
+        size(filter(toks, t => length(t) >= 7)).cast("long").as("n_long"))
+      .withColumn("syl", col("__vg") + col("__nv"))
+      .withColumn("lix_milli",
+        expr("CAST(n * 1000 + n_long * 100000 DIV n AS BIGINT)"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_words"),
+        expr("CAST(SUM(syl) * 1000000 DIV SUM(n) AS BIGINT)")
+          .as("syl_per_word_micro"),
+        expr("CAST(SUM(n_long) * 1000000 DIV SUM(n) AS BIGINT)")
+          .as("long_share_micro"),
+        expr("CAST(SUM(lix_milli) DIV COUNT(1) AS BIGINT)").as("avg_lix_milli"))
+      .orderBy(col("lang"))
+  }
+
+  val readabilitySql: String =
+    """WITH perdoc AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS vg,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> NOT regexp_matches(t, '[aeiou]'))) AS BIGINT) AS nv,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> length(t) >= 7)) AS BIGINT) AS n_long
+      |  FROM documents),
+      |scored AS (
+      |  SELECT lang, n, vg + nv AS syl, n_long,
+      |    CAST(n * 1000 + n_long * 100000 // n AS BIGINT) AS lix_milli
+      |  FROM perdoc)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_words,
+      |  CAST(SUM(syl) * 1000000 // SUM(n) AS BIGINT) AS syl_per_word_micro,
+      |  CAST(SUM(n_long) * 1000000 // SUM(n) AS BIGINT) AS long_share_micro,
+      |  CAST(SUM(lix_milli) // COUNT(*) AS BIGINT) AS avg_lix_milli
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q195_domain_reweight", domainReweight, Some(domainReweightSql)),
+    QueryDef("q198_filter_ordering", filterOrdering, Some(filterOrderingSql)),
+    QueryDef("q199_readability", readability, Some(readabilitySql)),
     QueryDef("q191_zipf_fit", zipfFit, Some(zipfFitSql)),
     QueryDef("q181_quality_yield", qualityYield, Some(qualityYieldSql)),
     QueryDef("q164_boilerplate", boilerplateRemoval, Some(boilerplateRemovalSql)),

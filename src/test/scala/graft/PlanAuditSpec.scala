@@ -488,7 +488,10 @@ class PlanAuditSpec extends SparkSpec {
     "q181_quality_yield" -> ("cumulative sums over the post-aggregation " +
       "bucket census — bucket = least(qm div 100000, 9) has a 10-value " +
       "domain, so the window input is ≤10 rows by construction (the " +
-      "OrderStats __bk class, keyed differently)"))
+      "OrderStats __bk class, keyed differently)"),
+    "q198_filter_ordering" -> ("rank over the per-ordering cost aggregate " +
+      "— the ordering key is a 6-literal table (3! gate permutations), so " +
+      "the window input is ≤6 rows by construction"))
 
   test("registry sweep: NO query plans a CartesianProduct or an unbounded unpartitioned window") {
     // the global form of every pin above, over the ENTIRE query surface:
