@@ -152,7 +152,12 @@ object ScaleProbe {
     // readability + split balance (all map-only into bounded censuses)
     "q194_mmr_rerank", "q195_domain_reweight", "q196_hubness",
     "q197_policy_diff", "q198_filter_ordering", "q199_readability",
-    "q200_split_balance")
+    "q200_split_balance",
+    // round-10 continuation: vocabulary-size sweep (3 narrow encode
+    // scans, bounded merge list), embedding-centroid drift (one ×64
+    // posexplode into a (label, snap, dim) hash agg), LSH banding sweep
+    // (q150's eval posture — fixed-sample truth, 3 banded self-joins)
+    "q201_vocab_sweep", "q202_embedding_drift", "q203_lsh_tuning")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -290,6 +290,122 @@ object DedupQueries {
        |  CAST((n_detected * 1000000) // n_candidates AS BIGINT) AS band_precision_micro
        |FROM agg""".stripMargin
 
+  /** Q203 — LSH BANDING sweep (the MinHash tuning twin of q175's IVF
+    * curve: the (bands × rows) choice sets the S-curve threshold
+    * t ≈ (1/b)^(1/r), and this table is how the parameter is picked
+    * empirically instead of by folklore): q150's recall/precision
+    * evaluation re-run at three bandings of the SAME 32-perm signatures
+    * — 4×8 (strict: candidates must agree on 8 consecutive mins), 8×4
+    * (the production q12 setting), 16×2 (loose) — against the one shared
+    * exact-Jaccard truth set on the bounded half-corpus sample. Recall
+    * rises and band precision falls as rows-per-band shrinks; the sweep
+    * quantifies BOTH sides of that trade at once. Signatures and truth
+    * are built once (checkpointed) — each banding only re-slices.
+    *
+    * Scale: the q150 posture — truth is quadratic on the FIXED sample by
+    * design (that is what evaluation means), the banded candidate joins
+    * are the production shape, and the output is 3 bounded rows. */
+  def lshTuning(spark: SparkSession, dir: String): DataFrame = {
+    val sample = withPlantedNearDups(Tables.documents(spark, dir))
+      .filter(col("doc_id") % 2 === 0)
+    val sh = sample.select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 3).as("shingles"))
+      .localCheckpoint(true) // truth + signature sides both read it
+    val occ = sh.select(col("id"), explode(col("shingles")).as("g"))
+    val sizes = sh.select(col("id"), size(col("shingles")).cast("long").as("n"))
+    val truth = occ.as("a").join(occ.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(col("c") * 3 >= col("na") + col("nb"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // semi-joined by all three bandings
+    val sigs = sh.select(col("id"),
+      graft.functions.NativeExpressions.portableMinHashSigs(col("shingles"), 32)
+        .as("sig"))
+      .localCheckpoint(true) // re-sliced by all three bandings
+    val perConfig = Seq((4, 8), (8, 4), (16, 2)).map { case (b, r) =>
+      val cand = sigs
+        .select(col("id"), explode(Dedup.lshBands(col("sig"), b, r)).as("bd"))
+        .select(col("id"), col("bd.band").as("band"), col("bd.band_hash").as("bh"))
+        .localCheckpoint(true) // both sides of the bucket self-join
+      val pairs = cand.as("x").join(cand.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .localCheckpoint(true) // candidate count + truth intersect
+      val det = pairs.join(truth, Seq("id_a", "id_b"), "left_semi")
+      pairs.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(det.agg(count(lit(1)).as("n_detected")))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_detected"))
+    }.reduce(_ unionByName _)
+    perConfig.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true_pairs"))))
+      .withColumn("recall_micro",
+        expr("CAST(n_detected * 1000000 DIV n_true_pairs AS BIGINT)"))
+      .withColumn("band_precision_micro",
+        expr("CAST(n_detected * 1000000 DIV greatest(n_candidates, 1) AS BIGINT)"))
+      .select(col("bands"), col("rows_per_band"), col("n_true_pairs"),
+        col("n_candidates"), col("n_detected"), col("recall_micro"),
+        col("band_precision_micro"))
+      .orderBy(col("bands"))
+  }
+
+  val lshTuningSql: String = {
+    def config(b: Int, r: Int): String =
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+         |  (SELECT COUNT(*) FROM cand_$b) AS n_candidates,
+         |  (SELECT COUNT(*) FROM det_$b) AS n_detected""".stripMargin
+    def chain(b: Int, r: Int): String =
+      s"""bands_$b AS (SELECT doc_id, t.b AS b, sig[(t.b*$r)+1:(t.b+1)*$r] AS band
+         |          FROM sig, UNNEST(generate_series(0,${b - 1})) AS t(b)),
+         |cand_$b AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands_$b a JOIN bands_$b b
+         |           ON a.b = b.b AND a.band = b.band AND a.doc_id < b.doc_id),
+         |det_$b AS (SELECT id_a, id_b FROM cand_$b INTERSECT SELECT id_a, id_b FROM truth)""".stripMargin
+    s"""WITH corpus AS (
+       |  $corpusSql),
+       |samp AS (SELECT doc_id, text FROM corpus WHERE doc_id % 2 = 0),
+       |sh AS (
+       |  SELECT doc_id, $trigramSql AS s
+       |  FROM (SELECT doc_id, text, string_split(text,' ') AS words FROM samp)),
+       |occ AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+       |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+       |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |       FROM occ a JOIN occ b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM cm
+       |          JOIN sizes sa ON sa.doc_id = cm.id_a
+       |          JOIN sizes sb ON sb.doc_id = cm.id_b
+       |          WHERE 3 * c >= sa.n + sb.n),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x'||substring(md5(g),1,15)) AS BIGINT) AS h1,
+       |        CAST(('0x'||substring(md5(g),16,15)) AS BIGINT) & ((1::BIGINT << 57) - 1) AS h2
+       |      FROM occ),
+       |m AS (SELECT doc_id, t.p AS p, MIN(h1 + t.p * h2) AS mv
+       |      FROM h, UNNEST(generate_series(0,31)) AS t(p) GROUP BY doc_id, t.p),
+       |sig AS (SELECT doc_id, list(mv ORDER BY p) AS sig FROM m GROUP BY doc_id),
+       |${chain(4, 8)},
+       |${chain(8, 4)},
+       |${chain(16, 2)},
+       |pts AS (
+       |${config(4, 8)}
+       |UNION ALL ${config(8, 4)}
+       |UNION ALL ${config(16, 2)})
+       |SELECT bands, rows_per_band,
+       |  CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(n_detected AS BIGINT) AS n_detected,
+       |  CAST((n_detected * 1000000) // n_true_pairs AS BIGINT) AS recall_micro,
+       |  CAST((n_detected * 1000000) // greatest(n_candidates, 1) AS BIGINT)
+       |    AS band_precision_micro
+       |FROM pts ORDER BY bands""".stripMargin
+  }
+
   /** Q33 — duplicate-cluster consolidation: connected components over the
     * simhash hamming ≤ 7 pair set (q13b's edges, per-node degree-capped
     * like q13b — at 100 TB CC's input volume is the cap's whole point),
@@ -1002,6 +1118,7 @@ object DedupQueries {
     QueryDef("q182_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("q153_substring_dedup", substringDedup, Some(substringDedupSql)),
     QueryDef("q97_entity_resolution", entityResolution, Some(entityResolutionSql)),
+    QueryDef("q203_lsh_tuning", lshTuning, Some(lshTuningSql)),
     QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),
     QueryDef("q150_dedup_eval", dedupEval, Some(dedupEvalSql)),
     QueryDef("q87_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),

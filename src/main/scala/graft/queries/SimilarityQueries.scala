@@ -2391,7 +2391,68 @@ object SimilarityQueries {
       |  CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT) AS share_micro
       |FROM pervec GROUP BY in_degree ORDER BY in_degree""".stripMargin
 
+  /** Q202 — EMBEDDING-CENTROID DRIFT between ingestion snapshots (the
+    * embedding-space twin of q101's token drift: when an encoder is
+    * retrained or an upstream filter shifts, the per-class centroid
+    * MOVES, and downstream ANN indexes / classifiers silently degrade —
+    * this census is the monitoring gate): snapshot A = even vec_ids,
+    * snapshot B = odd (the two-epoch convention of q156), and per label
+    * the cosine between the two snapshots' centroids. Centroids are
+    * exact integers end-to-end: per-dimension sums of the q15-quantized
+    * values, then a fixed-point mean (s·1000 DIV n per dimension) so the
+    * final 64-dim dot/norms are BOUNDED BIGINTs at ANY corpus size —
+    * the sum-then-square of raw totals would overflow at ~1e12 vectors,
+    * the divided centroid never does. cosine = 1.0 means no drift.
+    *
+    * Scale: one posexplode (×64) into a (label, snap, dim) hash
+    * aggregate — map-side combine reduces the exchange to cells ×
+    * partitions, the reduce side holds |labels|·2·64 rows, and the
+    * centroid join is bounded. The corpus shuffles nothing row-sized. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(spark, dir)
+      .select(pmod(col("vec_id"), lit(2)).as("snap"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("snap"), col("dim"))
+      .agg(sum(floor(col("x").cast("double") * 1000).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("c", expr("CAST(s * 1000 DIV n AS BIGINT)"))
+    val packed = cells.groupBy(col("label"), col("snap"))
+      .agg(max(col("n")).as("n"),
+        expr("transform(sort_array(collect_list(struct(dim, c))), p -> p.c)")
+          .as("cv"))
+    val a = packed.filter(col("snap") === 0)
+      .select(col("label"), col("n").as("n_a"), col("cv").as("ca"))
+    val b = packed.filter(col("snap") === 1)
+      .select(col("label"), col("n").as("n_b"), col("cv").as("cb"))
+    a.join(b, Seq("label"))
+      .withColumn("drift_cosine", graft.functions.NativeExpressions.longCosine(
+        col("ca"), col("cb")))
+      .select(col("label"), col("n_a"), col("n_b"), col("drift_cosine"))
+      .orderBy(col("label"))
+  }
+
+  val embeddingDriftSql: String =
+    """WITH cells AS (
+      |  SELECT label, vec_id % 2 AS snap, t.i AS dim,
+      |    CAST(SUM(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+      |  GROUP BY label, vec_id % 2, t.i),
+      |cent AS (
+      |  SELECT label, snap, MAX(n) AS n,
+      |    list(CAST(s * 1000 // n AS BIGINT) ORDER BY dim) AS cv
+      |  FROM cells GROUP BY label, snap),
+      |a AS (SELECT label, n AS n_a, cv AS ca FROM cent WHERE snap = 0),
+      |b AS (SELECT label, n AS n_b, cv AS cb FROM cent WHERE snap = 1)
+      |SELECT a.label, a.n_a, b.n_b,
+      |  CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.ca[i] * b.cb[i])) AS BIGINT) AS DOUBLE) /
+      |  (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.ca[i] * a.ca[i])) AS BIGINT) AS DOUBLE)) *
+      |   sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> b.cb[i] * b.cb[i])) AS BIGINT) AS DOUBLE))) AS drift_cosine
+      |FROM a JOIN b USING (label)
+      |ORDER BY a.label""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q202_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     QueryDef("q194_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     QueryDef("q196_hubness", hubness, Some(hubnessSql)),
     QueryDef("q186_crossmodal_alignment", crossmodalAlignment,

@@ -1713,7 +1713,63 @@ object TextQueries {
       |  CAST(SUM(lix_milli) // COUNT(*) AS BIGINT) AS avg_lix_milli
       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q201 — VOCABULARY-SIZE sweep (the tokenizer-sizing decision table:
+    * corpus compression as a function of merge count — fertility falls
+    * with every added merge but with diminishing returns, and the knee
+    * of this curve is where a vocabulary budget should stop): the q82
+    * trainer runs ONCE at 10 merges, then the corpus is encoded under
+    * each PREFIX of the merge list (3, 6, 10 — valid because greedy BPE
+    * training is prefix-stable: the first V merges of a larger train ARE
+    * the V-merge vocabulary). Output per sweep point: corpus word and
+    * subword totals and the fertility (subwords per kiloword). The
+    * oracle re-trains the same 10 unrolled stages and applies each
+    * prefix chain independently.
+    *
+    * Scale: the merge list is the one driver-side datum (≤ vocab size,
+    * the q82 contract); each sweep point is an independent narrow scan →
+    * chained replace → corpus-level aggregate (2 rows of state). |sweep|
+    * scans of one string column — embarrassingly parallel, no shuffle
+    * anywhere but the 1-row aggregates. */
+  def vocabSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.ops.Bpe.train(docs, "text", nMerges = 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Seq(3, 6, 10).map { v =>
+      graft.ops.Bpe.encode(docs, "doc_id", "text", merges.take(v))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .select(lit(v.toLong).as("n_merges"), col("n_words"), col("n_subwords"))
+    }.reduce(_ unionByName _)
+      .withColumn("subwords_per_kiloword", expr("n_subwords * 1000 DIV n_words"))
+      .orderBy(col("n_merges"))
+  }
+
+  val vocabSweepSql: String = {
+    def applied(v: Int): String =
+      (1 to v).foldLeft("regexp_replace(word, '(.)', '<\\1>', 'g')") {
+        (e, i) => s"replace($e, '<' || m$i.l || '><' || m$i.r || '>', '<' || m$i.l || m$i.r || '>')"
+      }
+    def point(v: Int): String =
+      s"""SELECT CAST($v AS BIGINT) AS n_merges,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(length(r) - length(replace(r, '<', ''))) AS BIGINT) AS n_subwords,
+         |  CAST(SUM(length(r) - length(replace(r, '<', ''))) * 1000 // COUNT(*) AS BIGINT)
+         |    AS subwords_per_kiloword
+         |FROM (SELECT ${applied(v)} AS r
+         |      FROM words, ${(1 to v).map(i => s"m$i").mkString(", ")})""".stripMargin
+    s"""WITH ${bpeStagesSql(10)},
+       |words AS (
+       |  SELECT word
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z]+$$'))
+       |${point(3)}
+       |UNION ALL ${point(6)}
+       |UNION ALL ${point(10)}
+       |ORDER BY n_merges""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q201_vocab_sweep", vocabSweep, Some(vocabSweepSql)),
     QueryDef("q195_domain_reweight", domainReweight, Some(domainReweightSql)),
     QueryDef("q198_filter_ordering", filterOrdering, Some(filterOrderingSql)),
     QueryDef("q199_readability", readability, Some(readabilitySql)),

@@ -107,6 +107,42 @@ class ServingDiversitySpec extends SparkSpec {
     }
   }
 
+  test("vocabSweep: fertility is non-increasing in merges, word mass constant") {
+    val rows = TextQueries.vocabSweep(spark, sf()).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 6L, 10L))
+    assert(rows.map(_.getLong(1)).distinct.length == 1) // n_words fixed
+    val fert = rows.map(_.getLong(3))
+    assert(fert.zip(fert.tail).forall { case (a, b) => b <= a },
+      s"fertility must fall (or hold) with each added merge: ${fert.toSeq}")
+    // the 10-merge sweep point must equal q83's corpus totals
+    val q83 = TextQueries.bpeEncode(spark, sf())
+      .agg(sum(col("n_words")), sum(col("n_subwords"))).collect()(0)
+    assert(rows.last.getLong(1) == q83.getLong(0))
+    assert(rows.last.getLong(2) == q83.getLong(1))
+  }
+
+  test("embeddingDrift: snapshots partition the corpus, cosine bounded") {
+    val rows = SimilarityQueries.embeddingDrift(spark, sf()).collect()
+    val n = graft.sources.Tables.embeddings(spark, sf()).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == n)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+  }
+
+  test("lshTuning: looser bandings never lose recall, detected bounded") {
+    val rows = graft.queries.DedupQueries.lshTuning(spark, sf())
+      .orderBy(col("rows_per_band").desc).collect() // strict -> loose
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(2)).distinct.length == 1) // one shared truth
+    val (cands, det) = (rows.map(_.getLong(3)), rows.map(_.getLong(4)))
+    assert(cands.zip(cands.tail).forall { case (a, b) => b >= a },
+      s"candidates must grow as rows-per-band shrinks: ${cands.toSeq}")
+    assert(det.zip(det.tail).forall { case (a, b) => b >= a },
+      s"recall must not fall as banding loosens: ${det.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3) && r.getLong(4) <= r.getLong(2))
+    }
+  }
+
   test("domainReweight: tilt is monotone in loss at fixed mass, shares normalize") {
     val rows = TextQueries.domainReweight(spark, sf()).collect()
     // floors lose < 1 micro per source
