@@ -195,7 +195,37 @@ final class GraftService private (
                       col("snippet"))
                     .orderBy(col("score_e12").desc, col("doc_id").asc)
               }
-              (200, ranked.limit(limit).toJSON.collect().mkString("[", ",", "]"))
+              // `diversify=<k>`: MMR re-rank of the fused page (q194's
+              // operator, λ = 0.7) — hybrid-with-probe only, because the
+              // diversity leg needs the embedding space the probe already
+              // committed to; elsewhere the param is ignored (the stray-
+              // param stance of probeDoc on lexical requests). The page is
+              // bounded (≤ limit ≤ MaxPageRows) before any vector work.
+              val diversify = ps.get("diversify")
+                .flatMap(s => scala.util.Try(s.toInt).toOption)
+                .filter(k => k >= 1 && k <= limit)
+              val out = (diversify,
+                  if (hybridMode && probeRequested) probeSpec else None) match {
+                case (Some(k), Some(_)) =>
+                  val page = ranked.limit(limit).localCheckpoint(true)
+                  val maxRel = page.agg(
+                    max(col("rrf_e6")).cast("double").as("__mx"))
+                  val cand = page.join(
+                      graft.sources.Tables.embeddings(spark, dir)
+                        .select(col("vec_id").as("doc_id"), col("embedding")),
+                      Seq("doc_id"))
+                    .crossJoin(broadcast(maxRel))
+                    .select(col("doc_id"), col("embedding"),
+                      (col("rrf_e6").cast("double") / col("__mx")).as("rel"))
+                  graft.ops.Similarity
+                    .mmrRerank(cand, "doc_id", "embedding", "rel", k, 0.7)
+                    .withColumnRenamed("id", "doc_id")
+                    .drop("rel")
+                    .join(page, Seq("doc_id"))
+                    .orderBy(col("rank"))
+                case _ => ranked.limit(limit)
+              }
+              (200, out.toJSON.collect().mkString("[", ",", "]"))
             }
         }
       case ("GET", "/datarecords") =>

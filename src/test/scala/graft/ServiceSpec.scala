@@ -219,6 +219,23 @@ class ServiceSpec extends SparkSpec {
       assert(plain._1 == 200)
       assert(get(svc, s"/search?dir=$dir&q=$q&limit=5&probeDoc=notanumber") == plain)
       assert(get(svc, s"/search?dir=$dir&q=$q&limit=5&probe=1,2,3") == plain)
+
+      // diversify=k: the fused page re-ranked by MMR (q194's operator).
+      // Pick 1 must be the fused top hit; picks are distinct; every pick
+      // comes from the undiversified page; ranks are 1..k
+      val (dcode, dbody) = get(svc,
+        s"/search?dir=$dir&mode=hybrid&probeDoc=5&q=$q&limit=10&diversify=3")
+      assert(dcode == 200, dbody)
+      val divIds = "\"doc_id\":(\\d+)".r.findAllMatchIn(dbody).map(_.group(1).toLong).toSeq
+      val ranks = "\"rank\":(\\d+)".r.findAllMatchIn(dbody).map(_.group(1).toInt).toSeq
+      assert(divIds.length == 3 && divIds.distinct.length == 3, dbody.take(400))
+      assert(ranks == Seq(1, 2, 3), s"ranks=$ranks")
+      assert(divIds.head == want.head, // MMR pick 1 = pure-relevance argmax
+        s"diversified head ${divIds.head} != fused top ${want.head}")
+      assert(divIds.forall(want.take(10).contains),
+        s"picks $divIds must come from the fused top-10 ${want.take(10)}")
+      // a lexical request ignores a stray diversify param (same body)
+      assert(get(svc, s"/search?dir=$dir&q=$q&limit=5&diversify=3") == plain)
     } finally svc.close()
   }
 
