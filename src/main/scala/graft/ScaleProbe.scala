@@ -157,7 +157,10 @@ object ScaleProbe {
     // scans, bounded merge list), embedding-centroid drift (one ×64
     // posexplode into a (label, snap, dim) hash agg), LSH banding sweep
     // (q150's eval posture — fixed-sample truth, 3 banded self-joins)
-    "q201_vocab_sweep", "q202_embedding_drift", "q203_lsh_tuning")
+    "q201_vocab_sweep", "q202_embedding_drift", "q203_lsh_tuning",
+    // round-10 continuation: cluster-aware split (11th artifact consumer
+    // — census cost over prebuilt labels)
+    "q204_cluster_split")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

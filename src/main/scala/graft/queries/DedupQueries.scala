@@ -864,6 +864,75 @@ object DedupQueries {
        |  CAST(SUM(n_base) AS BIGINT) AS n_base_docs
        |FROM per GROUP BY splits ORDER BY splits""".stripMargin
 
+  /** Q204 — CLUSTER-AWARE split assignment (the FIX for what q182
+    * measures: hash-splitting by doc id lets near-duplicates straddle
+    * train/test; splitting by the near-dup CLUSTER's canonical id sends
+    * whole clusters to one split, making leakage structurally
+    * impossible — the Lee et al. 2022 recommendation made executable).
+    * Both policies side by side over the same corpus + artifact: `by_doc`
+    * (q35's production hash on the raw id — the planted +10M replicas
+    * hash differently from their sources, the bug) and `by_cluster`
+    * (hash of coalesce(cluster_id, id) — singletons split by their own
+    * id, unchanged behavior for unclustered docs). Census per (mode,
+    * split): docs, distinct groups, and the mode's count of groups
+    * spanning >1 split — MUST be 0 for by_cluster (the property the
+    * policy exists for, pinned by spec AND oracle) and >0 for by_doc on
+    * the planted corpus.
+    *
+    * Scale: one artifact read + one hash-split kernel per mode + bounded
+    * censuses — the chain cost lives in the shared build (11th consumer). */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withPlantedNearDups(Tables.documents(spark, dir))
+      .select(col("doc_id").as("id"))
+    val labels = ClusterArtifacts.simhashLabels(spark, dir)
+    val canon = corpus.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("canon"))
+      .localCheckpoint(true) // both split modes read it
+    Seq(("by_doc", col("id")), ("by_cluster", col("canon"))).map { case (m, key) =>
+      val assigned = canon
+        .withColumn("split", graft.ops.TrainingPrep.splitAssign(key))
+        .localCheckpoint(true) // census + leak count
+      val leaky = assigned.groupBy(col("canon"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaky_groups"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon")).as("n_groups"))
+        .crossJoin(broadcast(leaky))
+        .select(lit(m).as("mode"), col("split"), col("n_docs"),
+          col("n_groups"), col("leaky_groups"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("mode"), col("split"))
+  }
+
+  val clusterSplitSql: String = {
+    def splitOf(x: String): String =
+      s"""CASE WHEN CAST(('0x' || substring(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+         |     WHEN CAST(('0x' || substring(md5(CAST($x AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE ${simhashCtes(corpusSql)},
+       |$closureCtes,
+       |ids AS (SELECT doc_id AS id FROM sh),
+       |canon AS (
+       |  SELECT i.id, COALESCE(l.cluster_id, i.id) AS canon
+       |  FROM ids i LEFT JOIN labels l ON i.id = l.id),
+       |asn AS (
+       |  SELECT 'by_doc' AS mode, id, canon, ${splitOf("id")} AS split FROM canon
+       |  UNION ALL
+       |  SELECT 'by_cluster' AS mode, id, canon, ${splitOf("canon")} AS split FROM canon),
+       |leaky AS (
+       |  SELECT mode, CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_groups
+       |  FROM (SELECT mode, canon, COUNT(DISTINCT split) AS ns FROM asn GROUP BY 1, 2)
+       |  GROUP BY mode)
+       |SELECT a.mode, a.split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT a.canon) AS BIGINT) AS n_groups,
+       |  l.leaky_groups
+       |FROM asn a JOIN leaky l USING (mode)
+       |GROUP BY a.mode, a.split, l.leaky_groups
+       |ORDER BY mode, split""".stripMargin
+  }
+
   /** Q184 — dedup THRESHOLD SENSITIVITY: what each hamming radius would
     * have matched. Every dedup deployment picks a radius; this is the
     * decision artifact (the q181 yield-curve move applied to the dedup
@@ -1119,6 +1188,7 @@ object DedupQueries {
     QueryDef("q153_substring_dedup", substringDedup, Some(substringDedupSql)),
     QueryDef("q97_entity_resolution", entityResolution, Some(entityResolutionSql)),
     QueryDef("q203_lsh_tuning", lshTuning, Some(lshTuningSql)),
+    QueryDef("q204_cluster_split", clusterSplit, Some(clusterSplitSql)),
     QueryDef("q12_minhash_neardup", minhashNearDups, Some(minhashNearDupsSql)),
     QueryDef("q150_dedup_eval", dedupEval, Some(dedupEvalSql)),
     QueryDef("q87_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),

@@ -143,6 +143,17 @@ class ServingDiversitySpec extends SparkSpec {
     }
   }
 
+  test("clusterSplit: by_cluster is leak-free by construction, by_doc is not") {
+    val rows = graft.queries.DedupQueries.clusterSplit(spark, sf()).collect()
+    assert(rows.length == 6)
+    val byMode = rows.groupBy(_.getString(0))
+    assert(byMode("by_cluster").forall(_.getLong(4) == 0L),
+      "cluster-keyed split must have zero groups straddling splits")
+    // doc counts conserve across modes (same corpus, different keying)
+    assert(byMode("by_cluster").map(_.getLong(2)).sum ==
+      byMode("by_doc").map(_.getLong(2)).sum)
+  }
+
   test("domainReweight: tilt is monotone in loss at fixed mass, shares normalize") {
     val rows = TextQueries.domainReweight(spark, sf()).collect()
     // floors lose < 1 micro per source
