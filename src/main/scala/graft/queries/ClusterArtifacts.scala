@@ -10,7 +10,7 @@ import graft.sources.Tables
   * connected-components chains that eight queries previously each
   * recomputed from scratch:
   *
-  *   - TEXT chain (q33/q108/q166/q178/q182/q184/q189): planted-near-dup
+  *   - TEXT chain (q33/q108/q166/q178/q182/q184/q189/q192/q193/q204): planted-near-dup
   *     corpus → portable SimHash table → hamming ≤ 7 banded pairs,
   *     degree-capped at 4 → connected components. Persists BOTH the
   *     (id, cluster_id) labels and the capped (id_a, id_b, hamming)
