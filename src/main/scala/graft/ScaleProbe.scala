@@ -294,6 +294,10 @@ object ScaleProbe {
     // The whole diagnostics tail is fail-soft: at extreme N the raw
     // (uncapped) pair generators it measures can exhaust the probe JVM's
     // fixed heap, and that must never cost the query table above.
+    // SPARK_GRAFT_NO_DIAG=1 skips it entirely — a single-query probe of a
+    // census consumer shouldn't pay the full-corpus pair-generator sweep
+    // (~15 min at 100x, dwarfing the measurement it garnishes).
+    if (sys.env.get("SPARK_GRAFT_NO_DIAG").contains("1")) { spark.stop(); return }
     try {
     println()
     println("| candidate generator | bucket key | cap | dropped keys | dropped rows | total rows | drop % |")
