@@ -160,7 +160,10 @@ object ScaleProbe {
     "q201_vocab_sweep", "q202_embedding_drift", "q203_lsh_tuning",
     // round-10 continuation: cluster-aware split (11th artifact consumer
     // — census cost over prebuilt labels)
-    "q204_cluster_split")
+    "q204_cluster_split",
+    // round-10 continuation: budget water-filling + containment lineage
+    // (both one scan into bounded source censuses)
+    "q205_token_budget", "q206_source_containment")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -1370,7 +1370,164 @@ object PrepQueries {
       |CROSS JOIN gt g
       |ORDER BY c.split, c.lang""".stripMargin
 
+  /** Q205 — TOKEN-BUDGET allocation under repeat caps (the
+    * data-constrained-scaling allocation of Muennighoff et al. 2023:
+    * when the training budget B exceeds the fresh-token supply, repeat
+    * data — but cap repeats per source by QUALITY, because low-quality
+    * text degrades past ~1 epoch while high-quality text holds value to
+    * ~4): per source, token mass and a quality-tier repeat cap R_d
+    * (mean composite quality ≥ 0.712 → 4 epochs, ≥ 0.705 → 2, else 1 —
+    * cutoffs inside the corpus's observed per-source spread so all
+    * three tiers are populated and the caps actually bind),
+    * then exact WATER-FILLING of B = 2× the corpus: the supply curve
+    * S(λ) = Σ_d mass_d·min(R_d, λ) is piecewise linear in the epoch
+    * level λ with breakpoints at the tiers, so the crossing segment is
+    * found by evaluating S at the ≤3 tier boundaries (a bounded cross
+    * join — no window, no iteration) and λ* solved in closed form in
+    * integer micro-epochs; λ* clamps to the max tier when even full
+    * repetition cannot meet B (the shortfall the table exists to
+    * expose). Output per source: mass, cap, allocated epochs (µ),
+    * allocated tokens, and whether the cap clipped it.
+    *
+    * Scale: one scan for the (mass, quality) census (bounded by
+    * |sources|), then arithmetic over tiers × sources bounded rows. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        round(graft.functions.TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
+          .cast("long").as("qm"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("mass"),
+        expr("CAST(SUM(qm) DIV COUNT(1) AS BIGINT)").as("__mq"))
+      .withColumn("r_cap",
+        when(col("__mq") >= 712000L, 4L)
+          .when(col("__mq") >= 705000L, 2L).otherwise(1L))
+      .localCheckpoint(true) // supply curve + allocation both read it
+    val budget = perSource.agg((sum(col("mass")) * 2).as("b"))
+    // S(r) at each tier boundary r: Σ mass·min(r_cap, r); slope above r:
+    // Σ mass over sources with r_cap > r
+    val tiers = spark.range(1).select(explode(array(lit(0L), lit(1L), lit(2L), lit(4L))).as("r"))
+    val curve = tiers.crossJoin(perSource)
+      .groupBy(col("r"))
+      .agg(sum(least(col("r_cap"), col("r")) * col("mass")).as("s_r"),
+        sum(when(col("r_cap") > col("r"), col("mass")).otherwise(0L)).as("slope"))
+      .crossJoin(broadcast(budget))
+    // crossing segment: the largest boundary with S(r) <= B that still
+    // has supply above it; λµ = rµ + (B - S(r))·1e6 / slope, clamped to 4
+    val lam = curve
+      .filter(col("s_r") <= col("b") && col("slope") > 0)
+      .select(least(lit(4000000L),
+        (col("r") * 1000000L +
+          expr("CAST((b - s_r) * 1000000 DIV slope AS BIGINT)"))).as("lambda_micro"))
+      .agg(max(col("lambda_micro")).as("lambda_micro"))
+    perSource.crossJoin(broadcast(lam))
+      .select(col("source"), col("mass"), col("r_cap"), col("lambda_micro"),
+        least(col("lambda_micro"), col("r_cap") * 1000000L).as("epochs_micro"))
+      .withColumn("alloc_tokens",
+        expr("CAST(mass * epochs_micro DIV 1000000 AS BIGINT)"))
+      .withColumn("clipped", col("epochs_micro") < col("lambda_micro"))
+      .drop("lambda_micro")
+      .orderBy(col("source"))
+  }
+
+  val tokenBudgetSql: String =
+    """WITH per_source AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS mass,
+      |    CAST(SUM(CAST(round((0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 50)
+      |      + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |      + 0.2 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+      |                t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE)
+      |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |      + 0.2 * least(1.0, ((length(text) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+      |               / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8)) * 1000000, 0) AS BIGINT)) // COUNT(*) AS BIGINT) AS mq
+      |  FROM documents GROUP BY source),
+      |capped AS (
+      |  SELECT source, mass,
+      |    CASE WHEN mq >= 712000 THEN 4 WHEN mq >= 705000 THEN 2 ELSE 1 END AS r_cap
+      |  FROM per_source),
+      |budget AS (SELECT SUM(mass) * 2 AS b FROM capped),
+      |curve AS (
+      |  SELECT t.r,
+      |    SUM(LEAST(c.r_cap, t.r) * c.mass) AS s_r,
+      |    SUM(CASE WHEN c.r_cap > t.r THEN c.mass ELSE 0 END) AS slope
+      |  FROM (SELECT UNNEST([0, 1, 2, 4]) AS r) t CROSS JOIN capped c
+      |  GROUP BY t.r),
+      |lam AS (
+      |  SELECT MAX(LEAST(4000000,
+      |    r * 1000000 + CAST((b - s_r) * 1000000 // slope AS BIGINT))) AS lambda_micro
+      |  FROM curve, budget WHERE s_r <= b AND slope > 0)
+      |SELECT c.source, c.mass, CAST(c.r_cap AS BIGINT) AS r_cap,
+      |  CAST(LEAST(l.lambda_micro, c.r_cap * 1000000) AS BIGINT) AS epochs_micro,
+      |  CAST(c.mass * LEAST(l.lambda_micro, c.r_cap * 1000000) // 1000000 AS BIGINT)
+      |    AS alloc_tokens,
+      |  (LEAST(l.lambda_micro, c.r_cap * 1000000) < l.lambda_micro) AS clipped
+      |FROM capped c, lam l
+      |ORDER BY c.source""".stripMargin
+
+  /** Q206 — SOURCE-CONTAINMENT lineage (the dataset-provenance question
+    * at the source level: is corpus A a re-release of corpus B? — C4 vs
+    * Common Crawl, The Pile's overlapping subsets): exact-digest overlap
+    * between every source pair, with directional containment share
+    * (|A∩B| / |A| — near 10⁶ means A is inside B). The synthetic corpus
+    * has no cross-source identical texts, so lineage is exercised by
+    * PLANTING a 'mirror' re-release (every 7th document re-registered
+    * under source 'mirror' at +2·10⁶ ids — the re-packaged-subset
+    * incident this census detects). Only overlapping pairs emit (the
+    * |sources|² zero rows carry no information).
+    *
+    * Scale: one md5-digest exchange keyed by (digest) — the q8 shape —
+    * then a bounded (source_a, source_b) hash aggregate; the census
+    * never exceeds |sources|². */
+  def sourceContainment(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    val corpus = base.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), lit("mirror").as("source"),
+          col("text")))
+    val digests = corpus
+      .select(col("source"), md5(col("text").cast("binary")).as("d"))
+      .distinct()
+      .localCheckpoint(true) // both sides of the overlap join + sizes
+    val sizes = digests.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val overlap = digests.as("a").join(digests.as("b"),
+        col("a.d") === col("b.d") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    overlap
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")),
+        Seq("source_a"))
+      .withColumn("containment_micro",
+        expr("CAST(n_shared * 1000000 DIV n_a AS BIGINT)"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_shared"),
+        col("containment_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceContainmentSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, 'mirror' AS source, text
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |digests AS (
+      |  SELECT DISTINCT source, md5(text) AS d FROM corpus),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM digests GROUP BY source),
+      |overlap AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM digests a JOIN digests b ON a.d = b.d AND a.source <> b.source
+      |  GROUP BY 1, 2)
+      |SELECT o.source_a, o.source_b, s.n AS n_a, o.n_shared,
+      |  CAST(o.n_shared * 1000000 // s.n AS BIGINT) AS containment_micro
+      |FROM overlap o JOIN sizes s ON s.source = o.source_a
+      |ORDER BY o.source_a, o.source_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q205_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    QueryDef("q206_source_containment", sourceContainment, Some(sourceContainmentSql)),
     QueryDef("q197_policy_diff", policyDiff, Some(policyDiffSql)),
     QueryDef("q200_split_balance", splitBalance, Some(splitBalanceSql)),
     QueryDef("q190_epoch_independence", epochIndependence, Some(epochIndependenceSql)),

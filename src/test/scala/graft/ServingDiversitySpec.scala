@@ -154,6 +154,37 @@ class ServingDiversitySpec extends SparkSpec {
       byMode("by_doc").map(_.getLong(2)).sum)
   }
 
+  test("tokenBudget: water-filling meets the budget to floor slack, caps bind") {
+    val rows = PrepQueries.tokenBudget(spark, sf()).collect()
+    val budget = 2L * rows.map(_.getLong(1)).sum
+    val alloc = rows.map(_.getLong(4)).sum
+    assert(alloc <= budget && alloc >= budget - rows.length,
+      s"allocation $alloc vs budget $budget (slack must be < |sources|)")
+    // clipped sources sit exactly at their cap; unclipped share one λ
+    rows.foreach { r =>
+      if (r.getBoolean(5)) assert(r.getLong(3) == r.getLong(2) * 1000000L)
+    }
+    val lams = rows.filterNot(_.getBoolean(5)).map(_.getLong(3)).distinct
+    assert(lams.length <= 1, s"unclipped sources must share one epoch level: ${lams.toSeq}")
+    // a higher cap never receives fewer epochs
+    val byCap = rows.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(3)).max)
+    byCap.toSeq.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a); case _ =>
+    }
+  }
+
+  test("sourceContainment: the planted mirror is fully contained in the originals") {
+    val rows = PrepQueries.sourceContainment(spark, sf()).collect()
+    val mirrorOut = rows.filter(_.getString(0) == "mirror")
+    assert(mirrorOut.nonEmpty, "the planted mirror must overlap its originals")
+    // every mirror text came from exactly one original source
+    assert(mirrorOut.map(_.getLong(3)).sum == mirrorOut.head.getLong(2),
+      "mirror shared counts must sum to the mirror's distinct-text size")
+    // overlap is symmetric in n_shared
+    val key = rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    key.foreach { case ((a, b), n) => assert(key((b, a)) == n) }
+  }
+
   test("domainReweight: tilt is monotone in loss at fixed mass, shares normalize") {
     val rows = TextQueries.domainReweight(spark, sf()).collect()
     // floors lose < 1 micro per source
