@@ -163,7 +163,10 @@ object ScaleProbe {
     "q204_cluster_split",
     // round-10 continuation: budget water-filling + containment lineage
     // (both one scan into bounded source censuses)
-    "q205_token_budget", "q206_source_containment")
+    "q205_token_budget", "q206_source_containment",
+    // round-10 continuation: difficulty-ordered curriculum manifest (one
+    // kernel scan + bounded histogram + stage-partitioned rank)
+    "q207_curriculum_order")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

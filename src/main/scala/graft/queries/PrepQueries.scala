@@ -1525,7 +1525,112 @@ object PrepQueries {
       |FROM overlap o JOIN sizes s ON s.source = o.source_a
       |ORDER BY o.source_a, o.source_b""".stripMargin
 
+  /** Q207 — CURRICULUM-ORDER manifest (Bengio et al. 2009, difficulty-
+    * ordered training: feed easy documents first, hard ones later):
+    * per-document difficulty = q199's LIX lexical-complexity score,
+    * split into 10 curriculum STAGES at exact value-decile thresholds
+    * (the q93 percentile_disc convention — equal scores share a stage,
+    * derived from a cumulative histogram, never a global sort), and
+    * WITHIN each stage the q158 reproducible order (seeded hash rank,
+    * stage-partitioned). The manifest pins the entire curriculum the way
+    * q158 pins the shuffle: per stage, doc count, difficulty bounds, the
+    * head document, and the order-sensitive checksum
+    * Σ position·(doc_id mod 1000003) — any transposition anywhere
+    * changes a row. 10 bounded rows out.
+    *
+    * Scale: one map-side difficulty kernel, the histogram/threshold
+    * pass (bounded, the OrderStats class), one stage-partitioned rank —
+    * the q158 shape with stages for shards; no global sort anywhere. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n"),
+        size(filter(toks, t => length(t) >= 7)).cast("long").as("n_long"))
+      .withColumn("lix_milli",
+        expr("CAST(n * 1000 + n_long * 100000 DIV n AS BIGINT)"))
+      .select(col("doc_id"), col("lix_milli"))
+      .localCheckpoint(true) // histogram + assignment both read it
+    val hist = graft.ops.OrderStats
+      .cumHistogram(perDoc.select(col("lix_milli")), "lix_milli")
+      .localCheckpoint(true) // total + 9 threshold scans
+    val tot = hist.agg(sum(col("nv")).as("n"))
+    val tcols = (1 to 9).map(k =>
+      min(when(col("cum") * 10 >= col("n") * k, col("lix_milli"))).as(s"t$k"))
+    val thr = hist.crossJoin(broadcast(tot)).agg(tcols.head, tcols.tail: _*)
+    val staged = perDoc.crossJoin(broadcast(thr))
+      .withColumn("stage",
+        (1 to 9).foldLeft(lit(10)) { (e, k) =>
+          // evaluated outside-in: the SMALLEST matching threshold wins,
+          // so build from t9 down to t1
+          when(col("lix_milli") <= col(s"t${10 - k}"), 10 - k).otherwise(e)
+        }.cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("stage")).orderBy(
+          graft.ops.TrainingPrep.shuffleHash(col("doc_id"), "curriculum1"),
+          col("doc_id"))).cast("long"))
+    staged.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lix_milli")).as("lix_lo"),
+        max(col("lix_milli")).as("lix_hi"),
+        min_by(col("doc_id"), col("pos")).as("first_doc"),
+        sum(col("pos") * pmod(col("doc_id"), lit(1000003L))).as("order_sum"))
+      .orderBy(col("stage"))
+  }
+
+  val curriculumOrderSql: String =
+    """WITH perdoc AS (
+      |  SELECT doc_id,
+      |    CAST(n * 1000 + n_long * 100000 // n AS BIGINT) AS lix_milli
+      |  FROM (SELECT doc_id,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |          CAST(len(list_filter(string_split(text, ' '),
+      |            t -> length(t) >= 7)) AS BIGINT) AS n_long
+      |        FROM documents)),
+      |hist AS (SELECT lix_milli, COUNT(*) AS nv FROM perdoc GROUP BY 1),
+      |cumh AS (SELECT lix_milli, SUM(nv) OVER (ORDER BY lix_milli) AS cum FROM hist),
+      |tot AS (SELECT COUNT(*) AS n FROM perdoc),
+      |thr AS (
+      |  SELECT
+      |    MIN(CASE WHEN cum * 10 >= n * 1 THEN lix_milli END) AS t1,
+      |    MIN(CASE WHEN cum * 10 >= n * 2 THEN lix_milli END) AS t2,
+      |    MIN(CASE WHEN cum * 10 >= n * 3 THEN lix_milli END) AS t3,
+      |    MIN(CASE WHEN cum * 10 >= n * 4 THEN lix_milli END) AS t4,
+      |    MIN(CASE WHEN cum * 10 >= n * 5 THEN lix_milli END) AS t5,
+      |    MIN(CASE WHEN cum * 10 >= n * 6 THEN lix_milli END) AS t6,
+      |    MIN(CASE WHEN cum * 10 >= n * 7 THEN lix_milli END) AS t7,
+      |    MIN(CASE WHEN cum * 10 >= n * 8 THEN lix_milli END) AS t8,
+      |    MIN(CASE WHEN cum * 10 >= n * 9 THEN lix_milli END) AS t9
+      |  FROM cumh, tot),
+      |staged AS (
+      |  SELECT p.doc_id, p.lix_milli,
+      |    CASE WHEN p.lix_milli <= t.t1 THEN 1
+      |         WHEN p.lix_milli <= t.t2 THEN 2
+      |         WHEN p.lix_milli <= t.t3 THEN 3
+      |         WHEN p.lix_milli <= t.t4 THEN 4
+      |         WHEN p.lix_milli <= t.t5 THEN 5
+      |         WHEN p.lix_milli <= t.t6 THEN 6
+      |         WHEN p.lix_milli <= t.t7 THEN 7
+      |         WHEN p.lix_milli <= t.t8 THEN 8
+      |         WHEN p.lix_milli <= t.t9 THEN 9
+      |         ELSE 10 END AS stage,
+      |    CAST(('0x' || substring(md5('curriculum1:' || CAST(p.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM perdoc p, thr t),
+      |positioned AS (
+      |  SELECT stage, doc_id, lix_milli,
+      |    CAST(row_number() OVER (PARTITION BY stage ORDER BY h, doc_id) AS BIGINT) AS pos
+      |  FROM staged)
+      |SELECT CAST(stage AS INTEGER) AS stage,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(lix_milli) AS BIGINT) AS lix_lo,
+      |  CAST(MAX(lix_milli) AS BIGINT) AS lix_hi,
+      |  CAST(min_by(doc_id, pos) AS BIGINT) AS first_doc,
+      |  CAST(SUM(pos * (doc_id % 1000003)) AS BIGINT) AS order_sum
+      |FROM positioned GROUP BY stage ORDER BY stage""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q207_curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
     QueryDef("q205_token_budget", tokenBudget, Some(tokenBudgetSql)),
     QueryDef("q206_source_containment", sourceContainment, Some(sourceContainmentSql)),
     QueryDef("q197_policy_diff", policyDiff, Some(policyDiffSql)),

@@ -185,6 +185,19 @@ class ServingDiversitySpec extends SparkSpec {
     key.foreach { case ((a, b), n) => assert(key((b, a)) == n) }
   }
 
+  test("curriculumOrder: stages partition the corpus in disjoint difficulty ranges") {
+    val rows = PrepQueries.curriculumOrder(spark, sf()).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val n = graft.sources.Tables.documents(spark, sf()).count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) <= b.getLong(2), // hi(k) <= lo(k+1): disjoint stages
+          s"stage ${a.getInt(0)} hi=${a.getLong(3)} overlaps stage ${b.getInt(0)} lo=${b.getLong(2)}")
+      case _ =>
+    }
+  }
+
   test("domainReweight: tilt is monotone in loss at fixed mass, shares normalize") {
     val rows = TextQueries.domainReweight(spark, sf()).collect()
     // floors lose < 1 micro per source
