@@ -405,6 +405,79 @@ object Similarity {
         col("neg_id"), col("label"), col("cosine"))
   }
 
+  /** 1-bit BINARY QUANTIZATION code of a quantized vector column: each
+    * dimension collapses to its sign bit (qv[i] > 0 under the
+    * engine-portable floor(x*1000) quantization), packed 32 dims per
+    * BIGINT word — dim 64 → two words = 16 bytes/vector vs 256 for raw
+    * floats, the 16× in-memory compression that lets a 100 TB corpus's
+    * code table fit where its vectors cannot (the modern vector-DB
+    * memory-scale posture: binary codes resident, raw vectors fetched
+    * only for the bounded rerank set). 32-bit words, not 64, so the
+    * packed sum never touches the BIGINT sign bit and the same
+    * shift-and-sum replays exactly in the SQL oracle. */
+  def binaryCode(df: DataFrame, qvCol: String, dim: Int, outCol: String): DataFrame = {
+    require(dim % 32 == 0, s"dim $dim not a multiple of the 32-bit word width")
+    val words = (0 until dim / 32).map { w =>
+      expr(s"""aggregate(zip_with(slice($qvCol, ${w * 32 + 1}, 32), sequence(0, 31),
+              |  (x, i) -> IF(x > 0L, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"""
+        .stripMargin)
+    }
+    df.withColumn(outCol, array(words: _*))
+  }
+
+  /** Hamming distance between two packed binary-code columns (equal word
+    * count): popcount of the per-word XOR, summed. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+
+  /** BINARY-QUANTIZED ANN — Hamming prefilter + exact rerank, the
+    * two-phase shape every binary-code vector store runs at scale:
+    *
+    *   phase 1 (codes only): scan the NARROW (id, code) projection —
+    *     16 bytes/vector — against the broadcast probe codes, keep each
+    *     probe's `m` Hamming-nearest candidates (WindowGroupLimit keeps
+    *     the top-m partial per input split, so the shuffle carries
+    *     survivors, not the corpus×probes product);
+    *   phase 2 (vectors, bounded): the |probes|·m survivor set
+    *     broadcasts back onto the corpus to fetch raw vectors — a
+    *     broadcast hash join, the corpus never shuffles — and the exact
+    *     quantized cosine re-ranks to top-k.
+    *
+    * Raw vectors are touched for survivors only; everything upstream of
+    * the rerank reads 16-byte codes. Both phases are integer-exact with
+    * (distance, id) tie-breaks, so the SQL oracle replays pack, XOR
+    * popcount, prefilter cut, and rerank bit-for-bit. */
+  def binaryAnnTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, dim: Int, m: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = binaryCode(
+      corpus.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("__qv")),
+      "__qv", dim, "__code").select(col("vec_id"), col("__code"))
+    val pcodes = binaryCode(
+      probes.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("__pqv")),
+      "__pqv", dim, "__pcode")
+    val survivors = codes
+      .crossJoin(broadcast(pcodes.select(col("probe_id"), col("__pcode"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("hamming", hammingDistance(col("__code"), col("__pcode")))
+      .withColumn("__hrank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)))
+      .filter(col("__hrank") <= m)
+      .select(col("probe_id"), col("vec_id"), col("hamming"))
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+      .join(broadcast(survivors), Seq("vec_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("__pv"))), Seq("probe_id"))
+      .withColumn("cosine", graft.functions.NativeExpressions.quantizedCosine(
+        col("__cv"), col("__pv")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("hamming"), col("cosine"))
+  }
+
   /** MAXIMAL-MARGINAL-RELEVANCE re-ranking (Carbonell & Goldstein 1998) —
     * the serving-side diversification step after a top-k retrieval: from
     * a BOUNDED candidate page (id, vector, relevance), greedily pick k

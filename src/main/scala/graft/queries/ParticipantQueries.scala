@@ -76,6 +76,90 @@ object ParticipantQueries {
       |FROM documents WHERE doc_id % 7 = 0 AND doc_id % 70 <> 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Q210 — ANCHOR-TEXT AGGREGATION over the HTML crawl fixture: the
+    * classic web-scale quality/retrieval signal (the anchor-text index of
+    * the PageRank-era engines, and a first-class relevance feature in
+    * every public web-search stack): extract `<a href>` links from
+    * rendered HTML pages, canonicalize the often-messy hrefs (UrlOps —
+    * www-label/port/trailing-slash/utm noise all appear in the fixture),
+    * and aggregate per canonical target: in-link count, distinct linking
+    * hosts, and the dominant anchor phrase (count desc, phrase asc).
+    *
+    * Everything is pure-Column codegen: regexp_extract_all pulls whole
+    * `<a …>…</a>` tags, per-tag regexps split href/anchor, UrlOps
+    * canonicalization is the audited regex chain. Per-target aggregation
+    * is ONE exchange on the canonical URL (at 100 TB the pages never
+    * shuffle — only the extracted (target, host, anchor) triples, a few
+    * dozen bytes each, the classic anchor-index build shape). The oracle
+    * reconstructs every (source, target, anchor) triple from the
+    * documents-table arithmetic the fixture generator used (q147
+    * posture), so tag extraction, canonicalization, host attribution,
+    * and the dominant-anchor window are all hash-pinned. */
+  def anchorText(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fx = Warc.ensureHtmlFixture(spark, dir)
+    val links = Warc.scan(spark, fx).toDF()
+      .filter(col("error").isNull &&
+        col("content_type").startsWith("text/html"))
+      .select(graft.ops.UrlOps.urlHost(col("target_uri")).as("src_host"),
+        explode(regexp_extract_all(
+          col("payload").cast("string"),
+          lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("tag"))
+      .select(col("src_host"),
+        graft.ops.UrlOps.canonicalizeUrl(
+          regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)).as("target_url"),
+        regexp_extract(col("tag"), ">([^<]*)</a>", 1).as("anchor"))
+      .localCheckpoint(true) // two consumers: per-target agg + anchor mode
+    val agg = links.groupBy(col("target_url"))
+      .agg(count(lit(1)).as("inlinks"),
+        count_distinct(col("src_host")).as("n_source_hosts"))
+    val topAnchor = links.groupBy(col("target_url"), col("anchor"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__r", row_number().over(Window.partitionBy(col("target_url"))
+        .orderBy(col("__n").desc, col("anchor").asc)))
+      .filter(col("__r") === 1)
+      .select(col("target_url"), col("anchor").as("top_anchor"),
+        col("__n").as("top_anchor_n"))
+    agg.join(topAnchor, Seq("target_url"))
+      .orderBy(col("inlinks").desc, col("target_url").asc)
+      .limit(30)
+  }
+
+  val anchorTextSql: String =
+    """WITH n AS (SELECT count(*) AS n FROM documents),
+      |src AS (
+      |  SELECT doc_id AS d, string_split(text, ' ') AS w
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |links AS (
+      |  SELECT s.d, j.j,
+      |    CASE WHEN j.j = 0 THEN (s.d // 5) % 10
+      |         ELSE ((s.d * 31 + j.j * 17) % n.n) END AS t,
+      |    array_to_string(w[CAST(3 * j.j + 1 AS BIGINT):CAST(3 * j.j + 2 AS BIGINT)], ' ') AS anchor
+      |  FROM src s CROSS JOIN n CROSS JOIN range(0, 4) j(j)
+      |  WHERE j.j < (s.d % 4) + 1),
+      |tagged AS (
+      |  SELECT 's' || CAST(d % 7 AS VARCHAR) || '.example' AS src_host,
+      |    'http://s' || CAST(t % 7 AS VARCHAR) || '.example/p/' || CAST(t AS VARCHAR)
+      |      || CASE WHEN t % 3 = 0 THEN '?aa=1&ref=2' ELSE '' END AS target_url,
+      |    anchor
+      |  FROM links),
+      |agg AS (
+      |  SELECT target_url, CAST(count(*) AS BIGINT) AS inlinks,
+      |    CAST(count(DISTINCT src_host) AS BIGINT) AS n_source_hosts
+      |  FROM tagged GROUP BY target_url),
+      |anchors AS (
+      |  SELECT target_url, anchor, CAST(count(*) AS BIGINT) AS __n
+      |  FROM tagged GROUP BY target_url, anchor),
+      |top_anchor AS (
+      |  SELECT target_url, anchor AS top_anchor, __n AS top_anchor_n
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY target_url
+      |          ORDER BY __n DESC, anchor) AS r FROM anchors)
+      |  WHERE r = 1)
+      |SELECT a.target_url, a.inlinks, a.n_source_hosts,
+      |  t.top_anchor, t.top_anchor_n
+      |FROM agg a JOIN top_anchor t USING (target_url)
+      |ORDER BY a.inlinks DESC, a.target_url LIMIT 30""".stripMargin
+
   /** Q176 — JSONL shard ingestion with corrupt-line isolation: the
     * de-facto LLM-corpus interchange format (every public dataset ships
     * *.jsonl), read PERMISSIVE with an explicit schema (no inference
@@ -1454,6 +1538,7 @@ object ParticipantQueries {
     QueryDef("q92_pos_trained", posTrained, Some(posTrainedSql)),
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q147_warc_ingest", warcIngest, Some(warcIngestSql)),
+    QueryDef("q210_anchor_text", anchorText, Some(anchorTextSql)),
     QueryDef("q151_crawl_curation", crawlCuration, Some(crawlCurationSql)),
     QueryDef("q156_crawl_churn", crawlChurn, Some(crawlChurnSql)),
     QueryDef("q157_url_curation", urlCuration, Some(urlCurationSql)),

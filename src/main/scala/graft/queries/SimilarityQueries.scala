@@ -62,6 +62,133 @@ object SimilarityQueries {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Q208 — BINARY-QUANTIZED ANN (Similarity.binaryAnnTopK): 1-bit
+    * sign codes packed 32 dims/word (16 bytes/vector — the 16×
+    * compression that keeps a 100 TB corpus's code table memory-resident),
+    * Hamming prefilter to each probe's 64 nearest codes, exact
+    * quantized-cosine rerank to top-10. Probe set is the bounded q154
+    * batch. The oracle replays pack → XOR popcount → prefilter cut →
+    * vector fetch → rerank bit-for-bit, so a drifted bit in the packing
+    * or an off-by-one at the Hamming cut fails the hash compare. */
+  def binaryAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.binaryAnnTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000),
+        dim = 64, m = 64, k = 10)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  val binaryAnnSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id, qv,
+      |    list_transform(range(0, 2), w -> CAST(list_sum(list_transform(range(0, 32),
+      |      i -> CASE WHEN qv[w * 32 + i + 1] > 0 THEN (CAST(1 AS BIGINT) << i)
+      |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS code
+      |  FROM v),
+      |p AS (SELECT vec_id AS probe_id, qv AS pqv, code AS pcode
+      |      FROM codes WHERE vec_id % 100 = 0 AND vec_id < 100000),
+      |ham AS (
+      |  SELECT p.probe_id, c.vec_id,
+      |    CAST(list_sum(list_transform(range(1, 3),
+      |      w -> bit_count(xor(c.code[w], p.pcode[w])))) AS BIGINT) AS hamming
+      |  FROM codes c CROSS JOIN p WHERE c.vec_id <> p.probe_id),
+      |pre AS (
+      |  SELECT probe_id, vec_id, hamming,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY hamming, vec_id) AS hrank
+      |  FROM ham),
+      |surv AS (SELECT probe_id, vec_id, hamming FROM pre WHERE hrank <= 64),
+      |rr AS (
+      |  SELECT s.probe_id, s.vec_id, s.hamming,
+      |    CAST(CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i] * p.pqv[i])) AS BIGINT) AS DOUBLE) /
+      |    (sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> v.qv[i] * v.qv[i])) AS BIGINT) AS DOUBLE)) *
+      |     sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> p.pqv[i] * p.pqv[i])) AS BIGINT) AS DOUBLE))) AS cosine
+      |  FROM surv s JOIN v ON v.vec_id = s.vec_id JOIN p ON p.probe_id = s.probe_id),
+      |rk AS (
+      |  SELECT probe_id, vec_id, hamming, cosine,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM rr)
+      |SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, hamming, cosine
+      |FROM rk WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+
+  /** Q209 — MATRYOSHKA DIMENSION-TRUNCATION recall curve (Kusupati 2022
+    * MRL / adaptive-retrieval posture): exact top-10 per probe using only
+    * the first d ∈ {8,16,32,64} dimensions, scored against the full-dim
+    * top-10 — recall@10 per truncation width. At 100 TB, retrieving at
+    * d=16 and reranking at d=64 cuts the scan bandwidth 4×; this query
+    * measures exactly what that costs in recall, the number a capacity
+    * plan needs before committing to truncated serving. Integer-exact
+    * prefix cosines with (cosine, id) tie-breaks: the oracle replays all
+    * four ranking passes and the overlap join. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = Seq(8, 16, 32, 64)
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("__qv"))
+    val probes = broadcast(
+      emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000)
+        .select(col("vec_id").as("probe_id"),
+          Similarity.quantize(col("embedding")).as("__pqv")))
+    val scored = corpus.crossJoin(probes)
+      .filter(col("vec_id") =!= col("probe_id"))
+    def ranked(d: Int): DataFrame = scored
+      .withColumn("__cos", Similarity.quantizedCosine(
+        slice(col("__qv"), 1, d), slice(col("__pqv"), 1, d)))
+      .withColumn("__r", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("__cos").desc, col("vec_id").asc)))
+      .filter(col("__r") <= 10)
+      .select(lit(d.toLong).as("trunc_dim"), col("probe_id"), col("vec_id"))
+    val all = dims.map(ranked).reduce(_ unionByName _)
+    val full = ranked(64).select(col("probe_id"), col("vec_id"))
+      .withColumn("__hit", lit(1L))
+    all.join(full, Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("trunc_dim"))
+      .agg(count_distinct(col("probe_id")).as("n_probes"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("recall_at_10",
+        round(col("hits").cast("double") / (col("n_probes") * 10), 4))
+      .select(col("trunc_dim"), col("n_probes"), col("hits"), col("recall_at_10"))
+      .orderBy(col("trunc_dim"))
+  }
+
+  val matryoshkaRecallSql: String = {
+    val dims = Seq(8, 16, 32, 64)
+    val rankCtes = dims.map { d =>
+      s"""rank_d$d AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+         |        CAST(CAST(list_sum(list_transform(range(1, ${d + 1}), i -> c.qv[i] * p.pqv[i])) AS BIGINT) AS DOUBLE) /
+         |        (sqrt(CAST(CAST(list_sum(list_transform(range(1, ${d + 1}), i -> c.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)) *
+         |         sqrt(CAST(CAST(list_sum(list_transform(range(1, ${d + 1}), i -> p.pqv[i] * p.pqv[i])) AS BIGINT) AS DOUBLE))) DESC,
+         |        c.vec_id) AS r
+         |    FROM v c CROSS JOIN p WHERE c.vec_id <> p.probe_id)
+         |  WHERE r <= 10)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = dims.map(d =>
+      s"SELECT CAST($d AS BIGINT) AS trunc_dim, probe_id, vec_id FROM rank_d$d")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, qv AS pqv FROM v
+       |      WHERE vec_id % 100 = 0 AND vec_id < 100000),
+       |$rankCtes,
+       |all_trunc AS (
+       |  $unionAll)
+       |SELECT a.trunc_dim, CAST(count(DISTINCT a.probe_id) AS BIGINT) AS n_probes,
+       |  CAST(count(f.vec_id) AS BIGINT) AS hits,
+       |  round(CAST(count(f.vec_id) AS DOUBLE) / (count(DISTINCT a.probe_id) * 10), 4) AS recall_at_10
+       |FROM all_trunc a LEFT JOIN rank_d64 f
+       |  ON f.probe_id = a.probe_id AND f.vec_id = a.vec_id
+       |GROUP BY a.trunc_dim ORDER BY a.trunc_dim""".stripMargin
+  }
+
   val hardNegativesSql: String =
     """WITH v AS (
       |  SELECT vec_id, label,
@@ -2475,6 +2602,8 @@ object SimilarityQueries {
     QueryDef("q110_image_neardup", imageNearDups, Some(imageNearDupsSql)),
     QueryDef("q15_embedding_topk", embeddingTopK, Some(embeddingTopKSql)),
     QueryDef("q154_hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    QueryDef("q208_binary_ann", binaryAnn, Some(binaryAnnSql)),
+    QueryDef("q209_matryoshka_recall", matryoshkaRecall, Some(matryoshkaRecallSql)),
     QueryDef("q15b_ann_lsh", annLshPairs, Some(annLshPairsSql)),
     QueryDef("q15c_ann_ivf", ivfTopK, Some(ivfTopKSql)),
     QueryDef("q79_ann_ivf_batch", ivfTopKBatch, Some(ivfTopKBatchSql)),

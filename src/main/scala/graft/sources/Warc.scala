@@ -654,4 +654,77 @@ object Warc {
     }
     out.toString
   }
+
+  /** Deterministic HTML crawl fixture for the anchor-text query/specs:
+    * every doc_id % 5 == 0 document becomes a text/html page at
+    * `http://s{d%7}.example/p/{d}` whose body embeds (d % 4) + 1 links.
+    * Link j of page d targets t = (d*31 + j*17) % |documents| through a
+    * DELIBERATELY messy href — uppercase WWW label, explicit :80 port,
+    * trailing slash, utm_* noise params, and (for t % 3 == 0) two real
+    * params in unsorted order — so the extractor's canonicalization has
+    * genuine work on every edge UrlOps handles. Anchor text is words
+    * 3j+1..3j+2 (1-based) of the SOURCE document, so the DuckDB oracle
+    * can reconstruct every (source, target, anchor) triple from the
+    * documents table arithmetic alone (the q147 fixture posture:
+    * construction-known, extraction-verified). 4 plain .warc shards by
+    * (d/5) % 4, one owning task each; idempotent via marker. */
+  def ensureHtmlFixture(spark: SparkSession, sfDir: String): String = {
+    val out = java.nio.file.Paths.get(
+      s"/tmp/graft_html_fixture/${Tables.dirCacheKey(sfDir)}")
+    val marker = out.resolve("_COMPLETE")
+    if (!java.nio.file.Files.exists(marker)) {
+      java.nio.file.Files.createDirectories(out)
+      val outStr = out.toString
+      val nDocs = Tables.documents(spark, sfDir).count()
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"),
+          ((col("doc_id") / 5).cast("long") % 4).as("shard"))
+        .repartition(4, col("shard"))
+        .sortWithinPartitions(col("shard"), col("doc_id"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          var shard = -1L
+          var fos: java.io.BufferedOutputStream = null
+          try {
+            rows.foreach { r =>
+              if (r.getLong(2) != shard) {
+                if (fos != null) fos.close()
+                shard = r.getLong(2)
+                fos = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+                  new java.io.File(outStr, s"pages-$shard.warc")))
+              }
+              val d = r.getLong(0)
+              val words = r.getString(1).split(' ')
+              val html = new StringBuilder
+              html.append("<html><head><title>Doc ").append(d)
+                .append("</title></head><body><p>")
+                .append(r.getString(1)).append("</p>\n")
+              val nLinks = (d % 4) + 1
+              var j = 0L
+              while (j < nLinks) {
+                // link 0 targets a hub (ids 0..9): realistic skewed
+                // in-degree so the census aggregates non-trivial fan-in
+                val t = if (j == 0) (d / 5) % 10 else (d * 31 + j * 17) % nDocs
+                val extra = if (t % 3 == 0) s"&ref=2&aa=1" else ""
+                val anchor = words.slice((3 * j).toInt, (3 * j + 2).toInt)
+                  .mkString(" ")
+                html.append("<a href=\"http://WWW.s").append(t % 7)
+                  .append(".example:80/p/").append(t)
+                  .append("/?utm_src=fix&utm_c=").append(j).append(extra)
+                  .append("\">").append(anchor).append("</a> and more\n")
+                j += 1
+              }
+              html.append("</body></html>")
+              writeRecord(fos, "response",
+                s"<urn:graft:page:$d>", s"http://s${d % 7}.example/p/$d",
+                f"2026-02-${d % 28 + 1}%02dT00:00:00Z",
+                "text/html; charset=utf-8",
+                html.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          } finally if (fos != null) fos.close()
+        }
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+    }
+    out.toString
+  }
 }

@@ -442,6 +442,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(j.count() === 0L, "jaccard at 0.5 must be blind to the excerpt")
   }
 
+  test("binaryCode packs sign bits 32 dims per word, exactly") {
+    // dims 0 and 33 positive, dim 1 negative, rest zero: bit set iff qv > 0
+    val v = Array.fill(64)(0.0f)
+    v(0) = 0.5f; v(1) = -0.5f; v(33) = 0.25f
+    val df = Seq((1L, v.toSeq)).toDF("id", "vec")
+      .withColumn("qv", Similarity.quantize(col("vec")))
+    val code = Similarity.binaryCode(df, "qv", dim = 64, outCol = "code")
+      .select($"code").as[Seq[Long]].head()
+    assert(code == Seq(1L, 2L), s"got $code") // bit 0 of word 0, bit 1 of word 1
+    // hamming: [1,2] vs [3,2] differ in exactly bit 1 of word 0
+    val h = Seq((Seq(1L, 2L), Seq(3L, 2L))).toDF("a", "b")
+      .select(Similarity.hammingDistance($"a", $"b")).as[Long].head()
+    assert(h == 1L)
+  }
+
+  test("binaryAnnTopK with m covering the corpus equals exact brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf())
+    val probes = emb.filter($"vec_id" % 100 === 0)
+    val binary = Similarity.binaryAnnTopK(emb, "vec_id", "embedding",
+        probes, dim = 64, m = 1000, k = 10)
+      .select($"probe_id", $"rank", $"vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // exact reference: quantized cosine over all candidates per probe
+    import org.apache.spark.sql.expressions.Window
+    val qv = Similarity.quantize($"embedding")
+    val exact = emb.select($"vec_id", qv.as("qv"))
+      .crossJoin(broadcast(probes.select($"vec_id".as("probe_id"), qv.as("pqv"))))
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("cos", Similarity.quantizedCosine($"qv", $"pqv"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"probe_id")
+        .orderBy($"cos".desc, $"vec_id".asc)))
+      .filter($"rank" <= 10)
+      .select($"probe_id", $"rank".cast("long"), $"vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(binary == exact,
+      "prefilter covering the whole corpus must reproduce exact ranking")
+    // and a REAL prefilter (m=64) keeps useful recall on the same probes
+    val pre = Similarity.binaryAnnTopK(emb, "vec_id", "embedding",
+        probes, dim = 64, m = 64, k = 10)
+      .select($"probe_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val exactIds = exact.map(t => (t._1, t._3))
+    val recall = pre.count(exactIds.contains).toDouble / exactIds.size
+    assert(recall >= 0.3, f"binary prefilter recall@10 $recall%.2f below floor")
+  }
+
   test("exactSubstringCensus: first occurrence kept, overlapping dup windows merge, short docs zero") {
     // w=3. doc 1 is first everywhere; doc 2 shares the run "a b c d"
     // (2 overlapping dup windows -> ONE 4-token span, not 6); doc 3 is a

@@ -514,6 +514,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("binary ANN: Hamming prefilter is group-limited, rerank fetch broadcasts the survivor set") {
+    val p = plan("q208_binary_ann")
+    // phase 1: per-probe top-m over the narrow code scan must prune
+    // map-side (WindowGroupLimit), never shuffle the corpus×probes product
+    assert(p.contains("WindowGroupLimit"),
+      "Hamming prefilter lost the window-group-limit pushdown")
+    // phase 2: the bounded survivor set joins back to the corpus as a
+    // broadcast hash join — the corpus itself never shuffles for the fetch
+    assert(p.contains("BroadcastHashJoin"),
+      "vector fetch for the rerank must broadcast the survivors")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("hard negatives broadcast the probe side; per-probe rank is group-limited") {
     val p = plan("q154_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

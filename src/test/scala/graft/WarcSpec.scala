@@ -369,4 +369,27 @@ class WarcSpec extends SparkSpec {
     assert(joined.count() === expect.count() - nCorrupt)
     assert(joined.filter(col("d1") =!= col("d2")).count() === 0)
   }
+
+  test("anchor-text extraction canonicalizes every messy href and sees hub fan-in") {
+    val out = graft.queries.ParticipantQueries.anchorText(spark, sf())
+      .collect()
+    assert(out.nonEmpty)
+    val urls = out.map(_.getAs[String]("target_url"))
+    // the fixture hrefs carry WWW./:80/trailing-slash/utm_ noise; NONE of
+    // it may survive canonicalization
+    assert(urls.forall(u => !u.contains("WWW.") && !u.contains("www.")), urls.take(3).mkString(","))
+    assert(urls.forall(u => !u.contains(":80")), "default port must be stripped")
+    assert(urls.forall(u => !u.contains("utm_")), "utm params must be dropped")
+    assert(urls.forall(u => !u.stripPrefix("http://").endsWith("/")),
+      "trailing slash must be stripped")
+    // surviving non-utm params come out byte-sorted
+    assert(urls.filter(_.contains("?")).forall(_.endsWith("?aa=1&ref=2")))
+    // hub targets (link 0 of every page) accumulate fan-in from several
+    // hosts — the aggregation half of the operator has real work
+    val top = out.head
+    assert(top.getAs[Long]("inlinks") >= 5L, s"hub fan-in missing: $top")
+    assert(top.getAs[Long]("n_source_hosts") >= 3L)
+    // anchors are 2-word phrases from the source docs (never tag syntax)
+    assert(out.forall(r => !r.getAs[String]("top_anchor").contains("<")))
+  }
 }
