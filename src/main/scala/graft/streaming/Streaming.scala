@@ -862,6 +862,111 @@ object Streaming {
     * batch build over the union would produce. State per set is k·8 B
     * per batch partition; compaction (re-merging old partitions) is an
     * offline concern, not a correctness one. */
+  /** INCREMENTAL ANN (IVF) index sink — the embedding-side standing
+    * index, completing the durable-index family (near-dup signatures,
+    * postings, frontier, and now vectors): newly-arrived embeddings are
+    * quantized and assigned to their nearest centroid per micro-batch
+    * ([[graft.ops.Similarity.ivfExactAssign]] — centroid table broadcast,
+    * map-only, zero shuffle of the arrivals), then appended as (id, qv)
+    * rows PARTITIONED BY cell under `batch_run=<id>`, so the serving
+    * probe ([[graft.ops.Similarity.ivfExactTopKMany]] over
+    * `annIndexVectors`) partition-prunes to its nProbe cells exactly as
+    * it does against the offline-built artifact.
+    *
+    * Centroids come from `centroidsDir` — the OFFLINE-TRAINED artifact
+    * (real deployments train centroids on a corpus sample and hold them
+    * fixed while the index grows online; retraining is a reindex, not a
+    * sink concern). The per-batch read of the k-row centroid table is
+    * negligible against the assignment it parameterizes.
+    *
+    * Replay/duplicate defense happens AT WRITE TIME, because serving
+    * correctness depends on id uniqueness (a duplicate id would occupy
+    * two rank slots in every probe): arrivals anti-join the existing
+    * index's id column (narrow scan — ids only, the dedup sinks' probe
+    * cost profile) EXCLUDING the current batch_run, so a
+    * checkpoint-replayed batch rewrites its own partition with identical
+    * content (idempotent) while an at-least-once upstream re-sending an
+    * id in a LATER batch is dropped before it lands. Index growth is
+    * (8·dim + 16) B/vector — bounded, content never stored. */
+  def incrementalAnnSink(vecs: DataFrame, idCol: String, vecCol: String,
+      centroidsDir: String, indexDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // empty trigger → no empty batch_run dirs accumulating
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cents = spark.read.parquet(centroidsDir)
+          val assigned = graft.ops.Similarity.ivfExactAssign(
+            batch.select(col(idCol).as("id"),
+              graft.ops.Similarity.quantize(col(vecCol)).as("qv")),
+            cents)
+          // first trigger: no index tree yet — nothing to defend against
+          val fresh = scala.util.Try(spark.read.parquet(indexDir)).toOption
+            .map(idx => assigned.join(
+              idx.filter(col("batch_run") =!= batchId).select(col("id")),
+              Seq("id"), "left_anti"))
+            .getOrElse(assigned)
+          fresh.repartition(col("cell")) // contiguous writers per cell dir
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$indexDir/batch_run=$batchId")
+        }
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** The streamed ANN index as a serving-ready (cell, id, qv) frame —
+    * feed straight into [[graft.ops.Similarity.ivfExactTopK]]/
+    * [[graft.ops.Similarity.ivfExactTopKMany]] with the SAME centroids
+    * the sink assigns by. batch_run stays out of the schema: serving
+    * must not care how many triggers built the index. */
+  def annIndexVectors(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).select(col("cell"), col("id"), col("qv"))
+
+  /** OFFLINE compaction for [[incrementalAnnSink]]'s partition tree:
+    * folds every `batch_run=<id>/cell=<c>` dir into ONE batch_run
+    * (lowest existing id — sink ids only grow, no collision) while
+    * PRESERVING the cell partitioning the serving probe prunes on, and
+    * deduplicating by id (at-least-once upstream defense; last write
+    * wins is unnecessary — a re-sent id carries the same vector, any
+    * copy is correct). Same crash discipline as [[compactIndex]]:
+    * stage under a dot-dir, move-aside → move-in → delete with every
+    * rename checked, recovery prologue restores a parked partition
+    * before anything reads. Run in a maintenance window (sink
+    * stopped). Returns partitions folded (0 = nothing to do). */
+  def compactAnnIndex(spark: SparkSession, indexDir: String): Int = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(src, dst), s"compactAnnIndex: rename $src -> $dst failed")
+    def glob(pattern: String) =
+      Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
+    val runDirs = glob("batch_run=*").map(_.getPath.getName)
+    glob(".compact_old_*").foreach { st =>
+      val orig = st.getPath.getName.stripPrefix(".compact_old_")
+      if (runDirs.contains(orig)) fs.delete(st.getPath, true)
+      else move(st.getPath, p(orig))
+    }
+    val df = spark.read.parquet(indexDir)
+    val runs = df.select(col("batch_run").cast("long")).distinct()
+      .as[Long].collect().sorted
+    if (runs.length <= 1) return 0
+    val lo = runs.head
+    val staging = p(".compact_staging")
+    df.select(col("cell"), col("id"), col("qv")).dropDuplicates("id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    val loName = s"batch_run=$lo"
+    move(p(loName), p(s".compact_old_$loName"))
+    move(staging, p(loName))
+    fs.delete(p(s".compact_old_$loName"), true)
+    runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
+    runs.length
+  }
+
   def kmvSketchSink(rows: DataFrame, setCol: String, valueCol: String,
       indexDir: String, k: Int = 128,
       checkpointDir: Option[String] = None): StreamingQuery = {

@@ -939,6 +939,97 @@ class StreamingSpec extends SparkSpec {
     assert(partitions() == 1)
   }
 
+  test("incremental ANN sink: streamed IVF index serves identically to a batch build; compaction + crash recovery hold") {
+    import graft.ops.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_sink").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+      .filter($"vec_id" < 60).localCheckpoint(true)
+    // offline-trained centroid artifact: fixed while the index grows
+    Similarity.ivfExactCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def start() = Streaming.incrementalAnnSink(
+      spark.readStream.schema(schema).parquet(srcDir), "vec_id", "embedding",
+      s"$root/centroids", s"$root/idx", checkpointDir = Some(s"$root/ckpt"))
+    def land(lo: Long, hi: Long) =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id", $"embedding").write.mode("append").parquet(srcDir)
+    def partitions() = new java.io.File(s"$root/idx").listFiles()
+      .count(_.getName.startsWith("batch_run="))
+    // two sink incarnations -> two batch_run partitions
+    land(0, 30); val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(30, 60); val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(partitions() == 2, "two triggers must leave two partitions")
+
+    val cents = spark.read.parquet(s"$root/centroids")
+    val full = graft.sources.Tables.embeddings(spark, sf())
+      .select($"vec_id", $"embedding").localCheckpoint(true)
+    val queries = emb.filter($"vec_id".isin(0L, 7L, 13L))
+      .select($"vec_id".as("query_id"), Similarity.quantize($"embedding").as("q"))
+      .localCheckpoint(true)
+    def served() = Similarity.ivfExactTopKMany(
+        Streaming.annIndexVectors(spark, s"$root/idx"), cents, queries,
+        k = 5, nProbe = 2)
+      .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect().toSet
+    def batchRef(hi: Long) = Similarity.ivfExactTopKMany(
+        Similarity.ivfExactAssign(full.filter($"vec_id" < hi)
+          .select($"vec_id".as("id"),
+            Similarity.quantize($"embedding").as("qv")), cents),
+        cents, queries, k = 5, nProbe = 2)
+      .select($"query_id", $"rank", $"id").as[(Long, Long, Long)].collect().toSet
+    assert(served() == batchRef(60),
+      "streamed index must serve bit-identically to a batch build over the union")
+
+    // maintenance window: fold the tree — cell partitioning must survive
+    // (the serving probe prunes on it), and serving must not change
+    assert(Streaming.compactAnnIndex(spark, s"$root/idx") == 2)
+    assert(partitions() == 1, "compaction must leave ONE partition")
+    assert(Streaming.compactAnnIndex(spark, s"$root/idx") == 0, "idempotent")
+    val foldedRun = new java.io.File(s"$root/idx").listFiles()
+      .filter(_.getName.startsWith("batch_run=")).head
+    assert(foldedRun.listFiles().exists(_.getName.startsWith("cell=")),
+      "fold must preserve the cell partition dirs")
+    assert(served() == batchRef(60), "compaction changed what serves")
+
+    // at-least-once upstream: a later batch re-sends ids 20..59 alongside
+    // genuinely new 60..69 — the write-time anti-join must drop the
+    // duplicates BEFORE they land (serving correctness does not wait for
+    // a compaction window)
+    full.filter($"vec_id" >= 20 && $"vec_id" < 70)
+      .write.mode("append").parquet(srcDir)
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    val ids = Streaming.annIndexVectors(spark, s"$root/idx")
+      .select($"id").as[Long].collect()
+    assert(ids.length == ids.distinct.length && ids.length == 70,
+      s"write-time dup defense: ${ids.length} rows, ${ids.distinct.length} distinct")
+    assert(served() == batchRef(70), "re-sent ids must not change serving")
+    assert(Streaming.compactAnnIndex(spark, s"$root/idx") == 2)
+
+    // crash-window recovery: a crash between move-aside and move-in
+    // leaves the lowest partition parked under the dot-dir — the next
+    // compaction must restore it BEFORE reading, losing nothing
+    full.filter($"vec_id" >= 70 && $"vec_id" < 80)
+      .write.mode("append").parquet(srcDir)
+    val q4 = start(); q4.processAllAvailable(); q4.stop()
+    assert(partitions() == 2)
+    val idxDir = new java.io.File(s"$root/idx")
+    val lo = idxDir.listFiles().map(_.getName)
+      .filter(_.startsWith("batch_run=")).sorted.head
+    assert(new java.io.File(idxDir, lo).renameTo(
+      new java.io.File(idxDir, s".compact_old_$lo")))
+    assert(Streaming.compactAnnIndex(spark, s"$root/idx") == 2)
+    val afterCrash = Streaming.annIndexVectors(spark, s"$root/idx")
+      .select($"id").as[Long].collect()
+    assert(afterCrash.length == 80 && afterCrash.distinct.length == 80,
+      "parked partition must be restored, then folded")
+    assert(partitions() == 1)
+  }
+
   test("compactIndex refuses the paragraph sink's fingerprint index (partition-based replay defense)") {
     val root = java.nio.file.Files.createTempDirectory("graft_compact_para").toString
     Seq((1L, 2L)).toDF("h1", "h2").write.parquet(s"$root/idx/batch_run=0")
