@@ -166,7 +166,18 @@ object ScaleProbe {
     "q205_token_budget", "q206_source_containment",
     // round-10 continuation: difficulty-ordered curriculum manifest (one
     // kernel scan + bounded histogram + stage-partitioned rank)
-    "q207_curriculum_order")
+    "q207_curriculum_order",
+    // round-10 continuation: binary-quantized ANN (narrow 16 B/vector
+    // code scan vs bounded broadcast probes + bounded rerank fetch),
+    // Matryoshka truncation recall (4 prefix-dim passes × bounded
+    // probes), anchor-text aggregation (HTML fixture scales with the
+    // corpus; extracted triples exchange once on the canonical target)
+    "q208_binary_ann", "q209_matryoshka_recall", "q210_anchor_text",
+    // round-10 continuation: directed link authority (3 edge⋈rank
+    // iterations over the extracted HTML graph) and the authority ×
+    // quality decile census (rankBucket histogram ranks — no
+    // corpus-sized window)
+    "q211_link_authority", "q212_authority_quality")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

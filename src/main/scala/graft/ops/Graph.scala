@@ -122,6 +122,48 @@ object Graph {
     ranks
   }
 
+  /** Integer fixed-point PageRank over a DIRECTED edge set — the
+    * link-authority form for crawl graphs, where directedness IS the
+    * signal (a page linked BY many hosts is authoritative; linking out
+    * confers nothing). Node universe = src ∪ dst; every node starts at
+    * 2^40 and each iteration becomes
+    * `teleport + Σ_in (rank·85) div (100·outdeg)` — a node with no
+    * in-links holds exactly the teleport base. Dangling nodes' out-mass
+    * is dropped, not redistributed (the documented leaked-mass
+    * simplification; redistribution would make every rank depend on a
+    * global aggregate and buy nothing for RANKING, which the teleport
+    * floor already bounds). All arithmetic stays exact BIGINT floor
+    * division, replayable by the SQL oracle iteration for iteration.
+    *
+    * Scale shape per iteration: one equi-join edges⋈ranks on src, one
+    * groupBy(dst) partial-aggregated map-side, one LEFT join of the
+    * bounded contribution table back onto nodes — no step sees more
+    * than O(|E|) rows and nothing global-sorts. */
+  def pageRankDirected(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("node"), lit(RankScale).as("rank"))
+    for (_ <- 0 until iters) {
+      val contribs = e
+        .join(deg, Seq("src"))
+        .join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("rank * 85 div (100 * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(TeleportBase) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    ranks
+  }
+
   /** Degree distribution summary of an undirected edge set — the
     * pre-flight skew probe for any graph workload (a power-law hub is
     * exactly what maxBucket/salting guard against downstream). */

@@ -55,6 +55,155 @@ object GraphQueries {
       |ORDER BY rank DESC, kind ASC, key ASC
       |LIMIT 100""".stripMargin
 
+  /** Q211 — LINK AUTHORITY over the crawl's extracted HTML link graph:
+    * directed integer fixed-point PageRank (3 iterations) on the edges
+    * the q210 extraction chain parses out of rendered pages — the
+    * PageRank-era authority signal computed where it actually lives, and
+    * the selection weight a curation pipeline uses to prefer well-linked
+    * pages over orphans. Directedness is the point (being LINKED-TO
+    * confers authority; linking out confers nothing), so this rides
+    * [[graft.ops.Graph.pageRankDirected]] with its dangling-node
+    * semantics rather than q47's undirected walk. Node ids are the page
+    * ordinals embedded in the canonical URL path; the fixture's hub
+    * targets must surface at the top of the ranking. The oracle
+    * reconstructs the edge set from the documents-table arithmetic the
+    * fixture generator used and replays all three exact-BIGINT
+    * iterations (the q47 convention + directed/dangling semantics). */
+  /** The q210/q211 link-graph substrate: (src, dst) page-ordinal edges
+    * extracted from the HTML crawl fixture's rendered pages — real
+    * `<a href>` parse, UrlOps canonicalization, node id = the ordinal in
+    * the canonical URL path. */
+  private def htmlLinkEdges(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.sources.Warc.ensureHtmlFixture(spark, dir)
+    graft.sources.Warc.scan(spark, fx).toDF()
+      .filter(col("error").isNull &&
+        col("content_type").startsWith("text/html"))
+      .select(
+        regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("src"),
+        explode(regexp_extract_all(col("payload").cast("string"),
+          lit("<a href=\"[^\"]*\""), lit(0))).as("tag"))
+      .select(col("src"),
+        regexp_extract(graft.ops.UrlOps.canonicalizeUrl(
+            regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)),
+          "/p/([0-9]+)", 1).cast("long").as("dst"))
+  }
+
+  def linkAuthority(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRankDirected(htmlLinkEdges(spark, dir), iters = 3)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(50)
+
+  val linkAuthoritySql: String = {
+    def iter(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst, CAST(sum((r.rank * 85) // (100 * d.outdeg)) AS BIGINT) AS c
+         |  FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nn.node,
+         |    (1099511627776 * 15) // 100 + coalesce(c$i.c, 0) AS rank
+         |  FROM nodes nn LEFT JOIN c$i ON c$i.dst = nn.node)""".stripMargin
+    s"""WITH n AS (SELECT count(*) AS n FROM documents),
+       |pages AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 0),
+       |links AS (
+       |  SELECT s.d AS src,
+       |    CASE WHEN j.j = 0 THEN (s.d // 5) % 10
+       |         ELSE ((s.d * 31 + j.j * 17) % n.n) END AS dst
+       |  FROM pages s CROSS JOIN n CROSS JOIN range(0, 4) j(j)
+       |  WHERE j.j < (s.d % 4) + 1),
+       |e AS (SELECT DISTINCT src, dst FROM links),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS rank FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT node, rank FROM r3
+       |ORDER BY rank DESC, node ASC LIMIT 50""".stripMargin
+  }
+
+  /** Q212 — AUTHORITY × QUALITY census: the measured justification for
+    * authority-weighted curation — pages bucketed into exact
+    * equal-frequency AUTHORITY DECILES (OrderStats.rankBucket over the
+    * q211 directed-PageRank ranks: histogram-based, no corpus-sized
+    * window anywhere), each decile reporting page count, mean authority,
+    * and mean q17 quality (integer-exact). If high-authority deciles
+    * don't show better content, authority is a crawl-prioritization
+    * signal only — this table is how a curation pipeline finds out
+    * before it reweights by it. Oracle replays the full PageRank chain,
+    * the quality kernel, the position-based decile assignment
+    * ((pos−1)·10 div n + 1 over the (rank, node) total order — exactly
+    * rankBucket's settled+straddle semantics), and the aggregates. */
+  def authorityQuality(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = Graph.pageRankDirected(htmlLinkEdges(spark, dir), iters = 3)
+    val pages = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("node"),
+        round(graft.functions.TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
+          .cast("long").as("qm"))
+    // inner join: every page has ≥1 out-link, so it is in the node set
+    val withRank = pages.join(ranks, Seq("node"))
+    val deciled = graft.ops.OrderStats.rankBucket(
+      withRank.select(col("node"), col("rank")), "rank", "node",
+      parts = 10, outCol = "decile")
+    withRank.join(deciled, Seq("node"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pages"),
+        expr("sum(`rank`) div count(1)").as("mean_rank"),
+        expr("sum(qm) div count(1)").as("mean_qm"))
+      .orderBy(col("decile"))
+  }
+
+  val authorityQualitySql: String = {
+    def iter(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst, CAST(sum((r.rank * 85) // (100 * d.outdeg)) AS BIGINT) AS c
+         |  FROM e JOIN deg d USING (src) JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nn.node,
+         |    (1099511627776 * 15) // 100 + coalesce(c$i.c, 0) AS rank
+         |  FROM nodes nn LEFT JOIN c$i ON c$i.dst = nn.node)""".stripMargin
+    s"""WITH n AS (SELECT count(*) AS n FROM documents),
+       |pages AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 0),
+       |links AS (
+       |  SELECT s.d AS src,
+       |    CASE WHEN j.j = 0 THEN (s.d // 5) % 10
+       |         ELSE ((s.d * 31 + j.j * 17) % n.n) END AS dst
+       |  FROM pages s CROSS JOIN n CROSS JOIN range(0, 4) j(j)
+       |  WHERE j.j < (s.d % 4) + 1),
+       |e AS (SELECT DISTINCT src, dst FROM links),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node, CAST(1099511627776 AS BIGINT) AS rank FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |pq AS (
+       |  SELECT doc_id AS node,
+       |    CAST(round((0.3 * least(1.0, nt / 50)
+       |        + 0.3 * (nd / nt)
+       |        + 0.2 * (1.0 - dig / nt)
+       |        + 0.2 * least(1.0, ((length(text) - (nt - 1)) / nt) / 8)) * 1000000, 0) AS BIGINT) AS qm
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+       |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+       |      CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[0-9]+$$'))) AS DOUBLE) AS dig
+       |    FROM documents WHERE doc_id % 5 = 0)),
+       |wr AS (SELECT p.node, p.qm, r.rank FROM pq p JOIN r3 r USING (node)),
+       |dd AS (
+       |  SELECT node, qm, rank,
+       |    (row_number() OVER (ORDER BY rank, node) - 1) * 10
+       |      // (SELECT count(*) FROM wr) + 1 AS decile
+       |  FROM wr)
+       |SELECT decile, CAST(count(*) AS BIGINT) AS n_pages,
+       |  CAST(sum(rank) // count(*) AS BIGINT) AS mean_rank,
+       |  CAST(sum(qm) // count(*) AS BIGINT) AS mean_qm
+       |FROM dd GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   /** Q77 — exact triangle counting (Graph.triangles, degree-ordered
     * orientation) over the part co-purchase graph: parts sharing ≥ 2
     * orders are linked; per-node triangle participation ranks the
@@ -240,6 +389,8 @@ object GraphQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q115_link_prediction", linkPredictionQuery, Some(linkPredictionSql)),
     QueryDef("q47_pagerank", pageRankQuery, Some(pageRankSql)),
+    QueryDef("q211_link_authority", linkAuthority, Some(linkAuthoritySql)),
+    QueryDef("q212_authority_quality", authorityQuality, Some(authorityQualitySql)),
     QueryDef("q96_label_prop", labelPropQuery, Some(labelPropSql)),
     QueryDef("q104_bfs_landmarks", bfsHopsQuery, Some(bfsHopsSql)),
     QueryDef("q77_triangles", trianglesQuery, Some(trianglesSql)))

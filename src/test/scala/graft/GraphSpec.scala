@@ -21,6 +21,23 @@ class GraphSpec extends SparkSpec {
     assert(r(0L) > leaves.head, s"hub must out-rank leaves: $r")
   }
 
+  test("pageRankDirected: no-in-link nodes hold teleport, in-mass exact, dangling out-mass dropped") {
+    import spark.implicits._
+    val base = snapshotBlocks()
+    // 1 -> 2, 1 -> 3, 2 -> 3; node 3 dangles (no out-edges)
+    val got = Graph.pageRankDirected(edges((1L, 2L), (1L, 3L), (2L, 3L)), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val S = Graph.RankScale; val B = Graph.TeleportBase
+    def c(r: Long, d: Long) = r * 85 / (100 * d)
+    // hand-unrolled: node 1 never receives (holds teleport every round);
+    // node 3's rank never feeds anything (dangling mass dropped)
+    val r1 = Map(1L -> B, 2L -> (B + c(S, 2)), 3L -> (B + c(S, 2) + c(S, 1)))
+    val r2 = Map(1L -> B, 2L -> (B + c(r1(1L), 2)),
+      3L -> (B + c(r1(1L), 2) + c(r1(2L), 1)))
+    assert(got == r2, s"got $got expected $r2")
+    assertNoLeakedBlocks("pageRankDirected", base)
+  }
+
   test("regular graph: ranks stay at the uniform fixed point (exact ties)") {
     // 4-cycle: every node degree 2 — rank must stay identical everywhere
     val e = Graph.undirected(edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
