@@ -177,7 +177,12 @@ object ScaleProbe {
     // iterations over the extracted HTML graph) and the authority ×
     // quality decile census (rankBucket histogram ranks — no
     // corpus-sized window)
-    "q211_link_authority", "q212_authority_quality")
+    "q211_link_authority", "q212_authority_quality",
+    // round-10 continuation: politeness fetch scheduling (canonical
+    // collapse + host-partitioned rank + 8-key census) and the IR
+    // metrics eval (per query one inverted-index BM25 + map-only rel
+    // kernel; everything after the top-10 cut is ≤10 rows)
+    "q213_politeness_schedule", "q214_retrieval_metrics")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

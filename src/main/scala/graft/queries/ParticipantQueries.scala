@@ -933,6 +933,73 @@ object ParticipantQueries {
         .as("url"))
   }
 
+  /** Q213 — POLITENESS-AWARE fetch scheduling: the crawl-side operator
+    * between the frontier and the fetchers. Canonical URLs collapse
+    * (q157's chain), each HOST's queue is ordered by priority
+    * (best_chars desc, canon asc — the recrawl-value convention) into
+    * per-host sequence numbers (one request per host per round — the
+    * politeness constraint every real crawler serializes on), and hosts
+    * are hash-assigned to a fixed pool of fetcher slots (portableHash60
+    * — engine-replayable, so the oracle reproduces the exact
+    * assignment). The census prices the schedule per slot: host count,
+    * URL load, deepest host queue (the politeness-bound lower limit on
+    * rounds), and the integer lower bound on rounds-to-drain
+    * max(deepest queue, ceil(urls/hosts)) — the number a crawl capacity
+    * plan needs before provisioning fetchers.
+    *
+    * Scale: one canonical hash-agg collapse, one HOST-partitioned rank
+    * (bounded by per-host queue length, never a global window), one
+    * 8-key census. Hosts are the exchange key; URLs never shuffle
+    * twice. */
+  def politenessSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlOps
+    import org.apache.spark.sql.expressions.Window
+    val urls = syntheticFrontier(Tables.documents(spark, dir))
+    val perCanon = urls
+      .select(UrlOps.canonicalizeUrl(col("url")).as("canon"), col("n_chars"))
+      .groupBy(col("canon")).agg(max(col("n_chars")).as("pri"))
+      // canonical forms are fixed points of canonicalization (the
+      // UrlOpsSpec idempotence property), so urlHost on canon is the
+      // plain authority extraction
+      .withColumn("host", UrlOps.urlHost(col("canon")))
+    perCanon
+      .withColumn("seq", row_number().over(Window.partitionBy(col("host"))
+        .orderBy(col("pri").desc, col("canon").asc)))
+      .withColumn("slot",
+        pmod(graft.functions.TextFunctions.portableHash60(col("host")), lit(8L)))
+      .groupBy(col("slot"))
+      .agg(count_distinct(col("host")).as("n_hosts"),
+        count(lit(1)).as("n_urls"),
+        max(col("seq")).cast("long").as("max_host_depth"),
+        greatest(max(col("seq")).cast("long"),
+          expr("(count(1) + count(DISTINCT host) - 1) div count(DISTINCT host)"))
+          .as("min_rounds"))
+      .orderBy(col("slot"))
+  }
+
+  // def, not val: urlCanonCtes is declared further down the object and
+  // would still be null during this field's initializer
+  def politenessScheduleSql: String =
+    "WITH " + urlCanonCtes + """,
+      |per_canon AS (
+      |  SELECT canon, CAST(max(n_chars) AS BIGINT) AS pri FROM canon GROUP BY canon),
+      |hosted AS (
+      |  SELECT canon, pri,
+      |    regexp_extract(canon, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host
+      |  FROM per_canon),
+      |seqd AS (
+      |  SELECT host, canon,
+      |    row_number() OVER (PARTITION BY host ORDER BY pri DESC, canon) AS seq,
+      |    CAST(('0x' || substring(md5(host), 1, 15)) AS BIGINT) % 8 AS slot
+      |  FROM hosted)
+      |SELECT slot, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+      |  CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(max(seq) AS BIGINT) AS max_host_depth,
+      |  CAST(greatest(max(seq),
+      |    (count(*) + count(DISTINCT host) - 1) // count(DISTINCT host)) AS BIGINT)
+      |    AS min_rounds
+      |FROM seqd GROUP BY slot ORDER BY slot""".stripMargin
+
   def urlCuration(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.UrlOps
     val urls = syntheticFrontier(Tables.documents(spark, dir))
@@ -1539,6 +1606,7 @@ object ParticipantQueries {
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q147_warc_ingest", warcIngest, Some(warcIngestSql)),
     QueryDef("q210_anchor_text", anchorText, Some(anchorTextSql)),
+    QueryDef("q213_politeness_schedule", politenessSchedule, Some(politenessScheduleSql)),
     QueryDef("q151_crawl_curation", crawlCuration, Some(crawlCurationSql)),
     QueryDef("q156_crawl_churn", crawlChurn, Some(crawlChurnSql)),
     QueryDef("q157_url_curation", urlCuration, Some(urlCurationSql)),

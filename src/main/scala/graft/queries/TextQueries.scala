@@ -190,6 +190,155 @@ object TextQueries {
        |ORDER BY score_e12 DESC, doc_id LIMIT $Bm25K""".stripMargin
   }
 
+  /** Q214's query battery + the micro-scaled DCG position weights
+    * (round(1e6/log2(pos+1)), pos 1..10) — ONE source of truth computed
+    * here and embedded as identical literals in the Spark plan and the
+    * SQL oracle, so the FP log2 never crosses an engine boundary. */
+  /** (query_id, per-term (term, minTf) grade gates): 'dup' is the
+    * corpus's one genuinely rare term (df ≈ 5%), and the common term of
+    * each pair only grades at tf ≥ 2 — so relevance grades actually
+    * separate documents instead of saturating (a coverage-only grade on
+    * this small-vocab corpus marks nearly every document rel=2 and
+    * every metric reads 1.0). */
+  val RetrievalQueries: Seq[(Long, Seq[(String, Int)])] = Seq(
+    (1L, Seq("dup" -> 1, "spark" -> 2)), (2L, Seq("dup" -> 1, "merge" -> 2)),
+    (3L, Seq("query" -> 2, "scan" -> 2)))
+  val DcgWeights: Seq[(Int, Long)] = (1 to 10).map(p =>
+    p -> math.round(1e6 / (math.log(p + 1) / math.log(2))))
+
+  /** Q214 — RETRIEVAL METRICS (MRR@10, precision@10, nDCG@10): the
+    * serving-quality governance table — is the BM25 ranker actually
+    * surfacing the relevant documents, measured the way IR evaluations
+    * measure it. Graded truth is deterministic from the corpus (rel =
+    * number of DISTINCT query terms present, 0..2 — coverage-graded, so
+    * nDCG scores how BM25's tf-weighting agrees with term coverage
+    * rather than tautologically with itself). All metric arithmetic is
+    * integer-exact: gains (2^rel − 1), micro-scaled position weights
+    * (DcgWeights literals), DCG/IDCG as BIGINT sums, MRR and nDCG as
+    * micro integer divisions. The IDEAL ranking never sorts the corpus:
+    * the ≤3-row grade census + cumulative counts place each of the 10
+    * positions arithmetically (pos ∈ (cum_before, cum_before + n]).
+    *
+    * Scale: per query one bm25TopK (inverted-index shape) + one
+    * map-only rel kernel into a ≤3-row census; every join after the
+    * top-10 cut is over ≤10-row frames. The post-limit row_number is
+    * the PlanAudit-exempted bounded window. */
+  def retrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val weights = broadcast(DcgWeights.toDF("pos", "w"))
+    val blocks = RetrievalQueries.map { case (qid, gates) =>
+      val terms = gates.map(_._1)
+      val relCol = gates.map { case (t, minTf) =>
+        when(size(filter(split(col("text"), " "), _ === t)) >= minTf, 1L)
+          .otherwise(0L)
+      }.reduce(_ + _)
+      val rel = docs.select(col("doc_id"), relCol.as("rel"))
+        .localCheckpoint(true) // two consumers: ranked join + ideal census
+      val ranked = graft.ops.TextSearch.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("score_e12").desc, col("doc_id").asc)))
+      val scored = ranked.join(rel, Seq("doc_id")).join(weights, Seq("pos"))
+        .select(col("pos"), col("rel"), col("w"))
+      val got = scored.agg(
+        sum(expr("(shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1) * w"))
+          .as("dcg_e6"),
+        min(when(col("rel") >= 1, col("pos"))).as("__first"),
+        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("precision_at_10"))
+      val gc = rel.groupBy(col("rel")).agg(count(lit(1)).as("n"))
+      val cum = gc.as("a").join(gc.as("b"), col("b.rel") > col("a.rel"), "left")
+        .groupBy(col("a.rel"), col("a.n"))
+        .agg(coalesce(sum(col("b.n")), lit(0L)).as("cumb"))
+      val idcg = weights
+        .join(cum, col("pos") > col("cumb") && col("pos") <= col("cumb") + col("n"))
+        .agg(sum(expr("(shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1) * w"))
+          .as("idcg_e6"))
+      got.crossJoin(idcg).select(
+        lit(qid).as("query_id"),
+        coalesce(expr("1000000 div __first"), lit(0L)).as("mrr_micro"),
+        col("precision_at_10"),
+        col("dcg_e6"),
+        col("idcg_e6"),
+        when(col("idcg_e6") > 0, expr("(dcg_e6 * 1000000) div idcg_e6"))
+          .otherwise(lit(0L)).as("ndcg_micro"))
+    }
+    blocks.reduce(_ unionByName _).orderBy(col("query_id"))
+  }
+
+  val retrievalMetricsSql: String = {
+    val wVals = DcgWeights.map { case (p, w) => s"($p, $w)" }.mkString(", ")
+    val blocks = RetrievalQueries.map { case (qid, gates) =>
+      val termList = gates.map { case (t, _) => s"'$t'" }.mkString(", ")
+      val relSum = gates.map { case (t, minTf) =>
+        s"CASE WHEN len(list_filter(toks, x -> x = '$t')) >= $minTf THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      s"""SELECT $qid AS query_id, m.mrr_micro, m.precision_at_10, m.dcg_e6,
+         |  i.idcg_e6,
+         |  CASE WHEN i.idcg_e6 > 0 THEN (m.dcg_e6 * 1000000) // i.idcg_e6
+         |       ELSE 0 END AS ndcg_micro
+         |FROM (
+         |  SELECT
+         |    coalesce(1000000 // min(CASE WHEN s.rel >= 1 THEN s.pos END), 0) AS mrr_micro,
+         |    CAST(sum(CASE WHEN s.rel >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS precision_at_10,
+         |    CAST(sum(((CAST(1 AS BIGINT) << CAST(s.rel AS INTEGER)) - 1) * s.w) AS BIGINT) AS dcg_e6
+         |  FROM (
+         |    SELECT r.pos, rel.rel, w.w
+         |    FROM (
+         |      SELECT doc_id, row_number() OVER (ORDER BY score_e12 DESC, doc_id) AS pos
+         |      FROM (
+         |        SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e12
+         |        FROM (
+         |          SELECT doc_id,
+         |            CAST(round(((2.0 * CAST((n_docs - df) AS DOUBLE) + 1.0)
+         |                        / (2.0 * CAST(df AS DOUBLE) + 1.0)) * 1000000.0, 0) AS BIGINT)
+         |            * CAST(round(((CAST(tf AS DOUBLE) * 2.2)
+         |                          / (CAST(tf AS DOUBLE)
+         |                             + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+         |                                                     / CAST(sdl AS DOUBLE))))) * 1000000.0, 0) AS BIGINT)
+         |              AS term_score
+         |          FROM (
+         |            SELECT b.doc_id, b.dl, t.term,
+         |              CAST(len(list_filter(b.toks, x -> x = t.term)) AS BIGINT) AS tf
+         |            FROM base b CROSS JOIN (SELECT unnest([$termList]) AS term) t
+         |            WHERE len(list_filter(b.toks, x -> x = t.term)) > 0) tfr
+         |          JOIN (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |                FROM (
+         |                  SELECT b.doc_id, t.term
+         |                  FROM base b CROSS JOIN (SELECT unnest([$termList]) AS term) t
+         |                  WHERE len(list_filter(b.toks, x -> x = t.term)) > 0) x
+         |                GROUP BY term) d USING (term)
+         |          CROSS JOIN stats) sc
+         |        GROUP BY doc_id
+         |        ORDER BY score_e12 DESC, doc_id LIMIT 10) topk) r
+         |    JOIN (SELECT doc_id, CAST($relSum AS BIGINT) AS rel FROM base) rel
+         |      USING (doc_id)
+         |    JOIN w ON w.pos = r.pos) s) m
+         |CROSS JOIN (
+         |  SELECT CAST(sum(((CAST(1 AS BIGINT) << CAST(c.rel AS INTEGER)) - 1) * w.w) AS BIGINT) AS idcg_e6
+         |  FROM w JOIN (
+         |    SELECT a.rel, a.n, coalesce(sum(b.n), 0) AS cumb
+         |    FROM (SELECT rel, CAST(count(*) AS BIGINT) AS n
+         |          FROM (SELECT CAST($relSum AS BIGINT) AS rel FROM base) g GROUP BY rel) a
+         |    LEFT JOIN (SELECT rel, CAST(count(*) AS BIGINT) AS n
+         |          FROM (SELECT CAST($relSum AS BIGINT) AS rel FROM base) g GROUP BY rel) b
+         |      ON b.rel > a.rel
+         |    GROUP BY a.rel, a.n) c
+         |    ON w.pos > c.cumb AND w.pos <= c.cumb + c.n) i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sdl
+       |  FROM base),
+       |w(pos, w) AS (VALUES $wVals)
+       |SELECT * FROM (
+       |$blocks
+       |) ORDER BY query_id""".stripMargin
+  }
+
   /** Q58 — corpus bigram language-model scoring (the KenLM-shaped
     * fluency/quality signal a training pipeline gates on): build bigram
     * frequencies over the WHOLE corpus, then score each document by the
@@ -1803,5 +1952,6 @@ object TextQueries {
     QueryDef("q19_fingerprint", fingerprintQuery, Some(fingerprintSql)),
     QueryDef("q39_repetition", repetitionQuery, Some(repetitionSql)),
     QueryDef("q45_bm25", bm25Query, Some(bm25Sql)),
+    QueryDef("q214_retrieval_metrics", retrievalMetrics, Some(retrievalMetricsSql)),
     QueryDef("q58_bigram_lm", bigramLm, Some(bigramLmSql)))
 }

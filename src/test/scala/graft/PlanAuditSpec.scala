@@ -483,6 +483,8 @@ class PlanAuditSpec extends SparkSpec {
   // must keep a clean sweep; a new entry here needs its bound argued.
   private val boundedWindowExemptions: Map[String, String] = Map(
     "q114_rrf_fusion" -> "ranks two post-limit top-100 retrieval lists",
+    "q214_retrieval_metrics" -> ("position numbering over each query's " +
+      "post-limit top-10 page — ≤10 rows by construction"),
     "q46_pq_codes" -> "row_number over the post-limit ksub-row codebook seeds",
     "q94_importance_select" -> "rank over the post-limit top-k selection",
     "q181_quality_yield" -> ("cumulative sums over the post-aggregation " +
