@@ -163,4 +163,28 @@ class TextSearchSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(tied == Seq(3L, 5L))
   }
+
+  test("retrieval metrics: weight constants pinned, metric invariants hold") {
+    import graft.queries.TextQueries
+    // the micro-scaled DCG weights are part of the oracle contract —
+    // a platform math.log drift would silently change every nDCG
+    assert(TextQueries.DcgWeights == Seq(
+      1 -> 1000000L, 2 -> 630930L, 3 -> 500000L, 4 -> 430677L,
+      5 -> 386853L, 6 -> 356207L, 7 -> 333333L, 8 -> 315465L,
+      9 -> 301030L, 10 -> 289065L))
+    val rows = TextQueries.retrievalMetrics(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq ==
+      TextQueries.RetrievalQueries.map(_._1))
+    rows.foreach { r =>
+      val (mrr, p10) = (r.getAs[Long]("mrr_micro"), r.getAs[Long]("precision_at_10"))
+      val (dcg, idcg, ndcg) = (r.getAs[Long]("dcg_e6"), r.getAs[Long]("idcg_e6"),
+        r.getAs[Long]("ndcg_micro"))
+      assert(p10 >= 0 && p10 <= 10)
+      assert(mrr == 0 || (mrr >= 100000 && mrr <= 1000000))
+      assert(dcg >= 0 && dcg <= idcg, s"DCG must not exceed ideal: $r")
+      assert(ndcg >= 0 && ndcg <= 1000000)
+      // ndcg is exactly the micro integer division of its own parts
+      if (idcg > 0) assert(ndcg == dcg * 1000000L / idcg)
+    }
+  }
 }

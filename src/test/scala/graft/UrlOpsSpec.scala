@@ -168,4 +168,23 @@ class UrlOpsSpec extends SparkSpec {
           s"seed=$seed host=$h sufs=$sufs: got ${out(h)}, want ${expected(h, sufSet)}")
     }
   }
+
+  test("politeness schedule: slots partition hosts, depth and rounds bounds are exact") {
+    val out = graft.queries.ParticipantQueries
+      .politenessSchedule(spark, sf()).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    assert(out.forall(r => (0L to 7L).contains(r.getAs[Long]("slot"))))
+    // the rounds-to-drain bound is exactly max(deepest queue, ceil(urls/hosts))
+    out.foreach { r =>
+      val (h, u, d, m) = (r.getAs[Long]("n_hosts"), r.getAs[Long]("n_urls"),
+        r.getAs[Long]("max_host_depth"), r.getAs[Long]("min_rounds"))
+      assert(h >= 1 && u >= h && d >= 1)
+      assert(m == math.max(d, (u + h - 1) / h), s"bound drifted: $r")
+    }
+    // slots partition the canonical URL set: totals add up to the
+    // distinct canonical count of the synthetic frontier (2 URLs/doc
+    // pair collapse to 1 canonical per page ordinal at doc_id div 2)
+    val nCanon = graft.sources.Tables.documents(spark, sf()).count() / 2
+    assert(out.map(_.getAs[Long]("n_urls")).sum == nCanon)
+  }
 }
