@@ -182,7 +182,10 @@ object ScaleProbe {
     // collapse + host-partitioned rank + 8-key census) and the IR
     // metrics eval (per query one inverted-index BM25 + map-only rel
     // kernel; everything after the top-10 cut is ≤10 rows)
-    "q213_politeness_schedule", "q214_retrieval_metrics")
+    "q213_politeness_schedule", "q214_retrieval_metrics",
+    // round-10 continuation: HITS hubs/authorities (4 half-iterations of
+    // edges⋈scores + a 1-row max broadcast each — the pageRank shape)
+    "q215_link_hits")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

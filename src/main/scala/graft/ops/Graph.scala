@@ -164,6 +164,66 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    * set — the mutual-reinforcement companion to [[pageRankDirected]]:
+    * a good HUB links to many good authorities, a good AUTHORITY is
+    * linked from many good hubs; on a crawl graph the two scores
+    * separate directories/link farms (hubs) from content pages
+    * (authorities), a distinction one PageRank score cannot make.
+    *
+    * INTEGER-EXACT iteration: authority ← Σ_in hub, hub ← Σ_out
+    * authority, each followed by max-normalization
+    * `(v · 2^40) div max(v)` — the L∞ norm is exact in BIGINT floor
+    * division where the textbook L2 norm would need a square root, and
+    * normalization only rescales, leaving the RANKING identical. The
+    * running max is one scalar aggregate per half-iteration (broadcast
+    * back — the oracle replays it as a CTE). Nodes without in-links
+    * hold authority 0; without out-links, hub 0.
+    *
+    * Scale shape per half-iteration: one equi-join edges⋈scores, one
+    * groupBy with map-side partials, one 1-row max broadcast — the
+    * pageRank shape plus a scalar. Returns (node, hub, authority) in
+    * 2^40 units after `iters` full iterations. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def maxNormalized(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(max(col(c)).as("__mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"),
+          // DECIMAL(38): v·2^40 overflows BIGINT once in-degrees push v
+          // past 2^23 (v is itself in 2^40 units) — the DuckDB twin is
+          // v::HUGEINT (the Sketches/ChangePoint convention)
+          when(col("__mx") > 0, expr(
+            s"cast(cast($c as decimal(38,0)) * ${RankScale}L div __mx as bigint)"))
+            .otherwise(lit(0L)).as(c))
+    }
+    var hub = nodes.select(col("node"), lit(RankScale).as("hub"))
+    var auth = nodes.select(col("node"), lit(0L).as("authority"))
+    for (_ <- 0 until iters) {
+      val aRaw = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("authority"))
+      auth = maxNormalized(
+        nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
+          .select(col("node"), coalesce(col("authority"), lit(0L)).as("authority")),
+        "authority").localCheckpoint(true)
+      val hRaw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("authority")).as("hub"))
+      hub = maxNormalized(
+        nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
+          .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub").localCheckpoint(true)
+    }
+    val out = nodes.join(hub, Seq("node")).join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("authority"))
+      .localCheckpoint(true)
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Degree distribution summary of an undirected edge set — the
     * pre-flight skew probe for any graph workload (a power-law hub is
     * exactly what maxBucket/salting guard against downstream). */

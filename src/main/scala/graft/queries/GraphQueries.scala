@@ -123,6 +123,56 @@ object GraphQueries {
        |ORDER BY rank DESC, node ASC LIMIT 50""".stripMargin
   }
 
+  /** Q215 — HITS hubs & authorities (Kleinberg 1999) over the crawl
+    * link graph: the mutual-reinforcement scores that separate link
+    * HUBS (pages whose value is pointing at good content — directories,
+    * link farms) from AUTHORITIES (pages good hubs point at) — a
+    * distinction one PageRank number cannot make, and a crawl-curation
+    * signal in its own right (down-weight hub-like boilerplate, keep
+    * authorities). Two full integer-exact iterations with L∞
+    * max-normalization (Graph.hits scaladoc); top-30 by (authority,
+    * hub, node). The oracle replays every half-iteration including the
+    * scalar max CTEs. */
+  def linkHits(spark: SparkSession, dir: String): DataFrame =
+    Graph.hits(htmlLinkEdges(spark, dir), iters = 2)
+      .orderBy(col("authority").desc, col("hub").desc, col("node").asc)
+      .limit(30)
+
+  val linkHitsSql: String = {
+    val S = 1099511627776L // 2^40
+    def half(i: Int, outName: String, inName: String, outCol: String,
+        joinFrom: String, joinTo: String, groupAs: String): String =
+      s"""${outName}r AS (
+         |  SELECT e.$groupAs AS node, CAST(sum($inName.${if (outCol == "authority") "hub" else "authority"}) AS BIGINT) AS v
+         |  FROM e JOIN $inName ON e.$joinFrom = $inName.node GROUP BY e.$groupAs),
+         |${outName}f AS (
+         |  SELECT n2.node, coalesce(${outName}r.v, 0) AS v
+         |  FROM nodes n2 LEFT JOIN ${outName}r ON ${outName}r.node = n2.node),
+         |${outName}m AS (SELECT max(v) AS mx FROM ${outName}f),
+         |$outName AS (
+         |  SELECT node, CASE WHEN mx > 0
+         |    THEN CAST(v::HUGEINT * $S // mx AS BIGINT) ELSE 0 END AS $outCol
+         |  FROM ${outName}f CROSS JOIN ${outName}m)""".stripMargin
+    s"""WITH n AS (SELECT count(*) AS n FROM documents),
+       |pages AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 0),
+       |links AS (
+       |  SELECT s.d AS src,
+       |    CASE WHEN j.j = 0 THEN (s.d // 5) % 10
+       |         ELSE ((s.d * 31 + j.j * 17) % n.n) END AS dst
+       |  FROM pages s CROSS JOIN n CROSS JOIN range(0, 4) j(j)
+       |  WHERE j.j < (s.d % 4) + 1),
+       |e AS (SELECT DISTINCT src, dst FROM links),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST($S AS BIGINT) AS hub FROM nodes),
+       |${half(1, "a1", "h0", "authority", "src", "", "dst")},
+       |${half(1, "h1", "a1", "hub", "dst", "", "src")},
+       |${half(2, "a2", "h1", "authority", "src", "", "dst")},
+       |${half(2, "h2", "a2", "hub", "dst", "", "src")}
+       |SELECT n3.node, h2.hub, a2.authority
+       |FROM nodes n3 JOIN h2 ON h2.node = n3.node JOIN a2 ON a2.node = n3.node
+       |ORDER BY a2.authority DESC, h2.hub DESC, n3.node ASC LIMIT 30""".stripMargin
+  }
+
   /** Q212 — AUTHORITY × QUALITY census: the measured justification for
     * authority-weighted curation — pages bucketed into exact
     * equal-frequency AUTHORITY DECILES (OrderStats.rankBucket over the
@@ -391,6 +441,7 @@ object GraphQueries {
     QueryDef("q47_pagerank", pageRankQuery, Some(pageRankSql)),
     QueryDef("q211_link_authority", linkAuthority, Some(linkAuthoritySql)),
     QueryDef("q212_authority_quality", authorityQuality, Some(authorityQualitySql)),
+    QueryDef("q215_link_hits", linkHits, Some(linkHitsSql)),
     QueryDef("q96_label_prop", labelPropQuery, Some(labelPropSql)),
     QueryDef("q104_bfs_landmarks", bfsHopsQuery, Some(bfsHopsSql)),
     QueryDef("q77_triangles", trianglesQuery, Some(trianglesSql)))

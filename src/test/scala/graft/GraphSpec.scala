@@ -38,6 +38,25 @@ class GraphSpec extends SparkSpec {
     assertNoLeakedBlocks("pageRankDirected", base)
   }
 
+  test("hits: mutual reinforcement hand-unrolled, pure hubs and pure authorities separate") {
+    import spark.implicits._
+    val base = snapshotBlocks()
+    // 1 -> 3, 2 -> 3, 3 -> 4: 1 and 2 are pure hubs, 4 a pure authority,
+    // 3 is both (the strong authority and a weak hub)
+    val got = Graph.hits(edges((1L, 3L), (2L, 3L), (3L, 4L)), iters = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val S = Graph.RankScale
+    // iter1: a(3)=2S, a(4)=S -> max-norm a(3)=S, a(4)=S/2;
+    //        h(1)=h(2)=S, h(3)=S/2 -> norm unchanged.
+    // iter2: a(3)=2S, a(4)=S/2 -> a(3)=S, a(4)=S/4;
+    //        h(1)=h(2)=S, h(3)=S/4.
+    val want = Map(
+      1L -> ((S, 0L)), 2L -> ((S, 0L)),
+      3L -> ((S / 4, S)), 4L -> ((0L, S / 4)))
+    assert(got == want, s"got $got want $want")
+    assertNoLeakedBlocks("hits", base)
+  }
+
   test("regular graph: ranks stay at the uniform fixed point (exact ties)") {
     // 4-cycle: every node degree 2 — rank must stay identical everywhere
     val e = Graph.undirected(edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
