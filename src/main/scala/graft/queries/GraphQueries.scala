@@ -70,23 +70,12 @@ object GraphQueries {
     * fixture generator used and replays all three exact-BIGINT
     * iterations (the q47 convention + directed/dangling semantics). */
   /** The q210/q211 link-graph substrate: (src, dst) page-ordinal edges
-    * extracted from the HTML crawl fixture's rendered pages — real
-    * `<a href>` parse, UrlOps canonicalization, node id = the ordinal in
-    * the canonical URL path. */
+    * extracted from the HTML crawl fixture's rendered pages (the shared
+    * [[graft.sources.Warc.htmlLinkEdges]] extraction — also the batch
+    * twin of the streaming link-graph sink). */
   private def htmlLinkEdges(spark: SparkSession, dir: String): DataFrame = {
     val fx = graft.sources.Warc.ensureHtmlFixture(spark, dir)
-    graft.sources.Warc.scan(spark, fx).toDF()
-      .filter(col("error").isNull &&
-        col("content_type").startsWith("text/html"))
-      .select(
-        regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
-          .cast("long").as("src"),
-        explode(regexp_extract_all(col("payload").cast("string"),
-          lit("<a href=\"[^\"]*\""), lit(0))).as("tag"))
-      .select(col("src"),
-        regexp_extract(graft.ops.UrlOps.canonicalizeUrl(
-            regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)),
-          "/p/([0-9]+)", 1).cast("long").as("dst"))
+    graft.sources.Warc.htmlLinkEdges(graft.sources.Warc.scan(spark, fx).toDF())
   }
 
   def linkAuthority(spark: SparkSession, dir: String): DataFrame =

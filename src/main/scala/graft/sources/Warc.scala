@@ -655,6 +655,26 @@ object Warc {
     out.toString
   }
 
+  /** (src, dst) page-ordinal link edges from a frame of parsed WARC
+    * records: good text/html records only, `<a href>` tags pulled with
+    * codegen regexps, hrefs canonicalized (UrlOps), node id = the
+    * ordinal embedded in the canonical URL path. Shared by the batch
+    * link-graph queries (q211/q212/q215) and the streaming
+    * link-graph sink — one extraction, two execution modes. */
+  def htmlLinkEdges(records: DataFrame): DataFrame =
+    records
+      .filter(col("error").isNull &&
+        col("content_type").startsWith("text/html"))
+      .select(
+        regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("src"),
+        explode(regexp_extract_all(col("payload").cast("string"),
+          lit("<a href=\"[^\"]*\""), lit(0))).as("tag"))
+      .select(col("src"),
+        regexp_extract(graft.ops.UrlOps.canonicalizeUrl(
+            regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)),
+          "/p/([0-9]+)", 1).cast("long").as("dst"))
+
   /** Deterministic HTML crawl fixture for the anchor-text query/specs:
     * every doc_id % 5 == 0 document becomes a text/html page at
     * `http://s{d%7}.example/p/{d}` whose body embeds (d % 4) + 1 links.

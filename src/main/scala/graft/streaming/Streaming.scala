@@ -967,6 +967,80 @@ object Streaming {
     runs.length
   }
 
+  /** Crawl → LINK GRAPH: newly-landed WARC segments parse per
+    * micro-batch ([[graft.sources.Warc.scanStream]], the A4 re-walk),
+    * good text/html records yield (src, dst) edges through the SAME
+    * extraction the batch link-graph queries use
+    * ([[graft.sources.Warc.htmlLinkEdges]]), and each batch appends its
+    * in-batch-distinct edge set under `batch_run=<id>` — the durable
+    * web-graph the authority/anchor operators (q211/q212/q215) read.
+    *
+    * Replay/duplicate posture is DIFFERENT from the id-keyed sinks, and
+    * deliberately lighter: edges carry no per-row identity and every
+    * downstream consumer is set-semantied — [[graft.ops.Graph]]'s
+    * pageRankDirected/hits/undirected all `.distinct()` their edge
+    * input — so a re-fetched page landing the same (src, dst) twice is
+    * CORRECTNESS-neutral and costs only storage until
+    * [[compactLinkGraph]] folds the tree (dropDuplicates(src, dst)).
+    * A checkpoint-replayed batch rewrites its own partition
+    * (overwrite, idempotent). No read-side defense needed = no
+    * per-trigger index scan, the cheapest sink in the family. */
+  def crawlLinkGraphSink(spark: SparkSession, crawlDir: String,
+      indexDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    val edges = graft.sources.Warc.htmlLinkEdges(
+      graft.sources.Warc.scanStream(spark, crawlDir).toDF())
+    val writer = edges.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.select(col("src"), col("dst")).distinct()
+            .write.mode("overwrite").parquet(s"$indexDir/batch_run=$batchId")
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** The streamed link graph as an edge frame for
+    * [[graft.ops.Graph]] — batch_run stays out of the schema. Consumers
+    * dedup by construction (Graph ops distinct their input). */
+  def linkGraphEdges(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir).select(col("src"), col("dst"))
+
+  /** OFFLINE compaction for [[crawlLinkGraphSink]]'s partition tree:
+    * folds every batch_run into ONE, deduplicating by (src, dst) —
+    * storage reclamation, not a correctness event (consumers are
+    * set-semantied, see the sink Scaladoc). Same crash discipline as
+    * [[compactIndex]]. Run while the sink is stopped. */
+  def compactLinkGraph(spark: SparkSession, indexDir: String): Int = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(src, dst), s"compactLinkGraph: rename $src -> $dst failed")
+    def glob(pattern: String) =
+      Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
+    val runDirs = glob("batch_run=*").map(_.getPath.getName)
+    glob(".compact_old_*").foreach { st =>
+      val orig = st.getPath.getName.stripPrefix(".compact_old_")
+      if (runDirs.contains(orig)) fs.delete(st.getPath, true)
+      else move(st.getPath, p(orig))
+    }
+    val df = spark.read.parquet(indexDir)
+    val runs = df.select(col("batch_run").cast("long")).distinct()
+      .as[Long].collect().sorted
+    if (runs.length <= 1) return 0
+    val lo = runs.head
+    val staging = p(".compact_staging")
+    df.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+      .write.mode("overwrite").parquet(staging.toString)
+    val loName = s"batch_run=$lo"
+    move(p(loName), p(s".compact_old_$loName"))
+    move(staging, p(loName))
+    fs.delete(p(s".compact_old_$loName"), true)
+    runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
+    runs.length
+  }
+
   def kmvSketchSink(rows: DataFrame, setCol: String, valueCol: String,
       indexDir: String, k: Int = 128,
       checkpointDir: Option[String] = None): StreamingQuery = {

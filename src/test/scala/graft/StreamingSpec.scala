@@ -852,6 +852,65 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("crawl link-graph sink: HTML segments stream into the durable edge table, authority parity with batch") {
+    import graft.ops.Graph
+    val root = java.nio.file.Files.createTempDirectory("graft_link_sink").toString
+    val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
+    def page(id: Long, links: Seq[(Long, String)], corrupt: Boolean = false): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val html = "<html><body>" + links.map { case (t, a) =>
+        // messy hrefs on purpose: canonicalization must run in-stream
+        s"""<a href="http://WWW.s${t % 7}.example:80/p/$t/?utm_x=1">$a</a>"""
+      }.mkString(" ") + "</body></html>"
+      graft.sources.Warc.writeRecord(bos, "response", s"<urn:crawl:$id>",
+        s"http://s${id % 7}.example/p/$id", "2026-01-01T00:00:00Z",
+        "text/html; charset=utf-8", html.getBytes("UTF-8"),
+        if (corrupt) "WARC/9.9" else "WARC/1.0")
+      bos.toByteArray
+    }
+    def seg(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(crawl, name), bytes)
+    def start() = Streaming.crawlLinkGraphSink(spark, crawl,
+      s"$root/graph", checkpointDir = Some(s"$root/ckpt"))
+
+    // segment 1: pages 1 and 2 (2 links each, one shared target), plus a
+    // corrupt record whose links must NOT enter the graph
+    seg("seg0.warc",
+      page(1L, Seq(10L -> "alpha", 11L -> "beta")) ++
+      page(66L, Seq(99L -> "poison"), corrupt = true) ++
+      page(2L, Seq(10L -> "gamma", 12L -> "delta")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // segment 2 lands during downtime: page 3, plus a RE-FETCH of page 1
+    // (same edges — set semantics make the duplicate harmless)
+    seg("seg1.warc",
+      page(3L, Seq(11L -> "eps")) ++
+      page(1L, Seq(10L -> "alpha", 11L -> "beta")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = Streaming.linkGraphEdges(spark, s"$root/graph")
+    val batchEdges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 11L))
+    assert(streamed.distinct().as[(Long, Long)].collect().toSet == batchEdges.toSet,
+      "streamed edge set must equal the good pages' links (corrupt page excluded)")
+    // authority parity: PageRank over the streamed graph == over batch edges
+    def ranks(e: org.apache.spark.sql.DataFrame) =
+      Graph.pageRankDirected(e, iters = 2).as[(Long, Long)].collect().toMap
+    assert(ranks(streamed) == ranks(batchEdges.toDF("src", "dst")),
+      "authority over the streamed graph drifted from the batch build")
+    // compaction folds the run tree; the duplicate re-fetch edges collapse
+    def partitions() = new java.io.File(s"$root/graph").listFiles()
+      .count(_.getName.startsWith("batch_run="))
+    assert(partitions() == 2)
+    assert(Streaming.compactLinkGraph(spark, s"$root/graph") == 2)
+    assert(partitions() == 1)
+    assert(Streaming.compactLinkGraph(spark, s"$root/graph") == 0, "idempotent")
+    val folded = Streaming.linkGraphEdges(spark, s"$root/graph")
+      .as[(Long, Long)].collect()
+    assert(folded.length == folded.distinct.length && folded.length == 5,
+      s"fold must dedup the re-fetched edges: ${folded.length}")
+  }
+
   test("incremental dedup sink: checkpointed restart extends the index without reprocessing") {
     // the durable-index analog of the fold's crash-recovery guarantee: a
     // stopped sink restarted from its checkpoint must (a) NOT reprocess
