@@ -185,7 +185,10 @@ object ScaleProbe {
     "q213_politeness_schedule", "q214_retrieval_metrics",
     // round-10 continuation: HITS hubs/authorities (4 half-iterations of
     // edges⋈scores + a 1-row max broadcast each — the pageRank shape)
-    "q215_link_hits")
+    "q215_link_hits",
+    // round-10 continuation: host-level link-spam census (one distinct
+    // edge exchange + flipped-key equi-join + 7-key agg)
+    "q216_link_spam_census")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

@@ -162,6 +162,74 @@ object GraphQueries {
        |ORDER BY a2.authority DESC, h2.hub DESC, n3.node ASC LIMIT 30""".stripMargin
   }
 
+  /** Q216 — LINK-SPAM census (the TrustRank-era host-level features):
+    * per linking host, the counts every web-spam detector starts from —
+    * total distinct out-edges, INTERNAL links (same-host targets: nav
+    * boilerplate and link farms push this toward 100%), SELF-loops, and
+    * RECIPROCAL edges (link-exchange rings) — plus the internal share
+    * in exact micro units. Host attribution comes from the actual URLs
+    * (source page URI, canonicalized href), not from arithmetic, so the
+    * extraction chain is exercised end-to-end; the oracle reconstructs
+    * the same censuses from the fixture's generating arithmetic.
+    *
+    * Scale: the distinct edge set is one exchange; reciprocity is a
+    * self-join of that set on the flipped key (equi-join, same
+    * partitioning); the census is a 7-key hash agg. */
+  def linkSpamCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.UrlOps
+    val fx = graft.sources.Warc.ensureHtmlFixture(spark, dir)
+    val edges = graft.sources.Warc.scan(spark, fx).toDF()
+      .filter(col("error").isNull &&
+        col("content_type").startsWith("text/html"))
+      .select(
+        regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("src"),
+        UrlOps.urlHost(col("target_uri")).as("src_host"),
+        explode(regexp_extract_all(col("payload").cast("string"),
+          lit("<a href=\"[^\"]*\""), lit(0))).as("tag"))
+      .withColumn("canon", UrlOps.canonicalizeUrl(
+        regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)))
+      .select(col("src"), col("src_host"),
+        regexp_extract(col("canon"), "/p/([0-9]+)", 1).cast("long").as("dst"),
+        UrlOps.urlHost(col("canon")).as("dst_host"))
+      .distinct()
+      .localCheckpoint(true) // two consumers: census + flipped-set join
+    val flipped = edges
+      .select(col("dst").as("src"), col("src").as("dst"), lit(1L).as("__r"))
+      .distinct()
+    edges.join(flipped, Seq("src", "dst"), "left")
+      .groupBy(col("src_host"))
+      .agg(count(lit(1)).as("n_links"),
+        sum(when(col("src_host") === col("dst_host"), 1L).otherwise(0L))
+          .as("n_internal"),
+        sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("n_self"),
+        sum(coalesce(col("__r"), lit(0L))).as("n_reciprocal"))
+      .withColumn("internal_micro", expr("n_internal * 1000000 div n_links"))
+      .orderBy(col("src_host"))
+  }
+
+  val linkSpamCensusSql: String =
+    """WITH n AS (SELECT count(*) AS n FROM documents),
+      |pages AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 0),
+      |links AS (
+      |  SELECT s.d AS src,
+      |    CASE WHEN j.j = 0 THEN (s.d // 5) % 10
+      |         ELSE ((s.d * 31 + j.j * 17) % n.n) END AS dst
+      |  FROM pages s CROSS JOIN n CROSS JOIN range(0, 4) j(j)
+      |  WHERE j.j < (s.d % 4) + 1),
+      |e AS (SELECT DISTINCT src, dst FROM links),
+      |f AS (SELECT DISTINCT dst AS src, src AS dst, 1 AS r FROM e),
+      |j2 AS (
+      |  SELECT e.src, e.dst, coalesce(f.r, 0) AS r FROM e LEFT JOIN f USING (src, dst))
+      |SELECT 's' || CAST(src % 7 AS VARCHAR) || '.example' AS src_host,
+      |  CAST(count(*) AS BIGINT) AS n_links,
+      |  CAST(sum(CASE WHEN src % 7 = dst % 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_internal,
+      |  CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
+      |  CAST(sum(r) AS BIGINT) AS n_reciprocal,
+      |  CAST(sum(CASE WHEN src % 7 = dst % 7 THEN 1 ELSE 0 END) * 1000000
+      |    // count(*) AS BIGINT) AS internal_micro
+      |FROM j2 GROUP BY src % 7 ORDER BY src_host""".stripMargin
+
   /** Q212 — AUTHORITY × QUALITY census: the measured justification for
     * authority-weighted curation — pages bucketed into exact
     * equal-frequency AUTHORITY DECILES (OrderStats.rankBucket over the
@@ -431,6 +499,7 @@ object GraphQueries {
     QueryDef("q211_link_authority", linkAuthority, Some(linkAuthoritySql)),
     QueryDef("q212_authority_quality", authorityQuality, Some(authorityQualitySql)),
     QueryDef("q215_link_hits", linkHits, Some(linkHitsSql)),
+    QueryDef("q216_link_spam_census", linkSpamCensus, Some(linkSpamCensusSql)),
     QueryDef("q96_label_prop", labelPropQuery, Some(labelPropSql)),
     QueryDef("q104_bfs_landmarks", bfsHopsQuery, Some(bfsHopsSql)),
     QueryDef("q77_triangles", trianglesQuery, Some(trianglesSql)))
