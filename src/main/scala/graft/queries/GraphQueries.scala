@@ -55,6 +55,16 @@ object GraphQueries {
       |ORDER BY rank DESC, kind ASC, key ASC
       |LIMIT 100""".stripMargin
 
+  /** The q210/q211 link-graph substrate: (src, dst) page-ordinal edges
+    * extracted from the HTML crawl fixture's rendered pages (the shared
+    * [[graft.sources.Warc.htmlLinkEdges]] extraction — also the batch
+    * twin of the streaming link-graph sink). */
+  private def htmlLinkEdges(spark: SparkSession, dir: String): DataFrame = {
+    val fx = graft.sources.Warc.ensureHtmlFixture(spark, dir)
+    graft.sources.Warc.htmlLinkEdges(graft.sources.Warc.scan(spark, fx).toDF())
+  }
+
+
   /** Q211 — LINK AUTHORITY over the crawl's extracted HTML link graph:
     * directed integer fixed-point PageRank (3 iterations) on the edges
     * the q210 extraction chain parses out of rendered pages — the
@@ -69,15 +79,6 @@ object GraphQueries {
     * reconstructs the edge set from the documents-table arithmetic the
     * fixture generator used and replays all three exact-BIGINT
     * iterations (the q47 convention + directed/dangling semantics). */
-  /** The q210/q211 link-graph substrate: (src, dst) page-ordinal edges
-    * extracted from the HTML crawl fixture's rendered pages (the shared
-    * [[graft.sources.Warc.htmlLinkEdges]] extraction — also the batch
-    * twin of the streaming link-graph sink). */
-  private def htmlLinkEdges(spark: SparkSession, dir: String): DataFrame = {
-    val fx = graft.sources.Warc.ensureHtmlFixture(spark, dir)
-    graft.sources.Warc.htmlLinkEdges(graft.sources.Warc.scan(spark, fx).toDF())
-  }
-
   def linkAuthority(spark: SparkSession, dir: String): DataFrame =
     Graph.pageRankDirected(htmlLinkEdges(spark, dir), iters = 3)
       .orderBy(col("rank").desc, col("node").asc)
@@ -176,22 +177,11 @@ object GraphQueries {
     * self-join of that set on the flipped key (equi-join, same
     * partitioning); the census is a 7-key hash agg. */
   def linkSpamCensus(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.UrlOps
     val fx = graft.sources.Warc.ensureHtmlFixture(spark, dir)
-    val edges = graft.sources.Warc.scan(spark, fx).toDF()
-      .filter(col("error").isNull &&
-        col("content_type").startsWith("text/html"))
-      .select(
-        regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
-          .cast("long").as("src"),
-        UrlOps.urlHost(col("target_uri")).as("src_host"),
-        explode(regexp_extract_all(col("payload").cast("string"),
-          lit("<a href=\"[^\"]*\""), lit(0))).as("tag"))
-      .withColumn("canon", UrlOps.canonicalizeUrl(
-        regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)))
-      .select(col("src"), col("src_host"),
-        regexp_extract(col("canon"), "/p/([0-9]+)", 1).cast("long").as("dst"),
-        UrlOps.urlHost(col("canon")).as("dst_host"))
+    val edges = graft.sources.Warc.htmlLinks(
+        graft.sources.Warc.scan(spark, fx).toDF())
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("src_host"), col("dst"), col("dst_host"))
       .distinct()
       .localCheckpoint(true) // two consumers: census + flipped-set join
     val flipped = edges

@@ -98,17 +98,8 @@ object ParticipantQueries {
   def anchorText(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fx = Warc.ensureHtmlFixture(spark, dir)
-    val links = Warc.scan(spark, fx).toDF()
-      .filter(col("error").isNull &&
-        col("content_type").startsWith("text/html"))
-      .select(graft.ops.UrlOps.urlHost(col("target_uri")).as("src_host"),
-        explode(regexp_extract_all(
-          col("payload").cast("string"),
-          lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("tag"))
-      .select(col("src_host"),
-        graft.ops.UrlOps.canonicalizeUrl(
-          regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)).as("target_url"),
-        regexp_extract(col("tag"), ">([^<]*)</a>", 1).as("anchor"))
+    val links = Warc.htmlLinks(Warc.scan(spark, fx).toDF())
+      .select(col("src_host"), col("target_url"), col("anchor"))
       .localCheckpoint(true) // two consumers: per-target agg + anchor mode
     val agg = links.groupBy(col("target_url"))
       .agg(count(lit(1)).as("inlinks"),

@@ -146,8 +146,12 @@ object SimilarityQueries {
         .orderBy(col("__cos").desc, col("vec_id").asc)))
       .filter(col("__r") <= 10)
       .select(lit(d.toLong).as("trunc_dim"), col("probe_id"), col("vec_id"))
-    val all = dims.map(ranked).reduce(_ unionByName _)
-    val full = ranked(64).select(col("probe_id"), col("vec_id"))
+    // the union materializes once (eager checkpoint) and the d=64 slice
+    // doubles as the truth set — building ranked(64) twice would add a
+    // 5th corpus×probes pass whenever exchange reuse fails to fire
+    val all = dims.map(ranked).reduce(_ unionByName _).localCheckpoint(true)
+    val full = all.filter(col("trunc_dim") === 64L)
+      .select(col("probe_id"), col("vec_id"))
       .withColumn("__hit", lit(1L))
     all.join(full, Seq("probe_id", "vec_id"), "left")
       .groupBy(col("trunc_dim"))

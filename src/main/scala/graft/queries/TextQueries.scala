@@ -209,10 +209,13 @@ object TextQueries {
   /** Q214 — RETRIEVAL METRICS (MRR@10, precision@10, nDCG@10): the
     * serving-quality governance table — is the BM25 ranker actually
     * surfacing the relevant documents, measured the way IR evaluations
-    * measure it. Graded truth is deterministic from the corpus (rel =
-    * number of DISTINCT query terms present, 0..2 — coverage-graded, so
-    * nDCG scores how BM25's tf-weighting agrees with term coverage
-    * rather than tautologically with itself). All metric arithmetic is
+    * measure it. Graded truth is deterministic from the corpus and
+    * TF-GATED, not coverage-only: each (term, minTf) gate of
+    * RetrievalQueries contributes 1 only when the term's tf meets its
+    * threshold (rel 0..2) — on this small-vocab corpus a plain
+    * presence grade marks nearly every document rel=2 and saturates
+    * every metric at 1.0, while the gated grade makes nDCG measure how
+    * BM25's tf-weighting agrees with a truth it does not define. All metric arithmetic is
     * integer-exact: gains (2^rel − 1), micro-scaled position weights
     * (DcgWeights literals), DCG/IDCG as BIGINT sums, MRR and nDCG as
     * micro integer divisions. The IDEAL ranking never sorts the corpus:

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One parsed WARC record (or one isolated parse failure). `payload` is
@@ -655,25 +655,51 @@ object Warc {
     out.toString
   }
 
-  /** (src, dst) page-ordinal link edges from a frame of parsed WARC
-    * records: good text/html records only, `<a href>` tags pulled with
-    * codegen regexps, hrefs canonicalized (UrlOps), node id = the
-    * ordinal embedded in the canonical URL path. Shared by the batch
-    * link-graph queries (q211/q212/q215) and the streaming
-    * link-graph sink — one extraction, two execution modes. */
-  def htmlLinkEdges(records: DataFrame): DataFrame =
+  /** THE HTML link extraction — parsed `<a>` links from a frame of WARC
+    * records: good text/html records only, whole
+    * `<a href="…" …>text</a>` tags pulled with codegen regexps (plain
+    * text anchors; a nested-markup anchor is out of this extractor's
+    * supported shape), hrefs canonicalized (UrlOps). ONE extraction for
+    * every consumer — the anchor census (q210), the link-graph queries
+    * (q211/q212/q215/q216), and the streaming link-graph sink — so a
+    * regex or canonicalization change cannot silently diverge them.
+    *
+    * Columns: (src, src_host, target_url, dst, dst_host, anchor).
+    * src/dst are the page ordinals embedded in canonical URL paths and
+    * are NULL when a URI carries none (an off-site or non-page link on
+    * a real crawl) — ordinal consumers must filter;
+    * [[htmlLinkEdges]] already does. */
+  def htmlLinks(records: DataFrame): DataFrame = {
+    // a URI without a page ordinal yields regexp_extract = "" — under
+    // ANSI that cast would ABORT the whole job (a streaming sink dies on
+    // the first external link); NULL is the documented contract instead
+    def ordinal(c: Column, pattern: String): Column = {
+      val m = regexp_extract(c, pattern, 1)
+      when(m === "", lit(null).cast("long")).otherwise(m.cast("long"))
+    }
     records
       .filter(col("error").isNull &&
         col("content_type").startsWith("text/html"))
       .select(
-        regexp_extract(col("target_uri"), "/p/([0-9]+)$", 1)
-          .cast("long").as("src"),
+        ordinal(col("target_uri"), "/p/([0-9]+)$").as("src"),
+        graft.ops.UrlOps.urlHost(col("target_uri")).as("src_host"),
         explode(regexp_extract_all(col("payload").cast("string"),
-          lit("<a href=\"[^\"]*\""), lit(0))).as("tag"))
-      .select(col("src"),
-        regexp_extract(graft.ops.UrlOps.canonicalizeUrl(
-            regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)),
-          "/p/([0-9]+)", 1).cast("long").as("dst"))
+          lit("<a href=\"[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("tag"))
+      .withColumn("target_url", graft.ops.UrlOps.canonicalizeUrl(
+        regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)))
+      .select(col("src"), col("src_host"), col("target_url"),
+        ordinal(col("target_url"), "/p/([0-9]+)").as("dst"),
+        graft.ops.UrlOps.urlHost(col("target_url")).as("dst_host"),
+        regexp_extract(col("tag"), ">([^<]*)</a>", 1).as("anchor"))
+  }
+
+  /** (src, dst) page-ordinal edges for the graph operators — the
+    * [[htmlLinks]] projection with NULL ordinals dropped (an off-page
+    * link must not mint a null graph node and siphon rank mass). */
+  def htmlLinkEdges(records: DataFrame): DataFrame =
+    htmlLinks(records)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst"))
 
   /** Deterministic HTML crawl fixture for the anchor-text query/specs:
     * every doc_id % 5 == 0 document becomes a text/html page at

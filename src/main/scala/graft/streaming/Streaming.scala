@@ -352,17 +352,28 @@ object Streaming {
     * maintenance window) — readers racing the swap can observe a
     * partially-deleted tree. Returns the number of partitions folded
     * (0 = nothing to do). */
-  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+  /** The ONE batch_run fold choreography every offline compactor here
+    * runs (the signature, frontier, ANN, link-graph, and postings
+    * compactors all delegate): recovery prologue — a prior crash between
+    * move-aside and move-in left the lowest partition parked under the
+    * dot-dir; restore it BEFORE reading, and before the staging
+    * overwrite could discard the only full copy — then `guard` the tree
+    * (fail-fast schema checks), `fold` the whole tree to its compacted
+    * form, stage under a dot-dir (invisible to parquet reads), and swap
+    * move-aside → move-in → delete with every rename checked (a rename
+    * failure aborts BEFORE any data is deleted; a crash after move-in
+    * leaves only redundant copies the next invocation removes).
+    * Returns partitions folded (0 = nothing to do / missing root). */
+  private def foldBatchRuns(spark: SparkSession, root: String, name: String,
+      guard: DataFrame => Unit, fold: DataFrame => DataFrame,
+      partitionCols: Seq[String]): Int = {
     import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    def p(n: String) = new org.apache.hadoop.fs.Path(root, n)
     def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-      require(fs.rename(src, dst), s"compactIndex: rename $src -> $dst failed")
-    // recovery prologue: a prior crash between move-aside and move-in
-    // left the lowest partition parked under the dot-dir — restore it
-    // BEFORE reading (and before the staging overwrite could discard the
-    // only full copy)
+      require(fs.rename(src, dst), s"$name: rename $src -> $dst failed")
     def glob(pattern: String) = // some Hadoop FS impls return null, not empty
       Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
     val runDirs = glob("batch_run=*").map(_.getPath.getName)
@@ -371,30 +382,33 @@ object Streaming {
       if (runDirs.contains(orig)) fs.delete(st.getPath, true) // redundant copy
       else move(st.getPath, p(orig))
     }
-    val df = spark.read.parquet(indexDir)
-    require(df.columns.contains("id"),
-      "compactIndex is for the (id, sig) signature indexes; the paragraph " +
-        "sink's fingerprint index defends replay by partition and must not " +
-        "be folded")
+    val df = spark.read.parquet(root)
+    guard(df)
     val runs = df.select(col("batch_run").cast("long")).distinct()
       .as[Long].collect().sorted
     if (runs.length <= 1) return 0
     val lo = runs.head
-    val dataCols = df.columns.filterNot(_ == "batch_run").map(col)
     val staging = p(".compact_staging")
-    // 1. stage everything (dot-dir: invisible to parquet reads)
-    df.select(dataCols: _*).dropDuplicates("id")
-      .write.mode("overwrite").parquet(staging.toString)
-    // 2. move the lowest partition aside, then the staging dir in; any
-    // rename failure aborts BEFORE data is deleted
+    val w0 = fold(df).write.mode("overwrite")
+    val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
+    w.parquet(staging.toString)
     val loName = s"batch_run=$lo"
     move(p(loName), p(s".compact_old_$loName"))
     move(staging, p(loName))
-    // 3. drop the now-redundant copies
     fs.delete(p(s".compact_old_$loName"), true)
     runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
     runs.length
   }
+
+  def compactIndex(spark: SparkSession, indexDir: String): Int =
+    foldBatchRuns(spark, indexDir, "compactIndex",
+      guard = df => require(df.columns.contains("id"),
+        "compactIndex is for the (id, sig) signature indexes; the paragraph " +
+          "sink's fingerprint index defends replay by partition and must not " +
+          "be folded"),
+      fold = df => df.select(df.columns.filterNot(_ == "batch_run").map(col): _*)
+        .dropDuplicates("id"),
+      partitionCols = Nil)
 
   /** The daily-crawl production loop END-TO-END: newly-landed WARC
     * segments ([[graft.sources.Warc.scanStream]] — the A4 scheduled
@@ -514,45 +528,16 @@ object Streaming {
     * stopped. Returns the number of batch_run partitions folded
     * across both subtrees (0 = nothing to do). */
   def compactPostingsIndex(spark: SparkSession, indexDir: String): Int = {
-    import spark.implicits._
-    val conf = spark.sparkContext.hadoopConfiguration
     def foldTree(root: String, dedupKeys: Seq[String],
-        agg: DataFrame => DataFrame, partitionCols: Seq[String]): Int = {
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(conf)
-      if (!fs.exists(rootPath)) return 0
-      def p(name: String) = new org.apache.hadoop.fs.Path(root, name)
-      def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-        require(fs.rename(src, dst), s"compactPostingsIndex: rename $src -> $dst failed")
-      def glob(pattern: String) =
-        Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
-      val runDirs = glob("batch_run=*").map(_.getPath.getName)
-      glob(".compact_old_*").foreach { st =>
-        val orig = st.getPath.getName.stripPrefix(".compact_old_")
-        if (runDirs.contains(orig)) fs.delete(st.getPath, true)
-        else move(st.getPath, p(orig))
-      }
-      val df = spark.read.parquet(root)
-      val runs = df.select(col("batch_run").cast("long")).distinct()
-        .as[Long].collect().sorted
-      if (runs.length <= 1) return 0
-      val lo = runs.head
-      val dataCols = df.columns.filterNot(_ == "batch_run").map(col)
-      val folded = agg(df.select(dataCols: _*))
-      val deduped =
-        if (dedupKeys.nonEmpty) folded.dropDuplicates(dedupKeys) else folded
-      val staging = p(".compact_staging")
-      val writer0 = deduped.write.mode("overwrite")
-      val writer = if (partitionCols.nonEmpty)
-        writer0.partitionBy(partitionCols: _*) else writer0
-      writer.parquet(staging.toString)
-      val loName = s"batch_run=$lo"
-      move(p(loName), p(s".compact_old_$loName"))
-      move(staging, p(loName))
-      fs.delete(p(s".compact_old_$loName"), true)
-      runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
-      runs.length
-    }
+        agg: DataFrame => DataFrame, partitionCols: Seq[String]): Int =
+      foldBatchRuns(spark, root, "compactPostingsIndex",
+        guard = _ => (),
+        fold = { df =>
+          val dataCols = df.columns.filterNot(_ == "batch_run").map(col)
+          val folded = agg(df.select(dataCols: _*))
+          if (dedupKeys.nonEmpty) folded.dropDuplicates(dedupKeys) else folded
+        },
+        partitionCols = partitionCols)
     // cluster by bucket before the partitioned write, same as the sink;
     // postings fold FIRST so the stats derive below reads the deduped tree
     val postingsFolded = foldTree(s"$indexDir/postings", Seq("term", "doc_id"),
@@ -679,39 +664,14 @@ object Streaming {
     * sibling guard to [[compactIndex]]'s: this one REQUIRES the
     * (h1, h2) frontier schema and refuses id-keyed indexes. Returns the
     * number of partitions folded (0 = nothing to do). */
-  def compactFrontierIndex(spark: SparkSession, indexDir: String): Int = {
-    import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
-    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-      require(fs.rename(src, dst), s"compactFrontierIndex: rename $src -> $dst failed")
-    def glob(pattern: String) =
-      Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
-    val runDirs = glob("batch_run=*").map(_.getPath.getName)
-    glob(".compact_old_*").foreach { st =>
-      val orig = st.getPath.getName.stripPrefix(".compact_old_")
-      if (runDirs.contains(orig)) fs.delete(st.getPath, true)
-      else move(st.getPath, p(orig))
-    }
-    val df = spark.read.parquet(indexDir)
-    require(df.columns.filterNot(_ == "batch_run").sorted.sameElements(Array("h1", "h2")),
-      "compactFrontierIndex is for the frontier's (h1, h2) identity index; " +
-        "id-keyed signature indexes fold with compactIndex")
-    val runs = df.select(col("batch_run").cast("long")).distinct()
-      .as[Long].collect().sorted
-    if (runs.length <= 1) return 0
-    val lo = runs.head
-    val staging = p(".compact_staging")
-    df.select(col("h1"), col("h2")).dropDuplicates("h1", "h2")
-      .write.mode("overwrite").parquet(staging.toString)
-    val loName = s"batch_run=$lo"
-    move(p(loName), p(s".compact_old_$loName"))
-    move(staging, p(loName))
-    fs.delete(p(s".compact_old_$loName"), true)
-    runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
-    runs.length
-  }
+  def compactFrontierIndex(spark: SparkSession, indexDir: String): Int =
+    foldBatchRuns(spark, indexDir, "compactFrontierIndex",
+      guard = df => require(
+        df.columns.filterNot(_ == "batch_run").sorted.sameElements(Array("h1", "h2")),
+        "compactFrontierIndex is for the frontier's (h1, h2) identity index; " +
+          "id-keyed signature indexes fold with compactIndex"),
+      fold = _.select(col("h1"), col("h2")).dropDuplicates("h1", "h2"),
+      partitionCols = Nil)
 
   /** [[urlFrontierSink]] fed from the CRAWL itself — the discovery loop
     * a continuous crawler closes: newly-landed WARC segments' response
@@ -851,17 +811,6 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
-  /** Continuously-maintained KMV distinct sketches
-    * ([[graft.ops.Sketches.kmvSketch]], q99) — the streaming form falls
-    * out of MERGEABILITY: each micro-batch writes its own per-set k-min
-    * PARTIAL to a `batch_run=<id>` partition (overwrite → replay
-    * re-writes the same partial, idempotent by construction — no
-    * read-filter defense needed, unlike the dedup sinks, because
-    * k-min-of-k-mins is associative/commutative/idempotent), and
-    * [[mergedKmv]] folds all partials back to the exact same sketch a
-    * batch build over the union would produce. State per set is k·8 B
-    * per batch partition; compaction (re-merging old partitions) is an
-    * offline concern, not a correctness one. */
   /** INCREMENTAL ANN (IVF) index sink — the embedding-side standing
     * index, completing the durable-index family (near-dup signatures,
     * postings, frontier, and now vectors): newly-arrived embeddings are
@@ -898,9 +847,15 @@ object Streaming {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val cents = spark.read.parquet(centroidsDir)
+          // dropDuplicates FIRST: two landed files carrying the same id
+          // can share one micro-batch, and the anti-join below only
+          // defends against OTHER batch_runs — without this, both
+          // in-batch copies land and the id occupies two rank slots in
+          // every probe until a compaction window
           val assigned = graft.ops.Similarity.ivfExactAssign(
             batch.select(col(idCol).as("id"),
-              graft.ops.Similarity.quantize(col(vecCol)).as("qv")),
+              graft.ops.Similarity.quantize(col(vecCol)).as("qv"))
+              .dropDuplicates("id"),
             cents)
           // first trigger: no index tree yet — nothing to defend against
           val fresh = scala.util.Try(spark.read.parquet(indexDir)).toOption
@@ -935,37 +890,12 @@ object Streaming {
     * rename checked, recovery prologue restores a parked partition
     * before anything reads. Run in a maintenance window (sink
     * stopped). Returns partitions folded (0 = nothing to do). */
-  def compactAnnIndex(spark: SparkSession, indexDir: String): Int = {
-    import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
-    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-      require(fs.rename(src, dst), s"compactAnnIndex: rename $src -> $dst failed")
-    def glob(pattern: String) =
-      Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
-    val runDirs = glob("batch_run=*").map(_.getPath.getName)
-    glob(".compact_old_*").foreach { st =>
-      val orig = st.getPath.getName.stripPrefix(".compact_old_")
-      if (runDirs.contains(orig)) fs.delete(st.getPath, true)
-      else move(st.getPath, p(orig))
-    }
-    val df = spark.read.parquet(indexDir)
-    val runs = df.select(col("batch_run").cast("long")).distinct()
-      .as[Long].collect().sorted
-    if (runs.length <= 1) return 0
-    val lo = runs.head
-    val staging = p(".compact_staging")
-    df.select(col("cell"), col("id"), col("qv")).dropDuplicates("id")
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-    val loName = s"batch_run=$lo"
-    move(p(loName), p(s".compact_old_$loName"))
-    move(staging, p(loName))
-    fs.delete(p(s".compact_old_$loName"), true)
-    runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
-    runs.length
-  }
+  def compactAnnIndex(spark: SparkSession, indexDir: String): Int =
+    foldBatchRuns(spark, indexDir, "compactAnnIndex",
+      guard = _ => (),
+      fold = _.select(col("cell"), col("id"), col("qv")).dropDuplicates("id")
+        .repartition(col("cell")),
+      partitionCols = Seq("cell"))
 
   /** Crawl → LINK GRAPH: newly-landed WARC segments parse per
     * micro-batch ([[graft.sources.Warc.scanStream]], the A4 re-walk),
@@ -1010,37 +940,23 @@ object Streaming {
     * storage reclamation, not a correctness event (consumers are
     * set-semantied, see the sink Scaladoc). Same crash discipline as
     * [[compactIndex]]. Run while the sink is stopped. */
-  def compactLinkGraph(spark: SparkSession, indexDir: String): Int = {
-    import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(name: String) = new org.apache.hadoop.fs.Path(indexDir, name)
-    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-      require(fs.rename(src, dst), s"compactLinkGraph: rename $src -> $dst failed")
-    def glob(pattern: String) =
-      Option(fs.globStatus(p(pattern))).getOrElse(Array.empty)
-    val runDirs = glob("batch_run=*").map(_.getPath.getName)
-    glob(".compact_old_*").foreach { st =>
-      val orig = st.getPath.getName.stripPrefix(".compact_old_")
-      if (runDirs.contains(orig)) fs.delete(st.getPath, true)
-      else move(st.getPath, p(orig))
-    }
-    val df = spark.read.parquet(indexDir)
-    val runs = df.select(col("batch_run").cast("long")).distinct()
-      .as[Long].collect().sorted
-    if (runs.length <= 1) return 0
-    val lo = runs.head
-    val staging = p(".compact_staging")
-    df.select(col("src"), col("dst")).dropDuplicates("src", "dst")
-      .write.mode("overwrite").parquet(staging.toString)
-    val loName = s"batch_run=$lo"
-    move(p(loName), p(s".compact_old_$loName"))
-    move(staging, p(loName))
-    fs.delete(p(s".compact_old_$loName"), true)
-    runs.tail.foreach(r => fs.delete(p(s"batch_run=$r"), true))
-    runs.length
-  }
+  def compactLinkGraph(spark: SparkSession, indexDir: String): Int =
+    foldBatchRuns(spark, indexDir, "compactLinkGraph",
+      guard = _ => (),
+      fold = _.select(col("src"), col("dst")).dropDuplicates("src", "dst"),
+      partitionCols = Nil)
 
+  /** Continuously-maintained KMV distinct sketches
+    * ([[graft.ops.Sketches.kmvSketch]], q99) — the streaming form falls
+    * out of MERGEABILITY: each micro-batch writes its own per-set k-min
+    * PARTIAL to a `batch_run=<id>` partition (overwrite → replay
+    * re-writes the same partial, idempotent by construction — no
+    * read-filter defense needed, unlike the dedup sinks, because
+    * k-min-of-k-mins is associative/commutative/idempotent), and
+    * [[mergedKmv]] folds all partials back to the exact same sketch a
+    * batch build over the union would produce. State per set is k·8 B
+    * per batch partition; compaction (re-merging old partitions) is an
+    * offline concern, not a correctness one. */
   def kmvSketchSink(rows: DataFrame, setCol: String, valueCol: String,
       indexDir: String, k: Int = 128,
       checkpointDir: Option[String] = None): StreamingQuery = {

@@ -856,12 +856,15 @@ class StreamingSpec extends SparkSpec {
     import graft.ops.Graph
     val root = java.nio.file.Files.createTempDirectory("graft_link_sink").toString
     val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
-    def page(id: Long, links: Seq[(Long, String)], corrupt: Boolean = false): Array[Byte] = {
+    def page(id: Long, links: Seq[(Long, String)], corrupt: Boolean = false,
+        rawLinks: Seq[String] = Nil): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val html = "<html><body>" + links.map { case (t, a) =>
         // messy hrefs on purpose: canonicalization must run in-stream
         s"""<a href="http://WWW.s${t % 7}.example:80/p/$t/?utm_x=1">$a</a>"""
-      }.mkString(" ") + "</body></html>"
+      }.mkString(" ") +
+        rawLinks.map(u => s"""<a href="$u">x</a>""").mkString(" ") +
+        "</body></html>"
       graft.sources.Warc.writeRecord(bos, "response", s"<urn:crawl:$id>",
         s"http://s${id % 7}.example/p/$id", "2026-01-01T00:00:00Z",
         "text/html; charset=utf-8", html.getBytes("UTF-8"),
@@ -881,15 +884,20 @@ class StreamingSpec extends SparkSpec {
       page(2L, Seq(10L -> "gamma", 12L -> "delta")))
     val q1 = start(); q1.processAllAvailable(); q1.stop()
 
-    // segment 2 lands during downtime: page 3, plus a RE-FETCH of page 1
-    // (same edges — set semantics make the duplicate harmless)
+    // segment 2 lands during downtime: page 3 (whose off-page links — an
+    // external site and a relative href, the shapes every real crawl
+    // carries — must NOT mint null graph nodes), plus a RE-FETCH of
+    // page 1 (same edges — set semantics make the duplicate harmless)
     seg("seg1.warc",
-      page(3L, Seq(11L -> "eps")) ++
+      page(3L, Seq(11L -> "eps"),
+        rawLinks = Seq("http://other.example/about", "/relative/path")) ++
       page(1L, Seq(10L -> "alpha", 11L -> "beta")))
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
 
     val streamed = Streaming.linkGraphEdges(spark, s"$root/graph")
+    assert(streamed.filter($"src".isNull || $"dst".isNull).count() == 0,
+      "off-page links must not mint null graph nodes")
     val batchEdges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L), (3L, 11L))
     assert(streamed.distinct().as[(Long, Long)].collect().toSet == batchEdges.toSet,
       "streamed edge set must equal the good pages' links (corrupt page excluded)")
@@ -1020,9 +1028,17 @@ class StreamingSpec extends SparkSpec {
         .select($"vec_id", $"embedding").write.mode("append").parquet(srcDir)
     def partitions() = new java.io.File(s"$root/idx").listFiles()
       .count(_.getName.startsWith("batch_run="))
-    // two sink incarnations -> two batch_run partitions
-    land(0, 30); val q1 = start(); q1.processAllAvailable(); q1.stop()
-    land(30, 60); val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // two sink incarnations -> two batch_run partitions. The FIRST batch
+    // processes two landed files with overlapping ids (20..29 arrive
+    // twice IN ONE micro-batch) — the anti-join only defends against
+    // other batch_runs, so the in-batch dropDuplicates must catch these
+    land(0, 30); land(20, 40)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val ids1 = Streaming.annIndexVectors(spark, s"$root/idx")
+      .select($"id").as[Long].collect()
+    assert(ids1.length == 40 && ids1.distinct.length == 40,
+      s"in-batch duplicate ids leaked into the index: ${ids1.length} rows")
+    land(40, 60); val q2 = start(); q2.processAllAvailable(); q2.stop()
     assert(partitions() == 2, "two triggers must leave two partitions")
 
     val cents = spark.read.parquet(s"$root/centroids")
