@@ -49,12 +49,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-  /** Load average sampled BEFORE any query runs. The end-of-run loadavg is
-    * dominated by the bench's own local[32] load (an idle box still ends
-    * near ~5), so only the start sample distinguishes "another process was
-    * competing" from "the bench used the machine it was given". Round-5's
-    * apparent 32% regression was exactly this misreading. */
-  private val loadAvgAtStart: Double = loadAvg
+  /** Load average sampled BEFORE any query runs (re-sampled after the
+    * quiet-gate wait in main). The end-of-run loadavg is dominated by the
+    * bench's own local[32] load (an idle box still ends near ~5), so only
+    * the start sample distinguishes "another process was competing" from
+    * "the bench used the machine it was given". Round-5's apparent 32%
+    * regression was exactly this misreading. */
+  @volatile private var loadAvgAtStart: Double = loadAvg
 
   /** 1-minute system load average — a bench JVM on an otherwise-idle
     * 32-core box should see ≲32 once warm; a value far above that means
@@ -75,6 +76,24 @@ object Bench {
     // env var is ever absent.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // QUIET GATE (round-10 lesson: the checked-in driver bench shipped
+    // from a loadavg-8.1 box and inflated tail queries 3-8×): rather than
+    // only stamping contended=true after the fact, WAIT — bounded — for
+    // the machine to go quiet before measuring anything. A run that
+    // starts anyway after the wait budget still carries the honest
+    // contended flag, so a quiet artifact is never overwritten silently
+    // by a worse one without the flag saying so.
+    val quietLimit = sys.env.getOrElse("SPARK_GRAFT_QUIET_LIMIT", "1.0").toDouble
+    val quietWaitMs = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "600").toLong * 1000L
+    val waitT0 = System.currentTimeMillis()
+    while (loadAvg > quietLimit &&
+        System.currentTimeMillis() - waitT0 < quietWaitMs) {
+      System.err.println(f"[bench] box busy: loadavg=$loadAvg%.2f > " +
+        f"$quietLimit%.1f — waiting for quiet " +
+        s"(${(System.currentTimeMillis() - waitT0) / 1000}s of ${quietWaitMs / 1000}s budget)")
+      Thread.sleep(15000L)
+    }
+    loadAvgAtStart = loadAvg // the sample the contended flag judges
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt

@@ -105,12 +105,20 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("node"), lit(RankScale).as("rank"))
     for (_ <- 0 until iters) {
+      // contribution multiply AND the in-mass sum run in DECIMAL(38,0):
+      // rank·85 wraps BIGINT once a node's rank passes ~2^57 (in-degree
+      // ~2^17 of near-max ranks), and the SUM wraps earlier for a
+      // mega-in-degree hub (≥2^23 near-max contributions) — both
+      // plausible at web scale under non-ANSI Spark. Values are identical
+      // where BIGINT didn't wrap, so the oracle's BIGINT replay at test
+      // sf is unchanged; the final cast keeps the schema contract.
       ranks = e
         .join(deg, Seq("src"))
         .join(ranks, e("src") === ranks("node"))
-        .select(col("dst"), expr("rank * 85 div (100 * deg)").as("c"))
+        .select(col("dst"),
+          expr("cast(rank as decimal(38,0)) * 85 div (100 * deg)").as("c"))
         .groupBy(col("dst"))
-        .agg((lit(TeleportBase) + sum(col("c"))).as("rank"))
+        .agg((lit(TeleportBase) + sum(col("c"))).cast("long").as("rank"))
         .select(col("dst").as("node"), col("rank"))
         .localCheckpoint(true)
     }
@@ -149,15 +157,19 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = nodes.select(col("node"), lit(RankScale).as("rank"))
     for (_ <- 0 until iters) {
+      // DECIMAL(38,0) multiply + sum: same wrap exposure (and same
+      // value-equality argument) as the undirected walk above
       val contribs = e
         .join(deg, Seq("src"))
         .join(ranks, e("src") === ranks("node"))
-        .select(col("dst"), expr("rank * 85 div (100 * outdeg)").as("c"))
+        .select(col("dst"),
+          expr("cast(rank as decimal(38,0)) * 85 div (100 * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       ranks = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
         .select(col("node"),
-          (lit(TeleportBase) + coalesce(col("in_mass"), lit(0L))).as("rank"))
+          (lit(TeleportBase) + coalesce(col("in_mass"),
+            lit(0L).cast("decimal(38,0)"))).cast("long").as("rank"))
         .localCheckpoint(true)
     }
     e.unpersist(); deg.unpersist(); nodes.unpersist()
@@ -184,37 +196,53 @@ object Graph {
     * groupBy with map-side partials, one 1-row max broadcast — the
     * pageRank shape plus a scalar. Returns (node, hub, authority) in
     * 2^40 units after `iters` full iterations. */
+  /** L∞ normalization of a (node, score) frame: `(v · 2^40) div max(v)`
+    * with the 1-row max BROADCAST back — one scalar aggregate per
+    * half-iteration, never a corpus-wide sort or second shuffle
+    * (PlanAuditSpec pins the broadcast). DECIMAL(38) throughout: v·2^40
+    * overflows BIGINT once in-degrees push v past 2^23 (v is itself in
+    * 2^40 units) — the DuckDB twin is v::HUGEINT (the Sketches/
+    * ChangePoint convention). */
+  private[graft] def maxNormalized(scores: DataFrame, c: String): DataFrame = {
+    val mx = scores.agg(max(col(c)).as("__mx"))
+    scores.crossJoin(broadcast(mx))
+      .select(col("node"),
+        when(col("__mx") > 0, expr(
+          s"cast(cast($c as decimal(38,0)) * ${RankScale}L div __mx as bigint)"))
+          .otherwise(lit(0L)).as(c))
+  }
+
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def maxNormalized(scores: DataFrame, c: String): DataFrame = {
-      val mx = scores.agg(max(col(c)).as("__mx"))
-      scores.crossJoin(broadcast(mx))
-        .select(col("node"),
-          // DECIMAL(38): v·2^40 overflows BIGINT once in-degrees push v
-          // past 2^23 (v is itself in 2^40 units) — the DuckDB twin is
-          // v::HUGEINT (the Sketches/ChangePoint convention)
-          when(col("__mx") > 0, expr(
-            s"cast(cast($c as decimal(38,0)) * ${RankScale}L div __mx as bigint)"))
-            .otherwise(lit(0L)).as(c))
-    }
     var hub = nodes.select(col("node"), lit(RankScale).as("hub"))
     var auth = nodes.select(col("node"), lit(0L).as("authority"))
     for (_ <- 0 until iters) {
+      // raw half-iteration sums accumulate in DECIMAL(38,0): each input
+      // score is ≤ 2^40, so a hub with in-degree above ~2^23 would
+      // silently wrap a BIGINT sum under non-ANSI Spark — plausible at
+      // web scale. maxNormalized's divide already ran in DECIMAL; now
+      // its input does too, and the post-normalization cast to BIGINT
+      // (≤ 2^40 by construction) restores the schema contract.
       val aRaw = e.join(hub, e("src") === hub("node"))
-        .groupBy(col("dst")).agg(sum(col("hub")).as("authority"))
+        .groupBy(col("dst"))
+        .agg(sum(col("hub").cast("decimal(38,0)")).as("authority"))
       auth = maxNormalized(
         nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
-          .select(col("node"), coalesce(col("authority"), lit(0L)).as("authority")),
+          .select(col("node"),
+            coalesce(col("authority"), lit(0L).cast("decimal(38,0)"))
+              .as("authority")),
         "authority").localCheckpoint(true)
       val hRaw = e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("authority")).as("hub"))
+        .groupBy(col("src"))
+        .agg(sum(col("authority").cast("decimal(38,0)")).as("hub"))
       hub = maxNormalized(
         nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
-          .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+          .select(col("node"),
+            coalesce(col("hub"), lit(0L).cast("decimal(38,0)")).as("hub")),
         "hub").localCheckpoint(true)
     }
     val out = nodes.join(hub, Seq("node")).join(auth, Seq("node"))

@@ -55,10 +55,13 @@ object TokenShards {
     * (shard-0000.bin …) in the q158 permutation order. Idempotent only
     * at the file level (rewrites in place); callers wanting
     * build-once semantics use a marker (see PrepQueries.ensureShards). */
-  def writeShards(docs: DataFrame, idCol: String, textCol: String,
-      outDir: String, nShards: Int = 16, seed: String = "epoch1"): Unit = {
-    new java.io.File(outDir).mkdirs()
-    val dealt = docs
+  /** The pre-write deal: tokenize → permutation hash → ONE exchange
+    * (repartition by shard) → in-partition sort. Exposed for the plan
+    * audit (a second exchange or a global sort here is exactly the
+    * 100 TB regression the shard writer must never grow). */
+  private[graft] def dealtFrame(docs: DataFrame, idCol: String,
+      textCol: String, nShards: Int, seed: String): DataFrame =
+    docs
       .select(col(idCol).cast("long").as("doc_id"),
         tokenIds(col(textCol)).as("tids"),
         TrainingPrep.shuffleHash(col(idCol), seed).as("h"))
@@ -66,6 +69,11 @@ object TokenShards {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
       .select(col("shard"), col("tids"))
+
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+      outDir: String, nShards: Int = 16, seed: String = "epoch1"): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val dealt = dealtFrame(docs, idCol, textCol, nShards, seed)
     dealt.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // TASK-COMMIT protocol: write to an attempt-unique dot-temp and
       // rename into place only after the whole partition streamed —

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.ops.Dedup
 import graft.sources.Tables
@@ -73,6 +74,70 @@ object ClusterArtifacts {
     }
     spark.read.parquet(s"$root/$sub")
   }
+
+  /** The CRAWL LINK TABLE — the full [[graft.sources.Warc.htmlLinks]]
+    * extraction over the HTML crawl fixture (src, src_host, target_url,
+    * dst, dst_host, anchor), materialized ONCE per corpus directory.
+    * Round 10 had five consumers (q210 anchor text, q211 PageRank, q212
+    * authority×quality, q215 HITS, q216 link-spam census) each re-running
+    * the WARC walk + tag parse + canonicalization per query — five crawl
+    * re-parses of the same fixture per verify run, and at 100 TB five
+    * re-parses of the crawl where one artifact read should serve. Same
+    * discipline as the dedup chains above: build once behind a
+    * `_COMPLETE` marker, every consumer plan is a FileScan of the
+    * artifact parquet, never the gzip-walk/extraction subtree
+    * (PlanAuditSpec pins the fixture path OUT of consumer plans). The
+    * chain name carries the extraction contract — v2 = the ANCHORED dst
+    * ordinal + attribute-safe anchor regexes (sources/Warc.scala) — so a
+    * future extraction change cannot silently serve stale links. The
+    * streaming link-graph sink keeps calling the extraction directly
+    * (its input is the live micro-batch, not an immutable corpus). */
+  def htmlLinks(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.buildOnce("graft_cluster_artifacts", dir, "html_links_v2") { out =>
+      val fx = graft.sources.Warc.ensureHtmlFixture(spark, dir)
+      graft.sources.Warc.htmlLinks(graft.sources.Warc.scan(spark, fx).toDF())
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** (src, dst) page-ordinal edges off the [[htmlLinks]] artifact — the
+    * graph-operator feed (the batch twin of
+    * [[graft.streaming.Streaming.linkGraphEdges]]'s durable table). */
+  def htmlLinkEdges(spark: SparkSession, dir: String): DataFrame =
+    htmlLinks(spark, dir)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst"))
+
+  /** Build-once per-corpus BM25 postings index
+    * ([[graft.ops.TextSearch.writePostingsIndex]]) — one home for the
+    * serving facade (`/search`) AND the batch retrieval queries
+    * (q45/q143/q214/q114), which as of round 11 all serve from the
+    * stored term-bucketed index via `bm25TopKIndexed` (proven
+    * score-bit-equal to the corpus-rescan `bm25TopK`): the index builds
+    * once per corpus and every consumer's lexical path scans postings
+    * buckets, never the corpus text column. */
+  def postingsIndex(spark: SparkSession, dir: String): String =
+    Tables.buildOnce("graft_postings_index", dir, "bm25_b64_v1") { out =>
+      graft.ops.TextSearch.writePostingsIndex(
+        Tables.documents(spark, dir), "doc_id", "text", out)
+    }
+
+  /** Build-once per-corpus IVF index (8 cells, one exact Lloyd step,
+    * integer-quantized vectors — the q15c/q79/q163/q175 build):
+    * `centroids` (cell, cv) + `index` (id, qv) PARTITIONED BY cell, so a
+    * probe's serving read dynamically prunes to its nProbe cells. */
+  def ivfIndex(spark: SparkSession, dir: String): String =
+    Tables.buildOnce("graft_ivf_index", dir, "ivf_k8_i1_v1") { out =>
+      val emb = Tables.embeddings(spark, dir)
+      val cents = graft.ops.Similarity.ivfExactCentroids(
+        emb, "vec_id", "embedding", k = 8, iters = 1)
+      val qvecs = emb.select(col("vec_id").as("id"),
+        graft.ops.Similarity.quantize(col("embedding")).as("qv"))
+      cents.write.mode("overwrite").parquet(s"$out/centroids")
+      graft.ops.Similarity.ivfExactAssign(qvecs, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/index")
+    }
 
   /** (id, cluster_id) labels of the EMBEDDING near-dup chain — q80's
     * exact substrate. */

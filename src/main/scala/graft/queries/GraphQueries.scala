@@ -55,14 +55,12 @@ object GraphQueries {
       |ORDER BY rank DESC, kind ASC, key ASC
       |LIMIT 100""".stripMargin
 
-  /** The q210/q211 link-graph substrate: (src, dst) page-ordinal edges
-    * extracted from the HTML crawl fixture's rendered pages (the shared
-    * [[graft.sources.Warc.htmlLinkEdges]] extraction — also the batch
-    * twin of the streaming link-graph sink). */
-  private def htmlLinkEdges(spark: SparkSession, dir: String): DataFrame = {
-    val fx = graft.sources.Warc.ensureHtmlFixture(spark, dir)
-    graft.sources.Warc.htmlLinkEdges(graft.sources.Warc.scan(spark, fx).toDF())
-  }
+  /** The q211/q212/q215 link-graph substrate: (src, dst) page-ordinal
+    * edges read off the build-once crawl link artifact
+    * ([[ClusterArtifacts.htmlLinkEdges]]) — ONE WARC walk + extraction
+    * per corpus, a FileScan per consumer. */
+  private def htmlLinkEdges(spark: SparkSession, dir: String): DataFrame =
+    ClusterArtifacts.htmlLinkEdges(spark, dir)
 
 
   /** Q211 — LINK AUTHORITY over the crawl's extracted HTML link graph:
@@ -177,9 +175,7 @@ object GraphQueries {
     * self-join of that set on the flipped key (equi-join, same
     * partitioning); the census is a 7-key hash agg. */
   def linkSpamCensus(spark: SparkSession, dir: String): DataFrame = {
-    val fx = graft.sources.Warc.ensureHtmlFixture(spark, dir)
-    val edges = graft.sources.Warc.htmlLinks(
-        graft.sources.Warc.scan(spark, fx).toDF())
+    val edges = ClusterArtifacts.htmlLinks(spark, dir)
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src"), col("src_host"), col("dst"), col("dst_host"))
       .distinct()

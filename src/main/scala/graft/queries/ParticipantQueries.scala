@@ -97,10 +97,11 @@ object ParticipantQueries {
     * and the dominant-anchor window are all hash-pinned. */
   def anchorText(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fx = Warc.ensureHtmlFixture(spark, dir)
-    val links = Warc.htmlLinks(Warc.scan(spark, fx).toDF())
+    // both consumers (per-target agg + anchor mode) FileScan the
+    // build-once link artifact — no per-consumer WARC re-parse, and no
+    // checkpoint needed: re-reading the small parquet twice is the plan
+    val links = ClusterArtifacts.htmlLinks(spark, dir)
       .select(col("src_host"), col("target_url"), col("anchor"))
-      .localCheckpoint(true) // two consumers: per-target agg + anchor mode
     val agg = links.groupBy(col("target_url"))
       .agg(count(lit(1)).as("inlinks"),
         count_distinct(col("src_host")).as("n_source_hosts"))
@@ -150,6 +151,134 @@ object ParticipantQueries {
       |  t.top_anchor, t.top_anchor_n
       |FROM agg a JOIN top_anchor t USING (target_url)
       |ORDER BY a.inlinks DESC, a.target_url LIMIT 30""".stripMargin
+
+  /** Q217 — ANCHOR-TEXT RETRIEVAL INDEX: rank pages by what OTHER pages'
+    * link text says about them — the other half of the anchor signal
+    * q210 censuses, and the classic web-relevance feature (anchor terms
+    * describe the TARGET better than its own body; every PageRank-era
+    * engine indexed them as target-document surrogates). Each target's
+    * in-link anchors concatenate into an anchor-document (read off the
+    * build-once link artifact, never a re-parse), and the exact
+    * integer-fixed-point BM25 (q45's formulation, bit-replayable) ranks
+    * targets for the standard term bag. Bag-of-words stats are
+    * concatenation-ORDER-FREE (tf/dl only), so the nondeterministic
+    * collect_list order cannot reach the scores. The oracle reconstructs
+    * every anchor from the fixture arithmetic (q210 posture), rebuilds
+    * the token bags, and replays the full BM25 chain.
+    *
+    * Scale: the anchor table is the bounded extraction output (a few
+    * dozen bytes per link, never the pages); one groupBy(dst) builds the
+    * anchor-docs, then the q45 scan shape over a table ~|links| in size. */
+  def anchorIndex(spark: SparkSession, dir: String): DataFrame = {
+    val anchorDocs = ClusterArtifacts.htmlLinks(spark, dir)
+      .filter(col("dst").isNotNull)
+      .groupBy(col("dst"))
+      .agg(concat_ws(" ", collect_list(col("anchor"))).as("anchor_text"))
+    graft.ops.TextSearch.bm25TopK(
+      anchorDocs, "dst", "anchor_text", TextQueries.Bm25Terms, 20)
+  }
+
+  val anchorIndexSql: String = {
+    val termList = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH n AS (SELECT count(*) AS n FROM documents),
+       |src AS (
+       |  SELECT doc_id AS d, string_split(text, ' ') AS w
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |links AS (
+       |  SELECT s.d, j.j,
+       |    CASE WHEN j.j = 0 THEN (s.d // 5) % 10
+       |         ELSE ((s.d * 31 + j.j * 17) % n.n) END AS t,
+       |    array_to_string(w[CAST(3 * j.j + 1 AS BIGINT):CAST(3 * j.j + 2 AS BIGINT)], ' ') AS anchor
+       |  FROM src s CROSS JOIN n CROSS JOIN range(0, 4) j(j)
+       |  WHERE j.j < (s.d % 4) + 1),
+       |atoks AS (
+       |  SELECT t AS doc_id, unnest(string_split(anchor, ' ')) AS term FROM links),
+       |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM atoks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sdl
+       |  FROM base),
+       |tfrows AS (
+       |  SELECT a.doc_id, b.dl, a.term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM atoks a JOIN base b USING (doc_id)
+       |  WHERE a.term IN ($termList)
+       |  GROUP BY a.doc_id, b.dl, a.term),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfrows GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(((2.0 * CAST((n_docs - df) AS DOUBLE) + 1.0)
+       |                / (2.0 * CAST(df AS DOUBLE) + 1.0)) * 1000000.0, 0) AS BIGINT)
+       |    * CAST(round(((CAST(tf AS DOUBLE) * 2.2)
+       |                  / (CAST(tf AS DOUBLE)
+       |                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |                                             / CAST(sdl AS DOUBLE))))) * 1000000.0, 0) AS BIGINT)
+       |      AS term_score
+       |  FROM tfrows JOIN dft USING (term) CROSS JOIN stats)
+       |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e12,
+       |  CAST(count(*) AS BIGINT) AS n_terms_hit
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score_e12 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** Q219 — HOST CITATION MATRIX: the page-level link graph rolled up to
+    * host→host edges — the aggregation level where TrustRank-era
+    * policies actually act (whole-host boosts/penalties, link-exchange
+    * detection between SITES): per directed host pair, distinct
+    * page-edge count, distinct linking/linked pages, the reverse
+    * direction's edge count, and the signed asymmetry in micro units
+    * ((a→b − b→a)·10⁶ div (a→b + b→a): +1e6 = pure citation, 0 = a
+    * perfectly reciprocal exchange ring — the q216 reciprocity census
+    * sharpened to WHICH pair). Oracle replays from the fixture's
+    * generating arithmetic.
+    *
+    * Scale: the distinct page-edge set is one exchange (it is the
+    * artifact scan at census cost); the host rollup is a 49-key hash
+    * agg, and the reverse join runs on the ROLLED-UP table (|hosts|²
+    * bounded), never the page edges. */
+  def hostCitation(spark: SparkSession, dir: String): DataFrame = {
+    val agg = ClusterArtifacts.htmlLinks(spark, dir)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src_host"), col("dst_host"), col("src"), col("dst"))
+      .distinct()
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_edges"),
+        count_distinct(col("src")).as("n_src_pages"),
+        count_distinct(col("dst")).as("n_dst_pages"))
+      .localCheckpoint(true) // two consumers: forward rows + reverse join
+    val back = agg.select(col("dst_host").as("src_host"),
+      col("src_host").as("dst_host"), col("n_edges").as("__b"))
+    agg.join(back, Seq("src_host", "dst_host"), "left")
+      .withColumn("n_back", coalesce(col("__b"), lit(0L)))
+      .withColumn("asym_micro",
+        expr("(n_edges - n_back) * 1000000 div (n_edges + n_back)"))
+      .select(col("src_host"), col("dst_host"), col("n_edges"),
+        col("n_src_pages"), col("n_dst_pages"), col("n_back"), col("asym_micro"))
+      .orderBy(col("src_host"), col("dst_host"))
+  }
+
+  val hostCitationSql: String =
+    """WITH n AS (SELECT count(*) AS n FROM documents),
+      |pages AS (SELECT doc_id AS d FROM documents WHERE doc_id % 5 = 0),
+      |links AS (
+      |  SELECT s.d AS src,
+      |    CASE WHEN j.j = 0 THEN (s.d // 5) % 10
+      |         ELSE ((s.d * 31 + j.j * 17) % n.n) END AS dst
+      |  FROM pages s CROSS JOIN n CROSS JOIN range(0, 4) j(j)
+      |  WHERE j.j < (s.d % 4) + 1),
+      |e AS (SELECT DISTINCT src, dst FROM links),
+      |agg AS (
+      |  SELECT 's' || CAST(src % 7 AS VARCHAR) || '.example' AS src_host,
+      |    's' || CAST(dst % 7 AS VARCHAR) || '.example' AS dst_host,
+      |    CAST(count(*) AS BIGINT) AS n_edges,
+      |    CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages,
+      |    CAST(count(DISTINCT dst) AS BIGINT) AS n_dst_pages
+      |  FROM e GROUP BY 1, 2)
+      |SELECT a.src_host, a.dst_host, a.n_edges, a.n_src_pages, a.n_dst_pages,
+      |  CAST(coalesce(b.n_edges, 0) AS BIGINT) AS n_back,
+      |  CAST((a.n_edges - coalesce(b.n_edges, 0)) * 1000000
+      |    // (a.n_edges + coalesce(b.n_edges, 0)) AS BIGINT) AS asym_micro
+      |FROM agg a LEFT JOIN agg b
+      |  ON b.src_host = a.dst_host AND b.dst_host = a.src_host
+      |ORDER BY a.src_host, a.dst_host""".stripMargin
 
   /** Q176 — JSONL shard ingestion with corrupt-line isolation: the
     * de-facto LLM-corpus interchange format (every public dataset ships
@@ -1597,6 +1726,8 @@ object ParticipantQueries {
     QueryDef("q29_ingest_dir", ingestDir, Some(ingestDirSql)),
     QueryDef("q147_warc_ingest", warcIngest, Some(warcIngestSql)),
     QueryDef("q210_anchor_text", anchorText, Some(anchorTextSql)),
+    QueryDef("q217_anchor_index", anchorIndex, Some(anchorIndexSql)),
+    QueryDef("q219_host_citation", hostCitation, Some(hostCitationSql)),
     QueryDef("q213_politeness_schedule", politenessSchedule, Some(politenessScheduleSql)),
     QueryDef("q151_crawl_curation", crawlCuration, Some(crawlCurationSql)),
     QueryDef("q156_crawl_churn", crawlChurn, Some(crawlChurnSql)),

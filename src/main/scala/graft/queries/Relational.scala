@@ -114,7 +114,9 @@ object Relational {
     val nat = Tables.nation(spark, dir)
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    cust.withColumn("rk", row_number().over(w))
+    // cast: DuckDB row_number is BIGINT; a type-sensitive driver hash
+    // must see the same physical type both sides (tools/type_sweep.py)
+    cust.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("rk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -155,7 +157,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
     Tables.orders(spark, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long")) // BIGINT, as the oracle renders it
       .withColumn("running_total",
         round(sum(col("o_totalprice").cast("decimal(18,4)"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 4))

@@ -133,23 +133,28 @@ object SimilarityQueries {
       emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000)
         .select(col("vec_id").as("probe_id"),
           Similarity.quantize(col("embedding")).as("__pqv")))
-    val scored = corpus.crossJoin(probes)
+    // ONE corpus×probes pass: the native prefix-cosine kernel snapshots
+    // all four truncation cosines from running integer partials (64
+    // element-multiplies per pair, not 8+16+32+64 across four sliced
+    // passes — round 10's shape re-scanned the cross product per width,
+    // the suite's worst 50× ratio at ~3×). Each emitted cosine is
+    // bit-identical to the sliced longCosine, so ranking and the final
+    // recall table are hash-unchanged. The per-(width, probe) top-10 is
+    // one WindowGroupLimit-pruned window over the exploded rows.
+    val all = corpus.crossJoin(probes)
       .filter(col("vec_id") =!= col("probe_id"))
-    // native one-pass integer kernel over the sliced prefixes — the
-    // higher-order aggregate(zip_with(...)) form evaluates interpreted
-    // per element and measured 14.5× at the 50× probe; longCosine is
-    // the same integer-exact arithmetic, codegen-adjacent
-    def ranked(d: Int): DataFrame = scored
-      .withColumn("__cos", graft.functions.NativeExpressions.longCosine(
-        slice(col("__qv"), 1, d), slice(col("__pqv"), 1, d)))
-      .withColumn("__r", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("__cos").desc, col("vec_id").asc)))
+      .select(col("probe_id"), col("vec_id"),
+        posexplode(graft.functions.NativeExpressions.prefixLongCosines(
+          col("__qv"), col("__pqv"), dims)).as(Seq("__i", "__cos")))
+      .withColumn("trunc_dim",
+        element_at(lit(dims.map(_.toLong).toArray), col("__i") + 1))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("trunc_dim"), col("probe_id"))
+          .orderBy(col("__cos").desc, col("vec_id").asc)))
       .filter(col("__r") <= 10)
-      .select(lit(d.toLong).as("trunc_dim"), col("probe_id"), col("vec_id"))
-    // the union materializes once (eager checkpoint) and the d=64 slice
-    // doubles as the truth set — building ranked(64) twice would add a
-    // 5th corpus×probes pass whenever exchange reuse fails to fire
-    val all = dims.map(ranked).reduce(_ unionByName _).localCheckpoint(true)
+      .select(col("trunc_dim"), col("probe_id"), col("vec_id"))
+      // materialize once: the d=64 slice below doubles as the truth set
+      .localCheckpoint(true)
     val full = all.filter(col("trunc_dim") === 64L)
       .select(col("probe_id"), col("vec_id"))
       .withColumn("__hit", lit(1L))
@@ -1932,8 +1937,12 @@ object SimilarityQueries {
     * fusion and the tie-broken top-20 exactly. The re-rank windows run
     * over the two 100-row lists only — the corpus is never re-sorted. */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame =
-    rrfFusionFrom(spark, dir, graft.ops.TextSearch.bm25TopK(
-      Tables.documents(spark, dir), "doc_id", "text", TextQueries.Bm25Terms, 100))
+    // lexical leg from the stored postings index (the `/search` serving
+    // path, score-bit-equal to the corpus rescan) — q114 and the facade
+    // now run the SAME lexical plan
+    rrfFusionFrom(spark, dir, graft.ops.TextSearch.bm25TopKIndexed(
+      spark, ClusterArtifacts.postingsIndex(spark, dir),
+      TextQueries.Bm25Terms, 100))
 
   /** The q114 fusion with the LEXICAL top-100 supplied by the caller —
     * the service facade feeds the stored-postings ranking

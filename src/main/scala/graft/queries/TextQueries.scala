@@ -155,9 +155,15 @@ object TextQueries {
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "merge", "filter")
   val Bm25K = 20
 
+  /** Served from the STORED term-bucketed postings index (built once per
+    * corpus — ClusterArtifacts.postingsIndex, the `/search` index): the
+    * scan prunes to the query terms' bucket partitions and the corpus
+    * text column is never touched by the lexical path. bm25TopKIndexed
+    * is score-bit-equal to the corpus-rescan bm25TopK (TextSearchSpec),
+    * so the oracle below still replays the scan formulation. */
   def bm25Query(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.TextSearch.bm25TopK(
-      Tables.documents(spark, dir), "doc_id", "text", Bm25Terms, Bm25K)
+    graft.ops.TextSearch.bm25TopKIndexed(
+      spark, ClusterArtifacts.postingsIndex(spark, dir), Bm25Terms, Bm25K)
 
   val bm25Sql: String = {
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
@@ -239,7 +245,11 @@ object TextQueries {
       }.reduce(_ + _)
       val rel = docs.select(col("doc_id"), relCol.as("rel"))
         .localCheckpoint(true) // two consumers: ranked join + ideal census
-      val ranked = graft.ops.TextSearch.bm25TopK(docs, "doc_id", "text", terms, 10)
+      // the stored-index ranking (score-bit-equal to the scan path): the
+      // round-10 scan form paid 3 inverted-index-equivalent corpus passes
+      // in one query — the suite's second-worst 50× ratio
+      val ranked = graft.ops.TextSearch.bm25TopKIndexed(
+        spark, ClusterArtifacts.postingsIndex(spark, dir), terms, 10)
         .withColumn("pos", row_number().over(
           Window.orderBy(col("score_e12").desc, col("doc_id").asc)))
       val scored = ranked.join(rel, Seq("doc_id")).join(weights, Seq("pos"))
@@ -946,8 +956,10 @@ object TextQueries {
     * Hit position is the MIN over terms of the term's first occurrence
     * (1-based; ties need no rule — min of exact integers). */
   def snippets(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val top = graft.ops.TextSearch.bm25TopK(docs, "doc_id", "text", Bm25Terms, Bm25K)
+    // ranking off the stored postings index (the q45 serving path); only
+    // the top-k doc_ids resolve back to corpus text, for the snippets
+    val top = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, ClusterArtifacts.postingsIndex(spark, dir), Bm25Terms, Bm25K)
     attachSnippets(spark, dir, top)
       .select(col("doc_id"), col("score_e12"), col("hit_pos"), col("snippet"))
       .orderBy(col("score_e12").desc, col("doc_id").asc)
@@ -1625,6 +1637,52 @@ object TextQueries {
       |    AS zipf_slope
       |FROM m ORDER BY source""".stripMargin
 
+  /** Q218 — VOCABULARY CONCENTRATION per source (Simpson/Herfindahl
+    * index): λ = Σ c_t² / N², the probability two random tokens are the
+    * same type — the diversity signal complementary to q191's Zipf slope
+    * (a template farm repeats a few types → λ spikes; natural prose stays
+    * low) and the standard repeated-content screen a mixture planner
+    * runs per source before weighting it. The inverse 1/λ is the
+    * "effective vocabulary" in types. All integer-exact: Σ c² and N²
+    * accumulate in DECIMAL(38,0) (Σ c² ≤ N² ≈ 10²⁶ at a 100 TB source —
+    * BIGINT wraps at 9.2·10¹⁸, the oracle uses HUGEINT), λ is reported
+    * in micro units by integer division, eff_types = N² div Σ c².
+    *
+    * Scale: ONE token exchange into the (source, token) frequency table
+    * (Heaps-bounded), then a per-source hash aggregate over it — the
+    * q191 shape minus the rank window. */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(expr("cast(f as decimal(38,0)) * f")).as("__ss"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("cast((__ss * 1000000) div (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)")
+          .as("simpson_micro"),
+        expr("cast((cast(n_tokens as decimal(38,0)) * n_tokens) div __ss as bigint)")
+          .as("eff_types"))
+      .orderBy(col("source"))
+
+  val sourceConcentrationSql: String =
+    """WITH freqs AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY source, token),
+      |m AS (
+      |  SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    SUM(CAST(f AS HUGEINT) * f) AS ss
+      |  FROM freqs GROUP BY source)
+      |SELECT source, n_tokens, n_types,
+      |  CAST((ss * 1000000) // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+      |    AS simpson_micro,
+      |  CAST((CAST(n_tokens AS HUGEINT) * n_tokens) // ss AS BIGINT) AS eff_types
+      |FROM m ORDER BY source""".stripMargin
+
   /** Q195 — LOSS-TILTED DOMAIN REWEIGHTING (the deterministic core of
     * DoReMi, Xie et al. 2023: shift training mass toward domains the
     * reference model finds HARD, away from domains it has already fit):
@@ -1687,7 +1745,7 @@ object TextQueries {
        |    CAST(n_tokens AS HUGEINT) * CAST(loss_milli AS HUGEINT) AS tilt
        |  FROM per_source),
        |gtot AS (SELECT SUM(n_tokens) AS tt, SUM(tilt) AS tw FROM tilted)
-       |SELECT source, n_tokens,
+       |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  CAST(n_tokens * 1000000 // tt AS BIGINT) AS base_share_micro,
        |  loss_milli,
        |  CAST((tilt * 1000000) // tw AS BIGINT) AS reweight_share_micro,
@@ -1926,6 +1984,8 @@ object TextQueries {
     QueryDef("q198_filter_ordering", filterOrdering, Some(filterOrderingSql)),
     QueryDef("q199_readability", readability, Some(readabilitySql)),
     QueryDef("q191_zipf_fit", zipfFit, Some(zipfFitSql)),
+    QueryDef("q218_source_concentration", sourceConcentration,
+      Some(sourceConcentrationSql)),
     QueryDef("q181_quality_yield", qualityYield, Some(qualityYieldSql)),
     QueryDef("q164_boilerplate", boilerplateRemoval, Some(boilerplateRemovalSql)),
     QueryDef("q170_filter_agreement", filterAgreement, Some(filterAgreementSql)),

@@ -70,6 +70,25 @@ final class GraftService private (
     name
   }
 
+  /** `probeDoc=<vec_id>` (embed by bounded corpus lookup; the id comes
+    * back for self-exclusion) or `probe=<64 comma-separated floats>` —
+    * the shared probe contract of `/search`'s hybrid leg and `/similar`. */
+  private def parseProbe(ps: Map[String, String],
+      dir: String): Option[(Seq[Long], Option[Long])] =
+    ps.get("probeDoc").flatMap(s => scala.util.Try {
+      val id = s.toLong
+      val rows = graft.sources.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === id)
+        .select(graft.ops.Similarity.quantize(col("embedding")))
+        .collect()
+      if (rows.isEmpty) None
+      else Some((rows.head.getSeq[Long](0).toSeq, Some(id)))
+    }.toOption.flatten)
+      .orElse(ps.get("probe").flatMap(s => scala.util.Try {
+        val v = s.split(",").map(x => math.floor(x.trim.toDouble * 1000).toLong).toSeq
+        if (v.size == 64) Some((v, None: Option[Long])) else None
+      }.toOption.flatten))
+
   // --------------------------------------------------------- handlers
 
   private def handle(ex: HttpExchange): Unit = {
@@ -144,19 +163,7 @@ final class GraftService private (
             // validations, never for a lexical request that happens to
             // carry the param
             lazy val probeSpec: Option[(Seq[Long], Option[Long])] =
-              ps.get("probeDoc").flatMap(s => scala.util.Try {
-                val id = s.toLong
-                val rows = graft.sources.Tables.embeddings(spark, dir)
-                  .filter(col("vec_id") === id)
-                  .select(graft.ops.Similarity.quantize(col("embedding")))
-                  .collect()
-                if (rows.isEmpty) None
-                else Some((rows.head.getSeq[Long](0).toSeq, Some(id)))
-              }.toOption.flatten)
-              .orElse(ps.get("probe").flatMap(s => scala.util.Try {
-                val v = s.split(",").map(x => math.floor(x.trim.toDouble * 1000).toLong).toSeq
-                if (v.size == 64) Some((v, None: Option[Long])) else None
-              }.toOption.flatten))
+              parseProbe(ps, dir)
             if (terms.size > 64) (400, """{"error":"at most 64 query terms"}""")
             else if (hybridMode && probeRequested && probeSpec.isEmpty)
               (400, """{"error":"probeDoc must be a known vec_id; probe must be 64 comma-separated numbers"}""")
@@ -228,6 +235,78 @@ final class GraftService private (
               (200, out.toJSON.collect().mkString("[", ",", "]"))
             }
         }
+      case ("GET", "/similar") =>
+        // ANN serving off the DURABLE IVF index — the vector twin of
+        // `/search`'s stored-postings read. Default index = the
+        // build-once per-corpus artifact (ClusterArtifacts.ivfIndex);
+        // `indexDir=` + `centroidsDir=` point it at a STREAMED
+        // incremental index tree instead (Streaming.incrementalAnnSink's
+        // batch_run layout, read via annIndexVectors — batch_run never
+        // reaches the serving schema, and the cell partitioning prunes
+        // the scan to the probed cells). The probe is `probeDoc=<vec_id>`
+        // (embed by corpus lookup; its own row is excluded) or
+        // `probe=<64 comma-separated floats>`; `k=` result size,
+        // `nprobe=` cell fan-out (default 3 of 8, the q175-tuned point),
+        // `diversify=<n>` MMR-reranks the page (λ = 0.7, rel =
+        // (cosine+1)/2 — the bounded-page contract, as `/search`).
+        // Results are the q79 batched-probe rows for the same corpus:
+        // ServiceSpec pins ingest → index → HTTP query bit-equality.
+        val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
+        ps.get("dir") match {
+          case None => (400, """{"error":"dir required"}""")
+          case Some(dir) =>
+            val k = math.min(math.max(1,
+              ps.get("k").flatMap(s => scala.util.Try(s.toInt).toOption)
+                .getOrElse(10)), GraftService.MaxPageRows)
+            val nProbe = math.min(8, math.max(1,
+              ps.get("nprobe").flatMap(s => scala.util.Try(s.toInt).toOption)
+                .getOrElse(3)))
+            parseProbe(ps, dir) match {
+              case None =>
+                (400, """{"error":"probeDoc must be a known vec_id; probe must be 64 comma-separated numbers"}""")
+              case Some((qv, excl)) =>
+                import org.apache.spark.sql.expressions.Window
+                import spark.implicits._
+                val (index, cents) =
+                  (ps.get("indexDir"), ps.get("centroidsDir")) match {
+                    case (Some(i), Some(c)) =>
+                      (Streaming.annIndexVectors(spark, i),
+                        spark.read.parquet(c))
+                    case _ =>
+                      val ivf = graft.queries.ClusterArtifacts.ivfIndex(spark, dir)
+                      (spark.read.parquet(s"$ivf/index"),
+                        spark.read.parquet(s"$ivf/centroids"))
+                  }
+                val queries = Seq((0L, qv)).toDF("query_id", "q")
+                // +1 headroom when the probe's own row will be excluded
+                val top = graft.ops.Similarity.ivfExactTopKMany(
+                  index, cents, queries, k = k + excl.size, nProbe = nProbe)
+                val page = excl.fold(top)(id => top.filter(col("id") =!= id))
+                  .withColumn("rank", row_number().over(
+                    Window.orderBy(col("cosine").desc, col("id").asc)).cast("long"))
+                  .filter(col("rank") <= k)
+                  .select(col("id"), col("rank"), col("cosine"))
+                val diversify = ps.get("diversify")
+                  .flatMap(s => scala.util.Try(s.toInt).toOption)
+                  .filter(n => n >= 1 && n <= k)
+                val out = diversify match {
+                  case Some(n) =>
+                    // bounded page → MMR; vectors resolve from the corpus
+                    // (page ids ARE corpus vec_ids for every index layout)
+                    val cand = page.localCheckpoint(true)
+                      .join(graft.sources.Tables.embeddings(spark, dir)
+                        .select(col("vec_id").as("id"), col("embedding")),
+                        Seq("id"))
+                      .select(col("id"), col("embedding"),
+                        ((col("cosine") + 1.0) / 2.0).as("rel"))
+                    graft.ops.Similarity
+                      .mmrRerank(cand, "id", "embedding", "rel", n, 0.7)
+                      .drop("rel")
+                  case None => page
+                }
+                (200, out.toJSON.collect().mkString("[", ",", "]"))
+            }
+        }
       case ("GET", "/datarecords") =>
         running match {
           case None => (409, """{"error":"no pipeline running"}""")
@@ -257,35 +336,21 @@ object GraftService {
     * bounded serving read, never a bulk-export path. */
   val MaxPageRows: Int = 10000
 
-  /** Lazily-built per-corpus postings index for `/search`
-    * (TextSearch.writePostingsIndex), keyed on the FULL canonical dir
-    * path, idempotent via marker. The cache assumes an immutable corpus
-    * directory (true of every sf dir here); a mutated corpus needs the
-    * index dir removed — serving caches trade that for never re-scanning
-    * the corpus per request. */
+  /** Lazily-built per-corpus postings index for `/search` — shared with
+    * the batch retrieval queries (q45/q143/q214/q114), so the build
+    * lives with the other build-once artifacts
+    * ([[graft.queries.ClusterArtifacts.postingsIndex]]); this is the
+    * serving-facade alias. Immutable-corpus cache contract: a mutated
+    * corpus needs the index dir removed. */
   private[graft] def postingsIndexFor(spark: SparkSession, dir: String): String =
-    graft.sources.Tables.buildOnce("graft_postings_index", dir, "bm25_b64_v1") { out =>
-      graft.ops.TextSearch.writePostingsIndex(
-        graft.sources.Tables.documents(spark, dir), "doc_id", "text", out)
-    }
+    graft.queries.ClusterArtifacts.postingsIndex(spark, dir)
 
   /** Lazily-built per-corpus IVF index for the hybrid `/search` semantic
-    * leg — the q15c/q79/q163/q175 build verbatim (8 cells, one exact
-    * Lloyd step, integer-quantized vectors), persisted once:
-    * `centroids` (cell, cv) + `index` (id, qv) PARTITIONED BY cell, so
-    * a probe's serving read dynamically prunes to its nProbe cells.
-    * Same immutable-corpus cache contract as [[postingsIndexFor]]. */
+    * leg ([[graft.queries.ClusterArtifacts.ivfIndex]] — the
+    * q15c/q79/q163/q175 build). Same immutable-corpus cache contract as
+    * [[postingsIndexFor]]. */
   private[graft] def ivfIndexFor(spark: SparkSession, dir: String): String =
-    graft.sources.Tables.buildOnce("graft_ivf_index", dir, "ivf_k8_i1_v1") { out =>
-      val emb = graft.sources.Tables.embeddings(spark, dir)
-      val cents = graft.ops.Similarity.ivfExactCentroids(
-        emb, "vec_id", "embedding", k = 8, iters = 1)
-      val qvecs = emb.select(col("vec_id").as("id"),
-        graft.ops.Similarity.quantize(col("embedding")).as("qv"))
-      cents.write.mode("overwrite").parquet(s"$out/centroids")
-      graft.ops.Similarity.ivfExactAssign(qvecs, cents)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/index")
-    }
+    graft.queries.ClusterArtifacts.ivfIndex(spark, dir)
 
   /** Start the facade on `port` (0 = ephemeral, for tests). */
   def start(spark: SparkSession, port: Int = 7000): GraftService = {

@@ -688,9 +688,17 @@ object Warc {
       .withColumn("target_url", graft.ops.UrlOps.canonicalizeUrl(
         regexp_extract(col("tag"), "<a href=\"([^\"]*)\"", 1)))
       .select(col("src"), col("src_host"), col("target_url"),
-        ordinal(col("target_url"), "/p/([0-9]+)").as("dst"),
+        // dst ordinal ANCHORED to the end of the canonical path (`?` starts
+        // the query string; canonicalization strips trailing slash and
+        // fragments): an unanchored /p/<digits> would mint an edge from any
+        // off-site URL that merely CONTAINS the shape (…/p/123/about),
+        // cross-host ordinal collisions polluting the link graph
+        ordinal(col("target_url"), "/p/([0-9]+)(?:[?]|$)").as("dst"),
         graft.ops.UrlOps.urlHost(col("target_url")).as("dst_host"),
-        regexp_extract(col("tag"), ">([^<]*)</a>", 1).as("anchor"))
+        // capture starts AFTER the attribute-closing '>' (quote, then
+        // non-'>' run, then '>'): a legal '>' inside the quoted href value
+        // would otherwise leak the rest of the opening tag into the anchor
+        regexp_extract(col("tag"), "\"[^>]*>([^<]*)</a>", 1).as("anchor"))
   }
 
   /** (src, dst) page-ordinal edges for the graph operators — the

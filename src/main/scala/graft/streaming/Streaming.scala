@@ -477,14 +477,18 @@ object Streaming {
       checkpointDir: Option[String] = None): StreamingQuery = {
     val writer = docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         // an empty micro-batch (a trigger that found no new files) must
         // not write shards: its stats row would carry sum(tf) = NULL
         // (n_docs=0, sdl=NULL) — serving survives only because every
         // current stats reader SUMs (nulls ignored), but a non-summing
         // future reader would trip on the NULL; skipping is also free
-        // (no empty postings dirs accumulating per idle trigger)
-        if (!batch.isEmpty) {
+        // (no empty postings dirs accumulating per idle trigger).
+        // persist for the trigger: the isEmpty probe would otherwise
+        // execute the full micro-batch plan (file parse included) once,
+        // and the write a second time
+        val batch = rawBatch.persist()
+        try if (!batch.isEmpty) {
           val post = batch
             .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__toks"))
             .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
@@ -499,7 +503,7 @@ object Streaming {
           post.agg(count_distinct(col("doc_id")).as("n_docs"),
               coalesce(sum(col("tf")), lit(0L)).as("sdl"))
             .write.mode("overwrite").parquet(s"$indexDir/stats/batch_run=$batchId")
-        }
+        } finally batch.unpersist()
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
@@ -842,9 +846,12 @@ object Streaming {
       checkpointDir: Option[String] = None): StreamingQuery = {
     val writer = vecs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // empty trigger → no empty batch_run dirs accumulating
-        if (!batch.isEmpty) {
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        // empty trigger → no empty batch_run dirs accumulating. persist
+        // for the trigger: the isEmpty probe would otherwise run the
+        // whole micro-batch plan once and the assign/write a second time
+        val batch = rawBatch.persist()
+        try if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val cents = spark.read.parquet(centroidsDir)
           // dropDuplicates FIRST: two landed files carrying the same id
@@ -866,7 +873,7 @@ object Streaming {
           fresh.repartition(col("cell")) // contiguous writers per cell dir
             .write.mode("overwrite").partitionBy("cell")
             .parquet(s"$indexDir/batch_run=$batchId")
-        }
+        } finally batch.unpersist()
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
@@ -921,10 +928,15 @@ object Streaming {
       graft.sources.Warc.scanStream(spark, crawlDir).toDF())
     val writer = edges.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        // persist for the trigger: without it the isEmpty probe executes
+        // the full WARC parse + link extraction once and the distinct
+        // write re-executes it (two crawl parses per trigger)
+        val batch = rawBatch.persist()
+        try if (!batch.isEmpty)
           batch.select(col("src"), col("dst")).distinct()
             .write.mode("overwrite").parquet(s"$indexDir/batch_run=$batchId")
+        finally batch.unpersist()
       }
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }

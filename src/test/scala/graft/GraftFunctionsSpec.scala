@@ -329,4 +329,32 @@ class GraftFunctionsSpec extends SparkSpec {
       assert(got === math.min(ref, 3), s"column kernel diverged on ('$a','$b')")
     }
   }
+
+  test("prefixLongCosines: each cut is BIT-equal to the sliced longCosine (the q209 fusion contract)") {
+    import graft.functions.NativeExpressions
+    // deterministic pseudo-random quantized vectors incl. negatives and
+    // zeros — the exact value domain the floor(x*1000) quantization emits
+    val rnd = new scala.util.Random(41)
+    val dims = Seq(8, 16, 32, 64)
+    val rows = (1 to 50).map { i =>
+      (i.toLong,
+        Seq.fill(64)(rnd.between(-1000L, 1001L)),
+        Seq.fill(64)(rnd.between(-1000L, 1001L)))
+    }
+    val df = rows.toDF("id", "a", "b").localCheckpoint(true)
+    val fused = df.select($"id",
+      NativeExpressions.prefixLongCosines($"a", $"b", dims).as("pc"))
+      .as[(Long, Seq[Double])].collect().toMap
+    dims.zipWithIndex.foreach { case (d, i) =>
+      val sliced = df.select($"id", NativeExpressions.longCosine(
+          slice($"a", 1, d), slice($"b", 1, d)))
+        .as[(Long, Double)].collect().toMap
+      rows.foreach { case (id, _, _) =>
+        // == on doubles: BIT equality is the contract (same long partials,
+        // same divide), not approximate agreement
+        assert(fused(id)(i) == sliced(id),
+          s"cut $d diverged for row $id: ${fused(id)(i)} vs ${sliced(id)}")
+      }
+    }
+  }
 }

@@ -408,12 +408,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("rrf fusion re-ranks only the bounded lists; the corpus scan is pruned") {
+  test("rrf fusion serves its lexical leg from the stored postings index — corpus text never scanned") {
     val p = plan("q114_rrf_fusion")
-    // the BM25 side reads (doc_id, text) only — column pruning reaches parquet
+    // round 11: the BM25 leg is a FileScan of the term-bucketed postings
+    // artifact (pruned to the query terms' buckets), not a corpus rescan
+    assert(p.contains("graft_postings_index"),
+      "lexical leg must FileScan the stored postings index")
     val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(read.exists(s => s.contains("doc_id") && s.contains("text") && !s.contains("lang")),
-      s"documents scan must prune to (doc_id, text): $read")
+    assert(!read.exists(_.contains("text:")),
+      s"the corpus text column must not appear in any scan: $read")
   }
 
   test("k-anonymity: class table broadcasts into the per-k cross; rows shuffle once") {

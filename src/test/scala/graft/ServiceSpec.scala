@@ -239,6 +239,82 @@ class ServiceSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("/similar serves ANN from the durable IVF index over HTTP; streamed incremental layout bit-equal to the artifact") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      val dir = java.net.URLEncoder.encode(sf(), "UTF-8")
+      // error surface: facade-shaped client errors, never require() blowups
+      assert(get(svc, "/similar")._1 == 400, "dir is required")
+      assert(get(svc, s"/similar?dir=$dir")._1 == 400, "a probe is required")
+      assert(get(svc, s"/similar?dir=$dir&probe=1,2,3")._1 == 400)
+      assert(get(svc, s"/similar?dir=$dir&probeDoc=notanumber")._1 == 400)
+      assert(get(svc, s"/similar?dir=$dir&probeDoc=999999999")._1 == 400)
+
+      // default layout (build-once artifact): rows must be exactly the
+      // q79-shape batched probe over the same corpus, self excluded
+      val (c1, b1) = get(svc, s"/similar?dir=$dir&probeDoc=7&k=10&nprobe=3")
+      assert(c1 == 200, b1)
+      val ivf = GraftService.ivfIndexFor(spark, sf())
+      val probeQv = graft.sources.Tables.embeddings(spark, sf())
+        .filter(col("vec_id") === 7L)
+        .select(Similarity.quantize(col("embedding")))
+        .collect().head.getSeq[Long](0).toSeq
+      val queries = Seq((0L, probeQv)).toDF("query_id", "q")
+      val want = Similarity.ivfExactTopKMany(
+          spark.read.parquet(s"$ivf/index"), spark.read.parquet(s"$ivf/centroids"),
+          queries, k = 11, nProbe = 3)
+        .filter(col("id") =!= 7L)
+        .orderBy(col("cosine").desc, col("id").asc).limit(10)
+        .select("id").as[Long].collect().toSeq
+      val got = "\"id\":(\\d+)".r.findAllMatchIn(b1).map(_.group(1).toLong).toSeq
+      assert(got == want && got.size == 10, s"got=$got want=$want")
+      assert(!got.contains(7L), "the probe's own row must not rank")
+
+      // streamed layout: ingest the corpus through incrementalAnnSink
+      // with the SAME centroid artifact, then serve via indexDir= +
+      // centroidsDir= — the payload must be BYTE-equal to the artifact
+      // read (annIndexVectors hides batch_run from the serving schema)
+      val root = java.nio.file.Files.createTempDirectory("svc_ann").toString
+      val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+      graft.sources.Tables.embeddings(spark, sf())
+        .select($"vec_id", $"embedding").write.mode("append").parquet(srcDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+      val q = graft.streaming.Streaming.incrementalAnnSink(
+        spark.readStream.schema(schema).parquet(srcDir), "vec_id", "embedding",
+        s"$ivf/centroids", s"$root/idx", checkpointDir = Some(s"$root/ckpt"))
+      q.processAllAvailable(); q.stop()
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val (c2, b2) = get(svc, s"/similar?dir=$dir&probeDoc=7&k=10&nprobe=3" +
+        s"&indexDir=${enc(s"$root/idx")}&centroidsDir=${enc(s"$ivf/centroids")}")
+      assert(c2 == 200, b2)
+      assert(b2 == b1, s"streamed-index serving diverged:\n$b2\nvs\n$b1")
+
+      // a raw 64-dim probe works (no self-exclusion)
+      val vec = enc(Seq.fill(64)("0.5").mkString(","))
+      val (c4, b4) = get(svc, s"/similar?dir=$dir&probe=$vec&k=3")
+      assert(c4 == 200 && b4.count(_ == '{') == 3, b4)
+
+      // diversify=n: MMR over the page — pick 1 is the pure-relevance
+      // argmax, picks are distinct members of the page, ranks are 1..n
+      val (c3, b3) = get(svc, s"/similar?dir=$dir&probeDoc=7&k=10&diversify=3")
+      assert(c3 == 200, b3)
+      val divIds = "\"id\":(\\d+)".r.findAllMatchIn(b3).map(_.group(1).toLong).toSeq
+      val ranks = "\"rank\":(\\d+)".r.findAllMatchIn(b3).map(_.group(1).toInt).toSeq
+      assert(divIds.length == 3 && divIds.distinct.length == 3, b3.take(400))
+      assert(ranks == Seq(1, 2, 3), s"ranks=$ranks")
+      assert(divIds.head == want.head,
+        s"MMR pick 1 ${divIds.head} must be the top cosine hit ${want.head}")
+      assert(divIds.forall(want.contains),
+        s"picks $divIds must come from the undiversified page $want")
+    } finally svc.close()
+  }
+
   test("/search mode=hybrid returns the q114 fused ranking with snippets attached") {
     val svc = GraftService.start(spark, port = 0)
     try {

@@ -1421,18 +1421,33 @@ class StreamingSpec extends SparkSpec {
     assert(hit.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L))
   }
 
-  test("maintenance-window drill: stop the composed crawl, compact ALL THREE indexes, restart — behavior unchanged") {
-    // the full ops cycle the three-sink deployment runs monthly: clean
-    // stop, compactIndex + compactPostingsIndex + compactFrontierIndex,
-    // restart from the same checkpoints; gating, serving, and frontier
-    // semantics must be indistinguishable from the uncompacted run
+  test("maintenance-window drill: stop the composed crawl, compact ALL FOUR indexes, restart — behavior unchanged") {
+    // the full ops cycle the four-sink deployment runs monthly: clean
+    // stop, compactIndex + compactPostingsIndex + compactFrontierIndex +
+    // compactLinkGraph, restart from the same checkpoints; gating,
+    // serving, frontier, and link-graph semantics must be
+    // indistinguishable from the uncompacted run
     val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
     val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
+    // the link sink watches the HTML landing zone (rendered pages, /p/
+    // ordinals); the text sinks watch the document zone — the two-zone
+    // split every real crawl deployment runs
+    val crawlHtml = s"$root/crawl_html"; new java.io.File(crawlHtml).mkdirs()
     def rec(id: Long, text: String): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       graft.sources.Warc.writeRecord(bos, "response", s"<urn:crawl:$id>",
         s"http://crawl.test/doc/$id", "2026-01-01T00:00:00Z", "text/plain",
         text.getBytes("UTF-8"), "WARC/1.0")
+      bos.toByteArray
+    }
+    def page(id: Long, links: Seq[Long]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val html = "<html><body>" + links.map(t =>
+        s"""<a href="http://WWW.s${t % 7}.example:80/p/$t/?utm_x=1">a$t</a>""")
+        .mkString(" ") + "</body></html>"
+      graft.sources.Warc.writeRecord(bos, "response", s"<urn:crawl:page:$id>",
+        s"http://s${id % 7}.example/p/$id", "2026-01-01T00:00:00Z",
+        "text/html; charset=utf-8", html.getBytes("UTF-8"), "WARC/1.0")
       bos.toByteArray
     }
     val idExpr = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
@@ -1442,28 +1457,50 @@ class StreamingSpec extends SparkSpec {
       Streaming.crawlFrontierSink(spark, crawl, s"$root/frontier_idx",
         s"$root/frontier", checkpointDir = Some(s"$root/ck_f")),
       Streaming.crawlPostingsSink(spark, crawl, s"$root/postings_idx",
-        idExpr = idExpr, checkpointDir = Some(s"$root/ck_p")))
+        idExpr = idExpr, checkpointDir = Some(s"$root/ck_p")),
+      Streaming.crawlLinkGraphSink(spark, crawlHtml, s"$root/graph",
+        checkpointDir = Some(s"$root/ck_g")))
     def seg(name: String, bytes: Array[Byte]): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(crawl, name), bytes)
+    def hseg(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(crawlHtml, name), bytes)
     val t1 = "alpha beta gamma delta epsilon zeta"
     // two triggers so every index accumulates two batch_run partitions
     seg("s0.warc", rec(1L, t1) ++ rec(2L, "totally different words entirely"))
+    hseg("h0.warc", page(1L, Seq(10L, 11L)) ++ page(2L, Seq(10L)))
     val qs1 = startAll()
     try {
       qs1.foreach(_.processAllAvailable())
       seg("s1.warc", rec(3L, "unrelated page about spark streams"))
+      hseg("h1.warc", page(3L, Seq(11L, 12L)))
       qs1.foreach(_.processAllAvailable())
     } finally qs1.foreach(_.stop())
+    // the edge table as served BEFORE the window: compaction must be
+    // bit-invisible to it
+    val edgesBefore = Streaming.linkGraphEdges(spark, s"$root/graph")
+      .as[(Long, Long)].collect().toSet
     // the maintenance window
     assert(Streaming.compactIndex(spark, s"$root/dedup_idx") == 2)
     assert(Streaming.compactPostingsIndex(spark, s"$root/postings_idx") == 4)
     assert(Streaming.compactFrontierIndex(spark, s"$root/frontier_idx") == 2)
-    // restart; a near-dup of doc 1, a re-crawl of doc 3, and a new page
+    assert(Streaming.compactLinkGraph(spark, s"$root/graph") == 2)
+    assert(Streaming.linkGraphEdges(spark, s"$root/graph")
+      .as[(Long, Long)].collect().toSet == edgesBefore,
+      "link-graph fold must preserve the served edge set across the window")
+    // restart; a near-dup of doc 1, a re-crawl of doc 3, and a new page;
+    // the html zone re-fetches page 1 (same edges) and lands page 4
     seg("s2.warc", rec(4L, "beta gamma delta epsilon zeta") ++
       rec(3L, "unrelated page about spark streams") ++
       rec(5L, "freshpage entirely new content here"))
+    hseg("h2.warc", page(1L, Seq(10L, 11L)) ++ page(4L, Seq(12L)))
     val qs2 = startAll()
     try qs2.foreach(_.processAllAvailable()) finally qs2.foreach(_.stop())
+    // link graph after the window: folded history + the restart batch,
+    // the re-fetched page's duplicate edges invisible (set semantics)
+    val edgesAfter = Streaming.linkGraphEdges(spark, s"$root/graph")
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(edgesAfter == edgesBefore ++ Set((4L, 12L)),
+      s"edge table after the window: $edgesAfter")
     // dedup: the near-dup probe still matches FOLDED history
     val m = spark.read.parquet(s"$root/matches")
       .select("batch_id", "match_id").as[(Long, Long)].collect().toSet
