@@ -188,7 +188,11 @@ object ScaleProbe {
     "q215_link_hits",
     // round-10 continuation: host-level link-spam census (one distinct
     // edge exchange + flipped-key equi-join + 7-key agg)
-    "q216_link_spam_census")
+    "q216_link_spam_census",
+    // round-11: anchor-doc BM25 (bounded anchor table, q45 scan shape),
+    // Simpson concentration (one token exchange + per-source agg), host
+    // citation rollup (artifact scan -> 49-key agg + rolled-up join)
+    "q217_anchor_index", "q218_source_concentration", "q219_host_citation")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

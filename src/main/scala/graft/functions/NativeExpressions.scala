@@ -847,6 +847,175 @@ object NativeExpressions {
       copy(valueExpr = c.head, ords = c.tail)
   }
 
+  /** Per-cut bounded top-k state: rank-ordered (cosine DESC, id ASC)
+    * parallel arrays, at most k entries per cut. */
+  final class PrefixTopKBuf(nCuts: Int, k: Int) {
+    val cos: Array[Array[Double]] = Array.fill(nCuts)(new Array[Double](k))
+    val ids: Array[Array[Long]] = Array.fill(nCuts)(new Array[Long](k))
+    val size: Array[Int] = new Array[Int](nCuts)
+  }
+
+  /** Grouped top-k by prefix-truncation cosine, all cut widths in ONE
+    * aggregate — the Matryoshka-recall ranking operator (q209).
+    *
+    * Why an aggregate and not a window: ranking the exploded
+    * (pair × width) rows needs a per-partition SORT under
+    * WindowGroupLimit — at N corpus vectors × P probes × C widths that
+    * sorts N·P·C rows per input split before any pruning, the dominant
+    * cost of the query (measured 17 of 20 s at the 50× probe). A
+    * TypedImperativeAggregate under ObjectHashAggregateExec keeps ONE
+    * bounded heap per (probe, width) — update is an O(64) fused-cosine
+    * pass (the PrefixLongCosines running-partials loop inlined) plus an
+    * O(k) ordered insert, map-side partials mean only O(groups · C · k)
+    * rows ever cross the wire, and nothing is sorted. At 100 TB the
+    * shuffle is |probes| buffers regardless of corpus size.
+    *
+    * Ordering contract: (cosine DESC, id ASC) with Spark's double
+    * semantics — NaN largest, -0.0 == 0.0 — BIT-IDENTICAL member sets to
+    * `row_number().over(Window.partitionBy(width).orderBy(cos.desc,
+    * id.asc)) <= k` over the sliced/fused kernel (spec-pinned). Output:
+    * array<struct<trunc_dim BIGINT, vec_id BIGINT>> in (cut, rank) order. */
+  case class PrefixTopKAgg(qv: Expression, pqv: Expression, idExpr: Expression,
+      cuts: Seq[Int], k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[PrefixTopKBuf] {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(_ >= 1),
+      s"ascending positive cut points expected, got $cuts")
+    require(k >= 1, s"positive k expected, got $k")
+
+    override def children: Seq[Expression] = Seq(qv, pqv, idExpr)
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("trunc_dim", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false))), containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      def isLongArray(dt: DataType): Boolean = dt match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+      if (!isLongArray(qv.dataType) || !isLongArray(pqv.dataType))
+        TypeCheckResult.TypeCheckFailure(
+          s"graft prefixTopK: array<bigint> vectors expected, got " +
+            s"${qv.dataType.simpleString} / ${pqv.dataType.simpleString}")
+      else if (idExpr.dataType != LongType)
+        TypeCheckResult.TypeCheckFailure(
+          s"graft prefixTopK: bigint id expected, got ${idExpr.dataType.simpleString}")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    override def createAggregationBuffer(): PrefixTopKBuf =
+      new PrefixTopKBuf(cuts.size, k)
+
+    // Spark SQL double ordering: NaN largest, -0.0 == 0.0. Values are
+    // normalized with +0.0 at insert time so Double.compare matches.
+    private def better(c1: Double, id1: Long, c2: Double, id2: Long): Boolean = {
+      val d = java.lang.Double.compare(c1, c2)
+      if (d != 0) d > 0 else id1 < id2
+    }
+
+    /** Ordered insert of (cosRaw, id) into cut c's heap; drops the worst
+      * entry when full. O(k) shift, k is small by contract. */
+    private def offer(b: PrefixTopKBuf, c: Int, cosRaw: Double, id: Long): Unit = {
+      val cos = cosRaw + 0.0d // -0.0 → 0.0 (ties resolve on id, like the window)
+      val n = b.size(c)
+      val ca = b.cos(c); val ia = b.ids(c)
+      if (n == k && !better(cos, id, ca(n - 1), ia(n - 1))) return
+      var i = if (n == k) n - 1 else n // insertion slot, scanning up
+      while (i > 0 && better(cos, id, ca(i - 1), ia(i - 1))) {
+        ca(i) = ca(i - 1); ia(i) = ia(i - 1); i -= 1
+      }
+      ca(i) = cos; ia(i) = id
+      if (n < k) b.size(c) = n + 1
+    }
+
+    override def update(b: PrefixTopKBuf, input: org.apache.spark.sql.catalyst.InternalRow): PrefixTopKBuf = {
+      val a = qv.eval(input)
+      val p = pqv.eval(input)
+      val idv = idExpr.eval(input)
+      if (a == null || p == null || idv == null) return b
+      val va = a.asInstanceOf[ArrayData]
+      val vb = p.asInstanceOf[ArrayData]
+      val id = idv.asInstanceOf[Long]
+      val n = math.min(va.numElements(), vb.numElements())
+      // PrefixLongCosines' running-partials loop, fused with the heap
+      // offers — bit-identical snapshots at each cut.
+      var dot = 0L; var na = 0L; var nb = 0L
+      var i = 0; var c = 0
+      while (c < cuts.size) {
+        val cut = math.min(cuts(c), n)
+        while (i < cut) {
+          val x = va.getLong(i)
+          val y = vb.getLong(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        offer(b, c, dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)), id)
+        c += 1
+      }
+      b
+    }
+
+    override def merge(b: PrefixTopKBuf, o: PrefixTopKBuf): PrefixTopKBuf = {
+      var c = 0
+      while (c < cuts.size) {
+        var j = 0
+        while (j < o.size(c)) { offer(b, c, o.cos(c)(j), o.ids(c)(j)); j += 1 }
+        c += 1
+      }
+      b
+    }
+
+    override def eval(b: PrefixTopKBuf): Any = {
+      val out = new Array[Any](b.size.sum)
+      var w = 0; var c = 0
+      while (c < cuts.size) {
+        var j = 0
+        while (j < b.size(c)) {
+          out(w) = org.apache.spark.sql.catalyst.InternalRow(cuts(c).toLong, b.ids(c)(j))
+          w += 1; j += 1
+        }
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(b: PrefixTopKBuf): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      var c = 0
+      while (c < cuts.size) {
+        out.writeInt(b.size(c))
+        var j = 0
+        while (j < b.size(c)) {
+          out.writeDouble(b.cos(c)(j)); out.writeLong(b.ids(c)(j)); j += 1
+        }
+        c += 1
+      }
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): PrefixTopKBuf = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val b = createAggregationBuffer()
+      var c = 0
+      while (c < cuts.size) {
+        val n = in.readInt()
+        b.size(c) = n
+        var j = 0
+        while (j < n) { b.cos(c)(j) = in.readDouble(); b.ids(c)(j) = in.readLong(); j += 1 }
+        c += 1
+      }
+      b
+    }
+
+    override def withNewMutableAggBufferOffset(n: Int): PrefixTopKAgg = copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): PrefixTopKAgg = copy(inputAggBufferOffset = n)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): PrefixTopKAgg =
+      copy(qv = c(0), pqv = c(1), idExpr = c(2))
+  }
+
   /** Banded (Ukkonen) Levenshtein distance capped at `k`: returns the
     * exact edit distance when ≤ k, else k+1. The DP only visits the
     * 2k+1-wide diagonal band — O(k·n) instead of O(n·m) — with an
@@ -939,6 +1108,12 @@ object NativeExpressions {
   def prefixLongCosines(a: Column, b: Column, cuts: Seq[Int]): Column =
     ColumnBridge.column(PrefixLongCosines(
       ColumnBridge.expression(a), ColumnBridge.expression(b), cuts))
+
+  /** Grouped sort-free top-k per prefix-truncation width — see PrefixTopKAgg. */
+  def prefixTopK(qv: Column, pqv: Column, id: Column, cuts: Seq[Int], k: Int): Column =
+    ColumnBridge.column(PrefixTopKAgg(ColumnBridge.expression(qv),
+      ColumnBridge.expression(pqv), ColumnBridge.expression(id), cuts, k)
+      .toAggregateExpression())
 
   def boundedLevenshtein(a: Column, b: Column, k: Int): Column =
     ColumnBridge.column(BoundedLevenshtein(

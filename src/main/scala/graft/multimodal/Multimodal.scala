@@ -237,6 +237,52 @@ object Multimodal {
       * convention as [[aHash64]] (gray = (r+g+b)/3 per pixel, mean =
       * Σgray/64): (mean_gray, min_gray, max_gray) — the
       * exposure/contrast gate of an image-corpus hygiene pass. */
+    /** EVERY per-image feature from ONE decode — channel sums, aHash
+      * halves, and the QC gray stats ([[channelSums]] + [[aHash64]] +
+      * [[qcStats]] fused; identical arithmetic, same floor-gray
+      * convention). This is the kernel behind the decode-once media
+      * feature artifacts: each of those functions decodes internally, so
+      * a query chain touching hash AND QC paid the codec per FUNCTION —
+      * and per QUERY. Values are bit-equal to the three separate calls
+      * (spec-pinned). */
+    def allStats(bytes: Array[Byte]): ImageStatsRow = {
+      val img = decode(bytes)
+      require(img.getWidth == 8 && img.getHeight == 8,
+        s"allStats expects 8x8, got ${img.getWidth}x${img.getHeight}")
+      val gray = new Array[Long](64)
+      var graySum = 0L
+      var mnG = Long.MaxValue
+      var mxG = Long.MinValue
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+          sr += r; sg += g; sb += b
+          val gv = ((r + g + b) / 3).toLong
+          gray(y * 8 + x) = gv
+          graySum += gv
+          if (gv < mnG) mnG = gv
+          if (gv > mxG) mxG = gv
+          x += 1
+        }
+        y += 1
+      }
+      val mean = graySum / 64
+      var hi = 0L; var lo = 0L; var nSet = 0L
+      var i = 0
+      while (i < 64) {
+        if (gray(i) > mean) {
+          nSet += 1
+          if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+        }
+        i += 1
+      }
+      ImageStatsRow(8, 8, sr, sg, sb, hi, lo, nSet, mean, mnG, mxG)
+    }
+
     def qcStats(bytes: Array[Byte]): (Long, Long, Long) = {
       val img = decode(bytes)
       require(img.getWidth == 8 && img.getHeight == 8)
@@ -289,6 +335,37 @@ object Multimodal {
     }
   }
 }
+
+/** Kernel output row for ImageCodec.allStats: every per-image feature
+  * from one decode. Top-level so the product encoder resolves without a
+  * TypeTag lookup inside the object. */
+case class ImageStatsRow(
+    width: Int,
+    height: Int,
+    sum_r: Long,
+    sum_g: Long,
+    sum_b: Long,
+    hash_hi: Long,
+    hash_lo: Long,
+    n_set: Long,
+    mean_gray: Long,
+    min_gray: Long,
+    max_gray: Long)
+
+/** Kernel output row for VideoCodec.frameFeatures: one decoded frame's
+  * FULL feature set (channel sums + aHash) or one error row per corrupt
+  * container. */
+case class VideoFrameFeatRow(
+    media_id: Long,
+    frame_idx: Option[Long],
+    width: Option[Int],
+    height: Option[Int],
+    sum_r: Option[Long],
+    sum_g: Option[Long],
+    sum_b: Option[Long],
+    hash_hi: Option[Long],
+    hash_lo: Option[Long],
+    video_error: Option[String])
 
 /** Kernel output row for VideoCodec.sampleFrames: one decoded frame (or
   * one error row) per record. Top-level so the product encoder resolves
@@ -414,6 +491,34 @@ object VideoCodec {
             val (w, h, sr, sg, sb) = Multimodal.ImageCodec.channelSums(png)
             VideoFrameRow(id, Some(idx), Some(w), Some(h),
               Some(sr), Some(sg), Some(sb), None)
+          }
+        }
+      }).toDF()
+  }
+
+  /** EVERY frame's full feature row (channel sums + aHash halves) from
+    * one container walk + one PNG decode per frame — the decode-once
+    * feed of the video feature artifact. [[sampleFrames]] (stride-s
+    * rows, sums only) and [[sceneCuts]] (hamming lags over the hashes)
+    * are both exact projections/folds of this table, so one build
+    * serves every downstream consumer without re-touching a container.
+    * Corrupt containers emit ONE error row (A19). */
+  def frameFeatures(media: DataFrame,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseFrames(bytes, 1) match {
+          case Left(err) =>
+            Seq(VideoFrameFeatRow(id, None, None, None, None, None, None,
+              None, None, Some(err)))
+          case Right(frames) => frames.map { case (idx, png) =>
+            val s = Multimodal.ImageCodec.allStats(png)
+            VideoFrameFeatRow(id, Some(idx), Some(s.width), Some(s.height),
+              Some(s.sum_r), Some(s.sum_g), Some(s.sum_b),
+              Some(s.hash_hi), Some(s.hash_lo), None)
           }
         }
       }).toDF()

@@ -124,7 +124,6 @@ object SimilarityQueries {
     * prefix cosines with (cosine, id) tie-breaks: the oracle replays all
     * four ranking passes and the overlap join. */
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dims = Seq(8, 16, 32, 64)
     val emb = Tables.embeddings(spark, dir)
     val corpus = emb.select(col("vec_id"),
@@ -133,26 +132,25 @@ object SimilarityQueries {
       emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000)
         .select(col("vec_id").as("probe_id"),
           Similarity.quantize(col("embedding")).as("__pqv")))
-    // ONE corpus×probes pass: the native prefix-cosine kernel snapshots
-    // all four truncation cosines from running integer partials (64
-    // element-multiplies per pair, not 8+16+32+64 across four sliced
-    // passes — round 10's shape re-scanned the cross product per width,
-    // the suite's worst 50× ratio at ~3×). Each emitted cosine is
-    // bit-identical to the sliced longCosine, so ranking and the final
-    // recall table are hash-unchanged. The per-(width, probe) top-10 is
-    // one WindowGroupLimit-pruned window over the exploded rows.
+    // ONE corpus×probes pass, SORT-FREE: the PrefixTopKAgg aggregate
+    // fuses the prefix-cosine kernel (running integer partials snapshot
+    // all four truncation cosines — 64 element-multiplies per pair, not
+    // 120 over four sliced passes) with per-(probe, width) bounded top-10
+    // heaps under ObjectHashAggregate. The exploded-rows + window shape
+    // this replaces had to locally SORT corpus×probes×4 rows under
+    // WindowGroupLimit before any pruning — 17 of its 20 s at the 50×
+    // probe; here map-side partials shuffle only |probes| buffers and
+    // nothing is ever sorted. Heap ordering (cosine DESC, vec_id ASC,
+    // Spark double semantics) makes the member sets bit-identical to the
+    // window's row_number — spec-pinned against the sliced kernel.
     val all = corpus.crossJoin(probes)
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        posexplode(graft.functions.NativeExpressions.prefixLongCosines(
-          col("__qv"), col("__pqv"), dims)).as(Seq("__i", "__cos")))
-      .withColumn("trunc_dim",
-        element_at(lit(dims.map(_.toLong).toArray), col("__i") + 1))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("trunc_dim"), col("probe_id"))
-          .orderBy(col("__cos").desc, col("vec_id").asc)))
-      .filter(col("__r") <= 10)
-      .select(col("trunc_dim"), col("probe_id"), col("vec_id"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.NativeExpressions.prefixTopK(
+        col("__qv"), col("__pqv"), col("vec_id"), dims, 10).as("__tk"))
+      .select(col("probe_id"), explode(col("__tk")).as("__e"))
+      .select(col("__e.trunc_dim").as("trunc_dim"), col("probe_id"),
+        col("__e.vec_id").as("vec_id"))
       // materialize once: the d=64 slice below doubles as the truth set
       .localCheckpoint(true)
     val full = all.filter(col("trunc_dim") === 64L)
@@ -311,20 +309,13 @@ object SimilarityQueries {
     * alone — if the codec path corrupted a single pixel anywhere, the
     * hash compare fails. This moves image decode / feature-extract out of
     * the stub tier: only exotic codecs (video/audio) remain pluggable. */
-  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val png = Multimodal.ImageCodec.syntheticPng(id)
-          val (w, h, sr, sg, sb) = Multimodal.ImageCodec.channelSums(png)
-          (id, w, h, png.length.toLong, sr, sg, sb)
-        }
-      }
-      .toDF("media_id", "width", "height", "png_bytes", "sum_r", "sum_g", "sum_b")
-      .drop("png_bytes") // PNG size is writer-version-specific; sums are not
+  def imageDecode(spark: SparkSession, dir: String): DataFrame =
+    // the channel-sum projection of the decode-once doc-image feature
+    // artifact (MediaArtifacts) — q73 and q186 share the single decode
+    MediaArtifacts.imageDocFeatures(spark, dir)
+      .select(col("media_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
       .orderBy(col("media_id"))
-  }
 
   val imageDecodeSql: String =
     """SELECT doc_id AS media_id,
@@ -413,23 +404,16 @@ object SimilarityQueries {
     * `bad-grav` row (A19). The oracle replays the frame-id closed form,
     * the stride, and which containers are corrupt — a wrong index
     * offset, CRC slip, or off-by-one in the stride fails the hash. */
-  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val bytes = graft.multimodal.VideoCodec.syntheticVideo(id)
-        if (id % 50 == 0) {
-          // flip a byte INSIDE the payload region: the index stays
-          // walkable, the container CRC does not
-          val n = 4 + (id % 4).toInt
-          val p = 13 + 8 * n + 10
-          bytes(p) = (bytes(p) ^ 0x5A).toByte
-        }
-        (id, bytes)
-      }).toDF("media_id", "content")
-    graft.multimodal.VideoCodec.sampleFrames(vids, stride = 2)
+  def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    // stride-2 sampling as an exact filter+projection of the decode-once
+    // frame-feature artifact (sampleFrames walks 0, 2, 4, …; error rows
+    // pass through) — the container walk happens once per CORPUS, not
+    // once per query (MediaArtifacts)
+    MediaArtifacts.videoDocFrames(spark, dir)
+      .filter(col("video_error").isNotNull || col("frame_idx") % 2 === 0)
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("video_error"))
       .orderBy(col("media_id"), col("frame_idx"))
-  }
 
   val videoFramesSql: String =
     """WITH vids AS (SELECT doc_id AS media_id, 4 + doc_id % 4 AS n FROM documents),
@@ -463,11 +447,10 @@ object SimilarityQueries {
     * closed-form sample formula, so one wrong byte offset, endianness
     * slip, or sign error anywhere fails the hash gate. */
   def audioDecode(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val wavs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, graft.multimodal.AudioWav.syntheticWav(id))))
-      .toDF("media_id", "content")
-    graft.multimodal.AudioWav.parsed(wavs)
+    // a projection of the decode-once doc-audio feature artifact
+    // (MediaArtifacts) — q74 and q119 previously each re-synthesized and
+    // re-parsed every WAV
+    MediaArtifacts.audioDocFeatures(spark, dir)
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         col("duration_ms"), col("sum_abs"), col("peak_abs"))
       .orderBy(col("media_id"))
@@ -558,19 +541,12 @@ object SimilarityQueries {
     * formula and replays the longest run with the gaps-and-islands
     * window construction — the kernel's sequential run counter against
     * an independent relational formulation. */
-  def audioQc(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val wavs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, graft.multimodal.AudioWav.syntheticWav(id))))
-      .toDF("media_id", "content")
-    val qc = graft.functions.NativeExpressions.wavQcStats(col("content"), 1000, 50)
-    wavs.select(col("media_id"), qc.as("q"))
-      .select(col("media_id"), col("q.n_samples").as("n_samples"),
-        col("q.n_clipped").as("n_clipped"),
-        col("q.longest_silence").as("longest_silence"),
-        col("q.energy").as("energy"))
+  def audioQc(spark: SparkSession, dir: String): DataFrame =
+    // the QC projection of the same decode-once doc-audio artifact as q74
+    MediaArtifacts.audioDocFeatures(spark, dir)
+      .select(col("media_id"), col("qc_n_samples").as("n_samples"),
+        col("n_clipped"), col("longest_silence"), col("energy"))
       .orderBy(col("media_id"))
-  }
 
   val audioQcSql: String =
     """WITH clips AS (
@@ -1029,7 +1005,7 @@ object SimilarityQueries {
     * PLANTED byte-identical copy for every 7th doc at +2M ids (the
     * generator is keyed by gen_id, so the planted copy decodes to the
     * same pixels — guaranteed hamming-0 pairs). */
-  private def plantedMedia(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def plantedMedia(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     docs.select(col("doc_id").as("media_id"), col("doc_id").as("gen_id"))
       .unionByName(docs.filter(col("doc_id") % 7 === 0)
@@ -1071,17 +1047,13 @@ object SimilarityQueries {
     * corrupted pixel anywhere flips the hash compare (the q73 trust
     * model, extended from channel sums to a per-pixel threshold
     * signature). */
-  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    plantedMedia(spark, dir).select(col("media_id"), col("gen_id")).as[(Long, Long)]
-      .mapPartitions(_.map { case (mid, gid) =>
-        val (hi, lo, n) = Multimodal.ImageCodec.aHash64(
-          Multimodal.ImageCodec.syntheticPng(gid))
-        (mid, hi, lo, n.toLong)
-      })
-      .toDF("media_id", "hash_hi", "hash_lo", "n_set")
+  def imagePhash(spark: SparkSession, dir: String): DataFrame =
+    // a projection of the decode-once planted-image feature artifact —
+    // q109/q110/q128/q131 previously each re-decoded the fixture (q131
+    // twice, via imageQc + imagePhash); now one decode per corpus
+    MediaArtifacts.imagePlantedFeatures(spark, dir)
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"), col("n_set"))
       .orderBy(col("media_id"))
-  }
 
   val imagePhashSql: String =
     s"""WITH ${aHashCtes(plantedMediaSql)}
@@ -1108,14 +1080,9 @@ object SimilarityQueries {
     * all-pairs anything; this is the linear-cost gate LAION ran at 5 B
     * pairs. */
   def crossmodalAlignment(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ah = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val (hi, lo, _) = Multimodal.ImageCodec.aHash64(
-          Multimodal.ImageCodec.syntheticPng(id))
-        (id, hi, lo)
-      })
-      .toDF("media_id", "hash_hi", "hash_lo")
+    // hash bits off the same decode-once doc-image artifact as q73
+    val ah = MediaArtifacts.imageDocFeatures(spark, dir)
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
     val feat = expr(
       "transform(sequence(0, 63), p -> CAST(IF(((CASE WHEN p < 32 " +
         "THEN shiftrightunsigned(hash_lo, p) " +
@@ -1176,10 +1143,10 @@ object SimilarityQueries {
     * and the degree-cap ranking. */
   def imageNearDups(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
-    // one decode pass feeds both the star pairs and the rep table
-    val ah = imagePhash(spark, dir)
+    // hash columns straight off the decode-once artifact (no q109 sort,
+    // no checkpoint — both consumers FileScan the same parquet)
+    val ah = MediaArtifacts.imagePlantedFeatures(spark, dir)
       .select(col("media_id"), col("hash_hi"), col("hash_lo"))
-      .localCheckpoint(true)
     val groups = ah.groupBy(col("hash_hi"), col("hash_lo"))
       .agg(min(col("media_id")).as("rep"))
       .localCheckpoint(true)
@@ -1231,14 +1198,10 @@ object SimilarityQueries {
     * gray value closed-form and replays mean, extremes, and every flag
     * threshold. */
   def imageQc(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    plantedMedia(spark, dir).select(col("media_id"), col("gen_id")).as[(Long, Long)]
-      .mapPartitions(_.map { case (mid, gid) =>
-        val (mean, mn, mx) = Multimodal.ImageCodec.qcStats(
-          Multimodal.ImageCodec.syntheticPng(gid))
-        (mid, mean, mn, mx)
-      })
-      .toDF("media_id", "mean_gray", "min_gray", "max_gray")
+    // a projection of the same decode-once artifact as imagePhash — the
+    // QC gray stats came out of the same decoded pixels all along
+    MediaArtifacts.imagePlantedFeatures(spark, dir)
+      .select(col("media_id"), col("mean_gray"), col("min_gray"), col("max_gray"))
       .withColumn("contrast", col("max_gray") - col("min_gray"))
       .withColumn("too_dark", (col("mean_gray") < 64).cast("int"))
       .withColumn("too_bright", (col("mean_gray") > 192).cast("int"))
@@ -1514,17 +1477,17 @@ object SimilarityQueries {
 
   def multimodalCuration(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Dedup
-    val qc = imageQc(spark, dir)
-    val bad = qc.filter(col("too_dark") === 1 || col("too_bright") === 1 ||
-        col("low_contrast") === 1)
+    // QC flags and hashes both come off the ONE decode-once artifact
+    // (previously imageQc + imagePhash = two more full decode passes,
+    // guarded by checkpoints; now every consumer is a FileScan + cheap
+    // row-local flags, and the q109 sorts never enter this plan)
+    val feats = MediaArtifacts.imagePlantedFeatures(spark, dir)
+    val bad = feats.filter(col("mean_gray") < 64 || col("mean_gray") > 192 ||
+        col("max_gray") - col("min_gray") < 48)
       .select(col("media_id"), lit(1).as("is_bad"))
-      // two consumers (survivor anti-join + verdict join): unmaterialized,
-      // the whole decode-and-flag chain would run twice
-      .localCheckpoint(true)
-    val surv = imagePhash(spark, dir)
+    val surv = feats
       .join(bad.select(col("media_id")), Seq("media_id"), "left_anti")
       .select(col("media_id"), col("hash_hi"), col("hash_lo"))
-      .localCheckpoint(true) // groups + verdict both read it; decode once
     // EXACT-hash collapse BEFORE any pairwise work — the production
     // near-dup discipline (and the measured scale fix: the synthetic
     // corpus is duplicate-HEAVY — one hash repeats thousands of times at
@@ -1621,18 +1584,9 @@ object SimilarityQueries {
     import spark.implicits._
     import graft.ops.Dedup
     val media = plantedMedia(spark, dir)
-    val wavs = media.select(col("media_id"), col("gen_id")).as[(Long, Long)]
-      .mapPartitions(_.map { case (mid, gid) =>
-        (mid, graft.multimodal.AudioWav.syntheticWav(gid))
-      }).toDF("media_id", "content")
-    val qc = graft.functions.NativeExpressions.wavQcStats(col("content"), 1000, 50)
-    val stats = graft.multimodal.AudioWav.parsed(wavs)
-      .withColumn("q", qc)
-      .select(col("media_id"), col("q.n_clipped").as("n_clipped"),
-        col("q.longest_silence").as("longest_silence"),
-        graft.multimodal.AudioWav.deltaFingerprint().as("fp"))
-      // bad + survivors both read it; decode-and-fingerprint once
-      .localCheckpoint(true)
+    // decode-once planted-audio artifact: bad + survivors FileScan it —
+    // the per-query decode-and-fingerprint pass (and its checkpoint) is gone
+    val stats = MediaArtifacts.audioPlantedFeatures(spark, dir)
     val bad = stats
       .filter(col("n_clipped") >= 2 || col("longest_silence") >= 4)
       .select(col("media_id"), lit(1).as("is_bad"))
@@ -1749,18 +1703,9 @@ object SimilarityQueries {
     import spark.implicits._
     import graft.ops.Dedup
     val media = plantedMedia(spark, dir)
-    val vids = media.select(col("media_id"), col("gen_id")).as[(Long, Long)]
-      .mapPartitions(_.map { case (mid, gid) =>
-        val bytes = graft.multimodal.VideoCodec.syntheticVideo(gid)
-        if (gid % 50 == 0) { // q127's corruption planting, gen-keyed
-          val n = 4 + (gid % 4).toInt
-          val p = 13 + 8 * n + 10
-          bytes(p) = (bytes(p) ^ 0x5A).toByte
-        }
-        (mid, bytes)
-      }).toDF("media_id", "content")
-    val sig = graft.multimodal.VideoCodec.videoSignature(vids, cutHamming = 20)
-      .localCheckpoint(true) // bad + survivors read it; decode once
+    // decode-once signature artifact: bad + survivors FileScan it — the
+    // per-query decode-and-sign pass (and its checkpoint) is gone
+    val sig = MediaArtifacts.videoPlantedSignatures(spark, dir)
     val bad = sig.filter(col("video_error").isNotNull || col("n_cuts") >= 4)
       .select(col("media_id"), lit(1).as("is_bad"))
     val surv = sig.join(bad.select(col("media_id")), Seq("media_id"), "left_anti")
@@ -1879,19 +1824,29 @@ object SimilarityQueries {
     * every hamming lag and the per-video census — one wrong bit in any
     * frame's hash, or a stride slip, fails the compare. */
   def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val bytes = graft.multimodal.VideoCodec.syntheticVideo(id)
-        if (id % 50 == 0) {
-          val n = 4 + (id % 4).toInt
-          val p = 13 + 8 * n + 10
-          bytes(p) = (bytes(p) ^ 0x5A).toByte
-        }
-        (id, bytes)
-      }).toDF("media_id", "content")
-    graft.multimodal.VideoCodec.sceneCuts(vids, cutHamming = 20)
-      .orderBy(col("media_id"))
+    import org.apache.spark.sql.expressions.Window
+    // the hamming-lag fold over the decode-once frame-feature artifact —
+    // an exact replay of the in-kernel sliding(2) pass (consecutive
+    // frames within each video, bit_count of the XORed aHash halves);
+    // the per-video window is ≤ 8 frames, partitioned on media_id
+    val frames = MediaArtifacts.videoDocFrames(spark, dir)
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val good = frames.filter(col("video_error").isNull)
+      .withColumn("__hm",
+        (bit_count(col("hash_hi").bitwiseXOR(lag(col("hash_hi"), 1).over(w))) +
+          bit_count(col("hash_lo").bitwiseXOR(lag(col("hash_lo"), 1).over(w))))
+          .cast("long"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        count(when(col("__hm") > 20, 1)).as("n_cuts"),
+        coalesce(max(col("__hm")), lit(0L)).as("max_hamming"))
+      .select(col("media_id"), col("n_frames"), col("n_cuts"),
+        col("max_hamming"), lit(null).cast("string").as("video_error"))
+    val bad = frames.filter(col("video_error").isNotNull)
+      .select(col("media_id"), lit(null).cast("long").as("n_frames"),
+        lit(null).cast("long").as("n_cuts"),
+        lit(null).cast("long").as("max_hamming"), col("video_error"))
+    good.unionByName(bad).orderBy(col("media_id"))
   }
 
   val sceneCutsSql: String = {

@@ -237,14 +237,25 @@ object TextQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val weights = broadcast(DcgWeights.toDF("pos", "w"))
-    val blocks = RetrievalQueries.map { case (qid, gates) =>
+    // ONE corpus text pass for ALL query blocks' graded truth: each block
+    // previously scanned + checkpointed its own rel frame — 3 full text
+    // scans per run, the query's dominant cost once the ranking moved to
+    // the stored postings index (measured 2.7× at the 50× probe with the
+    // per-block scans, the truth passes ~3/4 of the wall). The tokens
+    // split once per doc; every block reads its rel column off the same
+    // materialized narrow frame (doc_id + one BIGINT per block).
+    val relAll = docs.select(
+      col("doc_id") +: RetrievalQueries.zipWithIndex.map { case ((_, gates), i) =>
+        gates.map { case (t, minTf) =>
+          when(size(filter(split(col("text"), " "), _ === t)) >= minTf, 1L)
+            .otherwise(0L)
+        }.reduce(_ + _).as(s"__rel$i")
+      }: _*)
+      .localCheckpoint(true)
+    val blocks = RetrievalQueries.zipWithIndex.map { case ((qid, gates), blockIdx) =>
       val terms = gates.map(_._1)
-      val relCol = gates.map { case (t, minTf) =>
-        when(size(filter(split(col("text"), " "), _ === t)) >= minTf, 1L)
-          .otherwise(0L)
-      }.reduce(_ + _)
-      val rel = docs.select(col("doc_id"), relCol.as("rel"))
-        .localCheckpoint(true) // two consumers: ranked join + ideal census
+      // two consumers per block: ranked join + ideal census
+      val rel = relAll.select(col("doc_id"), col(s"__rel$blockIdx").as("rel"))
       // the stored-index ranking (score-bit-equal to the scan path): the
       // round-10 scan form paid 3 inverted-index-equivalent corpus passes
       // in one query — the suite's second-worst 50× ratio

@@ -958,6 +958,152 @@ object Streaming {
       fold = _.select(col("src"), col("dst")).dropDuplicates("src", "dst"),
       partitionCols = Nil)
 
+  /** The unified media-feature row every modality's decode lands in —
+    * per-modality columns are null where not applicable (the classic
+    * wide feature-store layout; parquet stores the nulls for free). */
+  private val MediaFeatureCols: Seq[(String, String)] = Seq(
+    "media_id" -> "bigint", "frame_idx" -> "bigint",
+    "width" -> "int", "height" -> "int",
+    "sum_r" -> "bigint", "sum_g" -> "bigint", "sum_b" -> "bigint",
+    "hash_hi" -> "bigint", "hash_lo" -> "bigint", "n_set" -> "bigint",
+    "mean_gray" -> "bigint", "min_gray" -> "bigint", "max_gray" -> "bigint",
+    "sample_rate" -> "bigint", "n_samples" -> "bigint",
+    "duration_ms" -> "bigint", "sum_abs" -> "bigint", "peak_abs" -> "bigint",
+    "n_clipped" -> "bigint", "longest_silence" -> "bigint",
+    "energy" -> "bigint", "fp" -> "bigint",
+    "media_error" -> "string")
+
+  private def toMediaFeatureSchema(df: DataFrame, modality: String): DataFrame =
+    df.select(lit(modality).as("modality") +: MediaFeatureCols.map {
+      case (n, t) =>
+        (if (df.columns.contains(n)) col(n) else lit(null)).cast(t).as(n)
+    }: _*)
+
+  /** LANDED MEDIA → the durable feature table: the streaming increment
+    * of the batch decode-once artifacts (queries/MediaArtifacts.scala).
+    * Newly-landed binary files (`binaryFile` source over the landing
+    * zone — the A4 re-walk for media) are typed by MAGIC bytes and
+    * decoded ONCE through the exact batch kernels — PNG →
+    * [[graft.multimodal.Multimodal.ImageCodec.allStats]] (channel sums +
+    * aHash + QC grays), GRAV → [[graft.multimodal.VideoCodec.frameFeatures]]
+    * (per-frame sums + hashes), WAV → the parse + QC + delta-fingerprint
+    * columns — into one wide per-modality-partitioned feature table.
+    * Together with the batch artifact this is the lambda pair the
+    * dedup/postings/ANN/link indexes already have: bootstrap the corpus
+    * once, then every new media file is decoded exactly once, at landing
+    * time, and every downstream consumer (QC gates, perceptual dedup,
+    * curation, sampling) reads features, never bytes.
+    *
+    * Identity/replay posture is the ANN sink's: media_id parses from the
+    * landed file name (`<id>.<ext>`, the landing-zone convention),
+    * in-batch dropDuplicates catches two copies sharing one trigger, a
+    * write-time anti-join against the OTHER batch_runs drops at-least-
+    * once re-deliveries before they land, and a checkpoint-replayed
+    * batch rewrites its own partition (overwrite, idempotent). Corrupt
+    * payloads isolate as `media_error` rows (A19) — a rotted PNG costs
+    * one error row, never the trigger. Unreadable magic → 'unknown'
+    * modality error row, so nothing lands silently. */
+  def incrementalMediaFeaturesSink(spark: SparkSession, landingDir: String,
+      featuresDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // binaryFile's fixed schema, spelled out: the streaming source
+    // refuses schema inference even for fixed-schema formats
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    val writer = spark.readStream.format("binaryFile").schema(binSchema).load(landingDir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[a-z]+$", 1).cast("long").as("media_id"),
+        col("content"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        // persist for the trigger: isEmpty + the per-modality filters
+        // would otherwise re-read every landed payload per branch
+        val batch = rawBatch.persist()
+        try if (!batch.isEmpty) {
+          val inBatch = batch.dropDuplicates("media_id")
+          // write-time dup defense against OTHER batch_runs (ids only
+          // ever grow; first trigger has no tree yet)
+          val fresh0 = scala.util.Try(spark.read.parquet(featuresDir)).toOption
+            .map(idx => inBatch.join(
+              idx.filter(col("batch_run") =!= batchId)
+                .select(col("media_id")).distinct(),
+              Seq("media_id"), "left_anti"))
+            .getOrElse(inBatch)
+          val fresh = fresh0.localCheckpoint(true) // 4 modality branches read it
+          def magic(bytes: Column, m: String) =
+            bytes.substr(1, m.length) === lit(m.getBytes("ISO-8859-1"))
+          val png = magic(col("content"), "PNG")
+          val grav = magic(col("content"), "GRAV")
+          val wav = magic(col("content"), "RIFF")
+          val images = toMediaFeatureSchema(
+            fresh.filter(png).select(col("media_id"), col("content"))
+              .as[(Long, Array[Byte])]
+              .mapPartitions(_.map { case (id, bytes) =>
+                scala.util.Try(
+                  graft.multimodal.Multimodal.ImageCodec.allStats(bytes)).toOption match {
+                  case Some(st) => (id, Option(st), Option.empty[String])
+                  case None =>
+                    (id, Option.empty[graft.multimodal.ImageStatsRow], Option("bad-png"))
+                }
+              })
+              .select(col("_1").as("media_id"), col("_2.*"),
+                col("_3").as("media_error")),
+            "image")
+          val videos = toMediaFeatureSchema(
+            graft.multimodal.VideoCodec.frameFeatures(
+              fresh.filter(grav).select(col("media_id"), col("content")))
+              .withColumnRenamed("video_error", "media_error"),
+            "video")
+          val qc = graft.functions.NativeExpressions.wavQcStats(col("content"), 1000, 50)
+          val audios = toMediaFeatureSchema(
+            graft.multimodal.AudioWav.parsed(
+              fresh.filter(wav).select(col("media_id"), col("content")))
+              .withColumn("q", qc)
+              .select(col("media_id"), col("sample_rate"), col("n_samples"),
+                col("duration_ms"), col("sum_abs"), col("peak_abs"),
+                col("q.n_clipped").as("n_clipped"),
+                col("q.longest_silence").as("longest_silence"),
+                col("q.energy").as("energy"),
+                graft.multimodal.AudioWav.deltaFingerprint().as("fp"),
+                col("wav_error").as("media_error")),
+            "audio")
+          val unknown = toMediaFeatureSchema(
+            fresh.filter(!png && !grav && !wav)
+              .select(col("media_id"),
+                lit("unknown-magic").as("media_error")),
+            "unknown")
+          images.unionByName(videos).unionByName(audios).unionByName(unknown)
+            .repartition(col("modality"))
+            .write.mode("overwrite").partitionBy("modality")
+            .parquet(s"$featuresDir/batch_run=$batchId")
+        } finally batch.unpersist()
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** The streamed media feature table as a serving frame — batch_run
+    * stays out of the schema (serving must not care how many triggers
+    * built it); modality survives as the partition column consumers
+    * prune on. */
+  def mediaFeatureRows(spark: SparkSession, featuresDir: String): DataFrame =
+    spark.read.parquet(featuresDir).drop("batch_run")
+
+  /** OFFLINE compaction for [[incrementalMediaFeaturesSink]]'s tree:
+    * folds every batch_run into ONE while PRESERVING the modality
+    * partitioning, deduplicating by (media_id, frame_idx) — the
+    * write-time anti-join already keeps re-deliveries out, so this is
+    * storage reclamation with the same crash discipline as
+    * [[compactIndex]]. Run in a maintenance window (sink stopped). */
+  def compactMediaFeatures(spark: SparkSession, featuresDir: String): Int =
+    foldBatchRuns(spark, featuresDir, "compactMediaFeatures",
+      guard = _ => (),
+      fold = _.dropDuplicates("media_id", "frame_idx")
+        .repartition(col("modality")),
+      partitionCols = Seq("modality"))
+
   /** Continuously-maintained KMV distinct sketches
     * ([[graft.ops.Sketches.kmvSketch]], q99) — the streaming form falls
     * out of MERGEABILITY: each micro-batch writes its own per-set k-min

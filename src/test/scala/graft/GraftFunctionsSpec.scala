@@ -357,4 +357,102 @@ class GraftFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("prefixTopK: member sets match the window row_number over the fused kernel (the q209 ranking contract)") {
+    import graft.functions.NativeExpressions
+    import org.apache.spark.sql.expressions.Window
+    // corpus with PLANTED exact cosine ties (duplicate vectors) so the
+    // (cosine DESC, id ASC) tiebreak is actually exercised, plus a
+    // zero vector so the NaN-largest double ordering is too
+    val rnd = new scala.util.Random(43)
+    val dims = Seq(4, 8, 16)
+    val base = (1 to 40).map(i => (i.toLong, Seq.fill(16)(rnd.between(-1000L, 1001L))))
+    val corpus = (base ++
+      base.take(5).map { case (id, v) => (id + 100L, v) } :+ // exact dups → cosine ties
+      (201L, Seq.fill(16)(0L))) // zero norm → NaN cosine
+      .toDF("vec_id", "qv")
+    val probes = base.filter(_._1 % 10 == 0)
+      .toDF("probe_id", "pqv")
+    val pairs = corpus.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"probe_id").localCheckpoint(true)
+    val viaAgg = pairs.groupBy($"probe_id")
+      .agg(NativeExpressions.prefixTopK($"qv", $"pqv", $"vec_id", dims, 7).as("tk"))
+      .select($"probe_id", explode($"tk").as("e"))
+      .select($"e.trunc_dim", $"probe_id", $"e.vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaWindow = pairs
+      .select($"probe_id", $"vec_id",
+        posexplode(NativeExpressions.prefixLongCosines($"qv", $"pqv", dims))
+          .as(Seq("i", "cos")))
+      .withColumn("trunc_dim",
+        element_at(lit(dims.map(_.toLong).toArray), $"i" + 1))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"trunc_dim", $"probe_id")
+          .orderBy($"cos".desc, $"vec_id".asc)))
+      .filter($"r" <= 7)
+      .select($"trunc_dim", $"probe_id", $"vec_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+    // the NaN (zero-norm) member must rank FIRST under Spark's
+    // NaN-largest ordering — assert it survived into every top-7
+    assert(dims.forall(d => probes.as[(Long, Seq[Long])].collect()
+      .forall { case (p, _) => viaAgg.contains((d.toLong, p, 201L)) }))
+  }
+
+  test("ImageCodec.allStats: bit-equal to channelSums + aHash64 + qcStats (the decode-once artifact contract)") {
+    import graft.multimodal.Multimodal.ImageCodec
+    (0L to 250L).foreach { id =>
+      val png = ImageCodec.syntheticPng(id)
+      val s = ImageCodec.allStats(png)
+      val (w, h, sr, sg, sb) = ImageCodec.channelSums(png)
+      val (hi, lo, nSet) = ImageCodec.aHash64(png)
+      val (mean, mn, mx) = ImageCodec.qcStats(png)
+      assert((s.width, s.height, s.sum_r, s.sum_g, s.sum_b) === ((w, h, sr, sg, sb)))
+      assert((s.hash_hi, s.hash_lo, s.n_set) === ((hi, lo, nSet.toLong)))
+      assert((s.mean_gray, s.min_gray, s.max_gray) === ((mean, mn, mx)))
+    }
+  }
+
+  test("VideoCodec.frameFeatures: sampleFrames and sceneCuts are exact projections/folds of it") {
+    import graft.multimodal.VideoCodec
+    val ids = (0L to 60L)
+    val vids = ids.map { id =>
+      val bytes = VideoCodec.syntheticVideo(id)
+      if (id % 50 == 0) { // the q89 corruption planting
+        val n = 4 + (id % 4).toInt
+        val p = 13 + 8 * n + 10
+        bytes(p) = (bytes(p) ^ 0x5A).toByte
+      }
+      (id, bytes)
+    }.toDF("media_id", "content")
+    val feats = VideoCodec.frameFeatures(vids).localCheckpoint(true)
+    // stride-2 projection == sampleFrames(stride = 2)
+    val viaArtifact = feats
+      .filter($"video_error".isNotNull || $"frame_idx" % 2 === 0)
+      .select($"media_id", $"frame_idx", $"width", $"height",
+        $"sum_r", $"sum_g", $"sum_b", $"video_error")
+      .as[(Long, Option[Long], Option[Int], Option[Int], Option[Long],
+        Option[Long], Option[Long], Option[String])].collect().toSet
+    val direct = VideoCodec.sampleFrames(vids, stride = 2)
+      .as[(Long, Option[Long], Option[Int], Option[Int], Option[Long],
+        Option[Long], Option[Long], Option[String])].collect().toSet
+    assert(viaArtifact === direct)
+    // hamming-lag fold == sceneCuts kernel
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
+    val foldCuts = feats.filter($"video_error".isNull)
+      .withColumn("hm",
+        (bit_count($"hash_hi".bitwiseXOR(lag($"hash_hi", 1).over(w))) +
+          bit_count($"hash_lo".bitwiseXOR(lag($"hash_lo", 1).over(w)))).cast("long"))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        count(when($"hm" > 20, 1)).as("n_cuts"),
+        coalesce(max($"hm"), lit(0L)).as("max_hamming"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val directCuts = VideoCodec.sceneCuts(vids, cutHamming = 20)
+      .filter($"video_error".isNull)
+      .select($"media_id", $"n_frames", $"n_cuts", $"max_hamming")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(foldCuts === directCuts)
+  }
 }

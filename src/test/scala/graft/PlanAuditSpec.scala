@@ -610,4 +610,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("rangepartitioning"),
       "a global sort leaked into the shard deal")
   }
+
+  test("media consumers FileScan the decode-once feature artifacts — no codec kernel re-runs per query") {
+    // the round-11 finding: q73/q74/q89/q109/q110/q119/q127/q128/q131/
+    // q145/q146/q186 each re-decoded their media fixture (q131 twice).
+    // Every uncheckpointed consumer plan must scan graft_media_features
+    // parquet and must NOT contain the decode kernel subtree (the
+    // mapPartitions decode renders as DeserializeToObject/MapPartitions
+    // over the source table).
+    for (n <- Seq("q73_image_decode", "q74_audio_decode", "q89_video_frames",
+        "q109_image_phash", "q119_audio_qc", "q127_scene_cuts",
+        "q128_image_qc", "q186_crossmodal_alignment")) {
+      val p = plan(n)
+      assert(p.contains("graft_media_features"),
+        s"$n must read the media feature artifact:\n${p.take(500)}")
+      assert(!p.contains("MapPartitions"),
+        s"$n re-runs the decode kernel:\n${p.take(800)}")
+    }
+  }
+
+  test("scene cuts fold windows inside per-video partitions off the artifact") {
+    val p = plan("q127_scene_cuts")
+    assert(p.contains("hashpartitioning(media_id"),
+      s"the hamming-lag window must partition on media_id:\n${p.take(800)}")
+    assert(unpartitionedWindows(p).isEmpty,
+      "an unpartitioned window leaked into scene cuts")
+  }
+
+  test("matryoshka recall ranks via the sort-free bounded-heap aggregate (no window sort over the pair explosion)") {
+    // the q209 round-11 shape: PrefixTopKAgg under ObjectHashAggregate —
+    // the heavy subtree is hidden behind a checkpoint in the registered
+    // query, so pin the operator's lazy form
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val corpus = emb.select(col("vec_id"),
+      graft.ops.Similarity.quantize(col("embedding")).as("qv"))
+    val probes = broadcast(emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"),
+        graft.ops.Similarity.quantize(col("embedding")).as("pqv")))
+    val p = corpus.crossJoin(probes).filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.NativeExpressions.prefixTopK(
+        col("qv"), col("pqv"), col("vec_id"), Seq(8, 16, 32, 64), 10).as("tk"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"prefixTopK must hash-aggregate:\n${p.take(800)}")
+    assert(!p.contains("SortAggregate") && !p.contains("WindowGroupLimit"),
+      s"the ranking must not sort:\n${p.take(800)}")
+  }
 }

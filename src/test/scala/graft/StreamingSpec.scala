@@ -1578,4 +1578,99 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q2.stop()
   }
+
+  test("incremental media-feature sink: landed media decode ONCE into the durable feature table (parity, dup defense, compaction)") {
+    import graft.multimodal.{AudioWav, Multimodal, VideoCodec}
+    val root = java.nio.file.Files.createTempDirectory("graft_media_sink").toString
+    val landing = s"$root/landing"; new java.io.File(landing).mkdirs()
+    val featDir = s"$root/features"
+    def landBytes(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(landing, name), bytes)
+    def corruptGrav(id: Long): Array[Byte] = {
+      val b = VideoCodec.syntheticVideo(id)
+      val n = 4 + (id % 4).toInt
+      b(13 + 8 * n + 10) = (b(13 + 8 * n + 10) ^ 0x5A).toByte
+      b
+    }
+    def start() = Streaming.incrementalMediaFeaturesSink(
+      spark, landing, featDir, checkpointDir = Some(s"$root/ckpt"))
+
+    // trigger 1: 3 images, 2 wavs, 2 videos (one corrupt), 1 rotted PNG
+    // (valid magic, garbage body), 1 unknown payload
+    (1L to 3L).foreach(id => landBytes(s"$id.png", Multimodal.ImageCodec.syntheticPng(id)))
+    (101L to 102L).foreach(id => landBytes(s"$id.wav", AudioWav.syntheticWav(id)))
+    landBytes("201.grav", VideoCodec.syntheticVideo(201L))
+    landBytes("202.grav", corruptGrav(202L))
+    landBytes("301.png", Multimodal.ImageCodec.syntheticPng(301L).take(12))
+    landBytes("302.bin", "JUNKJUNKJUNK".getBytes)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    def feats() = Streaming.mediaFeatureRows(spark, featDir)
+    // image parity: hash + QC columns equal the batch kernel on the bytes
+    val img = feats().filter($"modality" === "image" && $"media_error".isNull)
+      .select($"media_id", $"hash_hi", $"hash_lo", $"mean_gray", $"min_gray", $"max_gray")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val imgRef = (1L to 3L).map { id =>
+      val st = Multimodal.ImageCodec.allStats(Multimodal.ImageCodec.syntheticPng(id))
+      (id, st.hash_hi, st.hash_lo, st.mean_gray, st.min_gray, st.max_gray)
+    }.toSet
+    assert(img == imgRef, s"image features diverged: $img")
+    // video parity: per-frame rows equal frameFeatures on the same bytes
+    val vid = feats().filter($"modality" === "video" && $"media_error".isNull)
+      .select($"media_id", $"frame_idx", $"hash_hi", $"hash_lo", $"sum_r")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val vidRef = VideoCodec.frameFeatures(
+        Seq((201L, VideoCodec.syntheticVideo(201L))).toDF("media_id", "content"))
+      .select($"media_id", $"frame_idx", $"hash_hi", $"hash_lo", $"sum_r")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(vid == vidRef, s"video frame features diverged: $vid")
+    // audio parity: parse + QC + fingerprint columns equal the batch chain
+    val aud = feats().filter($"modality" === "audio" && $"media_error".isNull)
+      .select($"media_id", $"n_samples", $"n_clipped", $"longest_silence", $"fp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val wavs = (101L to 102L).map(id => (id, AudioWav.syntheticWav(id)))
+      .toDF("media_id", "content")
+    val audRef = AudioWav.parsed(wavs)
+      .withColumn("q", graft.functions.NativeExpressions.wavQcStats($"content", 1000, 50))
+      .select($"media_id", $"n_samples", $"q.n_clipped", $"q.longest_silence",
+        AudioWav.deltaFingerprint().as("fp"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(aud == audRef, s"audio features diverged: $aud")
+    // error isolation (A19): the corrupt GRAV, the rotted PNG and the
+    // unknown payload each cost ONE error row, never the trigger
+    val errs = feats().filter($"media_error".isNotNull)
+      .select($"media_id", $"modality", $"media_error")
+      .as[(Long, String, String)].collect().toSet
+    assert(errs == Set((202L, "video", "bad-grav"), (301L, "image", "bad-png"),
+      (302L, "unknown", "unknown-magic")), s"error isolation diverged: $errs")
+
+    // trigger 2 after a checkpointed restart: a genuinely new image
+    // lands, and an at-least-once upstream re-delivers id 2 under a NEW
+    // path (the file source would skip a rewritten same path; a crawler
+    // re-fetch lands a new object) — the id parses from the digits
+    // before the extension, and the write-time anti-join must drop it
+    landBytes("4.png", Multimodal.ImageCodec.syntheticPng(4L))
+    landBytes("redelivery_2.png", Multimodal.ImageCodec.syntheticPng(2L))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val imgIds = feats().filter($"modality" === "image")
+      .select($"media_id").as[Long].collect().sorted
+    assert(imgIds.toSeq == Seq(1L, 2L, 3L, 4L, 301L),
+      s"dup defense failed: ${imgIds.toSeq}")
+
+    // maintenance window: fold the batch_run tree; modality partitioning
+    // and the served rows must not change
+    def partitions() = new java.io.File(featDir).listFiles()
+      .count(_.getName.startsWith("batch_run="))
+    assert(partitions() == 2)
+    val before = feats().drop("modality").collect().map(_.toString).sorted
+    assert(Streaming.compactMediaFeatures(spark, featDir) == 2)
+    assert(partitions() == 1, "compaction must leave ONE partition")
+    assert(Streaming.compactMediaFeatures(spark, featDir) == 0, "idempotent")
+    val foldedRun = new java.io.File(featDir).listFiles()
+      .filter(_.getName.startsWith("batch_run=")).head
+    assert(foldedRun.listFiles().exists(_.getName.startsWith("modality=")),
+      "fold must preserve the modality partition dirs")
+    val after = feats().drop("modality").collect().map(_.toString).sorted
+    assert(before.sameElements(after), "compaction changed what serves")
+  }
 }
