@@ -192,7 +192,10 @@ object ScaleProbe {
     // round-11: anchor-doc BM25 (bounded anchor table, q45 scan shape),
     // Simpson concentration (one token exchange + per-source agg), host
     // citation rollup (artifact scan -> 49-key agg + rolled-up join)
-    "q217_anchor_index", "q218_source_concentration", "q219_host_citation")
+    "q217_anchor_index", "q218_source_concentration", "q219_host_citation",
+    // round-11: the media dataset card — three feature-artifact FileScans
+    // + doc-source broadcast + hash aggs; the codec never runs
+    "q220_media_census")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

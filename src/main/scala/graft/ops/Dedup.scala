@@ -556,10 +556,18 @@ object Dedup {
             when(col("id_a") < col("id_b"), col("sim_a")).otherwise(col("sim_b")).as("sim_a"),
             when(col("id_a") < col("id_b"), col("sim_b")).otherwise(col("sim_a")).as("sim_b"))
       }
+    // hamming filter BEFORE the pair dedup: both are pair-level and
+    // commute exactly (every duplicate of a canonicalized pair carries
+    // the same sim_a/sim_b, hence the same hamming), but the order
+    // decides what the dropDuplicates EXCHANGE carries — the full banded
+    // candidate blowup, or only the verified matches. At the 50× probe
+    // the skewed planted-image buckets made the dedup-first shuffle the
+    // whole query (q131 208 s in the pair count alone); filter-first
+    // ships only the ≤ maxHamming survivors.
     val verified = paired
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
     if (maxDegree > 0) capPairDegree(verified, maxDegree, "hamming", ascending = true)
     else verified

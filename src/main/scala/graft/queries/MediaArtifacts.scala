@@ -122,11 +122,13 @@ object MediaArtifacts {
 
   /** DOC-KEYED audio features (one PCM16 WAV per document): the full
     * parse columns (rate, samples, duration, |s| sum/peak) PLUS the QC
-    * kernel (clipping, longest silence, energy) from one pass over the
-    * bytes. Consumers: q74 (parse stats), q119 (QC stats). */
+    * kernel (clipping, longest silence, energy) PLUS the delta-sign
+    * fingerprint, all from one pass over the bytes. Consumers: q74
+    * (parse stats), q119 (QC stats), q220 (flags + fp dup census).
+    * v2 = fp column joined the schema. */
   def audioDocFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = Tables.buildOnce("graft_media_features", dir, "audio_doc_v1") { out =>
+    val path = Tables.buildOnce("graft_media_features", dir, "audio_doc_v2") { out =>
       val wavs = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, graft.multimodal.AudioWav.syntheticWav(id))))
         .toDF("media_id", "content")
@@ -138,7 +140,8 @@ object MediaArtifacts {
           col("q.n_samples").as("qc_n_samples"),
           col("q.n_clipped").as("n_clipped"),
           col("q.longest_silence").as("longest_silence"),
-          col("q.energy").as("energy"))
+          col("q.energy").as("energy"),
+          graft.multimodal.AudioWav.deltaFingerprint().as("fp"))
         .write.mode("overwrite").parquet(out)
     }
     spark.read.parquet(path)

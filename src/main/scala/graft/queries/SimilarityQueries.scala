@@ -1209,6 +1209,153 @@ object SimilarityQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Q220 — MEDIA DATASET CARD (the q140 governance verb extended to
+    * binary modalities): one census row per (modality, source) over the
+    * three DOC-KEYED decode-once feature artifacts — items, QC-flagged
+    * share (image exposure/contrast gates, audio clipping/silence gates,
+    * video corrupt containers), and the exact-duplicate pressure of the
+    * modality's perceptual unit (image aHash, audio delta-fingerprint,
+    * video frame aHash) as a permille. This is the table a data-mixture
+    * owner reads before weighting a source's media: every number is
+    * integer-exact and derived from features, never bytes — the
+    * artifact-feeds-governance posture. At 100 TB: three FileScans of
+    * narrow feature tables + one broadcast of the doc source map + hash
+    * aggs; the codec never runs.
+    *
+    * Oracle replays every decoded pixel/sample statistic closed-form
+    * (the q73/q109/q119/q127 trust model) plus the flags, distinct
+    * counts, and permille divisions. */
+  def mediaCensus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("source"))
+    def shaped(df: DataFrame, modality: String): DataFrame =
+      df.select(lit(modality).as("modality"), col("source"),
+        col("n_items"), col("n_flagged"),
+        expr("(n_flagged * 1000) div n_items").as("flagged_permille"),
+        col("n_units"), col("distinct_units"),
+        expr("((n_units - distinct_units) * 1000) div n_units").as("dup_permille"))
+    val img = shaped(MediaArtifacts.imageDocFeatures(spark, dir)
+      .join(docs, Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("mean_gray") < 64 || col("mean_gray") > 192 ||
+            col("max_gray") - col("min_gray") < 48, 1L).otherwise(0L))
+          .as("n_flagged"),
+        count(lit(1)).as("n_units"),
+        count_distinct(col("hash_hi"), col("hash_lo")).as("distinct_units")),
+      "image")
+    val aud = shaped(MediaArtifacts.audioDocFeatures(spark, dir)
+      .join(docs, Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("n_clipped") >= 2 || col("longest_silence") >= 4, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        count(lit(1)).as("n_units"),
+        count_distinct(col("fp")).as("distinct_units")),
+      "audio")
+    val vid = shaped(MediaArtifacts.videoDocFrames(spark, dir)
+      .join(docs, Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("media_id")).as("n_items"),
+        count_distinct(when(col("video_error").isNotNull, col("media_id")))
+          .as("n_flagged"),
+        count(col("frame_idx")).as("n_units"),
+        count_distinct(when(col("video_error").isNull,
+          struct(col("hash_hi"), col("hash_lo")))).as("distinct_units")),
+      "video")
+    img.unionByName(aud).unionByName(vid)
+      .orderBy(col("modality"), col("source"))
+  }
+
+  val mediaCensusSql: String =
+    s"""WITH ${aHashCtes("SELECT doc_id AS media_id, doc_id AS gen_id FROM documents")},
+       |st AS (
+       |  SELECT media_id, SUM(gray) // 64 AS mean_gray,
+       |    MIN(gray) AS mng, MAX(gray) AS mxg
+       |  FROM px GROUP BY 1),
+       |img AS (
+       |  SELECT d.source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_items,
+       |    CAST(SUM(CASE WHEN st.mean_gray < 64 OR st.mean_gray > 192
+       |      OR st.mxg - st.mng < 48 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |    CAST(COUNT(*) AS BIGINT) AS n_units,
+       |    CAST(COUNT(DISTINCT (a.hash_hi, a.hash_lo)) AS BIGINT) AS distinct_units
+       |  FROM ah a JOIN st USING (media_id)
+       |  JOIN documents d ON d.doc_id = a.media_id
+       |  GROUP BY 1),
+       |clips AS (SELECT doc_id AS media_id, 32 + doc_id % 32 AS n FROM documents),
+       |smp AS (
+       |  SELECT media_id, i.i AS i,
+       |    ((media_id * 97 + i.i * 31) % 2048) - 1024 AS sv,
+       |    abs((media_id * 97 + i.i * 31) % 2048 - 1024) AS a, n
+       |  FROM clips, range(0, 64) i(i) WHERE i.i < n),
+       |sil AS (
+       |  SELECT media_id, i,
+       |    i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS isl
+       |  FROM smp WHERE a < 50),
+       |runs AS (SELECT media_id, COUNT(*) AS run FROM sil GROUP BY media_id, isl),
+       |longest AS (SELECT media_id, MAX(run) AS ls FROM runs GROUP BY media_id),
+       |aqc AS (
+       |  SELECT smp.media_id,
+       |    SUM(CASE WHEN a >= 1000 THEN 1 ELSE 0 END) AS nc,
+       |    COALESCE(MAX(l.ls), 0) AS ls
+       |  FROM smp LEFT JOIN longest l USING (media_id)
+       |  GROUP BY smp.media_id),
+       |dd AS (
+       |  SELECT media_id, i, sv, n,
+       |    lead(sv) OVER (PARTITION BY media_id ORDER BY i) AS nx
+       |  FROM smp),
+       |afp AS (
+       |  SELECT media_id,
+       |    CAST(COALESCE(SUM(CASE WHEN nx > sv THEN (1::BIGINT << i) END), 0) AS BIGINT) AS f
+       |  FROM dd WHERE i <= n - 2 GROUP BY 1),
+       |aud AS (
+       |  SELECT d.source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_items,
+       |    CAST(SUM(CASE WHEN q.nc >= 2 OR q.ls >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |    CAST(COUNT(*) AS BIGINT) AS n_units,
+       |    CAST(COUNT(DISTINCT f.f) AS BIGINT) AS distinct_units
+       |  FROM aqc q JOIN afp f USING (media_id)
+       |  JOIN documents d ON d.doc_id = q.media_id
+       |  GROUP BY 1),
+       |vframes AS (
+       |  SELECT doc_id, doc_id * 100 + i.i AS fid
+       |  FROM (SELECT doc_id, 4 + doc_id % 4 AS n FROM documents
+       |        WHERE doc_id % 50 <> 0) v, range(0, 8) i(i)
+       |  WHERE i.i < n),
+       |vpx AS (
+       |  SELECT doc_id, fid, y.y * 8 + x.x AS p,
+       |    ((((fid % 1009) * 31 + x.x * 7 + y.y * 13) % 256)
+       |     + (((fid % 1013) * 17 + x.x * 11 + y.y * 3) % 256)
+       |     + (((fid % 997) * 23 + x.x * 5 + y.y * 19) % 256)) // 3 AS gray
+       |  FROM vframes, range(0, 8) x(x), range(0, 8) y(y)),
+       |vmn AS (SELECT fid, SUM(gray) // 64 AS mean FROM vpx GROUP BY 1),
+       |vah AS (
+       |  SELECT vpx.doc_id, vpx.fid,
+       |    CAST(COALESCE(SUM(CASE WHEN vpx.gray > vmn.mean AND vpx.p >= 32
+       |      THEN (1::BIGINT << (vpx.p - 32)) END), 0) AS BIGINT) AS hh,
+       |    CAST(COALESCE(SUM(CASE WHEN vpx.gray > vmn.mean AND vpx.p < 32
+       |      THEN (1::BIGINT << vpx.p) END), 0) AS BIGINT) AS hl
+       |  FROM vpx JOIN vmn USING (fid)
+       |  GROUP BY vpx.doc_id, vpx.fid),
+       |vid AS (
+       |  SELECT d.source,
+       |    CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_items,
+       |    CAST(COUNT(DISTINCT CASE WHEN d.doc_id % 50 = 0 THEN d.doc_id END) AS BIGINT) AS n_flagged,
+       |    CAST(COUNT(v.fid) AS BIGINT) AS n_units,
+       |    CAST(COUNT(DISTINCT CASE WHEN v.fid IS NOT NULL THEN (v.hh, v.hl) END) AS BIGINT) AS distinct_units
+       |  FROM documents d LEFT JOIN vah v ON v.doc_id = d.doc_id
+       |  GROUP BY 1),
+       |uni AS (
+       |  SELECT 'image' AS modality, * FROM img
+       |  UNION ALL SELECT 'audio' AS modality, * FROM aud
+       |  UNION ALL SELECT 'video' AS modality, * FROM vid)
+       |SELECT modality, source, n_items, n_flagged,
+       |  (n_flagged * 1000) // n_items AS flagged_permille,
+       |  n_units, distinct_units,
+       |  ((n_units - distinct_units) * 1000) // n_units AS dup_permille
+       |FROM uni ORDER BY modality, source""".stripMargin
+
   val imageQcSql: String =
     s"""WITH media AS ($plantedMediaSql),
        |px AS (
@@ -2563,6 +2710,7 @@ object SimilarityQueries {
     QueryDef("q119_audio_qc", audioQc, Some(audioQcSql)),
     QueryDef("q121_ann_eval", annEval, Some(annEvalSql)),
     QueryDef("q127_scene_cuts", sceneCuts, Some(sceneCutsSql)),
+    QueryDef("q220_media_census", mediaCensus, Some(mediaCensusSql)),
     QueryDef("q128_image_qc", imageQc, Some(imageQcSql)),
     QueryDef("q131_multimodal_curation", multimodalCuration, Some(multimodalCurationSql)),
     QueryDef("q145_audio_curation", audioCuration, Some(audioCurationSql)),

@@ -307,6 +307,50 @@ final class GraftService private (
                 (200, out.toJSON.collect().mkString("[", ",", "]"))
             }
         }
+      case ("GET", "/media") =>
+        // the MEDIA FEATURE STORE behind the facade — the decode-once
+        // artifacts (queries/MediaArtifacts.scala) served two ways:
+        // `id=<media_id>&modality=image|audio|video` is a POINT READ of
+        // one artifact (pushed-down FileScan on media_id — a video id
+        // returns its per-frame rows); without `id`, the q220 dataset
+        // card (per-modality×source census), optionally filtered by
+        // `modality=`/`source=`. Features only, never bytes: the codec
+        // does not run on any serving path.
+        val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
+        ps.get("dir") match {
+          case None => (400, """{"error":"dir required"}""")
+          case Some(dir) =>
+            val modality = ps.get("modality")
+            ps.get("id").map(s => scala.util.Try(s.toLong).toOption) match {
+              case Some(None) => (400, """{"error":"id must be a number"}""")
+              case Some(Some(id)) =>
+                val feats = modality match {
+                  case Some("image") =>
+                    Some(graft.queries.MediaArtifacts.imageDocFeatures(spark, dir))
+                  case Some("audio") =>
+                    Some(graft.queries.MediaArtifacts.audioDocFeatures(spark, dir))
+                  case Some("video") =>
+                    Some(graft.queries.MediaArtifacts.videoDocFrames(spark, dir))
+                  case _ => None
+                }
+                feats match {
+                  case None =>
+                    (400, """{"error":"id= needs modality=image|audio|video"}""")
+                  case Some(f) =>
+                    val rows = f.filter(col("media_id") === id)
+                      .limit(GraftService.MaxPageRows)
+                      .toJSON.collect()
+                    (200, rows.mkString("[", ",", "]"))
+                }
+              case None =>
+                var census = graft.queries.SimilarityQueries.mediaCensus(spark, dir)
+                modality.foreach(m => census = census.filter(col("modality") === m))
+                ps.get("source").foreach(s =>
+                  census = census.filter(col("source") === s))
+                (200, census.limit(GraftService.MaxPageRows)
+                  .toJSON.collect().mkString("[", ",", "]"))
+            }
+        }
       case ("GET", "/datarecords") =>
         running match {
           case None => (409, """{"error":"no pipeline running"}""")

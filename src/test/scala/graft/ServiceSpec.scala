@@ -331,4 +331,39 @@ class ServiceSpec extends SparkSpec {
       assert(!body.contains("\"snippet\":\"\""), body.take(400))
     } finally svc.close()
   }
+
+  test("/media serves the feature store over HTTP: census matches q220, point read matches the artifact") {
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      // census = the q220 rows, via HTTP (count + one spot value)
+      val (code, bodyAll) = get(svc, s"/media?dir=${sf()}")
+      assert(code == 200, bodyAll)
+      val q220 = graft.queries.SimilarityQueries.mediaCensus(spark, sf())
+        .collect()
+      assert("\"modality\":".r.findAllMatchIn(bodyAll).size == q220.length,
+        s"census row count diverged: ${bodyAll.take(300)}")
+      // modality filter narrows to that modality's rows
+      val (c2, bodyImg) = get(svc, s"/media?dir=${sf()}&modality=image")
+      assert(c2 == 200 && !bodyImg.contains("\"modality\":\"audio\""), bodyImg.take(300))
+      assert("\"modality\":\"image\"".r.findAllMatchIn(bodyImg).size ==
+        q220.count(_.getString(0) == "image"))
+      // point read: one image's features match the artifact row
+      val ref = graft.queries.MediaArtifacts.imageDocFeatures(spark, sf())
+        .filter(col("media_id") === 7L).collect().head
+      val (c3, bodyRow) = get(svc, s"/media?dir=${sf()}&modality=image&id=7")
+      assert(c3 == 200, bodyRow)
+      assert(bodyRow.contains(s"\"hash_hi\":${ref.getAs[Long]("hash_hi")}") &&
+        bodyRow.contains(s"\"mean_gray\":${ref.getAs[Long]("mean_gray")}"),
+        bodyRow.take(300))
+      // a video id returns its per-frame rows
+      val nFrames = graft.queries.MediaArtifacts.videoDocFrames(spark, sf())
+        .filter(col("media_id") === 7L && col("video_error").isNull).count()
+      val (c4, bodyVid) = get(svc, s"/media?dir=${sf()}&modality=video&id=7")
+      assert(c4 == 200 &&
+        "\"frame_idx\":".r.findAllMatchIn(bodyVid).size == nFrames, bodyVid.take(300))
+      // error surface
+      assert(get(svc, s"/media?dir=${sf()}&id=7")._1 == 400) // id without modality
+      assert(get(svc, "/media")._1 == 400) // dir required
+    } finally svc.close()
+  }
 }
