@@ -195,7 +195,13 @@ object ScaleProbe {
     "q217_anchor_index", "q218_source_concentration", "q219_host_citation",
     // round-11: the media dataset card — three feature-artifact FileScans
     // + doc-source broadcast + hash aggs; the codec never runs
-    "q220_media_census")
+    "q220_media_census",
+    // round-11: cross-modality sample gate — three artifact scans joined
+    // on the shared id, row-local flags, one hash agg
+    "q221_sample_gate",
+    // round-11: phash robustness eval — one decode pass of its own
+    // fixture (build-once), then the q110 detector chain + CC
+    "q222_phash_robustness")
 
   /** Synthesize the N× corpus into outDir (idempotent via marker).
     * documents: ids offset by copy·10⁸; every word salted with the copy

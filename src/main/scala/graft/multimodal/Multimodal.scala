@@ -169,6 +169,30 @@ object Multimodal {
       encodePng(img)
     }
 
+    /** [[syntheticPng]] with a per-pixel channel transform applied BEFORE
+      * encoding — the planted-perturbation generator of the perceptual-
+      * robustness eval (q222): the transform is closed-form, so an
+      * independent engine can replay every perturbed pixel. */
+    def syntheticPngWith(id: Long)(
+        f: (Int, Int, Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val r = (((id % 1009) * 31 + x * 7 + y * 13) % 256).toInt
+          val g = (((id % 1013) * 17 + x * 11 + y * 3) % 256).toInt
+          val b = (((id % 997) * 23 + x * 5 + y * 19) % 256).toInt
+          val (r2, g2, b2) = f(x, y, r, g, b)
+          img.setRGB(x, y, (r2 << 16) | (g2 << 8) | b2)
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
     /** Integer-exact decoded statistics: (width, height, Σr, Σg, Σb). */
     def channelSums(bytes: Array[Byte]): (Int, Int, Long, Long, Long) = {
       val img = decode(bytes)

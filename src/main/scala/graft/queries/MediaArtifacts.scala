@@ -167,4 +167,43 @@ object MediaArtifacts {
     }
     spark.read.parquet(path)
   }
+
+  /** ROBUSTNESS-EVAL image fixture + features (q222): every document's
+    * base image plus, for doc_id % 9 = 0, three PLANTED variants with
+    * closed-form perturbations —
+    *   'shift'     (media_id + 3·10⁶): every channel +60, clamped at 255
+    *                (global brightness; aHash is threshold-vs-mean, so
+    *                most bits survive except where clamping bends the
+    *                gray ordering),
+    *   'noise'     (media_id + 4·10⁶): the red channel rotated +128 mod
+    *                256 at three fixed pixels (local corruption → a few
+    *                hash bits flip),
+    *   'unrelated' (media_id + 5·10⁶): a different generator seed
+    *                (gen + 777777) — the must-NOT-match control.
+    * One decode pass to (media_id, family, hash halves), build-once. */
+  def imageRobustFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = Tables.buildOnce("graft_media_features", dir, "image_robust_v1") { out =>
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val noisePx = Set((0, 0), (3, 4), (7, 7))
+      ids.mapPartitions(_.flatMap { id =>
+        val base = (id, "base",
+          Multimodal.ImageCodec.allStats(Multimodal.ImageCodec.syntheticPng(id)))
+        if (id % 9 != 0) Iterator(base)
+        else Iterator(base,
+          (id + 3000000L, "shift", Multimodal.ImageCodec.allStats(
+            Multimodal.ImageCodec.syntheticPngWith(id)((_, _, r, g, b) =>
+              (math.min(255, r + 60), math.min(255, g + 60), math.min(255, b + 60))))),
+          (id + 4000000L, "noise", Multimodal.ImageCodec.allStats(
+            Multimodal.ImageCodec.syntheticPngWith(id)((x, y, r, g, b) =>
+              if (noisePx((x, y))) ((r + 128) % 256, g, b) else (r, g, b)))),
+          (id + 5000000L, "unrelated", Multimodal.ImageCodec.allStats(
+            Multimodal.ImageCodec.syntheticPng(id + 777777L))))
+      })
+        .select(col("_1").as("media_id"), col("_2").as("family"),
+          col("_3.hash_hi").as("hash_hi"), col("_3.hash_lo").as("hash_lo"))
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(path)
+  }
 }

@@ -1356,6 +1356,219 @@ object SimilarityQueries {
        |  ((n_units - distinct_units) * 1000) // n_units AS dup_permille
        |FROM uni ORDER BY modality, source""".stripMargin
 
+  /** Q221 — CROSS-MODALITY SAMPLE GATE (the interleaved-dataset curation
+    * verb, OBELICS/LAION-style): every document carries one image, one
+    * audio clip and one video; a training SAMPLE survives only if EVERY
+    * modality passes its QC gate (image exposure/contrast, audio
+    * clipping/silence, video container integrity). Output is the full
+    * 2×2×2 flag-combination census with the keep/drop verdict — the
+    * table that says where joint-modality yield is lost (e.g. samples
+    * failing ONLY audio are recoverable by re-encoding; samples failing
+    * all three are rot). Three feature-artifact FileScans joined on the
+    * shared id — the q186 join posture — flags row-local, one hash agg;
+    * the codec never runs. Oracle replays all three closed-form gates
+    * and the combination census. */
+  def sampleGate(spark: SparkSession, dir: String): DataFrame = {
+    val img = MediaArtifacts.imageDocFeatures(spark, dir)
+      .select(col("media_id"),
+        (col("mean_gray") < 64 || col("mean_gray") > 192 ||
+          col("max_gray") - col("min_gray") < 48).cast("long").as("img_bad"))
+    val aud = MediaArtifacts.audioDocFeatures(spark, dir)
+      .select(col("media_id"),
+        (col("n_clipped") >= 2 || col("longest_silence") >= 4)
+          .cast("long").as("aud_bad"))
+    val vid = MediaArtifacts.videoDocFrames(spark, dir)
+      .groupBy(col("media_id"))
+      .agg(max(col("video_error").isNotNull.cast("long")).as("vid_bad"))
+    img.join(aud, Seq("media_id")).join(vid, Seq("media_id"))
+      .groupBy(col("img_bad"), col("aud_bad"), col("vid_bad"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("verdict",
+        when(col("img_bad") + col("aud_bad") + col("vid_bad") === 0, "keep")
+          .otherwise("drop"))
+      .select(col("img_bad"), col("aud_bad"), col("vid_bad"),
+        col("verdict"), col("n_docs"))
+      .orderBy(col("img_bad"), col("aud_bad"), col("vid_bad"))
+  }
+
+  val sampleGateSql: String =
+    s"""WITH ${aHashCtes("SELECT doc_id AS media_id, doc_id AS gen_id FROM documents")},
+       |st AS (
+       |  SELECT media_id, SUM(gray) // 64 AS mean_gray,
+       |    MIN(gray) AS mng, MAX(gray) AS mxg
+       |  FROM px GROUP BY 1),
+       |imgf AS (
+       |  SELECT media_id,
+       |    CASE WHEN mean_gray < 64 OR mean_gray > 192 OR mxg - mng < 48
+       |         THEN 1 ELSE 0 END AS img_bad
+       |  FROM st),
+       |clips AS (SELECT doc_id AS media_id, 32 + doc_id % 32 AS n FROM documents),
+       |smp AS (
+       |  SELECT media_id, i.i AS i,
+       |    abs((media_id * 97 + i.i * 31) % 2048 - 1024) AS a
+       |  FROM clips, range(0, 64) i(i) WHERE i.i < n),
+       |sil AS (
+       |  SELECT media_id, i,
+       |    i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS isl
+       |  FROM smp WHERE a < 50),
+       |runs AS (SELECT media_id, COUNT(*) AS run FROM sil GROUP BY media_id, isl),
+       |longest AS (SELECT media_id, MAX(run) AS ls FROM runs GROUP BY media_id),
+       |audf AS (
+       |  SELECT smp.media_id,
+       |    CASE WHEN SUM(CASE WHEN a >= 1000 THEN 1 ELSE 0 END) >= 2
+       |           OR COALESCE(MAX(l.ls), 0) >= 4 THEN 1 ELSE 0 END AS aud_bad
+       |  FROM smp LEFT JOIN longest l USING (media_id)
+       |  GROUP BY smp.media_id),
+       |vidf AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END AS vid_bad
+       |  FROM documents)
+       |SELECT CAST(i.img_bad AS BIGINT) AS img_bad,
+       |  CAST(a.aud_bad AS BIGINT) AS aud_bad,
+       |  CAST(v.vid_bad AS BIGINT) AS vid_bad,
+       |  CASE WHEN i.img_bad + a.aud_bad + v.vid_bad = 0 THEN 'keep'
+       |       ELSE 'drop' END AS verdict,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM imgf i JOIN audf a USING (media_id) JOIN vidf v USING (media_id)
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY img_bad, aud_bad, vid_bad""".stripMargin
+
+  /** Q222 — PERCEPTUAL-HASH ROBUSTNESS eval: does the image near-dup
+    * chain (q110's detector: exact-aHash collapse → banded hamming ≤ 7
+    * pairs, degree-capped → connected components) actually catch the
+    * perturbed copies a crawl re-serves? Planted truth
+    * ([[MediaArtifacts.imageRobustFeatures]]): a global brightness
+    * shift (+60 clamped), local pixel corruption (red channel rotated at
+    * 3 fixed pixels), and an UNRELATED control that must not match.
+    * Output: per family, planted pairs vs pairs landing in the SAME
+    * final cluster as their base — recall in micro. The numbers are the
+    * eval (q150's posture for images), and at sf0.01 they carry a real
+    * finding: noise 100%, shift 96.4% (clamping bends the gray ordering
+    * for 2 of 56), but the UNRELATED control lands at 46.4% — radius-7
+    * hamming over this hash space chains clusters transitively (the
+    * q184 threshold-sensitivity lesson, measured for images: CC merges
+    * unrelated bases through intermediate near-neighbours). That is
+    * precisely what a control family is for — the eval table exposes
+    * the over-chaining a bare recall number would hide. The oracle
+    * replays every perturbed pixel, the hash, the banded+capped
+    * candidate generation, and the CC fixpoint. */
+  def phashRobustness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
+    val feats = MediaArtifacts.imageRobustFeatures(spark, dir)
+    val groups = feats.groupBy(col("hash_hi"), col("hash_lo"))
+      .agg(min(col("media_id")).as("rep"))
+      .localCheckpoint(true)
+    val reps = groups.select(col("rep").as("id"),
+      (shiftleft(col("hash_hi"), 32).bitwiseOR(col("hash_lo"))).as("simhash"))
+    val pairs = Dedup.simhashNearDupPairs(reps, maxHamming = 7, maxDegree = 4)
+    val labels = Dedup.connectedComponents(pairs)
+    val cluster = feats.join(groups, Seq("hash_hi", "hash_lo"))
+      .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("media_id"), col("family"),
+        coalesce(col("cluster_id"), col("rep")).as("cid"))
+      .localCheckpoint(true) // variant + base sides both read it
+    val planted = cluster.filter(col("family") =!= "base")
+      .withColumn("base_id", col("media_id") - (
+        when(col("family") === "shift", 3000000L)
+          .when(col("family") === "noise", 4000000L)
+          .otherwise(5000000L)))
+    planted.join(cluster.filter(col("family") === "base")
+        .select(col("media_id").as("base_id"), col("cid").as("base_cid")),
+      Seq("base_id"))
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_planted"),
+        sum((col("cid") === col("base_cid")).cast("long")).as("n_detected"))
+      .withColumn("recall_micro", expr("n_detected * 1000000 div n_planted"))
+      .orderBy(col("family"))
+  }
+
+  val phashRobustnessSql: String = {
+    def ch(genExpr: String): (String, String, String) = (
+      s"((($genExpr) % 1009) * 31 + x.x * 7 + y.y * 13) % 256",
+      s"((($genExpr) % 1013) * 17 + x.x * 11 + y.y * 3) % 256",
+      s"((($genExpr) % 997) * 23 + x.x * 5 + y.y * 19) % 256")
+    val (br, bg, bb) = ch("doc_id")
+    val (ur, ug, ub) = ch("doc_id + 777777")
+    s"""WITH RECURSIVE docs9 AS (SELECT doc_id FROM documents WHERE doc_id % 9 = 0),
+       |px AS (
+       |  SELECT doc_id AS media_id, y.y * 8 + x.x AS p,
+       |    (($br) + ($bg) + ($bb)) // 3 AS gray
+       |  FROM documents, range(0, 8) x(x), range(0, 8) y(y)
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS media_id, y.y * 8 + x.x AS p,
+       |    (LEAST(255, ($br) + 60) + LEAST(255, ($bg) + 60)
+       |     + LEAST(255, ($bb) + 60)) // 3 AS gray
+       |  FROM docs9, range(0, 8) x(x), range(0, 8) y(y)
+       |  UNION ALL
+       |  SELECT doc_id + 4000000 AS media_id, y.y * 8 + x.x AS p,
+       |    ((CASE WHEN y.y * 8 + x.x IN (0, 35, 63)
+       |           THEN (($br) + 128) % 256 ELSE ($br) END)
+       |     + ($bg) + ($bb)) // 3 AS gray
+       |  FROM docs9, range(0, 8) x(x), range(0, 8) y(y)
+       |  UNION ALL
+       |  SELECT doc_id + 5000000 AS media_id, y.y * 8 + x.x AS p,
+       |    (($ur) + ($ug) + ($ub)) // 3 AS gray
+       |  FROM docs9, range(0, 8) x(x), range(0, 8) y(y)),
+       |mn AS (SELECT media_id, SUM(gray) // 64 AS mean FROM px GROUP BY 1),
+       |ah AS (
+       |  SELECT px.media_id,
+       |    CAST(COALESCE(SUM(CASE WHEN px.gray > mn.mean AND px.p >= 32
+       |      THEN (1::BIGINT << (px.p - 32)) END), 0) AS BIGINT) AS hash_hi,
+       |    CAST(COALESCE(SUM(CASE WHEN px.gray > mn.mean AND px.p < 32
+       |      THEN (1::BIGINT << px.p) END), 0) AS BIGINT) AS hash_lo
+       |  FROM px JOIN mn USING (media_id) GROUP BY px.media_id),
+       |grp AS (
+       |  SELECT hash_hi, hash_lo, MIN(media_id) AS rep FROM ah GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT a.rep AS id_a, b.rep AS id_b,
+       |    bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) AS hamming
+       |  FROM grp a JOIN grp b ON a.rep < b.rep
+       |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) + bit_count(xor(a.hash_lo, b.hash_lo)) <= 7),
+       |psym AS (
+       |  SELECT id_a AS node, id_b AS other, hamming FROM pr
+       |  UNION ALL SELECT id_b AS node, id_a AS other, hamming FROM pr),
+       |prk AS (
+       |  SELECT node, other,
+       |    row_number() OVER (PARTITION BY node ORDER BY hamming, other) AS r
+       |  FROM psym),
+       |pairs AS (SELECT DISTINCT LEAST(node, other) AS id_a,
+       |                 GREATEST(node, other) AS id_b
+       |          FROM prk WHERE r <= 4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS rt FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.rt AS rt FROM edges e JOIN reach r ON e.dst = r.id),
+       |labels AS (SELECT id, MIN(rt) AS cluster_id FROM reach GROUP BY id),
+       |fam AS (
+       |  SELECT media_id,
+       |    CASE WHEN media_id >= 5000000 THEN 'unrelated'
+       |         WHEN media_id >= 4000000 THEN 'noise'
+       |         WHEN media_id >= 3000000 THEN 'shift'
+       |         ELSE 'base' END AS family
+       |  FROM ah),
+       |clu AS (
+       |  SELECT a.media_id, f.family, COALESCE(l.cluster_id, g.rep) AS cid
+       |  FROM ah a JOIN grp g USING (hash_hi, hash_lo)
+       |  JOIN fam f ON f.media_id = a.media_id
+       |  LEFT JOIN labels l ON l.id = g.rep),
+       |planted AS (
+       |  SELECT media_id, family,
+       |    media_id - (CASE family WHEN 'shift' THEN 3000000
+       |                WHEN 'noise' THEN 4000000 ELSE 5000000 END) AS base_id,
+       |    cid
+       |  FROM clu WHERE family <> 'base')
+       |SELECT p.family,
+       |  CAST(COUNT(*) AS BIGINT) AS n_planted,
+       |  CAST(SUM(CASE WHEN p.cid = b.cid THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       |  (CAST(SUM(CASE WHEN p.cid = b.cid THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // COUNT(*) AS recall_micro
+       |FROM planted p JOIN (SELECT media_id AS base_id, cid FROM clu
+       |                     WHERE family = 'base') b USING (base_id)
+       |GROUP BY 1 ORDER BY p.family""".stripMargin
+  }
+
   val imageQcSql: String =
     s"""WITH media AS ($plantedMediaSql),
        |px AS (
@@ -2711,6 +2924,8 @@ object SimilarityQueries {
     QueryDef("q121_ann_eval", annEval, Some(annEvalSql)),
     QueryDef("q127_scene_cuts", sceneCuts, Some(sceneCutsSql)),
     QueryDef("q220_media_census", mediaCensus, Some(mediaCensusSql)),
+    QueryDef("q221_sample_gate", sampleGate, Some(sampleGateSql)),
+    QueryDef("q222_phash_robustness", phashRobustness, Some(phashRobustnessSql)),
     QueryDef("q128_image_qc", imageQc, Some(imageQcSql)),
     QueryDef("q131_multimodal_curation", multimodalCuration, Some(multimodalCurationSql)),
     QueryDef("q145_audio_curation", audioCuration, Some(audioCurationSql)),

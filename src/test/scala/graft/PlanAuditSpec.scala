@@ -629,15 +629,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("media census: three artifact FileScans + broadcast source map + hash aggs — codec never runs") {
-    val p = plan("q220_media_census")
-    assert(p.contains("graft_media_features"),
-      s"census must read the feature artifacts:\n${p.take(500)}")
-    assert(!p.contains("MapPartitions"),
-      s"a decode kernel leaked into the census:\n${p.take(800)}")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the doc source map must broadcast:\n${p.take(800)}")
-    assert(!p.contains("SortAggregate"), "census aggs must stay hash-based")
+  test("media census + sample gate: artifact FileScans + hash aggs — codec never runs") {
+    for (n <- Seq("q220_media_census", "q221_sample_gate")) {
+      val p = plan(n)
+      assert(p.contains("graft_media_features"),
+        s"$n must read the feature artifacts:\n${p.take(500)}")
+      assert(!p.contains("MapPartitions"),
+        s"a decode kernel leaked into $n:\n${p.take(800)}")
+      assert(!p.contains("SortAggregate"), s"$n aggs must stay hash-based")
+    }
+    assert(plan("q220_media_census").contains("BroadcastHashJoin"),
+      "the doc source map must broadcast")
   }
 
   test("scene cuts fold windows inside per-video partitions off the artifact") {
