@@ -109,6 +109,32 @@ object ClusterArtifacts {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src"), col("dst"))
 
+  /** The PART CO-PURCHASE edge set — parts sharing ≥ 2 orders, (u, v)
+    * with u < v — materialized ONCE per corpus. Four graph queries
+    * (q77 triangles, q96 label propagation, q104 BFS landmarks, q115
+    * link prediction) each rebuilt it from the same lineitem self-join
+    * on l_orderkey — the suite's widest relational self-join, paid four
+    * times per run (and at 100 TB four full co-occurrence builds where
+    * one artifact read serves). Fully deterministic (distinct + count
+    * threshold), so reuse is hash-invisible; the oracle SQL still
+    * replays the self-join per query. */
+  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val path = Tables.buildOnce("graft_cluster_artifacts", dir, "copurchase_o2_v1") { out =>
+      val items = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val l = items.select(col("ok"), col("pk").as("u"))
+      val r = items.select(col("ok"), col("pk").as("v"))
+      l.join(r, Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select(col("u"), col("v"))
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Build-once per-corpus BM25 postings index
     * ([[graft.ops.TextSearch.writePostingsIndex]]) — one home for the
     * serving facade (`/search`) AND the batch retrieval queries

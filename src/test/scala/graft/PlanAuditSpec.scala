@@ -629,6 +629,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("co-purchase graph queries ride the build-once edge artifact — the lineitem self-join never re-runs") {
+    spark.catalog.clearCache()
+    val edges = graft.queries.ClusterArtifacts.copurchaseEdges(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(edges.contains("graft_cluster_artifacts") && !edges.contains("lineitem"),
+      s"the edge feed must be a FileScan of the artifact:\n${edges.take(800)}")
+    // q77's registered plan stays lazy end-to-end; the other three
+    // materialize inside Graph ops (the link-consumer pin's caveat)
+    val p = plan("q77_triangles")
+    assert(!p.contains("lineitem.parquet"),
+      s"q77 re-runs the co-purchase self-join:\n${p.take(800)}")
+  }
+
   test("media census + sample gate: artifact FileScans + hash aggs — codec never runs") {
     for (n <- Seq("q220_media_census", "q221_sample_gate")) {
       val p = plan(n)
