@@ -832,6 +832,17 @@ object Dedup {
     * trade: a false merge needs a simultaneous collision in both hashes
     * (~2⁻¹²⁸ per pair — below any corpus's birthday bound). */
   def paragraphDedup(paras: DataFrame, idCol: String = "doc_id",
+      idxCol: String = "idx", paraCol: String = "para"): DataFrame =
+    paragraphReassemble(paragraphFirstRanked(paras, idCol, idxCol, paraCol),
+      idCol, idxCol, paraCol)
+
+  /** The first-occurrence half of [[paragraphDedup]]: every input row
+    * plus `is_first` (corpus-wide first occurrence on the (id, idx)
+    * total order, windowed over the 128-bit fingerprint pair). Exposed
+    * so a build-once artifact can pay the window ONCE and derive both
+    * the per-doc grid and the per-paragraph firsts table from one
+    * ranked frame (CurationArtifacts). */
+  def paragraphFirstRanked(paras: DataFrame, idCol: String = "doc_id",
       idxCol: String = "idx", paraCol: String = "para"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // second hash seeded by a prepended salt column — independent of the
@@ -842,6 +853,13 @@ object Dedup {
     paras
       .withColumn("__rn", row_number().over(firstWin))
       .withColumn("is_first", col("__rn") === 1)
+  }
+
+  /** The reassembly half of [[paragraphDedup]] over a
+    * [[paragraphFirstRanked]] frame. */
+  def paragraphReassemble(ranked: DataFrame, idCol: String = "doc_id",
+      idxCol: String = "idx", paraCol: String = "para"): DataFrame = {
+    ranked
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_paras"),

@@ -101,6 +101,28 @@ object ClusterArtifacts {
     spark.read.parquet(path)
   }
 
+  /** ANCHOR-DOCUMENT table off the [[htmlLinks]] artifact: per target
+    * page, every in-link's anchor text concatenated into one surrogate
+    * document — q217's substrate and the `/search` anchor leg's serving
+    * table (the classic web-relevance move: anchor terms describe the
+    * TARGET better than its own body). Build-once like the links
+    * themselves: the groupBy(dst) concat runs once per corpus, serving
+    * reads FileScan the bounded (one row per linked-to page) table.
+    * BM25 over it is concatenation-ORDER-FREE (tf/dl only), so the
+    * nondeterministic collect_list order in the stored text cannot
+    * reach any score. */
+  def anchorDocs(spark: SparkSession, dir: String): DataFrame = {
+    val links = htmlLinks(spark, dir) // hoisted: no nested buildOnce
+    val path = Tables.buildOnce("graft_cluster_artifacts", dir, "anchor_docs_v1") { out =>
+      links.filter(col("dst").isNotNull)
+        .groupBy(col("dst"))
+        .agg(org.apache.spark.sql.functions.concat_ws(" ",
+          org.apache.spark.sql.functions.collect_list(col("anchor"))).as("anchor_text"))
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(path)
+  }
+
   /** (src, dst) page-ordinal edges off the [[htmlLinks]] artifact — the
     * graph-operator feed (the batch twin of
     * [[graft.streaming.Streaming.linkGraphEdges]]'s durable table). */

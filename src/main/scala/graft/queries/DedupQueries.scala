@@ -678,20 +678,18 @@ object DedupQueries {
     * anywhere in the corpus survives only at its first (doc, idx)
     * occurrence, and each document is reassembled from its survivors.
     * The corpus genuinely repeats ~5% of its paragraphs (the planted
-    * near-dup structure), so the cut is exercised. The oracle replays
-    * the split, the global first-occurrence rule, and the ordered
+    * near-dup structure), so the cut is exercised. The grid is served
+    * from the build-once [[CurationArtifacts.paragraphGrid]] (round 12:
+    * four queries previously each paid the corpus-wide first-occurrence
+    * window; now one build per corpus, every consumer FileScans), so
+    * this plan is a scan + map-side digest. The oracle replays the
+    * split, the global first-occurrence rule, and the ordered
     * reassembly — the md5 of every cleaned document must match. */
-  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val paras = Tables.documents(spark, dir)
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, cast(ceil(size(ws)/7.0) as int) - 1)," +
-          " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
-    Dedup.paragraphDedup(paras)
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    CurationArtifacts.paragraphGrid(spark, dir)
       .select(col("doc_id"), col("n_paras"), col("n_kept"),
         md5(col("clean_text").cast("binary")).as("clean_digest"))
       .orderBy(col("doc_id"))
-  }
 
   val paragraphDedupSql: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1250,11 +1248,14 @@ object DedupQueries {
     * paragraph grid keyed by md5, global first occurrence on the
     * (doc_id, idx) total order, every LATER occurrence credited to the
     * (first's source → duplicate's source) cell with occurrence and
-    * distinct-paragraph counts. The exchange keys on the 32-char md5
-    * (the q87 fingerprint lesson — never the raw text); the matrix key
-    * space is |sources|², so the final aggregate collapses map-side. */
+    * distinct-paragraph counts. The firsts table is served from the
+    * build-once [[CurationArtifacts.paragraphFirsts]] (the one
+    * corpus-wide first-occurrence window per corpus, shared with
+    * q87/q100/q160); the consumer side is a map-only split + one keyed
+    * join — the matrix key space is |sources|², so the final aggregate
+    * collapses map-side. The join keys on the 32-char md5 (the q87
+    * fingerprint lesson — never the raw text). */
   def dupMatrix(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val paras = docs
       .withColumn("ws", split(col("text"), " "))
@@ -1263,13 +1264,7 @@ object DedupQueries {
           " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
       .withColumn("pk", md5(col("para").cast("binary")))
       .drop("para")
-      .localCheckpoint(true) // two consumers below — don't recompute the grid
-    val firsts = paras
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("pk")).orderBy(col("doc_id"), col("idx"))))
-      .filter(col("rn") === 1)
-      .select(col("pk"), col("doc_id").as("fdoc"), col("idx").as("fidx"),
-        col("source").as("source_first"))
+    val firsts = CurationArtifacts.paragraphFirsts(spark, dir)
     paras
       .join(firsts, Seq("pk"))
       .filter(!(col("doc_id") === col("fdoc") && col("idx") === col("fidx")))

@@ -168,9 +168,14 @@ object MediaArtifacts {
     spark.read.parquet(path)
   }
 
-  /** ROBUSTNESS-EVAL image fixture + features (q222): every document's
-    * base image plus, for doc_id % 9 = 0, three PLANTED variants with
-    * closed-form perturbations —
+  /** ROBUSTNESS-EVAL image fixture + features (q222): a PINNED,
+    * spec-fixed eval corpus — the 450 base images of doc_id < 450 (the
+    * q196 fixed-sample / q203 pinned-eval posture: an eval table must
+    * not ride corpus size, and the CC fixpoint it feeds must be
+    * constant-cost at any scale; 450 < the smallest SF's 500 docs, and
+    * ScaleProbe copies offset ids by 10⁸, so the corpus is byte-identical
+    * at every SF and probe multiple) — plus, for doc_id % 9 = 0, three
+    * PLANTED variants with closed-form perturbations —
     *   'shift'     (media_id + 3·10⁶): every channel +60, clamped at 255
     *                (global brightness; aHash is threshold-vs-mean, so
     *                most bits survive except where clamping bends the
@@ -181,10 +186,14 @@ object MediaArtifacts {
     *   'unrelated' (media_id + 5·10⁶): a different generator seed
     *                (gen + 777777) — the must-NOT-match control.
     * One decode pass to (media_id, family, hash halves), build-once. */
+  /** q222's pinned eval-corpus bound (see [[imageRobustFeatures]]). */
+  val EvalCorpusBound = 450L
+
   def imageRobustFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = Tables.buildOnce("graft_media_features", dir, "image_robust_v1") { out =>
-      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val path = Tables.buildOnce("graft_media_features", dir, "image_robust_v2") { out =>
+      val ids = Tables.documents(spark, dir)
+        .filter(col("doc_id") < EvalCorpusBound).select(col("doc_id")).as[Long]
       val noisePx = Set((0, 0), (3, 4), (7, 7))
       ids.mapPartitions(_.flatMap { id =>
         val base = (id, "base",

@@ -169,14 +169,13 @@ object ParticipantQueries {
     * Scale: the anchor table is the bounded extraction output (a few
     * dozen bytes per link, never the pages); one groupBy(dst) builds the
     * anchor-docs, then the q45 scan shape over a table ~|links| in size. */
-  def anchorIndex(spark: SparkSession, dir: String): DataFrame = {
-    val anchorDocs = ClusterArtifacts.htmlLinks(spark, dir)
-      .filter(col("dst").isNotNull)
-      .groupBy(col("dst"))
-      .agg(concat_ws(" ", collect_list(col("anchor"))).as("anchor_text"))
+  def anchorIndex(spark: SparkSession, dir: String): DataFrame =
+    // the anchor-doc table is itself a build-once artifact now (round 12:
+    // it also serves the `/search` anchor leg) — scores are unchanged
+    // because BM25's stats are concatenation-order-free
     graft.ops.TextSearch.bm25TopK(
-      anchorDocs, "dst", "anchor_text", TextQueries.Bm25Terms, 20)
-  }
+      ClusterArtifacts.anchorDocs(spark, dir), "dst", "anchor_text",
+      TextQueries.Bm25Terms, 20)
 
   val anchorIndexSql: String = {
     val termList = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")

@@ -206,15 +206,27 @@ object PrepQueries {
     * lineage (scan once, no materialization between stages beyond the
     * two eager checkpoints that feed multi-consumer stages). Docs
     * whose cleaned text carries no bigram evidence drop with the tail.
-    * The oracle replays the ENTIRE chain — dedup window, paragraph
+    * Round 12: the parquet-corpus form serves its shared stages from
+    * the build-once [[CurationArtifacts]] (exact-dup winners, paragraph
+    * grid, cleaned-text LM buckets — previously re-derived per query by
+    * q87/q100/q125/q160), so this plan is three FileScans + the packing
+    * window; the restriction lemma in [[CurationArtifacts]] makes the
+    * grid-join form exactly the dedup-then-split chain. The oracle
+    * replays the ENTIRE chain — dedup window, paragraph
     * first-occurrence, count tables, surprisal, tercile thresholds,
     * bucket cut, and pack ids — in a single stitched CTE chain. */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
-    curationChain(Tables.documents(spark, dir))
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val uniq = CurationArtifacts.uniqWinners(spark, dir)
+    val cleaned = CurationArtifacts.paragraphGrid(spark, dir)
+      .join(uniq.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    curationAssemble(uniq, cleaned, CurationArtifacts.lmCleanBuckets(spark, dir))
+  }
 
   /** The q100 chain over ANY (doc_id, source, text) document set — shared
-    * by q100 (the parquet corpus) and q151 (the WARC crawl composition,
-    * ParticipantQueries.crawlCuration): the chain itself is
+    * by q100 (the parquet corpus, via the artifact fast path above) and
+    * q151 (the WARC crawl composition, ParticipantQueries.crawlCuration,
+    * which computes the stages inline because its input is the live
+    * crawl, not an immutable corpus directory): the chain itself is
     * source-agnostic, exactly like a production curation run. */
   def curationChain(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -234,9 +246,19 @@ object PrepQueries {
     val cleanedDocs = cleaned.select(col("doc_id"), col("clean_text").as("text"))
     val buckets = TrainingPrep.lmQualityBuckets(
       cleanedDocs, cleanedDocs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    curationAssemble(uniq.select(col("doc_id"), col("source")), cleaned, buckets)
+  }
+
+  /** The tail of the curation chain — LM-tercile cut → token counts →
+    * per-source packing → output stats — over the three stage frames,
+    * whether they arrive as artifact FileScans (q100) or inline stages
+    * (q151). */
+  private def curationAssemble(uniq: DataFrame, cleaned: DataFrame,
+      buckets: DataFrame): DataFrame = {
+    val cleanedDocs = cleaned.select(col("doc_id"), col("clean_text").as("text"))
     val toks = buckets.filter(col("bucket") <= 2)
       .join(cleanedDocs, Seq("doc_id"))
-      .join(uniq.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(uniq, Seq("doc_id"))
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"), col("bucket"))
     TrainingPrep.packByTokens(toks, "source", "doc_id", "n_tokens", budget = 512L)
@@ -275,19 +297,18 @@ object PrepQueries {
     val exact = ranked.filter(col("doc_id") =!= col("canon_doc"))
       .select(col("doc_id"), lit("exact_dup").as("verdict"), col("canon_doc"),
         lit(-1).as("bucket"))
+    // the winners of the replica corpus ARE the exact-dup winners of the
+    // base corpus (replicas at +10⁶ never win), so the cleaned stage and
+    // its LM buckets are served from the same build-once artifacts as
+    // q100 — see the restriction lemma in [[CurationArtifacts]]; only
+    // the replica-corpus exact-dup window (this query's own fixture
+    // semantics) stays inline
     val uniq = ranked.filter(col("doc_id") === col("canon_doc"))
-      .select(col("doc_id"), col("text"))
-      .localCheckpoint(true)
-    val paras = uniq
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, cast(ceil(size(ws)/7.0) as int) - 1)," +
-          " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
-    val cleanedDocs = graft.ops.Dedup.paragraphDedup(paras)
+      .select(col("doc_id"))
+    val cleanedDocs = CurationArtifacts.paragraphGrid(spark, dir)
+      .join(uniq, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("clean_text").as("text"))
-      .localCheckpoint(true) // consumers: LM gate (docs + ref) + no-evidence anti-join
-    val buckets = TrainingPrep.lmQualityBuckets(
-      cleanedDocs, cleanedDocs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val buckets = CurationArtifacts.lmCleanBuckets(spark, dir)
     val judged = buckets.select(col("doc_id"),
       when(col("bucket") <= 2, "kept").otherwise("low_quality").as("verdict"),
       col("doc_id").as("canon_doc"), col("bucket"))

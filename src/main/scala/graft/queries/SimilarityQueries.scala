@@ -1441,12 +1441,19 @@ object SimilarityQueries {
     * shift (+60 clamped), local pixel corruption (red channel rotated at
     * 3 fixed pixels), and an UNRELATED control that must not match.
     * Output: per family, planted pairs vs pairs landing in the SAME
-    * final cluster as their base — recall in micro. The numbers are the
-    * eval (q150's posture for images), and at sf0.01 they carry a real
-    * finding: noise 100%, shift 96.4% (clamping bends the gray ordering
-    * for 2 of 56), but the UNRELATED control lands at 46.4% — radius-7
-    * hamming over this hash space chains clusters transitively (the
-    * q184 threshold-sensitivity lesson, measured for images: CC merges
+    * final cluster as their base — recall in micro. The eval corpus is
+    * PINNED to a spec-fixed sample (450 bases, 50 planted — see
+    * [[MediaArtifacts.imageRobustFeatures]]): an eval does not ride
+    * corpus size, so the detector chain and its CC fixpoint — the one
+    * super-linear curve in round 11's SCALE table, because the planted
+    * radius-7 chains grew a diameter with the corpus — are now
+    * constant-cost at any scale, like q196's fixed 200-vector sample
+    * and q203's pinned truth set. The numbers are the eval (q150's
+    * posture for images) and carry a real finding: noise catches fully,
+    * shift loses the images where +60 clamping bends the gray ordering,
+    * and the UNRELATED control lands far above 0 — radius-7 hamming
+    * over this hash space chains clusters transitively (the q184
+    * threshold-sensitivity lesson, measured for images: CC merges
     * unrelated bases through intermediate near-neighbours). That is
     * precisely what a control family is for — the eval table exposes
     * the over-chaining a bare recall number would hide. The oracle
@@ -1489,11 +1496,13 @@ object SimilarityQueries {
       s"((($genExpr) % 997) * 23 + x.x * 5 + y.y * 19) % 256")
     val (br, bg, bb) = ch("doc_id")
     val (ur, ug, ub) = ch("doc_id + 777777")
-    s"""WITH RECURSIVE docs9 AS (SELECT doc_id FROM documents WHERE doc_id % 9 = 0),
+    s"""WITH RECURSIVE docs9 AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 9 = 0 AND doc_id < 450),
        |px AS (
        |  SELECT doc_id AS media_id, y.y * 8 + x.x AS p,
        |    (($br) + ($bg) + ($bb)) // 3 AS gray
        |  FROM documents, range(0, 8) x(x), range(0, 8) y(y)
+       |  WHERE doc_id < 450
        |  UNION ALL
        |  SELECT doc_id + 3000000 AS media_id, y.y * 8 + x.x AS p,
        |    (LEAST(255, ($br) + 60) + LEAST(255, ($bg) + 60)
@@ -2263,8 +2272,13 @@ object SimilarityQueries {
     * the service facade feeds the stored-postings ranking
     * (TextSearch.bm25TopKIndexed) here; q114 itself feeds the scan-path
     * ranking. Both produce identical (score_e12, doc_id) rows, so the
-    * fused result is one contract either way. */
-  def rrfFusionFrom(spark: SparkSession, dir: String, lexTop: DataFrame): DataFrame = {
+    * fused result is one contract either way. `extraLegs` appends
+    * further (ranked-list, rank-col) pairs to the fusion — the facade's
+    * anchor-surrogate leg (q217's BM25 over the anchor-document
+    * artifact) rides here; RRF composes legs without rescaling, so the
+    * two-leg contract is untouched when the seq is empty. */
+  def rrfFusionFrom(spark: SparkSession, dir: String, lexTop: DataFrame,
+      extraLegs: Seq[(DataFrame, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val listN = 100
     val lex = lexTop
@@ -2282,7 +2296,8 @@ object SimilarityQueries {
         Window.orderBy(col("cosine").desc, col("vec_id").asc)).cast("long"))
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
     graft.ops.TextSearch.rrfFuse(
-      Seq(lex, sem), "doc_id", Seq("lex_rank", "sem_rank"), kConst = 60, topN = 20)
+      Seq(lex, sem) ++ extraLegs.map(_._1), "doc_id",
+      Seq("lex_rank", "sem_rank") ++ extraLegs.map(_._2), kConst = 60, topN = 20)
   }
 
   /** The fusion with a USER-SUPPLIED probe vector, the semantic leg
@@ -2300,7 +2315,8 @@ object SimilarityQueries {
     * never read; the re-rank after self-exclusion is a window over ≤101
     * rows. */
   def rrfFusionIvfProbe(spark: SparkSession, ivfDir: String, lexTop: DataFrame,
-      probeQv: Seq[Long], nProbe: Int, excludeId: Option[Long]): DataFrame = {
+      probeQv: Seq[Long], nProbe: Int, excludeId: Option[Long],
+      extraLegs: Seq[(DataFrame, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val listN = 100
@@ -2319,7 +2335,8 @@ object SimilarityQueries {
       .filter(col("sem_rank") <= listN)
       .select(col("id").as("doc_id"), col("sem_rank"))
     graft.ops.TextSearch.rrfFuse(
-      Seq(lex, sem), "doc_id", Seq("lex_rank", "sem_rank"), kConst = 60, topN = 20)
+      Seq(lex, sem) ++ extraLegs.map(_._1), "doc_id",
+      Seq("lex_rank", "sem_rank") ++ extraLegs.map(_._2), kConst = 60, topN = 20)
   }
 
   val rrfFusionSql: String = {

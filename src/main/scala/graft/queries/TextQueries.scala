@@ -631,15 +631,14 @@ object TextQueries {
     * corpus), every document scored by exact floor-log₂ conditional
     * surprisal with a 20-bit unseen backoff, then split head/middle/
     * tail by value-tercile thresholds (percentile_disc semantics: equal
-    * scores share a bucket). The oracle replays tokenization, both
+    * scores share a bucket). Served from the build-once
+    * [[CurationArtifacts.lmRawBuckets]] (round 12: q93/q170/q195 each
+    * rebuilt the same two count tables per run; now one build per
+    * corpus, consumers FileScan). The oracle replays tokenization, both
     * count tables, every per-bigram bit score, the fixed-point average,
     * the histogram-derived thresholds, and the bucket assignment. */
-  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    graft.ops.TrainingPrep.lmQualityBuckets(
-      docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
-      .orderBy(col("doc_id"))
-  }
+  def lmQuality(spark: SparkSession, dir: String): DataFrame =
+    CurationArtifacts.lmRawBuckets(spark, dir).orderBy(col("doc_id"))
 
   /** The q93 CTE chain (reference-slice bigram LM → per-doc surprisal →
     * tercile thresholds), shared with q170's agreement census so the two
@@ -1340,8 +1339,7 @@ object TextQueries {
     val gates = docs.select(col("doc_id"), col("lang"),
       round(qualityScoreRaw(col("text")) * 1000000, 0).cast("long").as("__qm"),
       (langId(col("text")) === col("lang")).as("g_lang"))
-    val lm = graft.ops.TrainingPrep.lmQualityBuckets(
-        docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    val lm = CurationArtifacts.lmRawBuckets(spark, dir)
       .select(col("doc_id"), col("bucket"))
     val cells = gates.join(lm, Seq("doc_id"))
       .select((col("__qm") >= 700000L).as("g_quality"),
@@ -1715,8 +1713,9 @@ object TextQueries {
     * convention) so the normalization cannot overflow either. */
   def domainReweight(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val loss = graft.ops.TrainingPrep.lmSurprisalPerDoc(
-        docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    // the buckets artifact embeds lmSurprisalPerDoc's per-doc sums —
+    // the threshold pass it additionally paid is already amortized
+    val loss = CurationArtifacts.lmRawBuckets(spark, dir)
       .select(col("doc_id"), col("n_bigrams"), col("bits_total"))
     val perSource = docs
       .select(col("doc_id"), col("source"),

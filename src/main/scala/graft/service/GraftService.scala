@@ -177,6 +177,26 @@ final class GraftService private (
               val idx = GraftService.postingsIndexFor(spark, dir)
               def lexTop(k: Int) = graft.ops.TextSearch.bm25TopKIndexed(
                 spark, idx, terms, k)
+              // `anchors=1` (hybrid only): a THIRD fusion leg — q217's
+              // anchor-surrogate BM25 over the build-once anchor-document
+              // artifact (what OTHER pages' link text says about each
+              // target; the classic web-relevance serving stack is
+              // body + vector + anchor, RRF-fused). Ranked by the same
+              // total order as the lexical leg; bounded (top-100) before
+              // the fusion join. Ignored outside hybrid mode (the
+              // stray-param stance of probeDoc on lexical requests).
+              val anchorLegs: Seq[(org.apache.spark.sql.DataFrame, String)] =
+                if (hybridMode && ps.get("anchors").contains("1")) {
+                  import org.apache.spark.sql.expressions.Window
+                  val top = graft.ops.TextSearch.bm25TopK(
+                    graft.queries.ClusterArtifacts.anchorDocs(spark, dir),
+                    "dst", "anchor_text", terms, 100)
+                    .withColumn("anchor_rank", row_number().over(
+                      Window.orderBy(col("score_e12").desc, col("doc_id").asc))
+                      .cast("long"))
+                    .select(col("doc_id"), col("anchor_rank"))
+                  Seq((top, "anchor_rank"))
+                } else Nil
               // the probe resolves here only in hybrid mode — a lexical
               // request ignores a stray probeDoc entirely (no scan)
               val ranked = (ps.get("mode"),
@@ -188,12 +208,12 @@ final class GraftService private (
                   graft.queries.TextQueries.attachSnippets(spark, dir,
                     graft.queries.SimilarityQueries.rrfFusionIvfProbe(spark,
                       GraftService.ivfIndexFor(spark, dir), lexTop(100),
-                      qv, nProbe, excl), terms)
+                      qv, nProbe, excl, anchorLegs), terms)
                     .orderBy(col("rrf_e6").desc, col("doc_id").asc)
                 case (Some("hybrid"), None) =>
                   graft.queries.TextQueries.attachSnippets(spark, dir,
                     graft.queries.SimilarityQueries.rrfFusionFrom(spark, dir,
-                      lexTop(100)), terms)
+                      lexTop(100), anchorLegs), terms)
                     .orderBy(col("rrf_e6").desc, col("doc_id").asc)
                 case _ =>
                   graft.queries.TextQueries.attachSnippets(spark, dir,

@@ -334,7 +334,18 @@ class PlanAuditSpec extends SparkSpec {
     // At 100 TB a raw-text window key makes the partitioner hash and every
     // sort comparison walk full paragraphs; the first-occurrence window
     // must key on the two xxhash64 fingerprints with text as payload only.
-    val p = plan("q87_paragraph_dedup")
+    // Audited on the OPERATOR's lazy form: the registered q87 FileScans
+    // the build-once grid artifact (curation-artifact pin below), so the
+    // window lives only in the artifact build now.
+    spark.catalog.clearCache()
+    import org.apache.spark.sql.functions.{col, expr, posexplode, split}
+    val paras = graft.sources.Tables.documents(spark, sf())
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(ws)/7.0) as int) - 1)," +
+          " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
+    val p = graft.ops.Dedup.paragraphDedup(paras)
+      .queryExecution.executedPlan.toString
     val exchangeKeys = "hashpartitioning\\(([^)]*)\\)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(exchangeKeys.nonEmpty, p.take(500))
@@ -653,6 +664,42 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(plan("q220_media_census").contains("BroadcastHashJoin"),
       "the doc source map must broadcast")
+  }
+
+  test("curation-chain consumers FileScan the build-once stage artifacts — no paragraph window or LM count-table rebuild per query") {
+    // the round-11 finding: q87/q100/q125/q160 each re-ran the corpus-wide
+    // paragraph first-occurrence window, and q93/q100/q160/q170/q195 each
+    // rebuilt the reference-slice bigram count tables. Now one build per
+    // corpus (CurationArtifacts); consumers FileScan.
+    // q87/q100/q93: pure artifact reads — the corpus itself never rescans.
+    for (n <- Seq("q87_paragraph_dedup", "q100_curation_pipeline", "q93_lm_quality")) {
+      val p = plan(n)
+      assert(p.contains("graft_cluster_artifacts"),
+        s"$n must read the curation artifacts:\n${p.take(500)}")
+      assert(!p.contains("documents.parquet"),
+        s"$n rescans the corpus:\n${p.take(800)}")
+      assert(!p.contains("xxhash64"),
+        s"the paragraph fingerprint window leaked back into $n")
+    }
+    // q125/q160/q170/q195 legitimately scan the corpus (map-only split /
+    // replica window / row-local gates / token counts) but must not
+    // rebuild the windowed/exploded stage subtrees.
+    val p125 = plan("q125_dup_matrix")
+    assert(p125.contains("graft_cluster_artifacts"), p125.take(500))
+    assert(!p125.contains("windowspecdefinition"),
+      s"the first-occurrence window leaked back into q125:\n${p125.take(800)}")
+    val p160 = plan("q160_curation_log")
+    assert(p160.contains("graft_cluster_artifacts"), p160.take(500))
+    assert(!p160.contains("xxhash64"),
+      s"the paragraph fingerprint window leaked back into q160:\n${p160.take(800)}")
+    // q170/q195 checkpoint their census mid-query (registered plans are
+    // post-checkpoint scans — the link-consumer pin's caveat), so pin the
+    // artifact frame they consume instead.
+    spark.catalog.clearCache()
+    val lmFeed = graft.queries.CurationArtifacts.lmRawBuckets(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(lmFeed.contains("graft_cluster_artifacts") && !lmFeed.contains("Generate"),
+      s"the LM bucket feed must be a FileScan of the artifact:\n${lmFeed.take(800)}")
   }
 
   test("scene cuts fold windows inside per-video partitions off the artifact") {

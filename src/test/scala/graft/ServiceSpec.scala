@@ -332,6 +332,43 @@ class ServiceSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("/search mode=hybrid&anchors=1 fuses the anchor-surrogate third leg — scores bit-equal to an rrfFuse replay") {
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      val dir = java.net.URLEncoder.encode(sf(), "UTF-8")
+      val (code, body) = get(svc, s"/search?dir=$dir&mode=hybrid&anchors=1")
+      assert(code == 200, body)
+      val gotIds = "\"doc_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      val gotScores = "\"rrf_e6\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      // replay: lexical (stored postings) + semantic (fixed q114 probe)
+      // + anchor (q217's BM25 over the anchor-doc artifact), rrfFuse'd
+      import org.apache.spark.sql.expressions.Window
+      val terms = graft.queries.TextQueries.Bm25Terms
+      val lexTop = graft.ops.TextSearch.bm25TopKIndexed(spark,
+        graft.queries.ClusterArtifacts.postingsIndex(spark, sf()), terms, 100)
+      val anchorTop = graft.ops.TextSearch.bm25TopK(
+          graft.queries.ClusterArtifacts.anchorDocs(spark, sf()),
+          "dst", "anchor_text", terms, 100)
+        .withColumn("anchor_rank", row_number().over(
+          Window.orderBy(col("score_e12").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("anchor_rank"))
+      val fused = graft.queries.SimilarityQueries.rrfFusionFrom(spark, sf(),
+          lexTop, Seq((anchorTop, "anchor_rank")))
+        .select("doc_id", "rrf_e6").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotIds == fused.map(_._1), s"got=$gotIds fused=${fused.map(_._1)}")
+      assert(gotScores == fused.map(_._2), s"got=$gotScores fused=${fused.map(_._2)}")
+      // the anchor leg must be LIVE: the three-leg page's total score
+      // strictly exceeds the two-leg page's (every RRF contribution is
+      // positive, so a dead leg — empty anchor table, broken join —
+      // would make them equal)
+      val twoLeg = graft.queries.SimilarityQueries.rrfFusion(spark, sf())
+        .agg(sum(col("rrf_e6"))).collect().head.getLong(0)
+      assert(fused.map(_._2).sum > twoLeg,
+        s"anchor leg contributed nothing: ${fused.map(_._2).sum} vs $twoLeg")
+    } finally svc.close()
+  }
+
   test("/media serves the feature store over HTTP: census matches q220, point read matches the artifact") {
     val svc = GraftService.start(spark, port = 0)
     try {

@@ -1421,18 +1421,22 @@ class StreamingSpec extends SparkSpec {
     assert(hit.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L))
   }
 
-  test("maintenance-window drill: stop the composed crawl, compact ALL FOUR indexes, restart — behavior unchanged") {
-    // the full ops cycle the four-sink deployment runs monthly: clean
+  test("maintenance-window drill: stop the composed crawl, compact ALL FIVE indexes, restart — behavior unchanged") {
+    // the full ops cycle the five-sink deployment runs monthly: clean
     // stop, compactIndex + compactPostingsIndex + compactFrontierIndex +
-    // compactLinkGraph, restart from the same checkpoints; gating,
-    // serving, frontier, and link-graph semantics must be
-    // indistinguishable from the uncompacted run
+    // compactLinkGraph + compactMediaFeatures, restart from the same
+    // checkpoints; gating, serving, frontier, link-graph, and
+    // media-feature semantics must be indistinguishable from the
+    // uncompacted run
     val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
     val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
     // the link sink watches the HTML landing zone (rendered pages, /p/
-    // ordinals); the text sinks watch the document zone — the two-zone
-    // split every real crawl deployment runs
+    // ordinals); the text sinks watch the document zone; the media sink
+    // watches the binary landing zone — the zone split every real crawl
+    // deployment runs
     val crawlHtml = s"$root/crawl_html"; new java.io.File(crawlHtml).mkdirs()
+    val media = s"$root/media"; new java.io.File(media).mkdirs()
+    val mediaFeat = s"$root/media_feat"
     def rec(id: Long, text: String): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       graft.sources.Warc.writeRecord(bos, "response", s"<urn:crawl:$id>",
@@ -1459,42 +1463,71 @@ class StreamingSpec extends SparkSpec {
       Streaming.crawlPostingsSink(spark, crawl, s"$root/postings_idx",
         idExpr = idExpr, checkpointDir = Some(s"$root/ck_p")),
       Streaming.crawlLinkGraphSink(spark, crawlHtml, s"$root/graph",
-        checkpointDir = Some(s"$root/ck_g")))
+        checkpointDir = Some(s"$root/ck_g")),
+      Streaming.incrementalMediaFeaturesSink(spark, media, mediaFeat,
+        checkpointDir = Some(s"$root/ck_m")))
     def seg(name: String, bytes: Array[Byte]): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(crawl, name), bytes)
     def hseg(name: String, bytes: Array[Byte]): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(crawlHtml, name), bytes)
+    def mseg(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(media, name), bytes)
+    def mediaRows() = Streaming.mediaFeatureRows(spark, mediaFeat)
+      .drop("modality").collect().map(_.toString).toSet
     val t1 = "alpha beta gamma delta epsilon zeta"
     // two triggers so every index accumulates two batch_run partitions
     seg("s0.warc", rec(1L, t1) ++ rec(2L, "totally different words entirely"))
     hseg("h0.warc", page(1L, Seq(10L, 11L)) ++ page(2L, Seq(10L)))
+    mseg("1.png", graft.multimodal.Multimodal.ImageCodec.syntheticPng(1L))
+    mseg("101.wav", graft.multimodal.AudioWav.syntheticWav(101L))
     val qs1 = startAll()
     try {
       qs1.foreach(_.processAllAvailable())
       seg("s1.warc", rec(3L, "unrelated page about spark streams"))
       hseg("h1.warc", page(3L, Seq(11L, 12L)))
+      mseg("2.png", graft.multimodal.Multimodal.ImageCodec.syntheticPng(2L))
       qs1.foreach(_.processAllAvailable())
     } finally qs1.foreach(_.stop())
-    // the edge table as served BEFORE the window: compaction must be
-    // bit-invisible to it
+    // the edge and feature tables as served BEFORE the window: compaction
+    // must be bit-invisible to both
     val edgesBefore = Streaming.linkGraphEdges(spark, s"$root/graph")
       .as[(Long, Long)].collect().toSet
+    val mediaBefore = mediaRows()
     // the maintenance window
     assert(Streaming.compactIndex(spark, s"$root/dedup_idx") == 2)
     assert(Streaming.compactPostingsIndex(spark, s"$root/postings_idx") == 4)
     assert(Streaming.compactFrontierIndex(spark, s"$root/frontier_idx") == 2)
     assert(Streaming.compactLinkGraph(spark, s"$root/graph") == 2)
+    assert(Streaming.compactMediaFeatures(spark, mediaFeat) == 2)
     assert(Streaming.linkGraphEdges(spark, s"$root/graph")
       .as[(Long, Long)].collect().toSet == edgesBefore,
       "link-graph fold must preserve the served edge set across the window")
+    assert(mediaRows() == mediaBefore,
+      "media-feature fold must preserve the served feature rows across the window")
     // restart; a near-dup of doc 1, a re-crawl of doc 3, and a new page;
-    // the html zone re-fetches page 1 (same edges) and lands page 4
+    // the html zone re-fetches page 1 (same edges) and lands page 4; the
+    // media zone lands a new image AND an at-least-once re-delivery of
+    // id 1 under a new path (the write-time anti-join must drop it)
     seg("s2.warc", rec(4L, "beta gamma delta epsilon zeta") ++
       rec(3L, "unrelated page about spark streams") ++
       rec(5L, "freshpage entirely new content here"))
     hseg("h2.warc", page(1L, Seq(10L, 11L)) ++ page(4L, Seq(12L)))
+    mseg("3.png", graft.multimodal.Multimodal.ImageCodec.syntheticPng(3L))
+    mseg("redelivery_1.png", graft.multimodal.Multimodal.ImageCodec.syntheticPng(1L))
     val qs2 = startAll()
     try qs2.foreach(_.processAllAvailable()) finally qs2.foreach(_.stop())
+    // media after the window: folded history + the new image only — the
+    // re-delivered id is invisible, every pre-window row byte-identical
+    val mediaAfter = mediaRows()
+    assert(mediaBefore.subsetOf(mediaAfter),
+      s"pre-window media rows changed across the window")
+    assert((mediaAfter -- mediaBefore).size == 1,
+      s"restart must add exactly one feature row: ${mediaAfter -- mediaBefore}")
+    val imgIds = Streaming.mediaFeatureRows(spark, mediaFeat)
+      .filter($"modality" === "image").select($"media_id")
+      .as[Long].collect().toSet
+    assert(imgIds == Set(1L, 2L, 3L),
+      s"dup defense failed across the window: $imgIds")
     // link graph after the window: folded history + the restart batch,
     // the re-fetched page's duplicate edges invisible (set semantics)
     val edgesAfter = Streaming.linkGraphEdges(spark, s"$root/graph")
