@@ -175,6 +175,50 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
   }
 
+  /** Every length-3 CHARACTER substring in ONE byte walk — the O(len)
+    * kernel behind ops/LangId. The declarative form
+    * `transform(sequence(1, length-2), i -> substring(text, i, 3))`
+    * re-scans the string from byte 0 for every trigram (UTF8String is
+    * char-indexed over variable-width bytes, so each substring call is
+    * O(len)) — O(len²) per document, and the round-12 full-registry
+    * probe measured q84 at 79.5× for a 50× corpus, the suite's only
+    * super-linear curve. Here: one pass records every char's byte
+    * offset, then each trigram is a byte-range slice. Char semantics
+    * identical to `substring(text, i, 3)` (and DuckDB's), so the oracle
+    * is untouched; <3-char inputs yield the empty array (explode drops
+    * the row — the no-evidence stance of the declarative form). */
+  case class CharTrigrams(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val n = s.numChars()
+      if (n < 3) new GenericArrayData(Array.empty[Any])
+      else {
+        val bytes = s.getBytes
+        val starts = new Array[Int](n + 1)
+        var b = 0
+        var c = 0
+        while (c < n) {
+          starts(c) = b
+          b += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(b))
+          c += 1
+        }
+        starts(n) = bytes.length
+        val out = new Array[Any](n - 2)
+        var i = 0
+        while (i < n - 2) {
+          out(i) = org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(bytes, starts(i), starts(i + 3) - starts(i))
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): CharTrigrams =
+      copy(child = c)
+  }
+
   /** Quantized cosine: floor(x*1000) int vectors, exact integer dot and
     * norms, one double division — bit-identical to the SQL/DuckDB
     * formulation (floor, i64 mults/sums, IEEE sqrt/div) but in one
@@ -1098,6 +1142,9 @@ object NativeExpressions {
 
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def charTrigrams(text: Column): Column =
+    ColumnBridge.column(CharTrigrams(ColumnBridge.expression(text)))
 
   def quantizedCosine(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))

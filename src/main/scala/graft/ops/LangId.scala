@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object LangId {
 
-  /** All length-3 character substrings, empty below 3 chars. */
-  private def trigrams(textCol: String) = expr(
-    s"CASE WHEN length($textCol) < 3 THEN array()" +
-      s" ELSE transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3)) END")
+  /** All length-3 character substrings, empty below 3 chars. The
+    * declarative transform(sequence, substring) form was O(len²) per
+    * document (each substring call re-walks the char-indexed bytes) —
+    * the suite's only super-linear 50× curve until round 12; the native
+    * kernel ([[graft.functions.NativeExpressions.CharTrigrams]]) emits
+    * the same char-semantics array in one byte walk. */
+  private def trigrams(textCol: String) =
+    graft.functions.NativeExpressions.charTrigrams(col(textCol))
 
   /** Train: (trigram, lang) — each trigram mapped to its majority
     * language over the labeled corpus. */

@@ -1692,6 +1692,81 @@ object TextQueries {
       |  CAST((CAST(n_tokens AS HUGEINT) * n_tokens) // ss AS BIGINT) AS eff_types
       |FROM m ORDER BY source""".stripMargin
 
+  /** Q223 — EXCESS-LOSS (learnability) DATA SELECTION, the document-level
+    * core of RHO-1 (Lin et al. 2024, "Rho-1: Not All Tokens Are What You
+    * Need"): rank training documents by L_current(x) − L_reference(x) —
+    * what the model in hand still finds hard but a model trained on
+    * curated data finds easy is exactly the data worth training on next;
+    * what both find easy is learned, what both find hard is noise. The
+    * deterministic engine form: the CURRENT model is the whole-corpus
+    * bigram LM (the model the raw data would induce — q58's table over
+    * all documents), the REFERENCE is q93's trusted-slice LM (served
+    * from the build-once [[CurationArtifacts.lmRawBuckets]]); both score
+    * every document by the exact floor-log₂ surprisal of
+    * [[graft.ops.TrainingPrep.lmSurprisalPerDoc]], and the top-50 by
+    * signed excess (micro-bits, fully tie-broken) is the selection
+    * manifest. The oracle replays BOTH count tables, every per-bigram
+    * bit score, both fixed-point averages, and the tie-broken cut.
+    *
+    * Scale: the reference leg is an artifact FileScan; the current-model
+    * leg is one bigram-keyed exchange against the corpus count table
+    * (the q58/q93 shape — count tables are bigram-vocabulary-sized,
+    * never corpus-sized); the cut is TakeOrdered. At 100 TB the exact
+    * table can be swapped for q94's hashed-feature DSIR buckets if the
+    * vocabulary itself outgrows a shuffle — same selection contract. */
+  def rhoSelection(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref = CurationArtifacts.lmRawBuckets(spark, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_micro").as("ref_micro"))
+    val self = graft.ops.TrainingPrep.lmSurprisalPerDoc(docs, docs, "doc_id", "text")
+      .select(col("doc_id"), col("avg_micro").as("self_micro"))
+    ref.join(self, Seq("doc_id"))
+      .withColumn("rho_micro", (col("self_micro") - col("ref_micro")).cast("long"))
+      .select(col("doc_id"), col("n_bigrams"), col("ref_micro"),
+        col("self_micro"), col("rho_micro"))
+      .orderBy(col("rho_micro").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  val rhoSelectionSql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |refuni AS (
+      |  SELECT w1, COUNT(*) AS c1
+      |  FROM (SELECT unnest(ws) AS w1 FROM base WHERE doc_id % 3 = 0) GROUP BY 1),
+      |refbg AS (
+      |  SELECT bg, COUNT(*) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |    FROM base WHERE doc_id % 3 = 0 AND len(ws) >= 2) GROUP BY 1),
+      |selfuni AS (
+      |  SELECT w1, COUNT(*) AS c1s
+      |  FROM (SELECT unnest(ws) AS w1 FROM base) GROUP BY 1),
+      |selfbg AS (
+      |  SELECT bg, COUNT(*) AS c12s FROM (
+      |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |    FROM base WHERE len(ws) >= 2) GROUP BY 1),
+      |allbg AS (
+      |  SELECT doc_id, t.w1, t.w1 || ' ' || t.w2 AS bg FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |      i -> {'w1': ws[i], 'w2': ws[i+1]})) AS t
+      |    FROM base WHERE len(ws) >= 2)),
+      |scored AS (
+      |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN r.c12 IS NULL THEN 20
+      |             ELSE length(bin(ru.c1)) - length(bin(r.c12)) END) AS BIGINT) AS bits_ref,
+      |    CAST(SUM(CASE WHEN s.c12s IS NULL THEN 20
+      |             ELSE length(bin(su.c1s)) - length(bin(s.c12s)) END) AS BIGINT) AS bits_self
+      |  FROM allbg a
+      |  LEFT JOIN refbg r USING (bg) LEFT JOIN refuni ru USING (w1)
+      |  LEFT JOIN selfbg s USING (bg) LEFT JOIN selfuni su USING (w1)
+      |  GROUP BY a.doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  CAST(bits_ref * 1000000 // n_bigrams AS BIGINT) AS ref_micro,
+      |  CAST(bits_self * 1000000 // n_bigrams AS BIGINT) AS self_micro,
+      |  CAST(bits_self * 1000000 // n_bigrams
+      |    - bits_ref * 1000000 // n_bigrams AS BIGINT) AS rho_micro
+      |FROM scored
+      |ORDER BY rho_micro DESC, doc_id ASC LIMIT 50""".stripMargin
+
   /** Q195 — LOSS-TILTED DOMAIN REWEIGHTING (the deterministic core of
     * DoReMi, Xie et al. 2023: shift training mass toward domains the
     * reference model finds HARD, away from domains it has already fit):
@@ -1991,6 +2066,7 @@ object TextQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q201_vocab_sweep", vocabSweep, Some(vocabSweepSql)),
     QueryDef("q195_domain_reweight", domainReweight, Some(domainReweightSql)),
+    QueryDef("q223_rho_selection", rhoSelection, Some(rhoSelectionSql)),
     QueryDef("q198_filter_ordering", filterOrdering, Some(filterOrderingSql)),
     QueryDef("q199_readability", readability, Some(readabilitySql)),
     QueryDef("q191_zipf_fit", zipfFit, Some(zipfFitSql)),

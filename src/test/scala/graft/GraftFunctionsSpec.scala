@@ -455,4 +455,21 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(foldCuts === directCuts)
   }
+
+  test("charTrigrams = the declarative substring form, char-exact incl. multibyte") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the O(len) kernel must match transform(sequence, substring) BY
+    // CHARACTER — ASCII, accented latin (2-byte), CJK (3-byte), and the
+    // sub-3-char empty-array domain edge
+    val rows = Seq("alpha beta gamma", "héllo wörld", "日本語のテキストです",
+      "mixé 字x", "ab", "", "abc")
+    val df = rows.toDF("text")
+    val got = df.select(graft.functions.NativeExpressions.charTrigrams(col("text")))
+      .as[Seq[String]].collect().toSeq
+    val want = df.select(expr(
+      "CASE WHEN length(text) < 3 THEN array() " +
+        "ELSE transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) END"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
 }
