@@ -34,8 +34,11 @@ object PlanDump {
           .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+(@[0-9a-f]+)?", "Lambda\\$#")
           .replaceAll("@[0-9a-f]{6,}", "@#")
           // the lambda-variable counter is global: an unrelated new query
-          // shifts every later query's x_NN names
-          .replaceAll("lambda x_\\d+", "lambda x_#")
+          // shifts every later query's x_NN/y_NN names
+          .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_#")
+          // localCheckpoint call-site line numbers churn on unrelated
+          // edits to the same source file
+          .replaceAll("at ([A-Za-z]+\\.scala):\\d+", "at $1:#")
         Files.writeString(Paths.get(s"$outDir/${q.name}.txt"), cleaned)
       } catch {
         case e: Throwable =>
