@@ -110,6 +110,42 @@ object CurationArtifacts {
     spark.read.parquet(path)
   }
 
+  /** The FROZEN reference-LM MODEL — count tables + tercile thresholds,
+    * not per-doc scores: `uni` (w1, c1) and `bg` (bg, c12) over the
+    * trusted slice (doc_id % 3 = 0), plus the 1-row `thr` (t1, t2)
+    * tercile thresholds of the whole corpus's per-doc surprisal
+    * (identical arithmetic to [[graft.ops.TrainingPrep.lmQualityBuckets]]).
+    * This is what a STREAMING quality gate consumes
+    * ([[graft.streaming.Streaming.incrementalCurationLogSink]]): a gate
+    * scores arrivals against a frozen, versioned model — it does not
+    * retrain per micro-batch. Bounded by the reference vocabulary, so
+    * the serving read broadcasts. */
+  def lmRefModelDir(spark: SparkSession, dir: String): String = {
+    val perDoc = lmRawBuckets(spark, dir) // hoisted: no nested buildOnce
+    Tables.buildOnce("graft_cluster_artifacts", dir, "lm_ref_model_v1") { out =>
+      val ref = Tables.documents(spark, dir).filter(col("doc_id") % 3 === 0)
+      ref.select(explode(split(col("text"), " ")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .write.mode("overwrite").parquet(s"$out/uni")
+      ref.withColumn("__ws", split(col("text"), " "))
+        .filter(size(col("__ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__ws) - 2)," +
+            " i -> concat(element_at(__ws, i + 1), ' ', element_at(__ws, i + 2)))"))
+          .as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        .write.mode("overwrite").parquet(s"$out/bg")
+      val hist = graft.ops.OrderStats
+        .cumHistogram(perDoc.select(col("avg_micro")), "avg_micro")
+        .localCheckpoint(true)
+      hist.crossJoin(broadcast(hist.agg(sum(col("nv")).as("n"))))
+        .agg(
+          min(when(col("cum") * 3 >= col("n"), col("avg_micro"))).as("t1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("avg_micro"))).as("t2"))
+        .write.mode("overwrite").parquet(s"$out/thr")
+    }
+  }
+
   /** Bigram-LM buckets over the CLEANED corpus (exact-dup winners →
     * paragraph-dedup reassembly), ref slice doc_id % 3 = 0 — the
     * quality gate q100 and q160 share. Built FROM the grid artifact

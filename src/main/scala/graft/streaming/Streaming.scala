@@ -815,6 +815,133 @@ object Streaming {
     checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** STREAMING CURATION DECISION LOG — the Dolma-attributes twin of the
+    * batch q160 for the crawl loop: every landed document gets exactly
+    * one durable verdict row explaining why it entered or missed the
+    * corpus, adjudicated against durable state —
+    *
+    *   `exact_dup`   its md5 digest was seen before (durable digest
+    *                 index, or earlier in this batch on the (id) total
+    *                 order), with `canon_doc` = the FIRST occurrence it
+    *                 attributes to;
+    *   `no_evidence` fewer than 2 words — the LM gate has nothing to
+    *                 judge;
+    *   `low_quality` reference-LM surprisal in the frozen tail tercile;
+    *   `kept`        with its quality bucket (1/2).
+    *
+    * The reference model comes from `modelDir` — the batch-built FROZEN
+    * artifact ([[graft.queries.CurationArtifacts.lmRefModelDir]]: count
+    * tables + tercile thresholds). The governance stance of every
+    * production quality gate: score arrivals against a versioned frozen
+    * model; retraining is a new model dir, not a sink concern. Scoring
+    * arithmetic is bit-identical to
+    * [[graft.ops.TrainingPrep.lmSurprisalPerDoc]] (exact floor-log₂
+    * bits, 20-bit unseen backoff, fixed-point average), so a batch
+    * replay of the same model over the same docs reproduces every
+    * bucket. Unlike q160, the gate judges RAW text — paragraph cleaning
+    * is [[incrementalParagraphDedupSink]]'s job; compose by feeding this
+    * sink that sink's clean output when the deployment wants both.
+    *
+    * Replay/crash defense is the family posture: both writes go to the
+    * batch's own `batch_run=<id>` partition with overwrite, and the
+    * digest-index read excludes the replaying batch's own partition. An
+    * at-least-once upstream re-delivering an ALREADY-LOGGED id in a
+    * later batch is dropped silently (its digest's canon IS itself —
+    * logging it again would double-count the decision).
+    *
+    * Scale: per trigger one batch-sized pass; the model tables broadcast
+    * (bounded by the frozen reference vocabulary); the digest-index read
+    * is a narrow (digest, canon) scan — 48 B per distinct document ever
+    * seen, never the text. */
+  def incrementalCurationLogSink(docs: DataFrame, idCol: String,
+      textCol: String, modelDir: String, digestIndexDir: String,
+      logDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val batch = rawBatch.persist()
+        try if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.expressions.Window
+          val rows = batch
+            .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+            .withColumn("digest", md5(col("text").cast("binary")))
+            .withColumn("__canon_batch",
+              min(col("id")).over(Window.partitionBy(col("digest"))))
+            .localCheckpoint(true) // consumers: dup split + scoring + index append
+          val seen = scala.util.Try(spark.read.parquet(digestIndexDir)).toOption
+            .map(_.filter(col("batch_run") =!= batchId)
+              .select(col("digest"), col("canon").as("__canon_seen")))
+            .getOrElse(spark.range(0).select(
+              lit("").as("digest"), lit(0L).as("__canon_seen")).limit(0))
+          val adjudicated = rows.join(seen, Seq("digest"), "left")
+            .withColumn("__canon", coalesce(col("__canon_seen"), col("__canon_batch")))
+            .localCheckpoint(true) // dup rows + fresh rows + index append
+          val exact = adjudicated.filter(col("__canon") =!= col("id"))
+            .select(col("id"), lit("exact_dup").as("verdict"),
+              col("__canon").as("canon_doc"), lit(-1).as("bucket"))
+          // canon == id AND never seen durably: the decision to make.
+          // canon == id AND seen durably: a re-delivery of an
+          // already-logged id — dropped (see scaladoc).
+          val fresh = adjudicated
+            .filter(col("__canon") === col("id") && col("__canon_seen").isNull)
+          val uni = broadcast(spark.read.parquet(s"$modelDir/uni"))
+          val bgT = broadcast(spark.read.parquet(s"$modelDir/bg"))
+          val thr = broadcast(spark.read.parquet(s"$modelDir/thr"))
+          val scored = fresh
+            .withColumn("__ws", split(col("text"), " "))
+            .filter(size(col("__ws")) >= 2)
+            .select(col("id"), explode(expr(
+              "transform(sequence(0, size(__ws) - 2)," +
+                " i -> struct(element_at(__ws, i + 1) AS w1," +
+                " concat(element_at(__ws, i + 1), ' ', element_at(__ws, i + 2)) AS bg))"))
+              .as("__b"))
+            .select(col("id"), col("__b.w1").as("w1"), col("__b.bg").as("bg"))
+            .join(bgT, Seq("bg"), "left")
+            .join(uni, Seq("w1"), "left")
+            .withColumn("bits", when(col("c12").isNull, lit(20L))
+              .otherwise((length(bin(col("c1"))) - length(bin(col("c12")))).cast("long")))
+            .groupBy(col("id"))
+            .agg(sum(col("bits")).as("bits_total"), count(lit(1)).as("n_bigrams"))
+            .withColumn("avg_micro", expr("bits_total * 1000000 div n_bigrams"))
+            .crossJoin(thr)
+            .select(col("id"),
+              when(col("avg_micro") <= col("t2"), "kept")
+                .otherwise("low_quality").as("verdict"),
+              col("id").as("canon_doc"),
+              when(col("avg_micro") <= col("t1"), 1)
+                .when(col("avg_micro") <= col("t2"), 2).otherwise(3).as("bucket"))
+          val noEvidence = fresh
+            .filter(size(split(col("text"), " ")) < 2)
+            .select(col("id"), lit("no_evidence").as("verdict"),
+              col("id").as("canon_doc"), lit(-1).as("bucket"))
+          exact.unionByName(scored).unionByName(noEvidence)
+            .select(col("id"), col("verdict"), col("canon_doc"),
+              col("bucket").cast("int").as("bucket"))
+            .write.mode("overwrite").parquet(s"$logDir/batch_run=$batchId")
+          fresh.select(col("digest"), col("id").as("canon"))
+            .write.mode("overwrite").parquet(s"$digestIndexDir/batch_run=$batchId")
+        } finally batch.unpersist()
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** The served curation log / digest index (batch_run stripped). */
+  def curationLogRows(spark: SparkSession, logDir: String): DataFrame =
+    spark.read.parquet(logDir).drop("batch_run")
+
+  /** OFFLINE compaction for [[incrementalCurationLogSink]]'s digest
+    * index: digests are unique across batch_runs by construction (later
+    * occurrences never append), so the fold is storage reclamation with
+    * a defensive per-digest min — same crash discipline as
+    * [[compactIndex]]. Run in a maintenance window (sink stopped). */
+  def compactCurationDigests(spark: SparkSession, digestIndexDir: String): Int =
+    foldBatchRuns(spark, digestIndexDir, "compactCurationDigests",
+      guard = df => require(df.columns.contains("digest"),
+        "compactCurationDigests is for the (digest, canon) exact-dup index"),
+      fold = _.groupBy(col("digest")).agg(min(col("canon")).as("canon")),
+      partitionCols = Nil)
+
   /** INCREMENTAL ANN (IVF) index sink — the embedding-side standing
     * index, completing the durable-index family (near-dup signatures,
     * postings, frontier, and now vectors): newly-arrived embeddings are

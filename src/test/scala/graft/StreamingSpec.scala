@@ -675,6 +675,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental curation-log sink: frozen-model gate, durable exact-dup attribution, replay-silent re-delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_curlog").toString
+    // the FROZEN reference model — the batch-built artifact over sf0.001
+    val modelDir = graft.queries.CurationArtifacts.lmRefModelDir(spark, sf())
+    val corpus = graft.sources.Tables.documents(spark, sf())
+    val Array(t0, t1) = corpus.filter($"doc_id" <= 1).orderBy($"doc_id")
+      .select($"text").as[String].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalCurationLogSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      modelDir, s"$root/digests", s"$root/log")
+    try {
+      // trigger 1: two corpus texts, an in-batch exact copy, a 1-word doc
+      input.addData((100L, t0), (101L, t1), (102L, t0), (103L, "one"))
+      q.processAllAvailable()
+      def log() = Streaming.curationLogRows(spark, s"$root/log")
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("verdict"), r.getAs[Long]("canon_doc"),
+            r.getAs[Int]("bucket")))).toMap
+      val l1 = log()
+      assert(l1(102L) === (("exact_dup", 100L, -1)), s"in-batch dup: $l1")
+      assert(l1(103L) === (("no_evidence", 103L, -1)), s"no-evidence: $l1")
+      // gate parity: buckets must equal the batch arithmetic under the
+      // same frozen model (lmSurprisalPerDoc vs the same ref slice +
+      // the artifact thresholds)
+      val thr = spark.read.parquet(s"$modelDir/thr").collect().head
+      val (tt1, tt2) = (thr.getAs[Long]("t1"), thr.getAs[Long]("t2"))
+      val expect = graft.ops.TrainingPrep.lmSurprisalPerDoc(
+          Seq((100L, t0), (101L, t1)).toDF("doc_id", "text"),
+          corpus.filter($"doc_id" % 3 === 0), "doc_id", "text")
+        .collect().map { r =>
+          val a = r.getAs[Long]("avg_micro")
+          val b = if (a <= tt1) 1 else if (a <= tt2) 2 else 3
+          r.getAs[Long]("doc_id") ->
+            ((if (b <= 2) "kept" else "low_quality", b))
+        }.toMap
+      for (id <- Seq(100L, 101L))
+        assert(l1(id) === ((expect(id)._1, id, expect(id)._2)),
+          s"frozen-gate divergence for $id: got ${l1(id)} want ${expect(id)}")
+      // trigger 2: durable dup attribution + an all-unseen-bigram doc
+      input.addData((200L, t1), (201L, "zq zz"))
+      q.processAllAvailable()
+      val l2 = log()
+      assert(l2(200L) === (("exact_dup", 101L, -1)), s"durable dup: $l2")
+      assert(l2(201L) === (("low_quality", 201L, 3)),
+        s"unseen bigrams must hit the 20-bit backoff tail: $l2")
+      // trigger 3: at-least-once re-delivery of an already-logged id —
+      // silent (its digest's canon is itself; no second decision row)
+      input.addData((100L, t0))
+      q.processAllAvailable()
+      assert(log().size === 6, s"re-delivery double-logged: ${log()}")
+      // maintenance: digest fold is serve-invisible
+      val before = spark.read.parquet(s"$root/digests")
+        .select($"digest", $"canon").collect().map(_.toString).sorted.toSeq
+      assert(Streaming.compactCurationDigests(spark, s"$root/digests") >= 2)
+      val after = spark.read.parquet(s"$root/digests")
+        .select($"digest", $"canon").collect().map(_.toString).sorted.toSeq
+      assert(before === after, "digest fold changed what serves")
+      assert(Streaming.compactCurationDigests(spark, s"$root/digests") === 0)
+    } finally q.stop()
+  }
+
   test("KMV sketch sink: micro-batch partials merge to the exact batch-build sketch") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_kmv_sink").toString
