@@ -98,4 +98,52 @@ class ClusterArtifactsSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(fromArtifact == fresh)
   }
+
+  private def split7(docs: org.apache.spark.sql.DataFrame) = docs
+    .withColumn("ws", split(col("text"), " "))
+    .select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, cast(ceil(size(ws)/7.0) as int) - 1)," +
+        " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
+
+  test("curation artifacts: grid and LM buckets match the from-scratch stages bit-for-bit") {
+    val dir = freshCorpus()
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val grid = graft.queries.CurationArtifacts.paragraphGrid(spark, dir)
+      .orderBy("doc_id").collect().toSeq
+    val freshGrid = graft.ops.Dedup.paragraphDedup(split7(docs))
+      .orderBy("doc_id").collect().toSeq
+    assert(grid == freshGrid, "grid artifact diverges from paragraphDedup")
+    val lm = graft.queries.CurationArtifacts.lmRawBuckets(spark, dir)
+      .orderBy("doc_id").collect().toSeq
+    val freshLm = graft.ops.TrainingPrep.lmQualityBuckets(
+        docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(lm == freshLm, "LM bucket artifact diverges from lmQualityBuckets")
+  }
+
+  test("restriction lemma holds on a corpus WITH byte-identical duplicates") {
+    // The lemma consumers rely on (CurationArtifacts scaladoc): the grid
+    // over ALL documents, restricted to the exact-dup winners, equals the
+    // grid computed over the winners alone — test it on a corpus that
+    // actually HAS exact dups (the sf corpora don't): every doc_id % 7
+    // re-registered byte-identical at doc_id + 5·10⁵.
+    val root = java.nio.file.Files.createTempDirectory("graft_lemma").toString
+    val base = spark.read.parquet(s"${sf()}/documents.parquet")
+    base.unionByName(base.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L))
+      .write.parquet(s"$root/documents.parquet")
+    val docs = graft.sources.Tables.documents(spark, root)
+    val winners = graft.queries.CurationArtifacts.uniqWinners(spark, root)
+      .select(col("doc_id"))
+    // winners = the originals only
+    assert(winners.filter(col("doc_id") >= 500000L).count() == 0)
+    val restricted = graft.queries.CurationArtifacts.paragraphGrid(spark, root)
+      .join(winners, Seq("doc_id"), "left_semi")
+      .orderBy("doc_id").collect().toSeq
+    val direct = graft.ops.Dedup.paragraphDedup(split7(
+        docs.join(winners, Seq("doc_id"), "left_semi")))
+      .orderBy("doc_id").collect().toSeq
+    assert(restricted == direct,
+      "grid-over-all restricted to winners must equal grid-over-winners")
+  }
 }
