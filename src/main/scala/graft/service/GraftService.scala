@@ -371,6 +371,41 @@ final class GraftService private (
                   .toJSON.collect().mkString("[", ",", "]"))
             }
         }
+      case ("GET", "/attributes") =>
+        // the CURATION DECISION LOG behind the facade (Dolma ships its
+        // "attributes" files for exactly this read): the durable verdict
+        // table [[graft.streaming.Streaming.incrementalCurationLogSink]]
+        // maintains, served two ways — `id=<doc>` is a point read of one
+        // document's verdict (pushed-down FileScan); without `id`, an
+        // id-cursor page (`sinceId=`, the /datarecords contract),
+        // optionally filtered by `verdict=`. Why a doc entered or missed
+        // the corpus is an operator/appeals question — exactly what a
+        // facade read is for; bulk consumers read the log with Spark.
+        val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
+        ps.get("log") match {
+          case None => (400, """{"error":"log required (the sink's logDir)"}""")
+          case Some(logDir) =>
+            scala.util.Try(graft.streaming.Streaming.curationLogRows(spark, logDir))
+              .toOption match {
+              case None => (404, """{"error":"no log at that path"}""")
+              case Some(rows0) =>
+                var rows = rows0
+                ps.get("verdict").foreach(v => rows = rows.filter(col("verdict") === v))
+                ps.get("id").map(s => scala.util.Try(s.toLong).toOption) match {
+                  case Some(None) => (400, """{"error":"id must be a number"}""")
+                  case Some(Some(id)) =>
+                    (200, rows.filter(col("id") === id)
+                      .toJSON.collect().mkString("[", ",", "]"))
+                  case None =>
+                    val since = ps.get("sinceId")
+                      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+                    val limit = math.min(ps.get("limit").map(_.toInt)
+                      .getOrElse(100), GraftService.MaxPageRows)
+                    (200, rows.filter(col("id") > since).orderBy(col("id").asc)
+                      .limit(limit).toJSON.collect().mkString("[", ",", "]"))
+                }
+            }
+        }
       case ("GET", "/datarecords") =>
         running match {
           case None => (409, """{"error":"no pipeline running"}""")

@@ -369,6 +369,44 @@ class ServiceSpec extends SparkSpec {
     } finally svc.close()
   }
 
+  test("/attributes serves the streaming curation log: point read, verdict filter, id-cursor page") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_attr_svc").toString
+    val modelDir = graft.queries.CurationArtifacts.lmRefModelDir(spark, sf())
+    val t0 = graft.sources.Tables.documents(spark, sf())
+      .filter(col("doc_id") === 0).select(col("text")).collect().head.getString(0)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.incrementalCurationLogSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      modelDir, s"$root/digests", s"$root/log")
+    try {
+      input.addData((10L, t0), (11L, t0), (12L, "one"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      val log = java.net.URLEncoder.encode(s"$root/log", "UTF-8")
+      // point read: the in-batch dup attributes to its canon
+      val (c1, b1) = get(svc, s"/attributes?log=$log&id=11")
+      assert(c1 == 200 && b1.contains("\"verdict\":\"exact_dup\"")
+        && b1.contains("\"canon_doc\":10"), b1)
+      // verdict filter
+      val (c2, b2) = get(svc, s"/attributes?log=$log&verdict=no_evidence")
+      assert(c2 == 200 && b2.contains("\"id\":12")
+        && !b2.contains("exact_dup"), b2)
+      // id-cursor page: sinceId=10 excludes 10, keeps order
+      val (c3, b3) = get(svc, s"/attributes?log=$log&sinceId=10")
+      val ids = "\"id\":(\\d+)".r.findAllMatchIn(b3).map(_.group(1).toLong).toSeq
+      assert(c3 == 200 && ids == Seq(11L, 12L), b3)
+      // error surface
+      assert(get(svc, "/attributes")._1 == 400)
+      assert(get(svc, s"/attributes?log=${java.net.URLEncoder.encode("/nope/none", "UTF-8")}")._1 == 404)
+      assert(get(svc, s"/attributes?log=$log&id=notanum")._1 == 400)
+    } finally svc.close()
+  }
+
   test("/media serves the feature store over HTTP: census matches q220, point read matches the artifact") {
     val svc = GraftService.start(spark, port = 0)
     try {
