@@ -2300,6 +2300,93 @@ object SimilarityQueries {
       Seq("lex_rank", "sem_rank") ++ extraLegs.map(_._2), kConst = 60, topN = 20)
   }
 
+  /** Q224 — THREE-LEG retrieval fusion: body BM25 (the stored postings
+    * index), semantic neighbours (q114's fixed probe), and the
+    * ANCHOR-SURROGATE BM25 (q217's anchor-document artifact — what other
+    * pages' link text says about each target), RRF-composed. This is
+    * `/search?mode=hybrid&anchors=1`'s exact ranking, put under the hash
+    * gate: the classic web-relevance serving stack (body + vector +
+    * anchor) as ONE oracle-replayed contract. RRF composes legs without
+    * rescaling, so the oracle is q114's two lists plus q217's list and a
+    * three-way full-outer fusion — every rank, every integer
+    * contribution, and the tie-broken top-20 replay exactly.
+    *
+    * Scale: the lexical leg partition-prunes the postings index, the
+    * anchor leg scans the bounded anchor-doc artifact (one row per
+    * linked-to page, never the pages), the semantic leg is the q114
+    * shape; the fusion joins three ≤100-row lists. */
+  def rrfFusionAnchor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexTop = graft.ops.TextSearch.bm25TopKIndexed(
+      spark, ClusterArtifacts.postingsIndex(spark, dir), TextQueries.Bm25Terms, 100)
+    val anchorTop = graft.ops.TextSearch.bm25TopK(
+        ClusterArtifacts.anchorDocs(spark, dir), "dst", "anchor_text",
+        TextQueries.Bm25Terms, 100)
+      .withColumn("anchor_rank", row_number().over(
+        Window.orderBy(col("score_e12").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("anchor_rank"))
+    rrfFusionFrom(spark, dir, lexTop, Seq((anchorTop, "anchor_rank")))
+  }
+
+  val rrfFusionAnchorSql: String = {
+    val termList = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    // q114's lex+sem CTE chain verbatim (the shared val), plus q217's
+    // anchor chain (a-prefixed to avoid CTE collisions), fused three ways
+    s"""WITH $lexSemCtes,
+       |n AS (SELECT count(*) AS n FROM documents),
+       |asrc AS (
+       |  SELECT doc_id AS d, string_split(text, ' ') AS w
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |alinks AS (
+       |  SELECT s.d, j.j,
+       |    CASE WHEN j.j = 0 THEN (s.d // 5) % 10
+       |         ELSE ((s.d * 31 + j.j * 17) % n.n) END AS t,
+       |    array_to_string(w[CAST(3 * j.j + 1 AS BIGINT):CAST(3 * j.j + 2 AS BIGINT)], ' ') AS anchor
+       |  FROM asrc s CROSS JOIN n CROSS JOIN range(0, 4) j(j)
+       |  WHERE j.j < (s.d % 4) + 1),
+       |atoks AS (
+       |  SELECT t AS doc_id, unnest(string_split(anchor, ' ')) AS term FROM alinks),
+       |abase AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM atoks GROUP BY doc_id),
+       |astats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sdl
+       |  FROM abase),
+       |atfrows AS (
+       |  SELECT a.doc_id, b.dl, a.term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM atoks a JOIN abase b USING (doc_id)
+       |  WHERE a.term IN ($termList)
+       |  GROUP BY a.doc_id, b.dl, a.term),
+       |adft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM atfrows GROUP BY term),
+       |ascored AS (
+       |  SELECT doc_id,
+       |    CAST(round(((2.0 * CAST((n_docs - df) AS DOUBLE) + 1.0)
+       |                / (2.0 * CAST(df AS DOUBLE) + 1.0)) * 1000000.0, 0) AS BIGINT)
+       |    * CAST(round(((CAST(tf AS DOUBLE) * 2.2)
+       |                  / (CAST(tf AS DOUBLE)
+       |                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |                                             / CAST(sdl AS DOUBLE))))) * 1000000.0, 0) AS BIGINT)
+       |      AS term_score
+       |  FROM atfrows JOIN adft USING (term) CROSS JOIN astats),
+       |alist AS (
+       |  SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e12
+       |  FROM ascored GROUP BY doc_id
+       |  ORDER BY score_e12 DESC, doc_id LIMIT 100),
+       |anc AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score_e12 DESC, doc_id) AS BIGINT) AS anchor_rank
+       |  FROM alist),
+       |f3 AS (
+       |  SELECT COALESCE(lex.doc_id, sem.doc_id, anc.doc_id) AS doc_id,
+       |    lex_rank, sem_rank, anchor_rank,
+       |    COALESCE(1000000 // (60 + lex_rank), 0)
+       |      + COALESCE(1000000 // (60 + sem_rank), 0)
+       |      + COALESCE(1000000 // (60 + anchor_rank), 0) AS rrf_e6
+       |  FROM lex
+       |  FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |  FULL OUTER JOIN anc ON COALESCE(lex.doc_id, sem.doc_id) = anc.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, anchor_rank, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+       |FROM f3 ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** The fusion with a USER-SUPPLIED probe vector, the semantic leg
     * served from the per-corpus IVF ARTIFACT
     * (GraftService.ivfIndexFor: `centroids` + cell-partitioned `index`)
@@ -2339,9 +2426,14 @@ object SimilarityQueries {
       Seq("lex_rank", "sem_rank") ++ extraLegs.map(_._2), kConst = 60, topN = 20)
   }
 
-  val rrfFusionSql: String = {
+  /** q114's lexical + semantic CTE chain (everything up to the fusion
+    * clause), shared verbatim with q224's three-leg oracle so the two
+    * cannot drift. */
+  // lazy: referenced by rrfFusionAnchorSql, which initializes earlier in
+  // the object — a strict val here would embed "null" into that SQL
+  private lazy val lexSemCtes: String = {
     val termList = TextQueries.Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
        |  FROM documents),
@@ -2391,7 +2483,11 @@ object SimilarityQueries {
        |sem AS (
        |  SELECT vec_id AS doc_id,
        |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT) AS sem_rank
-       |  FROM semlist),
+       |  FROM semlist)""".stripMargin
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH $lexSemCtes,
        |f AS (
        |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
        |    COALESCE(1000000 // (60 + lex_rank), 0)
@@ -2399,7 +2495,6 @@ object SimilarityQueries {
        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
        |SELECT doc_id, lex_rank, sem_rank, CAST(rrf_e6 AS BIGINT) AS rrf_e6
        |FROM f ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin
-  }
 
   /** Q165 — BITEXT MINING by margin scoring (the Artetxe & Schwenk
     * ratio-margin criterion, the standard parallel-corpus mining verb
@@ -2937,6 +3032,7 @@ object SimilarityQueries {
     QueryDef("q165_bitext_mining", bitextMining, Some(bitextMiningSql)),
     QueryDef("q168_semantic_decontam", semanticDecontam, Some(semanticDecontamSql)),
     QueryDef("q114_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
+    QueryDef("q224_anchor_fusion", rrfFusionAnchor, Some(rrfFusionAnchorSql)),
     QueryDef("q119_audio_qc", audioQc, Some(audioQcSql)),
     QueryDef("q121_ann_eval", annEval, Some(annEvalSql)),
     QueryDef("q127_scene_cuts", sceneCuts, Some(sceneCutsSql)),

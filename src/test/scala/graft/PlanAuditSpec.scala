@@ -497,6 +497,9 @@ class PlanAuditSpec extends SparkSpec {
   // must keep a clean sweep; a new entry here needs its bound argued.
   private val boundedWindowExemptions: Map[String, String] = Map(
     "q114_rrf_fusion" -> "ranks two post-limit top-100 retrieval lists",
+    "q224_anchor_fusion" -> ("ranks three post-limit top-100 retrieval " +
+      "lists (lex/sem/anchor) — each window input is ≤100 rows by the " +
+      "limit directly below it, the q114 bound with one more leg"),
     "q214_retrieval_metrics" -> ("position numbering over each query's " +
       "post-limit top-10 page — ≤10 rows by construction"),
     "q46_pq_codes" -> "row_number over the post-limit ksub-row codebook seeds",
