@@ -846,13 +846,23 @@ object Streaming {
     * batch's own `batch_run=<id>` partition with overwrite, and the
     * digest-index read excludes the replaying batch's own partition. An
     * at-least-once upstream re-delivering an ALREADY-LOGGED id in a
-    * later batch is dropped silently (its digest's canon IS itself —
-    * logging it again would double-count the decision).
+    * later batch is dropped silently on BOTH legs: a re-delivered
+    * canonical id is caught because its digest's durable canon IS itself
+    * (the fresh leg's `__canon_seen.isNull` guard), and a re-delivered
+    * duplicate id — one whose durable canon is ANOTHER document, so the
+    * digest index alone cannot recognize it — is caught by anti-joining
+    * the exact-dup leg against the ids already in the decision log
+    * (read excluding the replaying batch's own partition, so a crash
+    * between the two writes still reproduces the original rows). The
+    * same id twice in ONE batch collapses before adjudication
+    * (`dropDuplicates(id)`). Together: exactly one durable verdict row
+    * per document, under any at-least-once delivery or crash replay.
     *
     * Scale: per trigger one batch-sized pass; the model tables broadcast
     * (bounded by the frozen reference vocabulary); the digest-index read
     * is a narrow (digest, canon) scan — 48 B per distinct document ever
-    * seen, never the text. */
+    * seen, never the text — and the log read behind the exact-leg guard
+    * prunes to the `id` column alone (8 B per document ever logged). */
   def incrementalCurationLogSink(docs: DataFrame, idCol: String,
       textCol: String, modelDir: String, digestIndexDir: String,
       logDir: String, checkpointDir: Option[String] = None): StreamingQuery = {
@@ -865,6 +875,7 @@ object Streaming {
           import org.apache.spark.sql.expressions.Window
           val rows = batch
             .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+            .dropDuplicates("id") // same id twice in one trigger = one decision
             .withColumn("digest", md5(col("text").cast("binary")))
             .withColumn("__canon_batch",
               min(col("id")).over(Window.partitionBy(col("digest"))))
@@ -877,7 +888,16 @@ object Streaming {
           val adjudicated = rows.join(seen, Seq("digest"), "left")
             .withColumn("__canon", coalesce(col("__canon_seen"), col("__canon_batch")))
             .localCheckpoint(true) // dup rows + fresh rows + index append
+          // the exact-dup leg's re-delivery guard: a duplicate id that
+          // was ALREADY logged (its durable canon is another doc, so the
+          // digest index can't flag it) must not get a second verdict
+          // row — anti-join against the logged ids, excluding the
+          // replaying batch's own partition (crash-replay posture)
+          val logged = scala.util.Try(spark.read.parquet(logDir)).toOption
+            .map(_.filter(col("batch_run") =!= batchId).select(col("id")))
+            .getOrElse(spark.range(0).select(col("id")))
           val exact = adjudicated.filter(col("__canon") =!= col("id"))
+            .join(logged, Seq("id"), "left_anti")
             .select(col("id"), lit("exact_dup").as("verdict"),
               col("__canon").as("canon_doc"), lit(-1).as("bucket"))
           // canon == id AND never seen durably: the decision to make.
@@ -941,6 +961,30 @@ object Streaming {
         "compactCurationDigests is for the (digest, canon) exact-dup index"),
       fold = _.groupBy(col("digest")).agg(min(col("canon")).as("canon")),
       partitionCols = Nil)
+
+  /** The crawl-zone form of [[incrementalCurationLogSink]] — the sixth
+    * standing index of the composed crawl deployment (near-dup
+    * signatures, postings, frontier, link graph, media features, and
+    * now the curation decision log): newly-landed WARC segments parse
+    * per micro-batch (corrupt records isolate and are gated out before
+    * identity assignment — the A19 posture shared with
+    * [[crawlDedupSink]]), good records become (id, text) documents, and
+    * each batch is adjudicated against the frozen reference model and
+    * the durable digest index. Same `idExpr`/`warcTypes` contract as
+    * the other crawl sinks, so one landing zone feeds all six. */
+  def crawlCurationLogSink(spark: SparkSession, crawlDir: String,
+      modelDir: String, digestIndexDir: String, logDir: String,
+      glob: String = "*.warc*",
+      idExpr: Column = xxhash64(col("record_id")),
+      warcTypes: Seq[String] = Seq("response"),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val docs = graft.sources.Warc.scanStream(spark, crawlDir, glob).toDF()
+      .filter(col("error").isNull && col("warc_type").isin(warcTypes: _*))
+      .select(idExpr.cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"))
+    incrementalCurationLogSink(docs, "doc_id", "text", modelDir,
+      digestIndexDir, logDir, checkpointDir)
+  }
 
   /** INCREMENTAL ANN (IVF) index sink — the embedding-side standing
     * index, completing the durable-index family (near-dup signatures,

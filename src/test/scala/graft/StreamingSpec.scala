@@ -722,11 +722,20 @@ class StreamingSpec extends SparkSpec {
       assert(l2(200L) === (("exact_dup", 101L, -1)), s"durable dup: $l2")
       assert(l2(201L) === (("low_quality", 201L, 3)),
         s"unseen bigrams must hit the 20-bit backoff tail: $l2")
-      // trigger 3: at-least-once re-delivery of an already-logged id —
-      // silent (its digest's canon is itself; no second decision row)
-      input.addData((100L, t0))
+      // trigger 3: at-least-once re-delivery of already-logged ids —
+      // BOTH shapes must be silent: 100 is a canonical id (its digest's
+      // durable canon is itself — the fresh-leg guard), 102 is a
+      // DUPLICATE id (durable canon is 100, so the digest index alone
+      // can't flag the re-delivery — the exact-leg log anti-join); plus
+      // the same NEW id twice in one trigger collapses to one row
+      input.addData((100L, t0), (102L, t0), (300L, t0), (300L, t0))
       q.processAllAvailable()
-      assert(log().size === 6, s"re-delivery double-logged: ${log()}")
+      val rows3 = Streaming.curationLogRows(spark, s"$root/log")
+      assert(rows3.count() === 7, s"re-delivery double-logged: ${log()}")
+      assert(rows3.filter($"id" === 102L).count() === 1,
+        "re-delivered dup id got a second verdict row")
+      assert(log()(300L) === (("exact_dup", 100L, -1)),
+        s"in-trigger double delivery of a new id: ${log()}")
       // maintenance: digest fold is serve-invisible
       val before = spark.read.parquet(s"$root/digests")
         .select($"digest", $"canon").collect().map(_.toString).sorted.toSeq
@@ -736,6 +745,96 @@ class StreamingSpec extends SparkSpec {
       assert(before === after, "digest fold changed what serves")
       assert(Streaming.compactCurationDigests(spark, s"$root/digests") === 0)
     } finally q.stop()
+  }
+
+  test("composed streaming curation chain: paragraph cleaning feeds the frozen-model gate; verdicts replay the batch chain across a checkpointed restart") {
+    // the q100 fixpoint-pipeline shape as ONE streaming composition
+    // (the scaladoc contract at incrementalCurationLogSink: "compose by
+    // feeding this sink [the paragraph sink]'s clean output"): docs →
+    // incrementalParagraphDedupSink → clean output lands as files →
+    // incrementalCurationLogSink judges the CLEANED text against the
+    // frozen model — exactly the batch chain's stage order (paragraph
+    // dedup, then LM terciles over clean text, q100/q160). Both sinks
+    // are checkpointed and the second half of the corpus arrives while
+    // NOTHING runs — the crash window — so the parity below also proves
+    // restart semantics of the composition.
+    val root = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    val srcDir = s"$root/src"
+    val cleanDir = s"$root/clean"
+    new java.io.File(cleanDir).mkdirs()
+    val modelDir = graft.queries.CurationArtifacts.lmRefModelDir(spark, sf())
+    val corpus = graft.sources.Tables.documents(spark, sf())
+    val texts = corpus.filter($"doc_id" <= 5).orderBy($"doc_id")
+      .select($"text").as[String].collect()
+    // ids increase with arrival order so the streaming first-occurrence
+    // order equals the batch window's (id, idx) total order; 106 is an
+    // exact raw dup of 100 (arrives later → the paragraph stage empties
+    // it → the gate logs no_evidence: the composed chain's verdict for
+    // content that died upstream), 107 has one word
+    val half1 = Seq((100L, texts(0)), (101L, texts(1)), (102L, texts(2)))
+    val half2 = Seq((103L, texts(3)), (104L, texts(4)), (105L, texts(5)),
+      (106L, texts(0)), (107L, "solo"))
+    def startChain() = {
+      val docsStream = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(srcDir)
+      val qa = Streaming.incrementalParagraphDedupSink(docsStream, "doc_id",
+        "text", s"$root/para_idx", cleanDir, paraLen = 7,
+        checkpointDir = Some(s"$root/ck_a"))
+      val cleanStream = spark.readStream
+        .schema("id LONG, n_paras LONG, n_kept LONG, clean_text STRING")
+        .parquet(s"$cleanDir/batch_run=*")
+      val qb = Streaming.incrementalCurationLogSink(cleanStream, "id",
+        "clean_text", modelDir, s"$root/digests", s"$root/log",
+        checkpointDir = Some(s"$root/ck_b"))
+      (qa, qb)
+    }
+    half1.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val (qa1, qb1) = startChain()
+    try { qa1.processAllAvailable(); qb1.processAllAvailable() }
+    finally { qa1.stop(); qb1.stop() }
+    // the crash window: half 2 lands while nothing runs
+    half2.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val (qa2, qb2) = startChain()
+    try {
+      qa2.processAllAvailable(); qb2.processAllAvailable()
+      val got = Streaming.curationLogRows(spark, s"$root/log")
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[String]("verdict"), r.getAs[Long]("canon_doc"),
+            r.getAs[Int]("bucket")))).toMap
+      // batch replay of the SAME chain with the repo's own operators:
+      // q87 paragraph dedup over the full doc frame, then the frozen
+      // model's arithmetic (lmSurprisalPerDoc vs the model's training
+      // slice + the artifact thresholds) over the CLEANED text
+      val all = half1 ++ half2
+      val paras = all.toDF("doc_id", "text")
+        .withColumn("ws", split($"text", " "))
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(ws)/7.0) as int) - 1)," +
+            " i -> concat_ws(' ', slice(ws, i*7 + 1, 7)))")).as(Seq("idx", "para")))
+      val cleanedDocs = graft.ops.Dedup.paragraphDedup(paras)
+        .select($"doc_id", $"clean_text".as("text"))
+      val thr = spark.read.parquet(s"$modelDir/thr").collect().head
+      val (t1, t2) = (thr.getAs[Long]("t1"), thr.getAs[Long]("t2"))
+      val scored = graft.ops.TrainingPrep.lmSurprisalPerDoc(
+          cleanedDocs, corpus.filter($"doc_id" % 3 === 0), "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("avg_micro"))
+        .toMap
+      val expect = all.map(_._1).map { id =>
+        scored.get(id) match {
+          case Some(a) =>
+            val b = if (a <= t1) 1 else if (a <= t2) 2 else 3
+            id -> ((if (b <= 2) "kept" else "low_quality", id, b))
+          case None => id -> (("no_evidence", id, -1))
+        }
+      }.toMap
+      assert(got == expect, s"composed chain diverged from the batch replay:" +
+        s"\n got=$got\n want=$expect")
+      // the q100 cut: the streaming kept set IS the batch bucket<=2 set
+      assert(got.collect { case (id, ("kept", _, _)) => id } ==
+        expect.collect { case (id, ("kept", _, _)) => id })
+      assert(got(106L) === (("no_evidence", 106L, -1)),
+        "the raw exact dup must die in the paragraph stage and log as no_evidence")
+    } finally { qa2.stop(); qb2.stop() }
   }
 
   test("KMV sketch sink: micro-batch partials merge to the exact batch-build sketch") {
@@ -1484,13 +1583,13 @@ class StreamingSpec extends SparkSpec {
     assert(hit.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L))
   }
 
-  test("maintenance-window drill: stop the composed crawl, compact ALL FIVE indexes, restart — behavior unchanged") {
-    // the full ops cycle the five-sink deployment runs monthly: clean
+  test("maintenance-window drill: stop the composed crawl, compact ALL SIX indexes, restart — behavior unchanged") {
+    // the full ops cycle the six-sink deployment runs monthly: clean
     // stop, compactIndex + compactPostingsIndex + compactFrontierIndex +
-    // compactLinkGraph + compactMediaFeatures, restart from the same
-    // checkpoints; gating, serving, frontier, link-graph, and
-    // media-feature semantics must be indistinguishable from the
-    // uncompacted run
+    // compactLinkGraph + compactMediaFeatures + compactCurationDigests,
+    // restart from the same checkpoints; gating, serving, frontier,
+    // link-graph, media-feature, and decision-log semantics must be
+    // indistinguishable from the uncompacted run
     val root = java.nio.file.Files.createTempDirectory("graft_maint").toString
     val crawl = s"$root/crawl"; new java.io.File(crawl).mkdirs()
     // the link sink watches the HTML landing zone (rendered pages, /p/
@@ -1518,6 +1617,7 @@ class StreamingSpec extends SparkSpec {
       bos.toByteArray
     }
     val idExpr = regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+    val modelDir = graft.queries.CurationArtifacts.lmRefModelDir(spark, sf())
     def startAll(): Seq[org.apache.spark.sql.streaming.StreamingQuery] = Seq(
       Streaming.crawlDedupSink(spark, crawl, s"$root/dedup_idx", s"$root/matches",
         idExpr = idExpr, checkpointDir = Some(s"$root/ck_d")),
@@ -1528,7 +1628,10 @@ class StreamingSpec extends SparkSpec {
       Streaming.crawlLinkGraphSink(spark, crawlHtml, s"$root/graph",
         checkpointDir = Some(s"$root/ck_g")),
       Streaming.incrementalMediaFeaturesSink(spark, media, mediaFeat,
-        checkpointDir = Some(s"$root/ck_m")))
+        checkpointDir = Some(s"$root/ck_m")),
+      Streaming.crawlCurationLogSink(spark, crawl, modelDir,
+        s"$root/cur_digests", s"$root/cur_log", idExpr = idExpr,
+        checkpointDir = Some(s"$root/ck_c")))
     def seg(name: String, bytes: Array[Byte]): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(crawl, name), bytes)
     def hseg(name: String, bytes: Array[Byte]): Unit =
@@ -1551,22 +1654,34 @@ class StreamingSpec extends SparkSpec {
       mseg("2.png", graft.multimodal.Multimodal.ImageCodec.syntheticPng(2L))
       qs1.foreach(_.processAllAvailable())
     } finally qs1.foreach(_.stop())
-    // the edge and feature tables as served BEFORE the window: compaction
-    // must be bit-invisible to both
+    // the edge, feature, decision-log, and digest tables as served
+    // BEFORE the window: compaction must be bit-invisible to all four
     val edgesBefore = Streaming.linkGraphEdges(spark, s"$root/graph")
       .as[(Long, Long)].collect().toSet
     val mediaBefore = mediaRows()
+    def curLog() = Streaming.curationLogRows(spark, s"$root/cur_log")
+      .collect().map(_.toString).toSeq.sorted
+    def curDigests() = spark.read.parquet(s"$root/cur_digests")
+      .select($"digest", $"canon").collect().map(_.toString).toSeq.sorted
+    val logBefore = curLog()
+    val digestsBefore = curDigests()
+    assert(logBefore.size == 3, s"pre-window decision log: $logBefore")
     // the maintenance window
     assert(Streaming.compactIndex(spark, s"$root/dedup_idx") == 2)
     assert(Streaming.compactPostingsIndex(spark, s"$root/postings_idx") == 4)
     assert(Streaming.compactFrontierIndex(spark, s"$root/frontier_idx") == 2)
     assert(Streaming.compactLinkGraph(spark, s"$root/graph") == 2)
     assert(Streaming.compactMediaFeatures(spark, mediaFeat) == 2)
+    assert(Streaming.compactCurationDigests(spark, s"$root/cur_digests") == 2)
     assert(Streaming.linkGraphEdges(spark, s"$root/graph")
       .as[(Long, Long)].collect().toSet == edgesBefore,
       "link-graph fold must preserve the served edge set across the window")
     assert(mediaRows() == mediaBefore,
       "media-feature fold must preserve the served feature rows across the window")
+    assert(curLog() == logBefore,
+      "decision log must be untouched by the digest fold")
+    assert(curDigests() == digestsBefore,
+      "digest fold must preserve the served (digest, canon) rows across the window")
     // restart; a near-dup of doc 1, a re-crawl of doc 3, and a new page;
     // the html zone re-fetches page 1 (same edges) and lands page 4; the
     // media zone lands a new image AND an at-least-once re-delivery of
@@ -1606,6 +1721,17 @@ class StreamingSpec extends SparkSpec {
       .select(regexp_extract(col("canon"), "/doc/([0-9]+)$", 1).cast("long"))
       .as[Long].collect().toSet
     assert(f == Set(1L, 2L, 3L, 4L, 5L), s"frontier after compaction: $f")
+    // decision log: pre-window rows byte-identical, the re-crawled doc 3
+    // stays silent against the FOLDED digest index (its digest's canon
+    // is itself — no second verdict row), and exactly the two genuinely
+    // new docs got decisions
+    val logAfter = curLog()
+    assert(logBefore.forall(logAfter.contains),
+      s"pre-window decision rows changed across the window: $logAfter")
+    val logIds = Streaming.curationLogRows(spark, s"$root/cur_log")
+      .select($"id").as[Long].collect().toSeq
+    assert(logIds.sorted == Seq(1L, 2L, 3L, 4L, 5L),
+      s"one verdict row per document after the window, got: $logIds")
     // serving: pre-compaction and post-compaction content both rank
     val hits = graft.ops.TextSearch.bm25TopKIndexed(
       spark, s"$root/postings_idx", Seq("freshpage", "alpha"), k = 10)
