@@ -146,6 +146,25 @@ object CurationArtifacts {
     }
   }
 
+  /** The q223 SELECTION MANIFEST as a build-once artifact — the
+    * RHO-style excess-loss top-50 (doc_id, n_bigrams, ref_micro,
+    * self_micro, rho_micro) a training run consumes. Like the curation
+    * decision log, selection is a training-ops artifact with a serving
+    * surface ([[graft.service.GraftService]] `GET /selection`): the
+    * facade reads the frozen manifest, it never re-scores the corpus
+    * per request. Content is exactly [[graft.queries.TextQueries
+    * .rhoSelection]] (the oracle-gated q223), re-ranked on read because
+    * parquet does not persist order. */
+  def rhoManifest(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.buildOnce("graft_cluster_artifacts", dir, "rho_manifest_v1") { out =>
+      graft.queries.TextQueries.rhoSelection(spark, dir)
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(path)
+      .orderBy(col("rho_micro").desc, col("doc_id").asc)
+      .limit(50) // the manifest contract: TakeOrdered, bounded even if the file grew
+  }
+
   /** Bigram-LM buckets over the CLEANED corpus (exact-dup winners →
     * paragraph-dedup reassembly), ref slice doc_id % 3 = 0 — the
     * quality gate q100 and q160 share. Built FROM the grid artifact

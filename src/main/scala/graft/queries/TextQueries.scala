@@ -1767,6 +1767,16 @@ object TextQueries {
       |FROM scored
       |ORDER BY rho_micro DESC, doc_id ASC LIMIT 50""".stripMargin
 
+  /** Q225 — the SERVED selection manifest: q223's rows read back from
+    * the build-once artifact ([[CurationArtifacts.rhoManifest]] — the
+    * exact frame `GET /selection` pages, the way `GET /attributes`
+    * serves the decision log). Gating the ARTIFACT against the same
+    * oracle as the live computation pins the serving surface itself: a
+    * stale or drifted manifest can never serve silently. Plan: one
+    * 50-row FileScan + TakeOrdered — nothing re-scores. */
+  def selectionManifest(spark: SparkSession, dir: String): DataFrame =
+    CurationArtifacts.rhoManifest(spark, dir)
+
   /** Q195 — LOSS-TILTED DOMAIN REWEIGHTING (the deterministic core of
     * DoReMi, Xie et al. 2023: shift training mass toward domains the
     * reference model finds HARD, away from domains it has already fit):
@@ -2067,6 +2077,7 @@ object TextQueries {
     QueryDef("q201_vocab_sweep", vocabSweep, Some(vocabSweepSql)),
     QueryDef("q195_domain_reweight", domainReweight, Some(domainReweightSql)),
     QueryDef("q223_rho_selection", rhoSelection, Some(rhoSelectionSql)),
+    QueryDef("q225_selection_manifest", selectionManifest, Some(rhoSelectionSql)),
     QueryDef("q198_filter_ordering", filterOrdering, Some(filterOrderingSql)),
     QueryDef("q199_readability", readability, Some(readabilitySql)),
     QueryDef("q191_zipf_fit", zipfFit, Some(zipfFitSql)),

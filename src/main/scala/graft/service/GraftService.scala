@@ -34,9 +34,31 @@ import graft.streaming.Streaming
   * are driver-side by construction (a facade read), so `limit` is capped:
   * this endpoint serves operators and UIs, not bulk export — bulk
   * consumers read the sink table with Spark directly.
+  *
+  * Trust boundary: every path-taking param (`dir=`, `scanDirectory=`,
+  * `log=`, `indexDir=`, `centroidsDir=`) names a filesystem location the
+  * facade will read (or, for scanDirectory, watch) — the reference's
+  * stance too (service.kt:53 takes scanDirectory verbatim). The facade
+  * is an OPERATOR surface on a trusted network by default; deployments
+  * that front it to less-trusted callers pass `pathRoots=` to
+  * [[GraftService.start]] and every path param is then confined to
+  * those roots (component-wise prefix after normalization, so `..`
+  * cannot escape) — anything outside answers 403.
   */
 final class GraftService private (
-    spark: SparkSession, server: HttpServer) {
+    spark: SparkSession, server: HttpServer, pathRoots: Seq[String]) {
+
+  /** Enforce the configured serving root on a path param (no-op when
+    * unconfigured — the trusted-operator default, see class doc). */
+  private def checkPath(p: String): String = {
+    if (pathRoots.nonEmpty) {
+      val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize
+      if (!pathRoots.exists(r => abs.startsWith(
+          java.nio.file.Paths.get(r).toAbsolutePath.normalize)))
+        throw new GraftService.ForbiddenPath(p)
+    }
+    p
+  }
 
   /** Actual bound port (ephemeral when started with port 0). */
   def port: Int = server.getAddress.getPort
@@ -95,7 +117,12 @@ final class GraftService private (
     val (status, body) =
       try route(ex)
       catch { // reference: service.kt:25 routes exceptions to a printer;
-        // a facade must answer, so they become a 500 payload instead
+        // a facade must answer, so they become an error payload instead
+        case e: GraftService.BadParam =>
+          (400, s"""{"error":${GraftService.jstr(e.getMessage)}}""")
+        case e: GraftService.ForbiddenPath =>
+          (403, s"""{"error":${GraftService.jstr(
+            s"path outside the configured serving roots: ${e.getMessage}")}}""")
         case e: Exception =>
           (500, s"""{"error":${GraftService.jstr(e.toString)}}""")
       }
@@ -119,7 +146,8 @@ final class GraftService private (
         val args = GraftService.parseFlat(body)
         args.get("scanDirectory") match {
           case None => (400, """{"error":"scanDirectory required"}""")
-          case Some(dir) =>
+          case Some(dir0) =>
+            val dir = checkPath(dir0)
             val table = startPipeline(dir,
               args.getOrElse("pipelineName", "testPipeline"),
               args.getOrElse("glob", "*.txt"))
@@ -141,9 +169,10 @@ final class GraftService private (
         val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
         ps.get("dir") match {
           case None => (400, """{"error":"dir required"}""")
-          case Some(dir) =>
-            val limit = math.min(ps.get("limit").map(_.toInt).getOrElse(20),
-              GraftService.MaxPageRows)
+          case Some(dir0) =>
+            val dir = checkPath(dir0)
+            val limit = math.min(
+              GraftService.intParam(ps, "limit", 20), GraftService.MaxPageRows)
             // user query terms (`q=spark vector`, URL-decoded by the
             // parser, deduplicated — a repeated term must not double-count
             // df); absent -> the q45/q143 standard term bag
@@ -274,7 +303,8 @@ final class GraftService private (
         val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
         ps.get("dir") match {
           case None => (400, """{"error":"dir required"}""")
-          case Some(dir) =>
+          case Some(dir0) =>
+            val dir = checkPath(dir0)
             val k = math.min(math.max(1,
               ps.get("k").flatMap(s => scala.util.Try(s.toInt).toOption)
                 .getOrElse(10)), GraftService.MaxPageRows)
@@ -290,8 +320,8 @@ final class GraftService private (
                 val (index, cents) =
                   (ps.get("indexDir"), ps.get("centroidsDir")) match {
                     case (Some(i), Some(c)) =>
-                      (Streaming.annIndexVectors(spark, i),
-                        spark.read.parquet(c))
+                      (Streaming.annIndexVectors(spark, checkPath(i)),
+                        spark.read.parquet(checkPath(c)))
                     case _ =>
                       val ivf = graft.queries.ClusterArtifacts.ivfIndex(spark, dir)
                       (spark.read.parquet(s"$ivf/index"),
@@ -339,7 +369,8 @@ final class GraftService private (
         val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
         ps.get("dir") match {
           case None => (400, """{"error":"dir required"}""")
-          case Some(dir) =>
+          case Some(dir0) =>
+            val dir = checkPath(dir0)
             val modality = ps.get("modality")
             ps.get("id").map(s => scala.util.Try(s.toLong).toOption) match {
               case Some(None) => (400, """{"error":"id must be a number"}""")
@@ -384,7 +415,8 @@ final class GraftService private (
         val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
         ps.get("log") match {
           case None => (400, """{"error":"log required (the sink's logDir)"}""")
-          case Some(logDir) =>
+          case Some(logDir0) =>
+            val logDir = checkPath(logDir0)
             scala.util.Try(graft.streaming.Streaming.curationLogRows(spark, logDir))
               .toOption match {
               case None => (404, """{"error":"no log at that path"}""")
@@ -397,13 +429,38 @@ final class GraftService private (
                     (200, rows.filter(col("id") === id)
                       .toJSON.collect().mkString("[", ",", "]"))
                   case None =>
-                    val since = ps.get("sinceId")
-                      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
-                    val limit = math.min(ps.get("limit").map(_.toInt)
-                      .getOrElse(100), GraftService.MaxPageRows)
+                    val since = GraftService.longParam(ps, "sinceId", -1L)
+                    val limit = math.min(GraftService.intParam(ps, "limit", 100),
+                      GraftService.MaxPageRows)
                     (200, rows.filter(col("id") > since).orderBy(col("id").asc)
                       .limit(limit).toJSON.collect().mkString("[", ",", "]"))
                 }
+            }
+        }
+      case ("GET", "/selection") =>
+        // the q223 SELECTION MANIFEST behind the facade — the
+        // training-ops twin of `/attributes`: which documents the
+        // RHO-style excess-loss criterion selects, and by how much
+        // (ref vs current-model surprisal). Served from the build-once
+        // artifact ([[graft.queries.CurationArtifacts.rhoManifest]] —
+        // a 50-row FileScan per request, never a corpus re-score);
+        // `id=<doc>` is a point read of one document's selection row.
+        val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
+        ps.get("dir") match {
+          case None => (400, """{"error":"dir required"}""")
+          case Some(dir0) =>
+            val dir = checkPath(dir0)
+            val rows = graft.queries.CurationArtifacts.rhoManifest(spark, dir)
+            ps.get("id").map(s => scala.util.Try(s.toLong).toOption) match {
+              case Some(None) => (400, """{"error":"id must be a number"}""")
+              case Some(Some(id)) =>
+                (200, rows.filter(col("doc_id") === id)
+                  .toJSON.collect().mkString("[", ",", "]"))
+              case None =>
+                val limit = math.min(GraftService.intParam(ps, "limit", 50),
+                  GraftService.MaxPageRows)
+                (200, rows.limit(limit)
+                  .toJSON.collect().mkString("[", ",", "]"))
             }
         }
       case ("GET", "/datarecords") =>
@@ -411,8 +468,8 @@ final class GraftService private (
           case None => (409, """{"error":"no pipeline running"}""")
           case Some((table, q)) =>
             val ps = GraftService.parseQuery(ex.getRequestURI.getRawQuery)
-            val sinceId = ps.get("sinceId").map(_.toLong).getOrElse(Long.MinValue)
-            val limit = math.min(ps.get("limit").map(_.toInt).getOrElse(100),
+            val sinceId = GraftService.longParam(ps, "sinceId", Long.MinValue)
+            val limit = math.min(GraftService.intParam(ps, "limit", 100),
               GraftService.MaxPageRows)
             // drain pending files first so a poll after a write observes it
             // (the reference's push channel had no read-your-writes gap)
@@ -451,10 +508,34 @@ object GraftService {
   private[graft] def ivfIndexFor(spark: SparkSession, dir: String): String =
     graft.queries.ClusterArtifacts.ivfIndex(spark, dir)
 
-  /** Start the facade on `port` (0 = ephemeral, for tests). */
-  def start(spark: SparkSession, port: Int = 7000): GraftService = {
+  /** Malformed request param — surfaces as a 400, not a 500. */
+  private[service] final class BadParam(msg: String)
+    extends RuntimeException(msg)
+
+  /** Path param outside the configured serving roots — a 403. */
+  private[service] final class ForbiddenPath(path: String)
+    extends RuntimeException(path)
+
+  /** Parse an optional int param; garbage is the CALLER's error (400). */
+  private[service] def intParam(ps: Map[String, String], name: String,
+      default: Int): Int =
+    ps.get(name).fold(default)(s => scala.util.Try(s.trim.toInt)
+      .getOrElse(throw new BadParam(s"$name must be a number")))
+
+  /** Parse an optional long param; garbage is the CALLER's error (400). */
+  private[service] def longParam(ps: Map[String, String], name: String,
+      default: Long): Long =
+    ps.get(name).fold(default)(s => scala.util.Try(s.trim.toLong)
+      .getOrElse(throw new BadParam(s"$name must be a number")))
+
+  /** Start the facade on `port` (0 = ephemeral, for tests).
+    * `pathRoots` — when non-empty, every path-taking request param must
+    * resolve under one of these directories (403 otherwise); empty (the
+    * default) preserves the trusted-operator stance (class doc). */
+  def start(spark: SparkSession, port: Int = 7000,
+      pathRoots: Seq[String] = Nil): GraftService = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    val svc = new GraftService(spark, server)
+    val svc = new GraftService(spark, server, pathRoots)
     server.createContext("/", (ex: HttpExchange) => svc.handle(ex))
     server.setExecutor(null) // single serving thread: a facade, not a fleet
     server.start()

@@ -400,10 +400,109 @@ class ServiceSpec extends SparkSpec {
       val (c3, b3) = get(svc, s"/attributes?log=$log&sinceId=10")
       val ids = "\"id\":(\\d+)".r.findAllMatchIn(b3).map(_.group(1).toLong).toSeq
       assert(c3 == 200 && ids == Seq(11L, 12L), b3)
-      // error surface
+      // error surface — malformed params are the CALLER's error (400,
+      // never a 500 leaking a stack trace)
       assert(get(svc, "/attributes")._1 == 400)
       assert(get(svc, s"/attributes?log=${java.net.URLEncoder.encode("/nope/none", "UTF-8")}")._1 == 404)
       assert(get(svc, s"/attributes?log=$log&id=notanum")._1 == 400)
+      assert(get(svc, s"/attributes?log=$log&limit=notanum")._1 == 400)
+      assert(get(svc, s"/attributes?log=$log&sinceId=garbage")._1 == 400)
+    } finally svc.close()
+  }
+
+  test("/search anchors=1 runs USER terms through all three legs; scores bit-equal to the replay") {
+    import graft.queries.SimilarityQueries
+    import org.apache.spark.sql.expressions.Window
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      val dir = java.net.URLEncoder.encode(sf(), "UTF-8")
+      // one term guaranteed to live in the anchor corpus, so the third
+      // leg MUST contribute rows for this user query
+      val anchorWord = graft.queries.ClusterArtifacts.anchorDocs(spark, sf())
+        .select(explode(split(lower(col("anchor_text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 2).orderBy(col("w")).first().getString(0)
+      val terms = Seq("customer", anchorWord).distinct
+      val q = java.net.URLEncoder.encode(terms.mkString(" "), "UTF-8")
+      val (code, body) =
+        get(svc, s"/search?dir=$dir&mode=hybrid&probeDoc=5&q=$q&anchors=1")
+      assert(code == 200, body)
+      val gotIds = "\"doc_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      val gotScores = "\"rrf_e6\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      // replay: USER terms through lexical + anchor-surrogate BM25,
+      // the user probe through the IVF leg, rrf-fused
+      val probeQv = graft.sources.Tables.embeddings(spark, sf())
+        .filter(col("vec_id") === 5L)
+        .select(graft.ops.Similarity.quantize(col("embedding")))
+        .collect().head.getSeq[Long](0).toSeq
+      val lexTop = graft.ops.TextSearch.bm25TopKIndexed(spark,
+        GraftService.postingsIndexFor(spark, sf()), terms, 100)
+      val anchorTop = graft.ops.TextSearch.bm25TopK(
+          graft.queries.ClusterArtifacts.anchorDocs(spark, sf()),
+          "dst", "anchor_text", terms, 100)
+        .withColumn("anchor_rank", row_number().over(
+          Window.orderBy(col("score_e12").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("anchor_rank"))
+      assert(anchorTop.count() > 0, s"fixture term '$anchorWord' missed the anchor corpus")
+      val ivf = GraftService.ivfIndexFor(spark, sf())
+      val fused = SimilarityQueries.rrfFusionIvfProbe(spark, ivf, lexTop,
+          probeQv, nProbe = 3, excludeId = Some(5L),
+          Seq((anchorTop, "anchor_rank")))
+        .select("doc_id", "rrf_e6").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotIds == fused.map(_._1) && gotIds.nonEmpty,
+        s"got=$gotIds want=${fused.map(_._1)}")
+      assert(gotScores == fused.map(_._2), s"got=$gotScores want=${fused.map(_._2)}")
+      // the anchor leg must be LIVE for user terms (every RRF
+      // contribution is positive, so a dead third leg makes the totals equal)
+      val twoLeg = SimilarityQueries.rrfFusionIvfProbe(spark, ivf, lexTop,
+          probeQv, nProbe = 3, excludeId = Some(5L))
+        .agg(sum(col("rrf_e6"))).collect().head.getLong(0)
+      assert(fused.map(_._2).sum > twoLeg,
+        s"anchor leg contributed nothing for user terms: ${fused.map(_._2).sum} vs $twoLeg")
+    } finally svc.close()
+  }
+
+  test("/selection serves the q223 excess-loss manifest from the artifact: rows bit-equal to the oracle replay") {
+    val svc = GraftService.start(spark, port = 0)
+    try {
+      val dir = java.net.URLEncoder.encode(sf(), "UTF-8")
+      val (code, body) = get(svc, s"/selection?dir=$dir")
+      assert(code == 200, body)
+      val gotIds = "\"doc_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      val gotRho = "\"rho_micro\":(-?\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      val want = graft.queries.TextQueries.rhoSelection(spark, sf())
+        .select("doc_id", "rho_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotIds == want.map(_._1) && gotIds.nonEmpty,
+        s"got=$gotIds want=${want.map(_._1)}")
+      assert(gotRho == want.map(_._2), s"got=$gotRho want=${want.map(_._2)}")
+      // point read: one row, the right one
+      val (cp, bp) = get(svc, s"/selection?dir=$dir&id=${want.head._1}")
+      assert(cp == 200 && "\"doc_id\":(\\d+)".r.findAllMatchIn(bp).size == 1
+        && bp.contains(s"\"doc_id\":${want.head._1}"), bp)
+      // error surface
+      assert(get(svc, "/selection")._1 == 400)
+      assert(get(svc, s"/selection?dir=$dir&id=notanum")._1 == 400)
+      assert(get(svc, s"/selection?dir=$dir&limit=notanum")._1 == 400)
+    } finally svc.close()
+  }
+
+  test("pathRoots confines every path param to the configured serving roots (403 outside)") {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val svc = GraftService.start(spark, port = 0, pathRoots = Seq(sf()))
+    try {
+      // inside the root: serves normally
+      assert(get(svc, s"/search?dir=${enc(sf())}")._1 == 200)
+      // outside: refused before any filesystem read
+      assert(get(svc, s"/search?dir=${enc("/etc")}")._1 == 403)
+      assert(get(svc, s"/attributes?log=${enc("/etc/passwd")}")._1 == 403)
+      assert(get(svc, s"/media?dir=${enc("/tmp")}")._1 == 403)
+      // `..` cannot escape the root (normalized before the prefix check)
+      assert(get(svc, s"/search?dir=${enc(sf() + "/..")}")._1 == 403)
+      // the unconfigured default keeps the trusted-operator stance
+      val open = GraftService.start(spark, port = 0)
+      try assert(get(open, s"/search?dir=${enc(sf())}")._1 == 200)
+      finally open.close()
     } finally svc.close()
   }
 
