@@ -459,10 +459,12 @@ class GraftFunctionsSpec extends SparkSpec {
   test("charTrigrams = the declarative substring form, char-exact incl. multibyte") {
     import org.apache.spark.sql.functions.{col, expr}
     // the O(len) kernel must match transform(sequence, substring) BY
-    // CHARACTER — ASCII, accented latin (2-byte), CJK (3-byte), and the
+    // CHARACTER — ASCII, accented latin (2-byte), CJK (3-byte),
+    // supplementary-plane emoji (4-byte, where a byte-offset walk could
+    // silently diverge from substring()'s char indexing), and the
     // sub-3-char empty-array domain edge
     val rows = Seq("alpha beta gamma", "héllo wörld", "日本語のテキストです",
-      "mixé 字x", "ab", "", "abc")
+      "mixé 字x", "a😀b😀c", "😀😀😀😀", "x😀", "ab", "", "abc")
     val df = rows.toDF("text")
     val got = df.select(graft.functions.NativeExpressions.charTrigrams(col("text")))
       .as[Seq[String]].collect().toSeq
