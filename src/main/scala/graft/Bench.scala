@@ -187,7 +187,19 @@ object Bench {
         .flatMap(f => "^BENCH_r0*(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
           .map(_.group(1).toInt))
       val next = if (prior.isEmpty) 1 else prior.max + 1
-      val f = new java.io.File(repo, s"BENCH_local_r$next.json")
+      val f0 = new java.io.File(repo, s"BENCH_local_r$next.json")
+      // A contended capture must NEVER replace a quiet one (rounds 11+12:
+      // the close-out run clobbered the committed quiet artifact with a
+      // loadavg-7 capture whose per-query numbers were unusable). If the
+      // target already holds a contended:false run and THIS run is
+      // contended, divert to a suffixed file — the quiet artifact stays.
+      val f =
+        if (contended && f0.exists() &&
+            java.nio.file.Files.readString(f0.toPath).contains("\"contended\":false"))
+          new java.io.File(repo, s"BENCH_local_r${next}_contended.json")
+        else f0
+      if (f ne f0) System.err.println(
+        s"[bench] refusing to overwrite quiet $f0 with a contended run; writing $f")
       java.nio.file.Files.writeString(f.toPath,
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,$envJson,"sf":"$sfDir"}%n""")
       f.toString
