@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler._
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Measurement harness for the optimization rounds (guide §1): times a
+  * comma-separated list of queries (args(0), default: all) with the
+  * bench's noop-sink methodology and additionally reports, per query,
+  * the scheduler shape — jobs, stages, tasks, cumulative task time and
+  * shuffle bytes — from a SparkListener. A query whose wall time is 2 s
+  * on 2 s of task time across 40 stages is paying scheduling rounds,
+  * not compute; one with 60 s of task time in 3 stages needs a plan
+  * change. Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   tools/run_graft.sh graft.Profile q47_pagerank,q212_authority_quality
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = GraftSession.tune(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm codegen path
+
+    val jobs = new AtomicInteger; val stages = new AtomicInteger
+    val tasks = new AtomicInteger; val taskMs = new AtomicLong
+    val shufR = new AtomicLong; val shufW = new AtomicLong
+    val gcMs = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        val m = t.taskMetrics
+        if (m != null) {
+          taskMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    val only = args.headOption.map(_.split(",").toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "3").toInt
+    picked.foreach { case (name, fn) =>
+      // rep 0 is warmup (artifact builds, codegen); report best of the rest
+      val rows = (0 until reps).map { i =>
+        jobs.set(0); stages.set(0); tasks.set(0)
+        taskMs.set(0); gcMs.set(0); shufR.set(0); shufW.set(0)
+        spark.sparkContext.setJobDescription(s"$name rep$i")
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (dt, jobs.get, stages.get, tasks.get, taskMs.get, gcMs.get, shufR.get, shufW.get)
+      }
+      val best = rows.drop(1).minBy(_._1)
+      val (dt, j, s, t, tm, gc, sr, sw) = best
+      println(f"$name%-28s wall=$dt%7.2fs jobs=$j%3d stages=$s%4d tasks=$t%5d " +
+        f"taskTime=${tm / 1000.0}%8.2fs gc=${gc / 1000.0}%5.2fs " +
+        f"shufR=${sr / 1e6}%9.1fMB shufW=${sw / 1e6}%9.1fMB " +
+        f"(first=${rows.head._1}%7.2fs)")
+    }
+    spark.stop()
+  }
+}

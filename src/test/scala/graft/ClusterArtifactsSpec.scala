@@ -41,8 +41,8 @@ class ClusterArtifactsSpec extends SparkSpec {
         s"${fromArtifact.take(3)} vs ${fresh.take(3)}")
     // idempotent: the marker exists and a second call must not rebuild
     // (mtime of the marker is the witness)
-    val marker = java.nio.file.Paths.get(
-      s"/tmp/graft_cluster_artifacts/${graft.sources.Tables.dirCacheKey(dir)}/text_h7_d4_lp/_COMPLETE")
+    val marker = java.nio.file.Paths.get(graft.sources.Tables.artifactDir(
+      "graft_cluster_artifacts", dir, "text_h7_d4_lp") + "/_COMPLETE")
     assert(java.nio.file.Files.exists(marker))
     val t0 = java.nio.file.Files.getLastModifiedTime(marker)
     ClusterArtifacts.simhashLabels(spark, dir).count()
