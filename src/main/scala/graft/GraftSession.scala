@@ -21,6 +21,16 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE is disabled INSIDE cached plans unless this is on, so every
+      // persist() in the iterative kernels (PageRank/HITS/CC edge and
+      // node tables) froze the full spark.sql.shuffle.partitions count
+      // into the cache, and every downstream stage paid one task per
+      // frozen partition per iteration. With it on, AQE right-sizes the
+      // cached plan's output by bytes — the scale-adaptive behavior this
+      // session already asks for everywhere else (measured: directed
+      // PageRank 2.9 s → 0.9 s at sf0.1; only partitioning changes,
+      // never values).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
@@ -58,6 +68,9 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // see tune(): lets AQE right-size cached-plan output partitioning
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // Iterative operators (connected components, PageRank) materialize a
     // per-round checkpoint, and eager checkpoints keep whatever partition
     // count the shuffle produced — AQE coalescing does not reach across

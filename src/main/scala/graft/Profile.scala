@@ -31,8 +31,14 @@ object Profile {
     val tasks = new AtomicInteger; val taskMs = new AtomicLong
     val shufR = new AtomicLong; val shufW = new AtomicLong
     val gcMs = new AtomicLong
+    // per-stage attribution: stageId -> (name, tasks, taskMs, gcMs)
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[
+      Int, (String, AtomicInteger, AtomicLong, AtomicLong)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stageAgg.putIfAbsent(s.stageInfo.stageId,
+          (s.stageInfo.name, new AtomicInteger, new AtomicLong, new AtomicLong))
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -43,9 +49,16 @@ object Profile {
           gcMs.addAndGet(m.jvmGCTime)
           shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          val sa = stageAgg.get(t.stageId)
+          if (sa != null) {
+            sa._2.incrementAndGet()
+            sa._3.addAndGet(m.executorRunTime)
+            sa._4.addAndGet(m.jvmGCTime)
+          }
         }
       }
     })
+    val topStages = sys.env.getOrElse("SPARK_GRAFT_PROFILE_STAGES", "0").toInt
 
     val only = args.headOption.map(_.split(",").toSet)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -56,6 +69,7 @@ object Profile {
       val rows = (0 until reps).map { i =>
         jobs.set(0); stages.set(0); tasks.set(0)
         taskMs.set(0); gcMs.set(0); shufR.set(0); shufW.set(0)
+        stageAgg.clear()
         spark.sparkContext.setJobDescription(s"$name rep$i")
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -69,6 +83,17 @@ object Profile {
         f"taskTime=${tm / 1000.0}%8.2fs gc=${gc / 1000.0}%5.2fs " +
         f"shufR=${sr / 1e6}%9.1fMB shufW=${sw / 1e6}%9.1fMB " +
         f"(first=${rows.head._1}%7.2fs)")
+      if (topStages > 0) {
+        // stageAgg holds the LAST rep's stages (cleared per rep)
+        import scala.jdk.CollectionConverters._
+        stageAgg.asScala.toSeq
+          .map { case (id, (nm, nt, ms, gc)) => (id, nm, nt.get, ms.get, gc.get) }
+          .sortBy(-_._4).take(topStages)
+          .foreach { case (id, nm, nt, ms, gc) =>
+            println(f"    stage $id%5d tasks=$nt%4d taskTime=${ms / 1000.0}%8.2fs " +
+              f"gc=${gc / 1000.0}%5.2fs  $nm")
+          }
+      }
     }
     spark.stop()
   }

@@ -625,9 +625,10 @@ object Dedup {
     * SoCC'14) — converges in O(log n) alternations for ANY graph shape,
     * where plain min-label propagation needs graph-DIAMETER rounds (a
     * 10k-link chain of templated near-dups would need 10k shuffles; this
-    * needs ~15). Each half-round is one aggregation + one co-partitioned
-    * join keyed on the node id, followed by a distinct — all hash-based,
-    * nothing collected to the driver.
+    * needs ~15). Each half-round is ONE exchange of the edge table keyed
+    * on the node id with a partitioned window min (no ordering, so the
+    * sort is by the partition key only), followed by a distinct —
+    * nothing collected to the driver and no node-sized broadcast.
     *
     *   large-star: every node connects its LARGER neighbours to the
     *     minimum of its closed neighbourhood (keeps edge count bounded);
@@ -653,24 +654,35 @@ object Dedup {
       .unionAll(edges.select(col("v").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Both stars need each node's min neighbour attached back onto its
+    // edge rows. A partitioned window min does that in ONE exchange of
+    // the edge table per star; the previous groupBy + join form shuffled
+    // the edges for the aggregate AND AGAIN for the join (or built a
+    // node-sized broadcast per round — at 100 TB the min table does not
+    // broadcast, and locally each broadcast build was its own scheduling
+    // round in the job-count-bound CC family). min needs no ordering, so
+    // the window sorts by the partition key only — never a global sort.
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("u"))
+
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
       // no distinct here: duplicates are bounded (≤ neighbour multiplicity)
       // and smallStar's terminal distinct dedups — saves a shuffle/round.
-      // Output is naturally hi → lo: u' = v > u ≥ m = v'.
-      sym.join(m, "u")
-        .select(col("v"), least(col("mn"), col("u")).as("m"), col("u"))
+      // Output is naturally hi → lo: u' = v > u ≥ min(mn, u) = v'.
+      sym.withColumn("mn", min(col("v")).over(wU))
         .filter(col("v") > col("u")) // rewire only larger neighbours
-        .select(col("v").as("u"), col("m").as("v"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
     }
 
     def smallStar(e: DataFrame): DataFrame = {
-      // edges already point hi → lo after largeStar
-      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val nbrs = e.join(m, "u").select(col("v").as("x"), col("m"))
-      val self = m.select(col("u").as("x"), col("m"))
-      nbrs.unionAll(self)
+      // edges already point hi → lo after largeStar, so the window min
+      // is the min SMALLER neighbour. The self rows arrive once per edge
+      // (not once per node as with the aggregate form); the terminal
+      // distinct collapses them identically.
+      val withM = e.withColumn("m", min(col("v")).over(wU))
+      withM.select(col("v").as("x"), col("m"))
+        .unionAll(withM.select(col("u").as("x"), col("m")))
         .filter(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v")).distinct()
     }
@@ -679,9 +691,18 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixed point = identical edge sets; both frames are materialized
-      // checkpoints, so the symmetric difference is two local joins
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // fixed point = identical edge SETS. Both sides are distinct by
+      // construction (initial edges and every smallStar output end in
+      // distinct), so set equality ⟺ a full-outer join on (u, v) has no
+      // row missing either side — ONE action per round over the two
+      // materialized checkpoints, where the previous count()+except()
+      // pair cost two actions (each with its own scheduling round and
+      // AQE sub-jobs; the CC-family queries were job-count-bound).
+      converged = next.select(col("u"), col("v"), lit(1).as("__l"))
+        .join(edges.select(col("u"), col("v"), lit(1).as("__r")),
+          Seq("u", "v"), "full_outer")
+        .filter(col("__l").isNull || col("__r").isNull)
+        .isEmpty
       edges = next
       i += 1
     }

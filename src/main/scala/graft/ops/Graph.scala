@@ -112,11 +112,18 @@ object Graph {
       // plausible at web scale under non-ANSI Spark. Values are identical
       // where BIGINT didn't wrap, so the oracle's BIGINT replay at test
       // sf is unchanged; the final cast keeps the schema contract.
-      ranks = e
-        .join(deg, Seq("src"))
-        .join(ranks, e("src") === ranks("node"))
-        .select(col("dst"),
+      //
+      // A node's per-edge contribution depends only on ITS rank and
+      // degree, so it is computed on the NODE-sized (ranks ⋈ deg) table
+      // and attached to edges in ONE edge-sized join per iteration —
+      // the previous (e ⋈ deg) ⋈ ranks form streamed the edge table
+      // through two join operators per iteration (guide §2.3/§3: the
+      // edge table is the 100 TB side; touch it once).
+      val perSrc = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("src"),
           expr("cast(rank as decimal(38,0)) * 85 div (100 * deg)").as("c"))
+      ranks = e
+        .join(perSrc, Seq("src"))
         .groupBy(col("dst"))
         .agg((lit(TeleportBase) + sum(col("c"))).cast("long").as("rank"))
         .select(col("dst").as("node"), col("rank"))
@@ -158,12 +165,14 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(RankScale).as("rank"))
     for (_ <- 0 until iters) {
       // DECIMAL(38,0) multiply + sum: same wrap exposure (and same
-      // value-equality argument) as the undirected walk above
-      val contribs = e
-        .join(deg, Seq("src"))
-        .join(ranks, e("src") === ranks("node"))
-        .select(col("dst"),
+      // value-equality argument) as the undirected walk above. Same
+      // node-sized contribution restructure too: (ranks ⋈ deg) first,
+      // then ONE edge-sized join per iteration.
+      val perSrc = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("src"),
           expr("cast(rank as decimal(38,0)) * 85 div (100 * outdeg)").as("c"))
+      val contribs = e
+        .join(perSrc, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       ranks = nodes
         .join(contribs, nodes("node") === contribs("dst"), "left")
@@ -227,26 +236,35 @@ object Graph {
       // web scale. maxNormalized's divide already ran in DECIMAL; now
       // its input does too, and the post-normalization cast to BIGINT
       // (≤ 2^40 by construction) restores the schema contract.
+      //
+      // SPARSE score discipline (guide §2.3 — shuffle fewer bytes, and
+      // fewer joins): a node absent from the raw sum table holds score 0
+      // and contributes exactly nothing to the next half-iteration's
+      // sums, and max over the sparse set equals max over the dense set
+      // (scores are ≥ 0 and the raw set is nonempty whenever e is), so
+      // normalization is value-identical row for row. The all-nodes
+      // densification therefore happens ONCE at the end (left join +
+      // coalesce 0) instead of twice per iteration. The raw table is
+      // eagerly checkpointed so maxNormalized's two reads (the scalar
+      // max and the normalize) evaluate the join/aggregate once.
       val aRaw = e.join(hub, e("src") === hub("node"))
         .groupBy(col("dst"))
         .agg(sum(col("hub").cast("decimal(38,0)")).as("authority"))
-      auth = maxNormalized(
-        nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
-          .select(col("node"),
-            coalesce(col("authority"), lit(0L).cast("decimal(38,0)"))
-              .as("authority")),
-        "authority").localCheckpoint(true)
+        .select(col("dst").as("node"), col("authority"))
+        .localCheckpoint(true)
+      auth = maxNormalized(aRaw, "authority")
       val hRaw = e.join(auth, e("dst") === auth("node"))
         .groupBy(col("src"))
         .agg(sum(col("authority").cast("decimal(38,0)")).as("hub"))
-      hub = maxNormalized(
-        nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
-          .select(col("node"),
-            coalesce(col("hub"), lit(0L).cast("decimal(38,0)")).as("hub")),
-        "hub").localCheckpoint(true)
+        .select(col("src").as("node"), col("hub"))
+        .localCheckpoint(true)
+      hub = maxNormalized(hRaw, "hub")
     }
-    val out = nodes.join(hub, Seq("node")).join(auth, Seq("node"))
-      .select(col("node"), col("hub"), col("authority"))
+    val out = nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("authority"), lit(0L)).as("authority"))
       .localCheckpoint(true)
     e.unpersist(); nodes.unpersist()
     out

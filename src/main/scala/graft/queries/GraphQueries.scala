@@ -235,8 +235,13 @@ object GraphQueries {
       .select(col("doc_id").as("node"),
         round(graft.functions.TextFunctions.qualityScoreRaw(col("text")) * 1000000, 0)
           .cast("long").as("qm"))
-    // inner join: every page has ≥1 out-link, so it is in the node set
-    val withRank = pages.join(ranks, Seq("node"))
+    // inner join: every page has ≥1 out-link, so it is in the node set.
+    // Eagerly materialized: withRank fans out to THREE consumers
+    // (rankBucket's histogram, its settled/straddle joins, and the final
+    // census join) — unmaterialized, the quality kernel + join subtree
+    // was inlined into each (the round-13 finding: 41 parquet scans and
+    // 137 Exchanges in one plan; 88 s of task time at sf0.1).
+    val withRank = pages.join(ranks, Seq("node")).localCheckpoint(true)
     val deciled = graft.ops.OrderStats.rankBucket(
       withRank.select(col("node"), col("rank")), "rank", "node",
       parts = 10, outCol = "decile")

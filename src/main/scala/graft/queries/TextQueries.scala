@@ -906,7 +906,11 @@ object TextQueries {
     * ≤ |classes| key space — everything after the q103 argmax is
     * class-cardinality work. */
   def classifierEval(spark: SparkSession, dir: String): DataFrame = {
-    val pred = nbClassifier(spark, dir)
+    // eager: the full NB scoring chain fans out to FOUR consumers below
+    // (classes ×2, per-class actual/pred counts, true positives) —
+    // unmaterialized it was inlined and re-evaluated per consumer
+    // (~4× the q103 task time at sf0.1)
+    val pred = nbClassifier(spark, dir).localCheckpoint(true)
     val classes = pred.select(col("actual").as("label"))
       .union(pred.select(col("pred_label").as("label"))).distinct()
     val nActual = pred.groupBy(col("actual").as("label"))
