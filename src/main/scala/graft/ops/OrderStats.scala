@@ -79,8 +79,14 @@ object OrderStats {
     require(measureCols.nonEmpty, "cumSums needs at least one measure")
     val g = groupCols.map(col)
     val mAggs = measureCols.map(m => sum(col(m)).as(m))
+    // eager: the reduced one-row-per-value table fans out to THREE
+    // consumers (bounds, the bucket totals, the final join) —
+    // unmaterialized, the whole upstream subtree (often a corpus-wide
+    // aggregation) was inlined and re-executed per consumer. The
+    // checkpoint is histogram-sized, never row-table-sized.
     val dedup = df.groupBy((g :+ col(valueCol)): _*)
       .agg(mAggs.head, mAggs.tail: _*)
+      .localCheckpoint(true)
     // monotone range-bucket map: only ORDER of bucket ids vs values
     // matters (cum is exact regardless of how values land in buckets),
     // so the double arithmetic is safe — long→double is monotone
@@ -126,20 +132,26 @@ object OrderStats {
     * tie-group size, and never the whole table. */
   def rankBucket(df: DataFrame, valueCol: String, idCol: String,
       parts: Int, outCol: String): DataFrame = {
-    val hist = cumHistogram(df.select(valueCol), valueCol)
+    // eager: (value, id) feeds the histogram AND the settled/straddle
+    // joins — three consumers of what is often an expensive upstream
+    val base = df.select(col(valueCol), col(idCol)).localCheckpoint(true)
+    val hist = cumHistogram(base.select(valueCol), valueCol)
     val tot = hist.agg(sum(col("nv")).as("__n")) // 1 row
     val h = hist.crossJoin(broadcast(tot))
       // bucket of the group's first and last rank
       .withColumn("__blo", expr(s"(cum - nv) * $parts div __n + 1"))
       .withColumn("__bhi", expr(s"(cum - 1) * $parts div __n + 1"))
-    val settled = df
+      // eager: consumed by both the settled and the straddle side;
+      // always histogram-sized
+      .localCheckpoint(true)
+    val settled = base
       .join(h.filter(col("__blo") === col("__bhi"))
           .select(col(valueCol), col("__blo").as(outCol)),
         Seq(valueCol))
       .select(col(idCol), col(outCol))
     val straddle = h.filter(col("__blo") =!= col("__bhi"))
       .select(col(valueCol), (col("cum") - col("nv")).as("__cp"), col("__n"))
-    val split = df.join(broadcast(straddle), Seq(valueCol)) // ≤ parts−1 keys
+    val split = base.join(broadcast(straddle), Seq(valueCol)) // ≤ parts−1 keys
       .withColumn("__wr", row_number().over(
         Window.partitionBy(col(valueCol)).orderBy(col(idCol))))
       .withColumn(outCol, expr(s"(__cp + __wr - 1) * $parts div __n + 1"))
@@ -160,15 +172,21 @@ object OrderStats {
     * tie groups ranked in a window partitioned by (metric, value). */
   def rankBuckets(df: DataFrame, metrics: Seq[(String, String)],
       idCol: String, parts: Int): DataFrame = {
+    // eager: the unpivoted (id, metric, value) rows feed the histogram
+    // AND the settled/straddle joins, and df itself is usually an
+    // aggregation (q141: the full RFM rollup) — three inlined copies
+    // otherwise
     val long = df.select(col(idCol),
       explode(map(metrics.flatMap { case (m, _) =>
         Seq(lit(m), col(m).cast("long")) }: _*)).as(Seq("__metric", "__v")))
+      .localCheckpoint(true)
     val hist = cumHistogram(long.select(col("__metric"), col("__v")),
       "__v", groupCols = Seq("__metric"))
     val tot = hist.groupBy(col("__metric")).agg(sum(col("nv")).as("__n"))
     val h = hist.join(broadcast(tot), Seq("__metric"))
       .withColumn("__blo", expr(s"(cum - nv) * $parts div __n + 1"))
       .withColumn("__bhi", expr(s"(cum - 1) * $parts div __n + 1"))
+      .localCheckpoint(true) // two consumers, histogram-sized
     val settled = long
       .join(h.filter(col("__blo") === col("__bhi"))
           .select(col("__metric"), col("__v"), col("__blo").as("__bk")),
