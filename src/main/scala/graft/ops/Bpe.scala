@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * over types; the winning pair (a single row) is the only thing that
   * ever reaches the driver, as the loop's control datum — the same O(1)
   * per-iteration driver traffic as [[Graph.pageRank]]'s iteration count.
-  * The type table is localCheckpoint'd per merge so lineage stays O(1).
+  * The type table is localCheckpoint'd ONCE; merges apply lazily on top
+  * (≤ nMerges chained row-local replaces per argmax pass — cheaper than
+  * re-materializing the table every merge).
   *
   * Determinism: integer frequencies, argmax fully tie-broken (count
   * desc, then left/right symbol lexicographically), and greedy
@@ -75,9 +77,14 @@ object Bpe {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, l + r, c))
+        // LAZY merge application: each iteration's argmax action replays
+        // the ≤ nMerges chained replaces over the checkpointed type
+        // table — row-local string ops on a types-sized frame, cheaper
+        // than re-materializing the table once per merge (which was a
+        // full write+read pass per iteration; nMerges is ≤ 10 here and
+        // bounded by the vocabulary budget in any deployment)
         words = words.select(col("freq"),
-            replace(col("rep"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("rep"))
-          .localCheckpoint(true)
+          replace(col("rep"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("rep"))
         rank += 1
       }
     }

@@ -350,7 +350,11 @@ object Graph {
         .localCheckpoint(true)
       expanding = next.limit(1).count() > 0
       if (expanding) {
-        dist = dist.union(next).localCheckpoint(true)
+        // no checkpoint on the union: both operands are already
+        // materialized checkpoints, so the union is a cheap two-RDD
+        // lineage (≤ maxHops leaves) — checkpointing it re-wrote the
+        // whole settled table once per hop
+        dist = dist.union(next)
         frontier = next
       }
       hop += 1

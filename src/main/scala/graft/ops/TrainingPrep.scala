@@ -419,7 +419,11 @@ object TrainingPrep {
     * carry no evidence and emit no row (the q58/q84/Bpe domain stance). */
   def lmQualityBuckets(docs: DataFrame, ref: DataFrame, idCol: String,
       textCol: String, unseenBits: Long = 20L): DataFrame = {
+    // eager: the per-doc surprisal table (a corpus bigram explode + two
+    // reference joins + an aggregate) feeds BOTH the tercile histogram
+    // and the final bucket assignment — one row per doc, cheap to hold
     val perDoc = lmSurprisalPerDoc(docs, ref, idCol, textCol, unseenBits)
+      .localCheckpoint(true)
     val hist = OrderStats.cumHistogram(perDoc.select(col("avg_micro")), "avg_micro")
       .localCheckpoint(true) // eager: total + threshold scan share one run
     val thr = hist
