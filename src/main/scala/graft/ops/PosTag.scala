@@ -52,8 +52,12 @@ object PosTag {
 
   /** Train emissions: (w, tag, emit_e6) with emit_e6 = c(w,t)·10⁶ div c(t). */
   def emissions(words: DataFrame): DataFrame = {
+    // eager: model-sized (vocab × tags), feeds its own rollup + the join
     val cwt = words.groupBy(col("w"), col("tag")).agg(count(lit(1)).as("c"))
-    val ct = words.groupBy(col("tag")).agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true)
+    // c(t) = Σ_w c(w,t): roll up the fine table instead of re-scanning
+    // the corpus words a second time — one pass, identical counts
+    val ct = cwt.groupBy(col("tag")).agg(sum(col("c")).as("ct"))
     cwt.join(ct, Seq("tag"))
       .select(col("w"), col("tag"), expr(s"c * $E6 div ct").as("emit_e6"))
   }
@@ -66,8 +70,13 @@ object PosTag {
       coalesce(lag(col("tag"), 2).over(sw), lit(Bos)).as("t1"),
       coalesce(lag(col("tag"), 1).over(sw), lit(Bos)).as("t2"),
       col("tag").as("t3"))
+    // eager: model-sized (≤ tags³), feeds its own rollup + the join
     val c3 = tri.groupBy(col("t1"), col("t2"), col("t3")).agg(count(lit(1)).as("c3"))
-    val c2 = tri.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    // c₂(t1,t2) = Σ_t3 c₃: every trigram row lands in exactly one
+    // (t1,t2) prefix, so the bigram table is a rollup of the trigram
+    // table — the corpus-wide lag window runs ONCE instead of twice
+    val c2 = c3.groupBy(col("t1"), col("t2")).agg(sum(col("c3")).as("c2"))
     c3.join(c2, Seq("t1", "t2"))
       .select(col("t1"), col("t2"), col("t3"), expr(s"c3 * $E6 div c2").as("trans_e6"))
   }
