@@ -336,6 +336,57 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
+  /** The portable 60-bit md5 hash — `CAST(CONV(SUBSTRING(md5(x), 1, 15),
+    * 16, 10) AS BIGINT)` — computed straight from the digest bytes:
+    * bytes 0-6 plus the high nibble of byte 7 are exactly hex chars
+    * [1,15]. The expression form built the 32-char hex STRING, took a
+    * substring, and ran Spark's Conv (per-row radix conversion over
+    * digit chars) — measured ~12 µs/row in the q48 sketch stage, ~30×
+    * the digest itself. Same ThreadLocal digest reuse as
+    * PortableMinHashSigs; input arrives already cast to BINARY by the
+    * wrapper, so string and binary callers hash identical bytes. */
+  case class Hash60(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val d = md5Digest.get().digest(input.asInstanceOf[Array[Byte]])
+      var h = 0L
+      var j = 0
+      while (j < 7) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      (h << 4) | ((d(7) >> 4) & 0xfL)
+    }
+    override protected def withNewChildInternal(c: Expression): Hash60 =
+      copy(child = c)
+  }
+
+  /** Squared-L2 distance between two BIGINT arrays in one primitive
+    * pass: Σ (a_i − b_i)². Replaces the interpreted
+    * `aggregate(zip_with(sv, cv, (x,y) -> (x−y)·(x−y)))` in the PQ
+    * encode hot path, which evaluated lambda expression trees per
+    * element per candidate code (m·ksub evaluations per document).
+    * Exact integer arithmetic, identical to the SQL form wherever the
+    * BIGINT sum doesn't overflow (quantized inputs keep every term far
+    * below 2^63). */
+  case class SqDiffSumLong(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val va = a.asInstanceOf[ArrayData]
+      val vb = b.asInstanceOf[ArrayData]
+      val n = math.min(va.numElements(), vb.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = va.getLong(i) - vb.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDiffSumLong =
+      copy(left = l, right = r)
+  }
+
   /** K-permutation MinHash signature in ONE row-local pass, replicating
     * Dedup.portableBase bit-for-bit: per shingle, h1 = md5 hex chars
     * [1,15] (60 bits), h2 = hex chars [16,30] masked to 57 bits;
@@ -1151,6 +1202,14 @@ object NativeExpressions {
 
   def longCosine(a: Column, b: Column): Column =
     ColumnBridge.column(LongCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sqDiffSumLong(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDiffSumLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** 60-bit portable md5 hash of the BINARY form of `c` (strings hash
+    * their UTF-8 bytes, matching `md5(CAST(x AS BLOB))` on the SQL side). */
+  def hash60(c: Column): Column =
+    ColumnBridge.column(Hash60(ColumnBridge.expression(c.cast("binary"))))
 
   def prefixLongCosines(a: Column, b: Column, cuts: Seq[Int]): Column =
     ColumnBridge.column(PrefixLongCosines(

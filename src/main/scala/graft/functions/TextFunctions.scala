@@ -143,5 +143,9 @@ object TextFunctions {
     * and exposes `base = Some(Dedup.xxhashBase)` for deployments that
     * prefer the faster hash over oracle parity. */
   def portableHash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    // native kernel straight off the digest bytes — the previous
+    // conv(substring(md5-hex)) form paid a per-row hex-string build plus
+    // Conv's radix walk, ~30× the md5 itself (q48's sketch stage);
+    // bit-identical (GraftFunctionsSpec parity case)
+    graft.functions.NativeExpressions.hash60(c)
 }

@@ -138,6 +138,16 @@ object Multimodal {
     * renderer-dependent filtering). */
   object ImageCodec extends MediaDecoder {
 
+    // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+    // through a ByteArrayOutputStream/InputStream creates and deletes a
+    // temp file under java.io.tmpdir. Sequentially that is a per-call
+    // constant; under 32 concurrent tasks the temp-dir churn serializes
+    // (measured on q76 at sf0.1: the spread encode stage ran ~600 ms/task
+    // of executor time for ~80 tiny images per task — ~50× the actual
+    // encode work; memory-cached streams remove it). These 8×8 images are
+    // kilobytes — the disk cache buys nothing at any scale.
+    javax.imageio.ImageIO.setUseCache(false)
+
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", baos)

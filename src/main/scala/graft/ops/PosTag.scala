@@ -128,6 +128,12 @@ object PosTag {
       .groupBy(col("id"), expr(s"idx div $sentLen").as("sent"))
       .agg(expr("transform(array_sort(collect_list(struct(idx, w))), s -> s.w)").as("ws"))
       .as[(Long, Long, Seq[String])]
+      // AQE right-sizes the sentence aggregate by BYTES, which coalesces
+      // these narrow rows onto a few tasks — but Viterbi cost is per ROW
+      // (O(tags³) per word, interpreted), so the decode was serializing
+      // onto 2-3 cores. Round-robin widen to the machine; the shuffled
+      // rows are (id, sent, words) — tiny next to the decode they buy.
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     sents.map { case (id, sent, ws) =>
       val (path, score) = viterbi(ws, tags, emitM, transM)
       (id, sent, ws.length, path, score)

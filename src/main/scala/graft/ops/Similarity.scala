@@ -319,9 +319,11 @@ object Similarity {
   def pqEncode(qvecs: DataFrame, codebook: DataFrame, m: Int, dsub: Int): DataFrame =
     pqSubvectors(qvecs, m, dsub)
       .join(broadcast(codebook), Seq("s"))
-      .withColumn("d2", aggregate(
-        zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), _ + _))
+      // native one-pass Σ(x−y)² — the interpreted aggregate(zip_with(...))
+      // lambda tree evaluated per element per candidate code (m·ksub
+      // evaluations per doc) and dominated the encode stage's task time
+      .withColumn("d2", graft.functions.NativeExpressions.sqDiffSumLong(
+        col("sv"), col("cv")))
       .groupBy(col("id"), col("s"))
       .agg(
         graft.functions.NativeExpressions.argMaxBy(

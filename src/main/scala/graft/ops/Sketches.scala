@@ -114,8 +114,17 @@ object Sketches {
     * frequency primitive: per-partition sketches combine on 1000
     * executors with a fixed-size exchange. Returns (row, bucket, cnt). */
   def cmSketch(df: DataFrame, valueCol: Column): DataFrame =
-    df.select(explode(array((0 until CmDepth).map(i =>
-        struct(lit(i).as("row"), cmBucket(i, valueCol).as("bucket"))): _*)).as("c"))
+    // spread before the d salted digests per row: the input is typically a
+    // narrow projection of a compact parquet file (one or two scan splits),
+    // which would serialize the md5-dense expand onto as many tasks
+    // (measured: q48's sketch stage was 2.2 s of task time on 3 tasks at
+    // sf0.1 — the whole query's wall). Conditional exactly like the
+    // shingle pipelines: corpus-scale inputs already arrive wide and pass
+    // through exchange-free; the round-robin shuffle this adds for narrow
+    // inputs carries only the projected value column.
+    Dedup.spread(df.select(valueCol.as("__v")))
+      .select(explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("row"), cmBucket(i, col("__v")).as("bucket"))): _*)).as("c"))
       .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 

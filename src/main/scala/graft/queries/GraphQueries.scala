@@ -19,7 +19,14 @@ object GraphQueries {
     val edges = Tables.lineitem(spark, dir)
       .select((col("l_orderkey") * 2 + 1).as("src"), (col("l_partkey") * 2).as("dst"))
       .distinct()
-    val ranks = Graph.pageRank(Graph.undirected(edges), iters = 3)
+    // symmetrize WITHOUT Graph.undirected's terminal distinct: the graph
+    // is bipartite with odd→even forward edges and even→odd reversed
+    // ones, so the two union sides are disjoint and each is already
+    // distinct — the generic dedup was a full extra exchange of the
+    // doubled edge table (guide §2.4: remove shuffles the data's own
+    // structure makes redundant; value-identical by parity disjointness)
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = Graph.pageRank(und, iters = 3)
     ranks
       .select(
         when(col("node") % 2 === 1, lit("order")).otherwise(lit("part")).as("kind"),

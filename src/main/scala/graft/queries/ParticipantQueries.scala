@@ -615,8 +615,12 @@ object ParticipantQueries {
     * Single narrow pass: one posexplode, one 3-way struct explode. */
   def parseMap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"), posexplode(split(col("text"), " ")).as(Seq("idx", "w")))
+    // spread: the per-word tag CASE chains (two regexes + suffix tests,
+    // ×3 key kinds) are CPU-dense narrow work on a 1-2-split scan —
+    // conditional round-robin widen, exchange-free at corpus scale
+    val words = graft.ops.Dedup.spread(Tables.documents(spark, dir)
+        .select(col("doc_id").as("id"), col("text")))
+      .select(col("id"), posexplode(split(col("text"), " ")).as(Seq("idx", "w")))
       .withColumn("i", expr("idx div 7").cast("string"))
       .withColumn("j", (col("idx") % 7).cast("string"))
     val wordRows = words.select(col("id"), explode(array(

@@ -343,8 +343,13 @@ object SimilarityQueries {
     * a stand-in. */
   def mimeDetect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val mixed = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    // spread before the per-row encoders: PNG deflate + container
+    // assembly is CPU-dense and the compact documents scan arrives in
+    // 1-2 splits, serializing the whole encode onto as many tasks
+    // (guide §2.5 input-skew family; conditional — corpus-scale inputs
+    // pass through exchange-free)
+    val mixed = graft.ops.Dedup.spread(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val content = (id % 7) match {
           case 0 => Multimodal.ImageCodec.syntheticPng(id)

@@ -474,4 +474,46 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[Seq[String]].collect().toSeq
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("hash60 kernel = conv(substring(md5)) bit-for-bit, string and long inputs") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the native digest-byte walk must equal the SQL hex-string form on
+    // every input class the 22 call sites feed it: plain ASCII, multibyte
+    // UTF-8 (incl. 4-byte emoji), empty string, and stringified ids
+    val rows = Seq("", "a", "0:12345", "héllo wörld", "日本語", "a😀b",
+      "epoch1:42", "the quick brown fox")
+    val df = rows.toDF("s")
+    val got = df.select(
+      graft.functions.TextFunctions.portableHash60(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    val want = df.select(expr(
+      "cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as long)"))
+      .as[Long].collect().toSeq
+    assert(got == want, s"got=$got want=$want")
+    // long ids go through cast("string") at the call sites — same parity
+    val ids = Seq(0L, 1L, -7L, 123456789012345L).toDF("id")
+    val gotIds = ids.select(
+      graft.functions.TextFunctions.portableHash60(col("id").cast("string")))
+      .as[Long].collect().toSeq
+    val wantIds = ids.select(expr(
+      "cast(conv(substring(md5(cast(cast(id as string) as binary)), 1, 15), 16, 10) as long)"))
+      .as[Long].collect().toSeq
+    assert(gotIds == wantIds)
+  }
+
+  test("sqDiffSumLong kernel = aggregate(zip_with) squared-L2 exactly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(0L, -5L, 10L), Seq(3L, 5L, -10L)),
+      (Seq(1000L, -1000L), Seq(-1000L, 1000L)),
+      (Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+    val got = df.select(
+      graft.functions.NativeExpressions.sqDiffSumLong(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    val want = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .as[Long].collect().toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
 }
