@@ -134,6 +134,15 @@ object Bench {
         // drop frames persisted inside operators so queries are timed in
         // isolation and the block manager doesn't accumulate stale caches
         spark.catalog.clearCache()
+        // ...and the RDD-level blocks clearCache never reaches: every
+        // localCheckpoint(true) in the iterative kernels registers
+        // MEMORY_AND_DISK blocks that are only released when the driver
+        // GCs the RDD object and the ContextCleaner runs — across 232
+        // queries the stale blocks squeeze the unified memory region the
+        // live query's execution needs. No rep reuses a prior rep's
+        // checkpoint RDDs (each rep replans from the query function), so
+        // eager release keeps queries isolated, same as clearCache.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         // a failed query must not bench as its (tiny) time-to-failure: a
         // naive parser would read ~0.1s "times" for broken queries as real
         // (the round-6 events breakage did exactly that) — record -1.

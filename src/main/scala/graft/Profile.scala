@@ -75,6 +75,9 @@ object Profile {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // release localCheckpoint blocks too (see Bench) — reps replan
+        // from scratch, so nothing reuses them
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         (dt, jobs.get, stages.get, tasks.get, taskMs.get, gcMs.get, shufR.get, shufW.get)
       }
       val best = rows.drop(1).minBy(_._1)

@@ -44,8 +44,14 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
-  private def tokens(df: DataFrame, extra: Seq[Column], textCol: String): DataFrame =
-    df.select(extra :+ explode(split(col(textCol), " ")).as("w"): _*)
+  private def tokens(df: DataFrame, extra: Seq[Column], textCol: String): DataFrame = {
+    // conditional spread (Dedup.spread) before the explode + aggregate:
+    // the compact corpus scan arrives in 1-2 splits and the tokenize +
+    // partial-count is CPU-dense; corpus-scale inputs pass through
+    val base = Dedup.spread(df.select(extra :+ col(textCol).as("__t"): _*))
+    val keep = base.columns.filterNot(_ == "__t").map(col)
+    base.select(keep :+ explode(split(col("__t"), " ")).as("w"): _*)
+  }
 
   /** The trained model: one row per (label, w) over the DENSE
     * vocab × classes grid, with the per-token evidence `bits` and the

@@ -38,7 +38,11 @@ object LangId {
     * language over the labeled corpus. */
   def trigramModel(docs: DataFrame, textCol: String, langCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(col(langCol).as("lang"), explode(trigrams(textCol)).as("g"))
+    // conditional spread (Dedup.spread): the trigram explode + partial
+    // aggregate is CPU-dense narrow work that otherwise runs on the
+    // compact scan's 1-2 tasks; corpus-scale inputs pass through
+    Dedup.spread(docs.select(col(langCol).as("lang"), col(textCol)))
+      .select(col("lang"), explode(trigrams(textCol)).as("g"))
       .groupBy(col("g"), col("lang")).agg(count(lit(1)).as("c"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("g")).orderBy(col("c").desc, col("lang").asc)))
@@ -53,7 +57,8 @@ object LangId {
   def classify(docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(col(idCol), explode(trigrams(textCol)).as("g"))
+    Dedup.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(trigrams(textCol)).as("g"))
       .join(broadcast(model), Seq("g"))
       .groupBy(col(idCol), col("model_lang")).agg(count(lit(1)).as("votes"))
       .withColumn("__rn", row_number().over(

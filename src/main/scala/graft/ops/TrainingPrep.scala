@@ -380,7 +380,10 @@ object TrainingPrep {
   /** (id, pos, span_hash) for every positional k-word span — the shared
     * index behind `repeatedSpans` and any span-cutting rewrite. */
   def spanTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    // conditional spread: the k-span transform (slice + concat_ws per
+    // span, then the md5 hash) is CPU-dense narrow work that otherwise
+    // runs on the compact scan's 1-2 tasks; wide inputs pass through
+    Dedup.spread(docs.select(col(idCol).as("id"), split(col(textCol), " ").as("ws")))
       .filter(size(col("ws")) >= k)
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k)))"))

@@ -2725,17 +2725,24 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"), col("nprobe"))
           .orderBy(col("cosine").desc, col("id").asc)))
-    val scanned = approx.groupBy(col("nprobe"))
-      .agg(count(lit(1)).as("candidates_scanned"))
-    val hits = approx.filter(col("rank") <= 10)
-      .join(truth, Seq("query_id", "id"))
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits_at_10"))
+    // ONE pass over the approx candidates for both metrics: the previous
+    // scanned/hits pair consumed `approx` twice, re-running the index
+    // join + rank windows per aggregate (guide §7.2 duplicate subtrees).
+    // truth is unique per (query_id, id), so a left join preserves the
+    // row count (candidates_scanned) while flagging the recall hits —
+    // identical values to the inner-join count, with absent nprobe hits
+    // arriving as the sum's natural 0 instead of the outer-join coalesce.
+    val flagged = approx
+      .join(truth.withColumn("__hit", lit(1)), Seq("query_id", "id"), "left")
+    val perProbe = flagged.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("candidates_scanned"),
+        sum(when(col("rank") <= 10 && col("__hit").isNotNull, 1L)
+          .otherwise(0L)).as("hits_at_10"))
     val denom = queries.agg(count(lit(1)).as("n_queries"))
-    scanned.join(hits, Seq("nprobe"), "left")
+    perProbe
       .crossJoin(broadcast(denom))
       .select(col("nprobe").cast("long").as("nprobe"), col("n_queries"),
-        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
-        col("candidates_scanned"))
+        col("hits_at_10"), col("candidates_scanned"))
       .withColumn("recall_micro",
         expr("CAST(hits_at_10 * 1000000 DIV (n_queries * 10) AS BIGINT)"))
       .orderBy(col("nprobe"))

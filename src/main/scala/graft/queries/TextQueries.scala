@@ -425,7 +425,28 @@ object TextQueries {
     * application — as a generated 10-stage CTE chain, so every learned
     * merge must replay bit-for-bit in an independent engine. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Bpe.train(Tables.documents(spark, dir), "text", nMerges = 10)
+    bpeMerges(spark, dir).orderBy(col("merge_rank"))
+
+  /** Build-once per-run BPE merge table ([[Tables.buildOnce]] — the
+    * curation-artifact discipline): the 10-merge training loop is an
+    * iterative ~20-action chain, and FOUR queries consume its output
+    * (q82 the table itself, q83/q148/q201 the collected merges). One
+    * training run per corpus per process; every consumer FileScans the
+    * 10-row artifact. The name pins the word model (lowercase-alpha),
+    * merge count, and layout. */
+  private def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.buildOnce("graft_bpe", dir, "merges_lower_n10_v1") { out =>
+      graft.ops.Bpe.train(Tables.documents(spark, dir), "text", nMerges = 10)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/merges")
+    }
+    spark.read.parquet(s"$root/merges")
+  }
+
+  /** The collected (lhs, rhs) merge list in rank order — the driver-side
+    * datum [[graft.ops.Bpe.encode]] takes. */
+  private def bpeMergeList(spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMerges(spark, dir).orderBy(col("merge_rank")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
 
   /** Shared oracle prefix for the BPE pair: w0 (word types) and the n
     * unrolled merge stages (pr_i pairs, m_i argmax, w_i application). */
@@ -471,8 +492,7 @@ object TextQueries {
     * a chained replace over every document word. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val merges = graft.ops.Bpe.train(docs, "text", nMerges = 10).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = bpeMergeList(spark, dir)
     graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
       .withColumn("subwords_per_kiloword",
         expr("n_subwords * 1000 div n_words"))
@@ -510,8 +530,7 @@ object TextQueries {
     * training, encoding, AND the per-language exact-integer rollup. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val merges = bpeTrain(spark, dir).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = bpeMergeList(spark, dir)
     graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"))
@@ -2041,8 +2060,7 @@ object TextQueries {
     * anywhere but the 1-row aggregates. */
   def vocabSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val merges = graft.ops.Bpe.train(docs, "text", nMerges = 10).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val merges = bpeMergeList(spark, dir)
     Seq(3, 6, 10).map { v =>
       graft.ops.Bpe.encode(docs, "doc_id", "text", merges.take(v))
         .agg(sum(col("n_words")).as("n_words"),
