@@ -189,8 +189,12 @@ object Bench {
       // artifact: local sf0.001/sf0.01 iteration runs used to clobber
       // BENCH_local_r<N>.json with numbers from the wrong scale (the
       // round-6 baseline-contamination lesson, generalized). Off-scale
-      // runs keep the full JSON too — just under /tmp.
-      val repo = if (sfDir.stripSuffix("/").endsWith("sf0.1")) new java.io.File("/root/repo")
+      // runs keep the full JSON too — just under /tmp. A PARTIAL run
+      // (SPARK_GRAFT_ONLY) is diverted the same way: a 3-query solo
+      // measurement must never replace the committed 232-query artifact
+      // (it did once in round 14 — recovered from the run log).
+      val repo = if (sfDir.stripSuffix("/").endsWith("sf0.1") && only.isEmpty)
+        new java.io.File("/root/repo")
         else new java.io.File("/tmp")
       val prior = Option(repo.listFiles).getOrElse(Array.empty[java.io.File])
         .flatMap(f => "^BENCH_r0*(\\d+)\\.json$".r.findFirstMatchIn(f.getName)

@@ -120,6 +120,11 @@ object Dedup {
   private[graft] def spread(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // A streaming frame has no batch physical plan to probe — asking for
+    // queryExecution.sparkPlan runs the batch UnsupportedOperationChecker,
+    // which throws on any streaming source. Micro-batch width is the
+    // stream engine's job (state-store partitioning), so pass through.
+    if (df.isStreaming) return df
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
     val width =
