@@ -387,6 +387,32 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
+  /** Count of positions where two BIGINT arrays agree — the MinHash
+    * signature-agreement verifier. One primitive loop per candidate pair;
+    * the expression form `size(filter(zip_with(a, b, (x, y) -> x = y),
+    * v -> v))` built two intermediate arrays and evaluated the lambdas
+    * interpreted, per candidate, in the incremental-dedup verify stage's
+    * hot path. Exact same value: min-length prefix compared pairwise
+    * (signatures here always share length k). */
+  case class SigAgreeCount(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val va = a.asInstanceOf[ArrayData]
+      val vb = b.asInstanceOf[ArrayData]
+      val n = math.min(va.numElements(), vb.numElements())
+      var c = 0
+      var i = 0
+      while (i < n) {
+        if (va.getLong(i) == vb.getLong(i)) c += 1
+        i += 1
+      }
+      c
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreeCount =
+      copy(left = l, right = r)
+  }
+
   /** K-permutation MinHash signature in ONE row-local pass, replicating
     * Dedup.portableBase bit-for-bit: per shingle, h1 = md5 hex chars
     * [1,15] (60 bits), h2 = hex chars [16,30] masked to 57 bits;
@@ -1205,6 +1231,9 @@ object NativeExpressions {
 
   def sqDiffSumLong(a: Column, b: Column): Column =
     ColumnBridge.column(SqDiffSumLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sigAgreeCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** 60-bit portable md5 hash of the BINARY form of `c` (strings hash
     * their UTF-8 bytes, matching `md5(CAST(x AS BLOB))` on the SQL side). */

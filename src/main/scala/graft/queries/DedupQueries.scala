@@ -615,7 +615,13 @@ object DedupQueries {
         expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))").as("text"))
     val batch = docs.filter(col("doc_id") % 4 === 0)
       .select(col("doc_id"), col("text")).unionByName(planted)
+    // materialized: the probe consumes the index three ways (bucket-cap
+    // count, band join, signature verify) — in the deployed shape this is
+    // a DURABLE parquet artifact (one cheap re-scan per consumer); an
+    // unmaterialized pipeline would re-run the shingle + 32-permutation
+    // md5 kernel over the corpus once per consumer
     val index = Dedup.minhashIndex(corpus, "doc_id", "text", shingleN = 3, k = 32)
+      .localCheckpoint(true)
     Dedup.incrementalNearDups(batch, "doc_id", "text", index,
       shingleN = 3, k = 32, bands = 8, minMatches = 16, maxMatchesPerProbe = 8)
       .orderBy(col("batch_id"), col("match_id"))

@@ -516,4 +516,28 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("sigAgreeCount kernel = size(filter(zip_with)) agreement count exactly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val rnd = new scala.util.Random(7)
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),
+      (Seq(0L, 0L), Seq(0L, 0L)),
+      (Seq(5L), Seq(-5L)),
+      (Seq.empty[Long], Seq.empty[Long])) ++
+      (1 to 20).map { _ =>
+        val k = 32
+        val a = Seq.fill(k)(rnd.nextLong() & ((1L << 60) - 1))
+        val b = a.zipWithIndex.map { case (v, i) => if (rnd.nextBoolean()) v else v + i + 1 }
+        (a, b)
+      }
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      graft.functions.NativeExpressions.sigAgreeCount(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    val want = df.select(expr(
+      "cast(size(filter(zip_with(a, b, (x, y) -> x = y), v -> v)) as int)"))
+      .as[Int].collect().toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
 }

@@ -155,6 +155,44 @@ class ParticipantSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("connected components is concurrency-safe: no session-conf bleed into parallel queries") {
+    // GraftService runs queries concurrently on ONE session. The CC loop
+    // wants AQE off and pinned shuffle partitions — round 13 set those on
+    // the shared session conf (restored in finally), which raced with any
+    // concurrent query on the same session; the loop now runs on an
+    // isolated newSession(). This pins the fix: CC and an
+    // aggregate-with-AQE query run concurrently, values must be exact and
+    // the shared session's confs untouched throughout.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val pairs = (0 until 120).map(i => (i.toLong, ((i + 1) % 60).toLong))
+      .filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    val confSamples = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ccF = Future {
+      graft.ops.Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    }
+    val otherF = Future {
+      (1 to 8).map { _ =>
+        confSamples.add(spark.conf.get("spark.sql.adaptive.enabled") + "/" +
+          spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.range(100000).selectExpr("sum(id)").head().getLong(0)
+      }
+    }
+    val cc = Await.result(ccF, 120.seconds)
+    val sums = Await.result(otherF, 120.seconds)
+    assert(sums.forall(_ == 4999950000L))
+    // the 60-cycle plus tails {60..119} all connect into component 0
+    assert(cc.values.toSet == Set(0L), s"labels diverged: ${cc.values.toSet}")
+    assert(cc.size == 120)
+    // the shared session's confs were never mutated, not even transiently
+    confSamples.forEach(s => assert(s == s"$aqeBefore/$partsBefore", s"conf bled: $s"))
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+  }
+
   test("parse enricher mirrors the columnar parse-map rows (B6)") {
     import graft.functions.TextFunctions
     val text = "the cat runs quickly to 42 red9 flying jumped trees x"
